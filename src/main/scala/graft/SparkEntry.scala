@@ -1,13 +1,34 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.imaging.ImagingOps
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    ImagingOps.globalMeta(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "img_dataset_search" -> (ImagingOps.datasetSearch(_, _)),
+    "img_serial_datetime" -> (ImagingOps.serialDatetime(_, _)),
+    "img_frames_subset" -> (ImagingOps.framesSubset(_, _)),
+    "img_frames_meta" -> (ImagingOps.framesMeta(_, _)),
+    "img_filenames" -> (ImagingOps.filenames(_, _)),
+    "img_global_meta" -> (ImagingOps.globalMeta(_, _)),
+    "img_uniqueness" -> (ImagingOps.uniqueness(_, _)),
+    "img_lineage" -> (ImagingOps.lineage(_, _)),
+    "img_sha_dedup" -> (ImagingOps.shaDedup(_, _)),
+    "img_frame_gaps" -> (ImagingOps.frameGaps(_, _)),
+    "img_parse_sms_name" -> (ImagingOps.parseSmsName(_, _)),
+    "img_storage_report" -> (ImagingOps.storageReport(_, _)),
+  )
+
+  /** For each key in queries, equivalent SQL runnable by DuckDB on the
+    * same parquet tables. Omitted keys get a rows-only check.
+    */
+  def oracleSql: Map[String, String] = Oracles.all
 }

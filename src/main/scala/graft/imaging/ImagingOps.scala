@@ -1,0 +1,232 @@
+package graft.imaging
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The imagingDB query surface (SURVEY.md §2.1), batch-generalized:
+  * where the reference answers one dataset at a time over an ORM
+  * session, these operators answer the same question for *every*
+  * dataset in one distributed plan — the shape that survives 100 TB.
+  *
+  * Scale notes: the dataset dimension (one row per dataset) is tiny
+  * next to the frames fact, so every frames⋈data_set join broadcasts
+  * the dimension; per-dataset metadata aggregates are partial-agg
+  * (map-side combine) shuffles on the dataset key only.
+  */
+object ImagingOps {
+  import ImagingModel._
+
+  private def fmt(c: org.apache.spark.sql.Column) =
+    date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  /** Multi-criterion dataset search — db_operations.py:52-90
+    * (get_datasets): serial/microscope/description substring + date
+    * range, ordered by serial.
+    */
+  def datasetSearch(spark: SparkSession, dir: String): DataFrame =
+    dataSet(spark, dir)
+      .filter(col("dataset_serial").contains("PRJ3"))
+      .filter(col("microscope").contains("scope-2"))
+      .filter(col("date_time") >= lit("1994-01-01 00:00:00").cast("timestamp"))
+      .filter(col("date_time") <= lit("1996-12-31 23:59:59").cast("timestamp"))
+      .filter(col("description").contains("URGENT"))
+      .select(
+        col("dataset_serial"), col("description"), col("microscope"),
+        fmt(col("date_time")).as("date_str"),
+        col("frames").cast("int").as("frames_flag"))
+      .orderBy("dataset_serial")
+
+  /** Serial → timestamp parse — dataset.py:10-19 (_serial_to_date_time):
+    * split the serial on '-', rebuild the timestamp, audit it against
+    * the stored date_time.
+    */
+  def serialDatetime(spark: SparkSession, dir: String): DataFrame =
+    dataSet(spark, dir)
+      .select(
+        col("dataset_serial"),
+        expr("split_part(dataset_serial, '-', 1)").as("project"),
+        fmt(expr(
+          """make_timestamp(
+               cast(split_part(dataset_serial, '-', 2) as int),
+               cast(split_part(dataset_serial, '-', 3) as int),
+               cast(split_part(dataset_serial, '-', 4) as int),
+               cast(split_part(dataset_serial, '-', 5) as int),
+               cast(split_part(dataset_serial, '-', 6) as int),
+               cast(split_part(dataset_serial, '-', 7) as int))"""))
+          .as("parsed_str"),
+        col("date_time"))
+      .select(
+        col("dataset_serial"), col("project"), col("parsed_str"),
+        (col("parsed_str") === fmt(col("date_time"))).cast("int")
+          .as("consistent"))
+      .orderBy("dataset_serial")
+
+  /** Multi-dimensional frame slicing — db_operations.py:308-380
+    * (_get_frames_subset): channels by name, slices/times by index
+    * IN-lists, internal ids dropped, ordered output. Batch form: all
+    * scope-1 datasets at once.
+    */
+  def framesSubset(spark: SparkSession, dir: String): DataFrame = {
+    val d = dataSet(spark, dir).filter(col("microscope") === "scope-1")
+      .select(col("id").as("ds_id"), col("dataset_serial"))
+    frames(spark, dir)
+      .filter(col("channel_name").isin("DAPI", "Cy3"))
+      .filter(col("slice_idx").isin(0, 1, 2, 3))
+      .filter(col("time_idx").isin(0, 1, 2))
+      .join(broadcast(d), col("frames_global_id") === col("ds_id"))
+      .select("dataset_serial", "channel_idx", "slice_idx", "time_idx",
+        "pos_idx", "channel_name", "file_name", "sha256")
+      .orderBy("dataset_serial", "file_name")
+  }
+
+  /** Full frame+global metadata for one dataset —
+    * db_operations.py:409-458 (get_frames_meta): frames ⋈ frames_global
+    * ⋈ data_set for the first frames=true serial, ordered by file_name.
+    */
+  def framesMeta(spark: SparkSession, dir: String): DataFrame = {
+    val f = frames(spark, dir)
+    val g = framesGlobal(spark, dir)
+    val d = dataSet(spark, dir).select(col("id").as("ds_id"), col("dataset_serial"))
+    val withSerial = f.join(broadcast(d), col("frames_global_id") === col("ds_id"))
+    val target = withSerial.agg(min("dataset_serial").as("target_serial"))
+    withSerial
+      .join(broadcast(target), col("dataset_serial") === col("target_serial"))
+      .join(broadcast(g.drop("id")), col("frames_global_id") === col("dataset_id"))
+      .select("dataset_serial", "file_name", "channel_idx", "channel_name",
+        "slice_idx", "time_idx", "pos_idx", "sha256", "nbr_frames",
+        "im_width", "im_height", "nbr_slices", "nbr_channels", "im_colors",
+        "nbr_timepoints", "nbr_positions", "bit_depth", "storage_dir")
+      .orderBy("file_name")
+  }
+
+  /** storage_dir + file names per dataset — db_operations.py:257-306
+    * (get_filenames): frames branch ∪ file_global branch for every
+    * PRJ2 dataset.
+    */
+  def filenames(spark: SparkSession, dir: String): DataFrame = {
+    val d = dataSet(spark, dir)
+      .filter(col("dataset_serial").startsWith("PRJ2"))
+      .select(col("id").as("ds_id"), col("dataset_serial"))
+    val g = framesGlobal(spark, dir).select("dataset_id", "storage_dir")
+    val frameFiles = frames(spark, dir)
+      .join(broadcast(d), col("frames_global_id") === col("ds_id"))
+      .join(broadcast(g), col("frames_global_id") === col("dataset_id"))
+      .select("dataset_serial", "storage_dir", "file_name")
+    val wholeFiles = fileGlobal(spark, dir)
+      .join(broadcast(d), col("dataset_id") === col("ds_id"))
+      .select("dataset_serial", "storage_dir", "file_name")
+    frameFiles.unionByName(wholeFiles)
+      .orderBy("dataset_serial", "storage_dir", "file_name")
+  }
+
+  /** Per-dataset global metadata — db_operations.py:382-407
+    * (_get_global_meta) recomputed from frames the way
+    * file_splitter.py assembles it at upload.
+    */
+  def globalMeta(spark: SparkSession, dir: String): DataFrame =
+    framesGlobal(spark, dir)
+      .join(broadcast(dataSet(spark, dir).select(col("id").as("ds_id"),
+        col("dataset_serial"))), col("dataset_id") === col("ds_id"))
+      .select("dataset_serial", "nbr_frames", "im_width", "im_height",
+        "nbr_slices", "nbr_channels", "im_colors", "nbr_timepoints",
+        "nbr_positions", "bit_depth", "storage_dir")
+      .orderBy("dataset_serial")
+
+  /** Serial-uniqueness audit — db_operations.py:104-114
+    * (assert_unique_id) as a batch audit: per-project serial counts and
+    * duplicate census.
+    */
+  def uniqueness(spark: SparkSession, dir: String): DataFrame =
+    dataSet(spark, dir)
+      .select(expr("split_part(dataset_serial, '-', 1)").as("project"),
+        col("dataset_serial"))
+      .groupBy("project")
+      .agg(
+        count(lit(1)).as("n_datasets"),
+        countDistinct(col("dataset_serial")).as("n_serials"))
+      .select(col("project"), col("n_datasets"), col("n_serials"),
+        (col("n_datasets") - col("n_serials")).as("dup_serials"))
+      .orderBy("project")
+
+  /** Parent/child dataset lineage — db_operations.py:116-143
+    * (_get_parent): children rolled up per parent serial.
+    */
+  def lineage(spark: SparkSession, dir: String): DataFrame = {
+    val d = dataSet(spark, dir)
+    val child = d.select(col("parent_id"), col("dataset_serial").as("child_serial"))
+      .filter(col("parent_id").isNotNull)
+    val parent = d.select(col("id").as("p_id"),
+      col("dataset_serial").as("parent_serial"))
+    child.join(parent, col("parent_id") === col("p_id"))
+      .groupBy("parent_serial")
+      .agg(count(lit(1)).as("n_children"),
+        min("child_serial").as("first_child"))
+      .orderBy("parent_serial")
+  }
+
+  /** Duplicate-frame detection by content hash — frames.py sha256 +
+    * meta_utils.py:73-103 (gen_sha256): hash → group → census. The
+    * 100 TB shape: only the 64-char digest shuffles, never pixels.
+    */
+  def shaDedup(spark: SparkSession, dir: String): DataFrame =
+    frames(spark, dir)
+      .groupBy("sha256")
+      .agg(
+        count(lit(1)).as("n_frames"),
+        countDistinct(col("frames_global_id")).as("n_datasets"),
+        min("file_name").as("first_file"))
+      .filter(col("n_frames") > 1)
+      .orderBy(col("n_frames").desc, col("sha256"))
+      .limit(200)
+
+  /** Grid-completeness audit — datasets whose observed c×z×t×p grid
+    * size disagrees with the frame count (missing frames at upload,
+    * the failure mode file_splitter.py guards against).
+    */
+  def frameGaps(spark: SparkSession, dir: String): DataFrame =
+    globalMeta(spark, dir)
+      .select(col("dataset_serial"), col("nbr_frames"),
+        (col("nbr_slices") * col("nbr_channels") * col("nbr_timepoints")
+          * col("nbr_positions")).as("grid_size"))
+      .filter(col("grid_size") =!= col("nbr_frames"))
+      .select(col("dataset_serial"), col("nbr_frames"), col("grid_size"),
+        (col("grid_size") - col("nbr_frames")).as("missing"))
+      .orderBy("dataset_serial")
+
+  /** File-name index parsing — filename_parsers.py:83-117
+    * (parse_idx_from_name): extract the c/z/t/p integers back out of
+    * `im_c###_z###_t###_p###_*.png` names and audit vs stored indices.
+    */
+  def parseSmsName(spark: SparkSession, dir: String): DataFrame =
+    frames(spark, dir)
+      .filter(col("frames_global_id") % 50 === 0)
+      .select(col("file_name"),
+        expr("cast(substr(split_part(file_name, '_', 2), 2) as int)").as("c_parsed"),
+        expr("cast(substr(split_part(file_name, '_', 3), 2) as int)").as("z_parsed"),
+        expr("cast(substr(split_part(file_name, '_', 4), 2) as int)").as("t_parsed"),
+        expr("cast(substr(split_part(file_name, '_', 5), 2) as int)").as("p_parsed"),
+        col("channel_idx"), col("slice_idx"), col("time_idx"), col("pos_idx"))
+      .select(col("file_name"), col("c_parsed"), col("z_parsed"),
+        col("t_parsed"), col("p_parsed"),
+        (col("c_parsed") === col("channel_idx") &&
+          col("z_parsed") === col("slice_idx") &&
+          col("t_parsed") === col("time_idx") &&
+          col("p_parsed") === col("pos_idx")).cast("int").as("consistent"))
+      .orderBy("file_name")
+
+  /** Storage capacity report per project — filestorage/: frame counts
+    * and estimated bytes (w×h×2 for uint16) rolled up from
+    * frames_global.
+    */
+  def storageReport(spark: SparkSession, dir: String): DataFrame =
+    framesGlobal(spark, dir)
+      .join(broadcast(dataSet(spark, dir).select(col("id").as("ds_id"),
+        expr("split_part(dataset_serial, '-', 1)").as("project"))),
+        col("dataset_id") === col("ds_id"))
+      .groupBy("project")
+      .agg(
+        count(lit(1)).as("n_datasets"),
+        sum("nbr_frames").as("total_frames"),
+        sum(col("nbr_frames") * lit(2048L * 2048L * 2L)).as("est_bytes"))
+      .orderBy("project")
+}
