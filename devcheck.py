@@ -63,6 +63,23 @@ def main(sfdir: str, outdir: str) -> None:
             print("  spark:", g[bad].head(3).to_dict("records"))
             print("  oracle:", w[bad].head(3).to_dict("records"))
             n_fail += 1
+    # rows-only check for queries without an oracle
+    import glob
+    import os
+    for p in sorted(glob.glob(f"{outdir}/*")):
+        name = os.path.basename(p)
+        if name in oracles or not os.path.isdir(p):
+            continue
+        try:
+            n = len(pd.read_parquet(p))
+            print(f"{'PASS' if n > 0 else 'FAIL'} {name}: rows-only, {n} rows")
+            if n > 0:
+                n_pass += 1
+            else:
+                n_fail += 1
+        except Exception as e:
+            print(f"FAIL {name}: rows-only read error: {e}")
+            n_fail += 1
     print(f"== {n_pass} pass / {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 

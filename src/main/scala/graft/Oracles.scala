@@ -89,8 +89,8 @@ SELECT dataset_serial, description, microscope,
 FROM data_set
 WHERE dataset_serial LIKE '%PRJ3%'
   AND microscope LIKE '%scope-2%'
-  AND date_time >= TIMESTAMP '1994-01-01 00:00:00'
-  AND date_time <= TIMESTAMP '1996-12-31 23:59:59'
+  AND date_time >= TIMESTAMP '1997-01-01 00:00:00'
+  AND date_time <= TIMESTAMP '1998-12-31 23:59:59'
   AND description LIKE '%URGENT%'
 ORDER BY dataset_serial"""
 
@@ -218,8 +218,148 @@ FROM frames_global g JOIN data_set d ON g.dataset_id = d.id
 GROUP BY 1
 ORDER BY project"""
 
+  private val rev =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+
+  val q1Pricing: String = s"""
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+    AS sum_base_price,
+  CAST(SUM($rev) AS DOUBLE) AS sum_disc_price,
+  CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus"""
+
+  val q3Topk: String = s"""
+SELECT o_orderkey, CAST(SUM($rev) AS DOUBLE) AS revenue,
+  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_str, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10"""
+
+  val q5RegionJoin: String = s"""
+SELECT n_name, CAST(SUM($rev) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY n_name"""
+
+  val winRunning: String = """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+  strftime(l_shipdate, '%Y-%m-%d') AS ship_str,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+    AS running_qty,
+  CAST(ROW_NUMBER() OVER (
+    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+    AS BIGINT) AS rn
+FROM lineitem WHERE l_suppkey < 10
+ORDER BY l_suppkey, rn"""
+
+  val eventsWindow: String = """
+SELECT (epoch_ns(ts) // 300000000000) * 300 AS win_start_epoch,
+  event_type, CAST(count(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY win_start_epoch, event_type"""
+
+  val eventsSessions: String = """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           IS NULL
+         OR epoch_ns(ts) - epoch_ns(lag(ts) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000000
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+), s AS (
+  SELECT user_id, ts, event_id,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM e
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+  CAST(count(*) AS BIGINT) AS n_events,
+  epoch_ns(min(ts)) // 1000000000 AS start_epoch
+FROM s GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx"""
+
+  val docExactDedup: String = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
+)
+SELECT h, n, keeper FROM (
+  SELECT md5(lower(trim(text))) AS h, CAST(count(*) AS BIGINT) AS n,
+    min(doc_id) AS keeper
+  FROM corpus GROUP BY 1)
+WHERE n > 1
+ORDER BY h"""
+
+  val docTextStats: String = """
+SELECT source, n_docs, sum_tokens, sum_the, sum_chars,
+  CAST(round(CAST(sum_tokens AS DOUBLE) / n_docs, 4) AS DOUBLE)
+    AS avg_tokens
+FROM (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+      ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1
+      END) AS BIGINT) AS sum_tokens,
+    CAST(SUM((length(text) - length(replace(text, 'the', ''))) // 3)
+      AS BIGINT) AS sum_the,
+    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+  FROM documents GROUP BY source)
+ORDER BY source"""
+
+  val docFingerprint: String = """
+SELECT doc_id,
+  list_reduce(list_prepend(CAST(0 AS BIGINT),
+    list_transform(string_split(text, ''),
+      c -> CAST(ascii(c) AS BIGINT))),
+    (acc, x) -> (acc * 31 + x) % 2147483647) AS fp
+FROM documents
+ORDER BY doc_id"""
+
+  val embNormStats: String = """
+SELECT label, CAST(count(*) AS BIGINT) AS n,
+  CAST(round(SUM(sqrt(list_sum(list_transform(embedding,
+    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) / count(*), 6)
+    AS DOUBLE) AS avg_norm,
+  CAST(round(SUM(list_sum(list_transform(embedding,
+    x -> CAST(x AS DOUBLE)))) / count(*), 6) AS DOUBLE) AS avg_sum
+FROM embeddings GROUP BY label ORDER BY label"""
+
   /** Every oracle, keyed like SparkEntry.queries. */
   def all: Map[String, String] = Map(
+    "q1_pricing" -> q1Pricing,
+    "q3_topk" -> q3Topk,
+    "q5_region_join" -> q5RegionJoin,
+    "win_running" -> winRunning,
+    "events_window" -> eventsWindow,
+    "events_sessions" -> eventsSessions,
+    "doc_exact_dedup" -> docExactDedup,
+    "doc_text_stats" -> docTextStats,
+    "doc_fingerprint" -> docFingerprint,
+    "emb_norm_stats" -> embNormStats,
     "img_dataset_search" -> imgDatasetSearch,
     "img_serial_datetime" -> imgSerialDatetime,
     "img_frames_subset" -> imgFramesSubset,

@@ -2,7 +2,9 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.analytics.Olap
 import graft.imaging.ImagingOps
+import graft.ops.{DedupOps, EventOps, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -25,6 +27,22 @@ object SparkEntry {
     "img_frame_gaps" -> (ImagingOps.frameGaps(_, _)),
     "img_parse_sms_name" -> (ImagingOps.parseSmsName(_, _)),
     "img_storage_report" -> (ImagingOps.storageReport(_, _)),
+    "q1_pricing" -> (Olap.q1Pricing(_, _)),
+    "q3_topk" -> (Olap.q3Topk(_, _)),
+    "q5_region_join" -> (Olap.q5RegionJoin(_, _)),
+    "win_running" -> (Olap.winRunning(_, _)),
+    "events_window" -> (EventOps.eventsWindow(_, _)),
+    "events_sessions" -> (EventOps.eventsSessions(_, _)),
+    "doc_exact_dedup" -> (DedupOps.exactDedup(_, _)),
+    "doc_minhash_lsh" -> (DedupOps.minhashLsh(_, _)),
+    "doc_simhash" -> (DedupOps.simhash(_, _)),
+    "doc_ngram_jaccard" -> (DedupOps.ngramJaccard(_, _)),
+    "doc_text_stats" -> (TextOps.textStats(_, _)),
+    "doc_lang_id" -> (TextOps.langId(_, _)),
+    "doc_fingerprint" -> (TextOps.fingerprint(_, _)),
+    "emb_knn_brute" -> (VectorOps.knnBrute(_, _)),
+    "emb_knn_ivf" -> (VectorOps.knnIvf(_, _)),
+    "emb_norm_stats" -> (VectorOps.normStats(_, _)),
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the

@@ -1,0 +1,115 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/** Core OLAP surface (SURVEY.md §2.2): the bulk-analytics query shapes
+  * the reference's metadata DB answers with Postgres, re-expressed as
+  * distributed scan→join→agg plans.
+  *
+  * Oracle-parity conventions: money math in DECIMAL (exact and
+  * order-independent so the DuckDB hash compare can't be broken by
+  * float summation order), DOUBLE only on output; dates emitted as
+  * strings; every sort a total order.
+  *
+  * Scale notes: filters sit directly on the scans so parquet pushdown
+  * applies; region/nation joins broadcast; the lineitem⋈orders⋈customer
+  * joins shuffle on their keys and AQE handles runtime sizing/skew.
+  */
+object Olap {
+
+  private val dec = "decimal(18,2)"
+
+  /** TPC-H Q1-style pricing summary: single scan, partial-agg shuffle
+    * on a 6-value group key.
+    */
+  def q1Pricing(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("2001-09-02 00:00:00").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(dec)).cast("double")
+          .as("sum_base_price"),
+        sum(col("l_extendedprice").cast(dec)
+          * (lit(1).cast(dec) - col("l_discount").cast(dec)))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3-style shipping priority: selective filters pushed to all
+    * three scans, then join → group → top-10.
+    */
+  def q3Topk(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1996-03-15 00:00:00").cast("timestamp")
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = Tables.orders(spark, dir).filter(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val l = Tables.lineitem(spark, dir).filter(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"),
+        (col("l_extendedprice").cast(dec)
+          * (lit(1).cast(dec) - col("l_discount").cast(dec))).as("rev"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+      .select(col("o_orderkey"), col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate_str"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style local-supplier volume: 6-table join; region→nation
+    * broadcast down the dimension chain, facts shuffle on join keys.
+    */
+  def q5RegionJoin(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(spark, dir)
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val s = Tables.supplier(spark, dir)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_nationkey", "n_name")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01 00:00:00").cast("timestamp"))
+      .filter(col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice").cast(dec)
+          * (lit(1).cast(dec) - col("l_discount").cast(dec))).as("rev"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey")
+        && col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+      .orderBy("n_name")
+  }
+
+  /** Window functions: per-supplier running quantity + row rank over a
+    * total order (ties broken by the unique (orderkey, linenumber)).
+    */
+  def winRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_suppkey") < 10)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"), col("l_quantity").cast(dec).as("qty"))
+      .withColumn("running_qty",
+        sum(col("qty")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).cast("double"))
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_str"),
+        col("running_qty"), col("rn"))
+      .orderBy("l_suppkey", "rn")
+  }
+}

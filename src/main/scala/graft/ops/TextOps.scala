@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/** Text-analysis operators for training-data pipelines (SURVEY.md
+  * §2.3): token counting, quality features, language ID, document
+  * fingerprinting. All pure column expressions (whole-stage codegen),
+  * no UDFs — the per-doc feature extraction is embarrassingly parallel
+  * and never shuffles; only the final roll-ups do.
+  */
+object TextOps {
+
+  /** Occurrences of `needle` in `hay` via length arithmetic — portable
+    * to the DuckDB oracle and codegen-friendly.
+    */
+  private def occurrences(hay: Column, needle: String): Column =
+    ((length(hay) - length(expr(s"replace(text, '$needle', '')")))
+      / needle.length).cast("bigint")
+
+  /** Per-doc features → per-source quality roll-up: token counts,
+    * stopword ('the') counts, char volume, avg tokens.
+    */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("t", trim(col("text")))
+      .withColumn("n_tokens",
+        when(length(col("t")) === 0, lit(0L)).otherwise(
+          (length(col("t")) - length(expr("replace(t, ' ', '')")) + 1)
+            .cast("bigint")))
+      .withColumn("the_cnt", occurrences(col("text"), "the"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        sum(col("the_cnt")).as("sum_the"),
+        sum(col("n_chars")).as("sum_chars"))
+      .select(col("source"), col("n_docs"), col("sum_tokens"),
+        col("sum_the"), col("sum_chars"),
+        round(col("sum_tokens").cast("double") / col("n_docs"), 4)
+          .as("avg_tokens"))
+      .orderBy("source")
+
+  /** Marker-word language-ID heuristic vs the labeled `lang` column:
+    * score each candidate language by marker hits, pick the max
+    * (ties broken lexicographically via struct max), emit the
+    * confusion matrix. Rows-only check — the heuristic itself is not
+    * expressible in portable SQL.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val markers: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq(" the ", " fast ", " key "),
+      "es" -> Seq(" el ", " data ", " sort "),
+      "de" -> Seq(" der ", " group ", " merge "),
+      "fr" -> Seq(" le ", " join ", " row "),
+      "zh" -> Seq(" spark ", " query ", " scan "))
+    val scored = markers.map { case (lang, words) =>
+      val score = words.map(w =>
+        (length(col("padded")) - length(regexp_replace(col("padded"),
+          lit(w), lit("")))) / w.length).reduce(_ + _)
+      struct(score.cast("bigint").as("score"), lit(lang).as("lang"))
+    }
+    Tables.documents(spark, dir)
+      .withColumn("padded", concat(lit(" "), lower(col("text")), lit(" ")))
+      .withColumn("best", array_max(array(scored: _*)))
+      .select(col("lang"), col("best.lang").as("predicted"))
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+  }
+
+  /** Rolling polynomial hash fingerprint over the characters of each
+    * document (mod 2^31-1), computed as a codegen'd fold — no UDF, no
+    * shuffle at all.
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("""aggregate(filter(split(text, ''), c -> c <> ''),
+                0L, (acc, c) -> (acc * 31 + ascii(c)) % 2147483647)""")
+          .as("fp"))
+      .orderBy("doc_id")
+}

@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/** Similarity search over the embeddings table (SURVEY.md §2.4).
+  *
+  * Vector math is built from the higher-order array functions
+  * (zip_with/aggregate) — Catalyst expressions, no UDFs. Floats are
+  * promoted to double per element so accumulation is deterministic.
+  *
+  * 100 TB design: brute force is the correctness baseline (|Q|×N
+  * broadcast of the tiny query side, partial top-k per partition via
+  * the window). The IVF path is the scale path: candidates shrink to
+  * nprobe cells, so the shuffle is |Q|×nprobe×cell_size, independent
+  * of N for fixed cell geometry.
+  */
+object VectorOps {
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b,
+      (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-5 for each query vector (vec_id < 10):
+    * broadcast the query side, score every candidate, per-query top-k
+    * via row_number with a deterministic tie-break.
+    */
+  def knnBrute(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val scored = e.join(broadcast(q), col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        cosine(col("qv"), col("embedding")).as("sim"))
+    topK(scored, 5)
+  }
+
+  /** IVF-style ANN: 16 fixed "centroids" (vec_id < 16), every vector
+    * assigned to its nearest cell, queries probe their 4 nearest cells
+    * and rank only those candidates.
+    */
+  def knnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    def nearestCells(df: DataFrame, idCol: String, vecCol: String,
+        keep: Int): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(idCol).orderBy(col("cdist"), col("cid"))
+      df.join(broadcast(cents), col("cid") =!= lit(-1))
+        .withColumn("cdist", -cosine(col(vecCol), col("cv")))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= keep)
+        .select(col(idCol), col(vecCol), col("cid").as("cell"))
+    }
+    val assigned = nearestCells(
+      e.select(col("vec_id"), col("embedding")), "vec_id", "embedding", 1)
+    val probes = nearestCells(
+      e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+      "qid", "qv", 4)
+    val scored = probes.join(assigned, Seq("cell"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        cosine(col("qv"), col("embedding")).as("sim"))
+    topK(scored, 5)
+  }
+
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id").as("neighbor"),
+        round(col("sim"), 6).as("sim"), col("rank"))
+      .orderBy("qid", "rank")
+  }
+
+  /** Per-label norm/centroid stats via array folds — the [O]-checked
+    * vector query (rounded to 6 decimals for cross-engine parity).
+    */
+  def normStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), norm(col("embedding")).as("nrm"),
+        aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double")).as("sm"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("nrm")) / count(lit(1)), 6).as("avg_norm"),
+        round(sum(col("sm")) / count(lit(1)), 6).as("avg_sum"))
+      .orderBy("label")
+}
