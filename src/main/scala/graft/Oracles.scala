@@ -121,7 +121,7 @@ WHERE d.microscope = 'scope-1'
   AND f.channel_name IN ('DAPI', 'Cy3')
   AND f.slice_idx IN (0, 1, 2, 3)
   AND f.time_idx IN (0, 1, 2)
-ORDER BY d.dataset_serial, f.file_name"""
+ORDER BY d.dataset_serial, f.file_name, f.sha256"""
 
   val imgFramesMeta: String = imagingCte + """
 SELECT d.dataset_serial, f.file_name, f.channel_idx, f.channel_name,
@@ -134,7 +134,7 @@ JOIN frames_global g ON f.frames_global_id = g.dataset_id
 WHERE d.dataset_serial = (
   SELECT min(d2.dataset_serial) FROM data_set d2
   JOIN frames f2 ON f2.frames_global_id = d2.id)
-ORDER BY f.file_name"""
+ORDER BY f.file_name, f.sha256"""
 
   val imgFilenames: String = imagingCte + """
 SELECT dataset_serial, storage_dir, file_name FROM (

@@ -76,7 +76,7 @@ object ImagingOps {
       .join(broadcast(d), col("frames_global_id") === col("ds_id"))
       .select("dataset_serial", "channel_idx", "slice_idx", "time_idx",
         "pos_idx", "channel_name", "file_name", "sha256")
-      .orderBy("dataset_serial", "file_name")
+      .orderBy("dataset_serial", "file_name", "sha256")
   }
 
   /** Full frame+global metadata for one dataset —
@@ -96,7 +96,7 @@ object ImagingOps {
         "slice_idx", "time_idx", "pos_idx", "sha256", "nbr_frames",
         "im_width", "im_height", "nbr_slices", "nbr_channels", "im_colors",
         "nbr_timepoints", "nbr_positions", "bit_depth", "storage_dir")
-      .orderBy("file_name")
+      .orderBy("file_name", "sha256")
   }
 
   /** storage_dir + file names per dataset — db_operations.py:257-306

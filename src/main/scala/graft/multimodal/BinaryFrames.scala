@@ -1,0 +1,76 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.imaging.ImagingModel
+
+/** Multimodal column plumbing (SURVEY.md §2.5): images as opaque
+  * `binary` columns with typed metadata, the way the reference ships
+  * serialized frames to object storage (image_utils.py serialize_im /
+  * deserialize_im) while the DB carries the metadata.
+  *
+  * The Spark-side plumbing — schema, batched per-partition decode
+  * loop, partitioning — is real and tested. The pixel codec itself is
+  * STUBBED (no image libraries in this environment): payloads are
+  * deterministic bytes derived from each frame's sha256, and
+  * `decodeStub` computes byte-level statistics where a real deployment
+  * would decode PNG/TIFF. Swap `decodeBytes` for an actual codec and
+  * nothing else changes.
+  */
+object BinaryFrames {
+
+  case class FrameFeature(frame_id: Long, width: Int, height: Int,
+    n_bytes: Int, mean_byte: Double, max_byte: Int)
+
+  /** Frames with a deterministic fake binary payload (64 bytes derived
+    * from the sha256 hex — 2 bytes per hex char via unhex+repeat).
+    */
+  def withPayload(spark: SparkSession, dir: String): DataFrame =
+    ImagingModel.frames(spark, dir)
+      .select(col("id").as("frame_id"), col("file_name"),
+        expr("concat(unhex(sha256), unhex(sha256))").as("payload"),
+        struct(lit(2048).as("width"), lit(2048).as("height"),
+          lit("uint16").as("bit_depth")).as("meta"))
+
+  /** STUB decode: byte statistics standing in for pixel decode.
+    * Replace with a real codec (cv2.imdecode equivalent) off-cluster.
+    */
+  private def decodeBytes(payload: Array[Byte]): (Double, Int) = {
+    // ??? real codec goes here — deterministic byte stats until then
+    var sum = 0L
+    var max = 0
+    var i = 0
+    while (i < payload.length) {
+      val v = payload(i) & 0xff
+      sum += v
+      if (v > max) max = v
+      i += 1
+    }
+    (if (payload.length == 0) 0.0 else sum.toDouble / payload.length, max)
+  }
+
+  /** Per-partition batched "decode": the exact shape a mapInPandas /
+    * mapPartitions image pipeline has at scale — one codec init per
+    * partition, streaming over rows, typed output schema.
+    */
+  def decodeStub(spark: SparkSession, framed: DataFrame): Dataset[FrameFeature] = {
+    import spark.implicits._
+    framed.select("frame_id", "payload", "meta.width", "meta.height")
+      .as[(Long, Array[Byte], Int, Int)]
+      .mapPartitions { rows =>
+        // codec/session init would happen once per partition here
+        rows.map { case (id, payload, w, h) =>
+          val (mean, max) = decodeBytes(payload)
+          FrameFeature(id, w, h, payload.length, mean, max)
+        }
+      }
+  }
+
+  /** Deterministic 1-in-`rate` frame sampling by id — the frame-sample
+    * operator of a video/stack pipeline (pure filter: no shuffle, full
+    * pushdown above the payload fetch).
+    */
+  def sampleFrames(framed: DataFrame, rate: Int): DataFrame =
+    framed.filter(pmod(xxhash64(col("frame_id")), lit(rate)) === 0)
+}

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.tables.Tables
+
+/** Structured Streaming surface (SURVEY.md §2.5).
+  *
+  * The same logical plan serves batch and stream (run it over a batch
+  * DataFrame or a readStream source unchanged) — the spec proves
+  * batch/stream parity by feeding the same rows through both.
+  *
+  * Scale design: the windowed aggregation keys state by
+  * (window, event_type) — state size is bounded by windows-in-flight ×
+  * type cardinality, independent of event volume; the watermark lets
+  * Spark evict closed windows. The sessionizer keys state by user with
+  * an explicit timeout, so idle users are evicted too.
+  */
+object EventsStream {
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+  case class SessionState(nEvents: Long, startMs: Long, lastMs: Long)
+
+  case class Session(user_id: Long, n_events: Long, start_ms: Long,
+    duration_ms: Long)
+
+  /** Tumbling 5-minute windows per event type; works on batch and
+    * streaming inputs alike. Input needs (ts: timestamp, event_type,
+    * value).
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** The events table with ns-long `ts` converted to a proper µs
+    * timestamp column — the batch twin's input, sharing the plan with
+    * the streaming source.
+    */
+  def eventsAsTimestamps(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Stateful streaming sessionizer: 30-minute-gap sessions per user
+    * via flatMapGroupsWithState with a processing-time timeout.
+    * Emits a session when the gap closes it; timeout flushes the rest.
+    */
+  def sessionize(spark: SparkSession,
+      events: org.apache.spark.sql.Dataset[Event],
+      gapMs: Long = 30L * 60 * 1000)
+      : org.apache.spark.sql.Dataset[Session] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId: Long, rows: Iterator[Event],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s =>
+              Session(userId, s.nEvents, s.startMs, s.lastMs - s.startMs))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val closed = Seq.newBuilder[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastMs <= gapMs =>
+                  cur = Some(s.copy(nEvents = s.nEvents + 1, lastMs = t))
+                case Some(s) =>
+                  closed += Session(userId, s.nEvents, s.startMs,
+                    s.lastMs - s.startMs)
+                  cur = Some(SessionState(1, t, t))
+                case None =>
+                  cur = Some(SessionState(1, t, t))
+              }
+            }
+            cur match {
+              case Some(s) =>
+                state.update(s)
+                state.setTimeoutDuration(gapMs)
+              case None => state.remove()
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{DedupOps, TextOps, VectorOps}
+
+class DedupSpec extends AnyFunSuite {
+  import TestSpark.{sfDir, spark}
+
+  private lazy val nPlanted = graft.tables.Tables
+    .documents(spark, sfDir).filter(col("doc_id") % 5 === 0).count()
+
+  test("exact dedup finds exactly the planted duplicates") {
+    val groups = DedupOps.exactDedup(spark, sfDir)
+    assert(groups.count() === nPlanted)
+    assert(groups.filter(col("n") =!= 2).count() === 0)
+  }
+
+  test("minhash LSH recovers every planted pair at jaccard 1.0") {
+    val pairs = DedupOps.minhashLsh(spark, sfDir)
+    val planted = pairs.filter(col("doc2") === col("doc1") + 1000000L)
+    assert(planted.count() === nPlanted)
+    assert(planted.filter(col("jaccard") < 1.0).count() === 0)
+  }
+
+  test("simhash gives planted pairs hamming distance 0") {
+    val pairs = DedupOps.simhash(spark, sfDir)
+    val planted = pairs.filter(col("doc2") === col("doc1") + 1000000L)
+    assert(planted.count() === nPlanted)
+    assert(planted.filter(col("hamming") =!= 0).count() === 0)
+  }
+
+  test("ngram jaccard ranks planted pairs on top") {
+    val top = DedupOps.ngramJaccard(spark, sfDir).limit(10)
+    assert(top.filter(col("jaccard") === 1.0).count() === 10)
+  }
+
+  test("fingerprint is deterministic and within the modulus") {
+    val a = TextOps.fingerprint(spark, sfDir).collect()
+    val b = TextOps.fingerprint(spark, sfDir).collect()
+    assert(a.sameElements(b))
+    assert(a.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 2147483647L))
+  }
+
+  test("knn returns k neighbors per query with sims in [-1,1]") {
+    val knn = VectorOps.knnBrute(spark, sfDir)
+    val perQuery = knn.groupBy("qid").count()
+    assert(perQuery.filter(col("count") =!= 5).count() === 0)
+    assert(knn.filter(col("sim") > 1.0001 || col("sim") < -1.0001)
+      .count() === 0)
+  }
+
+  test("IVF candidates agree with brute force on their cells") {
+    val brute = VectorOps.knnBrute(spark, sfDir)
+      .select(col("qid"), col("neighbor"))
+    val ivf = VectorOps.knnIvf(spark, sfDir)
+      .select(col("qid"), col("neighbor"))
+    // IVF searches 4 of 16 cells: expect meaningful overlap, not parity
+    val overlap = ivf.intersect(brute).count()
+    assert(overlap >= 10, s"IVF∩brute=$overlap of 50 — recall collapsed")
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.BinaryFrames
+import graft.streaming.EventsStream
+import graft.streaming.EventsStream.Event
+
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark.{sfDir, spark}
+
+  test("streaming windowed counts match the batch twin") {
+    import spark.implicits._
+    val batchInput = EventsStream.eventsAsTimestamps(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val batchResult = EventsStream.windowedCounts(batchInput)
+      .orderBy("win_start", "event_type").collect()
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    stream.addData(batchInput.as[Event].collect().toIndexedSeq)
+    val q = EventsStream.windowedCounts(stream.toDF())
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamResult = spark.table("win_out")
+      .orderBy("win_start", "event_type").collect()
+
+    assert(streamResult.length === batchResult.length)
+    assert(streamResult.sameElements(batchResult))
+  }
+
+  test("stateful sessionizer closes sessions on gaps") {
+    import spark.implicits._
+    def ev(id: Long, user: Long, minute: Long) =
+      Event(id, new Timestamp(minute * 60000L), user, "click", 1.0)
+    // user 1: events at t=0,10 then a 60-min gap then t=70 (2 sessions,
+    // second still open); user 2: single event (open session)
+    val events = Seq(ev(1, 1, 0), ev(2, 1, 10), ev(3, 1, 70), ev(4, 2, 5))
+    val closed = EventsStream.sessionize(spark, events.toDS()).collect()
+    assert(closed.length === 1)
+    assert(closed.head.user_id === 1 && closed.head.n_events === 2)
+  }
+
+  test("binary frame plumbing: payloads decode with stable schema") {
+    val framed = BinaryFrames.withPayload(spark, sfDir)
+    val feats = BinaryFrames.decodeStub(spark, framed)
+    assert(feats.count() === framed.count())
+    val bad = feats.filter(col("n_bytes") =!= 64
+      || col("mean_byte") < 0 || col("mean_byte") > 255).count()
+    assert(bad === 0)
+    val sampled = BinaryFrames.sampleFrames(framed, 10)
+    assert(sampled.count() > 0 && sampled.count() < framed.count())
+  }
+}
