@@ -1,0 +1,69 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the text pipeline.
+  *
+  * Why an Expression and not higher-order functions: building n-gram
+  * shingles with `transform(sequence(...), i -> element_at(toks, ...))`
+  * re-evaluates the tokenizer per shingle once CollapseProject inlines
+  * the `toks` alias into the lambda — O(tokens²) per document and
+  * interpreted (HOFs don't codegen). This expression tokenizes once and
+  * emits the distinct shingle set in a single linear pass. Why not a
+  * UDF: an Expression keeps null semantics, works in any API, and can
+  * later add doGenCode without changing call sites.
+  */
+case class WordNGrams(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, s"n-gram size must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val toks = text.toLowerCase.split(' ').filter(_.nonEmpty)
+    val out = mutable.LinkedHashSet.empty[String]
+    if (toks.length < n) {
+      // short-document fallback: the whole text is the one shingle
+      // (mirrors the reference semantics of treating tiny docs atomically)
+      out += text
+    } else {
+      val sb = new StringBuilder
+      var i = 0
+      while (i <= toks.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out += sb.result()
+        i += 1
+      }
+    }
+    new GenericArrayData(out.iterator.map(UTF8String.fromString).toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordNGrams =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_ngrams"
+}
+
+object TextExpressions {
+  import org.apache.spark.sql.GraftSqlBridge
+
+  /** Distinct word n-gram shingles of a string column, single pass. */
+  def wordNGrams(c: Column, n: Int): Column =
+    GraftSqlBridge.column(WordNGrams(GraftSqlBridge.expression(c), n))
+}

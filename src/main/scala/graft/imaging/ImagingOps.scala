@@ -84,18 +84,36 @@ object ImagingOps {
     * ⋈ data_set for the first frames=true serial, ordered by file_name.
     */
   def framesMeta(spark: SparkSession, dir: String): DataFrame = {
+    // resolve the target dataset from the dimension side first (orders
+    // scan + a column-pruned lineitem key scan), then filter the frames
+    // fact once and compute its global metadata from that filtered
+    // slice — instead of materializing frames_global for every dataset
+    val d = dataSet(spark, dir).filter(col("frames"))
+      .select(col("id").as("ds_id"), col("dataset_serial"))
+    val liKeys = graft.tables.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("li_key")).distinct()
+    val target = d.join(liKeys, col("ds_id") === col("li_key"), "left_semi")
+      .agg(min("dataset_serial").as("target_serial"))
+    val targetDs = d.join(broadcast(target),
+      col("dataset_serial") === col("target_serial"))
     val f = frames(spark, dir)
-    val g = framesGlobal(spark, dir)
-    val d = dataSet(spark, dir).select(col("id").as("ds_id"), col("dataset_serial"))
-    val withSerial = f.join(broadcast(d), col("frames_global_id") === col("ds_id"))
-    val target = withSerial.agg(min("dataset_serial").as("target_serial"))
-    withSerial
-      .join(broadcast(target), col("dataset_serial") === col("target_serial"))
-      .join(broadcast(g.drop("id")), col("frames_global_id") === col("dataset_id"))
-      .select("dataset_serial", "file_name", "channel_idx", "channel_name",
-        "slice_idx", "time_idx", "pos_idx", "sha256", "nbr_frames",
-        "im_width", "im_height", "nbr_slices", "nbr_channels", "im_colors",
-        "nbr_timepoints", "nbr_positions", "bit_depth", "storage_dir")
+      .join(broadcast(targetDs), col("frames_global_id") === col("ds_id"))
+    val g = f.groupBy(col("frames_global_id").as("g_id"))
+      .agg(
+        count(lit(1)).as("nbr_frames"),
+        countDistinct(col("slice_idx")).as("nbr_slices"),
+        countDistinct(col("channel_idx")).as("nbr_channels"),
+        countDistinct(col("time_idx")).as("nbr_timepoints"),
+        countDistinct(col("pos_idx")).as("nbr_positions"))
+    f.join(broadcast(g), col("frames_global_id") === col("g_id"))
+      .select(col("dataset_serial"), col("file_name"), col("channel_idx"),
+        col("channel_name"), col("slice_idx"), col("time_idx"),
+        col("pos_idx"), col("sha256"), col("nbr_frames"),
+        lit(2048).as("im_width"), lit(2048).as("im_height"),
+        col("nbr_slices"), col("nbr_channels"), lit(1).as("im_colors"),
+        col("nbr_timepoints"), col("nbr_positions"),
+        lit("uint16").as("bit_depth"),
+        concat(lit("raw_frames/"), col("dataset_serial")).as("storage_dir"))
       .orderBy("file_name", "sha256")
   }
 
@@ -104,16 +122,18 @@ object ImagingOps {
     * PRJ2 dataset.
     */
   def filenames(spark: SparkSession, dir: String): DataFrame = {
+    // storage_dir is functionally dependent on the serial, so derive it
+    // on the dimension side instead of joining the frames_global
+    // aggregate back in — saves a full groupBy of the frames fact
     val d = dataSet(spark, dir)
       .filter(col("dataset_serial").startsWith("PRJ2"))
-      .select(col("id").as("ds_id"), col("dataset_serial"))
-    val g = framesGlobal(spark, dir).select("dataset_id", "storage_dir")
+      .select(col("id").as("ds_id"), col("dataset_serial"),
+        concat(lit("raw_frames/"), col("dataset_serial")).as("storage_dir"))
     val frameFiles = frames(spark, dir)
       .join(broadcast(d), col("frames_global_id") === col("ds_id"))
-      .join(broadcast(g), col("frames_global_id") === col("dataset_id"))
       .select("dataset_serial", "storage_dir", "file_name")
     val wholeFiles = fileGlobal(spark, dir)
-      .join(broadcast(d), col("dataset_id") === col("ds_id"))
+      .join(broadcast(d.drop("storage_dir")), col("dataset_id") === col("ds_id"))
       .select("dataset_serial", "storage_dir", "file_name")
     frameFiles.unionByName(wholeFiles)
       .orderBy("dataset_serial", "storage_dir", "file_name")

@@ -49,17 +49,12 @@ object DedupOps {
       .orderBy("h")
 
   /** Distinct word-3-gram shingle set per doc (single-shingle fallback
-    * for short docs).
+    * for short docs). Single-pass custom expression — see
+    * [[graft.functions.WordNGrams]] for why HOFs are the wrong tool.
     */
-  private def withShingles(df: DataFrame): DataFrame = df
-    .withColumn("toks", expr("filter(split(lower(text), ' '), x -> x <> '')"))
-    .withColumn("shset", array_distinct(
-      when(size(col("toks")) >= 3,
-        expr("""transform(sequence(0, size(toks) - 3),
-                i -> concat(element_at(toks, i + 1), ' ',
-                            element_at(toks, i + 2), ' ',
-                            element_at(toks, i + 3)))"""))
-        .otherwise(array(col("text")))))
+  private def withShingles(df: DataFrame): DataFrame =
+    df.withColumn("shset",
+      graft.functions.TextExpressions.wordNGrams(col("text"), 3))
 
   /** MinHash + LSH near-dup pairs: shingle → 64-perm signature →
     * 16 LSH bands → bucket self-join → exact-Jaccard confirmation at
@@ -85,21 +80,43 @@ object DedupOps {
     val buckets = sig
       .select(col("doc_id"), explode(array(bands: _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
-    val cand = buckets.as("x").join(buckets.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
-          && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
+    // one pass over the buckets: group → in-bucket pair expansion —
+    // avoids a self-join that would run the signature pipeline twice.
+    // Buckets are capped (skew guard): a degenerate bucket of B docs
+    // would otherwise emit B² pairs.
+    val maxBucket = 1000
+    val cand = buckets.groupBy("band", "bh")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ids) - 1),
+             i -> transform(sequence(0, i - 1),
+               j -> struct(element_at(ids, j + 1) AS doc1,
+                           element_at(ids, i + 1) AS doc2))))"""))
+        .as("p"))
+      .select(col("p.doc1").as("doc1"), col("p.doc2").as("doc2"))
       .distinct()
-    cand
-      .join(docs.select(col("doc_id").as("doc1"), col("shset").as("s1")), "doc1")
-      .join(docs.select(col("doc_id").as("doc2"), col("shset").as("s2")), "doc2")
+    // verification re-derives shingles for the tiny candidate set from
+    // raw text instead of shuffling every doc's shingle array through
+    // two joins — at 100 TB the full shset join would dominate the job
+    val texts = corpus(spark, dir).select("doc_id", "text")
+    val candTexts = cand
+      .join(texts.select(col("doc_id").as("doc1"), col("text").as("text1")), "doc1")
+      .join(texts.select(col("doc_id").as("doc2"), col("text").as("text2")), "doc2")
+    val s1 = shingleExpr("text1")
+    val s2 = shingleExpr("text2")
+    candTexts
       .withColumn("jaccard", round(
-        size(array_intersect(col("s1"), col("s2"))).cast("double")
-          / size(array_union(col("s1"), col("s2"))), 4))
+        size(array_intersect(s1, s2)).cast("double")
+          / size(array_union(s1, s2)), 4))
       .filter(col("jaccard") >= 0.7)
       .select("doc1", "doc2", "jaccard")
       .orderBy("doc1", "doc2")
   }
+
+  /** Distinct word-3-gram shingles of a text column, as one expression. */
+  private def shingleExpr(textCol: String): Column =
+    graft.functions.TextExpressions.wordNGrams(col(textCol), 3)
 
   /** 64-bit SimHash per doc (token-hash bit votes), near-dup pairs by
     * Hamming ≤ 3 via 16-bit band buckets + codegen'd bit_count(xor).
@@ -139,10 +156,16 @@ object DedupOps {
     * source+lang block), top-100 most similar.
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // block on (source, lang, length band): candidates must be
+    // near-equal length to reach high Jaccard, so the extra band
+    // predicate prunes the quadratic pair space without losing top-k
     val docs = withShingles(corpus(spark, dir))
-      .select(col("doc_id"), col("source"), col("lang"), col("shset"))
+      .withColumn("lenband", (length(col("text")) / 64).cast("int"))
+      .select(col("doc_id"), col("source"), col("lang"), col("lenband"),
+        col("shset"))
     docs.as("x").join(docs.as("y"),
         col("x.source") === col("y.source") && col("x.lang") === col("y.lang")
+          && col("x.lenband") === col("y.lenband")
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"),
         round(size(array_intersect(col("x.shset"), col("y.shset")))
