@@ -348,8 +348,82 @@ SELECT label, CAST(count(*) AS BIGINT) AS n,
     x -> CAST(x AS DOUBLE)))) / count(*), 6) AS DOUBLE) AS avg_sum
 FROM embeddings GROUP BY label ORDER BY label"""
 
+  val imgValidateId: String = imagingCte + """
+SELECT project, n_valid, n_invalid FROM (
+  SELECT split_part(dataset_serial, '-', 1) AS project,
+    CAST(SUM(v) AS BIGINT) AS n_valid,
+    CAST(SUM(1 - v) AS BIGINT) AS n_invalid
+  FROM (
+    SELECT dataset_serial,
+      CAST(len(string_split(dataset_serial, '-')) = 8
+        AND length(split_part(dataset_serial, '-', 2)) = 4
+        AND length(split_part(dataset_serial, '-', 3)) = 2
+        AND length(split_part(dataset_serial, '-', 4)) = 2
+        AND length(split_part(dataset_serial, '-', 5)) = 2
+        AND length(split_part(dataset_serial, '-', 6)) = 2
+        AND length(split_part(dataset_serial, '-', 7)) = 2
+        AND length(split_part(dataset_serial, '-', 8)) = 4 AS INT) AS v
+    FROM data_set)
+  GROUP BY 1)
+ORDER BY project"""
+
+  val imgStackPositions: String = imagingCte + """
+SELECT d.dataset_serial, f.file_name, f.sha256,
+  CAST(dense_rank() OVER (PARTITION BY d.dataset_serial
+    ORDER BY f.slice_idx) - 1 AS INT) AS z_pos,
+  CAST(dense_rank() OVER (PARTITION BY d.dataset_serial
+    ORDER BY f.channel_idx) - 1 AS INT) AS c_pos,
+  CAST(dense_rank() OVER (PARTITION BY d.dataset_serial
+    ORDER BY f.time_idx) - 1 AS INT) AS t_pos,
+  CAST(dense_rank() OVER (PARTITION BY d.dataset_serial
+    ORDER BY f.pos_idx) - 1 AS INT) AS p_pos
+FROM frames f JOIN data_set d ON f.frames_global_id = d.id
+WHERE d.microscope = 'scope-3'
+ORDER BY d.dataset_serial, f.file_name, f.sha256"""
+
+  val imgParseMlName: String = """
+SELECT plate_id, CAST(count(*) AS BIGINT) AS n_files,
+  CAST(count(DISTINCT protein_name) AS BIGINT) AS n_proteins,
+  min(stack_nbr) AS min_stack
+FROM (
+  SELECT split_part(file_name, '_', 1) AS plate_id,
+    CAST(split_part(file_name, '_', 2) AS BIGINT) AS stack_nbr,
+    split_part(file_name, '_', 3) AS protein_name
+  FROM (
+    SELECT concat_ws('_', replace(p_brand, ' ', ''),
+      CAST(p_partkey AS VARCHAR), replace(p_type, ' ', '-'),
+      'PyProcessed.tif') AS file_name
+    FROM part))
+GROUP BY plate_id
+ORDER BY plate_id"""
+
+  val eventsPropsJson: String = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+  CAST(SUM(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
+FROM (
+  SELECT event_type,
+    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events)
+GROUP BY event_type
+ORDER BY event_type"""
+
+  val docTokenRegex: String = """
+SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+'))) AS BIGINT)
+    AS sum_alpha,
+  CAST(SUM(len(regexp_extract_all(text, '[0-9]+'))) AS BIGINT)
+    AS sum_digit
+FROM documents
+GROUP BY source, lang
+ORDER BY source, lang"""
+
   /** Every oracle, keyed like SparkEntry.queries. */
   def all: Map[String, String] = Map(
+    "img_validate_id" -> imgValidateId,
+    "img_stack_positions" -> imgStackPositions,
+    "img_parse_ml_name" -> imgParseMlName,
+    "events_props_json" -> eventsPropsJson,
+    "doc_token_regex" -> docTokenRegex,
     "q1_pricing" -> q1Pricing,
     "q3_topk" -> q3Topk,
     "q5_region_join" -> q5RegionJoin,

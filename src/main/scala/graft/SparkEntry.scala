@@ -43,6 +43,12 @@ object SparkEntry {
     "emb_knn_brute" -> (VectorOps.knnBrute(_, _)),
     "emb_knn_ivf" -> (VectorOps.knnIvf(_, _)),
     "emb_norm_stats" -> (VectorOps.normStats(_, _)),
+    "img_validate_id" -> (ImagingOps.validateId(_, _)),
+    "img_stack_positions" -> (ImagingOps.stackPositions(_, _)),
+    "img_parse_ml_name" -> (ImagingOps.parseMlName(_, _)),
+    "events_props_json" -> (EventOps.propsJson(_, _)),
+    "doc_token_regex" -> (TextOps.tokenRegex(_, _)),
+    "emb_near_dup" -> (VectorOps.embNearDup(_, _)),
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the

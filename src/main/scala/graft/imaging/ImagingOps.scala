@@ -234,6 +234,74 @@ object ImagingOps {
           col("p_parsed") === col("pos_idx")).cast("int").as("consistent"))
       .orderBy("file_name")
 
+  /** Serial-format validation — cli_utils.py:4-30 (validate_id): the
+    * <ID>-YYYY-MM-DD-HH-MM-SS-<SSSS> convention, audited per project
+    * (8 parts, 4-char year, 2-char time fields, 4-char serial).
+    */
+  def validateId(spark: SparkSession, dir: String): DataFrame =
+    dataSet(spark, dir)
+      .select(expr("split_part(dataset_serial, '-', 1)").as("project"),
+        (size(split(col("dataset_serial"), "-")) === 8 &&
+          length(expr("split_part(dataset_serial, '-', 2)")) === 4 &&
+          length(expr("split_part(dataset_serial, '-', 3)")) === 2 &&
+          length(expr("split_part(dataset_serial, '-', 4)")) === 2 &&
+          length(expr("split_part(dataset_serial, '-', 5)")) === 2 &&
+          length(expr("split_part(dataset_serial, '-', 6)")) === 2 &&
+          length(expr("split_part(dataset_serial, '-', 7)")) === 2 &&
+          length(expr("split_part(dataset_serial, '-', 8)")) === 4)
+          .cast("int").as("valid"))
+      .groupBy("project")
+      .agg(sum(col("valid")).as("n_valid"),
+        sum(lit(1) - col("valid")).as("n_invalid"))
+      .orderBy("project")
+
+  /** Stack-assembly coordinates — data_storage.py:34-70
+    * (make_stack_from_meta): each frame's position in the downloaded
+    * X Y C Z C T P stack is its index in the sorted unique values of
+    * each dimension — i.e. a dense rank per dataset. Batch form over
+    * all scope-3 datasets.
+    */
+  def stackPositions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = dataSet(spark, dir).filter(col("microscope") === "scope-3")
+      .select(col("id").as("ds_id"), col("dataset_serial"))
+    def pos(idxCol: String) = (dense_rank().over(
+      Window.partitionBy("dataset_serial").orderBy(idxCol)) - 1)
+      .cast("int")
+    frames(spark, dir)
+      .join(broadcast(d), col("frames_global_id") === col("ds_id"))
+      .select(col("dataset_serial"), col("file_name"), col("sha256"),
+        col("slice_idx"), col("channel_idx"), col("time_idx"), col("pos_idx"))
+      .withColumn("z_pos", pos("slice_idx"))
+      .withColumn("c_pos", pos("channel_idx"))
+      .withColumn("t_pos", pos("time_idx"))
+      .withColumn("p_pos", pos("pos_idx"))
+      .select("dataset_serial", "file_name", "sha256",
+        "z_pos", "c_pos", "t_pos", "p_pos")
+      .orderBy("dataset_serial", "file_name", "sha256")
+  }
+
+  /** ML-group file-name parsing — filename_parsers.py:5-33
+    * (parse_ml_name): `[plate]_[stack#]_[protein]_PyProcessed.tif` →
+    * plate_id, stack_nbr, protein_name, rolled up per plate. File
+    * names synthesized from the part table the same way on both sides.
+    */
+  def parseMlName(spark: SparkSession, dir: String): DataFrame =
+    graft.tables.Tables.part(spark, dir)
+      .select(concat_ws("_",
+        expr("replace(p_brand, ' ', '')"), col("p_partkey"),
+        expr("replace(p_type, ' ', '-')"), lit("PyProcessed.tif"))
+        .as("file_name"))
+      .select(
+        expr("split_part(file_name, '_', 1)").as("plate_id"),
+        expr("cast(split_part(file_name, '_', 2) as bigint)").as("stack_nbr"),
+        expr("split_part(file_name, '_', 3)").as("protein_name"))
+      .groupBy("plate_id")
+      .agg(count(lit(1)).as("n_files"),
+        countDistinct(col("protein_name")).as("n_proteins"),
+        min("stack_nbr").as("min_stack"))
+      .orderBy("plate_id")
+
   /** Storage capacity report per project — filestorage/: frame counts
     * and estimated bytes (w×h×2 for uint16) rolled up from
     * frames_global.

@@ -32,6 +32,20 @@ object EventOps {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .orderBy("win_start_epoch", "event_type")
 
+  /** JSON metadata extraction — the reference keeps arbitrary metadata
+    * in JSONB columns (frames.py/frames_global.py metadata_json); the
+    * events `props` column plays that role here: extract a typed field
+    * and aggregate it per event type.
+    */
+  def propsJson(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
   /** Sessionization: per-user 30-minute-gap sessions via lag + running
     * sum, all in integer nanos. Shuffles once on user_id; both window
     * passes reuse that partitioning (single sort, no second exchange).

@@ -71,6 +71,21 @@ object TextOps {
       .orderBy("lang", "predicted")
   }
 
+  /** Regex tokenizer stats (the BPE-ish counterpart of the whitespace
+    * counts in textStats): alpha runs and digit runs counted per doc
+    * via regexp_count, rolled up per (source, lang).
+    */
+  def tokenRegex(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), col("lang"),
+        regexp_count(lower(col("text")), lit("[a-z]+")).as("alpha_toks"),
+        regexp_count(col("text"), lit("[0-9]+")).as("digit_toks"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("alpha_toks")).as("sum_alpha"),
+        sum(col("digit_toks")).as("sum_digit"))
+      .orderBy("source", "lang")
+
   /** Rolling polynomial hash fingerprint over the characters of each
     * document (mod 2^31-1), computed as a codegen'd fold — no UDF, no
     * shuffle at all.

@@ -87,6 +87,51 @@ object VectorOps {
       .orderBy("qid", "rank")
   }
 
+  /** Embedding-cosine near-duplicate pairs via random-hyperplane LSH:
+    * 64 sign bits (hyperplane components are deterministic ±1 derived
+    * from xxhash64(j,k)), candidates meet in 16-bit bands, exact
+    * cosine confirms ≥ 0.9. The 100 TB shape: signatures are one
+    * 8-byte long per vector; only (band, doc) pairs shuffle, and the
+    * full vectors are joined back for the tiny candidate set only.
+    */
+  def embNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    // corpus with planted near-identical copies (vec_id+1000000):
+    // the natural corpus has no near-dups, planted ones prove recall
+    val corpus = e.select(col("vec_id"), col("embedding")).unionByName(
+      e.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    val comps = corpus.select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("k", "x")))
+    val votes = (0 until 64).map { j =>
+      sum(when(shiftright(xxhash64(lit(j) * 64 + col("k")), 1)
+        .bitwiseAND(1) === 1, col("x")).otherwise(-col("x"))).as(s"v$j")
+    }
+    val fp = comps.groupBy("vec_id").agg(votes.head, votes.tail: _*)
+      .select(col("vec_id"),
+        (0 until 64).map(j =>
+          when(col(s"v$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _).as("fp"))
+    val bands = fp.select(col("vec_id"), col("fp"),
+      explode(array((0 until 4).map(j => struct(lit(j).as("band"),
+        shiftright(col("fp"), 16 * j).bitwiseAND(0xFFFFL).as("bh"))): _*))
+        .as("b"))
+      .select(col("vec_id"), col("fp"), col("b.band").as("band"),
+        col("b.bh").as("bh"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
+          && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"))
+      .distinct()
+    cand
+      .join(corpus.select(col("vec_id").as("v1"), col("embedding").as("e1")), "v1")
+      .join(corpus.select(col("vec_id").as("v2"), col("embedding").as("e2")), "v2")
+      .withColumn("cos", round(cosine(col("e1"), col("e2")), 6))
+      .filter(col("cos") >= 0.9)
+      .select("v1", "v2", "cos")
+      .orderBy("v1", "v2")
+  }
+
   /** Per-label norm/centroid stats via array folds — the [O]-checked
     * vector query (rounded to 6 decimals for cross-engine parity).
     */
