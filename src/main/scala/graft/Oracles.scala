@@ -417,8 +417,42 @@ FROM documents
 GROUP BY source, lang
 ORDER BY source, lang"""
 
+  val q6Forecast: String = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+  CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24"""
+
+  /** Built from the same marker table as TextOps.langId so the two
+    * engines score identically (replace-arithmetic occurrence counts,
+    * argmax via struct comparison with lexicographic tie-break).
+    */
+  val docLangId: String = {
+    val structs = graft.ops.TextOps.langMarkers.map { case (lang, words) =>
+      val terms = words.map(w =>
+        s"(length(padded) - length(replace(padded, '$w', ''))) / ${w.length}")
+        .mkString(" + ")
+      s"{'score': CAST($terms AS BIGINT), 'lang': '$lang'}"
+    }.mkString(",\n      ")
+    s"""
+SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT lang, list_max([
+      $structs]).lang AS predicted
+  FROM (SELECT lang, concat(' ', lower(text), ' ') AS padded
+        FROM documents))
+GROUP BY lang, predicted
+ORDER BY lang, predicted"""
+  }
+
   /** Every oracle, keyed like SparkEntry.queries. */
   def all: Map[String, String] = Map(
+    "q6_forecast" -> q6Forecast,
+    "doc_lang_id" -> docLangId,
     "img_validate_id" -> imgValidateId,
     "img_stack_positions" -> imgStackPositions,
     "img_parse_ml_name" -> imgParseMlName,

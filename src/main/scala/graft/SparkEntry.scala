@@ -30,6 +30,7 @@ object SparkEntry {
     "q1_pricing" -> (Olap.q1Pricing(_, _)),
     "q3_topk" -> (Olap.q3Topk(_, _)),
     "q5_region_join" -> (Olap.q5RegionJoin(_, _)),
+    "q6_forecast" -> (Olap.q6Forecast(_, _)),
     "win_running" -> (Olap.winRunning(_, _)),
     "events_window" -> (EventOps.eventsWindow(_, _)),
     "events_sessions" -> (EventOps.eventsSessions(_, _)),

@@ -93,6 +93,21 @@ object Olap {
       .orderBy("n_name")
   }
 
+  /** TPC-H Q6-style revenue forecast: the pushdown showcase — every
+    * predicate reaches the parquet scan, then a single global sum (one
+    * partial-agg per partition, one-row shuffle).
+    */
+  def q6Forecast(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp"))
+      .filter(col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      .filter(col("l_discount").between(0.05, 0.07))
+      .filter(col("l_quantity") < 24)
+      .agg(
+        sum(col("l_extendedprice").cast(dec) * col("l_discount").cast(dec))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+
   /** Window functions: per-supplier running quantity + row rank over a
     * total order (ties broken by the unique (orderkey, linenumber)).
     */

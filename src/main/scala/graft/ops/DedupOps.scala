@@ -65,16 +65,16 @@ object DedupOps {
     val exploded = docs
       .select(col("doc_id"), explode(col("shset")).as("sh"))
       .select(col("doc_id"), pmod(xxhash64(col("sh")), lit(P)).as("base"))
-    val perms = (0 until NumPerm).map { i =>
-      val a = (1000003L * i + 12345L) % P
-      val b = (998244353L * (i + 1) + 7L) % P
-      min(pmod(col("base") * a + b, lit(P))).as(s"m$i")
-    }
-    val sig = exploded.groupBy("doc_id").agg(perms.head, perms.tail: _*)
+    // one typed-imperative aggregate builds the whole 64-perm signature
+    // (map-side partials, elementwise-min merge) — see MinHashSig
+    val sig = exploded.groupBy("doc_id")
+      .agg(graft.functions.MinHashSig.minhashSig(col("base"), NumPerm)
+        .as("sig"))
     val bands = (0 until NumPerm / BandRows).map { j =>
       struct(lit(j).as("band"),
         xxhash64(concat_ws(",",
-          (0 until BandRows).map(k => col(s"m${BandRows * j + k}")): _*))
+          (0 until BandRows).map(k =>
+            element_at(col("sig"), BandRows * j + k + 1)): _*))
           .as("bh"))
     }
     val buckets = sig

@@ -13,6 +13,16 @@ import graft.tables.Tables
   */
 object TextOps {
 
+  /** Marker words per candidate language for the lang-ID heuristic —
+    * shared with the DuckDB oracle so both engines score identically.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " fast ", " key "),
+    "es" -> Seq(" el ", " data ", " sort "),
+    "de" -> Seq(" der ", " group ", " merge "),
+    "fr" -> Seq(" le ", " join ", " row "),
+    "zh" -> Seq(" spark ", " query ", " scan "))
+
   /** Occurrences of `needle` in `hay` via length arithmetic — portable
     * to the DuckDB oracle and codegen-friendly.
     */
@@ -46,17 +56,11 @@ object TextOps {
   /** Marker-word language-ID heuristic vs the labeled `lang` column:
     * score each candidate language by marker hits, pick the max
     * (ties broken lexicographically via struct max), emit the
-    * confusion matrix. Rows-only check — the heuristic itself is not
-    * expressible in portable SQL.
+    * confusion matrix. Oracle-checked: DuckDB scores the same markers
+    * with the same replace-arithmetic and list_max over structs.
     */
   def langId(spark: SparkSession, dir: String): DataFrame = {
-    val markers: Seq[(String, Seq[String])] = Seq(
-      "en" -> Seq(" the ", " fast ", " key "),
-      "es" -> Seq(" el ", " data ", " sort "),
-      "de" -> Seq(" der ", " group ", " merge "),
-      "fr" -> Seq(" le ", " join ", " row "),
-      "zh" -> Seq(" spark ", " query ", " scan "))
-    val scored = markers.map { case (lang, words) =>
+    val scored = TextOps.langMarkers.map { case (lang, words) =>
       val score = words.map(w =>
         (length(col("padded")) - length(regexp_replace(col("padded"),
           lit(w), lit("")))) / w.length).reduce(_ + _)
