@@ -449,8 +449,21 @@ GROUP BY lang, predicted
 ORDER BY lang, predicted"""
   }
 
+  val eventsAsof: String = """
+WITH signups AS (
+  SELECT DISTINCT user_id AS s_user, ts AS signup_ts
+  FROM events WHERE event_type = 'signup')
+SELECT e.event_id, e.user_id,
+  epoch_ns(e.ts) // 1000000000 AS event_epoch,
+  epoch_ns(s.signup_ts) // 1000000000 AS signup_epoch,
+  (epoch_ns(e.ts) - epoch_ns(s.signup_ts)) // 1000000000 AS lag_sec
+FROM events e
+ASOF JOIN signups s ON e.user_id = s.s_user AND e.ts >= s.signup_ts
+ORDER BY e.event_id"""
+
   /** Every oracle, keyed like SparkEntry.queries. */
   def all: Map[String, String] = Map(
+    "events_asof" -> eventsAsof,
     "q6_forecast" -> q6Forecast,
     "doc_lang_id" -> docLangId,
     "img_validate_id" -> imgValidateId,

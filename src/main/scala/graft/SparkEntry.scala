@@ -48,6 +48,7 @@ object SparkEntry {
     "img_stack_positions" -> (ImagingOps.stackPositions(_, _)),
     "img_parse_ml_name" -> (ImagingOps.parseMlName(_, _)),
     "events_props_json" -> (EventOps.propsJson(_, _)),
+    "events_asof" -> (EventOps.eventsAsof(_, _)),
     "doc_token_regex" -> (TextOps.tokenRegex(_, _)),
     "emb_near_dup" -> (VectorOps.embNearDup(_, _)),
   )

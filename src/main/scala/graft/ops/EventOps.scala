@@ -32,6 +32,25 @@ object EventOps {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .orderBy("win_start_epoch", "event_type")
 
+  /** As-of join: every event paired with the user's most recent signup
+    * at-or-before it — runs on the custom AsOfJoinExec operator
+    * (graft.plans.AsOfJoin), oracle-checked against DuckDB's native
+    * ASOF JOIN.
+    */
+  def eventsAsof(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select("event_id", "user_id", "ts")
+    val s = Tables.events(spark, dir)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("signup_ts"))
+      .distinct()
+    graft.plans.AsOf.asofJoin(e, s, "user_id", "s_user", "ts", "signup_ts")
+      .select(col("event_id"), col("user_id"),
+        expr(s"ts div $NanosPerSec").as("event_epoch"),
+        expr(s"signup_ts div $NanosPerSec").as("signup_epoch"),
+        expr(s"(ts - signup_ts) div $NanosPerSec").as("lag_sec"))
+      .orderBy("event_id")
+  }
+
   /** JSON metadata extraction — the reference keeps arbitrary metadata
     * in JSONB columns (frames.py/frames_global.py metadata_json); the
     * events `props` column plays that role here: extract a typed field
