@@ -1,0 +1,51 @@
+package graft.tools
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up generator for local scale experiments: replicates the
+  * sf0.1 tables N× with disjoint key ranges (dims stay fixed, facts
+  * grow), preserving join integrity, so Bench can run against an
+  * ~sf1-equivalent dataset. Dev tooling only — writes to /tmp.
+  *
+  * Usage: runMain graft.tools.ScaleGen [srcDir] [outDir] [copies]
+  */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("/tmp/sfbig")
+    val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def copyDim(name: String): Unit =
+      spark.read.parquet(s"$src/$name.parquet")
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/$name.parquet")
+    Seq("region", "nation", "customer", "supplier", "part").foreach(copyDim)
+
+    def replicate(name: String, offsets: Map[String, Long]): Unit = {
+      val base = spark.read.parquet(s"$src/$name.parquet")
+      val parts = (0 until copies).map { i =>
+        offsets.foldLeft(base) { case (df, (c, span)) =>
+          df.withColumn(c, col(c) + lit(i * span))
+        }
+      }
+      parts.reduce(_ unionByName _)
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/$name.parquet")
+    }
+    val keySpan = 10000000L
+    replicate("orders", Map("o_orderkey" -> keySpan))
+    replicate("lineitem", Map("l_orderkey" -> keySpan))
+    replicate("events", Map("event_id" -> 10000000L, "user_id" -> 10000L))
+    replicate("documents", Map("doc_id" -> 10000L))
+    replicate("embeddings", Map("vec_id" -> 10000L))
+    println(s"scale-gen done: $copies x $src -> $out")
+    spark.stop()
+  }
+}
