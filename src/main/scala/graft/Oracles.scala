@@ -461,8 +461,64 @@ FROM events e
 ASOF JOIN signups s ON e.user_id = s.s_user AND e.ts >= s.signup_ts
 ORDER BY e.event_id"""
 
+  /** Shared corpus CTE for dedup oracles (documents + planted dups). */
+  private val corpusCte = """WITH corpus AS (
+  SELECT doc_id, text, source, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, source, lang FROM documents
+  WHERE doc_id % 5 = 0
+), sh AS (
+  SELECT doc_id, source, lang,
+    CAST(floor(length(text) / 64.0) AS INT) AS lenband,
+    list_distinct(CASE WHEN len(toks) >= 3 THEN
+      list_transform(range(1, len(toks) - 1),
+        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      ELSE [text] END) AS shset
+  FROM (
+    SELECT doc_id, text, source, lang,
+      list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+    FROM corpus)
+)
+"""
+
+  val docNgramJaccard: String = corpusCte + """
+SELECT doc1, doc2, jaccard FROM (
+  SELECT x.doc_id AS doc1, y.doc_id AS doc2,
+    CAST(round(CAST(len(list_intersect(x.shset, y.shset)) AS DOUBLE)
+      / len(list_distinct(x.shset || y.shset)), 4) AS DOUBLE) AS jaccard
+  FROM sh x JOIN sh y
+    ON x.source = y.source AND x.lang = y.lang
+    AND x.lenband = y.lenband AND x.doc_id < y.doc_id)
+ORDER BY jaccard DESC, doc1, doc2
+LIMIT 100"""
+
+  val embKnnBrute: String = """
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10
+), scored AS (
+  SELECT qid, e.vec_id,
+    list_sum(list_transform(list_zip(q.qv, e.embedding),
+      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(q.qv,
+        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      * sqrt(list_sum(list_transform(e.embedding,
+        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+  FROM embeddings e JOIN q ON e.vec_id <> q.qid
+)
+SELECT qid, vec_id AS neighbor, CAST(round(sim, 6) AS DOUBLE) AS sim,
+  rank
+FROM (
+  SELECT qid, vec_id, sim,
+    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id)
+      AS BIGINT) AS rank
+  FROM scored)
+WHERE rank <= 5
+ORDER BY qid, rank"""
+
   /** Every oracle, keyed like SparkEntry.queries. */
   def all: Map[String, String] = Map(
+    "doc_ngram_jaccard" -> docNgramJaccard,
+    "emb_knn_brute" -> embKnnBrute,
     "events_asof" -> eventsAsof,
     "q6_forecast" -> q6Forecast,
     "doc_lang_id" -> docLangId,
