@@ -515,8 +515,31 @@ FROM (
 WHERE rank <= 5
 ORDER BY qid, rank"""
 
+  val qPercentiles: String = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+  quantile_cont(l_quantity, 0.5) AS p50_qty,
+  quantile_cont(l_quantity, 0.9) AS p90_qty,
+  quantile_cont(l_extendedprice, 0.99) AS p99_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag"""
+
+  val imgStorageRollup: String = imagingCte + """
+SELECT coalesce(project, 'ALL') AS project_g,
+  coalesce(microscope, 'ALL') AS microscope_g,
+  CAST(count(*) AS BIGINT) AS n_datasets,
+  CAST(sum(nbr_frames) AS BIGINT) AS total_frames
+FROM (
+  SELECT split_part(d.dataset_serial, '-', 1) AS project,
+    d.microscope, g.nbr_frames
+  FROM frames_global g JOIN data_set d ON g.dataset_id = d.id)
+GROUP BY ROLLUP(project, microscope)
+ORDER BY project_g, microscope_g"""
+
   /** Every oracle, keyed like SparkEntry.queries. */
   def all: Map[String, String] = Map(
+    "q_percentiles" -> qPercentiles,
+    "img_storage_rollup" -> imgStorageRollup,
     "doc_ngram_jaccard" -> docNgramJaccard,
     "emb_knn_brute" -> embKnnBrute,
     "events_asof" -> eventsAsof,

@@ -31,6 +31,8 @@ object SparkEntry {
     "q3_topk" -> (Olap.q3Topk(_, _)),
     "q5_region_join" -> (Olap.q5RegionJoin(_, _)),
     "q6_forecast" -> (Olap.q6Forecast(_, _)),
+    "q_percentiles" -> (Olap.qPercentiles(_, _)),
+    "img_storage_rollup" -> (ImagingOps.storageRollup(_, _)),
     "win_running" -> (Olap.winRunning(_, _)),
     "events_window" -> (EventOps.eventsWindow(_, _)),
     "events_sessions" -> (EventOps.eventsSessions(_, _)),

@@ -108,6 +108,19 @@ object Olap {
           .cast("double").as("revenue"),
         count(lit(1)).as("n"))
 
+  /** Exact percentiles per group (Spark `percentile` ↔ DuckDB
+    * `quantile_cont`, same linear interpolation).
+    */
+  def qPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        expr("percentile(l_extendedprice, 0.99)").as("p99_price"))
+      .orderBy("l_returnflag")
+
   /** Window functions: per-supplier running quantity + row rank over a
     * total order (ties broken by the unique (orderkey, linenumber)).
     */

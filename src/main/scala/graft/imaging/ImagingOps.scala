@@ -302,6 +302,39 @@ object ImagingOps {
         min("stack_nbr").as("min_stack"))
       .orderBy("plate_id")
 
+  /** Storage report with subtotal hierarchy: ROLLUP over
+    * (project, microscope) — per-scope rows, per-project subtotals and
+    * a grand total in one pass (NULL group labels coalesced to 'ALL'
+    * for deterministic cross-engine ordering).
+    */
+  def storageRollup(spark: SparkSession, dir: String): DataFrame = {
+    // Pre-aggregate per (project, microscope) first — one shuffle over the
+    // big side; the rollup's Expand then triples only the tiny aggregate,
+    // not the fact table.
+    val perScope = framesGlobal(spark, dir)
+      .join(broadcast(dataSet(spark, dir).select(col("id").as("ds_id"),
+        expr("split_part(dataset_serial, '-', 1)").as("prj_key"),
+        col("microscope").as("scope_key"))),
+        col("dataset_id") === col("ds_id"))
+      .groupBy("prj_key", "scope_key")
+      .agg(count(lit(1)).as("nd"), sum("nbr_frames").as("tf"))
+    // The ROLLUP tail goes through SQL: Spark 4.1's Dataset-API
+    // rollup() over a plan whose dim side re-reads a relation already
+    // present under the fact side trips DetectAmbiguousSelfJoin at
+    // analysis (even with aliases / fresh scans); the view-resolved SQL
+    // path compiles the identical Expand+Aggregate plan without the
+    // Dataset-lineage tags that confuse the check.
+    perScope.createOrReplaceTempView("graft_storage_per_scope")
+    spark.sql("""
+      SELECT coalesce(prj_key, 'ALL')   AS project_g,
+             coalesce(scope_key, 'ALL') AS microscope_g,
+             sum(nd) AS n_datasets,
+             sum(tf) AS total_frames
+      FROM graft_storage_per_scope
+      GROUP BY ROLLUP(prj_key, scope_key)
+      ORDER BY project_g, microscope_g""")
+  }
+
   /** Storage capacity report per project — filestorage/: frame counts
     * and estimated bytes (w×h×2 for uint16) rolled up from
     * frames_global.

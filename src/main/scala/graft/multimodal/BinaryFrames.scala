@@ -67,6 +67,23 @@ object BinaryFrames {
       }
   }
 
+  /** STUB resize: the metadata transform is real (scaled dims in the
+    * typed meta struct), the pixel resample is stood in by truncating
+    * the payload proportionally — swap for a real resampler with the
+    * codec. Shape matches a production thumbnail pass: pure per-row
+    * column work, no shuffle.
+    */
+  def resizeStub(framed: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    framed
+      .withColumn("payload",
+        expr(s"substring(payload, 1, greatest(1, int(length(payload) / ${factor.toLong * factor})))"))
+      .withColumn("meta", struct(
+        (col("meta.width") / factor).cast("int").as("width"),
+        (col("meta.height") / factor).cast("int").as("height"),
+        col("meta.bit_depth")))
+  }
+
   /** Deterministic 1-in-`rate` frame sampling by id — the frame-sample
     * operator of a video/stack pipeline (pure filter: no shuffle, full
     * pushdown above the payload fetch).

@@ -55,5 +55,10 @@ class StreamingSpec extends AnyFunSuite {
     assert(bad === 0)
     val sampled = BinaryFrames.sampleFrames(framed, 10)
     assert(sampled.count() > 0 && sampled.count() < framed.count())
+    val resized = BinaryFrames.resizeStub(framed, 4)
+    val r = resized.select(col("meta.width"), col("meta.height"),
+      length(col("payload"))).head()
+    assert(r.getInt(0) === 512 && r.getInt(1) === 512)
+    assert(r.getInt(2) === 4) // 64 bytes / 16
   }
 }
