@@ -536,8 +536,91 @@ FROM (
 GROUP BY ROLLUP(project, microscope)
 ORDER BY project_g, microscope_g"""
 
+  val eventsFunnel: String = """
+SELECT CAST(count(tv) AS BIGINT) AS n_view,
+  CAST(count(*) FILTER (WHERE tc > tv) AS BIGINT) AS n_view_click,
+  CAST(count(*) FILTER (WHERE tc > tv AND tp > tc) AS BIGINT)
+    AS n_full_funnel
+FROM (
+  SELECT user_id,
+    min(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END) AS tv,
+    min(CASE WHEN event_type = 'click' THEN epoch_ns(ts) END) AS tc,
+    min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END) AS tp
+  FROM events GROUP BY user_id)"""
+
+  val eventsRetention: String = """
+WITH ev AS (
+  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
+cohort AS (
+  SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id)
+SELECT c.cohort_day, e.day - c.cohort_day AS day_offset,
+  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM ev e JOIN cohort c ON e.user_id = c.user_id
+WHERE e.day - c.cohort_day <= 7
+GROUP BY 1, 2
+ORDER BY 1, 2"""
+
+  val eventsDropoff: String = """
+WITH ev AS (
+  SELECT user_id, event_type,
+    epoch_ns(ts) // 86400000000000 AS day FROM events)
+SELECT user_id, day, CAST(count(*) AS BIGINT) AS n_views
+FROM ev v
+WHERE event_type = 'view'
+  AND NOT EXISTS (
+    SELECT 1 FROM ev b WHERE b.event_type = 'purchase'
+      AND b.user_id = v.user_id AND b.day = v.day)
+GROUP BY user_id, day
+ORDER BY user_id, day"""
+
+  val imgChannelPivot: String = imagingCte + """
+SELECT d.dataset_serial,
+  CAST(count(*) FILTER (WHERE channel_name = 'DAPI') AS BIGINT) AS n_dapi,
+  CAST(count(*) FILTER (WHERE channel_name = 'GFP') AS BIGINT) AS n_gfp,
+  CAST(count(*) FILTER (WHERE channel_name = 'Cy3') AS BIGINT) AS n_cy3,
+  CAST(count(*) FILTER (WHERE channel_name = 'TxRed') AS BIGINT) AS n_txred
+FROM frames f JOIN data_set d ON f.frames_global_id = d.id
+GROUP BY d.dataset_serial
+ORDER BY d.dataset_serial"""
+
+  val docStratifiedSample: String = """
+SELECT doc_id, source, rn
+FROM (
+  SELECT doc_id, source,
+    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+    count(*) OVER (PARTITION BY source) AS n_src
+  FROM documents)
+WHERE rn <= ceil(n_src * 0.1)
+ORDER BY doc_id"""
+
+  val docLenHistogram: String = """
+SELECT least(n_chars // 50, 11) AS bucket,
+  least(n_chars // 50, 11) * 50 AS lo_chars,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM documents
+GROUP BY 1
+ORDER BY 1"""
+
+  val docTopPerSource: String = """
+SELECT source, rnk, doc_id, n_chars
+FROM (
+  SELECT source, doc_id, n_chars,
+    row_number() OVER (
+      PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rnk
+  FROM documents)
+WHERE rnk <= 3
+ORDER BY source, rnk"""
+
   /** Every oracle, keyed like SparkEntry.queries. */
   def all: Map[String, String] = Map(
+    "events_funnel" -> eventsFunnel,
+    "events_retention" -> eventsRetention,
+    "events_dropoff" -> eventsDropoff,
+    "img_channel_pivot" -> imgChannelPivot,
+    "doc_stratified_sample" -> docStratifiedSample,
+    "doc_len_histogram" -> docLenHistogram,
+    "doc_top_per_source" -> docTopPerSource,
     "q_percentiles" -> qPercentiles,
     "img_storage_rollup" -> imgStorageRollup,
     "doc_ngram_jaccard" -> docNgramJaccard,

@@ -53,6 +53,13 @@ object SparkEntry {
     "events_asof" -> (EventOps.eventsAsof(_, _)),
     "doc_token_regex" -> (TextOps.tokenRegex(_, _)),
     "emb_near_dup" -> (VectorOps.embNearDup(_, _)),
+    "events_funnel" -> (EventOps.eventsFunnel(_, _)),
+    "events_retention" -> (EventOps.eventsRetention(_, _)),
+    "events_dropoff" -> (EventOps.eventsDropoff(_, _)),
+    "img_channel_pivot" -> (ImagingOps.channelPivot(_, _)),
+    "doc_stratified_sample" -> (TextOps.stratifiedSample(_, _)),
+    "doc_len_histogram" -> (TextOps.lenHistogram(_, _)),
+    "doc_top_per_source" -> (TextOps.topPerSource(_, _)),
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the

@@ -335,6 +335,27 @@ object ImagingOps {
       ORDER BY project_g, microscope_g""")
   }
 
+  /** Per-dataset channel matrix — frames pivoted on channel_name with
+    * the reference's fixed channel vocabulary (file_splitter.py names
+    * channels at upload). Explicit pivot values keep this a single
+    * partial-agg shuffle (no values-discovery pass), and the dimension
+    * join broadcasts.
+    */
+  def channelPivot(spark: SparkSession, dir: String): DataFrame =
+    frames(spark, dir)
+      .join(broadcast(dataSet(spark, dir)
+        .select(col("id").as("ds_id"), col("dataset_serial"))),
+        col("frames_global_id") === col("ds_id"))
+      .groupBy("dataset_serial")
+      .pivot("channel_name", Seq("DAPI", "GFP", "Cy3", "TxRed"))
+      .count()
+      .select(col("dataset_serial"),
+        coalesce(col("DAPI"), lit(0L)).as("n_dapi"),
+        coalesce(col("GFP"), lit(0L)).as("n_gfp"),
+        coalesce(col("Cy3"), lit(0L)).as("n_cy3"),
+        coalesce(col("TxRed"), lit(0L)).as("n_txred"))
+      .orderBy("dataset_serial")
+
   /** Storage capacity report per project — filestorage/: frame counts
     * and estimated bytes (w×h×2 for uint16) rolled up from
     * frames_global.

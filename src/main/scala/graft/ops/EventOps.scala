@@ -85,4 +85,63 @@ object EventOps {
         expr(s"min(ts) div $NanosPerSec").as("start_epoch"))
       .orderBy("user_id", "session_idx")
   }
+
+  /** Conversion funnel view → click → purchase, defined on strictly
+    * increasing first-occurrence times per user. One shuffle
+    * (per-user conditional-min agg, map-side combined), then a scalar
+    * roll-up — no joins, no window.
+    */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    def firstTs(t: String) =
+      min(when(col("event_type") === t, col("ts")))
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(firstTs("view").as("tv"), firstTs("click").as("tc"),
+        firstTs("purchase").as("tp"))
+      .agg(
+        count(col("tv")).as("n_view"),
+        sum(when(col("tc") > col("tv"), 1L).otherwise(0L)).as("n_view_click"),
+        sum(when(col("tc") > col("tv") && col("tp") > col("tc"), 1L)
+          .otherwise(0L)).as("n_full_funnel"))
+  }
+
+  /** Daily cohort retention: cohort = day of a user's first event,
+    * counted distinct-active at offsets 0-7 days. The first-day agg
+    * and the join back both hash on user_id, so Catalyst reuses one
+    * exchange; output state is per (cohort, offset) — independent of
+    * event volume.
+    */
+  def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
+    val dayNs = 86400L * NanosPerSec
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), expr(s"ts div $dayNs").as("day"))
+    val cohort = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+    ev.join(cohort, "user_id")
+      .select(col("user_id"), col("cohort_day"),
+        (col("day") - col("cohort_day")).as("day_offset"))
+      .filter(col("day_offset") <= 7)
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  /** Drop-off audit: user-days with views but no purchase that day — a
+    * left-anti join of the per-(user, day) view roll-up against the
+    * distinct buyer-day set. Both sides hash on the same composite
+    * key, and the buyer side collapses to distinct keys before the
+    * join.
+    */
+  def eventsDropoff(spark: SparkSession, dir: String): DataFrame = {
+    val dayNs = 86400L * NanosPerSec
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        expr(s"ts div $dayNs").as("day"))
+    val viewers = e.filter(col("event_type") === "view")
+      .groupBy("user_id", "day")
+      .agg(count(lit(1)).as("n_views"))
+    val buyers = e.filter(col("event_type") === "purchase")
+      .select("user_id", "day").distinct()
+    viewers.join(buyers, Seq("user_id", "day"), "left_anti")
+      .orderBy("user_id", "day")
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.tables.Tables
@@ -101,4 +102,51 @@ object TextOps {
                 0L, (acc, c) -> (acc * 31 + ascii(c)) % 2147483647)""")
           .as("fp"))
       .orderBy("doc_id")
+
+  /** Deterministic exact-fraction stratified sample: the first
+    * ceil(10%) of each source stratum in doc_id order. One shuffle on
+    * source; both window passes (count + row_number) share that
+    * partitioning, so no second exchange. Deterministic by
+    * construction — reproducible sampling is what a training-data
+    * pipeline needs for re-runs.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val bySource = Window.partitionBy("source")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("rn", row_number().over(bySource.orderBy("doc_id")))
+      .withColumn("n_src", count(lit(1)).over(bySource))
+      .filter(col("rn") <= ceil(col("n_src") * 0.1))
+      .select(col("doc_id"), col("source"), col("rn").cast("bigint").as("rn"))
+      .orderBy("doc_id")
+  }
+
+  /** Document-length histogram: fixed-width 50-char buckets (capped at
+    * bucket 11) — a single partial-agg shuffle on at most 12 keys, the
+    * distribution profile a corpus QA pass starts from.
+    */
+  def lenHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(expr("least(n_chars div 50, 11)").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+      .withColumn("lo_chars", col("bucket") * 50)
+      .select("bucket", "lo_chars", "n_docs", "min_chars", "max_chars")
+      .orderBy("bucket")
+
+  /** Top-3 longest documents per source — the per-group top-k pattern
+    * (partitioned window + rank filter): shuffles once on source and
+    * never materializes a global sort, unlike an ORDER BY ... LIMIT.
+    */
+  def topPerSource(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("source"), col("rnk").cast("bigint").as("rnk"),
+        col("doc_id"), col("n_chars"))
+      .orderBy("source", "rnk")
+  }
 }
