@@ -515,6 +515,170 @@ FROM (
 WHERE rank <= 5
 ORDER BY qid, rank"""
 
+  /** SimHash twin of [[graft.ops.DedupOps.simhash]]: 60-bit md5 token
+    * hashes make every fingerprint bit engine-portable. The 60 vote
+    * columns are generated, not hand-written.
+    */
+  val docSimhash: String = {
+    val bits = 60
+    val votes = (0 until bits)
+      .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
+      .mkString(", ")
+    val fpExpr = (0 until bits)
+      .map(j => s"(CASE WHEN s$j > 0 THEN 1::BIGINT << $j ELSE 0::BIGINT END)")
+      .mkString(" | ")
+    s"""WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
+), th AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+  FROM (
+    SELECT doc_id,
+      unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+        AS tok
+    FROM corpus)
+), votes AS (
+  SELECT doc_id, $votes FROM th GROUP BY doc_id
+), fp AS (
+  SELECT doc_id, $fpExpr AS fp FROM votes
+), bands AS (
+  SELECT doc_id, fp, b.band, (fp >> (15 * b.band)) & 32767 AS bh
+  FROM fp CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b
+)
+SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2,
+  CAST(bit_count(xor(x.fp, y.fp)) AS INT) AS hamming
+FROM bands x JOIN bands y
+  ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+WHERE bit_count(xor(x.fp, y.fp)) <= 3
+ORDER BY doc1, doc2"""
+  }
+
+  /** MinHash-LSH twin of [[graft.ops.DedupOps.minhashLsh]]: 28-bit md5
+    * base hashes + the same affine permutations (a_i b_i constants of
+    * [[graft.functions.MinHashSig]]) reproduce signatures, band keys,
+    * the bucket-size cap and the exact-Jaccard confirmation.
+    */
+  val docMinhashLsh: String = corpusCte + """, shx AS (
+  SELECT doc_id, unnest(shset) AS s FROM sh
+), base AS (
+  SELECT doc_id, ('0x' || substr(md5(s), 1, 7))::BIGINT AS base FROM shx
+), mins AS (
+  SELECT doc_id, p.p AS p,
+    min((((1000003 * p.p + 12345) % 2147483647) * base
+         + ((998244353 * (p.p + 1) + 7) % 2147483647)) % 2147483647) AS mh
+  FROM base CROSS JOIN (SELECT unnest(range(64)) AS p) p
+  GROUP BY doc_id, p.p
+), bandkeys AS (
+  SELECT doc_id, p // 4 AS band,
+    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY p) AS bh
+  FROM mins GROUP BY doc_id, p // 4
+), bsz AS (
+  SELECT band, bh, count(DISTINCT doc_id) AS n
+  FROM bandkeys GROUP BY band, bh
+), cand AS (
+  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+  FROM bandkeys x
+  JOIN bandkeys y ON x.band = y.band AND x.bh = y.bh
+    AND x.doc_id < y.doc_id
+  JOIN bsz ON bsz.band = x.band AND bsz.bh = x.bh
+  WHERE bsz.n BETWEEN 2 AND 1000
+)
+SELECT doc1, doc2, jaccard FROM (
+  SELECT doc1, doc2,
+    CAST(round(CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+      / len(list_distinct(a.shset || b.shset)), 4) AS DOUBLE) AS jaccard
+  FROM cand JOIN sh a ON cand.doc1 = a.doc_id
+  JOIN sh b ON cand.doc2 = b.doc_id)
+WHERE jaccard >= 0.7
+ORDER BY doc1, doc2"""
+
+  /** DuckDB cosine between two FLOAT[] columns — the sequential
+    * list fold mirrors Spark's aggregate(zip_with(...)) order exactly,
+    * so unrounded doubles match bit for bit.
+    */
+  private def duckCos(a: String, b: String): String =
+    s"""(list_sum(list_transform(list_zip($a, $b),
+      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform($a,
+        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      * sqrt(list_sum(list_transform($b,
+        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"""
+
+  /** IVF twin of [[graft.ops.VectorOps.knnIvf]]: same fixed centroids,
+    * same nearest-cell assignment tie-break, same 4-probe search.
+    */
+  val embKnnIvf: String = s"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16
+), assigned AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cid AS cell,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY -${duckCos("e.embedding", "c.cv")}, c.cid) AS crank
+    FROM embeddings e CROSS JOIN cents c)
+  WHERE crank <= 1
+), probes AS (
+  SELECT qid, qv, cell FROM (
+    SELECT e.vec_id AS qid, e.embedding AS qv, c.cid AS cell,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY -${duckCos("e.embedding", "c.cv")}, c.cid) AS crank
+    FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 10)
+  WHERE crank <= 4
+), scored AS (
+  SELECT p.qid, a.vec_id, ${duckCos("p.qv", "a.embedding")} AS sim
+  FROM probes p JOIN assigned a ON p.cell = a.cell AND p.qid <> a.vec_id
+)
+SELECT qid, vec_id AS neighbor, CAST(round(sim, 6) AS DOUBLE) AS sim, rank
+FROM (
+  SELECT qid, vec_id, sim,
+    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id)
+      AS BIGINT) AS rank
+  FROM scored)
+WHERE rank <= 5
+ORDER BY qid, rank"""
+
+  /** Near-dup twin of [[graft.ops.VectorOps.embNearDup]]: the identical
+    * ±1 hyperplane literals ([[graft.functions.Hyperplanes]]) are
+    * inlined, and the per-plane vote is the same sequential list fold.
+    */
+  val embNearDup: String = {
+    import graft.functions.Hyperplanes.signs
+    def vote(j: Int): String =
+      s"""list_sum(list_transform(
+        list_zip(embedding, [${signs(j).mkString(", ")}]),
+        p -> CAST(p[1] AS DOUBLE) * p[2]))"""
+    // DuckDB's checked shift rejects 1::BIGINT << 63; the sign bit
+    // needs the min-long literal
+    def bitLit(j: Int): String =
+      if (j == 63) "(-9223372036854775807 - 1)::BIGINT"
+      else s"1::BIGINT << $j"
+    val fpExpr = (0 until 64)
+      .map(j => s"(CASE WHEN ${vote(j)} > 0 THEN ${bitLit(j)} ELSE 0::BIGINT END)")
+      .mkString("\n    | ")
+    s"""WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 50 = 0
+), fp AS (
+  SELECT vec_id, embedding, $fpExpr AS fp FROM corpus
+), bands AS (
+  SELECT vec_id, fp, b.band, (fp >> (16 * b.band)) & 65535 AS bh
+  FROM fp CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b
+), cand AS (
+  SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bh = y.bh AND x.vec_id < y.vec_id
+)
+SELECT v1, v2, cos FROM (
+  SELECT v1, v2,
+    CAST(round(${duckCos("a.embedding", "b.embedding")}, 6) AS DOUBLE) AS cos
+  FROM cand JOIN corpus a ON cand.v1 = a.vec_id
+  JOIN corpus b ON cand.v2 = b.vec_id)
+WHERE cos >= 0.9
+ORDER BY v1, v2"""
+  }
+
   val qPercentiles: String = """
 SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
   quantile_cont(l_quantity, 0.5) AS p50_qty,
@@ -621,6 +785,10 @@ ORDER BY source, rnk"""
     "doc_stratified_sample" -> docStratifiedSample,
     "doc_len_histogram" -> docLenHistogram,
     "doc_top_per_source" -> docTopPerSource,
+    "doc_simhash" -> docSimhash,
+    "doc_minhash_lsh" -> docMinhashLsh,
+    "emb_knn_ivf" -> embKnnIvf,
+    "emb_near_dup" -> embNearDup,
     "q_percentiles" -> qPercentiles,
     "img_storage_rollup" -> imgStorageRollup,
     "doc_ngram_jaccard" -> docNgramJaccard,

@@ -93,19 +93,33 @@ object ImagingModel {
         col("l_orderkey").as("frames_global_id"))
   }
 
+  /** Exact distinct count of a small-int column (domain < 64) as a
+    * single codegen'd long-bitmap aggregate.
+    */
+  private def bitmapCard(c: String) =
+    expr(s"cast(bit_count(bit_or(shiftleft(1L, $c))) as bigint)")
+
   /** frames_global: per-dataset stack metadata recomputed from frames
     * (what file_splitter.py assembles at upload time).
     */
   def framesGlobal(spark: SparkSession, dir: String): DataFrame = {
     val f = frames(spark, dir)
     val d = dataSet(spark, dir).select("id", "dataset_serial")
+    // Exact distinct counts as 64-bit membership bitmaps
+    // (bit_count(bit_or(1 << idx))): four countDistincts on one groupBy
+    // would go through RewriteDistinctAggregates' Expand (4x the fact
+    // rows + an extra shuffle), and collect_set would fall out of
+    // whole-stage codegen into ObjectHashAggregate. The grid indices of
+    // this model are < 64 by construction (§3: c%4, z%8, t=line-1, p%6),
+    // so one long of agg state per dimension is exact; for an unbounded
+    // index domain swap in size(collect_set(...)).
     f.groupBy(col("frames_global_id"))
       .agg(
         count(lit(1)).as("nbr_frames"),
-        countDistinct(col("slice_idx")).as("nbr_slices"),
-        countDistinct(col("channel_idx")).as("nbr_channels"),
-        countDistinct(col("time_idx")).as("nbr_timepoints"),
-        countDistinct(col("pos_idx")).as("nbr_positions"))
+        bitmapCard("slice_idx").as("nbr_slices"),
+        bitmapCard("channel_idx").as("nbr_channels"),
+        bitmapCard("time_idx").as("nbr_timepoints"),
+        bitmapCard("pos_idx").as("nbr_positions"))
       .join(d, col("frames_global_id") === col("id"))
       .select(
         col("frames_global_id").as("id"),

@@ -90,8 +90,10 @@ object ImagingOps {
     // slice — instead of materializing frames_global for every dataset
     val d = dataSet(spark, dir).filter(col("frames"))
       .select(col("id").as("ds_id"), col("dataset_serial"))
+    // no distinct on the key scan: left_semi dedups inherently, and the
+    // pre-distinct would cost a full exchange over the fact keys
     val liKeys = graft.tables.Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("li_key")).distinct()
+      .select(col("l_orderkey").as("li_key"))
     val target = d.join(liKeys, col("ds_id") === col("li_key"), "left_semi")
       .agg(min("dataset_serial").as("target_serial"))
     val targetDs = d.join(broadcast(target),

@@ -62,19 +62,26 @@ object DedupOps {
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val docs = withShingles(corpus(spark, dir)).select("doc_id", "shset")
+    // base shingle hash = top 28 bits of md5: engine-portable (the
+    // DuckDB oracle computes the identical value), already < P so the
+    // affine permutations (a*base + b) % P never overflow a long
     val exploded = docs
       .select(col("doc_id"), explode(col("shset")).as("sh"))
-      .select(col("doc_id"), pmod(xxhash64(col("sh")), lit(P)).as("base"))
+      .select(col("doc_id"),
+        expr("cast(conv(substring(md5(sh), 1, 7), 16, 10) as bigint)")
+          .as("base"))
     // one typed-imperative aggregate builds the whole 64-perm signature
     // (map-side partials, elementwise-min merge) — see MinHashSig
     val sig = exploded.groupBy("doc_id")
       .agg(graft.functions.MinHashSig.minhashSig(col("base"), NumPerm)
         .as("sig"))
+    // band key = the 4 signature values joined as a string — no second
+    // hash, so the DuckDB oracle reproduces the key verbatim
     val bands = (0 until NumPerm / BandRows).map { j =>
       struct(lit(j).as("band"),
-        xxhash64(concat_ws(",",
+        concat_ws(",",
           (0 until BandRows).map(k =>
-            element_at(col("sig"), BandRows * j + k + 1)): _*))
+            element_at(col("sig"), BandRows * j + k + 1)): _*)
           .as("bh"))
     }
     val buckets = sig
@@ -118,27 +125,33 @@ object DedupOps {
   private def shingleExpr(textCol: String): Column =
     graft.functions.TextExpressions.wordNGrams(col(textCol), 3)
 
-  /** 64-bit SimHash per doc (token-hash bit votes), near-dup pairs by
-    * Hamming ≤ 3 via 16-bit band buckets + codegen'd bit_count(xor).
+  /** 60-bit SimHash per doc (token-hash bit votes), near-dup pairs by
+    * Hamming ≤ 3 via 15-bit band buckets + codegen'd bit_count(xor).
+    * Token hashes are the top 60 bits of md5, so the DuckDB oracle
+    * reproduces every fingerprint bit for bit.
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val Bits = 60
+    val BandBits = 15
     val tokens = corpus(spark, dir)
       .withColumn("toks", expr("filter(split(lower(text), ' '), x -> x <> '')"))
       .select(col("doc_id"), explode(col("toks")).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val votes = (0 until 64).map { j =>
+      .select(col("doc_id"),
+        expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)")
+          .as("h"))
+    val votes = (0 until Bits).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1)
         .otherwise(-1)).as(s"s$j")
     }
     val fp = tokens.groupBy("doc_id").agg(votes.head, votes.tail: _*)
       .select(col("doc_id"),
-        (0 until 64).map(j =>
+        (0 until Bits).map(j =>
           when(col(s"s$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
           .reduce(_ bitwiseOR _).as("fp"))
     val bands = fp.select(col("doc_id"), col("fp"),
-      explode(array((0 until 4).map(j =>
+      explode(array((0 until Bits / BandBits).map(j =>
         struct(lit(j).as("band"),
-          shiftright(col("fp"), 16 * j).bitwiseAND(0xFFFFL).as("bh"))): _*))
+          shiftright(col("fp"), BandBits * j).bitwiseAND(0x7FFFL).as("bh"))): _*))
         .as("b"))
       .select(col("doc_id"), col("fp"), col("b.band").as("band"),
         col("b.bh").as("bh"))

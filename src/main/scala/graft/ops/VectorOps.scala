@@ -88,11 +88,14 @@ object VectorOps {
   }
 
   /** Embedding-cosine near-duplicate pairs via random-hyperplane LSH:
-    * 64 sign bits (hyperplane components are deterministic ±1 derived
-    * from xxhash64(j,k)), candidates meet in 16-bit bands, exact
-    * cosine confirms ≥ 0.9. The 100 TB shape: signatures are one
+    * 64 sign bits (hyperplane components are deterministic ±1 literals,
+    * [[graft.functions.Hyperplanes]]), candidates meet in 16-bit bands,
+    * exact cosine confirms ≥ 0.9. The 100 TB shape: fingerprints are a
+    * per-row array fold (no explode, no shuffle before banding) and one
     * 8-byte long per vector; only (band, doc) pairs shuffle, and the
-    * full vectors are joined back for the tiny candidate set only.
+    * full vectors are joined back for the tiny candidate set only. The
+    * sequential fold order also makes every float sum bit-reproducible
+    * across engines — a grouped sum would add in partition order.
     */
   def embNearDup(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
@@ -101,16 +104,15 @@ object VectorOps {
     val corpus = e.select(col("vec_id"), col("embedding")).unionByName(
       e.filter(col("vec_id") % 50 === 0)
         .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
-    val comps = corpus.select(col("vec_id"),
-      posexplode(col("embedding")).as(Seq("k", "x")))
-    val votes = (0 until 64).map { j =>
-      sum(when(shiftright(xxhash64(lit(j) * 64 + col("k")), 1)
-        .bitwiseAND(1) === 1, col("x")).otherwise(-col("x"))).as(s"v$j")
-    }
-    val fp = comps.groupBy("vec_id").agg(votes.head, votes.tail: _*)
+    def vote(j: Int): Column = expr(
+      s"""aggregate(zip_with(embedding,
+            array(${graft.functions.Hyperplanes.signs(j).mkString(", ")}),
+            (x, s) -> cast(x as double) * s),
+          0D, (acc, v) -> acc + v)""")
+    val fp = corpus
       .select(col("vec_id"),
         (0 until 64).map(j =>
-          when(col(s"v$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+          when(vote(j) > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
           .reduce(_ bitwiseOR _).as("fp"))
     val bands = fp.select(col("vec_id"), col("fp"),
       explode(array((0 until 4).map(j => struct(lit(j).as("band"),
