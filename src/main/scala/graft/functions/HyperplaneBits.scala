@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** 64-bit random-hyperplane signature of a FLOAT[] embedding in one
+  * array pass.
+  *
+  * Semantically identical to 64 separate
+  * `aggregate(zip_with(emb, signs_j, (x, s) -> double(x) * s), 0D, +)`
+  * folds (same sequential IEEE addition order, so the DuckDB oracle
+  * still matches bit for bit), but one compiled loop instead of 64
+  * interpreted lambda folds per row — the hot inner product of the
+  * embedding LSH path.
+  */
+case class HyperplaneBits(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = math.min(arr.numElements(), Hyperplanes.Dim)
+    var fp = 0L
+    var j = 0
+    while (j < Hyperplanes.Planes) {
+      val s = Hyperplanes.signs(j)
+      var acc = 0.0
+      var k = 0
+      while (k < n) {
+        acc += arr.getFloat(k).toDouble * s(k)
+        k += 1
+      }
+      if (acc > 0) fp |= 1L << j
+      j += 1
+    }
+    fp
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HyperplaneBits = copy(child = newChild)
+
+  override def prettyName: String = "hyperplane_bits"
+}
+
+object HyperplaneBits {
+  def bits(c: Column): Column =
+    GraftSqlBridge.column(HyperplaneBits(GraftSqlBridge.expression(c)))
+}

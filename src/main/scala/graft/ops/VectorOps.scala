@@ -104,16 +104,9 @@ object VectorOps {
     val corpus = e.select(col("vec_id"), col("embedding")).unionByName(
       e.filter(col("vec_id") % 50 === 0)
         .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
-    def vote(j: Int): Column = expr(
-      s"""aggregate(zip_with(embedding,
-            array(${graft.functions.Hyperplanes.signs(j).mkString(", ")}),
-            (x, s) -> cast(x as double) * s),
-          0D, (acc, v) -> acc + v)""")
     val fp = corpus
       .select(col("vec_id"),
-        (0 until 64).map(j =>
-          when(vote(j) > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
-          .reduce(_ bitwiseOR _).as("fp"))
+        graft.functions.HyperplaneBits.bits(col("embedding")).as("fp"))
     val bands = fp.select(col("vec_id"), col("fp"),
       explode(array((0 until 4).map(j => struct(lit(j).as("band"),
         shiftright(col("fp"), 16 * j).bitwiseAND(0xFFFFL).as("bh"))): _*))
