@@ -1,8 +1,36 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 
 object Bench {
+
+  /** End-to-end Structured Streaming throughput: the windowed
+    * aggregation consuming the whole events table as a file stream
+    * (AvailableNow = drain everything, then stop). Times source
+    * discovery + micro-batch execution + state store, the full
+    * streaming path a production job runs.
+    */
+  private def streamBench(spark: SparkSession, sfDir: String,
+      run: Int): Double = {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val t0 = System.nanoTime()
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = graft.streaming.EventsStream.windowedCounts(src)
+      .writeStream.format("memory").queryName(s"bench_stream_$run")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val dt = (System.nanoTime() - t0) / 1e9
+    spark.catalog.dropTempView(s"bench_stream_$run")
+    dt
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -31,9 +59,13 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val streamTime =
+      try (1 to 2).map(r => streamBench(spark, sfDir, r)).min
+      catch { case _: Throwable => -1.0 }
+    val all = results :+ ("stream_events_window" -> streamTime)
+    val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = if (all.nonEmpty) all.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

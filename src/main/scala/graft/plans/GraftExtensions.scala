@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.WordNGrams
+import graft.functions.{HyperplaneBits, MinHashSig, WordNGrams}
 
 /** SparkSessionExtensions entry point: registers graft's custom
   * expressions for SQL use, so `SELECT word_ngrams(text, 3)` works in
@@ -20,6 +20,8 @@ import graft.functions.WordNGrams
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.wordNGramsDescriptor)
+    ext.injectFunction(GraftExtensions.hyperplaneBitsDescriptor)
+    ext.injectFunction(GraftExtensions.minhashSigDescriptor)
   }
 }
 
@@ -41,11 +43,34 @@ object GraftExtensions {
         "word_ngrams(text[, n]) takes 1 or 2 arguments")
     })
 
+  val hyperplaneBitsDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("hyperplane_bits"),
+    new ExpressionInfo(classOf[HyperplaneBits].getName, "hyperplane_bits"),
+    (args: Seq[Expression]) => args match {
+      case Seq(vec) => HyperplaneBits(vec)
+      case _ => throw new IllegalArgumentException(
+        "hyperplane_bits(embedding) takes 1 argument")
+    })
+
+  val minhashSigDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("minhash_sig"),
+    new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+    (args: Seq[Expression]) => args match {
+      case Seq(base) => MinHashSig(base)
+      case Seq(base, n) => MinHashSig(base, intArg(n, "numPerms"))
+      case _ => throw new IllegalArgumentException(
+        "minhash_sig(base_hash[, num_perms]) takes 1 or 2 arguments")
+    })
+
+  private val allDescriptors =
+    Seq(wordNGramsDescriptor, hyperplaneBitsDescriptor, minhashSigDescriptor)
+
   /** Register on an existing session (tests / REPL convenience). */
-  def install(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val (_, info, builder) = wordNGramsDescriptor
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "word_ngrams", builder, "built-in")
-    val _ = info
-  }
+  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+    allDescriptors.foreach { case (ident, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        ident.funcName, builder, "built-in")
+    }
 }

@@ -32,6 +32,30 @@ class SourcesSpec extends AnyFunSuite {
     assert(row.getSeq[String](1) === Seq("a b"))
   }
 
+  test("hyperplane_bits and minhash_sig work from SQL") {
+    GraftExtensions.install(spark)
+    // a constant vector: fp bit j = 1 iff plane j's signs sum positive
+    val fp = spark.sql(
+      s"SELECT hyperplane_bits(array_repeat(cast(1.0 as float), 64)) AS fp")
+      .head().getLong(0)
+    val expected = (0 until 64).foldLeft(0L) { (acc, j) =>
+      if (graft.functions.Hyperplanes.signs(j).sum > 0) acc | (1L << j)
+      else acc
+    }
+    assert(fp === expected)
+    // minhash of a single base hash = (a_i * h + b_i) % P elementwise
+    val sig = spark.sql(
+      "SELECT minhash_sig(h, 4) AS s FROM (SELECT 12345L AS h)")
+      .head().getSeq[Long](0)
+    val P = 2147483647L
+    val want = (0 until 4).map { i =>
+      val a = (1000003L * i + 12345L) % P
+      val b = (998244353L * (i + 1) + 7L) % P
+      (a * 12345L + b) % P
+    }
+    assert(sig === want)
+  }
+
   test("embedding near-dup recovers the planted copies") {
     val planted = VectorOps.embNearDup(spark, sfDir)
       .filter(col("v2") === col("v1") + 1000000L)
