@@ -559,7 +559,10 @@ ORDER BY doc1, doc2"""
     * [[graft.functions.MinHashSig]]) reproduce signatures, band keys,
     * the bucket-size cap and the exact-Jaccard confirmation.
     */
-  val docMinhashLsh: String = corpusCte + """, shx AS (
+  /** The confirmed near-dup pairs as a reusable CTE chain (ends with a
+    * `pairs` member) — shared by the LSH query and the cluster oracle.
+    */
+  private val minhashPairsCte: String = corpusCte + """, shx AS (
   SELECT doc_id, unnest(shset) AS s FROM sh
 ), base AS (
   SELECT doc_id, ('0x' || substr(md5(s), 1, 7))::BIGINT AS base FROM shx
@@ -583,15 +586,55 @@ ORDER BY doc1, doc2"""
     AND x.doc_id < y.doc_id
   JOIN bsz ON bsz.band = x.band AND bsz.bh = x.bh
   WHERE bsz.n BETWEEN 2 AND 1000
+), pairs AS (
+  SELECT doc1, doc2, jaccard FROM (
+    SELECT doc1, doc2,
+      CAST(round(CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+        / len(list_distinct(a.shset || b.shset)), 4) AS DOUBLE) AS jaccard
+    FROM cand JOIN sh a ON cand.doc1 = a.doc_id
+    JOIN sh b ON cand.doc2 = b.doc_id)
+  WHERE jaccard >= 0.7
 )
-SELECT doc1, doc2, jaccard FROM (
-  SELECT doc1, doc2,
-    CAST(round(CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
-      / len(list_distinct(a.shset || b.shset)), 4) AS DOUBLE) AS jaccard
-  FROM cand JOIN sh a ON cand.doc1 = a.doc_id
-  JOIN sh b ON cand.doc2 = b.doc_id)
-WHERE jaccard >= 0.7
+"""
+
+  val docMinhashLsh: String = minhashPairsCte + """
+SELECT doc1, doc2, jaccard FROM pairs
 ORDER BY doc1, doc2"""
+
+  /** Connected components over the dup-edge graph via a recursive CTE
+    * (min reachable id per node) — the oracle for the distributed
+    * label-propagation in [[graft.ops.DedupOps.dupClusters]].
+    */
+  val docDupClusters: String =
+    minhashPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """
+, exact_star AS (
+  SELECT g.keeper AS src, c.doc_id AS dst
+  FROM (
+    SELECT md5(lower(trim(text))) AS h, min(doc_id) AS keeper,
+      count(*) AS n
+    FROM corpus GROUP BY 1) g
+  JOIN (SELECT doc_id, md5(lower(trim(text))) AS h FROM corpus) c
+    ON g.h = c.h
+  WHERE g.n > 1 AND c.doc_id <> g.keeper
+), edges AS (
+  SELECT src, dst FROM exact_star
+  UNION
+  SELECT doc1, doc2 FROM pairs
+), eb AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+), nodes AS (
+  SELECT DISTINCT src AS id FROM eb
+), reach AS (
+  SELECT id, id AS lbl FROM nodes
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN eb e ON e.src = r.id
+), final AS (
+  SELECT id, min(lbl) AS lbl FROM reach GROUP BY id
+)
+SELECT lbl AS cluster, CAST(count(*) AS BIGINT) AS n_members,
+  min(id) AS min_doc, max(id) AS max_doc
+FROM final GROUP BY lbl
+ORDER BY cluster"""
 
   /** DuckDB cosine between two FLOAT[] columns — the sequential
     * list fold mirrors Spark's aggregate(zip_with(...)) order exactly,
@@ -766,6 +809,33 @@ FROM documents
 GROUP BY 1
 ORDER BY 1"""
 
+  val docTfidf: String = """
+WITH toks AS (
+  SELECT doc_id,
+    unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+      AS tok
+  FROM documents
+), tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, tok
+), df AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+    CAST(round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS DOUBLE)
+      AS tfidf
+  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+)
+SELECT doc_id, rnk, tok, tf, df, tfidf FROM (
+  SELECT doc_id, tok, tf, df, tfidf,
+    CAST(row_number() OVER (
+      PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS BIGINT) AS rnk
+  FROM scored)
+WHERE rnk <= 5
+ORDER BY doc_id, rnk"""
+
   val docTopPerSource: String = """
 SELECT source, rnk, doc_id, n_chars
 FROM (
@@ -785,6 +855,8 @@ ORDER BY source, rnk"""
     "doc_stratified_sample" -> docStratifiedSample,
     "doc_len_histogram" -> docLenHistogram,
     "doc_top_per_source" -> docTopPerSource,
+    "doc_tfidf" -> docTfidf,
+    "doc_dup_clusters" -> docDupClusters,
     "doc_simhash" -> docSimhash,
     "doc_minhash_lsh" -> docMinhashLsh,
     "emb_knn_ivf" -> embKnnIvf,

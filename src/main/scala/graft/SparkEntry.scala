@@ -60,6 +60,8 @@ object SparkEntry {
     "doc_stratified_sample" -> (TextOps.stratifiedSample(_, _)),
     "doc_len_histogram" -> (TextOps.lenHistogram(_, _)),
     "doc_top_per_source" -> (TextOps.topPerSource(_, _)),
+    "doc_tfidf" -> (TextOps.tfidf(_, _)),
+    "doc_dup_clusters" -> (DedupOps.dupClusters(_, _)),
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the

@@ -60,7 +60,13 @@ object DedupOps {
     * 16 LSH bands → bucket self-join → exact-Jaccard confirmation at
     * ≥ 0.7. Output: (doc1, doc2, jaccard).
     */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashPairs(spark, dir).orderBy("doc1", "doc2")
+
+  /** The unordered confirmed near-dup pairs — shared by the
+    * driver-checked query above and the dup-cluster roll-up.
+    */
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = withShingles(corpus(spark, dir)).select("doc_id", "shset")
     // base shingle hash = top 28 bits of md5: engine-portable (the
     // DuckDB oracle computes the identical value), already < P so the
@@ -118,12 +124,65 @@ object DedupOps {
           / size(array_union(s1, s2)), 4))
       .filter(col("jaccard") >= 0.7)
       .select("doc1", "doc2", "jaccard")
-      .orderBy("doc1", "doc2")
   }
 
   /** Distinct word-3-gram shingles of a text column, as one expression. */
   private def shingleExpr(textCol: String): Column =
     graft.functions.TextExpressions.wordNGrams(col(textCol), 3)
+
+  /** Duplicate clusters: connected components over the dup-edge graph
+    * (exact-dup star edges ∪ confirmed MinHash near-dup pairs), the
+    * roll-up a dedup pipeline keeps one representative per cluster
+    * from.
+    *
+    * Components via distributed min-label propagation — the GraphX/
+    * Pregel shape on plain DataFrames: each round joins labels across
+    * edges and takes the elementwise min; rounds = graph diameter
+    * (tiny for dup clusters). `localCheckpoint` truncates the plan per
+    * round so lineage doesn't grow with iterations; every round is a
+    * distributed join+agg, the driver only checks the converged flag.
+    */
+  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val hashed = c.select(col("doc_id"), md5(lower(trim(col("text")))).as("h"))
+    val star = hashed
+      .join(hashed.groupBy("h")
+        .agg(min("doc_id").as("keeper"), count(lit(1)).as("n"))
+        .filter(col("n") > 1), "h")
+      .filter(col("doc_id") =!= col("keeper"))
+      .select(col("keeper").as("src"), col("doc_id").as("dst"))
+    val near = minhashPairs(spark, dir)
+      .select(col("doc1").as("src"), col("doc2").as("dst"))
+    val edges = star.unionByName(near).distinct()
+    // undirected: propagate both ways; checkpoint once so the iterative
+    // joins run over a materialized edge list, not the LSH pipeline
+    val eb = edges.unionByName(
+      edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var lbl = eb.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < 64) {
+      val prop = eb.join(lbl, col("src") === col("id"))
+        .select(col("dst").as("id"), col("lbl"))
+      val next = lbl.unionByName(prop)
+        .groupBy("id").agg(min("lbl").as("lbl"))
+        .localCheckpoint(true)
+      changed = next.join(lbl.withColumnRenamed("lbl", "prev"), "id")
+        .filter(col("lbl") =!= col("prev")).count()
+      lbl = next
+      round += 1
+    }
+    lbl.groupBy("lbl")
+      .agg(count(lit(1)).as("n_members"),
+        min("id").as("min_doc"), max("id").as("max_doc"))
+      .select(col("lbl").as("cluster"), col("n_members"),
+        col("min_doc"), col("max_doc"))
+      .orderBy("cluster")
+  }
 
   /** 60-bit SimHash per doc (token-hash bit votes), near-dup pairs by
     * Hamming ≤ 3 via 15-bit band buckets + codegen'd bit_count(xor).

@@ -134,6 +134,34 @@ object TextOps {
       .select("bucket", "lo_chars", "n_docs", "min_chars", "max_chars")
       .orderBy("bucket")
 
+  /** TF-IDF top-5 terms per document (smoothed idf, natural log).
+    * Shuffle shape: one exchange on (doc, term) for term frequencies,
+    * one on term for document frequencies (both map-side combined),
+    * the corpus size N broadcast as a single-row cross join, and the
+    * final per-doc top-k as a partitioned window — no global sort.
+    */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs
+      .withColumn("tok",
+        explode(expr("filter(split(lower(text), ' '), x -> x <> '')")))
+      .select("doc_id", "tok")
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df_, "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 6))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("tok"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= 5)
+      .select("doc_id", "rnk", "tok", "tf", "df", "tfidf")
+      .orderBy("doc_id", "rnk")
+  }
+
   /** Top-3 longest documents per source — the per-group top-k pattern
     * (partitioned window + rank filter): shuffles once on source and
     * never materializes a global sort, unlike an ORDER BY ... LIMIT.
