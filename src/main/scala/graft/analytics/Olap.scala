@@ -121,6 +121,25 @@ object Olap {
         expr("percentile(l_extendedprice, 0.99)").as("p99_price"))
       .orderBy("l_returnflag")
 
+  /** Sketch-based statistics — the 100 TB twin of q_percentiles /
+    * countDistinct: HyperLogLog++ distinct counts and quantile sketches
+    * have constant-size partial state per group, so the shuffle carries
+    * sketches instead of values. Exactness is spec-checked against the
+    * exact aggregates within the documented error bounds (not
+    * oracle-hashed: sketch internals are engine-specific by design).
+    */
+  def approxStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        approx_count_distinct(col("l_orderkey"), rsd = 0.02)
+          .as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        expr("approx_percentile(l_quantity, 0.5, 1000)").as("approx_p50"),
+        expr("percentile(l_quantity, 0.5)").as("exact_p50"))
+      .orderBy("l_returnflag")
+
   /** Window functions: per-supplier running quantity + row rank over a
     * total order (ties broken by the unique (orderkey, linenumber)).
     */

@@ -69,7 +69,10 @@ object VectorOps {
       e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qv")),
       "qid", "qv", 4)
-    val scored = probes.join(assigned, Seq("cell"))
+    // probes is |Q|×nprobe rows (tiny) but sits behind a window, so the
+    // size estimate is unknown — hint the broadcast explicitly or this
+    // becomes a sort-merge join of the whole assigned set
+    val scored = broadcast(probes).join(assigned, Seq("cell"))
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"),
         cosine(col("qv"), col("embedding")).as("sim"))

@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Join-strategy audit across the whole query surface: catches a
+  * dimension join silently degrading to sort-merge (lost broadcast
+  * hint, size estimate gone) or an accidental cartesian product — the
+  * regressions that stay invisible at test scale and hurt at 100 TB.
+  */
+class PlanSweepSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sfDir = TestSpark.sfDir
+
+  // joins that are MEANT to be non-broadcast at scale
+  private val smjAllowed = Set(
+    "q5_region_join" // orders x lineitem: genuinely large-large
+  )
+  // intended broadcast-nested-loop joins (non-equi or single-row sides)
+  private val bnlAllowed = Set(
+    "doc_tfidf",     // corpus-size single row cross join
+    "emb_knn_brute", // tiny query side, <> condition
+    "emb_knn_ivf"    // centroid cross joins + tiny probe side
+  )
+
+  test("no query plan has an accidental join strategy") {
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val issues = Seq.newBuilder[String]
+        if (plan.contains("CartesianProduct"))
+          issues += s"$name: CartesianProduct"
+        if (plan.contains("SortMergeJoin") && !smjAllowed(name))
+          issues += s"$name: unexpected SortMergeJoin"
+        if (plan.contains("BroadcastNestedLoopJoin") && !bnlAllowed(name))
+          issues += s"$name: unexpected BroadcastNestedLoopJoin"
+        issues.result()
+    }
+    assert(bad.isEmpty, s"plan regressions:\n${bad.mkString("\n")}")
+  }
+}
