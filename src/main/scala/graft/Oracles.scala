@@ -246,6 +246,18 @@ GROUP BY o_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, o_orderkey
 LIMIT 10"""
 
+  val q10Returns: String = s"""
+SELECT c_custkey, c_name, n_name, CAST(SUM($rev) AS DOUBLE) AS revenue,
+  CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20"""
+
   val q5RegionJoin: String = s"""
 SELECT n_name, CAST(SUM($rev) AS DOUBLE) AS revenue
 FROM customer
@@ -862,6 +874,7 @@ ORDER BY source, rnk"""
     "emb_knn_ivf" -> embKnnIvf,
     "emb_near_dup" -> embNearDup,
     "q_percentiles" -> qPercentiles,
+    "q10_returns" -> q10Returns,
     "img_storage_rollup" -> imgStorageRollup,
     "doc_ngram_jaccard" -> docNgramJaccard,
     "emb_knn_brute" -> embKnnBrute,

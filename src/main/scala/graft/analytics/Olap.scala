@@ -64,6 +64,34 @@ object Olap {
       .limit(10)
   }
 
+  /** TPC-H Q10-style returned-item report: customers ranked by revenue
+    * of returned lineitems. The returnflag filter lands in the parquet
+    * scan; customer/nation are the broadcast dimensions; the only fact
+    * shuffles are the orderkey join and the per-customer aggregate.
+    */
+  def q10Returns(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice").cast(dec)
+          * (lit(1).cast(dec) - col("l_discount").cast(dec))).as("rev"))
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val c = Tables.customer(spark, dir)
+      .select("c_custkey", "c_name", "c_nationkey")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    // nation is always tiny → hinted broadcast; customer grows with SF
+    // so its join strategy is left to stats (broadcast at small SF,
+    // shuffle join once it outgrows the threshold)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(sum(col("rev")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   /** TPC-H Q5-style local-supplier volume: 6-table join; region→nation
     * broadcast down the dimension chain, facts shuffle on join keys.
     */

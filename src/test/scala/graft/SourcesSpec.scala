@@ -23,6 +23,36 @@ class SourcesSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters: [isnotnull(project"), plan)
   }
 
+  test("compaction shrinks file counts and preserves the data") {
+    val store = Files.createTempDirectory("graft_frag").toString
+    val compacted = Files.createTempDirectory("graft_comp").toString
+    // fragment: write the store with many tiny output tasks — the
+    // append-per-upload failure mode
+    val d = graft.imaging.ImagingModel.dataSet(spark, sfDir)
+      .select(col("id").as("ds_id"),
+        expr("split_part(dataset_serial, '-', 1)").as("project"))
+    graft.imaging.ImagingModel.frames(spark, sfDir)
+      .join(broadcast(d), col("frames_global_id") === col("ds_id"))
+      .drop("ds_id")
+      .repartition(64)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("project").parquet(store)
+    def parquetFiles(root: String): Long = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(java.nio.file.Paths.get(root)).iterator().asScala
+        .count(p => p.toString.endsWith(".parquet"))
+    }
+    val before = parquetFiles(store)
+    ImagingStore.compact(spark, store, compacted)
+    val after = parquetFiles(compacted)
+    assert(after < before / 4,
+      s"expected compaction to merge files: $before -> $after")
+    val a = spark.read.parquet(store)
+    val b = spark.read.parquet(compacted)
+    assert(a.count() === b.count())
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("word_ngrams is callable from SQL once extensions install") {
     GraftExtensions.install(spark)
     val row = spark.sql(
