@@ -163,16 +163,24 @@ object DedupOps {
     var lbl = eb.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .localCheckpoint(true)
-    var changed = 1L
+    // convergence via the label-sum invariant: min-propagation only
+    // ever decreases labels, so the sum strictly decreases until the
+    // fixpoint — one scalar aggregate per round instead of a
+    // prev-vs-next join
+    def lblSum(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum("lbl")).head().getLong(0)
+    var prevSum = lblSum(lbl)
+    var converged = false
     var round = 0
-    while (changed > 0 && round < 64) {
+    while (!converged && round < 64) {
       val prop = eb.join(lbl, col("src") === col("id"))
         .select(col("dst").as("id"), col("lbl"))
       val next = lbl.unionByName(prop)
         .groupBy("id").agg(min("lbl").as("lbl"))
         .localCheckpoint(true)
-      changed = next.join(lbl.withColumnRenamed("lbl", "prev"), "id")
-        .filter(col("lbl") =!= col("prev")).count()
+      val nextSum = lblSum(next)
+      converged = nextSum == prevSum
+      prevSum = nextSum
       lbl = next
       round += 1
     }
