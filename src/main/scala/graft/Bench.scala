@@ -31,6 +31,25 @@ object Bench {
     dt
   }
 
+  /** Stateful-streaming throughput: watermark + dropDuplicates over
+    * the full events stream into a noop sink — times the dedup state
+    * store path end to end.
+    */
+  private def streamDedupBench(spark: SparkSession, sfDir: String): Double = {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val t0 = System.nanoTime()
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = graft.streaming.EventsStream.dedupedEvents(src)
+      .writeStream.format("noop")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -62,7 +81,12 @@ object Bench {
     val streamTime =
       try (1 to 2).map(r => streamBench(spark, sfDir, r)).min
       catch { case _: Throwable => -1.0 }
-    val all = results :+ ("stream_events_window" -> streamTime)
+    val dedupTime =
+      try (1 to 2).map(_ => streamDedupBench(spark, sfDir)).min
+      catch { case _: Throwable => -1.0 }
+    val all = results :+
+      ("stream_events_window" -> streamTime) :+
+      ("stream_dedup" -> dedupTime)
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (all.nonEmpty) all.map(_._2).sum else 0.0

@@ -734,6 +734,17 @@ WHERE cos >= 0.9
 ORDER BY v1, v2"""
   }
 
+  val imgChannelOverlap: String = imagingCte + """
+SELECT project, CAST(count(*) AS BIGINT) AS n_both FROM (
+  SELECT split_part(d.dataset_serial, '-', 1) AS project
+  FROM (
+    SELECT frames_global_id FROM frames WHERE channel_name = 'DAPI'
+    INTERSECT
+    SELECT frames_global_id FROM frames WHERE channel_name = 'TxRed') b
+  JOIN data_set d ON b.frames_global_id = d.id)
+GROUP BY project
+ORDER BY project"""
+
   val qPercentiles: String = """
 SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
   quantile_cont(l_quantity, 0.5) AS p50_qty,
@@ -875,6 +886,7 @@ ORDER BY source, rnk"""
     "emb_near_dup" -> embNearDup,
     "q_percentiles" -> qPercentiles,
     "q10_returns" -> q10Returns,
+    "img_channel_overlap" -> imgChannelOverlap,
     "img_storage_rollup" -> imgStorageRollup,
     "doc_ngram_jaccard" -> docNgramJaccard,
     "emb_knn_brute" -> embKnnBrute,

@@ -33,6 +33,7 @@ object SparkEntry {
     "q6_forecast" -> (Olap.q6Forecast(_, _)),
     "q_percentiles" -> (Olap.qPercentiles(_, _)),
     "q10_returns" -> (Olap.q10Returns(_, _)),
+    "img_channel_overlap" -> (ImagingOps.channelOverlap(_, _)),
     "img_storage_rollup" -> (ImagingOps.storageRollup(_, _)),
     "win_running" -> (Olap.winRunning(_, _)),
     "events_window" -> (EventOps.eventsWindow(_, _)),

@@ -358,6 +358,24 @@ object ImagingOps {
         coalesce(col("TxRed"), lit(0L)).as("n_txred"))
       .orderBy("dataset_serial")
 
+  /** Datasets imaged in both DAPI and TxRed, per project — the set
+    * intersection pattern (INTERSECT = distinct + co-grouped semi
+    * match, one shuffle per side on the dataset key).
+    */
+  def channelOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val f = frames(spark, dir)
+    def withCh(name: String) =
+      f.filter(col("channel_name") === name)
+        .select("frames_global_id").distinct()
+    withCh("DAPI").intersect(withCh("TxRed"))
+      .join(broadcast(dataSet(spark, dir).select(col("id").as("ds_id"),
+        expr("split_part(dataset_serial, '-', 1)").as("project"))),
+        col("frames_global_id") === col("ds_id"))
+      .groupBy("project")
+      .agg(count(lit(1)).as("n_both"))
+      .orderBy("project")
+  }
+
   /** Storage capacity report per project — filestorage/: frame counts
     * and estimated bytes (w×h×2 for uint16) rolled up from
     * frames_global.

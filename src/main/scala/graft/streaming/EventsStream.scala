@@ -95,4 +95,15 @@ object EventsStream {
           }
       }
   }
+
+  /** Streaming exactly-once dedup: drop re-delivered events by id
+    * inside the watermark horizon — the ingest-side twin of the batch
+    * exact-dedup operator. State holds one entry per id seen within
+    * the last hour and the watermark evicts older ones, so state is
+    * bounded by arrival rate × horizon, not stream length.
+    */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id", "ts")
 }

@@ -13,7 +13,10 @@ class PlanSweepSpec extends AnyFunSuite {
 
   // joins that are MEANT to be non-broadcast at scale
   private val smjAllowed = Set(
-    "q5_region_join" // orders x lineitem: genuinely large-large
+    "q5_region_join",     // orders x lineitem: genuinely large-large
+    "img_channel_overlap" // INTERSECT of two dataset-key sets: both
+                          // sides are fact-derived, shuffle semi join
+                          // is the right strategy
   )
   // intended broadcast-nested-loop joins (non-equi or single-row sides)
   private val bnlAllowed = Set(

@@ -34,6 +34,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamResult.sameElements(batchResult))
   }
 
+  test("streaming dedup drops redelivered events within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // minute offsets start well past the epoch: the initial watermark
+    // is 1970-01-01, and a row AT the watermark counts as late
+    def ev(id: Long, minute: Long) =
+      Event(id, new Timestamp((600 + minute) * 60000L), 1L, "click", 1.0)
+    val stream = MemoryStream[Event]
+    // ids 1..5, with 1 and 3 redelivered
+    stream.addData(Seq(ev(1, 0), ev(2, 1), ev(1, 0), ev(3, 2),
+      ev(3, 2), ev(4, 3), ev(5, 4)))
+    val q = EventsStream.dedupedEvents(stream.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("dedup_out").select("event_id")
+      .as[Long].collect().sorted
+    assert(out.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("stateful sessionizer closes sessions on gaps") {
     import spark.implicits._
     def ev(id: Long, user: Long, minute: Long) =
