@@ -61,9 +61,30 @@ object ImagingModel {
   }
 
   /** frames: one row per 2D frame of every frames=true dataset. */
-  def frames(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-      .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+  def frames(spark: SparkSession, dir: String): DataFrame =
+    framesDerived(
+      Tables.lineitem(spark, dir)
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"),
+      spark, dir)
+
+  /** frames restricted to the dataset keys in `keys(keyCol)` BEFORE
+    * the expensive per-frame derivation (sha256, name concat) runs —
+    * "project late": a needle query over a derived fact must filter on
+    * the raw key column first, or it pays the full derivation for rows
+    * a later join throws away (Catalyst pushes filters below a Project
+    * but never reorders a join above one).
+    */
+  def framesFor(spark: SparkSession, dir: String, keys: DataFrame,
+      keyCol: String): DataFrame =
+    framesDerived(
+      Tables.lineitem(spark, dir)
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+        .join(broadcast(keys.select(col(keyCol).as("l_orderkey"))),
+          Seq("l_orderkey"), "left_semi"),
+      spark, dir)
+
+  private def framesDerived(li: DataFrame, spark: SparkSession,
+      dir: String): DataFrame = {
     val framesOrders = Tables.orders(spark, dir)
       .filter(col("o_orderstatus") =!= "O")
       .select("o_orderkey")

@@ -94,11 +94,22 @@ object ImagingOps {
     // pre-distinct would cost a full exchange over the fact keys
     val liKeys = graft.tables.Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("li_key"))
-    val target = d.join(liKeys, col("ds_id") === col("li_key"), "left_semi")
-      .agg(min("dataset_serial").as("target_serial"))
-    val targetDs = d.join(broadcast(target),
-      col("dataset_serial") === col("target_serial"))
+    // scalar-subquery shape: resolve the one target dataset to a
+    // literal on the driver (a 1-row action), so the frames derivation
+    // filters on the raw key column and the predicate reaches the
+    // parquet scan — the needle-query plan a metadata lookup needs.
+    // The dimension broadcasts and the fact keys stream map-side into
+    // a TakeOrdered(1) — no shuffle at all in the resolution.
+    val target = liKeys.join(broadcast(d), col("li_key") === col("ds_id"))
+      .select("ds_id", "dataset_serial")
+      .orderBy("dataset_serial").limit(1).head()
+    val targetId = target.getLong(0)
+    val targetDs = d.filter(col("ds_id") === targetId)
+    // the literal filter pushes through the derivation Project into the
+    // lineitem scan (PushedFilters on l_orderkey), so sha256/name
+    // concat run for the target dataset's rows only
     val f = frames(spark, dir)
+      .filter(col("frames_global_id") === targetId)
       .join(broadcast(targetDs), col("frames_global_id") === col("ds_id"))
     val g = f.groupBy(col("frames_global_id").as("g_id"))
       .agg(
@@ -131,7 +142,7 @@ object ImagingOps {
       .filter(col("dataset_serial").startsWith("PRJ2"))
       .select(col("id").as("ds_id"), col("dataset_serial"),
         concat(lit("raw_frames/"), col("dataset_serial")).as("storage_dir"))
-    val frameFiles = frames(spark, dir)
+    val frameFiles = framesFor(spark, dir, d, "ds_id")
       .join(broadcast(d), col("frames_global_id") === col("ds_id"))
       .select("dataset_serial", "storage_dir", "file_name")
     val wholeFiles = fileGlobal(spark, dir)
