@@ -67,6 +67,25 @@ object BinaryFrames {
       }
   }
 
+  /** Stack reassembly — the download path of the reference
+    * (data_storage.py make_stack_from_meta): collect each dataset's
+    * frame payloads into one array ordered by (channel, slice, time,
+    * position). One shuffle on the dataset key; `sort_array` orders
+    * within the group by the struct's leading index fields, so no
+    * global sort and no window. At 100 TB each group is one stack
+    * (bounded by stack geometry), so collect_list state is bounded.
+    */
+  def assembleStacks(spark: SparkSession, dir: String): DataFrame =
+    ImagingModel.frames(spark, dir)
+      .select(col("frames_global_id").as("dataset_id"),
+        struct(col("channel_idx"), col("slice_idx"), col("time_idx"),
+          col("pos_idx"),
+          expr("concat(unhex(sha256), unhex(sha256))").as("payload"))
+          .as("fr"))
+      .groupBy("dataset_id")
+      .agg(sort_array(collect_list(col("fr"))).as("stack"),
+        count(lit(1)).as("n_frames"))
+
   /** STUB resize: the metadata transform is real (scaled dims in the
     * typed meta struct), the pixel resample is stood in by truncating
     * the payload proportionally — swap for a real resampler with the

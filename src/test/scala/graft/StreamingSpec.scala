@@ -81,4 +81,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(r.getInt(0) === 512 && r.getInt(1) === 512)
     assert(r.getInt(2) === 4) // 64 bytes / 16
   }
+
+  test("stack assembly orders each dataset's payloads by c/z/t/p") {
+    val stacks = BinaryFrames.assembleStacks(spark, sfDir)
+    val row = stacks.select(col("n_frames"), col("stack"))
+      .filter(col("n_frames") > 2).head()
+    val stack = row.getSeq[org.apache.spark.sql.Row](1)
+    assert(stack.length === row.getLong(0))
+    // in-stack order is lexicographic on (channel, slice, time, pos)
+    val coords = stack.map(r =>
+      (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(coords === coords.sorted)
+    // every payload is the 64-byte stub
+    assert(stack.forall(_.getAs[Array[Byte]]("payload").length === 64))
+    // total frames across stacks == total frames in the model
+    val total = stacks.agg(sum("n_frames")).head().getLong(0)
+    assert(total ===
+      graft.imaging.ImagingModel.frames(spark, sfDir).count())
+  }
 }
