@@ -6,6 +6,17 @@ import org.apache.spark.sql.streaming.Trigger
 
 object Bench {
 
+  /** The events table as a file-stream source with the ns-long ts
+    * converted to a proper timestamp — shared by both stream benches.
+    */
+  private def streamingEvents(spark: SparkSession, sfDir: String) = {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   /** End-to-end Structured Streaming throughput: the windowed
     * aggregation consuming the whole events table as a file stream
     * (AvailableNow = drain everything, then stop). Times source
@@ -14,13 +25,9 @@ object Bench {
     */
   private def streamBench(spark: SparkSession, sfDir: String,
       run: Int): Double = {
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val t0 = System.nanoTime()
-    val src = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val q = graft.streaming.EventsStream.windowedCounts(src)
+    val q = graft.streaming.EventsStream
+      .windowedCounts(streamingEvents(spark, sfDir))
       .writeStream.format("memory").queryName(s"bench_stream_$run")
       .outputMode("complete")
       .trigger(Trigger.AvailableNow())
@@ -36,18 +43,23 @@ object Bench {
     * store path end to end.
     */
   private def streamDedupBench(spark: SparkSession, sfDir: String): Double = {
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val t0 = System.nanoTime()
-    val src = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val q = graft.streaming.EventsStream.dedupedEvents(src)
+    val q = graft.streaming.EventsStream
+      .dedupedEvents(streamingEvents(spark, sfDir))
       .writeStream.format("noop")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Min of the runs that succeeded; None if every run failed — a
+    * failed stream bench must drop out of the report, not poison the
+    * total with a sentinel.
+    */
+  private def minOk(runs: Seq[() => Double]): Option[Double] = {
+    val ok = runs.flatMap(r => scala.util.Try(r()).toOption)
+    if (ok.isEmpty) None else Some(ok.min)
   }
 
   def main(args: Array[String]): Unit = {
@@ -79,14 +91,12 @@ object Bench {
       name -> times.min
     }
     val streamTime =
-      try (1 to 2).map(r => streamBench(spark, sfDir, r)).min
-      catch { case _: Throwable => -1.0 }
+      minOk((1 to 2).map(r => () => streamBench(spark, sfDir, r)))
     val dedupTime =
-      try (1 to 2).map(_ => streamDedupBench(spark, sfDir)).min
-      catch { case _: Throwable => -1.0 }
-    val all = results :+
-      ("stream_events_window" -> streamTime) :+
-      ("stream_dedup" -> dedupTime)
+      minOk((1 to 2).map(_ => () => streamDedupBench(spark, sfDir)))
+    val all = results ++
+      streamTime.map("stream_events_window" -> _) ++
+      dedupTime.map("stream_dedup" -> _)
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (all.nonEmpty) all.map(_._2).sum else 0.0

@@ -2,10 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** 64-bit random-hyperplane signature of a FLOAT[] embedding in one
   * array pass.
@@ -20,6 +21,24 @@ import org.apache.spark.sql.types.{DataType, LongType}
 case class HyperplaneBits(child: Expression)
     extends UnaryExpression with CodegenFallback {
 
+  // explicit type check: SQL callers passing anything but a float or
+  // double array (array literals default to array<double>) get an
+  // analysis error instead of a runtime ClassCastException or a
+  // silent 4-byte misread of 8-byte values
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"hyperplane_bits expects array<float> or array<double>, " +
+          s"got ${other.sql}")
+    }
+
+  private lazy val isDoubleArray: Boolean = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
 
@@ -33,7 +52,9 @@ case class HyperplaneBits(child: Expression)
       var acc = 0.0
       var k = 0
       while (k < n) {
-        acc += arr.getFloat(k).toDouble * s(k)
+        val x = if (isDoubleArray) arr.getDouble(k)
+                else arr.getFloat(k).toDouble
+        acc += x * s(k)
         k += 1
       }
       if (acc > 0) fp |= 1L << j

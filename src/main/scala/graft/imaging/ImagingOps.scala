@@ -100,10 +100,14 @@ object ImagingOps {
     // parquet scan — the needle-query plan a metadata lookup needs.
     // The dimension broadcasts and the fact keys stream map-side into
     // a TakeOrdered(1) — no shuffle at all in the resolution.
-    val target = liKeys.join(broadcast(d), col("li_key") === col("ds_id"))
+    // headOption: a degenerate corpus with no frames-bearing dataset
+    // must yield an empty result, not NoSuchElementException; the
+    // impossible -1 key keeps the plan shape (and schema) intact
+    val targetId = liKeys
+      .join(broadcast(d), col("li_key") === col("ds_id"))
       .select("ds_id", "dataset_serial")
-      .orderBy("dataset_serial").limit(1).head()
-    val targetId = target.getLong(0)
+      .orderBy("dataset_serial").limit(1).collect()
+      .headOption.map(_.getLong(0)).getOrElse(-1L)
     val targetDs = d.filter(col("ds_id") === targetId)
     // the literal filter pushes through the derivation Project into the
     // lineitem scan (PushedFilters on l_orderkey), so sha256/name
@@ -337,15 +341,22 @@ object ImagingOps {
     // analysis (even with aliases / fresh scans); the view-resolved SQL
     // path compiles the identical Expand+Aggregate plan without the
     // Dataset-lineage tags that confuse the check.
-    perScope.createOrReplaceTempView("graft_storage_per_scope")
-    spark.sql("""
+    // unique view name + drop after analysis: spark.sql resolves the
+    // view eagerly, so the returned plan keeps the resolved subtree and
+    // neither a concurrent caller nor the session catalog sees a stale
+    // graft view afterwards
+    val view = s"graft_storage_per_scope_${java.util.UUID.randomUUID()
+      .toString.replace("-", "")}"
+    perScope.createOrReplaceTempView(view)
+    try spark.sql(s"""
       SELECT coalesce(prj_key, 'ALL')   AS project_g,
              coalesce(scope_key, 'ALL') AS microscope_g,
              sum(nd) AS n_datasets,
              sum(tf) AS total_frames
-      FROM graft_storage_per_scope
+      FROM $view
       GROUP BY ROLLUP(prj_key, scope_key)
       ORDER BY project_g, microscope_g""")
+    finally spark.catalog.dropTempView(view)
   }
 
   /** Per-dataset channel matrix — frames pivoted on channel_name with

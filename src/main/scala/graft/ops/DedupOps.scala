@@ -166,13 +166,17 @@ object DedupOps {
     // convergence via the label-sum invariant: min-propagation only
     // ever decreases labels, so the sum strictly decreases until the
     // fixpoint — one scalar aggregate per round instead of a
-    // prev-vs-next join
-    def lblSum(df: org.apache.spark.sql.DataFrame): Long =
-      df.agg(sum("lbl")).head().getLong(0)
+    // prev-vs-next join. sum over an empty frame is null → 0 (an
+    // edge-free corpus must yield an empty cluster table, not an NPE).
+    def lblSum(df: org.apache.spark.sql.DataFrame): Long = {
+      val v = df.agg(sum("lbl")).head()
+      if (v.isNullAt(0)) 0L else v.getLong(0)
+    }
     var prevSum = lblSum(lbl)
-    var converged = false
+    var converged = lbl.isEmpty
     var round = 0
-    while (!converged && round < 64) {
+    val maxRounds = 64
+    while (!converged && round < maxRounds) {
       val prop = eb.join(lbl, col("src") === col("id"))
         .select(col("dst").as("id"), col("lbl"))
       val next = lbl.unionByName(prop)
@@ -184,6 +188,10 @@ object DedupOps {
       lbl = next
       round += 1
     }
+    // fail loudly rather than return partially-propagated labels (a
+    // >64-diameter chain would otherwise split one component silently)
+    require(converged,
+      s"label propagation did not converge within $maxRounds rounds")
     lbl.groupBy("lbl")
       .agg(count(lit(1)).as("n_members"),
         min("id").as("min_doc"), max("id").as("max_doc"))

@@ -98,12 +98,15 @@ object EventsStream {
 
   /** Streaming exactly-once dedup: drop re-delivered events by id
     * inside the watermark horizon — the ingest-side twin of the batch
-    * exact-dedup operator. State holds one entry per id seen within
-    * the last hour and the watermark evicts older ones, so state is
-    * bounded by arrival rate × horizon, not stream length.
+    * exact-dedup operator. dropDuplicatesWithinWatermark keys state on
+    * event_id ALONE, so a redelivery with a re-stamped timestamp (the
+    * common at-least-once case) still dedups; state holds one entry
+    * per id seen within the horizon and the watermark evicts older
+    * ones, so state is bounded by arrival rate × horizon, not stream
+    * length.
     */
   def dedupedEvents(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("event_id", "ts")
+      .dropDuplicatesWithinWatermark("event_id")
 }

@@ -42,9 +42,11 @@ class StreamingSpec extends AnyFunSuite {
     def ev(id: Long, minute: Long) =
       Event(id, new Timestamp((600 + minute) * 60000L), 1L, "click", 1.0)
     val stream = MemoryStream[Event]
-    // ids 1..5, with 1 and 3 redelivered
+    // ids 1..5; 1 redelivered verbatim, 3 redelivered with a
+    // RE-STAMPED timestamp (the at-least-once producer case) — state
+    // keys on id alone, so both must dedup
     stream.addData(Seq(ev(1, 0), ev(2, 1), ev(1, 0), ev(3, 2),
-      ev(3, 2), ev(4, 3), ev(5, 4)))
+      ev(3, 7), ev(4, 3), ev(5, 4)))
     val q = EventsStream.dedupedEvents(stream.toDF())
       .writeStream.outputMode("append")
       .format("memory").queryName("dedup_out").start()
