@@ -185,9 +185,13 @@ object DedupOps {
       val nextSum = lblSum(next)
       converged = nextSum == prevSum
       prevSum = nextSum
+      // drop the superseded round's checkpoint blocks now — waiting for
+      // the ContextCleaner lets them pile up across bench iterations
+      lbl.unpersist(false)
       lbl = next
       round += 1
     }
+    eb.unpersist(false)
     // fail loudly rather than return partially-propagated labels (a
     // >64-diameter chain would otherwise split one component silently)
     require(converged,
