@@ -766,6 +766,29 @@ FROM (
 GROUP BY ROLLUP(project, microscope)
 ORDER BY project_g, microscope_g"""
 
+  val eventsResample: String = """
+WITH daily AS (
+  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+  FROM events WHERE user_id < 20
+  GROUP BY user_id, day
+), span AS (
+  SELECT user_id, min(day) AS d0, max(day) AS d1
+  FROM daily GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(range(d0, d1 + 1)) AS day FROM span
+)
+SELECT g.user_id, g.day,
+  coalesce(d.n, 0) AS n,
+  coalesce(d.sum_value, 0.0) AS sum_value,
+  last_value(CASE WHEN d.n IS NOT NULL THEN g.day END IGNORE NULLS)
+    OVER (PARTITION BY g.user_id ORDER BY g.day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    AS last_seen_day
+FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+ORDER BY g.user_id, g.day"""
+
   val eventsFunnel: String = """
 SELECT CAST(count(tv) AS BIGINT) AS n_view,
   CAST(count(*) FILTER (WHERE tc > tv) AS BIGINT) AS n_view_click,
@@ -872,6 +895,7 @@ ORDER BY source, rnk"""
   /** Every oracle, keyed like SparkEntry.queries. */
   def all: Map[String, String] = Map(
     "events_funnel" -> eventsFunnel,
+    "events_resample" -> eventsResample,
     "events_retention" -> eventsRetention,
     "events_dropoff" -> eventsDropoff,
     "img_channel_pivot" -> imgChannelPivot,

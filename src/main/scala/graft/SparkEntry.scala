@@ -56,6 +56,7 @@ object SparkEntry {
     "doc_token_regex" -> (TextOps.tokenRegex(_, _)),
     "emb_near_dup" -> (VectorOps.embNearDup(_, _)),
     "events_funnel" -> (EventOps.eventsFunnel(_, _)),
+    "events_resample" -> (EventOps.eventsResample(_, _)),
     "events_retention" -> (EventOps.eventsRetention(_, _)),
     "events_dropoff" -> (EventOps.eventsDropoff(_, _)),
     "img_channel_pivot" -> (ImagingOps.channelPivot(_, _)),

@@ -125,6 +125,40 @@ object EventOps {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Resample to a dense per-user daily grid with gap filling: days
+    * with no events appear with n=0, and last_seen_day carries the
+    * most recent active day forward (window `last` with ignoreNulls).
+    * The grid is generated with sequence+explode over the observed
+    * span — no driver loop; one shuffle on user_id that both the join
+    * and the window reuse.
+    */
+  def eventsResample(spark: SparkSession, dir: String): DataFrame = {
+    val dayNs = 86400L * NanosPerSec
+    val daily = Tables.events(spark, dir)
+      .filter(col("user_id") < 20)
+      .select(col("user_id"), expr(s"ts div $dayNs").as("day"),
+        col("value"))
+      .groupBy("user_id", "day")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("sum_value"))
+    val span = daily.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+    val grid = span
+      .select(col("user_id"),
+        explode(expr("sequence(d0, d1)")).as("day"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"),
+        when(col("n").isNotNull, col("day")).as("active_day"))
+      .withColumn("last_seen_day",
+        last(col("active_day"), ignoreNulls = true).over(w))
+      .drop("active_day")
+      .orderBy("user_id", "day")
+  }
+
   /** Drop-off audit: user-days with views but no purchase that day — a
     * left-anti join of the per-(user, day) view roll-up against the
     * distinct buyer-day set. Both sides hash on the same composite
