@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
@@ -19,7 +19,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * embedding LSH path.
   */
 case class HyperplaneBits(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   // explicit type check: SQL callers passing anything but a float or
   // double array (array literals default to array<double>) get an
@@ -42,26 +42,18 @@ case class HyperplaneBits(child: Expression)
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = math.min(arr.numElements(), Hyperplanes.Dim)
-    var fp = 0L
-    var j = 0
-    while (j < Hyperplanes.Planes) {
-      val s = Hyperplanes.signs(j)
-      var acc = 0.0
-      var k = 0
-      while (k < n) {
-        val x = if (isDoubleArray) arr.getDouble(k)
-                else arr.getFloat(k).toDouble
-        acc += x * s(k)
-        k += 1
-      }
-      if (acc > 0) fp |= 1L << j
-      j += 1
-    }
-    fp
-  }
+  override def nullSafeEval(input: Any): Any =
+    HyperplaneBits.compute(input.asInstanceOf[ArrayData], isDoubleArray)
+
+  /** Static-invoke codegen: the generated loop calls one compiled
+    * method — no InternalRow boxing and no CodegenFallback barrier, so
+    * the expression stays inside whole-stage codegen.
+    */
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HyperplaneBits$$.MODULE$$" +
+        s".compute($c, $isDoubleArray);")
 
   override protected def withNewChildInternal(
       newChild: Expression): HyperplaneBits = copy(child = newChild)
@@ -72,4 +64,24 @@ case class HyperplaneBits(child: Expression)
 object HyperplaneBits {
   def bits(c: Column): Column =
     GraftSqlBridge.column(HyperplaneBits(GraftSqlBridge.expression(c)))
+
+  /** Shared by the interpreted path and the generated code. */
+  def compute(arr: ArrayData, isDouble: Boolean): Long = {
+    val n = math.min(arr.numElements(), Hyperplanes.Dim)
+    var fp = 0L
+    var j = 0
+    while (j < Hyperplanes.Planes) {
+      val s = Hyperplanes.signs(j)
+      var acc = 0.0
+      var k = 0
+      while (k < n) {
+        val x = if (isDouble) arr.getDouble(k) else arr.getFloat(k).toDouble
+        acc += x * s(k)
+        k += 1
+      }
+      if (acc > 0) fp |= 1L << j
+      j += 1
+    }
+    fp
+  }
 }

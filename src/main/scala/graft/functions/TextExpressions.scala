@@ -4,7 +4,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -21,15 +21,35 @@ import org.apache.spark.unsafe.types.UTF8String
   * later add doGenCode without changing call sites.
   */
 case class WordNGrams(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(n >= 1, s"n-gram size must be >= 1, got $n")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = child.nullable
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
+  override def nullSafeEval(input: Any): Any =
+    WordNGrams.compute(input.asInstanceOf[UTF8String], n)
+
+  /** Static-invoke codegen: one compiled call, no row boxing, no
+    * CodegenFallback barrier in the shingle-heavy dedup pipelines.
+    */
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WordNGrams$$.MODULE$$" +
+        s".compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNGrams =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_ngrams"
+}
+
+object WordNGrams {
+  /** Shared by the interpreted path and the generated code. */
+  def compute(input: UTF8String, n: Int): ArrayData = {
+    val text = input.toString
     val toks = text.toLowerCase.split(' ').filter(_.nonEmpty)
     val out = mutable.LinkedHashSet.empty[String]
     if (toks.length < n) {
@@ -53,11 +73,6 @@ case class WordNGrams(child: Expression, n: Int)
     }
     new GenericArrayData(out.iterator.map(UTF8String.fromString).toArray[Any])
   }
-
-  override protected def withNewChildInternal(newChild: Expression): WordNGrams =
-    copy(child = newChild)
-
-  override def prettyName: String = "word_ngrams"
 }
 
 object TextExpressions {
