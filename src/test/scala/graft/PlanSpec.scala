@@ -43,4 +43,29 @@ class PlanSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("*(1)") || plan.contains("WholeStageCodegen"), plan)
   }
+
+  test("custom expressions survive CODEGEN_ONLY (doGenCode is real)") {
+    // force codegen with no interpreted fallback: a broken doGenCode
+    // in WordNGrams/HyperplaneBits fails here instead of silently
+    // falling back to the interpreted path
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "CODEGEN_ONLY")
+    try {
+      val sh = graft.functions.TextExpressions
+        .wordNGrams(org.apache.spark.sql.functions.lit("a b c d e"), 3)
+      val row = spark.range(1).select(sh.as("g"),
+        graft.functions.HyperplaneBits.bits(
+          org.apache.spark.sql.functions.expr(
+            "array_repeat(cast(1.0 as float), 64)")).as("fp"))
+        .head()
+      assert(row.getSeq[String](0) === Seq("a b c", "b c d", "c d e"))
+      assert(row.getLong(1) !== 0L)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
