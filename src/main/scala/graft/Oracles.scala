@@ -246,6 +246,21 @@ GROUP BY o_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, o_orderkey
 LIMIT 10"""
 
+  val winMovingRange: String = """
+WITH daily AS (
+  SELECT l_suppkey,
+    date_diff('day', DATE '1970-01-01', l_shipdate) AS ship_day,
+    sum(CAST(l_quantity AS DECIMAL(18,2))) AS day_qty
+  FROM lineitem WHERE l_suppkey < 20
+  GROUP BY l_suppkey, ship_day
+)
+SELECT l_suppkey, ship_day, CAST(day_qty AS DOUBLE) AS day_qty,
+  CAST(sum(day_qty) OVER (
+    PARTITION BY l_suppkey ORDER BY ship_day
+    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mv7_qty
+FROM daily
+ORDER BY l_suppkey, ship_day"""
+
   val q10Returns: String = s"""
 SELECT c_custkey, c_name, n_name, CAST(SUM($rev) AS DOUBLE) AS revenue,
   CAST(count(*) AS BIGINT) AS n_items
@@ -910,6 +925,7 @@ ORDER BY source, rnk"""
     "emb_near_dup" -> embNearDup,
     "q_percentiles" -> qPercentiles,
     "q10_returns" -> q10Returns,
+    "win_moving_range" -> winMovingRange,
     "img_channel_overlap" -> imgChannelOverlap,
     "img_storage_rollup" -> imgStorageRollup,
     "doc_ngram_jaccard" -> docNgramJaccard,

@@ -168,6 +168,30 @@ object Olap {
         expr("percentile(l_quantity, 0.5)").as("exact_p50"))
       .orderBy("l_returnflag")
 
+  /** RANGE-frame moving window: per-supplier 7-day moving quantity
+    * over ship days. Pre-aggregates to one row per (supplier, day)
+    * first — the range frame then slides over the small daily series,
+    * not the raw fact; both the agg and the window hash on suppkey so
+    * the exchange is reused.
+    */
+  def winMovingRange(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.lineitem(spark, dir)
+      .filter(col("l_suppkey") < 20)
+      .select(col("l_suppkey"),
+        datediff(col("l_shipdate"), lit("1970-01-01").cast("date"))
+          .as("ship_day"),
+        col("l_quantity"))
+      .groupBy("l_suppkey", "ship_day")
+      .agg(sum(col("l_quantity").cast(dec)).as("day_qty"))
+    val w = Window.partitionBy("l_suppkey").orderBy("ship_day")
+      .rangeBetween(-6, Window.currentRow)
+    daily
+      .withColumn("mv7_qty", sum(col("day_qty")).over(w).cast("double"))
+      .select(col("l_suppkey"), col("ship_day"),
+        col("day_qty").cast("double").as("day_qty"), col("mv7_qty"))
+      .orderBy("l_suppkey", "ship_day")
+  }
+
   /** Window functions: per-supplier running quantity + row rank over a
     * total order (ties broken by the unique (orderkey, linenumber)).
     */
