@@ -542,6 +542,39 @@ FROM (
 WHERE rank <= 5
 ORDER BY qid, rank"""
 
+  /** Exact-first dedup pipeline twin of
+    * [[graft.ops.DedupOps.dedupPipeline]]: collapse exact-dup groups
+    * to representatives, then run the identical MinHash chain over the
+    * representatives only.
+    */
+  val docDedupPipeline: String = """WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
+), hashed AS (
+  SELECT doc_id, text, md5(lower(trim(text))) AS h FROM corpus
+), reps AS (
+  SELECT h, min(doc_id) AS rep_id, CAST(count(*) AS BIGINT) AS group_n
+  FROM hashed GROUP BY h
+), repdocs AS (
+  SELECT hd.doc_id, hd.text, r.group_n
+  FROM hashed hd JOIN reps r ON hd.doc_id = r.rep_id
+), rsh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(toks) >= 3 THEN
+      list_transform(range(1, len(toks) - 1),
+        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      ELSE [text] END) AS shset
+  FROM (
+    SELECT doc_id, text,
+      list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+    FROM repdocs)
+)""" + minhashChain("rsh") + """
+SELECT p.doc1, p.doc2, p.jaccard, a.group_n AS n1, b.group_n AS n2
+FROM pairs p JOIN repdocs a ON p.doc1 = a.doc_id
+JOIN repdocs b ON p.doc2 = b.doc_id
+ORDER BY p.doc1, p.doc2"""
+
   /** SimHash twin of [[graft.ops.DedupOps.simhash]]: 60-bit md5 token
     * hashes make every fingerprint bit engine-portable. The 60 vote
     * columns are generated, not hand-written.
@@ -586,11 +619,13 @@ ORDER BY doc1, doc2"""
     * [[graft.functions.MinHashSig]]) reproduce signatures, band keys,
     * the bucket-size cap and the exact-Jaccard confirmation.
     */
-  /** The confirmed near-dup pairs as a reusable CTE chain (ends with a
-    * `pairs` member) — shared by the LSH query and the cluster oracle.
+  /** The MinHash-LSH chain from a shingle-set CTE (`doc_id, shset`)
+    * to a `pairs` member — parameterized on the source CTE so the
+    * planted-dup query, the cluster oracle and the exact-first
+    * pipeline all share one definition.
     */
-  private val minhashPairsCte: String = corpusCte + """, shx AS (
-  SELECT doc_id, unnest(shset) AS s FROM sh
+  private def minhashChain(shCte: String): String = s""", shx AS (
+  SELECT doc_id, unnest(shset) AS s FROM $shCte
 ), base AS (
   SELECT doc_id, ('0x' || substr(md5(s), 1, 7))::BIGINT AS base FROM shx
 ), mins AS (
@@ -618,11 +653,13 @@ ORDER BY doc1, doc2"""
     SELECT doc1, doc2,
       CAST(round(CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
         / len(list_distinct(a.shset || b.shset)), 4) AS DOUBLE) AS jaccard
-    FROM cand JOIN sh a ON cand.doc1 = a.doc_id
-    JOIN sh b ON cand.doc2 = b.doc_id)
+    FROM cand JOIN $shCte a ON cand.doc1 = a.doc_id
+    JOIN $shCte b ON cand.doc2 = b.doc_id)
   WHERE jaccard >= 0.7
 )
 """
+
+  private val minhashPairsCte: String = corpusCte + minhashChain("sh")
 
   val docMinhashLsh: String = minhashPairsCte + """
 SELECT doc1, doc2, jaccard FROM pairs
@@ -921,6 +958,7 @@ ORDER BY source, rnk"""
     "doc_dup_clusters" -> docDupClusters,
     "doc_simhash" -> docSimhash,
     "doc_minhash_lsh" -> docMinhashLsh,
+    "doc_dedup_pipeline" -> docDedupPipeline,
     "emb_knn_ivf" -> embKnnIvf,
     "emb_near_dup" -> embNearDup,
     "q_percentiles" -> qPercentiles,

@@ -66,6 +66,7 @@ object SparkEntry {
     "doc_top_per_source" -> (TextOps.topPerSource(_, _)),
     "doc_tfidf" -> (TextOps.tfidf(_, _)),
     "doc_dup_clusters" -> (DedupOps.dupClusters(_, _)),
+    "doc_dedup_pipeline" -> (DedupOps.dedupPipeline(_, _)),
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the

@@ -63,11 +63,16 @@ object DedupOps {
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
     minhashPairs(spark, dir).orderBy("doc1", "doc2")
 
-  /** The unordered confirmed near-dup pairs — shared by the
-    * driver-checked query above and the dup-cluster roll-up.
+  /** The unordered confirmed near-dup pairs over the planted-dup
+    * corpus — shared by the driver-checked query above and the
+    * dup-cluster roll-up.
     */
-  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val docs = withShingles(corpus(spark, dir)).select("doc_id", "shset")
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    minhashPairsOf(corpus(spark, dir))
+
+  /** MinHash-LSH near-dup pairs over any (doc_id, text) set. */
+  def minhashPairsOf(source: DataFrame): DataFrame = {
+    val docs = withShingles(source).select("doc_id", "shset")
     // base shingle hash = top 28 bits of md5: engine-portable (the
     // DuckDB oracle computes the identical value), already < P so the
     // affine permutations (a*base + b) % P never overflow a long
@@ -112,7 +117,7 @@ object DedupOps {
     // verification re-derives shingles for the tiny candidate set from
     // raw text instead of shuffling every doc's shingle array through
     // two joins — at 100 TB the full shset join would dominate the job
-    val texts = corpus(spark, dir).select("doc_id", "text")
+    val texts = source.select("doc_id", "text")
     val candTexts = cand
       .join(texts.select(col("doc_id").as("doc1"), col("text").as("text1")), "doc1")
       .join(texts.select(col("doc_id").as("doc2"), col("text").as("text2")), "doc2")
@@ -129,6 +134,40 @@ object DedupOps {
   /** Distinct word-3-gram shingles of a text column, as one expression. */
   private def shingleExpr(textCol: String): Column =
     graft.functions.TextExpressions.wordNGrams(col(textCol), 3)
+
+  /** The dedup pipeline in production order: exact-dedup to one
+    * representative per digest FIRST, then MinHash near-dup over the
+    * representatives only. On a high-duplicate corpus this is the
+    * difference between quadratic and linear LSH cost — identical
+    * copies collapse before any bucket can expand pairs over them
+    * (the 30× scale experiment's blowup is exactly what this avoids).
+    * Output: near-dup representative pairs with their exact-group
+    * sizes.
+    */
+  def dedupPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashed = corpus(spark, dir)
+      .select(col("doc_id"), col("text"),
+        md5(lower(trim(col("text")))).as("h"))
+    // representative = min doc per digest, selected with two windows
+    // over ONE exchange on the digest — no rep join back to the corpus
+    val byH = Window.partitionBy("h")
+    val repDocs = hashed
+      .withColumn("rn", row_number().over(byH.orderBy("doc_id")))
+      .withColumn("group_n", count(lit(1)).over(byH))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("text"), col("group_n"))
+    val sizes = repDocs.select(col("doc_id"), col("group_n"))
+    // the confirmed pair set is LSH-cap bounded → broadcast it into the
+    // size lookups rather than shuffling the full representative table
+    broadcast(minhashPairsOf(repDocs.select("doc_id", "text")))
+      .join(sizes.select(col("doc_id").as("doc1"), col("group_n").as("n1")),
+        "doc1")
+      .join(sizes.select(col("doc_id").as("doc2"), col("group_n").as("n2")),
+        "doc2")
+      .select("doc1", "doc2", "jaccard", "n1", "n2")
+      .orderBy("doc1", "doc2")
+  }
 
   /** Duplicate clusters: connected components over the dup-edge graph
     * (exact-dup star edges ∪ confirmed MinHash near-dup pairs), the
