@@ -786,6 +786,22 @@ WHERE cos >= 0.9
 ORDER BY v1, v2"""
   }
 
+  val imgLineageDepth: String =
+    imagingCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """
+, anc AS (
+  SELECT id, id AS root, CAST(0 AS BIGINT) AS depth
+  FROM data_set WHERE parent_id IS NULL
+  UNION ALL
+  SELECT c.id, a.root, a.depth + 1
+  FROM data_set c JOIN anc a ON c.parent_id = a.id
+)
+SELECT d.dataset_serial, r.dataset_serial AS root_serial, a.depth
+FROM anc a
+JOIN data_set d ON a.id = d.id
+JOIN data_set r ON a.root = r.id
+WHERE a.depth > 0
+ORDER BY d.dataset_serial"""
+
   val imgChannelOverlap: String = imagingCte + """
 SELECT project, CAST(count(*) AS BIGINT) AS n_both FROM (
   SELECT split_part(d.dataset_serial, '-', 1) AS project
@@ -965,6 +981,7 @@ ORDER BY source, rnk"""
     "q10_returns" -> q10Returns,
     "win_moving_range" -> winMovingRange,
     "img_channel_overlap" -> imgChannelOverlap,
+    "img_lineage_depth" -> imgLineageDepth,
     "img_storage_rollup" -> imgStorageRollup,
     "doc_ngram_jaccard" -> docNgramJaccard,
     "emb_knn_brute" -> embKnnBrute,

@@ -34,6 +34,7 @@ object SparkEntry {
     "q_percentiles" -> (Olap.qPercentiles(_, _)),
     "q10_returns" -> (Olap.q10Returns(_, _)),
     "img_channel_overlap" -> (ImagingOps.channelOverlap(_, _)),
+    "img_lineage_depth" -> (ImagingOps.lineageDepth(_, _)),
     "img_storage_rollup" -> (ImagingOps.storageRollup(_, _)),
     "win_running" -> (Olap.winRunning(_, _)),
     "win_moving_range" -> (Olap.winMovingRange(_, _)),

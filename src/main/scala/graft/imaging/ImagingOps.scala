@@ -380,6 +380,58 @@ object ImagingOps {
         coalesce(col("TxRed"), lit(0L)).as("n_txred"))
       .orderBy("dataset_serial")
 
+  /** Multi-level lineage — the transitive closure of _get_parent
+    * (db_operations.py:116-143): every derived dataset resolved to its
+    * ROOT ancestor with its derivation depth, via pointer-jumping over
+    * the parent edge list. Rounds = max chain depth (parent keys are
+    * id/32, so depth ≤ log₃₂(max id)); each round is one distributed
+    * join over a checkpointed edge table, and the depth-sum invariant
+    * (strictly increasing until the fixpoint) gives a scalar
+    * convergence check.
+    */
+  def lineageDepth(spark: SparkSession, dir: String): DataFrame = {
+    val base = dataSet(spark, dir).select("id", "parent_id")
+      .localCheckpoint(true)
+    var cur = base.select(col("id"),
+      coalesce(col("parent_id"), col("id")).as("anc"),
+      when(col("parent_id").isNull, lit(0L)).otherwise(lit(1L))
+        .as("depth"))
+      .localCheckpoint(true)
+    def depthSum(df: DataFrame): Long = {
+      val r = df.agg(sum("depth")).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    var prev = -1L
+    var sum0 = depthSum(cur)
+    var round = 0
+    while (sum0 != prev && round < 16) {
+      prev = sum0
+      val next = cur
+        .join(base.select(col("id").as("anc"), col("parent_id").as("gp")),
+          Seq("anc"), "left")
+        .select(col("id"),
+          coalesce(col("gp"), col("anc")).as("anc"),
+          (col("depth") + when(col("gp").isNotNull, 1L).otherwise(0L))
+            .as("depth"))
+        .localCheckpoint(true)
+      cur.unpersist(false)
+      cur = next
+      sum0 = depthSum(cur)
+      round += 1
+    }
+    require(sum0 == prev,
+      s"ancestor chase did not converge within 16 rounds")
+    val serials = dataSet(spark, dir)
+      .select(col("id").as("sid"), col("dataset_serial"))
+    cur.filter(col("depth") > 0)
+      .join(broadcast(serials), col("id") === col("sid"))
+      .select(col("dataset_serial"), col("anc"), col("depth"))
+      .join(broadcast(serials.withColumnRenamed("dataset_serial",
+        "root_serial")), col("anc") === col("sid"))
+      .select("dataset_serial", "root_serial", "depth")
+      .orderBy("dataset_serial")
+  }
+
   /** Datasets imaged in both DAPI and TxRed, per project — the set
     * intersection pattern (INTERSECT = distinct + co-grouped semi
     * match, one shuffle per side on the dataset key).
