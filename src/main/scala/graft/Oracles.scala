@@ -950,6 +950,32 @@ SELECT doc_id, rnk, tok, tf, df, tfidf FROM (
 WHERE rnk <= 5
 ORDER BY doc_id, rnk"""
 
+  val docQualityGate: String = """
+WITH feats AS (
+  SELECT source,
+    CAST(len(list_filter(string_split(lower(text), ' '),
+      x -> x <> '')) AS BIGINT) AS n_tokens,
+    CAST(len(list_filter(string_split(lower(text), ' '),
+      x -> x = 'the' OR x = 'a')) AS BIGINT) AS stop_n,
+    n_chars
+  FROM documents
+), flagged AS (
+  SELECT source,
+    CAST(n_chars < 100 AS INT) AS flag_short,
+    CAST(n_tokens < 20 AS INT) AS flag_few,
+    CAST(stop_n * 2 > n_tokens AS INT) AS flag_stop
+  FROM feats
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN flag_short = 0 AND flag_few = 0 AND flag_stop = 0
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+  CAST(sum(flag_short) AS BIGINT) AS n_short,
+  CAST(sum(flag_few) AS BIGINT) AS n_few_tokens,
+  CAST(sum(flag_stop) AS BIGINT) AS n_stopword_heavy
+FROM flagged
+GROUP BY source
+ORDER BY source"""
+
   val docTopPerSource: String = """
 SELECT source, rnk, doc_id, n_chars
 FROM (
@@ -970,6 +996,7 @@ ORDER BY source, rnk"""
     "doc_stratified_sample" -> docStratifiedSample,
     "doc_len_histogram" -> docLenHistogram,
     "doc_top_per_source" -> docTopPerSource,
+    "doc_quality_gate" -> docQualityGate,
     "doc_tfidf" -> docTfidf,
     "doc_dup_clusters" -> docDupClusters,
     "doc_simhash" -> docSimhash,

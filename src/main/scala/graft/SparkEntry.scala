@@ -65,6 +65,7 @@ object SparkEntry {
     "doc_stratified_sample" -> (TextOps.stratifiedSample(_, _)),
     "doc_len_histogram" -> (TextOps.lenHistogram(_, _)),
     "doc_top_per_source" -> (TextOps.topPerSource(_, _)),
+    "doc_quality_gate" -> (TextOps.qualityGate(_, _)),
     "doc_tfidf" -> (TextOps.tfidf(_, _)),
     "doc_dup_clusters" -> (DedupOps.dupClusters(_, _)),
     "doc_dedup_pipeline" -> (DedupOps.dedupPipeline(_, _)),

@@ -162,6 +162,35 @@ object TextOps {
       .orderBy("doc_id", "rnk")
   }
 
+  /** Quality gate — the filtering stage of a training-data pipeline:
+    * per-doc keep/drop with reason flags (too short, too few tokens,
+    * stopword-heavy), rolled up per source. Ratio thresholds compare
+    * via integer cross-multiplication (stop_n*2 > n_tokens), so the
+    * gate is exact and engine-portable — no float boundary cases.
+    */
+  def qualityGate(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("n_tokens",
+        expr("size(filter(split(lower(text), ' '), x -> x <> ''))")
+          .cast("bigint"))
+      .withColumn("stop_n",
+        expr("size(filter(split(lower(text), ' '), " +
+          "x -> x = 'the' or x = 'a'))").cast("bigint"))
+      .withColumn("flag_short", (col("n_chars") < 100).cast("int"))
+      .withColumn("flag_few", (col("n_tokens") < 20).cast("int"))
+      .withColumn("flag_stop",
+        (col("stop_n") * 2 > col("n_tokens")).cast("int"))
+      .withColumn("keep",
+        (col("flag_short") === 0 && col("flag_few") === 0
+          && col("flag_stop") === 0).cast("int"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep")).as("n_keep"),
+        sum(col("flag_short")).as("n_short"),
+        sum(col("flag_few")).as("n_few_tokens"),
+        sum(col("flag_stop")).as("n_stopword_heavy"))
+      .orderBy("source")
+
   /** Top-3 longest documents per source — the per-group top-k pattern
     * (partitioned window + rank filter): shuffles once on source and
     * never materializes a global sort, unlike an ORDER BY ... LIMIT.
