@@ -96,6 +96,58 @@ object EventsStream {
       }
   }
 
+  /** Drain-safe sessionizer: same 30-minute-gap semantics but with an
+    * EVENT-time timeout against the watermark, so a backfill run under
+    * `Trigger.AvailableNow` terminates — a processing-time timeout
+    * keeps scheduling micro-batches forever under that trigger, which
+    * is why this variant exists (and why only it may go in Bench).
+    * Input must carry a watermark on `ts` before the groupByKey.
+    */
+  def sessionizeEventTime(spark: SparkSession,
+      events: org.apache.spark.sql.Dataset[Event],
+      gapMs: Long = 30L * 60 * 1000)
+      : org.apache.spark.sql.Dataset[Session] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s =>
+              Session(userId, s.nEvents, s.startMs, s.lastMs - s.startMs))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val closed = Seq.newBuilder[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastMs <= gapMs =>
+                  cur = Some(s.copy(nEvents = s.nEvents + 1, lastMs = t))
+                case Some(s) =>
+                  closed += Session(userId, s.nEvents, s.startMs,
+                    s.lastMs - s.startMs)
+                  cur = Some(SessionState(1, t, t))
+                case None =>
+                  cur = Some(SessionState(1, t, t))
+              }
+            }
+            cur match {
+              case Some(s) =>
+                state.update(s)
+                // close the open session once the watermark passes its
+                // last event + gap — fires during the drain batches
+                state.setTimeoutTimestamp(s.lastMs + gapMs)
+              case None => state.remove()
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Streaming exactly-once dedup: drop re-delivered events by id
     * inside the watermark horizon — the ingest-side twin of the batch
     * exact-dedup operator. dropDuplicatesWithinWatermark keys state on

@@ -56,6 +56,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("event-time sessionizer drains under AvailableNow-style feed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, user: Long, minute: Long) =
+      Event(id, new Timestamp((600 + minute) * 60000L), user, "click", 1.0)
+    val stream = MemoryStream[Event]
+    // user 1: two sessions separated by a 60-min gap; the trailing
+    // late-watermark event pushes the watermark far enough to time out
+    // and close ALL earlier sessions
+    stream.addData(Seq(ev(1, 1, 0), ev(2, 1, 10), ev(3, 1, 70)))
+    stream.addData(Seq(ev(4, 2, 500)))
+    val withWm = stream.toDS()
+      .withWatermark("ts", "0 seconds")
+      .as[Event]
+    val q = EventsStream.sessionizeEventTime(spark, withWm)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_et_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val closed = spark.table("sess_et_out")
+      .orderBy("user_id", "start_ms")
+      .collect()
+    // user 1's both sessions closed (gap + watermark timeout); user 2's
+    // session stays open (watermark never passed its gap)
+    assert(closed.length === 2)
+    assert(closed(0).getAs[Long]("n_events") === 2)
+    assert(closed(1).getAs[Long]("n_events") === 1)
+  }
+
   test("stateful sessionizer closes sessions on gaps") {
     import spark.implicits._
     def ev(id: Long, user: Long, minute: Long) =
