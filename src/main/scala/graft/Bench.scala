@@ -32,7 +32,9 @@ object Bench {
       .outputMode("complete")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    // bounded wait: a wedged stream must fail this entry, not hang the
+    // whole bench run
+    if (!q.awaitTermination(300000L)) { q.stop(); sys.error("stream timeout") }
     val dt = (System.nanoTime() - t0) / 1e9
     spark.catalog.dropTempView(s"bench_stream_$run")
     dt
@@ -49,7 +51,7 @@ object Bench {
       .writeStream.format("noop")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    if (!q.awaitTermination(300000L)) { q.stop(); sys.error("stream timeout") }
     (System.nanoTime() - t0) / 1e9
   }
 
