@@ -813,6 +813,34 @@ SELECT project, CAST(count(*) AS BIGINT) AS n_both FROM (
 GROUP BY project
 ORDER BY project"""
 
+  val embPqCodes: String = """
+WITH subq AS (
+  SELECT vec_id, label, m.m AS m, embedding[m.m * 8 + 1 : m.m * 8 + 8] AS sub
+  FROM embeddings CROSS JOIN (SELECT unnest(range(8)) AS m) m
+), subc AS (
+  SELECT vec_id AS cid, m.m AS m,
+    embedding[m.m * 8 + 1 : m.m * 8 + 8] AS csub
+  FROM embeddings CROSS JOIN (SELECT unnest(range(8)) AS m) m
+  WHERE vec_id < 16
+), scored AS (
+  SELECT q.vec_id, q.label, q.m, c.cid,
+    list_sum(list_transform(list_zip(q.sub, c.csub),
+      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS dist
+  FROM subq q JOIN subc c ON q.m = c.m
+), assigned AS (
+  SELECT vec_id, label, m, cid FROM (
+    SELECT vec_id, label, m, cid,
+      row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rk
+    FROM scored)
+  WHERE rk = 1
+)
+SELECT label, m AS subspace, cid AS code,
+  CAST(count(*) AS BIGINT) AS n_vecs
+FROM assigned
+GROUP BY label, m, cid
+ORDER BY label, subspace, code"""
+
   val qPercentiles: String = """
 SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
   quantile_cont(l_quantity, 0.5) AS p50_qty,
@@ -1004,6 +1032,7 @@ ORDER BY source, rnk"""
     "doc_dedup_pipeline" -> docDedupPipeline,
     "emb_knn_ivf" -> embKnnIvf,
     "emb_near_dup" -> embNearDup,
+    "emb_pq_codes" -> embPqCodes,
     "q_percentiles" -> qPercentiles,
     "q10_returns" -> q10Returns,
     "win_moving_range" -> winMovingRange,

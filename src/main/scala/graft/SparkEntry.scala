@@ -57,6 +57,7 @@ object SparkEntry {
     "events_asof" -> (EventOps.eventsAsof(_, _)),
     "doc_token_regex" -> (TextOps.tokenRegex(_, _)),
     "emb_near_dup" -> (VectorOps.embNearDup(_, _)),
+    "emb_pq_codes" -> (VectorOps.pqCodes(_, _)),
     "events_funnel" -> (EventOps.eventsFunnel(_, _)),
     "events_resample" -> (EventOps.eventsResample(_, _)),
     "events_retention" -> (EventOps.eventsRetention(_, _)),

@@ -130,6 +130,44 @@ object VectorOps {
       .orderBy("v1", "v2")
   }
 
+  /** Product-quantization code assignment — the compression that makes
+    * 100 TB vector search feasible: the 64-dim space splits into 8
+    * 8-dim subspaces, each vector's subvector snaps to its nearest of
+    * 16 fixed sub-centroids (same deterministic vec_id<16 codebook as
+    * IVF), and a vector becomes 8 four-bit codes. Output is the code
+    * histogram per (label, subspace) — codebook balance, the health
+    * metric of a PQ index. Centroids broadcast; everything else is one
+    * partial-agg shuffle on the (label, subspace, code) key.
+    */
+  def pqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    def subspaces(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+      df.select(col(idCol), col("*"))
+        .withColumn("m", explode(expr("sequence(0, 7)")))
+        .withColumn("sub", expr(s"slice($vecCol, m * 8 + 1, 8)"))
+    val cents = subspaces(
+      e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv")),
+      "cid", "cv")
+      .select(col("cid"), col("m"), col("sub").as("csub"))
+    val l2 = expr("""aggregate(zip_with(sub, csub,
+      (x, y) -> (cast(x as double) - cast(y as double))
+              * (cast(x as double) - cast(y as double))),
+      0D, (acc, v) -> acc + v)""")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id", "m").orderBy(col("dist"), col("cid"))
+    subspaces(e.select(col("vec_id"), col("label"), col("embedding")),
+      "vec_id", "embedding")
+      .join(broadcast(cents), Seq("m"))
+      .withColumn("dist", l2)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .groupBy(col("label"), col("m").as("subspace"),
+        col("cid").as("code"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy("label", "subspace", "code")
+  }
+
   /** Per-label norm/centroid stats via array folds — the [O]-checked
     * vector query (rounded to 6 decimals for cross-engine parity).
     */
