@@ -841,6 +841,47 @@ FROM assigned
 GROUP BY label, m, cid
 ORDER BY label, subspace, code"""
 
+  val embKnnPq: String = """
+WITH subq AS (
+  SELECT vec_id, label, m.m AS m, embedding[m.m * 8 + 1 : m.m * 8 + 8] AS sub
+  FROM embeddings CROSS JOIN (SELECT unnest(range(8)) AS m) m
+), subc AS (
+  SELECT vec_id AS cid, m.m AS m,
+    embedding[m.m * 8 + 1 : m.m * 8 + 8] AS csub
+  FROM embeddings CROSS JOIN (SELECT unnest(range(8)) AS m) m
+  WHERE vec_id < 16
+), assigned AS (
+  SELECT vec_id, m, cid FROM (
+    SELECT q.vec_id, q.m, c.cid,
+      row_number() OVER (PARTITION BY q.vec_id, q.m ORDER BY
+        list_sum(list_transform(list_zip(q.sub, c.csub),
+          p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+             * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), c.cid)
+        AS rk
+    FROM subq q JOIN subc c ON q.m = c.m)
+  WHERE rk = 1
+), dtab AS (
+  SELECT q.vec_id AS qid, q.m, c.cid,
+    list_sum(list_transform(list_zip(q.sub, c.csub),
+      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS dist
+  FROM subq q JOIN subc c ON q.m = c.m
+  WHERE q.vec_id < 10
+), adc AS (
+  SELECT d.qid, a.vec_id,
+    CAST(round(sum(d.dist), 6) AS DOUBLE) AS adc_dist
+  FROM assigned a JOIN dtab d ON a.m = d.m AND a.cid = d.cid
+  WHERE d.qid <> a.vec_id
+  GROUP BY d.qid, a.vec_id
+)
+SELECT qid, vec_id AS neighbor, adc_dist, rank FROM (
+  SELECT qid, vec_id, adc_dist,
+    CAST(row_number() OVER (
+      PARTITION BY qid ORDER BY adc_dist, vec_id) AS BIGINT) AS rank
+  FROM adc)
+WHERE rank <= 5
+ORDER BY qid, rank"""
+
   val qPercentiles: String = """
 SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
   quantile_cont(l_quantity, 0.5) AS p50_qty,
@@ -1033,6 +1074,7 @@ ORDER BY source, rnk"""
     "emb_knn_ivf" -> embKnnIvf,
     "emb_near_dup" -> embNearDup,
     "emb_pq_codes" -> embPqCodes,
+    "emb_knn_pq" -> embKnnPq,
     "q_percentiles" -> qPercentiles,
     "q10_returns" -> q10Returns,
     "win_moving_range" -> winMovingRange,

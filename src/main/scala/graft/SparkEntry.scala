@@ -58,6 +58,7 @@ object SparkEntry {
     "doc_token_regex" -> (TextOps.tokenRegex(_, _)),
     "emb_near_dup" -> (VectorOps.embNearDup(_, _)),
     "emb_pq_codes" -> (VectorOps.pqCodes(_, _)),
+    "emb_knn_pq" -> (VectorOps.knnPq(_, _)),
     "events_funnel" -> (EventOps.eventsFunnel(_, _)),
     "events_resample" -> (EventOps.eventsResample(_, _)),
     "events_retention" -> (EventOps.eventsRetention(_, _)),

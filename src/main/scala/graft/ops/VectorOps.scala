@@ -139,33 +139,75 @@ object VectorOps {
     * metric of a PQ index. Centroids broadcast; everything else is one
     * partial-agg shuffle on the (label, subspace, code) key.
     */
-  def pqCodes(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-    def subspaces(df: DataFrame, idCol: String, vecCol: String): DataFrame =
-      df.select(col(idCol), col("*"))
-        .withColumn("m", explode(expr("sequence(0, 7)")))
-        .withColumn("sub", expr(s"slice($vecCol, m * 8 + 1, 8)"))
-    val cents = subspaces(
-      e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cid"), col("embedding").as("cv")),
-      "cid", "cv")
-      .select(col("cid"), col("m"), col("sub").as("csub"))
-    val l2 = expr("""aggregate(zip_with(sub, csub,
-      (x, y) -> (cast(x as double) - cast(y as double))
-              * (cast(x as double) - cast(y as double))),
-      0D, (acc, v) -> acc + v)""")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id", "m").orderBy(col("dist"), col("cid"))
-    subspaces(e.select(col("vec_id"), col("label"), col("embedding")),
-      "vec_id", "embedding")
-      .join(broadcast(cents), Seq("m"))
-      .withColumn("dist", l2)
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
+  def pqCodes(spark: SparkSession, dir: String): DataFrame =
+    pqAssign(spark, dir)
       .groupBy(col("label"), col("m").as("subspace"),
         col("cid").as("code"))
       .agg(count(lit(1)).as("n_vecs"))
       .orderBy("label", "subspace", "code")
+
+  /** Per-subspace slices of a vector column (8 subspaces × 8 dims). */
+  private def subspaces(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("m", explode(expr("sequence(0, 7)")))
+      .withColumn("sub", expr(s"slice($vecCol, m * 8 + 1, 8)"))
+
+  /** Squared L2 between the `sub` and `csub` slice columns, as a
+    * sequential fold (deterministic, oracle-portable).
+    */
+  private val subL2 = expr("""aggregate(zip_with(sub, csub,
+      (x, y) -> (cast(x as double) - cast(y as double))
+              * (cast(x as double) - cast(y as double))),
+      0D, (acc, v) -> acc + v)""")
+
+  /** The PQ sub-centroid table: (m, cid, csub). */
+  private def pqCents(e: DataFrame): DataFrame =
+    subspaces(e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv")), "cv")
+      .select(col("cid"), col("m"), col("sub").as("csub"))
+
+  /** PQ assignment: every vector's nearest sub-centroid per subspace
+    * (ties to the smaller cid) — (vec_id, label, m, cid).
+    */
+  private def pqAssign(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id", "m").orderBy(col("dist"), col("cid"))
+    subspaces(e.select(col("vec_id"), col("label"), col("embedding")),
+      "embedding")
+      .join(broadcast(pqCents(e)), Seq("m"))
+      .withColumn("dist", subL2)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select("vec_id", "label", "m", "cid")
+  }
+
+  /** PQ ANN search (asymmetric distance computation): each query keeps
+    * its exact subvectors, the database side is its 8 PQ codes; the
+    * query-to-sub-centroid distance table (|Q|×8×16 rows — tiny) is
+    * broadcast and the approximate distance is the sum of 8 table
+    * lookups. The 100 TB shape: database vectors are never touched at
+    * search time — only their codes — so the scan is 8 bytes/vector.
+    */
+  def knnPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val dtab = subspaces(
+      e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv")), "qv")
+      .join(pqCents(e), Seq("m"))
+      .withColumn("dist", subL2)
+      .select("qid", "m", "cid", "dist")
+    val adc = pqAssign(spark, dir)
+      .join(broadcast(dtab), Seq("m", "cid"))
+      .filter(col("qid") =!= col("vec_id"))
+      .groupBy("qid", "vec_id")
+      .agg(round(sum("dist"), 6).as("adc_dist"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("adc_dist"), col("vec_id"))
+    adc.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("vec_id").as("neighbor"),
+        col("adc_dist"), col("rank"))
+      .orderBy("qid", "rank")
   }
 
   /** Per-label norm/centroid stats via array folds — the [O]-checked
