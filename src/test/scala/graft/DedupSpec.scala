@@ -60,4 +60,19 @@ class DedupSpec extends AnyFunSuite {
     val overlap = ivf.intersect(brute).count()
     assert(overlap >= 10, s"IVF∩brute=$overlap of 50 — recall collapsed")
   }
+
+  test("PQ search retains recall against brute force") {
+    // ADC distances are lossy (16 sub-centroids per subspace), so
+    // expect overlap with the exact top-5, not parity — a collapse to
+    // near-zero overlap means the codebook or table lookup broke
+    val brute = VectorOps.knnBrute(spark, sfDir)
+      .select(col("qid"), col("neighbor"))
+    val pq = VectorOps.knnPq(spark, sfDir)
+      .select(col("qid"), col("neighbor"))
+    val overlap = pq.intersect(brute).count()
+    assert(overlap >= 5, s"PQ∩brute=$overlap of 50 — recall collapsed")
+    // every query answered with a full top-5
+    assert(pq.groupBy("qid").count().filter(col("count") =!= 5)
+      .count() === 0)
+  }
 }
