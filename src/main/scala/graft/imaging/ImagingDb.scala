@@ -1,0 +1,119 @@
+package graft.imaging
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's user-facing call surface, parameterized — the API a
+  * czbiohub/imagingDB user would call after switching engines. Each
+  * method builds the same DataFrame plan as the fixed-parameter
+  * driver-checked query, with the caller's criteria applied
+  * dynamically the way db_operations.py composes SQLAlchemy filters.
+  *
+  *  - `getDatasets`    ↔ db_operations.py:52-90 (get_datasets)
+  *  - `getFramesMeta`  ↔ db_operations.py:409-458 (get_frames_meta)
+  *  - `getFramesSubset`↔ db_operations.py:308-380 (_get_frames_subset)
+  *  - `getFilenames`   ↔ db_operations.py:257-306 (get_filenames)
+  *
+  * Absent criteria add NO predicate (reference semantics: missing
+  * search keys don't filter), so Catalyst only pushes down what the
+  * caller actually constrained.
+  */
+object ImagingDb {
+  import ImagingModel._
+
+  /** Search criteria ↔ the reference's search_dict keys. */
+  case class SearchCriteria(
+      projectId: Option[String] = None,
+      microscope: Option[String] = None,
+      startDate: Option[Timestamp] = None,
+      endDate: Option[Timestamp] = None,
+      description: Option[String] = None)
+
+  /** Multi-criterion dataset search, ordered by serial. */
+  def getDatasets(spark: SparkSession, dir: String,
+      criteria: SearchCriteria = SearchCriteria()): DataFrame = {
+    var ds = dataSet(spark, dir)
+    criteria.projectId.foreach(p =>
+      ds = ds.filter(col("dataset_serial").contains(p)))
+    criteria.microscope.foreach(m =>
+      ds = ds.filter(col("microscope").contains(m)))
+    criteria.startDate.foreach(t =>
+      ds = ds.filter(col("date_time") >= lit(t)))
+    criteria.endDate.foreach(t =>
+      ds = ds.filter(col("date_time") <= lit(t)))
+    criteria.description.foreach(d =>
+      ds = ds.filter(col("description").contains(d)))
+    ds.orderBy("dataset_serial")
+  }
+
+  /** Frames of one dataset sliced on any combination of channel
+    * names/indices, slices, times and positions (None = unconstrained,
+    * as in the reference's pos_ids/time_ids/... kwargs).
+    */
+  def getFramesSubset(spark: SparkSession, dir: String,
+      datasetSerial: String,
+      channelNames: Option[Seq[String]] = None,
+      channelIds: Option[Seq[Int]] = None,
+      sliceIds: Option[Seq[Int]] = None,
+      timeIds: Option[Seq[Int]] = None,
+      posIds: Option[Seq[Int]] = None): DataFrame = {
+    val target = dataSet(spark, dir)
+      .filter(col("dataset_serial") === datasetSerial)
+      .select(col("id").as("ds_id"), col("dataset_serial"))
+    var f = frames(spark, dir)
+      .join(broadcast(target), col("frames_global_id") === col("ds_id"))
+    channelNames.foreach(cs => f = f.filter(col("channel_name").isin(cs: _*)))
+    channelIds.foreach(cs => f = f.filter(col("channel_idx").isin(cs: _*)))
+    sliceIds.foreach(zs => f = f.filter(col("slice_idx").isin(zs: _*)))
+    timeIds.foreach(ts => f = f.filter(col("time_idx").isin(ts: _*)))
+    posIds.foreach(ps => f = f.filter(col("pos_idx").isin(ps: _*)))
+    f.select("dataset_serial", "channel_idx", "slice_idx", "time_idx",
+        "pos_idx", "channel_name", "file_name", "sha256")
+      .orderBy("file_name", "sha256")
+  }
+
+  /** Full per-frame metadata of one dataset (frames ⋈ global meta). */
+  def getFramesMeta(spark: SparkSession, dir: String,
+      datasetSerial: String): DataFrame = {
+    val target = dataSet(spark, dir)
+      .filter(col("dataset_serial") === datasetSerial)
+      .select(col("id").as("ds_id"), col("dataset_serial"))
+    val f = frames(spark, dir)
+      .join(broadcast(target), col("frames_global_id") === col("ds_id"))
+    val g = f.groupBy(col("frames_global_id").as("g_id"))
+      .agg(count(lit(1)).as("nbr_frames"),
+        countDistinct(col("slice_idx")).as("nbr_slices"),
+        countDistinct(col("channel_idx")).as("nbr_channels"),
+        countDistinct(col("time_idx")).as("nbr_timepoints"),
+        countDistinct(col("pos_idx")).as("nbr_positions"))
+    f.join(broadcast(g), col("frames_global_id") === col("g_id"))
+      .select(col("dataset_serial"), col("file_name"), col("channel_idx"),
+        col("channel_name"), col("slice_idx"), col("time_idx"),
+        col("pos_idx"), col("sha256"), col("nbr_frames"),
+        col("nbr_slices"), col("nbr_channels"),
+        col("nbr_timepoints"), col("nbr_positions"))
+      .orderBy("file_name", "sha256")
+  }
+
+  /** storage_dir + ordered file names of one dataset (frames branch or
+    * file_global branch, as in get_filenames).
+    */
+  def getFilenames(spark: SparkSession, dir: String,
+      datasetSerial: String): DataFrame = {
+    val target = dataSet(spark, dir)
+      .filter(col("dataset_serial") === datasetSerial)
+      .select(col("id").as("ds_id"), col("dataset_serial"),
+        concat(lit("raw_frames/"), col("dataset_serial")).as("storage_dir"))
+    val frameFiles = frames(spark, dir)
+      .join(broadcast(target), col("frames_global_id") === col("ds_id"))
+      .select("dataset_serial", "storage_dir", "file_name")
+    val wholeFiles = fileGlobal(spark, dir)
+      .join(broadcast(target.drop("storage_dir")),
+        col("dataset_id") === col("ds_id"))
+      .select("dataset_serial", "storage_dir", "file_name")
+    frameFiles.unionByName(wholeFiles)
+      .orderBy("storage_dir", "file_name")
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.imaging.{ImagingDb, ImagingModel}
+import graft.imaging.ImagingDb.SearchCriteria
+
+class ImagingDbSpec extends AnyFunSuite {
+  import TestSpark.{sfDir, spark}
+
+  private lazy val someSerial = ImagingModel
+    .dataSet(spark, sfDir).filter(col("frames"))
+    .join(graft.tables.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("id2")),
+      col("id") === col("id2"), "left_semi")
+    .orderBy("dataset_serial").select("dataset_serial")
+    .head().getString(0)
+
+  test("getDatasets with no criteria returns every dataset") {
+    val all = ImagingDb.getDatasets(spark, sfDir).count()
+    assert(all === ImagingModel.dataSet(spark, sfDir).count())
+  }
+
+  test("getDatasets composes criteria like the reference search_dict") {
+    val hits = ImagingDb.getDatasets(spark, sfDir,
+      SearchCriteria(projectId = Some("PRJ3"),
+        microscope = Some("scope-2")))
+    assert(hits.count() > 0)
+    assert(hits.filter(!col("dataset_serial").contains("PRJ3")
+      || !col("microscope").contains("scope-2")).count() === 0)
+    // a narrower search is a subset of the wider one
+    val wider = ImagingDb.getDatasets(spark, sfDir,
+      SearchCriteria(projectId = Some("PRJ3")))
+    assert(hits.count() <= wider.count())
+  }
+
+  test("getFramesSubset slices on the requested dimensions only") {
+    val sub = ImagingDb.getFramesSubset(spark, sfDir, someSerial,
+      channelNames = Some(Seq("DAPI", "GFP")), sliceIds = Some(Seq(0, 1)))
+    assert(sub.filter(!col("channel_name").isin("DAPI", "GFP")
+      || !col("slice_idx").isin(0, 1)).count() === 0)
+    val all = ImagingDb.getFramesSubset(spark, sfDir, someSerial)
+    assert(sub.count() <= all.count() && all.count() > 0)
+  }
+
+  test("getFramesMeta carries consistent global metadata") {
+    val meta = ImagingDb.getFramesMeta(spark, sfDir, someSerial)
+    val rows = meta.collect()
+    assert(rows.nonEmpty)
+    // nbr_frames equals the actual row count and is constant
+    assert(rows.map(_.getAs[Long]("nbr_frames")).distinct.toSeq ===
+      Seq(rows.length.toLong))
+  }
+
+  test("getFilenames returns the frames branch for a frames dataset") {
+    val files = ImagingDb.getFilenames(spark, sfDir, someSerial)
+    assert(files.count() > 0)
+    assert(files.filter(!col("storage_dir").startsWith("raw_frames/"))
+      .count() === 0)
+  }
+}
