@@ -246,6 +246,30 @@ GROUP BY o_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, o_orderkey
 LIMIT 10"""
 
+  val qCorr: String = """
+WITH mom AS (
+  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+    sum(CAST(l_quantity AS DECIMAL(38,6))) AS sx,
+    sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS sy,
+    sum(CAST(l_quantity AS DECIMAL(38,6))
+      * CAST(l_extendedprice AS DECIMAL(38,6))) AS sxy,
+    sum(CAST(l_quantity AS DECIMAL(38,6))
+      * CAST(l_quantity AS DECIMAL(38,6))) AS sxx,
+    sum(CAST(l_extendedprice AS DECIMAL(38,6))
+      * CAST(l_extendedprice AS DECIMAL(38,6))) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+  CAST(round(
+    (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+    / (sqrt(n * CAST(sxx AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      * sqrt(n * CAST(syy AS DOUBLE)
+        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS DOUBLE)
+    AS corr_qty_price
+FROM mom
+ORDER BY l_returnflag"""
+
   val winMovingRange: String = """
 WITH daily AS (
   SELECT l_suppkey,
@@ -1078,6 +1102,7 @@ ORDER BY source, rnk"""
     "q_percentiles" -> qPercentiles,
     "q10_returns" -> q10Returns,
     "win_moving_range" -> winMovingRange,
+    "q_corr" -> qCorr,
     "img_channel_overlap" -> imgChannelOverlap,
     "img_lineage_depth" -> imgLineageDepth,
     "img_storage_rollup" -> imgStorageRollup,

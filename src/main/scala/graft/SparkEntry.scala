@@ -38,6 +38,7 @@ object SparkEntry {
     "img_storage_rollup" -> (ImagingOps.storageRollup(_, _)),
     "win_running" -> (Olap.winRunning(_, _)),
     "win_moving_range" -> (Olap.winMovingRange(_, _)),
+    "q_corr" -> (Olap.qCorr(_, _)),
     "events_window" -> (EventOps.eventsWindow(_, _)),
     "events_sessions" -> (EventOps.eventsSessions(_, _)),
     "doc_exact_dedup" -> (DedupOps.exactDedup(_, _)),

@@ -168,6 +168,35 @@ object Olap {
         expr("percentile(l_quantity, 0.5)").as("exact_p50"))
       .orderBy("l_returnflag")
 
+  /** Pearson correlation of (quantity, extendedprice) per return flag,
+    * computed from DECIMAL-exact moment sums — native corr() folds
+    * doubles in partition order and can't hash-match across engines;
+    * exact Σx, Σy, Σxy, Σx², Σy² are order-independent, and the final
+    * double formula is a fixed expression both engines evaluate
+    * identically.
+    */
+  def qCorr(spark: SparkSession, dir: String): DataFrame = {
+    val bigDec = "decimal(38,6)"
+    val x = col("l_quantity").cast(bigDec)
+    val y = col("l_extendedprice").cast(bigDec)
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        round(
+          (col("n") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double"))
+          / (sqrt(col("n") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double"))
+            * sqrt(col("n") * col("syy").cast("double")
+              - col("sy").cast("double") * col("sy").cast("double"))), 6)
+          .as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
   /** RANGE-frame moving window: per-supplier 7-day moving quantity
     * over ship days. Pre-aggregates to one row per (supplier, day)
     * first — the range frame then slides over the small daily series,
