@@ -685,6 +685,21 @@ ORDER BY doc1, doc2"""
 
   private val minhashPairsCte: String = corpusCte + minhashChain("sh")
 
+  val docMinhashRecall: String = minhashPairsCte + """
+, expected AS (
+  SELECT doc_id AS doc1, doc_id + 1000000 AS doc2
+  FROM documents WHERE doc_id % 5 = 0
+), found AS (
+  SELECT e.doc1, e.doc2 FROM expected e
+  WHERE EXISTS (SELECT 1 FROM pairs p
+    WHERE p.doc1 = e.doc1 AND p.doc2 = e.doc2)
+)
+SELECT CAST((SELECT count(*) FROM expected) AS BIGINT) AS n_expected,
+  CAST(count(*) AS BIGINT) AS n_found,
+  CAST(round(count(*) * 100.0
+    / (SELECT count(*) FROM expected), 2) AS DOUBLE) AS recall_pct
+FROM found"""
+
   val docMinhashLsh: String = minhashPairsCte + """
 SELECT doc1, doc2, jaccard FROM pairs
 ORDER BY doc1, doc2"""
@@ -1095,6 +1110,7 @@ ORDER BY source, rnk"""
     "doc_simhash" -> docSimhash,
     "doc_minhash_lsh" -> docMinhashLsh,
     "doc_dedup_pipeline" -> docDedupPipeline,
+    "doc_minhash_recall" -> docMinhashRecall,
     "emb_knn_ivf" -> embKnnIvf,
     "emb_near_dup" -> embNearDup,
     "emb_pq_codes" -> embPqCodes,

@@ -72,6 +72,7 @@ object SparkEntry {
     "doc_tfidf" -> (TextOps.tfidf(_, _)),
     "doc_dup_clusters" -> (DedupOps.dupClusters(_, _)),
     "doc_dedup_pipeline" -> (DedupOps.dedupPipeline(_, _)),
+    "doc_minhash_recall" -> (DedupOps.minhashRecall(_, _)),
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the

@@ -169,6 +169,30 @@ object DedupOps {
       .orderBy("doc1", "doc2")
   }
 
+  /** Recall audit of the LSH path as a driver-checked metric: every
+    * planted duplicate pair (x, x+1e6) has Jaccard 1.0 and MUST be
+    * recovered by the banded candidate generation — a recall drop
+    * here means a band/bucket regression, caught by the oracle gate
+    * rather than a human reading bench output.
+    */
+  def minhashRecall(spark: SparkSession, dir: String): DataFrame = {
+    val expected = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("doc1"),
+        (col("doc_id") + 1000000L).as("doc2"))
+    // LSH-cap-bounded pair set → broadcast; one left join + one
+    // aggregate produce both totals without a second pass
+    val found = minhashPairs(spark, dir)
+      .select(col("doc1"), col("doc2"), lit(1L).as("hit"))
+    expected
+      .join(broadcast(found), Seq("doc1", "doc2"), "left")
+      .agg(count(lit(1)).as("n_expected"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+      .select(col("n_expected"), col("n_found"),
+        round(col("n_found") * 100.0 / col("n_expected"), 2)
+          .as("recall_pct"))
+  }
+
   /** Duplicate clusters: connected components over the dup-edge graph
     * (exact-dup star edges ∪ confirmed MinHash near-dup pairs), the
     * roll-up a dedup pipeline keeps one representative per cluster
