@@ -942,6 +942,28 @@ FROM (
 GROUP BY ROLLUP(project, microscope)
 ORDER BY project_g, microscope_g"""
 
+  val eventsDauWau: String = """
+WITH active AS (
+  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+  FROM events
+), span AS (
+  SELECT min(day) AS d0, max(day) AS d1 FROM active
+), dau AS (
+  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+  FROM active GROUP BY day
+), wau AS (
+  SELECT c.cover AS day, CAST(count(DISTINCT a.user_id) AS BIGINT) AS wau
+  FROM active a, span s,
+    LATERAL (SELECT unnest(range(a.day, least(a.day + 7, s.d1 + 1)))
+      AS cover) c
+  WHERE c.cover >= s.d0 + 6
+  GROUP BY c.cover
+)
+SELECT d.day, d.dau, w.wau,
+  CAST(round(d.dau * 100.0 / w.wau, 2) AS DOUBLE) AS stickiness_pct
+FROM dau d JOIN wau w ON d.day = w.day
+ORDER BY d.day"""
+
   val eventsResample: String = """
 WITH daily AS (
   SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
@@ -1098,6 +1120,7 @@ ORDER BY source, rnk"""
   def all: Map[String, String] = Map(
     "events_funnel" -> eventsFunnel,
     "events_resample" -> eventsResample,
+    "events_dau_wau" -> eventsDauWau,
     "events_retention" -> eventsRetention,
     "events_dropoff" -> eventsDropoff,
     "img_channel_pivot" -> imgChannelPivot,

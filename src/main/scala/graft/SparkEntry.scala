@@ -62,6 +62,7 @@ object SparkEntry {
     "emb_knn_pq" -> (VectorOps.knnPq(_, _)),
     "events_funnel" -> (EventOps.eventsFunnel(_, _)),
     "events_resample" -> (EventOps.eventsResample(_, _)),
+    "events_dau_wau" -> (EventOps.eventsDauWau(_, _)),
     "events_retention" -> (EventOps.eventsRetention(_, _)),
     "events_dropoff" -> (EventOps.eventsDropoff(_, _)),
     "img_channel_pivot" -> (ImagingOps.channelPivot(_, _)),

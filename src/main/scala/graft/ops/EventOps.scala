@@ -125,6 +125,33 @@ object EventOps {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** DAU / trailing-7-day WAU per day. Rolling DISTINCT counts don't
+    * fit window frames (no count(DISTINCT) over RANGE), so each
+    * active (user, day) pair is exploded onto the up-to-7 future days
+    * it covers — turning the rolling distinct into a plain groupBy
+    * count(DISTINCT) per covered day. Linear in activity × window,
+    * no self-join, no range join.
+    */
+  def eventsDauWau(spark: SparkSession, dir: String): DataFrame = {
+    val dayNs = 86400L * NanosPerSec
+    val active = Tables.events(spark, dir)
+      .select(col("user_id"), expr(s"ts div $dayNs").as("day"))
+      .distinct()
+    val span = active.agg(min("day").as("d0"), max("day").as("d1")).head()
+    val (d0, d1) = (span.getLong(0), span.getLong(1))
+    val dau = active.groupBy("day")
+      .agg(countDistinct("user_id").as("dau"))
+    val wau = active
+      .withColumn("cover", explode(expr(s"sequence(day, least(day + 6, $d1))")))
+      .filter(col("cover") >= d0 + 6) // only full 7-day windows
+      .groupBy(col("cover").as("day"))
+      .agg(countDistinct("user_id").as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau") * 100.0 / col("wau"), 2).as("stickiness_pct"))
+      .orderBy("day")
+  }
+
   /** Resample to a dense per-user daily grid with gap filling: days
     * with no events appear with n=0, and last_seen_day carries the
     * most recent active day forward (window `last` with ignoreNulls).
