@@ -942,6 +942,30 @@ FROM (
 GROUP BY ROLLUP(project, microscope)
 ORDER BY project_g, microscope_g"""
 
+  val eventsTransitions: String = """
+SELECT prev_type, curr_type, CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT lag(event_type) OVER (
+      PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS prev_type,
+    event_type AS curr_type
+  FROM events)
+WHERE prev_type IS NOT NULL
+GROUP BY prev_type, curr_type
+ORDER BY prev_type, curr_type"""
+
+  val docZipf: String = """
+SELECT rank, tok, n FROM (
+  SELECT tok, n,
+    CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT) AS rank
+  FROM (
+    SELECT tok, CAST(count(*) AS BIGINT) AS n FROM (
+      SELECT unnest(list_filter(string_split(lower(text), ' '),
+        x -> x <> '')) AS tok
+      FROM documents)
+    GROUP BY tok))
+WHERE rank <= 50
+ORDER BY rank"""
+
   val eventsDauWau: String = """
 WITH active AS (
   SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
@@ -1121,6 +1145,8 @@ ORDER BY source, rnk"""
     "events_funnel" -> eventsFunnel,
     "events_resample" -> eventsResample,
     "events_dau_wau" -> eventsDauWau,
+    "events_transitions" -> eventsTransitions,
+    "doc_zipf" -> docZipf,
     "events_retention" -> eventsRetention,
     "events_dropoff" -> eventsDropoff,
     "img_channel_pivot" -> imgChannelPivot,

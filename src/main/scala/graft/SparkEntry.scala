@@ -63,6 +63,8 @@ object SparkEntry {
     "events_funnel" -> (EventOps.eventsFunnel(_, _)),
     "events_resample" -> (EventOps.eventsResample(_, _)),
     "events_dau_wau" -> (EventOps.eventsDauWau(_, _)),
+    "events_transitions" -> (EventOps.eventsTransitions(_, _)),
+    "doc_zipf" -> (TextOps.zipfTokens(_, _)),
     "events_retention" -> (EventOps.eventsRetention(_, _)),
     "events_dropoff" -> (EventOps.eventsDropoff(_, _)),
     "img_channel_pivot" -> (ImagingOps.channelPivot(_, _)),

@@ -125,6 +125,24 @@ object EventOps {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Event-type transition matrix: per-user consecutive event bigrams
+    * via lag over (ts, event_id), counted per (prev, curr) pair — the
+    * Markov-chain feature extraction of a behavioral pipeline. One
+    * shuffle on user_id for the window, one partial-agg shuffle on the
+    * 25-key transition matrix.
+    */
+  def eventsTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("curr_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("prev_type", "curr_type")
+  }
+
   /** DAU / trailing-7-day WAU per day. Rolling DISTINCT counts don't
     * fit window frames (no count(DISTINCT) over RANGE), so each
     * active (user, day) pair is exploded onto the up-to-7 future days

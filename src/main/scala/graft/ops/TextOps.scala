@@ -162,6 +162,26 @@ object TextOps {
       .orderBy("doc_id", "rnk")
   }
 
+  /** Zipf profile: the corpus's 50 most frequent tokens with rank —
+    * the sanity curve every corpus build plots. Token counting is one
+    * partial-agg shuffle; the ranking window then runs over the
+    * VOCABULARY-sized count table (bounded by distinct tokens, not
+    * corpus size), where a single-partition sort is fine.
+    */
+  def zipfTokens(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(explode(
+        expr("filter(split(lower(text), ' '), x -> x <> '')")).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("n").desc, col("tok"))
+    counts
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= 50)
+      .select("rank", "tok", "n")
+      .orderBy("rank")
+  }
+
   /** Quality gate — the filtering stage of a training-data pipeline:
     * per-doc keep/drop with reason flags (too short, too few tokens,
     * stopword-heavy), rolled up per source. Ratio thresholds compare
