@@ -281,15 +281,12 @@ object DedupOps {
       .select(col("doc_id"),
         expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)")
           .as("h"))
-    val votes = (0 until Bits).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"s$j")
-    }
-    val fp = tokens.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"),
-        (0 until Bits).map(j =>
-          when(col(s"s$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
-          .reduce(_ bitwiseOR _).as("fp"))
+    // one typed-imperative aggregate folds all 60 bit votes per row —
+    // same fingerprint as 60 sum-CASE columns (oracle unchanged), one
+    // buffer walk instead of 60 aggregate expression evaluations
+    val fp = tokens.groupBy("doc_id")
+      .agg(graft.functions.SimHashVotes.simhashFp(col("h"), Bits)
+        .as("fp"))
     val bands = fp.select(col("doc_id"), col("fp"),
       explode(array((0 until Bits / BandBits).map(j =>
         struct(lit(j).as("band"),

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{HyperplaneBits, MinHashSig, WordNGrams}
+import graft.functions.{HyperplaneBits, MinHashSig, SimHashVotes, WordNGrams}
 
 /** SparkSessionExtensions entry point: registers graft's custom
   * expressions for SQL use, so `SELECT word_ngrams(text, 3)` works in
@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.wordNGramsDescriptor)
     ext.injectFunction(GraftExtensions.hyperplaneBitsDescriptor)
     ext.injectFunction(GraftExtensions.minhashSigDescriptor)
+    ext.injectFunction(GraftExtensions.simhashVotesDescriptor)
   }
 }
 
@@ -64,8 +65,20 @@ object GraftExtensions {
         "minhash_sig(base_hash[, num_perms]) takes 1 or 2 arguments")
     })
 
+  val simhashVotesDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("simhash_votes"),
+    new ExpressionInfo(classOf[SimHashVotes].getName, "simhash_votes"),
+    (args: Seq[Expression]) => args match {
+      case Seq(h) => SimHashVotes(h)
+      case Seq(h, b) => SimHashVotes(h, intArg(b, "bits"))
+      case _ => throw new IllegalArgumentException(
+        "simhash_votes(token_hash[, bits]) takes 1 or 2 arguments")
+    })
+
   private val allDescriptors =
-    Seq(wordNGramsDescriptor, hyperplaneBitsDescriptor, minhashSigDescriptor)
+    Seq(wordNGramsDescriptor, hyperplaneBitsDescriptor,
+      minhashSigDescriptor, simhashVotesDescriptor)
 
   /** Register on an existing session (tests / REPL convenience). */
   def install(spark: org.apache.spark.sql.SparkSession): Unit =
