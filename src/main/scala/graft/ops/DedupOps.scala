@@ -29,6 +29,18 @@ object DedupOps {
   private val NumPerm = 64
   private val BandRows = 4   // 16 bands × 4 rows
 
+  /** All unordered in-bucket pairs of a sorted array column `arr` as
+    * struct(a, b), preserving array order (a strictly before b). The
+    * bucket array is size-capped upstream, so the expansion is bounded
+    * at cap²/2 pairs per bucket — never corpus-quadratic.
+    */
+  private[ops] def bucketPairs(arr: String): Column =
+    explode(expr(
+      s"""flatten(transform(sequence(1, size($arr) - 1),
+            i -> transform(sequence(0, i - 1),
+              j -> struct(element_at($arr, j + 1) AS a,
+                          element_at($arr, i + 1) AS b))))"""))
+
   /** documents plus a re-keyed copy of every 5th doc (planted dups). */
   private def corpus(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).select("doc_id", "text", "source", "lang")
@@ -106,13 +118,8 @@ object DedupOps {
     val cand = buckets.groupBy("band", "bh")
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
-      .select(explode(expr(
-        """flatten(transform(sequence(1, size(ids) - 1),
-             i -> transform(sequence(0, i - 1),
-               j -> struct(element_at(ids, j + 1) AS doc1,
-                           element_at(ids, i + 1) AS doc2))))"""))
-        .as("p"))
-      .select(col("p.doc1").as("doc1"), col("p.doc2").as("doc2"))
+      .select(bucketPairs("ids").as("p"))
+      .select(col("p.a").as("doc1"), col("p.b").as("doc2"))
       .distinct()
     // verification re-derives shingles for the tiny candidate set from
     // raw text instead of shuffling every doc's shingle array through
@@ -272,10 +279,24 @@ object DedupOps {
     * Token hashes are the top 60 bits of md5, so the DuckDB oracle
     * reproduces every fingerprint bit for bit.
     */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashOf(corpus(spark, dir))
+
+  /** SimHash near-dup pairs over any (doc_id, text) set, with the
+    * band buckets CAPPED at `maxBucket` members — the same skew guard
+    * as [[minhashPairsOf]]. Without it a degenerate hot bucket (e.g.
+    * near-empty docs that all collapse to fingerprint 0) emits B²
+    * pairs, the 100 TB job killer. Oversized buckets are dropped
+    * (policy: a bucket past the cap carries no near-dup signal, only
+    * hash collapse). The 8-byte fingerprint travels WITH the doc id
+    * into the bucket, so the Hamming check needs no join back and the
+    * fingerprint pipeline runs exactly once — the old band self-join
+    * evaluated it twice.
+    */
+  def simhashOf(source: DataFrame, maxBucket: Int = 1000): DataFrame = {
     val Bits = 60
     val BandBits = 15
-    val tokens = corpus(spark, dir)
+    val tokens = source
       .withColumn("toks", expr("filter(split(lower(text), ' '), x -> x <> '')"))
       .select(col("doc_id"), explode(col("toks")).as("tok"))
       .select(col("doc_id"),
@@ -294,11 +315,15 @@ object DedupOps {
         .as("b"))
       .select(col("doc_id"), col("fp"), col("b.band").as("band"),
         col("b.bh").as("bh"))
-    bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
-          && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"),
-        bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).as("hamming"))
+    // sort_array over (doc_id, fp) structs orders by doc_id (unique),
+    // so pair expansion yields doc1 < doc2 with both fingerprints in
+    // hand — Hamming is computed inline, codegen'd bit_count(xor)
+    bands.groupBy("band", "bh")
+      .agg(sort_array(collect_set(struct(col("doc_id"), col("fp")))).as("ms"))
+      .filter(size(col("ms")).between(2, maxBucket))
+      .select(bucketPairs("ms").as("p"))
+      .select(col("p.a.doc_id").as("doc1"), col("p.b.doc_id").as("doc2"),
+        bit_count(col("p.a.fp").bitwiseXOR(col("p.b.fp"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= 3)
       .orderBy("doc1", "doc2")
@@ -307,12 +332,31 @@ object DedupOps {
   /** Exact word-3-gram Jaccard over blocked candidate pairs (same
     * source+lang block), top-100 most similar.
     */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardOf(corpus(spark, dir))
+
+  /** The exact blocked-Jaccard core with a per-block size guard:
+    * block sizes grow linearly with the corpus, so in-block pairs grow
+    * quadratically — acceptable as a correctness baseline (the scale
+    * path IS [[minhashPairsOf]]), but without a cap an accidental run
+    * at full scale detonates. Blocks past `maxBlock` docs are dropped
+    * via a tiny block-census semi-join (one row per block key), so the
+    * worst case is bounded at maxBlock²/2 pairs per block.
+    */
+  def ngramJaccardOf(source: DataFrame, maxBlock: Int = 10000): DataFrame = {
     // block on (source, lang, length band): candidates must be
     // near-equal length to reach high Jaccard, so the extra band
     // predicate prunes the quadratic pair space without losing top-k
-    val docs = withShingles(corpus(spark, dir))
+    val keyed = source
       .withColumn("lenband", (length(col("text")) / 64).cast("int"))
+    val okBlocks = keyed.groupBy("source", "lang", "lenband")
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= maxBlock)
+      .select("source", "lang", "lenband")
+    // guard BEFORE shingling: dropped blocks never pay the n-gram cost
+    val docs = withShingles(
+      keyed.join(broadcast(okBlocks),
+        Seq("source", "lang", "lenband"), "left_semi"))
       .select(col("doc_id"), col("source"), col("lang"), col("lenband"),
         col("shset"))
     docs.as("x").join(docs.as("y"),

@@ -164,9 +164,14 @@ object TextOps {
 
   /** Zipf profile: the corpus's 50 most frequent tokens with rank —
     * the sanity curve every corpus build plots. Token counting is one
-    * partial-agg shuffle; the ranking window then runs over the
-    * VOCABULARY-sized count table (bounded by distinct tokens, not
-    * corpus size), where a single-partition sort is fine.
+    * partial-agg shuffle; the top-50 then goes through orderBy+limit,
+    * which Spark compiles to TakeOrderedAndProject (per-partition
+    * partial top-k, driver merge of 50-row heaps) — NOT a global
+    * ranking window, which would sort the whole vocabulary in one
+    * task (a 100 TB web corpus's raw token vocabulary is billions of
+    * rows). The rank window then runs over the ≤50 surviving rows
+    * with the same (n desc, tok) tie-break, so the answer is
+    * identical.
     */
   def zipfTokens(spark: SparkSession, dir: String): DataFrame = {
     val counts = Tables.documents(spark, dir)
@@ -174,10 +179,10 @@ object TextOps {
         expr("filter(split(lower(text), ' '), x -> x <> '')")).as("tok"))
       .groupBy("tok")
       .agg(count(lit(1)).as("n"))
+    val top = counts.orderBy(col("n").desc, col("tok")).limit(50)
     val w = Window.orderBy(col("n").desc, col("tok"))
-    counts
+    top
       .withColumn("rank", row_number().over(w).cast("bigint"))
-      .filter(col("rank") <= 50)
       .select("rank", "tok", "n")
       .orderBy("rank")
   }

@@ -107,19 +107,32 @@ object VectorOps {
     val corpus = e.select(col("vec_id"), col("embedding")).unionByName(
       e.filter(col("vec_id") % 50 === 0)
         .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    embNearDupOf(corpus)
+  }
+
+  /** The banded-LSH near-dup core over any (vec_id, embedding) set,
+    * with band buckets CAPPED at `maxBucket` — the same skew guard as
+    * the MinHash path ([[graft.ops.DedupOps.bucketPairs]]). A hot
+    * bucket (many vectors sharing a 16-bit band value) would otherwise
+    * emit B² candidate pairs; past the cap it carries no near-dup
+    * signal, only hash collapse, and is dropped. Only (band, vec_id)
+    * pairs shuffle; full vectors join back for the bounded candidate
+    * set alone.
+    */
+  def embNearDupOf(corpus: DataFrame, maxBucket: Int = 1000): DataFrame = {
     val fp = corpus
       .select(col("vec_id"),
         graft.functions.HyperplaneBits.bits(col("embedding")).as("fp"))
-    val bands = fp.select(col("vec_id"), col("fp"),
+    val bands = fp.select(col("vec_id"),
       explode(array((0 until 4).map(j => struct(lit(j).as("band"),
         shiftright(col("fp"), 16 * j).bitwiseAND(0xFFFFL).as("bh"))): _*))
         .as("b"))
-      .select(col("vec_id"), col("fp"), col("b.band").as("band"),
-        col("b.bh").as("bh"))
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
-          && col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"))
+      .select(col("vec_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val cand = bands.groupBy("band", "bh")
+      .agg(sort_array(collect_set(col("vec_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(graft.ops.DedupOps.bucketPairs("ids").as("p"))
+      .select(col("p.a").as("v1"), col("p.b").as("v2"))
       .distinct()
     cand
       .join(corpus.select(col("vec_id").as("v1"), col("embedding").as("e1")), "v1")

@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{DedupOps, VectorOps}
+
+/** The skew guards that keep LSH banding safe at 100 TB: a degenerate
+  * hot bucket/block (every member collapsing to one fingerprint or
+  * block key) must be DROPPED at the cap, never expanded into B²
+  * pairs. Each test plants a hot group larger than the cap plus a
+  * small control group, and asserts the hot group vanishes while the
+  * control group's pairs survive — then re-runs with the cap raised to
+  * prove the guard (not an unrelated bug) removed them.
+  */
+class HotBucketSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("simhash drops a hot band bucket past the cap") {
+    val hot = (0 until 50).map(i =>
+      (i.toLong, "alpha beta gamma delta epsilon zeta eta theta"))
+    val ctl = (100 until 105).map(i =>
+      (i.toLong, "quick brown foxes jump over many lazy dogs"))
+    val docs = (hot ++ ctl).toDF("doc_id", "text")
+    val capped = DedupOps.simhashOf(docs, maxBucket = 20).collect()
+    assert(capped.length === 10,
+      s"expected only C(5,2) control pairs, got ${capped.length}")
+    assert(capped.forall(_.getLong(0) >= 100L),
+      "a hot-bucket doc leaked past the cap")
+    val raised = DedupOps.simhashOf(docs, maxBucket = 100).count()
+    assert(raised === 50L * 49 / 2 + 10)
+  }
+
+  test("embedding LSH drops a hot band bucket past the cap") {
+    val vHot = Array.tabulate(64)(k => if (k % 2 == 0) 1.0f else -0.5f)
+    // exact negation: cosine -1 (never confirmed) and complementary
+    // sign bits (never shares a band bucket with the hot group)
+    val vCtl = vHot.map(x => -x)
+    val rows = (0 until 50).map(i => (i.toLong, vHot)) ++
+      (100 until 105).map(i => (i.toLong, vCtl))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val capped = VectorOps.embNearDupOf(corpus, maxBucket = 20).collect()
+    assert(capped.length === 10,
+      s"expected only C(5,2) control pairs, got ${capped.length}")
+    assert(capped.forall(_.getLong(0) >= 100L),
+      "a hot-bucket vector leaked past the cap")
+    val raised = VectorOps.embNearDupOf(corpus, maxBucket = 100).count()
+    assert(raised === 50L * 49 / 2 + 10)
+  }
+
+  test("ngram jaccard drops a hot block past the cap") {
+    val hot = (0 until 50).map(i =>
+      (i.toLong, "alpha beta gamma delta epsilon zeta eta theta", "web", "en"))
+    val ctl = (100 until 105).map(i =>
+      (i.toLong, "quick brown foxes jump over many lazy dogs", "books", "en"))
+    val docs = (hot ++ ctl).toDF("doc_id", "text", "source", "lang")
+    val capped = DedupOps.ngramJaccardOf(docs, maxBlock = 20).collect()
+    assert(capped.length === 10,
+      s"expected only C(5,2) control pairs, got ${capped.length}")
+    assert(capped.forall(_.getLong(0) >= 100L),
+      "a hot-block doc leaked past the cap")
+    val raised = DedupOps.ngramJaccardOf(docs, maxBlock = 100).count()
+    // top-100 limit bounds the raised run, which would otherwise be
+    // C(50,2) + C(5,2) pairs
+    assert(raised === 100)
+  }
+}

@@ -25,6 +25,21 @@ class PlanSweepSpec extends AnyFunSuite {
     "emb_knn_ivf"    // centroid cross joins + tiny probe side
   )
 
+  test("doc_zipf ranks via distributed top-k, not a global window sort") {
+    val qe = graft.ops.TextOps.zipfTokens(spark, sfDir).queryExecution
+    val plan = qe.executedPlan
+    info(plan.toString)
+    assert(plan.toString.contains("TakeOrderedAndProject"),
+      "zipf top-50 must compile to TakeOrderedAndProject " +
+        "(distributed partial top-k), not a global sort")
+    // the single-partition rank window may only run over the ≤50
+    // TakeOrdered survivors — never over the full vocabulary table
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.forall(_.toString.contains("TakeOrderedAndProject")),
+      "rank window must sit above the TakeOrdered, not the full count table")
+  }
+
   test("no query plan has an accidental join strategy") {
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
