@@ -55,6 +55,26 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Stateful-sessionizer throughput: the DRAIN-SAFE event-time
+    * sessionizer (watermark-driven timeouts, terminates under
+    * AvailableNow — the processing-time variant would hang this bench)
+    * over the full events stream into a noop sink.
+    */
+  private def streamSessionsBench(spark: SparkSession, sfDir: String): Double = {
+    import spark.implicits._
+    val t0 = System.nanoTime()
+    val src = streamingEvents(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .withWatermark("ts", "30 minutes")
+      .as[graft.streaming.EventsStream.Event]
+    val q = graft.streaming.EventsStream.sessionizeEventTime(spark, src)
+      .writeStream.format("noop")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    if (!q.awaitTermination(300000L)) { q.stop(); sys.error("stream timeout") }
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** Min of the runs that succeeded; None if every run failed — a
     * failed stream bench must drop out of the report, not poison the
     * total with a sentinel.
@@ -96,9 +116,12 @@ object Bench {
       minOk((1 to 2).map(r => () => streamBench(spark, sfDir, r)))
     val dedupTime =
       minOk((1 to 2).map(_ => () => streamDedupBench(spark, sfDir)))
+    val sessTime =
+      minOk((1 to 2).map(_ => () => streamSessionsBench(spark, sfDir)))
     val all = results ++
       streamTime.map("stream_events_window" -> _) ++
-      dedupTime.map("stream_dedup" -> _)
+      dedupTime.map("stream_dedup" -> _) ++
+      sessTime.map("stream_sessions" -> _)
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (all.nonEmpty) all.map(_._2).sum else 0.0

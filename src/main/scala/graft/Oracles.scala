@@ -56,6 +56,24 @@ object Oracles {
       '.png') AS file_name,
     sha256(concat(CAST(l_partkey AS VARCHAR), '-',
       CAST(l_suppkey AS VARCHAR))) AS sha256,
+    concat('{"MicroManagerMetadata":{"ChannelIndex":',
+      CASE WHEN (l_orderkey * 10 + l_linenumber) % 13 = 0
+           THEN concat('"', CAST(l_suppkey % 4 AS VARCHAR), '"')
+           ELSE CAST(l_suppkey % 4 AS VARCHAR) END,
+      CASE WHEN (l_orderkey * 10 + l_linenumber) % 7 = 0 THEN ''
+           ELSE concat(',"Slice":', CAST(l_partkey % 8 AS VARCHAR)) END,
+      ',"FrameIndex":', CAST(l_linenumber - 1 AS VARCHAR),
+      ',"PositionIndex":', CAST(l_orderkey % 6 AS VARCHAR),
+      ',"Channel":',
+      CASE WHEN (l_orderkey * 10 + l_linenumber) % 11 = 0
+           THEN CAST(l_suppkey % 4 AS VARCHAR)
+           ELSE concat('"',
+             CASE CAST(l_suppkey % 4 AS INT) WHEN 0 THEN 'DAPI'
+                  WHEN 1 THEN 'GFP' WHEN 2 THEN 'Cy3' ELSE 'TxRed' END,
+             '"') END,
+      ',"Exposure-ms":',
+      CAST((l_orderkey * 10 + l_linenumber) % 90 + 10 AS VARCHAR),
+      '}}') AS metadata_json,
     l_orderkey AS frames_global_id
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   WHERE o_orderstatus <> 'O'
@@ -1140,8 +1158,121 @@ FROM (
 WHERE rnk <= 3
 ORDER BY source, rnk"""
 
+  /** True-SMS-parser twin of
+    * [[graft.imaging.ImagingOps.parseSmsChannel]]: same synthesized
+    * names, same tail-token matching, same first-seen channel ranking.
+    */
+  val imgParseSmsChannel: String = imagingCte + """
+, sms AS (
+  SELECT frames_global_id AS ds_id, id, slice_idx, time_idx, pos_idx,
+    CASE channel_idx WHEN 0 THEN 'DAPI' WHEN 1 THEN 'GFP_high'
+         WHEN 2 THEN 'Cy3' ELSE 'Tx_Red' END AS sms_channel,
+    concat('t', lpad(CAST(time_idx AS VARCHAR), 3, '0')) AS tt,
+    concat('p', lpad(CAST(pos_idx AS VARCHAR), 3, '0')) AS pt,
+    concat('z', lpad(CAST(slice_idx AS VARCHAR), 3, '0')) AS zt
+  FROM frames WHERE frames_global_id % 25 = 0
+), named AS (
+  SELECT ds_id, slice_idx, time_idx, pos_idx,
+    concat('img_', sms_channel, '_',
+      CASE CAST(id % 3 AS INT)
+        WHEN 0 THEN concat(tt, '_', pt, '_', zt)
+        WHEN 1 THEN concat(zt, '_', tt, '_', pt)
+        ELSE concat(pt, '_', zt, '_', tt) END, '.tif') AS file_name
+  FROM sms
+), parsed AS (
+  SELECT ds_id, file_name, slice_idx, time_idx, pos_idx,
+    string_split(substr(file_name, 1, length(file_name) - 4), '_')[2:]
+      AS parts
+  FROM named
+), fields AS (
+  SELECT ds_id, file_name, slice_idx, time_idx, pos_idx,
+    array_to_string(parts[1:len(parts) - 3], '_') AS channel_parsed,
+    parts[len(parts) - 2] AS l1, parts[len(parts) - 1] AS l2,
+    parts[len(parts)] AS l3
+  FROM parsed
+), got AS (
+  SELECT ds_id, file_name, channel_parsed,
+    CAST(substr(CASE WHEN left(l1, 1) = 't' AND length(l1) = 4 THEN l1
+                     WHEN left(l2, 1) = 't' AND length(l2) = 4 THEN l2
+                     WHEN left(l3, 1) = 't' AND length(l3) = 4 THEN l3
+                END, 2) AS INT) AS time_parsed,
+    CAST(substr(CASE WHEN left(l1, 1) = 'p' AND length(l1) = 4 THEN l1
+                     WHEN left(l2, 1) = 'p' AND length(l2) = 4 THEN l2
+                     WHEN left(l3, 1) = 'p' AND length(l3) = 4 THEN l3
+                END, 2) AS INT) AS pos_parsed,
+    CAST(substr(CASE WHEN left(l1, 1) = 'z' AND length(l1) = 4 THEN l1
+                     WHEN left(l2, 1) = 'z' AND length(l2) = 4 THEN l2
+                     WHEN left(l3, 1) = 'z' AND length(l3) = 4 THEN l3
+                END, 2) AS INT) AS slice_parsed,
+    slice_idx, time_idx, pos_idx
+  FROM fields
+), census AS (
+  SELECT ds_id, channel_parsed, min(file_name) AS first_file
+  FROM got GROUP BY 1, 2
+), ranked AS (
+  SELECT ds_id, channel_parsed,
+    CAST(dense_rank() OVER (PARTITION BY ds_id ORDER BY first_file) - 1
+      AS INT) AS channel_idx_assigned
+  FROM census
+)
+SELECT g.ds_id, g.file_name, g.channel_parsed, r.channel_idx_assigned,
+  g.time_parsed, g.pos_parsed, g.slice_parsed,
+  CAST(g.time_parsed = g.time_idx AND g.pos_parsed = g.pos_idx
+    AND g.slice_parsed = g.slice_idx AS INT) AS consistent
+FROM got g JOIN ranked r ON g.ds_id = r.ds_id
+  AND g.channel_parsed = r.channel_parsed
+ORDER BY g.ds_id, g.file_name"""
+
+  /** Conformance-audit twin of
+    * [[graft.imaging.ImagingOps.metaValidate]]: DuckDB uses its real
+    * JSON type introspection (json_type) where Spark detects the
+    * quoted-string shape on the compact generated JSON — both must
+    * agree violation for violation.
+    */
+  val imgMetaValidate: String = imagingCte + """
+, audit AS (
+  SELECT frames_global_id,
+    (CASE WHEN json_extract(metadata_json,
+        '$.MicroManagerMetadata.ChannelIndex') IS NULL THEN 1 ELSE 0 END
+     + CASE WHEN json_extract(metadata_json,
+        '$.MicroManagerMetadata.Slice') IS NULL THEN 1 ELSE 0 END
+     + CASE WHEN json_extract(metadata_json,
+        '$.MicroManagerMetadata.FrameIndex') IS NULL THEN 1 ELSE 0 END
+     + CASE WHEN json_extract(metadata_json,
+        '$.MicroManagerMetadata.PositionIndex') IS NULL THEN 1 ELSE 0 END
+     + CASE WHEN json_extract(metadata_json,
+        '$.MicroManagerMetadata.Channel') IS NULL THEN 1 ELSE 0 END) AS nm,
+    (CASE WHEN json_type(metadata_json,
+        '$.MicroManagerMetadata.ChannelIndex') = 'VARCHAR' THEN 1 ELSE 0 END
+     + CASE WHEN json_type(metadata_json,
+        '$.MicroManagerMetadata.Slice') = 'VARCHAR' THEN 1 ELSE 0 END
+     + CASE WHEN json_type(metadata_json,
+        '$.MicroManagerMetadata.FrameIndex') = 'VARCHAR' THEN 1 ELSE 0 END
+     + CASE WHEN json_type(metadata_json,
+        '$.MicroManagerMetadata.PositionIndex') = 'VARCHAR' THEN 1 ELSE 0 END
+     + CASE WHEN json_type(metadata_json,
+          '$.MicroManagerMetadata.Channel') IS NOT NULL
+        AND json_type(metadata_json,
+          '$.MicroManagerMetadata.Channel') <> 'VARCHAR'
+        THEN 1 ELSE 0 END) AS nb
+  FROM frames
+)
+SELECT d.dataset_serial,
+  CAST(count(*) AS BIGINT) AS n_frames,
+  CAST(sum(CASE WHEN a.nm > 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_missing_key,
+  CAST(sum(CASE WHEN a.nb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_type_mismatch,
+  CAST(sum(CASE WHEN a.nm = 0 AND a.nb = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_valid
+FROM audit a JOIN data_set d ON a.frames_global_id = d.id
+GROUP BY d.dataset_serial
+ORDER BY d.dataset_serial"""
+
   /** Every oracle, keyed like SparkEntry.queries. */
   def all: Map[String, String] = Map(
+    "img_parse_sms_channel" -> imgParseSmsChannel,
+    "img_meta_validate" -> imgMetaValidate,
     "events_funnel" -> eventsFunnel,
     "events_resample" -> eventsResample,
     "events_dau_wau" -> eventsDauWau,

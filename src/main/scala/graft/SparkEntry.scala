@@ -26,6 +26,8 @@ object SparkEntry {
     "img_sha_dedup" -> (ImagingOps.shaDedup(_, _)),
     "img_frame_gaps" -> (ImagingOps.frameGaps(_, _)),
     "img_parse_sms_name" -> (ImagingOps.parseSmsName(_, _)),
+    "img_parse_sms_channel" -> (ImagingOps.parseSmsChannel(_, _)),
+    "img_meta_validate" -> (ImagingOps.metaValidate(_, _)),
     "img_storage_report" -> (ImagingOps.storageReport(_, _)),
     "q1_pricing" -> (Olap.q1Pricing(_, _)),
     "q3_topk" -> (Olap.q3Topk(_, _)),

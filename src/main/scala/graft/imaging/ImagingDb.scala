@@ -98,17 +98,32 @@ object ImagingDb {
   }
 
   /** storage_dir + ordered file names of one dataset (frames branch or
-    * file_global branch, as in get_filenames).
+    * file_global branch, as in get_filenames). The reference
+    * (db_operations.py:257-306) forwards positions/times/channels/
+    * slices into `_get_frames_subset`, so the frames branch is sliced
+    * by the same optional IN-lists as [[getFramesSubset]]; the
+    * file_global branch (whole-file datasets) has no frame dimensions
+    * to slice and is returned as-is, also matching the reference.
     */
   def getFilenames(spark: SparkSession, dir: String,
-      datasetSerial: String): DataFrame = {
+      datasetSerial: String,
+      channelNames: Option[Seq[String]] = None,
+      channelIds: Option[Seq[Int]] = None,
+      sliceIds: Option[Seq[Int]] = None,
+      timeIds: Option[Seq[Int]] = None,
+      posIds: Option[Seq[Int]] = None): DataFrame = {
     val target = dataSet(spark, dir)
       .filter(col("dataset_serial") === datasetSerial)
       .select(col("id").as("ds_id"), col("dataset_serial"),
         concat(lit("raw_frames/"), col("dataset_serial")).as("storage_dir"))
-    val frameFiles = frames(spark, dir)
+    var f = frames(spark, dir)
       .join(broadcast(target), col("frames_global_id") === col("ds_id"))
-      .select("dataset_serial", "storage_dir", "file_name")
+    channelNames.foreach(cs => f = f.filter(col("channel_name").isin(cs: _*)))
+    channelIds.foreach(cs => f = f.filter(col("channel_idx").isin(cs: _*)))
+    sliceIds.foreach(zs => f = f.filter(col("slice_idx").isin(zs: _*)))
+    timeIds.foreach(ts => f = f.filter(col("time_idx").isin(ts: _*)))
+    posIds.foreach(ps => f = f.filter(col("pos_idx").isin(ps: _*)))
+    val frameFiles = f.select("dataset_serial", "storage_dir", "file_name")
     val wholeFiles = fileGlobal(spark, dir)
       .join(broadcast(target.drop("storage_dir")),
         col("dataset_id") === col("ds_id"))

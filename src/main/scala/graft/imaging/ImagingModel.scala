@@ -92,12 +92,34 @@ object ImagingModel {
     val zIdx = (col("l_partkey") % 8).cast("int")
     val tIdx = (col("l_linenumber") - 1).cast("int")
     val pIdx = (col("l_orderkey") % 6).cast("int")
+    val fId = col("l_orderkey") * 10 + col("l_linenumber")
+    val chName = when(cIdx === 0, "DAPI").when(cIdx === 1, "GFP")
+      .when(cIdx === 2, "Cy3").otherwise("TxRed")
+    // per-frame MicroManager-style metadata JSON (frames.py
+    // metadata_json, json_operations.py MICROMETA_SCHEMA), with
+    // planted conformance violations for the img_meta_validate audit:
+    // every 7th frame id omits the required Slice key, every 11th
+    // writes Channel as a number (must be string), every 13th writes
+    // ChannelIndex as a string (must be integer). Deterministic and
+    // mirrored verbatim in the oracle CTE.
+    val metaJson = concat(
+      lit("""{"MicroManagerMetadata":{"ChannelIndex":"""),
+      when(fId % 13 === 0, concat(lit("\""), cIdx.cast("string"), lit("\"")))
+        .otherwise(cIdx.cast("string")),
+      when(fId % 7 === 0, lit(""))
+        .otherwise(concat(lit(""","Slice":"""), zIdx.cast("string"))),
+      lit(""","FrameIndex":"""), tIdx.cast("string"),
+      lit(""","PositionIndex":"""), pIdx.cast("string"),
+      lit(""","Channel":"""),
+      when(fId % 11 === 0, cIdx.cast("string"))
+        .otherwise(concat(lit("\""), chName, lit("\""))),
+      lit(""","Exposure-ms":"""), ((fId % 90) + 10).cast("string"),
+      lit("}}"))
     li.join(framesOrders, col("l_orderkey") === col("o_orderkey"))
       .select(
-        (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+        fId.as("id"),
         cIdx.as("channel_idx"),
-        when(cIdx === 0, "DAPI").when(cIdx === 1, "GFP")
-          .when(cIdx === 2, "Cy3").otherwise("TxRed").as("channel_name"),
+        chName.as("channel_name"),
         zIdx.as("slice_idx"),
         tIdx.as("time_idx"),
         pIdx.as("pos_idx"),
@@ -111,6 +133,7 @@ object ImagingModel {
           lit(".png")).as("file_name"),
         sha2(concat(col("l_partkey").cast("string"), lit("-"),
           col("l_suppkey").cast("string")), 256).as("sha256"),
+        metaJson.as("metadata_json"),
         col("l_orderkey").as("frames_global_id"))
   }
 

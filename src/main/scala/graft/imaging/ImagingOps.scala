@@ -251,6 +251,125 @@ object ImagingOps {
           col("p_parsed") === col("pos_idx")).cast("int").as("consistent"))
       .orderBy("file_name")
 
+  /** True SMS-name parsing — filename_parsers.py:36-80
+    * (parse_sms_name): `img_channelname_t***_p***_z***.tif` where the
+    * channel name is a STRING that may contain extra underscores (all
+    * leading tokens joined back together), the three t/p/z tokens are
+    * order-independent (matched by first letter + length 4, not
+    * position), and channel_name → channel_idx is assigned by
+    * FIRST-SEEN order per dataset — the reference's expanding
+    * channel_names list, with files processed in sorted-name order.
+    *
+    * Names are synthesized from the frames derivation with
+    * underscore-bearing channel names (GFP_high, Tx_Red) and a
+    * per-frame permutation of the t/p/z token order, so every branch
+    * of the parser is exercised; the parse then recovers everything
+    * from the file name alone and audits against the stored indices.
+    *
+    * Scale shape: parsing is pure per-row column work; the only
+    * shuffle is the tiny per-(dataset, channel) first-seen census,
+    * which broadcasts back into the frame rows.
+    */
+  def parseSmsChannel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val f = frames(spark, dir).filter(col("frames_global_id") % 25 === 0)
+    val named = f.select(
+      col("frames_global_id").as("ds_id"), col("id"),
+      col("slice_idx"), col("time_idx"), col("pos_idx"),
+      expr("""case channel_idx when 0 then 'DAPI' when 1 then 'GFP_high'
+              when 2 then 'Cy3' else 'Tx_Red' end""").as("sms_channel"),
+      concat(lit("t"), lpad(col("time_idx").cast("string"), 3, "0")).as("tt"),
+      concat(lit("p"), lpad(col("pos_idx").cast("string"), 3, "0")).as("pt"),
+      concat(lit("z"), lpad(col("slice_idx").cast("string"), 3, "0")).as("zt"))
+      .select(col("ds_id"), col("slice_idx"), col("time_idx"), col("pos_idx"),
+        concat(lit("img_"), col("sms_channel"), lit("_"),
+          expr("""case cast(id % 3 as int)
+                  when 0 then concat(tt, '_', pt, '_', zt)
+                  when 1 then concat(zt, '_', tt, '_', pt)
+                  else concat(pt, '_', zt, '_', tt) end"""),
+          lit(".tif")).as("file_name"))
+    // the parser proper: everything below sees ONLY (ds_id, file_name)
+    // plus the stored indices it audits against
+    val parsed = named
+      .withColumn("allp",
+        expr("split(substring(file_name, 1, length(file_name) - 4), '_')"))
+      .withColumn("parts", expr("slice(allp, 2, size(allp) - 1)"))
+      .withColumn("channel_parsed",
+        expr("array_join(slice(parts, 1, size(parts) - 3), '_')"))
+      .withColumn("l1", expr("element_at(parts, size(parts) - 2)"))
+      .withColumn("l2", expr("element_at(parts, size(parts) - 1)"))
+      .withColumn("l3", expr("element_at(parts, size(parts))"))
+    def idxOf(letter: String) = expr(
+      s"""cast(substring(case
+            when left(l1, 1) = '$letter' and length(l1) = 4 then l1
+            when left(l2, 1) = '$letter' and length(l2) = 4 then l2
+            when left(l3, 1) = '$letter' and length(l3) = 4 then l3
+          end, 2) as int)""")
+    val fields = parsed
+      .withColumn("time_parsed", idxOf("t"))
+      .withColumn("pos_parsed", idxOf("p"))
+      .withColumn("slice_parsed", idxOf("z"))
+      .select("ds_id", "file_name", "channel_parsed",
+        "time_parsed", "pos_parsed", "slice_parsed",
+        "slice_idx", "time_idx", "pos_idx")
+    // first-seen channel indexing: census one row per (dataset,
+    // channel), ranked by the first file that introduced the channel —
+    // dense_rank over the census only, never over the frame rows
+    val census = fields.groupBy("ds_id", "channel_parsed")
+      .agg(min("file_name").as("first_file"))
+      .withColumn("channel_idx_assigned",
+        (dense_rank().over(Window.partitionBy("ds_id")
+          .orderBy("first_file")) - 1).cast("int"))
+      .select("ds_id", "channel_parsed", "channel_idx_assigned")
+    fields.join(broadcast(census), Seq("ds_id", "channel_parsed"))
+      .select(col("ds_id"), col("file_name"), col("channel_parsed"),
+        col("channel_idx_assigned"), col("time_parsed"), col("pos_parsed"),
+        col("slice_parsed"),
+        (col("time_parsed") === col("time_idx")
+          && col("pos_parsed") === col("pos_idx")
+          && col("slice_parsed") === col("slice_idx")).cast("int")
+          .as("consistent"))
+      .orderBy("ds_id", "file_name")
+  }
+
+  /** Metadata-JSON conformance audit — json_operations.py
+    * MICROMETA_SCHEMA (validate_schema) + meta_utils.py:45-70 as a
+    * batch gate: per dataset, how many frames' metadata_json are
+    * missing a required MicroManagerMetadata key and how many carry a
+    * type violation (index fields must be JSON numbers, Channel a JSON
+    * string). The reference validates one upload at a time; this is
+    * the same check over every dataset in one pass — pure per-row
+    * JSON-path work plus one partial-agg shuffle on the dataset key.
+    */
+  def metaValidate(spark: SparkSession, dir: String): DataFrame = {
+    val required = Seq("ChannelIndex", "Slice", "FrameIndex",
+      "PositionIndex", "Channel")
+    def path(k: String) = s"$$.MicroManagerMetadata.$k"
+    val missing = required.map(k =>
+      when(get_json_object(col("metadata_json"), path(k)).isNull, 1)
+        .otherwise(0)).reduce(_ + _)
+    // type checks exploit compact generation (no whitespace): a JSON
+    // string value is exactly `"Key":"`; numbers are unquoted
+    def isStr(k: String) =
+      col("metadata_json").contains("\"" + k + "\":\"")
+    val badType =
+      Seq("ChannelIndex", "Slice", "FrameIndex", "PositionIndex").map(k =>
+        when(get_json_object(col("metadata_json"), path(k)).isNotNull
+          && isStr(k), 1).otherwise(0)).reduce(_ + _) +
+      when(get_json_object(col("metadata_json"), path("Channel")).isNotNull
+        && !isStr("Channel"), 1).otherwise(0)
+    frames(spark, dir)
+      .select(col("frames_global_id"), missing.as("nm"), badType.as("nb"))
+      .join(broadcast(dataSet(spark, dir).select(col("id").as("ds_id"),
+        col("dataset_serial"))), col("frames_global_id") === col("ds_id"))
+      .groupBy("dataset_serial")
+      .agg(count(lit(1)).as("n_frames"),
+        sum((col("nm") > 0).cast("int")).as("n_missing_key"),
+        sum((col("nb") > 0).cast("int")).as("n_type_mismatch"),
+        sum((col("nm") === 0 && col("nb") === 0).cast("int")).as("n_valid"))
+      .orderBy("dataset_serial")
+  }
+
   /** Serial-format validation — cli_utils.py:4-30 (validate_id): the
     * <ID>-YYYY-MM-DD-HH-MM-SS-<SSSS> convention, audited per project
     * (8 parts, 4-char year, 2-char time fields, 4-char serial).

@@ -22,15 +22,49 @@ object SplitterIngest {
     */
   def parseIndices(listing: DataFrame): DataFrame =
     listing
+      // digit-RUN extraction per token, like the reference's
+      // re.findall(r'\d+') — robust to the extension riding on the
+      // last token (`p003.png`) and to suffixed names alike
       .withColumn("channel_idx",
-        expr("cast(substr(split_part(file_name, '_', 2), 2) as int)"))
+        expr("cast(regexp_extract(split_part(file_name, '_', 2), '[0-9]+', 0) as int)"))
       .withColumn("slice_idx",
-        expr("cast(substr(split_part(file_name, '_', 3), 2) as int)"))
+        expr("cast(regexp_extract(split_part(file_name, '_', 3), '[0-9]+', 0) as int)"))
       .withColumn("time_idx",
-        expr("cast(substr(split_part(file_name, '_', 4), 2) as int)"))
+        expr("cast(regexp_extract(split_part(file_name, '_', 4), '[0-9]+', 0) as int)"))
       .withColumn("pos_idx",
-        expr("cast(substr(split_part(file_name, '_', 5), 2) as int)"))
+        expr("cast(regexp_extract(split_part(file_name, '_', 5), '[0-9]+', 0) as int)"))
       .withColumn("channel_name", col("channel_idx").cast("string"))
+
+  /** OME-TIFF ingest twin — ometif_splitter.py split_file +
+    * json_operations.py get_metadata_from_tags: the four indices and
+    * the channel NAME come from each page's embedded
+    * MicroManagerMetadata JSON (schema-driven field pull), not from
+    * the file name; the frame file name is then GENERATED in the
+    * `im_c###_z###_t###_p###` convention (file_splitter.py
+    * _get_imname), exactly the reverse of [[parseIndices]].
+    * Input: (dataset_serial, metadata_json). Output matches
+    * [[parseIndices]]' column set plus the generated file_name, so
+    * [[globalMetaFromFrames]] and [[ingest]]'s uniqueness audit are
+    * shared verbatim between the filename-parse and metadata ingest
+    * paths. All JSON-path extraction is per-row column work — the
+    * listing never shuffles.
+    */
+  def parseMetadata(listing: DataFrame): DataFrame = {
+    def fld(k: String) =
+      get_json_object(col("metadata_json"), s"$$.MicroManagerMetadata.$k")
+    listing
+      .withColumn("channel_idx", fld("ChannelIndex").cast("int"))
+      .withColumn("slice_idx", fld("Slice").cast("int"))
+      .withColumn("time_idx", fld("FrameIndex").cast("int"))
+      .withColumn("pos_idx", fld("PositionIndex").cast("int"))
+      .withColumn("channel_name", fld("Channel"))
+      .withColumn("file_name", concat(
+        lit("im_c"), lpad(col("channel_idx").cast("string"), 3, "0"),
+        lit("_z"), lpad(col("slice_idx").cast("string"), 3, "0"),
+        lit("_t"), lpad(col("time_idx").cast("string"), 3, "0"),
+        lit("_p"), lpad(col("pos_idx").cast("string"), 3, "0"),
+        lit(".png")))
+  }
 
   /** The global metadata the splitter assembles per dataset
     * (file_splitter.py set_global_meta): frame counts and per-dimension

@@ -59,4 +59,24 @@ class ImagingDbSpec extends AnyFunSuite {
     assert(files.filter(!col("storage_dir").startsWith("raw_frames/"))
       .count() === 0)
   }
+
+  test("getFilenames slicing composes and is a subset of unsliced") {
+    val all = ImagingDb.getFilenames(spark, sfDir, someSerial)
+    val sliced = ImagingDb.getFilenames(spark, sfDir, someSerial,
+      channelNames = Some(Seq("DAPI", "GFP")), sliceIds = Some(Seq(0, 1)))
+    assert(sliced.count() <= all.count())
+    assert(sliced.except(all).count() === 0, "sliced ⊄ unsliced")
+    // the slicing must agree with getFramesSubset on the same criteria:
+    // identical file sets, dimension for dimension
+    val subsetFiles = ImagingDb.getFramesSubset(spark, sfDir, someSerial,
+      channelNames = Some(Seq("DAPI", "GFP")), sliceIds = Some(Seq(0, 1)))
+      .select("file_name")
+    assert(sliced.select("file_name").except(subsetFiles).count() === 0)
+    assert(subsetFiles.except(sliced.select("file_name")).count() === 0)
+    // narrowing further can only shrink the result
+    val narrower = ImagingDb.getFilenames(spark, sfDir, someSerial,
+      channelNames = Some(Seq("DAPI", "GFP")), sliceIds = Some(Seq(0, 1)),
+      timeIds = Some(Seq(0)))
+    assert(narrower.count() <= sliced.count())
+  }
 }

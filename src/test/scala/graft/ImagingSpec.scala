@@ -59,6 +59,40 @@ class ImagingSpec extends AnyFunSuite {
       || col("p0") =!= col("pos_idx")).count() === 0)
   }
 
+  test("metadata ingest twin matches the filename-parse path") {
+    // the OME-TIFF path derives indices + channel name from each
+    // page's MicroManagerMetadata JSON; restrict to frames whose
+    // planted metadata is conformant (the audit's violation rows
+    // would parse to nulls by design)
+    val f = ImagingModel.frames(spark, sfDir)
+      .filter(col("id") % 7 =!= 0 && col("id") % 11 =!= 0
+        && col("id") % 13 =!= 0)
+    val listing = f.select(
+      col("frames_global_id").cast("string").as("dataset_serial"),
+      col("metadata_json"),
+      col("channel_idx").as("c0"), col("slice_idx").as("z0"),
+      col("time_idx").as("t0"), col("pos_idx").as("p0"),
+      col("channel_name").as("n0"))
+    val parsed = SplitterIngest.parseMetadata(listing)
+    assert(parsed.count() === listing.count())
+    // JSON-derived indices and channel NAME equal the stored truth
+    assert(parsed.filter(col("c0") =!= col("channel_idx")
+      || col("z0") =!= col("slice_idx")
+      || col("t0") =!= col("time_idx")
+      || col("p0") =!= col("pos_idx")
+      || col("n0") =!= col("channel_name")).count() === 0)
+    // generated names follow the im_c###_z###_t###_p### convention
+    assert(parsed.filter(!col("file_name")
+      .rlike("^im_c\\d{3}_z\\d{3}_t\\d{3}_p\\d{3}\\.png$")).count() === 0)
+    // both ingest paths assemble identical global metadata
+    val gMeta = SplitterIngest.globalMetaFromFrames(parsed)
+    val gName = SplitterIngest.globalMetaFromFrames(
+      SplitterIngest.parseIndices(
+        parsed.select("dataset_serial", "file_name")))
+    assert(gMeta.except(gName).count() === 0)
+    assert(gName.except(gMeta).count() === 0)
+  }
+
   test("ingest flags already-registered datasets") {
     val listing = ImagingModel.frames(spark, sfDir).limit(100)
       .select(lit("NEW-2026-01-01-00-00-00-1").as("dataset_serial"),

@@ -41,6 +41,53 @@ class SkewSpec extends AnyFunSuite {
     assert(shards > 1, s"expected the hot key on >1 shard, got $shards")
   }
 
+  test("salted agg survives a 50% hot user on real events") {
+    // plant realistic 80/20-gone-bad skew: HALF of all events belong
+    // to one user — the shape where a plain per-user aggregation makes
+    // one reducer process half the 100 TB fact
+    val salts = 16
+    val ev = graft.tables.Tables.events(spark, TestSpark.sfDir)
+      .select(
+        when(col("event_id") % 2 === 0, lit(777L))
+          .otherwise(col("user_id") + 1000L).as("user_id"),
+        col("value"))
+    // correctness parity under skew
+    val plainRows = ev.withColumnRenamed("value", "v2")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("v2").as("sum_v"))
+      .orderBy("user_id").collect()
+    val saltedRows = Skew.saltedAgg(
+        ev.withColumnRenamed("value", "v2"), "user_id", "v2", salts)
+      .orderBy("user_id").collect()
+    assert(saltedRows.length === plainRows.length)
+    plainRows.zip(saltedRows).foreach { case (p, s) =>
+      assert(p.getLong(0) === s.getLong(0))
+      assert(p.getLong(1) === s.getLong(1))
+      assert(math.abs(p.getDouble(2) - s.getDouble(2)) < 1e-6)
+    }
+    // structural skew relief: the hot user's partial rows spread over
+    // most salt shards, and no shard carries more than 3x its fair
+    // share — the straggler is gone by construction, independent of
+    // wall-clock noise
+    val hotShards = ev
+      .withColumn("_salt",
+        pmod(xxhash64(col("user_id"), col("value")), lit(salts)))
+      .filter(col("user_id") === 777L)
+      .groupBy("_salt").count().collect()
+    val hotTotal = hotShards.map(_.getLong(1)).sum
+    assert(hotShards.length >= salts / 2,
+      s"hot user only on ${hotShards.length} of $salts shards")
+    assert(hotShards.map(_.getLong(1)).max <= 3L * hotTotal / salts,
+      "a salt shard still carries a straggler share of the hot user")
+    // plan shape: the partial-agg exchange partitions on (key, salt),
+    // not the key alone
+    val plan = Skew.saltedAgg(
+        ev.withColumnRenamed("value", "v2"), "user_id", "v2", salts)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("_salt"),
+      "salted agg plan lost its salt column in the exchange")
+  }
+
   test("salted join matches the plain join") {
     val dim = Seq((42L, "hot"), (10L, "ten"), (20L, "twenty"))
       .toDF("k", "label")

@@ -84,6 +84,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(closed(1).getAs[Long]("n_events") === 1)
   }
 
+  test("event-time sessionizer has full batch parity on the corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gapMs = 30L * 60 * 1000
+    val ev = EventsStream.eventsAsTimestamps(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect()
+    // independent driver-side oracle: per-user sorted fold with the
+    // same 30-min gap rule
+    val expected = ev.groupBy(_.user_id).flatMap { case (u, es) =>
+      val sorted = es.sortBy(e => (e.ts.getTime, e.event_id))
+      val sessions = Seq.newBuilder[(Long, Long, Long, Long)]
+      var start = -1L; var last = -1L; var n = 0L
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        if (start < 0) { start = t; last = t; n = 1 }
+        else if (t - last <= gapMs) { last = t; n += 1 }
+        else { sessions += ((u, n, start, last - start))
+               start = t; last = t; n = 1 }
+      }
+      if (start >= 0) sessions += ((u, n, start, last - start))
+      sessions.result()
+    }.toSet
+    // stream the whole corpus, then a far-future sentinel (user -1)
+    // that pushes the watermark past every real session's close point;
+    // its own still-open session is never emitted
+    val maxTs = ev.map(_.ts.getTime).max
+    val stream = MemoryStream[Event]
+    stream.addData(ev.toIndexedSeq)
+    stream.addData(Seq(Event(-1L,
+      new Timestamp(maxTs + 10L * 24 * 3600 * 1000), -1L, "click", 1.0)))
+    val withWm = stream.toDS().withWatermark("ts", "0 seconds").as[Event]
+    val q = EventsStream.sessionizeEventTime(spark, withWm)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_parity_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("sess_parity_out")
+      .as[EventsStream.Session].collect()
+      .map(s => (s.user_id, s.n_events, s.start_ms, s.duration_ms)).toSet
+    assert(got === expected,
+      s"stream closed ${got.size} sessions, batch oracle ${expected.size}")
+  }
+
   test("stateful sessionizer closes sessions on gaps") {
     import spark.implicits._
     def ev(id: Long, user: Long, minute: Long) =
