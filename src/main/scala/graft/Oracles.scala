@@ -1269,10 +1269,111 @@ FROM audit a JOIN data_set d ON a.frames_global_id = d.id
 GROUP BY d.dataset_serial
 ORDER BY d.dataset_serial"""
 
+  /** Decontamination twin of
+    * [[graft.ops.DedupOps.decontaminate]]: same shingle derivation as
+    * the dedup oracles, eval set = doc_id < 10.
+    */
+  val docDecontaminate: String = """
+WITH shd AS (
+  SELECT doc_id, source,
+    list_distinct(CASE WHEN len(toks) >= 3 THEN
+      list_transform(range(1, len(toks) - 1),
+        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      ELSE [text] END) AS shset
+  FROM (
+    SELECT doc_id, text, source,
+      list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+    FROM documents)
+), ev AS (
+  SELECT DISTINCT unnest(shset) AS sh FROM shd WHERE doc_id < 10
+), tr AS (
+  SELECT doc_id, source, unnest(shset) AS sh FROM shd WHERE doc_id >= 10
+), hits AS (
+  SELECT t.doc_id, t.source, count(*) AS n_hits
+  FROM tr t JOIN ev ON t.sh = ev.sh
+  GROUP BY t.doc_id, t.source
+), agg AS (
+  SELECT source, count(*) AS n_contaminated, sum(n_hits) AS sum_hits
+  FROM hits GROUP BY source
+)
+SELECT p.source, p.n_docs,
+  CAST(coalesce(a.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+  CAST(coalesce(a.sum_hits, 0) AS BIGINT) AS sum_hits
+FROM (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents WHERE doc_id >= 10 GROUP BY source) p
+LEFT JOIN agg a ON p.source = a.source
+ORDER BY p.source"""
+
+  /** Lloyd-step twin of [[graft.ops.VectorOps.kmeansStep]]. Floats
+    * expand through DOUBLE before the DECIMAL cast (a direct
+    * REAL→DECIMAL cast goes through the shortest repr and diverges
+    * from Spark); the two unnests in `comps` zip positionally.
+    */
+  val embKmeansStep: String = """
+WITH c AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16
+), scored AS (
+  SELECT e.vec_id, c.cid, e.embedding,
+    list_sum(list_transform(list_zip(e.embedding, c.cv),
+      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS dist
+  FROM embeddings e CROSS JOIN c
+), assigned AS (
+  SELECT cid, embedding FROM (
+    SELECT cid, embedding,
+      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+    FROM scored)
+  WHERE rk = 1
+), comps AS (
+  SELECT cid, unnest(range(len(embedding))) AS dim,
+    unnest(embedding) AS v
+  FROM assigned
+)
+SELECT cid, CAST(dim AS INT) AS dim,
+  CAST(count(*) AS BIGINT) AS n_members,
+  round(CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE)
+    / count(*), 6) AS centroid_val
+FROM comps GROUP BY cid, dim
+ORDER BY cid, dim"""
+
+  /** Volume-anomaly twin of [[graft.ops.EventOps.eventsAnomaly]]:
+    * identical double expression tree over exact integer moments.
+    */
+  val eventsAnomaly: String = """
+WITH daily AS (
+  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+    CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+    CAST(sum(n) AS BIGINT) AS sum_n, CAST(sum(n * n) AS BIGINT) AS sum_n2
+  FROM daily GROUP BY event_type
+  HAVING count(*) > 1
+), zed AS (
+  SELECT d.event_type, d.day, d.n,
+    CASE WHEN (CAST(s.sum_n2 AS DOUBLE)
+        - s.n_days * (CAST(s.sum_n AS DOUBLE) / s.n_days)
+                   * (CAST(s.sum_n AS DOUBLE) / s.n_days))
+        / (s.n_days - 1) <= 0
+      THEN 0.0
+      ELSE round((d.n - CAST(s.sum_n AS DOUBLE) / s.n_days)
+        / sqrt((CAST(s.sum_n2 AS DOUBLE)
+            - s.n_days * (CAST(s.sum_n AS DOUBLE) / s.n_days)
+                       * (CAST(s.sum_n AS DOUBLE) / s.n_days))
+            / (s.n_days - 1)), 4) END AS z
+  FROM daily d JOIN stats s ON d.event_type = s.event_type
+)
+SELECT event_type, day, n, z, CAST(abs(z) > 2 AS INT) AS is_anomaly
+FROM zed
+ORDER BY event_type, day"""
+
   /** Every oracle, keyed like SparkEntry.queries. */
   def all: Map[String, String] = Map(
     "img_parse_sms_channel" -> imgParseSmsChannel,
     "img_meta_validate" -> imgMetaValidate,
+    "doc_decontaminate" -> docDecontaminate,
+    "emb_kmeans_step" -> embKmeansStep,
+    "events_anomaly" -> eventsAnomaly,
     "events_funnel" -> eventsFunnel,
     "events_resample" -> eventsResample,
     "events_dau_wau" -> eventsDauWau,

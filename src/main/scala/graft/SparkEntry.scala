@@ -78,6 +78,9 @@ object SparkEntry {
     "doc_dup_clusters" -> (DedupOps.dupClusters(_, _)),
     "doc_dedup_pipeline" -> (DedupOps.dedupPipeline(_, _)),
     "doc_minhash_recall" -> (DedupOps.minhashRecall(_, _)),
+    "doc_decontaminate" -> (DedupOps.decontaminate(_, _)),
+    "emb_kmeans_step" -> (VectorOps.kmeansStep(_, _)),
+    "events_anomaly" -> (EventOps.eventsAnomaly(_, _)),
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the

@@ -329,6 +329,40 @@ object DedupOps {
       .orderBy("doc1", "doc2")
   }
 
+  /** Benchmark decontamination — the eval-set leakage scan every LLM
+    * training corpus runs before release: which training docs share
+    * any word-3-gram shingle with the held-out eval set (doc_id < 10
+    * here), rolled up per source with hit volumes.
+    *
+    * 100 TB shape: the eval shingle set is tiny by definition and
+    * BROADCAST; the training side explodes its shingles once,
+    * hash-joins against the broadcast set (map-side, no shuffle of
+    * text), and only the per-doc hit counts aggregate. The corpus is
+    * never self-joined and never shuffled whole.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "text", "source")
+    val evalSet = docs.filter(col("doc_id") < 10)
+    val train = docs.filter(col("doc_id") >= 10)
+    val evalSh = withShingles(evalSet)
+      .select(explode(col("shset")).as("sh")).distinct()
+    val hits = withShingles(train)
+      .select(col("doc_id"), col("source"), explode(col("shset")).as("sh"))
+      .join(broadcast(evalSh), "sh")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_hits"))
+    train.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .join(broadcast(hits.groupBy("source")
+        .agg(count(lit(1)).as("n_contaminated"),
+          sum("n_hits").as("sum_hits"))),
+        Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        coalesce(col("sum_hits"), lit(0L)).as("sum_hits"))
+      .orderBy("source")
+  }
+
   /** Exact word-3-gram Jaccard over blocked candidate pairs (same
     * source+lang block), top-100 most similar.
     */

@@ -131,6 +131,41 @@ object EventOps {
     * shuffle on user_id for the window, one partial-agg shuffle on the
     * 25-key transition matrix.
     */
+  /** Daily volume-anomaly detection: each (event_type, day)'s count
+    * z-scored against that type's whole-history daily distribution,
+    * flagged at |z| > 2 — the ingest-volume regression alarm of a
+    * production event pipeline. All moments are exact integer sums
+    * (counts of counts), so mean/variance/z derive from identical
+    * integers on both engines — no float-order dependence. Shuffle
+    * shape: one partial-agg exchange for the daily counts, a tiny
+    * per-type moment aggregate broadcast back over them.
+    */
+  def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val dayNs = 86400L * NanosPerSec
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), expr(s"ts div $dayNs").as("day"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n"))
+    val stats = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum("n").as("sum_n"),
+        sum(col("n") * col("n")).as("sum_n2"))
+      .filter(col("n_days") > 1)
+    daily.join(broadcast(stats), "event_type")
+      .withColumn("mean", col("sum_n").cast("double") / col("n_days"))
+      .withColumn("variance",
+        (col("sum_n2").cast("double")
+          - col("n_days") * col("mean") * col("mean"))
+          / (col("n_days") - 1))
+      .withColumn("z",
+        when(col("variance") <= 0, lit(0.0))
+          .otherwise(round((col("n") - col("mean")) / sqrt(col("variance")),
+            4)))
+      .select(col("event_type"), col("day"), col("n"), col("z"),
+        (abs(col("z")) > 2).cast("int").as("is_anomaly"))
+      .orderBy("event_type", "day")
+  }
+
   def eventsTransitions(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
     Tables.events(spark, dir)

@@ -223,6 +223,53 @@ object VectorOps {
       .orderBy("qid", "rank")
   }
 
+  /** One Lloyd (k-means) iteration over the embedding corpus — the
+    * codebook-training step behind the IVF and PQ indexes (their
+    * vec_id<16 seeds are exactly what this refines): assign every
+    * vector to its nearest seed centroid by squared L2 (ties to the
+    * smaller cid), then recompute each centroid component as the
+    * member mean.
+    *
+    * Determinism/parity: per-component sums accumulate in
+    * DECIMAL(20,10) (exact, order-independent — a grouped double sum
+    * would depend on partition order), cast to double only for the
+    * final mean. 100 TB shape: centroids broadcast, assignment is
+    * per-row work, and the only exchange is the (cid, dim) partial
+    * agg — 16×64 keys regardless of corpus size; posexplode feeds the
+    * map-side combine, so the shuffle carries one row per key per
+    * task, not per vector.
+    */
+  def kmeansStep(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val l2 = expr("""aggregate(zip_with(embedding, cv,
+        (x, y) -> (cast(x as double) - cast(y as double))
+                * (cast(x as double) - cast(y as double))),
+        0D, (acc, v) -> acc + v)""")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("dist"), col("cid"))
+    val assigned = e.select(col("vec_id"), col("embedding"))
+      .join(broadcast(e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))),
+        col("cid") =!= lit(-1))
+      .withColumn("dist", l2)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select("cid", "embedding")
+    assigned
+      .select(col("cid"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("cid", "dim")
+      .agg(count(lit(1)).as("n_members"),
+        // float → double → decimal: BOTH engines must expand the float
+        // through its double value (DuckDB's direct REAL→DECIMAL cast
+        // goes through the shortest-repr string and disagrees)
+        sum(col("v").cast("double").cast("decimal(20,10)")).as("s"))
+      .select(col("cid"), col("dim").cast("int").as("dim"),
+        col("n_members"),
+        round(col("s").cast("double") / col("n_members"), 6)
+          .as("centroid_val"))
+      .orderBy("cid", "dim")
+  }
+
   /** Per-label norm/centroid stats via array folds — the [O]-checked
     * vector query (rounded to 6 decimals for cross-engine parity).
     */

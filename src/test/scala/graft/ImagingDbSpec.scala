@@ -79,4 +79,28 @@ class ImagingDbSpec extends AnyFunSuite {
       timeIds = Some(Seq(0)))
     assert(narrower.count() <= sliced.count())
   }
+
+  test("export writes frames_meta.csv and a valid global_metadata.json") {
+    import graft.imaging.DataExport
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_export").toString
+    val n = DataExport.exportMeta(spark, sfDir, someSerial, out)
+    assert(n > 0)
+    // the CSV round-trips with the same row count and columns
+    val csv = spark.read.option("header", "true")
+      .csv(s"$out/frames_meta.csv")
+    assert(csv.count() === n)
+    assert(csv.columns.contains("file_name")
+      && csv.columns.contains("sha256"))
+    // the JSON carries every validate_global_meta key, non-null
+    val json = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(s"$out/global_metadata.json")).get(0)
+    val parsed = spark.read.json(
+      spark.createDataset(Seq(json))(
+        org.apache.spark.sql.Encoders.STRING))
+    DataExport.GlobalMetaKeys.foreach { k =>
+      assert(parsed.columns.contains(k), s"missing global key $k")
+      assert(parsed.filter(col(k).isNull).count() === 0)
+    }
+  }
 }

@@ -20,9 +20,10 @@ class PlanSweepSpec extends AnyFunSuite {
   )
   // intended broadcast-nested-loop joins (non-equi or single-row sides)
   private val bnlAllowed = Set(
-    "doc_tfidf",     // corpus-size single row cross join
-    "emb_knn_brute", // tiny query side, <> condition
-    "emb_knn_ivf"    // centroid cross joins + tiny probe side
+    "doc_tfidf",      // corpus-size single row cross join
+    "emb_knn_brute",  // tiny query side, <> condition
+    "emb_knn_ivf",    // centroid cross joins + tiny probe side
+    "emb_kmeans_step" // 16-centroid broadcast cross join (assignment)
   )
 
   test("doc_zipf ranks via distributed top-k, not a global window sort") {
