@@ -1367,8 +1367,57 @@ SELECT event_type, day, n, z, CAST(abs(z) > 2 AS INT) AS is_anomaly
 FROM zed
 ORDER BY event_type, day"""
 
+  /** Repetition-filter twin of [[graft.ops.TextOps.repetition]]. */
+  val docRepetition: String = """
+WITH d AS (
+  SELECT doc_id, source,
+    list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+  FROM documents
+), feat AS (
+  SELECT doc_id, source,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    CAST(greatest(len(toks) - 2, 0) AS BIGINT) AS n3_total,
+    CASE WHEN len(toks) >= 3 THEN CAST(len(list_distinct(
+        list_transform(range(1, len(toks) - 1),
+          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+        AS BIGINT)
+      ELSE 0 END AS n3_distinct
+  FROM d
+), frac AS (
+  SELECT doc_id, source, n_tokens,
+    CASE WHEN n3_total > 0
+      THEN round(1.0 - CAST(n3_distinct AS DOUBLE) / n3_total, 4)
+      ELSE 0.0 END AS dup3_frac
+  FROM feat
+), top AS (
+  SELECT doc_id, max(c) AS max_tok FROM (
+    SELECT doc_id, tok, count(*) AS c FROM (
+      SELECT doc_id, unnest(toks) AS tok FROM d)
+    GROUP BY doc_id, tok)
+  GROUP BY doc_id
+), perdoc AS (
+  SELECT f.source, f.dup3_frac,
+    CASE WHEN f.n_tokens > 0
+      THEN round(CAST(coalesce(t.max_tok, 0) AS DOUBLE) / f.n_tokens, 4)
+      ELSE 0.0 END AS toptok_frac
+  FROM frac f LEFT JOIN top t ON f.doc_id = t.doc_id
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN dup3_frac > 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_rep_3gram,
+  CAST(sum(CASE WHEN toptok_frac > 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_rep_token,
+  round(CAST(sum(CAST(dup3_frac AS DECIMAL(14,4))) AS DOUBLE)
+    / count(*), 4) AS avg_dup3,
+  round(CAST(sum(CAST(toptok_frac AS DECIMAL(14,4))) AS DOUBLE)
+    / count(*), 4) AS avg_toptok
+FROM perdoc
+GROUP BY source
+ORDER BY source"""
+
   /** Every oracle, keyed like SparkEntry.queries. */
   def all: Map[String, String] = Map(
+    "doc_repetition" -> docRepetition,
     "img_parse_sms_channel" -> imgParseSmsChannel,
     "img_meta_validate" -> imgMetaValidate,
     "doc_decontaminate" -> docDecontaminate,

@@ -79,6 +79,7 @@ object SparkEntry {
     "doc_dedup_pipeline" -> (DedupOps.dedupPipeline(_, _)),
     "doc_minhash_recall" -> (DedupOps.minhashRecall(_, _)),
     "doc_decontaminate" -> (DedupOps.decontaminate(_, _)),
+    "doc_repetition" -> (TextOps.repetition(_, _)),
     "emb_kmeans_step" -> (VectorOps.kmeansStep(_, _)),
     "events_anomaly" -> (EventOps.eventsAnomaly(_, _)),
   )

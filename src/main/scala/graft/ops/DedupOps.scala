@@ -213,15 +213,25 @@ object DedupOps {
     * distributed join+agg, the driver only checks the converged flag.
     */
   def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val c = corpus(spark, dir)
-    val hashed = c.select(col("doc_id"), md5(lower(trim(col("text")))).as("h"))
-    val star = hashed
-      .join(hashed.groupBy("h")
-        .agg(min("doc_id").as("keeper"), count(lit(1)).as("n"))
-        .filter(col("n") > 1), "h")
-      .filter(col("doc_id") =!= col("keeper"))
+    // exact-collapse FIRST (the dedupPipeline production order): one
+    // window over a single digest exchange yields both the star edges
+    // (member → keeper) and the representative set; near-dup LSH then
+    // runs over representatives only. On a high-duplicate corpus the
+    // LSH bucket sizes stay small where the full-corpus variant grows
+    // them with duplicate multiplicity — the connected components are
+    // IDENTICAL (an exact-dup member reaches everything its keeper
+    // reaches), so the oracle is unchanged.
+    val hashed = c.select(col("doc_id"), col("text"),
+      md5(lower(trim(col("text")))).as("h"))
+    val withRep = hashed
+      .withColumn("keeper", min("doc_id").over(Window.partitionBy("h")))
+    val star = withRep.filter(col("doc_id") =!= col("keeper"))
       .select(col("keeper").as("src"), col("doc_id").as("dst"))
-    val near = minhashPairs(spark, dir)
+    val near = minhashPairsOf(
+        withRep.filter(col("doc_id") === col("keeper"))
+          .select("doc_id", "text"))
       .select(col("doc1").as("src"), col("doc2").as("dst"))
     val edges = star.unionByName(near).distinct()
     // undirected: propagate both ways; checkpoint once so the iterative

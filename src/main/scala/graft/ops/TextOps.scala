@@ -216,6 +216,60 @@ object TextOps {
         sum(col("flag_stop")).as("n_stopword_heavy"))
       .orderBy("source")
 
+  /** Repetition filter (the Gopher-rules shape): per-doc duplicate
+    * 3-gram fraction (1 − distinct/total) and top-token mass fraction,
+    * thresholded and rolled up per source — the "remove degenerate
+    * repetitive documents" gate of a training-data pipeline.
+    *
+    * Determinism: per-doc fractions are exact-rational double
+    * divisions; the per-source averages accumulate the ROUNDED per-doc
+    * values as DECIMAL so the sum is order-independent. Shuffle shape:
+    * one exchange on (doc, token) for the token mode (map-side
+    * combined), one window sharing nothing further, one final
+    * partial-agg on source.
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("toks",
+        expr("filter(split(lower(text), ' '), x -> x <> '')"))
+      .withColumn("n_tokens", size(col("toks")).cast("bigint"))
+      .withColumn("n3_total",
+        greatest(col("n_tokens") - 2, lit(0L)))
+      .withColumn("n3_distinct",
+        when(col("n_tokens") >= 3,
+          size(graft.functions.TextExpressions.wordNGrams(col("text"), 3))
+            .cast("bigint"))
+          .otherwise(lit(0L)))
+      .withColumn("dup3_frac",
+        when(col("n3_total") > 0,
+          round(lit(1.0) - col("n3_distinct").cast("double")
+            / col("n3_total"), 4))
+          .otherwise(lit(0.0)))
+      .select("doc_id", "source", "toks", "n_tokens", "dup3_frac")
+    // top-token mass: the count of the most frequent token per doc
+    val topTok = docs
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("max_tok"))
+    docs.join(topTok, Seq("doc_id"), "left")
+      .withColumn("toptok_frac",
+        when(col("n_tokens") > 0,
+          round(coalesce(col("max_tok"), lit(0L)).cast("double")
+            / col("n_tokens"), 4))
+          .otherwise(lit(0.0)))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("dup3_frac") > 0.2).cast("int")).as("n_rep_3gram"),
+        sum((col("toptok_frac") > 0.2).cast("int")).as("n_rep_token"),
+        // exact decimal SUM cast to double BEFORE the division — a
+        // decimal division's result scale differs across engines
+        round(sum(col("dup3_frac").cast("decimal(14,4)")).cast("double")
+          / count(lit(1)), 4).as("avg_dup3"),
+        round(sum(col("toptok_frac").cast("decimal(14,4)")).cast("double")
+          / count(lit(1)), 4).as("avg_toptok"))
+      .orderBy("source")
+  }
+
   /** Top-3 longest documents per source — the per-group top-k pattern
     * (partitioned window + rank filter): shuffles once on source and
     * never materializes a global sort, unlike an ORDER BY ... LIMIT.
