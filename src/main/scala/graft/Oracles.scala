@@ -1415,9 +1415,52 @@ FROM perdoc
 GROUP BY source
 ORDER BY source"""
 
+  val q4Priority: String = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority"""
+
+  val q7Volume: String = s"""
+SELECT supp_nation, cust_nation, l_year,
+  CAST(sum(volume) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+    CAST(year(l_shipdate) AS INT) AS l_year, $rev AS volume
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE n1.n_name <> n2.n_name
+    AND (n1.n_nationkey < 3 OR n2.n_nationkey < 3))
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year"""
+
+  val q18Large: String = """
+SELECT c_name, c_custkey, o_orderkey,
+  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_str,
+  o_totalprice, CAST(sum_qty AS DOUBLE) AS sum_qty
+FROM orders
+JOIN (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250) big
+  ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100"""
+
   /** Every oracle, keyed like SparkEntry.queries. */
   def all: Map[String, String] = Map(
     "doc_repetition" -> docRepetition,
+    "q4_priority" -> q4Priority,
+    "q7_volume" -> q7Volume,
+    "q18_large" -> q18Large,
     "img_parse_sms_channel" -> imgParseSmsChannel,
     "img_meta_validate" -> imgMetaValidate,
     "doc_decontaminate" -> docDecontaminate,

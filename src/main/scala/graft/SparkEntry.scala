@@ -35,6 +35,9 @@ object SparkEntry {
     "q6_forecast" -> (Olap.q6Forecast(_, _)),
     "q_percentiles" -> (Olap.qPercentiles(_, _)),
     "q10_returns" -> (Olap.q10Returns(_, _)),
+    "q4_priority" -> (Olap.q4Priority(_, _)),
+    "q7_volume" -> (Olap.q7Volume(_, _)),
+    "q18_large" -> (Olap.q18Large(_, _)),
     "img_channel_overlap" -> (ImagingOps.channelOverlap(_, _)),
     "img_lineage_depth" -> (ImagingOps.lineageDepth(_, _)),
     "img_storage_rollup" -> (ImagingOps.storageRollup(_, _)),

@@ -64,6 +64,85 @@ object Olap {
       .limit(10)
   }
 
+  /** TPC-H Q4-style priority count with an EXISTS semi join: orders of
+    * one quarter having at least one returned lineitem, counted per
+    * priority. Semi join is the right 100 TB shape — lineitem never
+    * projects past its key, dedup is inherent (no pre-distinct
+    * exchange), and the returnflag filter lands in the parquet scan.
+    */
+  def q4Priority(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderdate")
+        >= lit("1995-01-01 00:00:00").cast("timestamp"))
+      .filter(col("o_orderdate")
+        < lit("1995-04-01 00:00:00").cast("timestamp"))
+      .join(Tables.lineitem(spark, dir)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("o_orderkey")),
+        Seq("o_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+
+  /** TPC-H Q7-style two-nation volume: revenue between different
+    * nations (either side in nations 0-2) per supplier nation,
+    * customer nation and ship year. The nation dimension broadcasts
+    * twice under distinct aliases and supplier broadcasts; the only
+    * fact shuffles are the orderkey and custkey joins, which AQE
+    * sizes at runtime.
+    */
+  def q7Volume(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir).select(col("l_orderkey"),
+      col("l_suppkey"), year(col("l_shipdate")).as("l_year"),
+      (col("l_extendedprice").cast(dec)
+        * (lit(1).cast(dec) - col("l_discount").cast(dec))).as("volume"))
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val n1 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation") =!= col("cust_nation")
+        && (col("s_nk") < 3 || col("c_nk") < 3))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(sum(col("volume")).cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q18-style large-volume customers: orders whose total
+    * quantity exceeds 250 joined back to orders and customer, top-100
+    * by total price. The HAVING filter collapses lineitem to
+    * qualifying orderkeys BEFORE any join — one partial-agg shuffle
+    * over the fact, then a key join whose right side has already
+    * shrunk by orders of magnitude.
+    */
+  def q18Large(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast(dec)).as("sum_qty"))
+      .filter(col("sum_qty") > 250)
+    // qualifying orders are HAVING-bounded (rare at any scale), so THEY
+    // broadcast into the customer join — broadcasting customer itself
+    // would ship a 100 TB deployment's whole customer dimension
+    val qualified = Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+    broadcast(qualified)
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_name"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate_str"),
+        col("o_totalprice"),
+        col("sum_qty").cast("double").as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   /** TPC-H Q10-style returned-item report: customers ranked by revenue
     * of returned lineitems. The returnflag filter lands in the parquet
     * scan; customer/nation are the broadcast dimensions; the only fact

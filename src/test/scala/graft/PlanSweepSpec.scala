@@ -13,10 +13,13 @@ class PlanSweepSpec extends AnyFunSuite {
 
   // joins that are MEANT to be non-broadcast at scale
   private val smjAllowed = Set(
-    "q5_region_join",     // orders x lineitem: genuinely large-large
-    "img_channel_overlap" // INTERSECT of two dataset-key sets: both
-                          // sides are fact-derived, shuffle semi join
-                          // is the right strategy
+    "q5_region_join",      // orders x lineitem: genuinely large-large
+    "q4_priority",         // orders semi lineitem keys: large-large
+    "q7_volume",           // lineitem x orders, orders x customer
+    "q18_large",           // orders x HAVING-filtered lineitem agg
+    "img_channel_overlap"  // INTERSECT of two dataset-key sets: both
+                           // sides are fact-derived, shuffle semi join
+                           // is the right strategy
   )
   // intended broadcast-nested-loop joins (non-equi or single-row sides)
   private val bnlAllowed = Set(
