@@ -75,6 +75,21 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Stream-stream join throughput: the watermarked signup-enrichment
+    * inner join (state bounded by the 30-day range condition) over the
+    * full events stream into a noop sink.
+    */
+  private def streamEnrichBench(spark: SparkSession, sfDir: String): Double = {
+    val t0 = System.nanoTime()
+    val q = graft.streaming.EventsStream
+      .enrichedWithSignup(streamingEvents(spark, sfDir))
+      .writeStream.format("noop")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    if (!q.awaitTermination(300000L)) { q.stop(); sys.error("stream timeout") }
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** Min of the runs that succeeded; None if every run failed — a
     * failed stream bench must drop out of the report, not poison the
     * total with a sentinel.
@@ -118,10 +133,13 @@ object Bench {
       minOk((1 to 2).map(_ => () => streamDedupBench(spark, sfDir)))
     val sessTime =
       minOk((1 to 2).map(_ => () => streamSessionsBench(spark, sfDir)))
+    val enrichTime =
+      minOk((1 to 2).map(_ => () => streamEnrichBench(spark, sfDir)))
     val all = results ++
       streamTime.map("stream_events_window" -> _) ++
       dedupTime.map("stream_dedup" -> _) ++
-      sessTime.map("stream_sessions" -> _)
+      sessTime.map("stream_sessions" -> _) ++
+      enrichTime.map("stream_enrich" -> _)
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (all.nonEmpty) all.map(_._2).sum else 0.0

@@ -148,6 +148,30 @@ object EventsStream {
       }
   }
 
+  /** Stream-stream enrichment join: every non-signup event joined to
+    * its user's signup events within a bounded event-time range
+    * (signup at-or-before the event, at most 30 days earlier) — the
+    * streaming sibling of the batch as-of join. BOTH sides carry
+    * watermarks and the join condition bounds event time in BOTH
+    * directions, which is what lets Spark evict join state; without
+    * the range bound a stream-stream join buffers forever. Inner join
+    * → results emit as soon as both sides match, no watermark wait.
+    * Works identically on batch inputs (the spec proves parity).
+    */
+  def enrichedWithSignup(events: DataFrame): DataFrame = {
+    val ev = events.filter(col("event_type") =!= "signup")
+      .withWatermark("ts", "1 hour")
+    val su = events.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("signup_ts"))
+      .withWatermark("signup_ts", "1 hour")
+    ev.join(su,
+      col("user_id") === col("s_user")
+        && col("signup_ts") <= col("ts")
+        && col("signup_ts") >= col("ts") - expr("INTERVAL 30 DAYS"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("signup_ts"))
+  }
+
   /** Streaming exactly-once dedup: drop re-delivered events by id
     * inside the watermark horizon — the ingest-side twin of the batch
     * exact-dedup operator. dropDuplicatesWithinWatermark keys state on

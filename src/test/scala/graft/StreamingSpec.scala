@@ -34,6 +34,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamResult.sameElements(batchResult))
   }
 
+  test("stream-stream signup enrichment matches the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batchInput = EventsStream.eventsAsTimestamps(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val batchResult = EventsStream.enrichedWithSignup(batchInput)
+      .select("event_id", "signup_ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime)).toSet
+    assert(batchResult.nonEmpty, "no signup matches in the corpus")
+    val stream = MemoryStream[Event]
+    stream.addData(batchInput.as[Event].collect().toIndexedSeq)
+    val q = EventsStream.enrichedWithSignup(stream.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamResult = spark.table("enrich_out")
+      .select("event_id", "signup_ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime)).toSet
+    assert(streamResult === batchResult)
+  }
+
   test("streaming dedup drops redelivered events within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
