@@ -1415,6 +1415,29 @@ FROM perdoc
 GROUP BY source
 ORDER BY source"""
 
+  /** Byte-exact twin of
+    * [[graft.multimodal.BinaryFrames.payloadStats]]: the payload is
+    * unhex(sha256)×2, so every byte value is recomputed from the hex
+    * string with strpos integer arithmetic — no blob math needed.
+    */
+  val imgPayloadStats: String = imagingCte + """
+, pb AS (
+  SELECT frames_global_id AS dataset_id,
+    list_transform(range(0, 32),
+      i -> (strpos('0123456789abcdef', substr(sha256, 2*i + 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(sha256, 2*i + 2, 1)) - 1))
+      AS bytes
+  FROM frames
+)
+SELECT d.dataset_serial,
+  CAST(count(*) AS BIGINT) AS n_frames,
+  CAST(sum(64) AS BIGINT) AS total_bytes,
+  CAST(sum(2 * list_sum(bytes)) AS BIGINT) AS sum_byte_values,
+  CAST(max(list_max(bytes)) AS INT) AS max_byte
+FROM pb JOIN data_set d ON pb.dataset_id = d.id
+GROUP BY d.dataset_serial
+ORDER BY d.dataset_serial"""
+
   val q4Priority: String = """
 SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
 FROM orders o
@@ -1461,6 +1484,7 @@ LIMIT 100"""
     "q4_priority" -> q4Priority,
     "q7_volume" -> q7Volume,
     "q18_large" -> q18Large,
+    "img_payload_stats" -> imgPayloadStats,
     "img_parse_sms_channel" -> imgParseSmsChannel,
     "img_meta_validate" -> imgMetaValidate,
     "doc_decontaminate" -> docDecontaminate,

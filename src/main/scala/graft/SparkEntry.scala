@@ -85,6 +85,8 @@ object SparkEntry {
     "doc_repetition" -> (TextOps.repetition(_, _)),
     "emb_kmeans_step" -> (VectorOps.kmeansStep(_, _)),
     "events_anomaly" -> (EventOps.eventsAnomaly(_, _)),
+    "img_payload_stats" ->
+      (graft.multimodal.BinaryFrames.payloadStats(_, _)),
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the

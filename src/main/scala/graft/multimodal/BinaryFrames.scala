@@ -21,7 +21,7 @@ import graft.imaging.ImagingModel
 object BinaryFrames {
 
   case class FrameFeature(frame_id: Long, width: Int, height: Int,
-    n_bytes: Int, mean_byte: Double, max_byte: Int)
+    n_bytes: Int, sum_bytes: Long, mean_byte: Double, max_byte: Int)
 
   /** Frames with a deterministic fake binary payload (64 bytes derived
     * from the sha256 hex — 2 bytes per hex char via unhex+repeat).
@@ -36,7 +36,7 @@ object BinaryFrames {
   /** STUB decode: byte statistics standing in for pixel decode.
     * Replace with a real codec (cv2.imdecode equivalent) off-cluster.
     */
-  private def decodeBytes(payload: Array[Byte]): (Double, Int) = {
+  private def decodeBytes(payload: Array[Byte]): (Long, Int) = {
     // ??? real codec goes here — deterministic byte stats until then
     var sum = 0L
     var max = 0
@@ -47,7 +47,7 @@ object BinaryFrames {
       if (v > max) max = v
       i += 1
     }
-    (if (payload.length == 0) 0.0 else sum.toDouble / payload.length, max)
+    (sum, max)
   }
 
   /** Per-partition batched "decode": the exact shape a mapInPandas /
@@ -61,10 +61,37 @@ object BinaryFrames {
       .mapPartitions { rows =>
         // codec/session init would happen once per partition here
         rows.map { case (id, payload, w, h) =>
-          val (mean, max) = decodeBytes(payload)
-          FrameFeature(id, w, h, payload.length, mean, max)
+          val (sum, max) = decodeBytes(payload)
+          val mean = if (payload.length == 0) 0.0
+            else sum.toDouble / payload.length
+          FrameFeature(id, w, h, payload.length, sum, mean, max)
         }
       }
+  }
+
+  /** Per-dataset payload statistics THROUGH the binary decode path —
+    * the driver-checked query that proves the multimodal plumbing end
+    * to end: real binary payloads flow through the typed mapPartitions
+    * decode, and the per-dataset roll-up (frame count, byte volume,
+    * exact byte-value sums, max byte) hash-matches a DuckDB oracle
+    * that recomputes the same bytes from the sha256 hex with integer
+    * arithmetic. Everything aggregated is an exact integer, so the
+    * parity is bit-level. frame_id div 10 recovers the dataset key
+    * (id = orderkey*10 + linenumber, linenumber ≤ 7 by §3).
+    */
+  def payloadStats(spark: SparkSession, dir: String): DataFrame = {
+    val feats = decodeStub(spark, withPayload(spark, dir)).toDF()
+      .withColumn("dataset_id", expr("frame_id div 10"))
+    feats
+      .join(broadcast(ImagingModel.dataSet(spark, dir)
+        .select(col("id").as("ds_id"), col("dataset_serial"))),
+        col("dataset_id") === col("ds_id"))
+      .groupBy("dataset_serial")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("n_bytes").cast("bigint")).as("total_bytes"),
+        sum(col("sum_bytes")).as("sum_byte_values"),
+        max(col("max_byte")).as("max_byte"))
+      .orderBy("dataset_serial")
   }
 
   /** Stack reassembly — the download path of the reference
