@@ -88,6 +88,47 @@ class SkewSpec extends AnyFunSuite {
       "salted agg plan lost its salt column in the exchange")
   }
 
+  test("AQE splits a skewed sort-merge join at runtime") {
+    // prove the OTHER half of the skew story: for sort-merge joins AQE
+    // itself splits the oversized partition (no salt needed). Plant a
+    // 90%-hot key with a fat payload, force SMJ, lower the skew
+    // thresholds so test-scale data trips them, and assert the final
+    // adaptive plan marked the join skewed.
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16384")
+    val saved = confs.keys.map(k =>
+      k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = spark.range(200000)
+        .select(
+          when(col("id") % 10 =!= 0, lit(42L)).otherwise(col("id")).as("k"),
+          concat(lit("x"), lpad(col("id").cast("string"), 64, "0"))
+            .as("payload"))
+      val dim = spark.range(2000).select(col("id").as("k"),
+        concat(lit("d"), col("id").cast("string")).as("label"))
+      // global aggregate above the join: a groupBy(k) there would
+      // REQUIRE hashpartitioning(k) and AQE would refuse to split the
+      // skewed partition (the split breaks that distribution); the
+      // payload length keeps the fat column un-pruned so the hot
+      // partition actually exceeds the threshold
+      val joined = fact.join(dim, "k")
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("payload"))).as("bytes"))
+      joined.collect()
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted join matches the plain join") {
     val dim = Seq((42L, "hot"), (10L, "ten"), (20L, "twenty"))
       .toDF("k", "label")
