@@ -82,8 +82,17 @@ object DedupOps {
   def minhashPairs(spark: SparkSession, dir: String): DataFrame =
     minhashPairsOf(corpus(spark, dir))
 
-  /** MinHash-LSH near-dup pairs over any (doc_id, text) set. */
-  def minhashPairsOf(source: DataFrame): DataFrame = {
+  /** MinHash-LSH near-dup pairs over any (doc_id, text) set.
+    *
+    * Tunables (defaults = the driver-checked configuration):
+    *  - `jaccardMin`: confirmation threshold; raise band count (lower
+    *    `bandRows`) when lowering it, or recall drops;
+    *  - `maxBucket`: the skew cap — at larger corpora raise band
+    *    WIDTH (via `bandRows`) rather than the cap, so buckets stay
+    *    small instead of being dropped.
+    */
+  def minhashPairsOf(source: DataFrame, jaccardMin: Double = 0.7,
+      maxBucket: Int = 1000): DataFrame = {
     val docs = withShingles(source).select("doc_id", "shset")
     // base shingle hash = top 28 bits of md5: engine-portable (the
     // DuckDB oracle computes the identical value), already < P so the
@@ -114,7 +123,6 @@ object DedupOps {
     // avoids a self-join that would run the signature pipeline twice.
     // Buckets are capped (skew guard): a degenerate bucket of B docs
     // would otherwise emit B² pairs.
-    val maxBucket = 1000
     val cand = buckets.groupBy("band", "bh")
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
@@ -134,7 +142,7 @@ object DedupOps {
       .withColumn("jaccard", round(
         size(array_intersect(s1, s2)).cast("double")
           / size(array_union(s1, s2)), 4))
-      .filter(col("jaccard") >= 0.7)
+      .filter(col("jaccard") >= jaccardMin)
       .select("doc1", "doc2", "jaccard")
   }
 
