@@ -1478,9 +1478,30 @@ JOIN customer ON o_custkey = c_custkey
 ORDER BY o_totalprice DESC, o_orderkey
 LIMIT 100"""
 
+  /** Inter-arrival twin of
+    * [[graft.ops.EventOps.eventsInterArrival]]: same (user, type) lag
+    * window, same double gap conversion, quantile_cont ↔ percentile.
+    */
+  val eventsInterArrival: String = """
+WITH gaps AS (
+  SELECT event_type,
+    CAST(epoch_ns(ts) - epoch_ns(lag(ts) OVER (
+      PARTITION BY user_id, event_type ORDER BY ts, event_id))
+      AS DOUBLE) / 1000000000 AS gap_sec
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+  round(quantile_cont(gap_sec, 0.5), 4) AS p50_gap_sec,
+  round(quantile_cont(gap_sec, 0.9), 4) AS p90_gap_sec
+FROM gaps
+WHERE gap_sec IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type"""
+
   /** Every oracle, keyed like SparkEntry.queries. */
   def all: Map[String, String] = Map(
     "doc_repetition" -> docRepetition,
+    "events_inter_arrival" -> eventsInterArrival,
     "q4_priority" -> q4Priority,
     "q7_volume" -> q7Volume,
     "q18_large" -> q18Large,

@@ -85,6 +85,7 @@ object SparkEntry {
     "doc_repetition" -> (TextOps.repetition(_, _)),
     "emb_kmeans_step" -> (VectorOps.kmeansStep(_, _)),
     "events_anomaly" -> (EventOps.eventsAnomaly(_, _)),
+    "events_inter_arrival" -> (EventOps.eventsInterArrival(_, _)),
     "img_payload_stats" ->
       (graft.multimodal.BinaryFrames.payloadStats(_, _)),
   )

@@ -166,6 +166,30 @@ object EventOps {
       .orderBy("event_type", "day")
   }
 
+  /** Inter-arrival-time profile: per event type, exact p50/p90 of the
+    * gap (seconds) between a user's consecutive events of that type —
+    * the latency/cadence profile behind rate limiting and session-gap
+    * tuning. The lag window and the nothing-else-shared percentile
+    * aggregate are both keyed off one (user, type) exchange; gaps are
+    * exact integer nanos so the interpolated percentiles are
+    * engine-identical (Spark `percentile` ↔ DuckDB `quantile_cont`).
+    */
+  def eventsInterArrival(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy("ts", "event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev", lag("ts", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("gap_sec",
+        ((col("ts") - col("prev")).cast("double") / NanosPerSec))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        round(expr("percentile(gap_sec, 0.5)"), 4).as("p50_gap_sec"),
+        round(expr("percentile(gap_sec, 0.9)"), 4).as("p90_gap_sec"))
+      .orderBy("event_type")
+  }
+
   def eventsTransitions(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
     Tables.events(spark, dir)
