@@ -93,6 +93,30 @@ class ImagingSpec extends AnyFunSuite {
     assert(gName.except(gMeta).count() === 0)
   }
 
+  test("meta audit counts exactly the planted violation rates") {
+    val f = ImagingModel.frames(spark, sfDir)
+    val expectedMissing = f.filter(col("id") % 7 === 0).count()
+    val expectedBadType = f.filter(col("id") % 11 === 0
+      || col("id") % 13 === 0).count()
+    val audit = ImagingOps.metaValidate(spark, sfDir)
+      .agg(sum("n_missing_key"), sum("n_type_mismatch"), sum("n_frames"),
+        sum("n_valid")).head()
+    assert(audit.getLong(0) === expectedMissing)
+    assert(audit.getLong(1) === expectedBadType)
+    // every frame is either valid or flagged (flags can overlap)
+    assert(audit.getLong(3) <= audit.getLong(2))
+    assert(audit.getLong(3) >=
+      audit.getLong(2) - expectedMissing - expectedBadType)
+  }
+
+  test("needle queries return empty, not errors, for unknown serials") {
+    import graft.imaging.ImagingDb
+    val none = "NOPE-2099-01-01-00-00-00-9999"
+    assert(ImagingDb.getFramesSubset(spark, sfDir, none).count() === 0)
+    assert(ImagingDb.getFramesMeta(spark, sfDir, none).count() === 0)
+    assert(ImagingDb.getFilenames(spark, sfDir, none).count() === 0)
+  }
+
   test("ingest flags already-registered datasets") {
     val listing = ImagingModel.frames(spark, sfDir).limit(100)
       .select(lit("NEW-2026-01-01-00-00-00-1").as("dataset_serial"),
