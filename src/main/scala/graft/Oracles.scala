@@ -1498,10 +1498,31 @@ WHERE gap_sec IS NOT NULL
 GROUP BY event_type
 ORDER BY event_type"""
 
+  /** Range-join twin of [[graft.ops.EventOps.eventsRangeJoin]]: the
+    * same synthesized windows, joined by a plain containment predicate
+    * (DuckDB plans its own inequality join — only the RESULT must
+    * match the custom operator's).
+    */
+  val eventsRangeJoin: String = """
+WITH windows AS (
+  SELECT i AS window_id,
+    1704067200000000000 + i * 10800000000000 AS start_ns,
+    1704067200000000000 + i * 10800000000000
+      + (2 + i % 5) * 3600000000000 AS end_ns
+  FROM range(240) t(i)
+)
+SELECT window_id, CAST(count(*) AS BIGINT) AS n_events,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events e JOIN windows w
+  ON epoch_ns(e.ts) >= w.start_ns AND epoch_ns(e.ts) < w.end_ns
+GROUP BY window_id
+ORDER BY window_id"""
+
   /** Every oracle, keyed like SparkEntry.queries. */
   def all: Map[String, String] = Map(
     "doc_repetition" -> docRepetition,
     "events_inter_arrival" -> eventsInterArrival,
+    "events_range_join" -> eventsRangeJoin,
     "q4_priority" -> q4Priority,
     "q7_volume" -> q7Volume,
     "q18_large" -> q18Large,

@@ -86,6 +86,7 @@ object SparkEntry {
     "emb_kmeans_step" -> (VectorOps.kmeansStep(_, _)),
     "events_anomaly" -> (EventOps.eventsAnomaly(_, _)),
     "events_inter_arrival" -> (EventOps.eventsInterArrival(_, _)),
+    "events_range_join" -> (EventOps.eventsRangeJoin(_, _)),
     "img_payload_stats" ->
       (graft.multimodal.BinaryFrames.payloadStats(_, _)),
   )

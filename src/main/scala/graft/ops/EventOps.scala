@@ -190,6 +190,33 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** Events-in-windows via the custom broadcast RANGE JOIN operator
+    * ([[graft.plans.RangeJoinExec]]): 240 synthesized 2-6 h
+    * maintenance windows on a 3 h stride (overlapping by
+    * construction) joined to every event whose timestamp falls inside
+    * — per-window event and user counts. Spark's native plan for the
+    * containment predicate is an O(|L|·|R|) nested loop; the custom
+    * operator pays O(log |R| + overlap) per event and never shuffles
+    * the fact at all (one partial-agg exchange for the counts only).
+    */
+  def eventsRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val baseNs = 1704067200L * NanosPerSec // 2024-01-01T00:00:00Z
+    val hourNs = 3600L * NanosPerSec
+    val windows = spark.range(240).select(
+      col("id").as("window_id"),
+      (lit(baseNs) + col("id") * (3 * hourNs)).as("start_ns"),
+      (lit(baseNs) + col("id") * (3 * hourNs)
+        + (lit(2L) + col("id") % 5) * hourNs).as("end_ns"))
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    graft.plans.RangeJoinOp
+      .rangeJoin(ev, windows, "ts", "start_ns", "end_ns")
+      .groupBy("window_id")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("window_id")
+  }
+
   def eventsTransitions(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
     Tables.events(spark, dir)

@@ -98,6 +98,8 @@ object GraftStrategies extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoin(l, r, lk, rk, lt, rt) =>
       AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case RangeJoin(l, r, lt, rs, re) =>
+      RangeJoinExec(planLater(l), planLater(r), lt, rs, re) :: Nil
     case _ => Nil
   }
 }
