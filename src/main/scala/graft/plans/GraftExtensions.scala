@@ -9,7 +9,10 @@ import graft.functions.{HyperplaneBits, MinHashSig, SimHashVotes, WordNGrams}
 
 /** SparkSessionExtensions entry point: registers graft's custom
   * expressions for SQL use, so `SELECT word_ngrams(text, 3)` works in
-  * plain spark.sql alongside the Column API.
+  * plain spark.sql alongside the Column API, plus the planner
+  * strategy for the custom operators ([[AsOfJoinExec]],
+  * [[RangeJoinExec]]) so sessions configured with the extension don't
+  * depend on the helper objects' lazy strategy injection.
   *
   * Install with:
   * {{{
@@ -19,6 +22,7 @@ import graft.functions.{HyperplaneBits, MinHashSig, SimHashVotes, WordNGrams}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => GraftStrategies)
     ext.injectFunction(GraftExtensions.wordNGramsDescriptor)
     ext.injectFunction(GraftExtensions.hyperplaneBitsDescriptor)
     ext.injectFunction(GraftExtensions.minhashSigDescriptor)
