@@ -63,8 +63,17 @@ object VectorOps {
         .filter(col("crank") <= keep)
         .select(col(idCol), col(vecCol), col("cid").as("cell"))
     }
-    val assigned = nearestCells(
-      e.select(col("vec_id"), col("embedding")), "vec_id", "embedding", 1)
+    // hot path (whole corpus, keep=1): lexicographic-min aggregate
+    // instead of a window — the 16-candidate expansion collapses
+    // map-side, so the exchange carries N rows, not 16N. The probe
+    // side keeps the window (keep=4 over 10 queries — trivial).
+    val assigned = e.select(col("vec_id"), col("embedding"))
+      .join(broadcast(cents), col("cid") =!= lit(-1))
+      .withColumn("cdist", -cosine(col("embedding"), col("cv")))
+      .groupBy("vec_id")
+      .agg(min(struct(col("cdist"), col("cid"), col("embedding"))).as("m"))
+      .select(col("vec_id"), col("m.embedding").as("embedding"),
+        col("m.cid").as("cell"))
     val probes = nearestCells(
       e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qv")),
@@ -179,19 +188,21 @@ object VectorOps {
       .select(col("cid"), col("m"), col("sub").as("csub"))
 
   /** PQ assignment: every vector's nearest sub-centroid per subspace
-    * (ties to the smaller cid) — (vec_id, label, m, cid).
+    * (ties to the smaller cid) — (vec_id, label, m, cid). The argmin
+    * is a lexicographic-min aggregate over struct(dist, cid), so the
+    * per-row 16-candidate expansion collapses in the map-side partial
+    * — a row_number window here would shuffle 8×16×N rows.
     */
   private def pqAssign(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id", "m").orderBy(col("dist"), col("cid"))
     subspaces(e.select(col("vec_id"), col("label"), col("embedding")),
       "embedding")
       .join(broadcast(pqCents(e)), Seq("m"))
       .withColumn("dist", subL2)
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select("vec_id", "label", "m", "cid")
+      .groupBy("vec_id", "label", "m")
+      .agg(min(struct(col("dist"), col("cid"))).as("mn"))
+      .select(col("vec_id"), col("label"), col("m"),
+        col("mn.cid").as("cid"))
   }
 
   /** PQ ANN search (asymmetric distance computation): each query keeps
@@ -245,16 +256,20 @@ object VectorOps {
         (x, y) -> (cast(x as double) - cast(y as double))
                 * (cast(x as double) - cast(y as double))),
         0D, (acc, v) -> acc + v)""")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("dist"), col("cid"))
+    // nearest centroid as ONE lexicographic-min aggregate over
+    // struct(dist, cid, embedding) — identical semantics to a
+    // row_number window ordered by (dist, cid), but the partial
+    // aggregation collapses each row's 16 candidates map-side, so the
+    // exchange carries N rows instead of 16N (the window would
+    // shuffle the full cross join)
     val assigned = e.select(col("vec_id"), col("embedding"))
       .join(broadcast(e.filter(col("vec_id") < 16)
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))),
         col("cid") =!= lit(-1))
       .withColumn("dist", l2)
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select("cid", "embedding")
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("cid"), col("embedding"))).as("m"))
+      .select(col("m.cid").as("cid"), col("m.embedding").as("embedding"))
     assigned
       .select(col("cid"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .groupBy("cid", "dim")
