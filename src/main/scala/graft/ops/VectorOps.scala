@@ -88,16 +88,22 @@ object VectorOps {
     topK(scored, 5)
   }
 
-  private def topK(scored: DataFrame, k: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
-    scored
-      .withColumn("rank", row_number().over(w).cast("bigint"))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("vec_id").as("neighbor"),
-        round(col("sim"), 6).as("sim"), col("rank"))
+  /** Per-query top-k via the bounded [[graft.functions.TopKByScore]]
+    * aggregate: each task's partial caps its contribution at k rows
+    * per query, so the exchange carries k×tasks rows per query — a
+    * row_number window here would shuffle EVERY scored candidate
+    * (|Q|×N for brute force). Ordering identical to
+    * `row_number over (order by sim desc, vec_id)`.
+    */
+  private def topK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("qid")
+      .agg(graft.functions.TopKByScore
+        .topk(col("sim"), col("vec_id"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("p", "t")))
+      .select(col("qid"), col("t.id").as("neighbor"),
+        round(col("t.score"), 6).as("sim"),
+        (col("p") + 1).cast("bigint").as("rank"))
       .orderBy("qid", "rank")
-  }
 
   /** Embedding-cosine near-duplicate pairs via random-hyperplane LSH:
     * 64 sign bits (hyperplane components are deterministic ±1 literals,
@@ -225,12 +231,16 @@ object VectorOps {
       .filter(col("qid") =!= col("vec_id"))
       .groupBy("qid", "vec_id")
       .agg(round(sum("dist"), 6).as("adc_dist"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("adc_dist"), col("vec_id"))
-    adc.withColumn("rank", row_number().over(w).cast("bigint"))
-      .filter(col("rank") <= 5)
-      .select(col("qid"), col("vec_id").as("neighbor"),
-        col("adc_dist"), col("rank"))
+    // smallest-distance top-5 via the bounded aggregate (asc variant)
+    // — same ordering as row_number over (adc_dist, vec_id), but the
+    // per-query candidate set collapses map-side
+    adc.groupBy("qid")
+      .agg(graft.functions.TopKByScore
+        .topkAsc(col("adc_dist"), col("vec_id"), 5).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("p", "t")))
+      .select(col("qid"), col("t.id").as("neighbor"),
+        col("t.score").as("adc_dist"),
+        (col("p") + 1).cast("bigint").as("rank"))
       .orderBy("qid", "rank")
   }
 
