@@ -270,19 +270,23 @@ object TextOps {
       .orderBy("source")
   }
 
-  /** Top-3 longest documents per source — the per-group top-k pattern
-    * (partitioned window + rank filter): shuffles once on source and
-    * never materializes a global sort, unlike an ORDER BY ... LIMIT.
+  /** Top-3 longest documents per source via the bounded
+    * [[graft.functions.TopKByScore]] aggregate. A per-source
+    * row_number window would hash the WHOLE corpus into
+    * one-partition-per-source (a handful of reducers own 100 TB —
+    * the straggler shape); the aggregate's map-side partials cap each
+    * task at 3 rows per source, so the exchange is trivial at any
+    * scale. n_chars round-trips exactly through the double score
+    * (< 2^53).
     */
-  def topPerSource(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("source")
-      .orderBy(col("n_chars").desc, col("doc_id"))
+  def topPerSource(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("n_chars"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 3)
-      .select(col("source"), col("rnk").cast("bigint").as("rnk"),
-        col("doc_id"), col("n_chars"))
+      .groupBy("source")
+      .agg(graft.functions.TopKByScore
+        .topk(col("n_chars").cast("double"), col("doc_id"), 3).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("p", "t")))
+      .select(col("source"), (col("p") + 1).cast("bigint").as("rnk"),
+        col("t.id").as("doc_id"), col("t.score").cast("bigint").as("n_chars"))
       .orderBy("source", "rnk")
-  }
 }
