@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{HyperplaneBits, MinHashSig, SimHashVotes, WordNGrams}
+import graft.functions.{HyperplaneBits, MinHashSig, SimHashVotes, TopKByScore, WordNGrams}
 
 /** SparkSessionExtensions entry point: registers graft's custom
   * expressions for SQL use, so `SELECT word_ngrams(text, 3)` works in
@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.hyperplaneBitsDescriptor)
     ext.injectFunction(GraftExtensions.minhashSigDescriptor)
     ext.injectFunction(GraftExtensions.simhashVotesDescriptor)
+    ext.injectFunction(GraftExtensions.topKDescriptor)
   }
 }
 
@@ -80,9 +81,19 @@ object GraftExtensions {
         "simhash_votes(token_hash[, bits]) takes 1 or 2 arguments")
     })
 
+  val topKDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("topk_by_score"),
+    new ExpressionInfo(classOf[TopKByScore].getName, "topk_by_score"),
+    (args: Seq[Expression]) => args match {
+      case Seq(s, i, k) => TopKByScore(s, i, intArg(k, "k"))
+      case _ => throw new IllegalArgumentException(
+        "topk_by_score(score, id, k) takes 3 arguments")
+    })
+
   private val allDescriptors =
     Seq(wordNGramsDescriptor, hyperplaneBitsDescriptor,
-      minhashSigDescriptor, simhashVotesDescriptor)
+      minhashSigDescriptor, simhashVotesDescriptor, topKDescriptor)
 
   /** Register on an existing session (tests / REPL convenience). */
   def install(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -62,6 +62,17 @@ class SourcesSpec extends AnyFunSuite {
     assert(row.getSeq[String](1) === Seq("a b"))
   }
 
+  test("topk_by_score is callable from SQL once extensions install") {
+    GraftExtensions.install(spark)
+    val top = spark.sql("""
+      SELECT topk_by_score(s, i, 2) AS top FROM VALUES
+        (1.0D, 10L), (3.0D, 30L), (2.0D, 20L), (3.0D, 7L) AS t(s, i)""")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    // best-first: score 3.0 tie broken to the smaller id
+    assert(top.map(r => (r.getDouble(0), r.getLong(1))) ===
+      Seq((3.0, 7L), (3.0, 30L)))
+  }
+
   test("hyperplane_bits and minhash_sig work from SQL") {
     GraftExtensions.install(spark)
     // a constant vector: fp bit j = 1 iff plane j's signs sum positive
