@@ -1518,9 +1518,30 @@ FROM events e JOIN windows w
 GROUP BY window_id
 ORDER BY window_id"""
 
+  /** Hash-sample twin of [[graft.ops.TextOps.hashSample]] — identical
+    * md5-prefix bucket arithmetic.
+    */
+  val docHashSample: String = """
+WITH b AS (
+  SELECT doc_id, source,
+    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+      % 100 AS bucket
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN bucket < 10 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_sampled,
+  round(sum(CASE WHEN bucket < 10 THEN 1 ELSE 0 END) * 100.0
+    / count(*), 2) AS pct,
+  min(CASE WHEN bucket < 10 THEN doc_id END) AS first_sampled
+FROM b
+GROUP BY source
+ORDER BY source"""
+
   /** Every oracle, keyed like SparkEntry.queries. */
   def all: Map[String, String] = Map(
     "doc_repetition" -> docRepetition,
+    "doc_hash_sample" -> docHashSample,
     "events_inter_arrival" -> eventsInterArrival,
     "events_range_join" -> eventsRangeJoin,
     "q4_priority" -> q4Priority,

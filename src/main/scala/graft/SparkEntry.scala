@@ -83,6 +83,7 @@ object SparkEntry {
     "doc_minhash_recall" -> (DedupOps.minhashRecall(_, _)),
     "doc_decontaminate" -> (DedupOps.decontaminate(_, _)),
     "doc_repetition" -> (TextOps.repetition(_, _)),
+    "doc_hash_sample" -> (TextOps.hashSample(_, _)),
     "emb_kmeans_step" -> (VectorOps.kmeansStep(_, _)),
     "events_anomaly" -> (EventOps.eventsAnomaly(_, _)),
     "events_inter_arrival" -> (EventOps.eventsInterArrival(_, _)),

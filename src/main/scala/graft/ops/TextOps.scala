@@ -121,6 +121,31 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Deterministic hash-Bernoulli sample — the 100 TB sampling shape:
+    * a doc is kept iff md5(doc_id) mod 100 < 10, a pure per-row
+    * filter with NO window and NO shuffle before the audit roll-up.
+    * Re-runs (and either engine) select the identical rows, which is
+    * what [[stratifiedSample]]'s per-source ordering buys at small
+    * scale; this is its scale path (the rate is ~10% per source by
+    * hash uniformity rather than exactly ceil(10%)). Output audits
+    * the per-source realized rates.
+    */
+  def hashSample(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = expr(
+      """cast(conv(substring(md5(cast(doc_id as string)), 1, 7), 16, 10)
+         as bigint) % 100""")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), bucket.as("bucket"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("bucket") < 10).cast("int")).as("n_sampled"),
+        min(when(col("bucket") < 10, col("doc_id"))).as("first_sampled"))
+      .select(col("source"), col("n_docs"), col("n_sampled"),
+        round(col("n_sampled") * 100.0 / col("n_docs"), 2).as("pct"),
+        col("first_sampled"))
+      .orderBy("source")
+  }
+
   /** Document-length histogram: fixed-width 50-char buckets (capped at
     * bucket 11) — a single partial-agg shuffle on at most 12 keys, the
     * distribution profile a corpus QA pass starts from.
