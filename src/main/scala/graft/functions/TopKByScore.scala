@@ -7,7 +7,7 @@ import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -33,12 +33,15 @@ case class TopKByScore(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[ArrayBuffer[(Double, Long)]]
-  with BinaryLike[Expression] {
+  with ImplicitCastInputTypes with BinaryLike[Expression] {
 
   require(k >= 1, s"k must be >= 1, got $k")
 
   override def left: Expression = score
   override def right: Expression = id
+  // analysis-time coercion: an INT score or id gets cast instead of
+  // throwing ClassCastException mid-job from the raw unboxing below
+  override def inputTypes = Seq(DoubleType, LongType)
 
   /** true when (s1, i1) ranks strictly better than (s2, i2). */
   private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {

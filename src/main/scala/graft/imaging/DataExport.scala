@@ -33,8 +33,7 @@ object DataExport {
       datasetSerial: String): DataFrame =
     ImagingOps.globalMeta(spark, dir)
       .filter(col("dataset_serial") === datasetSerial)
-      .select("dataset_serial",
-        GlobalMetaKeys.filterNot(_ == "dataset_serial"): _*)
+      .select("dataset_serial", GlobalMetaKeys: _*)
 
   /** Write `frames_meta.csv` (directory with a single part file —
     * object-store layout) and `global_metadata.json` for one dataset
@@ -51,6 +50,9 @@ object DataExport {
       s"expected one global-meta row for $datasetSerial, got ${gRows.length}")
     Files.createDirectories(Paths.get(outDir))
     Files.writeString(Paths.get(s"$outDir/global_metadata.json"), gRows.head)
-    fm.count()
+    // count the written artifact, not the source plan — re-counting fm
+    // would re-execute the whole needle query a second time
+    spark.read.option("header", "true").csv(s"$outDir/frames_meta.csv")
+      .count()
   }
 }

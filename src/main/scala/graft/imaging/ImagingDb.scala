@@ -48,6 +48,23 @@ object ImagingDb {
     ds.orderBy("dataset_serial")
   }
 
+  /** The reference's optional dimension IN-lists applied to a frames
+    * slice (None = unconstrained) — shared by [[getFramesSubset]] and
+    * [[getFilenames]] so the two APIs cannot drift apart.
+    */
+  private def applyFrameFilters(frames0: DataFrame,
+      channelNames: Option[Seq[String]], channelIds: Option[Seq[Int]],
+      sliceIds: Option[Seq[Int]], timeIds: Option[Seq[Int]],
+      posIds: Option[Seq[Int]]): DataFrame = {
+    var f = frames0
+    channelNames.foreach(cs => f = f.filter(col("channel_name").isin(cs: _*)))
+    channelIds.foreach(cs => f = f.filter(col("channel_idx").isin(cs: _*)))
+    sliceIds.foreach(zs => f = f.filter(col("slice_idx").isin(zs: _*)))
+    timeIds.foreach(ts => f = f.filter(col("time_idx").isin(ts: _*)))
+    posIds.foreach(ps => f = f.filter(col("pos_idx").isin(ps: _*)))
+    f
+  }
+
   /** Frames of one dataset sliced on any combination of channel
     * names/indices, slices, times and positions (None = unconstrained,
     * as in the reference's pos_ids/time_ids/... kwargs).
@@ -62,13 +79,10 @@ object ImagingDb {
     val target = dataSet(spark, dir)
       .filter(col("dataset_serial") === datasetSerial)
       .select(col("id").as("ds_id"), col("dataset_serial"))
-    var f = frames(spark, dir)
-      .join(broadcast(target), col("frames_global_id") === col("ds_id"))
-    channelNames.foreach(cs => f = f.filter(col("channel_name").isin(cs: _*)))
-    channelIds.foreach(cs => f = f.filter(col("channel_idx").isin(cs: _*)))
-    sliceIds.foreach(zs => f = f.filter(col("slice_idx").isin(zs: _*)))
-    timeIds.foreach(ts => f = f.filter(col("time_idx").isin(ts: _*)))
-    posIds.foreach(ps => f = f.filter(col("pos_idx").isin(ps: _*)))
+    val f = applyFrameFilters(
+      frames(spark, dir)
+        .join(broadcast(target), col("frames_global_id") === col("ds_id")),
+      channelNames, channelIds, sliceIds, timeIds, posIds)
     f.select("dataset_serial", "channel_idx", "slice_idx", "time_idx",
         "pos_idx", "channel_name", "file_name", "sha256")
       .orderBy("file_name", "sha256")
@@ -116,13 +130,10 @@ object ImagingDb {
       .filter(col("dataset_serial") === datasetSerial)
       .select(col("id").as("ds_id"), col("dataset_serial"),
         concat(lit("raw_frames/"), col("dataset_serial")).as("storage_dir"))
-    var f = frames(spark, dir)
-      .join(broadcast(target), col("frames_global_id") === col("ds_id"))
-    channelNames.foreach(cs => f = f.filter(col("channel_name").isin(cs: _*)))
-    channelIds.foreach(cs => f = f.filter(col("channel_idx").isin(cs: _*)))
-    sliceIds.foreach(zs => f = f.filter(col("slice_idx").isin(zs: _*)))
-    timeIds.foreach(ts => f = f.filter(col("time_idx").isin(ts: _*)))
-    posIds.foreach(ps => f = f.filter(col("pos_idx").isin(ps: _*)))
+    val f = applyFrameFilters(
+      frames(spark, dir)
+        .join(broadcast(target), col("frames_global_id") === col("ds_id")),
+      channelNames, channelIds, sliceIds, timeIds, posIds)
     val frameFiles = f.select("dataset_serial", "storage_dir", "file_name")
     val wholeFiles = fileGlobal(spark, dir)
       .join(broadcast(target.drop("storage_dir")),

@@ -49,9 +49,13 @@ case class RangeJoinExec(
     val rEnd = BindReferences.bindReference(rightEnd, right.output)
     // collect + sort the interval side once on the driver (the
     // declared-small side), then broadcast the sorted arrays
-    val sorted = right.executeCollect().map { r =>
-      (rStart.eval(r).asInstanceOf[Long],
-        rEnd.eval(r).asInstanceOf[Long], r.copy())
+    // NULL bounds match nothing (standard join semantics) — without
+    // the guard a null would unbox to 0L and fabricate [0, 0) rows
+    val sorted = right.executeCollect().flatMap { r =>
+      val s = rStart.eval(r)
+      val e = rEnd.eval(r)
+      if (s == null || e == null) None
+      else Some((s.asInstanceOf[Long], e.asInstanceOf[Long], r.copy()))
     }.sortBy(_._1)
     val starts = sorted.map(_._1)
     val ends = sorted.map(_._2)
@@ -72,7 +76,9 @@ case class RangeJoinExec(
       val proj = UnsafeProjection.create(outputAttrs, outputAttrs)
       val joined = new JoinedRow
       lIter.flatMap { lRow =>
-        val t = lTime.eval(lRow).asInstanceOf[Long]
+        val tv = lTime.eval(lRow)
+        if (tv == null) Iterator.empty else {
+        val t = tv.asInstanceOf[Long]
         // last interval with start <= t
         var lo = 0
         var hi = bStarts.length - 1
@@ -93,6 +99,7 @@ case class RangeJoinExec(
             j -= 1
           }
           out.result().iterator
+        }
         }
       }
     }
