@@ -344,21 +344,30 @@ object ImagingOps {
   def metaValidate(spark: SparkSession, dir: String): DataFrame = {
     val required = Seq("ChannelIndex", "Slice", "FrameIndex",
       "PositionIndex", "Channel")
-    def path(k: String) = s"$$.MicroManagerMetadata.$k"
+    // TWO JSON parses per row, not ten: one get_json_object pulls the
+    // MicroManagerMetadata subobject, one json_tuple extracts all five
+    // required fields from it in a single pass — at 100 TB the parse
+    // count IS the cost of this audit
+    val withFields = frames(spark, dir)
+      .select(col("frames_global_id"), col("metadata_json"),
+        get_json_object(col("metadata_json"), "$.MicroManagerMetadata")
+          .as("mm"))
+      .select(col("frames_global_id"), col("metadata_json"),
+        json_tuple(col("mm"), required: _*))
+      .toDF(Seq("frames_global_id", "metadata_json")
+        ++ required.map("f_" + _): _*)
     val missing = required.map(k =>
-      when(get_json_object(col("metadata_json"), path(k)).isNull, 1)
-        .otherwise(0)).reduce(_ + _)
+      when(col("f_" + k).isNull, 1).otherwise(0)).reduce(_ + _)
     // type checks exploit compact generation (no whitespace): a JSON
     // string value is exactly `"Key":"`; numbers are unquoted
     def isStr(k: String) =
       col("metadata_json").contains("\"" + k + "\":\"")
     val badType =
       Seq("ChannelIndex", "Slice", "FrameIndex", "PositionIndex").map(k =>
-        when(get_json_object(col("metadata_json"), path(k)).isNotNull
-          && isStr(k), 1).otherwise(0)).reduce(_ + _) +
-      when(get_json_object(col("metadata_json"), path("Channel")).isNotNull
-        && !isStr("Channel"), 1).otherwise(0)
-    frames(spark, dir)
+        when(col("f_" + k).isNotNull && isStr(k), 1).otherwise(0))
+        .reduce(_ + _) +
+      when(col("f_Channel").isNotNull && !isStr("Channel"), 1).otherwise(0)
+    withFields
       .select(col("frames_global_id"), missing.as("nm"), badType.as("nb"))
       .join(broadcast(dataSet(spark, dir).select(col("id").as("ds_id"),
         col("dataset_serial"))), col("frames_global_id") === col("ds_id"))
