@@ -159,19 +159,43 @@ object DedupOps {
     * Output: near-dup representative pairs with their exact-group
     * sizes.
     */
-  def dedupPipeline(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val hashed = corpus(spark, dir)
-      .select(col("doc_id"), col("text"),
-        md5(lower(trim(col("text")))).as("h"))
-    // representative = min doc per digest, selected with two windows
-    // over ONE exchange on the digest — no rep join back to the corpus
-    val byH = Window.partitionBy("h")
-    val repDocs = hashed
-      .withColumn("rn", row_number().over(byH.orderBy("doc_id")))
-      .withColumn("group_n", count(lit(1)).over(byH))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("text"), col("group_n"))
+  def dedupPipeline(spark: SparkSession, dir: String): DataFrame =
+    dedupPipelineOf(corpus(spark, dir)).orderBy("doc1", "doc2")
+
+  /** Normalized digest column shared by every exact-dedup consumer. */
+  private def withDigest(source: DataFrame): DataFrame =
+    source.select(col("doc_id"), col("text"),
+      md5(lower(trim(col("text")))).as("h"))
+
+  /** Keeper + group size per digest as a map-side-combined aggregate
+    * over (h, doc_id) ONLY — text never enters the digest exchange,
+    * and a hot duplicate group (boilerplate duplicated millions of
+    * times in a real corpus) collapses in the partial aggregate
+    * instead of landing on one reducer. This is deliberately NOT a
+    * window over the digest: `row_number().over(partitionBy("h"))`
+    * sorts every copy of a hot digest — full text in flight — on a
+    * single reducer's window partition, the 100 TB straggler.
+    */
+  private[graft] def digestGroups(hashed: DataFrame): DataFrame =
+    hashed.select("doc_id", "h").groupBy("h")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("group_n"))
+
+  /** Representatives with text: the keeper set joined back to the
+    * corpus on the UNIQUE doc_id — a uniform shuffle (no hot key is
+    * possible on a unique column), fetching only the keepers' text.
+    */
+  private[graft] def dedupReps(source: DataFrame): DataFrame = {
+    val hashed = withDigest(source)
+    digestGroups(hashed).select("doc_id", "group_n")
+      .join(hashed.select("doc_id", "text"), Seq("doc_id"))
+      .select("doc_id", "text", "group_n")
+  }
+
+  /** The pipeline core over any (doc_id, text) set — see
+    * [[dedupPipeline]] for the production-order rationale.
+    */
+  def dedupPipelineOf(source: DataFrame): DataFrame = {
+    val repDocs = dedupReps(source)
     val sizes = repDocs.select(col("doc_id"), col("group_n"))
     // the confirmed pair set is LSH-cap bounded → broadcast it into the
     // size lookups rather than shuffling the full representative table
@@ -181,7 +205,6 @@ object DedupOps {
       .join(sizes.select(col("doc_id").as("doc2"), col("group_n").as("n2")),
         "doc2")
       .select("doc1", "doc2", "jaccard", "n1", "n2")
-      .orderBy("doc1", "doc2")
   }
 
   /** Recall audit of the LSH path as a driver-checked metric: every
@@ -220,26 +243,36 @@ object DedupOps {
     * round so lineage doesn't grow with iterations; every round is a
     * distributed join+agg, the driver only checks the converged flag.
     */
-  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val c = corpus(spark, dir)
-    // exact-collapse FIRST (the dedupPipeline production order): one
-    // window over a single digest exchange yields both the star edges
-    // (member → keeper) and the representative set; near-dup LSH then
-    // runs over representatives only. On a high-duplicate corpus the
-    // LSH bucket sizes stay small where the full-corpus variant grows
-    // them with duplicate multiplicity — the connected components are
-    // IDENTICAL (an exact-dup member reaches everything its keeper
-    // reaches), so the oracle is unchanged.
-    val hashed = c.select(col("doc_id"), col("text"),
-      md5(lower(trim(col("text")))).as("h"))
-    val withRep = hashed
-      .withColumn("keeper", min("doc_id").over(Window.partitionBy("h")))
-    val star = withRep.filter(col("doc_id") =!= col("keeper"))
+  def dupClusters(spark: SparkSession, dir: String): DataFrame =
+    dupClustersOf(corpus(spark, dir))
+
+  /** Exact-dup star edges (keeper → member) via the digest aggregate +
+    * an (h, doc_id)-only join back — no text in flight, and the hot-h
+    * join partition is AQE-skew-splittable where the old
+    * `min().over(Window.partitionBy("h"))` hot window partition was
+    * not (a window partition cannot be split across tasks; a skewed
+    * shuffle-join partition can).
+    */
+  private[graft] def dedupStarEdges(source: DataFrame): DataFrame = {
+    val ids = withDigest(source).select("doc_id", "h")
+    ids.join(digestGroups(ids).select(col("h"), col("doc_id").as("keeper")),
+        "h")
+      .filter(col("doc_id") =!= col("keeper"))
       .select(col("keeper").as("src"), col("doc_id").as("dst"))
-    val near = minhashPairsOf(
-        withRep.filter(col("doc_id") === col("keeper"))
-          .select("doc_id", "text"))
+  }
+
+  /** The cluster core over any (doc_id, text) set. */
+  def dupClustersOf(source: DataFrame): DataFrame = {
+    // exact-collapse FIRST (the dedupPipeline production order): the
+    // digest aggregate yields both the star edges (member → keeper)
+    // and the representative set; near-dup LSH then runs over
+    // representatives only. On a high-duplicate corpus the LSH bucket
+    // sizes stay small where the full-corpus variant grows them with
+    // duplicate multiplicity — the connected components are IDENTICAL
+    // (an exact-dup member reaches everything its keeper reaches), so
+    // the oracle is unchanged.
+    val star = dedupStarEdges(source)
+    val near = minhashPairsOf(dedupReps(source).select("doc_id", "text"))
       .select(col("doc1").as("src"), col("doc2").as("dst"))
     val edges = star.unionByName(near).distinct()
     // undirected: propagate both ways; checkpoint once so the iterative

@@ -48,6 +48,44 @@ class HotBucketSpec extends AnyFunSuite {
     assert(raised === 50L * 49 / 2 + 10)
   }
 
+  test("dedup rep selection survives a hot digest with no window") {
+    import org.apache.spark.sql.functions._
+    // one digest duplicated 12,000× (the boilerplate-page shape) plus a
+    // near-dup pair: under the old row_number/min window every hot copy
+    // — text included — landed on ONE reducer's window partition; the
+    // aggregate+join-back shape collapses it map-side
+    val hot = spark.range(12000).select(col("id").as("doc_id"),
+      lit("common boilerplate page repeated everywhere verbatim").as("text"))
+    val a = Seq((20000L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (20001L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"))
+      .toDF("doc_id", "text")
+    val docs = hot.unionByName(a)
+
+    // no Window node may appear anywhere in the rep-selection plans
+    for ((name, df) <- Seq(
+        "dedupReps" -> DedupOps.dedupReps(docs),
+        "dedupStarEdges" -> DedupOps.dedupStarEdges(docs),
+        "dedupPipelineOf" -> DedupOps.dedupPipelineOf(docs))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        s"$name plan contains a Window over the digest:\n$plan")
+    }
+
+    val reps = DedupOps.dedupReps(docs).collect()
+    assert(reps.length === 3)
+    val hotRep = reps.find(_.getLong(0) == 0L).get
+    assert(hotRep.getLong(2) === 12000L, "hot group size wrong")
+
+    val pairs = DedupOps.dedupPipelineOf(docs).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+      === Set((20000L, 20001L)))
+
+    val clusters = DedupOps.dupClustersOf(docs)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(clusters === Set((12000L, 0L, 11999L), (2L, 20000L, 20001L)),
+      s"unexpected clusters: $clusters")
+  }
+
   test("ngram jaccard drops a hot block past the cap") {
     val hot = (0 until 50).map(i =>
       (i.toLong, "alpha beta gamma delta epsilon zeta eta theta", "web", "en"))
