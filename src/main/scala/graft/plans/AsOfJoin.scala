@@ -95,6 +95,21 @@ case class AsOfJoinExec(
 }
 
 object GraftStrategies extends SparkStrategy {
+  /** Idempotent registration into `experimental.extraStrategies`.
+    * The naive check-then-append is not atomic — two threads issuing
+    * their first graft join concurrently could double-register the
+    * strategy — so both per-query helpers route through this
+    * synchronized door. (Sessions installing
+    * [[graft.GraftExtensions]] get the strategy via
+    * injectPlannerStrategy and never mutate experimental state.)
+    */
+  def ensureRegistered(spark: SparkSession): Unit = synchronized {
+    if (!spark.experimental.extraStrategies.contains(GraftStrategies)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ GraftStrategies
+    }
+  }
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoin(l, r, lk, rk, lt, rt) =>
       AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
@@ -113,10 +128,7 @@ object AsOf {
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String): DataFrame = {
     val spark = left.sparkSession
-    if (!spark.experimental.extraStrategies.contains(GraftStrategies)) {
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ GraftStrategies
-    }
+    GraftStrategies.ensureRegistered(spark)
     val node = AsOfJoin(
       GraftSqlBridge.analyzedPlan(left), GraftSqlBridge.analyzedPlan(right),
       GraftSqlBridge.expression(left(leftKey)),

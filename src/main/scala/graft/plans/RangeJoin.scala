@@ -47,11 +47,27 @@ case class RangeJoinExec(
   override protected def doExecute(): RDD[InternalRow] = {
     val rStart = BindReferences.bindReference(rightStart, right.output)
     val rEnd = BindReferences.bindReference(rightEnd, right.output)
-    // collect + sort the interval side once on the driver (the
-    // declared-small side), then broadcast the sorted arrays
-    // NULL bounds match nothing (standard join semantics) — without
-    // the guard a null would unbox to 0L and fabricate [0, 0) rows
-    val sorted = right.executeCollect().flatMap { r =>
+    // build-side contract enforcement: the interval side is collected
+    // onto the driver, so a caller mistakenly passing a fact table must
+    // fail LOUDLY, not OOM the driver. executeTake(cap + 1) pulls at
+    // most cap+1 rows (incremental partition fetch), so even the
+    // over-limit case never materializes the whole side.
+    val cap = conf.getConfString(
+      RangeJoinExec.MaxBuildRowsKey, "5000000").toInt
+    val taken = right.executeTake(cap + 1)
+    if (taken.length > cap) {
+      throw new IllegalStateException(
+        s"RangeJoin build (interval) side exceeds $cap rows — this " +
+          "operator broadcasts the interval side and requires it to be " +
+          "driver-small (a calendar/maintenance-window table, not a " +
+          s"fact table). Raise ${RangeJoinExec.MaxBuildRowsKey} only " +
+          "if the driver can really hold it.")
+    }
+    // sort the interval side once on the driver, then broadcast the
+    // sorted arrays. NULL bounds match nothing (standard join
+    // semantics) — without the guard a null would unbox to 0L and
+    // fabricate [0, 0) rows
+    val sorted = taken.flatMap { r =>
       val s = rStart.eval(r)
       val e = rEnd.eval(r)
       if (s == null || e == null) None
@@ -110,6 +126,11 @@ case class RangeJoinExec(
     copy(left = newLeft, right = newRight)
 }
 
+object RangeJoinExec {
+  /** Session conf capping the driver-collected interval side. */
+  val MaxBuildRowsKey = "spark.graft.rangeJoin.maxBuildRows"
+}
+
 object RangeJoinOp {
   /** Range-join `left` (point rows) against `right` (interval rows) on
     * BIGINT time columns: rows where `start <= t < end`. The right
@@ -118,10 +139,7 @@ object RangeJoinOp {
   def rangeJoin(left: DataFrame, right: DataFrame,
       leftTime: String, rightStart: String, rightEnd: String): DataFrame = {
     val spark = left.sparkSession
-    if (!spark.experimental.extraStrategies.contains(GraftStrategies)) {
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ GraftStrategies
-    }
+    GraftStrategies.ensureRegistered(spark)
     val node = RangeJoin(
       GraftSqlBridge.analyzedPlan(left), GraftSqlBridge.analyzedPlan(right),
       GraftSqlBridge.expression(left(leftTime)),

@@ -45,6 +45,26 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(!plan.toString.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("an oversized interval side fails loudly instead of OOMing the driver") {
+    spark.conf.set(RangeJoinExec.MaxBuildRowsKey, "3")
+    try {
+      val e = intercept[Exception] {
+        RangeJoinOp.rangeJoin(points, intervals, "ts", "start_ns", "end_ns")
+          .collect()
+      }
+      // the guard fires driver-side in doExecute; depending on the
+      // execution path it may arrive bare or wrapped once
+      val msg = Iterator.iterate[Throwable](e)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+      assert(msg.contains("broadcasts the interval side")
+          && msg.contains(RangeJoinExec.MaxBuildRowsKey),
+        s"guard message unhelpful: $msg")
+    } finally spark.conf.unset(RangeJoinExec.MaxBuildRowsKey)
+    // and with the default cap the same query still runs
+    assert(RangeJoinOp.rangeJoin(points, intervals, "ts", "start_ns", "end_ns")
+      .count() > 0)
+  }
+
   test("empty interval side yields empty output, not an error") {
     val out = RangeJoinOp.rangeJoin(points, intervals.filter(lit(false)),
       "ts", "start_ns", "end_ns")
