@@ -455,36 +455,35 @@ object ImagingOps {
   def storageRollup(spark: SparkSession, dir: String): DataFrame = {
     // Pre-aggregate per (project, microscope) first — one shuffle over the
     // big side; the rollup's Expand then triples only the tiny aggregate,
-    // not the fact table.
-    val perScope = framesGlobal(spark, dir)
+    // not the fact table. Frame counts come straight from `frames`
+    // rather than through framesGlobal: framesGlobal's nbr_frames IS
+    // frames.groupBy(dataset).count(), but routing through it pays its
+    // internal dataSet join (for storage_dir this query never reads) —
+    // one whole orders scan + broadcast join of pure overhead here.
+    val perScope = frames(spark, dir)
+      .groupBy("frames_global_id")
+      .agg(count(lit(1)).as("nbr_frames"))
       .join(broadcast(dataSet(spark, dir).select(col("id").as("ds_id"),
         expr("split_part(dataset_serial, '-', 1)").as("prj_key"),
         col("microscope").as("scope_key"))),
-        col("dataset_id") === col("ds_id"))
+        col("frames_global_id") === col("ds_id"))
       .groupBy("prj_key", "scope_key")
       .agg(count(lit(1)).as("nd"), sum("nbr_frames").as("tf"))
-    // The ROLLUP tail goes through SQL: Spark 4.1's Dataset-API
-    // rollup() over a plan whose dim side re-reads a relation already
-    // present under the fact side trips DetectAmbiguousSelfJoin at
-    // analysis (even with aliases / fresh scans); the view-resolved SQL
-    // path compiles the identical Expand+Aggregate plan without the
-    // Dataset-lineage tags that confuse the check.
-    // unique view name + drop after analysis: spark.sql resolves the
-    // view eagerly, so the returned plan keeps the resolved subtree and
-    // neither a concurrent caller nor the session catalog sees a stale
-    // graft view afterwards
-    val view = s"graft_storage_per_scope_${java.util.UUID.randomUUID()
-      .toString.replace("-", "")}"
-    perScope.createOrReplaceTempView(view)
-    try spark.sql(s"""
-      SELECT coalesce(prj_key, 'ALL')   AS project_g,
-             coalesce(scope_key, 'ALL') AS microscope_g,
-             sum(nd) AS n_datasets,
-             sum(tf) AS total_frames
-      FROM $view
-      GROUP BY ROLLUP(prj_key, scope_key)
-      ORDER BY project_g, microscope_g""")
-    finally spark.catalog.dropTempView(view)
+    // The ROLLUP tail is a hand-built catalyst Aggregate (see
+    // GraftSqlBridge.rollupSums): Dataset-API rollup() over a plan
+    // whose dim side re-reads a relation already present under the
+    // fact side trips DetectAmbiguousSelfJoin at analysis (even with
+    // aliases / fresh scans), and the earlier temp-view + spark.sql
+    // detour paid view registration + a second full resolution of the
+    // subtree on every call.
+    org.apache.spark.sql.GraftSqlBridge
+      .rollupSums(perScope, Seq("prj_key", "scope_key"),
+        Seq("nd" -> "n_datasets", "tf" -> "total_frames"))
+      .select(
+        coalesce(col("prj_key"), lit("ALL")).as("project_g"),
+        coalesce(col("scope_key"), lit("ALL")).as("microscope_g"),
+        col("n_datasets"), col("total_frames"))
+      .orderBy("project_g", "microscope_g")
   }
 
   /** Per-dataset channel matrix — frames pivoted on channel_name with
