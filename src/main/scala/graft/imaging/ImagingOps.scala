@@ -288,27 +288,13 @@ object ImagingOps {
                   when 1 then concat(zt, '_', tt, '_', pt)
                   else concat(pt, '_', zt, '_', tt) end"""),
           lit(".tif")).as("file_name"))
-    // the parser proper: everything below sees ONLY (ds_id, file_name)
-    // plus the stored indices it audits against
-    val parsed = named
-      .withColumn("allp",
-        expr("split(substring(file_name, 1, length(file_name) - 4), '_')"))
-      .withColumn("parts", expr("slice(allp, 2, size(allp) - 1)"))
-      .withColumn("channel_parsed",
-        expr("array_join(slice(parts, 1, size(parts) - 3), '_')"))
-      .withColumn("l1", expr("element_at(parts, size(parts) - 2)"))
-      .withColumn("l2", expr("element_at(parts, size(parts) - 1)"))
-      .withColumn("l3", expr("element_at(parts, size(parts))"))
-    def idxOf(letter: String) = expr(
-      s"""cast(substring(case
-            when left(l1, 1) = '$letter' and length(l1) = 4 then l1
-            when left(l2, 1) = '$letter' and length(l2) = 4 then l2
-            when left(l3, 1) = '$letter' and length(l3) = 4 then l3
-          end, 2) as int)""")
-    val fields = parsed
-      .withColumn("time_parsed", idxOf("t"))
-      .withColumn("pos_parsed", idxOf("p"))
-      .withColumn("slice_parsed", idxOf("z"))
+    // the parser proper — the shared SMS token grammar (see
+    // [[SmsTokens]], also the folder-splitter ingest path): everything
+    // below sees ONLY (ds_id, file_name) plus the stored indices it
+    // audits against
+    val fields = SmsTokens.parse(named, "file_name",
+        chOut = "channel_parsed", tOut = "time_parsed",
+        pOut = "pos_parsed", zOut = "slice_parsed")
       .select("ds_id", "file_name", "channel_parsed",
         "time_parsed", "pos_parsed", "slice_parsed",
         "slice_idx", "time_idx", "pos_idx")

@@ -58,13 +58,18 @@ object SplitterIngest {
       .withColumn("time_idx", fld("FrameIndex").cast("int"))
       .withColumn("pos_idx", fld("PositionIndex").cast("int"))
       .withColumn("channel_name", fld("Channel"))
-      .withColumn("file_name", concat(
-        lit("im_c"), lpad(col("channel_idx").cast("string"), 3, "0"),
-        lit("_z"), lpad(col("slice_idx").cast("string"), 3, "0"),
-        lit("_t"), lpad(col("time_idx").cast("string"), 3, "0"),
-        lit("_p"), lpad(col("pos_idx").cast("string"), 3, "0"),
-        lit(".png")))
+      .withColumn("file_name", imName)
   }
+
+  /** The generated frame file name — file_splitter.py `_get_imname`:
+    * `im_c###_z###_t###_p###.png` from the four index columns.
+    */
+  private def imName: org.apache.spark.sql.Column = concat(
+    lit("im_c"), lpad(col("channel_idx").cast("string"), 3, "0"),
+    lit("_z"), lpad(col("slice_idx").cast("string"), 3, "0"),
+    lit("_t"), lpad(col("time_idx").cast("string"), 3, "0"),
+    lit("_p"), lpad(col("pos_idx").cast("string"), 3, "0"),
+    lit(".png"))
 
   /** The global metadata the splitter assembles per dataset
     * (file_splitter.py set_global_meta): frame counts and per-dimension
@@ -92,5 +97,167 @@ object SplitterIngest {
         col("dataset_serial") === col("reg_serial"), "left")
       .withColumn("already_registered", col("reg_serial").isNotNull)
       .drop("reg_serial")
+  }
+
+  /** Frame info from a folder's metadata.txt Summary record —
+    * TifFolderSplitter.set_frame_info (tiffolder_splitter.py:43-66):
+    * PixelType containing "GRAY" → im_colors 1, anything else → 3
+    * (RGB); BitDepth 16/8 → uint16/uint8, any other value is the
+    * reference's ValueError — surfaced here as bit_depth NULL +
+    * valid_bit_depth=false so one bad folder flags instead of killing
+    * a 100 TB ingest job. Input: (dataset_serial, summary_json) where
+    * summary_json is the metadata.txt content. One json_tuple pulls
+    * all four fields in a single parse.
+    */
+  def frameInfoFromSummary(summaries: DataFrame): DataFrame =
+    summaries
+      .withColumn("s", get_json_object(col("summary_json"), "$.Summary"))
+      .select(col("*"),
+        json_tuple(col("s"), "PixelType", "BitDepth", "Width", "Height")
+          .as(Seq("px_type", "bd_raw", "w_raw", "h_raw")))
+      .select(
+        col("dataset_serial"),
+        col("w_raw").cast("int").as("im_width"),
+        col("h_raw").cast("int").as("im_height"),
+        when(instr(col("px_type"), "GRAY") > 0, 1).otherwise(3)
+          .as("im_colors"),
+        when(col("bd_raw").cast("int") === 16, "uint16")
+          .when(col("bd_raw").cast("int") === 8, "uint8")
+          .as("bit_depth"))
+      .withColumn("valid_bit_depth", col("bit_depth").isNotNull)
+
+  /** TifFolderSplitter ingest twin — the folder-layout upload
+    * (tiffolder_splitter.py:236-305 get_frames_and_metadata): one
+    * folder per dataset, `*.tif` frames named in the SMS style
+    * (`img_<channel>_<t/p/z tokens>.tif`, channel may carry
+    * underscores), frame info from the folder's metadata.txt.
+    *
+    * Input: `listing` (dataset_serial, file_path) and `summaries`
+    * (dataset_serial, summary_json). Output: one row per frame with
+    * the parsed indices, the channel_idx assigned by FIRST-SEEN order
+    * of the channel name within its folder (the reference's expanding
+    * channel_names list over name-sorted files), the generated
+    * `im_c###_z###_t###_p###` db file name (_get_imname), and the
+    * folder's frame info. Parsing is per-row column work; the only
+    * shuffles are the tiny per-(dataset, channel) census and its
+    * broadcast join back.
+    */
+  def parseFolder(listing: DataFrame, summaries: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val named = listing
+      .withColumn("src_name", expr("element_at(split(file_path, '/'), -1)"))
+    val parsed = SmsTokens.parse(named, "src_name")
+    // first-seen channel indexing: census one row per (dataset,
+    // channel) ranked by the first file introducing the channel —
+    // dense_rank over the census only, never the frame rows
+    val census = parsed.groupBy("dataset_serial", "channel_name")
+      .agg(min("src_name").as("first_file"))
+      .withColumn("channel_idx",
+        (dense_rank().over(Window.partitionBy("dataset_serial")
+          .orderBy("first_file")) - 1).cast("int"))
+      .select("dataset_serial", "channel_name", "channel_idx")
+    parsed.join(broadcast(census), Seq("dataset_serial", "channel_name"))
+      .join(broadcast(frameInfoFromSummary(summaries)),
+        Seq("dataset_serial"), "left")
+      .select(col("dataset_serial"), col("src_name"),
+        col("channel_idx"), col("channel_name"),
+        col("slice_idx"), col("time_idx"), col("pos_idx"),
+        concat(
+          lit("im_c"), lpad(col("channel_idx").cast("string"), 3, "0"),
+          lit("_z"), lpad(col("slice_idx").cast("string"), 3, "0"),
+          lit("_t"), lpad(col("time_idx").cast("string"), 3, "0"),
+          lit("_p"), lpad(col("pos_idx").cast("string"), 3, "0"),
+          lit(".png")).as("file_name"),
+        col("im_width"), col("im_height"), col("im_colors"),
+        col("bit_depth"), col("valid_bit_depth"))
+  }
+
+  /** TifID splitter ingest twin — tif_id_splitter.py:36-92: frame info
+    * from the first page's tif tags plus the ImageJ ImageDescription
+    * param string, for stacks with no per-page metadata.
+    *
+    * Input: one row per tif FILE with (dataset_serial, nbr_frames,
+    * im_description, samples_per_pixel, bits_per_sample, image_length,
+    * image_width). Per set_frame_info: im_colors = SamplesPerPixel;
+    * BitsPerSample 16 → uint16, 8 → uint8, 32 → uint16 with
+    * float2uint=true (the reference's float-to-uint16 conversion
+    * path), else invalid (NULL + flag, the batch form of its
+    * ValueError). Per _get_params_from_str: the description is
+    * newline-separated `key=value` lines; `channels`, `frames`
+    * (= timepoints), `slices`, `positions` each default to 1 when
+    * absent.
+    *
+    * Each file then explodes into its nbr_frames frame rows with
+    * indices assigned in the reference's declared acquisition order
+    * (tif_id_splitter.py:138-144 itertools.product(time, pos, slice,
+    * channel) — channel fastest), i.e. the mixed-radix decomposition
+    * of the page number. Pure per-row column work + one bounded
+    * explode; nothing shuffles.
+    */
+  def parseTifId(files: DataFrame): DataFrame = {
+    // line must START with the key (reference: s.find(key) == 0)
+    def dim(key: String) = coalesce(
+      expr(s"try_cast(nullif(regexp_extract(im_description, " +
+        s"'(?m)^$key=([0-9]+)', 1), '') as int)"),
+      lit(1))
+    files
+      .withColumn("nbr_channels", dim("channels"))
+      .withColumn("nbr_timepoints", dim("frames"))
+      .withColumn("nbr_slices", dim("slices"))
+      .withColumn("nbr_positions", dim("positions"))
+      .withColumn("im_colors", col("samples_per_pixel").cast("int"))
+      .withColumn("bit_depth",
+        when(col("bits_per_sample").isin(16, 32), "uint16")
+          .when(col("bits_per_sample") === 8, "uint8"))
+      .withColumn("float2uint", col("bits_per_sample") === 32)
+      .withColumn("valid_bit_depth", col("bit_depth").isNotNull)
+      .withColumn("i",
+        explode(expr("sequence(0, cast(nbr_frames as int) - 1)")))
+      .withColumn("channel_idx",
+        expr("cast(i % nbr_channels as int)"))
+      .withColumn("slice_idx",
+        expr("cast((i div nbr_channels) % nbr_slices as int)"))
+      .withColumn("pos_idx",
+        expr("cast((i div (nbr_channels * nbr_slices)) % nbr_positions as int)"))
+      .withColumn("time_idx",
+        expr("cast((i div (nbr_channels * nbr_slices * nbr_positions)) % nbr_timepoints as int)"))
+      .withColumn("file_name", imName)
+      .withColumnRenamed("i", "page_idx")
+  }
+}
+
+/** The SMS file-name token grammar shared by the query-side audit
+  * (ImagingOps.parseSmsChannel) and the folder-splitter ingest twin:
+  * `img_<channel>_<three t/p/z tokens in any order>.<ext>` where the
+  * channel name may itself contain underscores (all leading tokens
+  * joined back), and each index token is a letter + 3 digits matched
+  * by first letter + length, not position (filename_parsers.py:36-80).
+  */
+private[imaging] object SmsTokens {
+  /** Adds the parsed channel/time/pos/slice columns (under the given
+    * output names) from `nameCol`; scratch columns dropped.
+    */
+  def parse(df: DataFrame, nameCol: String,
+      chOut: String = "channel_name", tOut: String = "time_idx",
+      pOut: String = "pos_idx", zOut: String = "slice_idx"): DataFrame = {
+    def idxOf(letter: String) = expr(
+      s"""cast(substring(case
+            when left(l1, 1) = '$letter' and length(l1) = 4 then l1
+            when left(l2, 1) = '$letter' and length(l2) = 4 then l2
+            when left(l3, 1) = '$letter' and length(l3) = 4 then l3
+          end, 2) as int)""")
+    df
+      .withColumn("allp",
+        expr(s"split(substring($nameCol, 1, length($nameCol) - 4), '_')"))
+      .withColumn("parts", expr("slice(allp, 2, size(allp) - 1)"))
+      .withColumn(chOut,
+        expr("array_join(slice(parts, 1, size(parts) - 3), '_')"))
+      .withColumn("l1", expr("element_at(parts, size(parts) - 2)"))
+      .withColumn("l2", expr("element_at(parts, size(parts) - 1)"))
+      .withColumn("l3", expr("element_at(parts, size(parts))"))
+      .withColumn(tOut, idxOf("t"))
+      .withColumn(pOut, idxOf("p"))
+      .withColumn(zOut, idxOf("z"))
+      .drop("allp", "parts", "l1", "l2", "l3")
   }
 }
