@@ -103,15 +103,59 @@ object BinaryFrames {
     * (bounded by stack geometry), so collect_list state is bounded.
     */
   def assembleStacks(spark: SparkSession, dir: String): DataFrame =
-    ImagingModel.frames(spark, dir)
-      .select(col("frames_global_id").as("dataset_id"),
-        struct(col("channel_idx"), col("slice_idx"), col("time_idx"),
+    assembleStacksOf(
+      ImagingModel.frames(spark, dir)
+        .select(col("frames_global_id").as("dataset_id"),
+          col("channel_idx"), col("slice_idx"), col("time_idx"),
           col("pos_idx"),
-          expr("concat(unhex(sha256), unhex(sha256))").as("payload"))
-          .as("fr"))
+          expr("concat(unhex(sha256), unhex(sha256))").as("payload")),
+      ImagingModel.framesGlobal(spark, dir)
+        .select(col("dataset_id"), col("im_height"), col("im_width"),
+          col("im_colors")))
+
+  /** The reassembly core plus the squeeze metadata of
+    * data_storage.py:69-86 (`squeeze_stack`): alongside each stack, the
+    * "XYGZCTP" dim-order string with singleton dimensions dropped —
+    * X/Y/G from the dataset's geometry (im_height, im_width,
+    * im_colors), Z/C/T/P from the observed per-dimension cardinalities.
+    * A dataset imaged at one z with one channel over time squeezes to
+    * "XYTP", etc. Cardinalities use the 64-bit-bitmap exact distinct
+    * (grid indices < 64 by the data model, §3) so the group-by stays
+    * one codegen'd partial-agg pass — no RewriteDistinctAggregates
+    * Expand multiplying the frame rows by four.
+    *
+    * `framesDf`: (dataset_id, channel_idx, slice_idx, time_idx,
+    * pos_idx, payload); `geometry`: per-dataset (dataset_id,
+    * im_height, im_width, im_colors).
+    */
+  def assembleStacksOf(framesDf: DataFrame, geometry: DataFrame): DataFrame = {
+    def card(c: String) =
+      expr(s"cast(bit_count(bit_or(shiftleft(1L, $c))) as bigint)")
+    def dim(letter: String, nonSingleton: org.apache.spark.sql.Column) =
+      when(nonSingleton, lit(letter)).otherwise(lit(""))
+    framesDf
+      .select(col("dataset_id"), col("channel_idx"), col("slice_idx"),
+        col("time_idx"), col("pos_idx"),
+        struct(col("channel_idx"), col("slice_idx"), col("time_idx"),
+          col("pos_idx"), col("payload")).as("fr"))
       .groupBy("dataset_id")
       .agg(sort_array(collect_list(col("fr"))).as("stack"),
-        count(lit(1)).as("n_frames"))
+        count(lit(1)).as("n_frames"),
+        card("slice_idx").as("n_slices"),
+        card("channel_idx").as("n_channels"),
+        card("time_idx").as("n_times"),
+        card("pos_idx").as("n_pos"))
+      .join(broadcast(geometry), Seq("dataset_id"), "left")
+      .withColumn("dim_order", concat(
+        dim("X", coalesce(col("im_height"), lit(1)) > 1),
+        dim("Y", coalesce(col("im_width"), lit(1)) > 1),
+        dim("G", coalesce(col("im_colors"), lit(1)) > 1),
+        dim("Z", col("n_slices") > 1),
+        dim("C", col("n_channels") > 1),
+        dim("T", col("n_times") > 1),
+        dim("P", col("n_pos") > 1)))
+      .drop("im_height", "im_width", "im_colors")
+  }
 
   /** STUB resize: the metadata transform is real (scaled dims in the
     * typed meta struct), the pixel resample is stood in by truncating

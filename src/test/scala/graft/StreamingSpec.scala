@@ -176,6 +176,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(r.getInt(2) === 4) // 64 bytes / 16
   }
 
+  test("squeezed dim order drops exactly the singleton dimensions") {
+    import spark.implicits._
+    // data_storage.py:69-86: "XYGZCTP" minus singletons. Planted:
+    //  ds1: 2 channels × 2 slices           → XYZC
+    //  ds2: a single frame                  → XY
+    //  ds3: pure time series (3 timepoints) → XYT
+    //  ds4: RGB, width 1, single grid       → XG
+    val frames = Seq(
+      (1L, 0, 0, 0, 0), (1L, 1, 0, 0, 0), (1L, 0, 1, 0, 0), (1L, 1, 1, 0, 0),
+      (2L, 0, 0, 0, 0),
+      (3L, 0, 0, 0, 0), (3L, 0, 0, 1, 0), (3L, 0, 0, 2, 0),
+      (4L, 0, 0, 0, 0))
+      .toDF("dataset_id", "channel_idx", "slice_idx", "time_idx", "pos_idx")
+      .withColumn("payload", lit(Array[Byte](1, 2)))
+    val geometry = Seq(
+      (1L, 2048, 2048, 1), (2L, 2048, 2048, 1), (3L, 2048, 2048, 1),
+      (4L, 512, 1, 3))
+      .toDF("dataset_id", "im_height", "im_width", "im_colors")
+    val out = BinaryFrames.assembleStacksOf(frames, geometry)
+      .select("dataset_id", "dim_order").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "XYZC", 2L -> "XY", 3L -> "XYT", 4L -> "XG"))
+  }
+
   test("stack assembly orders each dataset's payloads by c/z/t/p") {
     val stacks = BinaryFrames.assembleStacks(spark, sfDir)
     val row = stacks.select(col("n_frames"), col("stack"))
