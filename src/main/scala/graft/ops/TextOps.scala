@@ -104,20 +104,35 @@ object TextOps {
       .orderBy("doc_id")
 
   /** Deterministic exact-fraction stratified sample: the first
-    * ceil(10%) of each source stratum in doc_id order. One shuffle on
-    * source; both window passes (count + row_number) share that
-    * partitioning, so no second exchange. Deterministic by
-    * construction — reproducible sampling is what a training-data
+    * ceil(10%) of each source stratum in doc_id order. Deterministic
+    * by construction — reproducible sampling is what a training-data
     * pipeline needs for re-runs.
+    *
+    * Shape: a tiny per-source census (one row per stratum) sizes k =
+    * the largest stratum's keep-count, then ONE bounded
+    * [[graft.functions.TopKByScore]] aggregate takes each stratum's
+    * first-k doc ids — map-side partials cap every task at k rows per
+    * source, so no reducer ever owns a whole stratum. The earlier
+    * row_number window hashed the WHOLE corpus one-partition-per-source
+    * (a handful of reducers own 100 TB). The census max is a bounded
+    * driver scalar (rows = #sources); ranks come from posexplode over
+    * the k-bounded array, and the census joins back broadcast to trim
+    * each stratum to its exact ceil(10%).
     */
   def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
-    val bySource = Window.partitionBy("source")
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"))
-      .withColumn("rn", row_number().over(bySource.orderBy("doc_id")))
-      .withColumn("n_src", count(lit(1)).over(bySource))
-      .filter(col("rn") <= ceil(col("n_src") * 0.1))
-      .select(col("doc_id"), col("source"), col("rn").cast("bigint").as("rn"))
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val census = docs.groupBy("source")
+      .agg(ceil(count(lit(1)) * 0.1).cast("bigint").as("keep_n"))
+    val k = census.agg(max("keep_n")).head().getLong(0).toInt.max(1)
+    docs.groupBy("source")
+      .agg(graft.functions.TopKByScore
+        .topkAsc(col("doc_id").cast("double"), col("doc_id"), k).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("p", "t")))
+      .select(col("t.id").as("doc_id"), col("source"),
+        (col("p") + 1).cast("bigint").as("rn"))
+      .join(broadcast(census), Seq("source"))
+      .filter(col("rn") <= col("keep_n"))
+      .select("doc_id", "source", "rn")
       .orderBy("doc_id")
   }
 

@@ -17,9 +17,13 @@ class PlanSweepSpec extends AnyFunSuite {
     "q4_priority",         // orders semi lineitem keys: large-large
     "q7_volume",           // lineitem x orders, orders x customer
     "q18_large",           // orders x HAVING-filtered lineitem agg
-    "img_channel_overlap"  // INTERSECT of two dataset-key sets: both
+    "img_channel_overlap", // INTERSECT of two dataset-key sets: both
                            // sides are fact-derived, shuffle semi join
                            // is the right strategy
+    "doc_dedup_pipeline"   // keeper set ⋈ corpus text on the unique
+                           // doc_id: both sides corpus-scale by design
+                           // (the join replaced the hot-digest window;
+                           // unique keys → uniform shuffle)
   )
   // intended broadcast-nested-loop joins (non-equi or single-row sides)
   private val bnlAllowed = Set(
@@ -47,6 +51,15 @@ class PlanSweepSpec extends AnyFunSuite {
     // the full vocabulary table
     assert(winIdx < takeIdx,
       "rank window must sit above the TakeOrdered, not the full count table")
+  }
+
+  test("doc_stratified_sample ranks via the bounded aggregate, not a window") {
+    val s = graft.ops.TextOps.stratifiedSample(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!s.contains("Window"),
+      s"stratified sample must not own whole strata in window partitions:\n$s")
+    assert(s.contains("topk_by_score"),
+      s"bounded top-k aggregate missing from the plan:\n$s")
   }
 
   test("no query plan has an accidental join strategy") {
