@@ -1,0 +1,61 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bucketed document store (SURVEY.md §7.10's top deferred item): the
+  * corpus persisted pre-shuffled on its dedup key, so the dedup scans
+  * that run on EVERY ingest batch pay zero exchanges at read time —
+  * the write amortizes the one shuffle a 100 TB corpus can't afford
+  * per query.
+  *
+  * Layout: the normalized content digest `h` (the exact-dedup key) is
+  * computed once at write time and the table is bucketed + sorted by
+  * it. Everything keyed on the digest — duplicate-group census, keeper
+  * election, the dedup pipeline's rep selection — then consumes the
+  * bucket layout directly: the bucketed scan reports hash
+  * distribution on `h`, so the aggregate's Exchange disappears from
+  * the plan (proved by DocumentStoreSpec, the same mechanism
+  * BucketingSpec proves for lineitem⋈orders).
+  */
+object DocumentStore {
+
+  val DefaultBuckets = 32
+
+  /** Persist a (doc_id, text, ...) corpus with the normalized digest
+    * precomputed, bucketed by it. Bucket count is a layout decision:
+    * at 100 TB size it so one bucket's duplicate census fits an
+    * executor core (buckets are the read-side parallelism floor).
+    */
+  def write(docs: DataFrame, table: String,
+      nBuckets: Int = DefaultBuckets): Unit =
+    docs
+      .withColumn("h", md5(lower(trim(col("text")))))
+      .write.bucketBy(nBuckets, "h").sortBy("h")
+      .mode("overwrite").saveAsTable(table)
+
+  def read(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+
+  /** Duplicate groups over the bucketed store — the zero-exchange
+    * twin of [[graft.ops.DedupOps.exactDedup]]'s digest census: same
+    * output columns, but the groupBy("h") rides the bucket layout
+    * instead of shuffling. Unsorted — callers order (or not) at the
+    * edge; an orderBy here would reintroduce a range Exchange above
+    * the aggregate and hide what the layout bought.
+    */
+  def dupGroups(spark: SparkSession, table: String): DataFrame =
+    read(spark, table)
+      .groupBy("h")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("keeper"))
+      .filter(col("n") > 1)
+
+  /** Keeper election over the store (the dedup pipeline's rep
+    * selection, [[graft.ops.DedupOps.digestGroups]]) — also
+    * exchange-free on the bucketed layout.
+    */
+  def digestGroups(spark: SparkSession, table: String): DataFrame =
+    read(spark, table)
+      .groupBy("h")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("group_n"))
+}
