@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 object Bench {
 
@@ -24,7 +24,7 @@ object Bench {
     * streaming path a production job runs.
     */
   private def streamBench(spark: SparkSession, sfDir: String,
-      run: Int): Double = {
+      run: Int): (Double, Long, Long) = {
     val t0 = System.nanoTime()
     val q = graft.streaming.EventsStream
       .windowedCounts(streamingEvents(spark, sfDir))
@@ -36,15 +36,26 @@ object Bench {
     // whole bench run
     if (!q.awaitTermination(300000L)) { q.stop(); sys.error("stream timeout") }
     val dt = (System.nanoTime() - t0) / 1e9
+    val st = stateMetrics(q)
     spark.catalog.dropTempView(s"bench_stream_$run")
-    dt
+    (dt, st._1, st._2)
   }
+
+  /** Total state rows + bytes from the last progress that reported
+    * state operators — the 100 TB risk a wall-clock number hides:
+    * state that grows with the stream instead of the watermark.
+    */
+  private def stateMetrics(q: StreamingQuery): (Long, Long) =
+    q.recentProgress.reverse.find(_.stateOperators.nonEmpty).map { pr =>
+      (pr.stateOperators.map(_.numRowsTotal).sum,
+        pr.stateOperators.map(_.memoryUsedBytes).sum)
+    }.getOrElse((0L, 0L))
 
   /** Stateful-streaming throughput: watermark + dropDuplicates over
     * the full events stream into a noop sink — times the dedup state
     * store path end to end.
     */
-  private def streamDedupBench(spark: SparkSession, sfDir: String): Double = {
+  private def streamDedupBench(spark: SparkSession, sfDir: String): (Double, Long, Long) = {
     val t0 = System.nanoTime()
     val q = graft.streaming.EventsStream
       .dedupedEvents(streamingEvents(spark, sfDir))
@@ -52,7 +63,9 @@ object Bench {
       .trigger(Trigger.AvailableNow())
       .start()
     if (!q.awaitTermination(300000L)) { q.stop(); sys.error("stream timeout") }
-    (System.nanoTime() - t0) / 1e9
+    val dt = (System.nanoTime() - t0) / 1e9
+    val st = stateMetrics(q)
+    (dt, st._1, st._2)
   }
 
   /** Stateful-sessionizer throughput: the DRAIN-SAFE event-time
@@ -60,7 +73,7 @@ object Bench {
     * AvailableNow — the processing-time variant would hang this bench)
     * over the full events stream into a noop sink.
     */
-  private def streamSessionsBench(spark: SparkSession, sfDir: String): Double = {
+  private def streamSessionsBench(spark: SparkSession, sfDir: String): (Double, Long, Long) = {
     import spark.implicits._
     val t0 = System.nanoTime()
     val src = streamingEvents(spark, sfDir)
@@ -72,14 +85,16 @@ object Bench {
       .trigger(Trigger.AvailableNow())
       .start()
     if (!q.awaitTermination(300000L)) { q.stop(); sys.error("stream timeout") }
-    (System.nanoTime() - t0) / 1e9
+    val dt = (System.nanoTime() - t0) / 1e9
+    val st = stateMetrics(q)
+    (dt, st._1, st._2)
   }
 
   /** Stream-stream join throughput: the watermarked signup-enrichment
     * inner join (state bounded by the 30-day range condition) over the
     * full events stream into a noop sink.
     */
-  private def streamEnrichBench(spark: SparkSession, sfDir: String): Double = {
+  private def streamEnrichBench(spark: SparkSession, sfDir: String): (Double, Long, Long) = {
     val t0 = System.nanoTime()
     val q = graft.streaming.EventsStream
       .enrichedWithSignup(streamingEvents(spark, sfDir))
@@ -87,16 +102,19 @@ object Bench {
       .trigger(Trigger.AvailableNow())
       .start()
     if (!q.awaitTermination(300000L)) { q.stop(); sys.error("stream timeout") }
-    (System.nanoTime() - t0) / 1e9
+    val dt = (System.nanoTime() - t0) / 1e9
+    val st = stateMetrics(q)
+    (dt, st._1, st._2)
   }
 
   /** Min of the runs that succeeded; None if every run failed — a
     * failed stream bench must drop out of the report, not poison the
     * total with a sentinel.
     */
-  private def minOk(runs: Seq[() => Double]): Option[Double] = {
+  private def minOk(runs: Seq[() => (Double, Long, Long)])
+      : Option[(Double, Long, Long)] = {
     val ok = runs.flatMap(r => scala.util.Try(r()).toOption)
-    if (ok.isEmpty) None else Some(ok.min)
+    if (ok.isEmpty) None else Some(ok.minBy(_._1))
   }
 
   def main(args: Array[String]): Unit = {
@@ -135,15 +153,22 @@ object Bench {
       minOk((1 to 2).map(_ => () => streamSessionsBench(spark, sfDir)))
     val enrichTime =
       minOk((1 to 2).map(_ => () => streamEnrichBench(spark, sfDir)))
-    val all = results ++
-      streamTime.map("stream_events_window" -> _) ++
-      dedupTime.map("stream_dedup" -> _) ++
-      sessTime.map("stream_sessions" -> _) ++
-      enrichTime.map("stream_enrich" -> _)
+    val streams = Seq(
+      "stream_events_window" -> streamTime,
+      "stream_dedup" -> dedupTime,
+      "stream_sessions" -> sessTime,
+      "stream_enrich" -> enrichTime).collect { case (k, Some(v)) => k -> v }
+    val all = results ++ streams.map { case (k, v) => k -> v._1 }
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // bounded-state evidence per stream entry: total state rows and
+    // state memory from the final progress of the best run
+    val st = streams.map { case (k, (_, rows, bytes)) =>
+      s"\"" + k + "\":{\"state_rows\":" + rows +
+        ",\"state_bytes\":" + bytes + "}"
+    }.mkString("{", ",", "}")
     val total = if (all.nonEmpty) all.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stream_state":$st,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -77,6 +77,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("streaming dedup state stays bounded by the watermark horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, minute: Long) =
+      Event(id, new Timestamp((600 + minute) * 60000L), 1L, "click", 1.0)
+    def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+      q.recentProgress.reverse.find(_.stateOperators.nonEmpty)
+        .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+    val stream = MemoryStream[Event]
+    // 20 ids, each redelivered 3x — at-least-once pressure. The 100 TB
+    // risk isn't the output (the earlier test covers that); it's state
+    // that grows with DELIVERIES or with stream length instead of with
+    // distinct keys inside the watermark horizon.
+    val base = (1L to 20L).flatMap(i => Seq(ev(i, i), ev(i, i), ev(i, i)))
+    stream.addData(base)
+    val q = EventsStream.dedupedEvents(stream.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_state_out").start()
+    try {
+      q.processAllAvailable()
+      // one state row per distinct id, NOT per delivery
+      assert(stateRows(q) === 20L,
+        s"state holds ${stateRows(q)} rows for 20 distinct ids")
+      // jump event time far past the horizon; the watermark advance
+      // (plus the no-data eviction batch) must expire the old keys
+      stream.addData(Seq(ev(1000, 100000L)))
+      q.processAllAvailable()
+      stream.addData(Seq(ev(1001, 100001L)))
+      q.processAllAvailable()
+      val after = stateRows(q)
+      assert(after <= 2L,
+        s"state not evicted past the watermark: $after rows remain")
+    } finally q.stop()
+  }
+
   test("event-time sessionizer drains under AvailableNow-style feed") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
