@@ -131,6 +131,7 @@ object Olap {
     // broadcast into the customer join — broadcasting customer itself
     // would ship a 100 TB deployment's whole customer dimension
     val qualified = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
       .join(big, col("o_orderkey") === col("l_orderkey"))
     broadcast(qualified)
       .join(Tables.customer(spark, dir).select("c_custkey", "c_name"),

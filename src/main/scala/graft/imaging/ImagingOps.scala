@@ -344,10 +344,11 @@ object ImagingOps {
         ++ required.map("f_" + _): _*)
     val missing = required.map(k =>
       when(col("f_" + k).isNull, 1).otherwise(0)).reduce(_ + _)
-    // type checks exploit compact generation (no whitespace): a JSON
-    // string value is exactly `"Key":"`; numbers are unquoted
+    // a JSON string value is a quote right after the key's colon —
+    // whitespace-tolerant so pretty-printed metadata audits the same
+    // as the compact form; numbers are unquoted
     def isStr(k: String) =
-      col("metadata_json").contains("\"" + k + "\":\"")
+      col("metadata_json").rlike("\"" + k + "\"\\s*:\\s*\"")
     val badType =
       Seq("ChannelIndex", "Slice", "FrameIndex", "PositionIndex").map(k =>
         when(col("f_" + k).isNotNull && isStr(k), 1).otherwise(0))
