@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{HyperplaneBits, MinHashSig, SimHashVotes, TopKByScore, WordNGrams}
+import graft.functions.{HyperplaneBits, MinHashSig, QuantileSketchAgg, QuantileSketchEstimate, QuantileSketchUnion, SimHashVotes, TopKByScore, WordNGrams}
 
 /** SparkSessionExtensions entry point: registers graft's custom
   * expressions for SQL use, so `SELECT word_ngrams(text, 3)` works in
@@ -28,6 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.minhashSigDescriptor)
     ext.injectFunction(GraftExtensions.simhashVotesDescriptor)
     ext.injectFunction(GraftExtensions.topKDescriptor)
+    ext.injectFunction(GraftExtensions.quantileSketchDescriptor)
+    ext.injectFunction(GraftExtensions.quantileSketchUnionDescriptor)
+    ext.injectFunction(GraftExtensions.quantileSketchEstimateDescriptor)
   }
 }
 
@@ -91,9 +94,45 @@ object GraftExtensions {
         "topk_by_score(score, id, k) takes 3 arguments")
     })
 
+  val quantileSketchDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("quantile_sketch_agg"),
+    new ExpressionInfo(classOf[QuantileSketchAgg].getName,
+      "quantile_sketch_agg"),
+    (args: Seq[Expression]) => args match {
+      case Seq(c) => QuantileSketchAgg(c, 256)
+      case Seq(c, k) => QuantileSketchAgg(c, intArg(k, "sketch k"))
+      case _ => throw new IllegalArgumentException(
+        "quantile_sketch_agg(value[, k]) takes 1 or 2 arguments")
+    })
+
+  val quantileSketchUnionDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("quantile_sketch_union"),
+    new ExpressionInfo(classOf[QuantileSketchUnion].getName,
+      "quantile_sketch_union"),
+    (args: Seq[Expression]) => args match {
+      case Seq(c) => QuantileSketchUnion(c)
+      case _ => throw new IllegalArgumentException(
+        "quantile_sketch_union(sketch) takes 1 argument")
+    })
+
+  val quantileSketchEstimateDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("quantile_sketch_estimate"),
+    new ExpressionInfo(classOf[QuantileSketchEstimate].getName,
+      "quantile_sketch_estimate"),
+    (args: Seq[Expression]) => args match {
+      case Seq(s, q) => QuantileSketchEstimate(s, q)
+      case _ => throw new IllegalArgumentException(
+        "quantile_sketch_estimate(sketch, q) takes 2 arguments")
+    })
+
   private val allDescriptors =
     Seq(wordNGramsDescriptor, hyperplaneBitsDescriptor,
-      minhashSigDescriptor, simhashVotesDescriptor, topKDescriptor)
+      minhashSigDescriptor, simhashVotesDescriptor, topKDescriptor,
+      quantileSketchDescriptor, quantileSketchUnionDescriptor,
+      quantileSketchEstimateDescriptor)
 
   /** Register on an existing session (tests / REPL convenience). */
   def install(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -35,6 +35,58 @@ class ApproxSpec extends AnyFunSuite {
       s"direct HLL estimate $direct too far from exact $exact")
   }
 
+  test("KLL quantile sketches union across slices within rank error") {
+    import graft.functions.QuantileSketch
+    // same incremental-rollup contract as the HLL test, for quantiles:
+    // per-source sketches built independently, persisted as binary,
+    // unioned later — the merged estimate must sit within the sketch's
+    // rank-error envelope of the exact quantile, at BOTH granularities
+    // (direct whole-corpus sketch and union-of-slices)
+    val docs = graft.tables.Tables.documents(spark, sfDir)
+      .select(col("source"), length(col("text")).cast("double").as("len"))
+    val perSource = docs.groupBy("source")
+      .agg(QuantileSketch.sketchAgg(col("len")).as("sk"))
+    val exactN = docs.count()
+    val lens = docs.select("len").collect().map(_.getDouble(0)).sorted
+    def exactRank(v: Double): Long = lens.count(_ <= v).toLong
+    for (q <- Seq(0.1, 0.5, 0.9, 0.99)) {
+      val merged = perSource
+        .agg(QuantileSketch.estimate(
+          QuantileSketch.unionAgg(col("sk")), q).as("est"))
+        .head().getDouble(0)
+      val direct = docs
+        .agg(QuantileSketch.estimate(
+          QuantileSketch.sketchAgg(col("len")), q).as("est"))
+        .head().getDouble(0)
+      // k=256 gives rank error well under 2%; assert 3% for slack
+      val tol = math.max(2L, (exactN * 0.03).toLong)
+      assert(math.abs(exactRank(merged) - q * exactN) <= tol,
+        s"union estimate $merged at q=$q has rank ${exactRank(merged)}" +
+          s" vs target ${(q * exactN).toLong} (n=$exactN)")
+      assert(math.abs(exactRank(direct) - q * exactN) <= tol,
+        s"direct estimate $direct at q=$q has rank ${exactRank(direct)}" +
+          s" vs target ${(q * exactN).toLong} (n=$exactN)")
+    }
+  }
+
+  test("KLL sketch works from plain SQL via GraftExtensions") {
+    graft.plans.GraftExtensions.install(spark)
+    graft.tables.Tables.documents(spark, sfDir)
+      .selectExpr("source", "cast(length(text) as double) as len")
+      .createOrReplaceTempView("kll_docs")
+    val est = spark.sql(
+      """SELECT quantile_sketch_estimate(
+        |         quantile_sketch_union(sk), 0.5d) AS p50
+        |FROM (SELECT source, quantile_sketch_agg(len, 128) AS sk
+        |      FROM kll_docs GROUP BY source)""".stripMargin)
+      .head().getDouble(0)
+    val exact = spark.sql(
+      "SELECT percentile(len, 0.5d) FROM kll_docs").head().getDouble(0)
+    assert(math.abs(est - exact) <= math.max(5.0, exact * 0.10),
+      s"SQL-path p50 $est too far from exact $exact")
+    spark.catalog.dropTempView("kll_docs")
+  }
+
   test("sketch aggregates land within their error bounds") {
     val rows = Olap.approxStats(spark, sfDir).collect()
     assert(rows.nonEmpty)
