@@ -1539,7 +1539,199 @@ GROUP BY source
 ORDER BY source"""
 
   /** Every oracle, keyed like SparkEntry.queries. */
+  /** Market-share twin of [[graft.analytics.Olap.q8Share]]: same
+    * PROMO/AMERICA/NATION_5 slice, DECIMAL year sums, double division
+    * only at the edge.
+    */
+  val q8Share: String = """
+WITH amer AS (
+  SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'AMERICA')
+SELECT year(o_orderdate) AS o_year,
+  round(CAST(sum(CASE WHEN n_name = 'NATION_5' THEN vol
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+    / CAST(sum(vol) AS DOUBLE), 6) AS mkt_share,
+  CAST(sum(vol) AS DOUBLE) AS total_vol
+FROM (SELECT l_orderkey, l_suppkey,
+        CAST(l_extendedprice AS DECIMAL(18,2))
+          * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+          AS vol
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_type = 'PROMO') l
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN amer ON c_nationkey = amer.n_nationkey
+GROUP BY 1 ORDER BY 1"""
+
+  /** Product-line profit twin of [[graft.analytics.Olap.q9Profit]]. */
+  val q9Profit: String = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+  CAST(sum(amount) AS DOUBLE) AS sum_profit
+FROM (SELECT l_orderkey, l_suppkey,
+        CAST(l_extendedprice AS DECIMAL(18,2))
+          * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+          AS amount
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_name LIKE '%red%') l
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2 ORDER BY nation, o_year DESC"""
+
+  /** Ship-latency twin of [[graft.analytics.Olap.q12Latency]]. */
+  val q12Latency: String = """
+SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 60
+            THEN 'LATE' ELSE 'ONTIME' END AS ship_bucket,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1 ORDER BY 1"""
+
+  /** Order-count distribution twin of
+    * [[graft.analytics.Olap.q13CustDist]].
+    */
+  val q13CustDist: String = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (SELECT c_custkey, CAST(coalesce(cnt, 0) AS BIGINT) AS c_count
+      FROM customer
+      LEFT JOIN (SELECT o_custkey, count(*) AS cnt FROM orders
+                 WHERE o_orderpriority <> '1-URGENT'
+                 GROUP BY o_custkey) oc
+        ON c_custkey = oc.o_custkey)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC"""
+
+  /** Promo-share twin of [[graft.analytics.Olap.q14Promo]]. */
+  val q14Promo: String = """
+SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev
+                                   ELSE CAST(0 AS DECIMAL(18,2)) END)
+                     AS DOUBLE)
+    / CAST(sum(rev) AS DOUBLE), 6) AS promo_share,
+  CAST(sum(rev) AS DOUBLE) AS total_rev
+FROM (SELECT l_partkey,
+        CAST(l_extendedprice AS DECIMAL(18,2))
+          * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+          AS rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+        AND l_shipdate < TIMESTAMP '1997-10-01') l
+JOIN part ON l_partkey = p_partkey"""
+
+  /** Top-supplier twin of [[graft.analytics.Olap.q15TopSupplier]]. */
+  val q15TopSupplier: String = """
+WITH rev AS (
+  SELECT l_suppkey,
+    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+      AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s_suppkey"""
+
+  /** Small-quantity twin of [[graft.analytics.Olap.q17SmallQty]]: the
+    * 0.2×avg threshold cross-multiplied (5·qty·n < Σqty) exactly as
+    * the Spark side does, so no division enters the predicate.
+    */
+  val q17SmallQty: String = """
+WITH li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#23'),
+per_part AS (
+  SELECT l_partkey AS t_partkey,
+    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+    count(*) AS n_li
+  FROM li GROUP BY l_partkey)
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+    / 7.0, 6) AS avg_yearly,
+  CAST(count(*) AS BIGINT) AS n_small
+FROM li JOIN per_part ON l_partkey = t_partkey
+WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * n_li < sum_qty"""
+
+  /** Disjunctive-bundle twin of
+    * [[graft.analytics.Olap.q19Disjunction]].
+    */
+  val q19Disjunction: String = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+    AS DOUBLE) AS revenue,
+  CAST(count(*) AS BIGINT) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+        AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 35
+        AND l_quantity BETWEEN 20 AND 30)"""
+
+  /** Idle-customer twin of [[graft.analytics.Olap.q22Idle]]: the
+    * above-average test cross-multiplied (bal·n > Σbal), anti-join as
+    * NOT EXISTS.
+    */
+  val q22Idle: String = """
+WITH census AS (
+  SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal,
+    count(*) AS n_pos
+  FROM customer WHERE c_acctbal > 0)
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
+  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer, census
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n_pos > sum_bal
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment"""
+
+  /** Overlap-matrix twin of [[graft.ops.DedupOps.sourceOverlap]]: the
+    * theta sketches run in their exact regime (k ≥ per-source
+    * distincts), so plain DISTINCT set arithmetic is the oracle. Same
+    * planted "mirror" source, |A∪B| by inclusion-exclusion.
+    */
+  val docSourceOverlap: String = """
+WITH docs2 AS (
+  SELECT source, text FROM documents
+  UNION ALL
+  SELECT 'mirror' AS source, text FROM documents WHERE doc_id % 5 = 0),
+d AS (SELECT DISTINCT source, md5(lower(trim(text))) AS h FROM docs2),
+cnt AS (SELECT source, count(*) AS n FROM d GROUP BY source),
+pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+            a.n AS n_a, b.n AS n_b
+          FROM cnt a JOIN cnt b ON a.source < b.source),
+common AS (SELECT x.source AS source_a, y.source AS source_b,
+             count(*) AS n_common
+           FROM d x JOIN d y ON x.h = y.h AND x.source < y.source
+           GROUP BY 1, 2)
+SELECT p.source_a, p.source_b,
+  CAST(p.n_a AS BIGINT) AS n_a, CAST(p.n_b AS BIGINT) AS n_b,
+  CAST(coalesce(c.n_common, 0) AS BIGINT) AS n_common,
+  CAST(p.n_a + p.n_b - coalesce(c.n_common, 0) AS BIGINT) AS n_union,
+  round(CAST(coalesce(c.n_common, 0) AS DOUBLE)
+    / (p.n_a + p.n_b - coalesce(c.n_common, 0)), 6) AS jaccard
+FROM pairs p LEFT JOIN common c
+  ON c.source_a = p.source_a AND c.source_b = p.source_b
+ORDER BY 1, 2"""
+
   def all: Map[String, String] = Map(
+    "doc_source_overlap" -> docSourceOverlap,
+    "q8_share" -> q8Share,
+    "q9_profit" -> q9Profit,
+    "q12_latency" -> q12Latency,
+    "q13_cust_dist" -> q13CustDist,
+    "q14_promo" -> q14Promo,
+    "q15_top_supplier" -> q15TopSupplier,
+    "q17_small_qty" -> q17SmallQty,
+    "q19_disjunction" -> q19Disjunction,
+    "q22_idle" -> q22Idle,
     "doc_repetition" -> docRepetition,
     "doc_hash_sample" -> docHashSample,
     "events_inter_arrival" -> eventsInterArrival,

@@ -38,6 +38,15 @@ object SparkEntry {
     "q4_priority" -> (Olap.q4Priority(_, _)),
     "q7_volume" -> (Olap.q7Volume(_, _)),
     "q18_large" -> (Olap.q18Large(_, _)),
+    "q8_share" -> (Olap.q8Share(_, _)),
+    "q9_profit" -> (Olap.q9Profit(_, _)),
+    "q12_latency" -> (Olap.q12Latency(_, _)),
+    "q13_cust_dist" -> (Olap.q13CustDist(_, _)),
+    "q14_promo" -> (Olap.q14Promo(_, _)),
+    "q15_top_supplier" -> (Olap.q15TopSupplier(_, _)),
+    "q17_small_qty" -> (Olap.q17SmallQty(_, _)),
+    "q19_disjunction" -> (Olap.q19Disjunction(_, _)),
+    "q22_idle" -> (Olap.q22Idle(_, _)),
     "img_channel_overlap" -> (ImagingOps.channelOverlap(_, _)),
     "img_lineage_depth" -> (ImagingOps.lineageDepth(_, _)),
     "img_storage_rollup" -> (ImagingOps.storageRollup(_, _)),
@@ -81,6 +90,7 @@ object SparkEntry {
     "doc_dup_clusters" -> (DedupOps.dupClusters(_, _)),
     "doc_dedup_pipeline" -> (DedupOps.dedupPipeline(_, _)),
     "doc_minhash_recall" -> (DedupOps.minhashRecall(_, _)),
+    "doc_source_overlap" -> (DedupOps.sourceOverlap(_, _)),
     "doc_decontaminate" -> (DedupOps.decontaminate(_, _)),
     "doc_repetition" -> (TextOps.repetition(_, _)),
     "doc_hash_sample" -> (TextOps.hashSample(_, _)),

@@ -301,6 +301,258 @@ object Olap {
       .orderBy("l_suppkey", "ship_day")
   }
 
+  /** TPC-H Q8-style market share: of the PROMO-part revenue sold to
+    * AMERICA-region customers, the fraction supplied from NATION_5,
+    * per order year. Part keys (type-filtered), supplier→nation and
+    * the customer-side nation⋈region chain all broadcast; the only
+    * fact shuffles are the orderkey and custkey joins. The share
+    * division happens on exact DECIMAL year sums, cast to double only
+    * at the edge.
+    */
+  def q8Share(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_type") === "PROMO").select("p_partkey")
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val sn = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val amer = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir)
+        .filter(col("r_name") === "AMERICA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("c_nk"))
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+      .join(broadcast(amer), col("c_nationkey") === col("c_nk"))
+      .select("c_custkey")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).as("o_year"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        (col("l_extendedprice").cast(dec)
+          * (lit(1).cast(dec) - col("l_discount").cast(dec))).as("volume"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(sn), col("s_nationkey") === col("s_nk"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy("o_year")
+      .agg(
+        sum(when(col("supp_nation") === "NATION_5", col("volume"))
+          .otherwise(lit(0).cast(dec))).as("nation_vol"),
+        sum(col("volume")).as("total_vol"))
+      .select(col("o_year"),
+        round(col("nation_vol").cast("double")
+          / col("total_vol").cast("double"), 6).as("mkt_share"),
+        col("total_vol").cast("double").as("total_vol"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q9-style product-line profit (adapted: no partsupp table in
+    * this schema, so profit = discounted revenue): parts matching a
+    * name pattern, revenue per supplier nation per order year. The
+    * part filter can't push to parquet as a range but the LIKE still
+    * evaluates scan-side; matching part keys and supplier→nation
+    * broadcast, facts shuffle on their join keys only.
+    */
+  def q9Profit(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_name").contains("red")).select("p_partkey")
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        (col("l_extendedprice").cast(dec)
+          * (lit(1).cast(dec) - col("l_discount").cast(dec))).as("amount"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"), col("o_year"))
+      .agg(sum(col("amount")).cast("double").as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q12-style shipping-latency audit (adapted: this lineitem
+    * has no shipmode/commitdate, so the bucket is ship lag vs the
+    * order date): one year of lineitems bucketed LATE (>60 days from
+    * order to ship) vs ONTIME, counting high- vs low-priority orders
+    * in each bucket. The year filter pushes to the lineitem scan; one
+    * orderkey join; the case-sums collapse map-side to a 2-row result.
+    */
+  def q12Latency(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate")
+        >= lit("1997-01-01 00:00:00").cast("timestamp"))
+      .filter(col("l_shipdate")
+        < lit("1998-01-01 00:00:00").cast("timestamp"))
+      .select("l_orderkey", "l_shipdate")
+    val o = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("ship_bucket",
+        when(datediff(col("l_shipdate"), col("o_orderdate")) > 60,
+          lit("LATE")).otherwise(lit("ONTIME")))
+      .groupBy("ship_bucket")
+      .agg(
+        sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("ship_bucket")
+
+  }
+
+  /** TPC-H Q13-style customer order-count distribution: how many
+    * customers placed N non-urgent orders, including N=0. Orders
+    * collapse to a per-custkey count BEFORE touching customer (the
+    * fact shrinks ~10× ahead of the join), then the left join keeps
+    * order-less customers and the distribution is a second tiny agg.
+    */
+  def q13CustDist(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("cnt"))
+    Tables.customer(spark, dir).select("c_custkey")
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(coalesce(col("cnt"), lit(0L)).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q14-style promo revenue share: fraction of one month's
+    * revenue from PROMO-type parts. The month filter pushes to the
+    * lineitem scan, part broadcasts, and both case-sums stay DECIMAL
+    * until the output division.
+    */
+  def q14Promo(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).select("p_partkey", "p_type")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate")
+        >= lit("1997-09-01 00:00:00").cast("timestamp"))
+      .filter(col("l_shipdate")
+        < lit("1997-10-01 00:00:00").cast("timestamp"))
+      .select(col("l_partkey"),
+        (col("l_extendedprice").cast(dec)
+          * (lit(1).cast(dec) - col("l_discount").cast(dec))).as("rev"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", col("rev"))
+          .otherwise(lit(0).cast(dec))).as("promo_rev"),
+        sum(col("rev")).as("total_rev"))
+      .select(
+        round(lit(100.0) * col("promo_rev").cast("double")
+          / col("total_rev").cast("double"), 6).as("promo_share"),
+        col("total_rev").cast("double").as("total_rev"))
+  }
+
+  /** TPC-H Q15-style top supplier: the supplier(s) with maximum
+    * quarterly revenue. Revenue per supplier is one partial-agg
+    * shuffle; the global max is a one-row aggregate broadcast back
+    * into the (already tiny) per-supplier result — no window over the
+    * fact, no second fact scan. Ties all surface (ordered by key).
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate")
+        >= lit("1997-01-01 00:00:00").cast("timestamp"))
+      .filter(col("l_shipdate")
+        < lit("1997-04-01 00:00:00").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(sum(col("l_extendedprice").cast(dec)
+        * (lit(1).cast(dec) - col("l_discount").cast(dec)))
+        .as("total_revenue"))
+    val top = rev.agg(max(col("total_revenue")).as("max_revenue"))
+    rev.join(broadcast(top),
+        col("total_revenue") === col("max_revenue"))
+      .join(Tables.supplier(spark, dir).select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_revenue").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q17-style small-quantity revenue: average yearly revenue
+    * lost if one brand's small orders (< 20% of that part's mean
+    * quantity) were dropped. Brand part keys broadcast into the scan;
+    * the per-part mean and the qualifying rows come from the SAME
+    * brand-filtered slice (two passes over ~1/25th of the fact, never
+    * the whole table); the 0.2×avg comparison cross-multiplies
+    * (5·qty·n < Σqty) so everything stays integer/DECIMAL-exact — no
+    * engine-specific division or float rounding in the predicate.
+    */
+  def q17SmallQty(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#23").select("p_partkey")
+    val li = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    val perPart = li.groupBy(col("l_partkey").as("t_partkey"))
+      .agg(sum(col("l_quantity").cast(dec)).as("sum_qty"),
+        count(lit(1)).as("n_li"))
+    li.join(broadcast(perPart), col("l_partkey") === col("t_partkey"))
+      .filter(col("l_quantity").cast(dec) * 5 * col("n_li")
+        < col("sum_qty"))
+      .agg(sum(col("l_extendedprice").cast(dec)).as("small_rev"),
+        count(lit(1)).as("n_small"))
+      .select(
+        round(col("small_rev").cast("double") / 7.0, 6).as("avg_yearly"),
+        col("n_small"))
+  }
+
+  /** TPC-H Q19-style disjunctive-predicate revenue: three OR'd
+    * (brand, size-range, quantity-range) bundles. The join stays a
+    * single broadcast hash join on partkey with the disjunction as a
+    * post-join filter — Catalyst must not fall back to a nested-loop
+    * join just because the residual predicate is an OR (PlanSweepSpec
+    * would catch that).
+    */
+  def q19Disjunction(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size")
+    val qty = col("l_quantity")
+    val bundle =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15)
+        && qty.between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 25)
+        && qty.between(10, 20)) ||
+      (col("p_brand") === "Brand#4" && col("p_size").between(1, 35)
+        && qty.between(20, 30))
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), qty,
+        (col("l_extendedprice").cast(dec)
+          * (lit(1).cast(dec) - col("l_discount").cast(dec))).as("rev"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(bundle)
+      .agg(sum(col("rev")).cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  /** TPC-H Q22-style idle high-balance customers: per market segment,
+    * customers whose balance beats the positive-balance average but
+    * who have never ordered. The average is a one-row census
+    * cross-joined back (broadcast by construction); the threshold
+    * cross-multiplies (bal·n > Σbal) to stay DECIMAL-exact; the
+    * no-orders test is a left-anti join on custkey — no distinct, no
+    * subquery re-scan.
+    */
+  def q22Idle(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+    val census = cust.filter(col("c_acctbal") > 0)
+      .agg(sum(col("c_acctbal").cast(dec)).as("sum_bal"),
+        count(lit(1)).as("n_pos"))
+    cust.crossJoin(broadcast(census))
+      .filter(col("c_acctbal").cast(dec) * col("n_pos") > col("sum_bal"))
+      .join(Tables.orders(spark, dir).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("c_acctbal").cast(dec)).cast("double").as("totacctbal"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Window functions: per-supplier running quantity + row rank over a
     * total order (ties broken by the unique (orderkey, linenumber)).
     */

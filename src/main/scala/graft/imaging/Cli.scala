@@ -1,0 +1,201 @@
+package graft.imaging
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Thin CLI over the library — the reference's three entry points
+  * (imaging_db/cli/query_data.py, data_downloader.py,
+  * data_uploader.py) re-expressed as one `main` with subcommands. The
+  * semantics live in [[ImagingDb]] / [[DataExport]] /
+  * [[SplitterIngest]]; this layer only parses arguments, so a
+  * reference CLI user keeps their flag surface:
+  *
+  *  - `query --dir D [--project_id P] [--microscope M]
+  *    [--start_date YYYY-MM-DD] [--end_date YYYY-MM-DD]
+  *    [--description S]` — prints matching dataset serials
+  *    (query_data.py:10-52, minus `--login`: the connection string is
+  *    the table directory here).
+  *  - `download --dir D --id SERIAL --dest OUT [-p|--positions i...]
+  *    [-t|--times i...] [-c|--channels name...] [-z|--slices i...]
+  *    [--no-metadata] [--no-download]` — writes
+  *    `OUT/SERIAL/frames_meta.csv` + `global_metadata.json`
+  *    (data_downloader.py:13-110; `--no-*` toggles match). Storage
+  *    payloads are simulated in this build, so "download" emits the
+  *    storage manifest (`manifest.csv`: the per-frame storage paths
+  *    the reference's S3/local fetch loop would pull).
+  *  - `upload --csv F --config F --store OUT` — the uploader contract
+  *    (data_uploader.py:19-58): csv rows (dataset_id, file_name,
+  *    description), config JSON with upload_type/frames_format;
+  *    file_name points at a frame-name listing (one name per line) —
+  *    runs the matching splitter twin and writes frames +
+  *    global_meta parquet under OUT.
+  *
+  * Each subcommand is one bounded Spark job; the CLI never collects a
+  * fact table (query prints serials — dataset-count rows; download
+  * exports one dataset; upload registers the csv's datasets).
+  */
+object Cli {
+
+  private val usage =
+    """usage:
+      |  graft.Cli query    --dir DIR [--project_id P] [--microscope M]
+      |                     [--start_date YYYY-MM-DD] [--end_date YYYY-MM-DD]
+      |                     [--description S]
+      |  graft.Cli download --dir DIR --id SERIAL --dest OUT
+      |                     [-p|--positions i ...] [-t|--times i ...]
+      |                     [-c|--channels name ...] [-z|--slices i ...]
+      |                     [--no-metadata] [--no-download]
+      |  graft.Cli upload   --csv FILE --config FILE --store OUT
+      |""".stripMargin
+
+  /** Flags taking N values (reference nargs='+'). */
+  private val multiFlags = Map(
+    "-p" -> "positions", "--positions" -> "positions",
+    "-t" -> "times", "--times" -> "times",
+    "-c" -> "channels", "--channels" -> "channels",
+    "-z" -> "slices", "--slices" -> "slices")
+  /** Boolean toggles (reference store_false/store_true actions). */
+  private val boolFlags = Set("--no-metadata", "--no-download")
+
+  /** argparse-shaped parse: `--key value`, `--multi v1 v2 ...`,
+    * bare toggles. Returns (scalars, multi-value lists, toggles).
+    */
+  private[imaging] def parseOpts(args: Seq[String])
+      : (Map[String, String], Map[String, Seq[String]], Set[String]) = {
+    var scalars = Map.empty[String, String]
+    var multis = Map.empty[String, Seq[String]]
+    var bools = Set.empty[String]
+    var rest = args.toList
+    while (rest.nonEmpty) {
+      rest = rest match {
+        case f :: tail if boolFlags(f) =>
+          bools += f.stripPrefix("--"); tail
+        case f :: tail if multiFlags.contains(f) =>
+          val (vals, next) = tail.span(a => !a.startsWith("-"))
+          require(vals.nonEmpty, s"$f needs at least one value")
+          multis += (multiFlags(f) -> (multis.getOrElse(multiFlags(f),
+            Seq.empty) ++ vals))
+          next
+        case f :: v :: tail if f.startsWith("--") =>
+          scalars += (f.stripPrefix("--") -> v); tail
+        case bad =>
+          throw new IllegalArgumentException(
+            s"cannot parse arguments at: ${bad.mkString(" ")}")
+      }
+    }
+    (scalars, multis, bools)
+  }
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val code = run(session(), args.toSeq)
+    if (code != 0) {
+      System.err.println(usage)
+      sys.exit(code)
+    }
+  }
+
+  /** Dispatch; returns a process exit code (testable without exiting). */
+  def run(spark: SparkSession, args: Seq[String]): Int =
+    try {
+      args.headOption match {
+        case Some("query") => query(spark, args.tail); 0
+        case Some("download") => download(spark, args.tail); 0
+        case Some("upload") => upload(spark, args.tail); 0
+        case _ => 2
+      }
+    } catch {
+      case e: IllegalArgumentException =>
+        System.err.println(s"error: ${e.getMessage}"); 2
+    }
+
+  private def req(m: Map[String, String], k: String): String =
+    m.getOrElse(k, throw new IllegalArgumentException(s"--$k is required"))
+
+  /** query_data.py: criteria → matching dataset serials on stdout. */
+  private def query(spark: SparkSession, args: Seq[String]): Unit = {
+    val (s, _, _) = parseOpts(args)
+    val dir = req(s, "dir")
+    def day(k: String): Option[Timestamp] =
+      s.get(k).map(d => Timestamp.valueOf(s"$d 00:00:00"))
+    val crit = ImagingDb.SearchCriteria(
+      projectId = s.get("project_id"),
+      microscope = s.get("microscope"),
+      startDate = day("start_date"),
+      endDate = day("end_date"),
+      description = s.get("description"))
+    ImagingDb.getDatasets(spark, dir, crit)
+      .select("dataset_serial").collect()
+      .foreach(r => println(r.getString(0)))
+  }
+
+  /** data_downloader.py: one dataset's metadata export + the storage
+    * manifest for the (optionally dimension-filtered) frame subset.
+    */
+  private def download(spark: SparkSession, args: Seq[String]): Unit = {
+    val (s, m, b) = parseOpts(args)
+    val dir = req(s, "dir")
+    val id = req(s, "id")
+    val dest = req(s, "dest")
+    val out = s"$dest/$id"
+    if (!b("no-metadata")) DataExport.exportMeta(spark, dir, id, out)
+    if (!b("no-download")) {
+      def ints(k: String) = m.get(k).map(_.map(_.toInt))
+      ImagingDb.getFilenames(spark, dir, id,
+          channelNames = m.get("channels"),
+          sliceIds = ints("slices"), timeIds = ints("times"),
+          posIds = ints("positions"))
+        .coalesce(1).write.mode("overwrite")
+        .option("header", "true").csv(s"$out/manifest.csv")
+    }
+  }
+
+  /** data_uploader.py: csv of datasets + config JSON → splitter twin
+    * → frames + global_meta parquet under --store.
+    */
+  private def upload(spark: SparkSession, args: Seq[String]): Unit = {
+    val (s, _, _) = parseOpts(args)
+    val csv = req(s, "csv")
+    val config = req(s, "config")
+    val store = req(s, "store")
+    require(Files.exists(Paths.get(csv)), s"File doesn't exist: $csv")
+    require(Files.exists(Paths.get(config)), s"File doesn't exist: $config")
+    val cfgText = Files.readString(Paths.get(config))
+    val cfgRow = spark.range(1).select(
+      get_json_object(lit(cfgText), "$.upload_type").as("upload_type"),
+      get_json_object(lit(cfgText), "$.frames_format").as("frames_format"))
+      .head()
+    val uploadType = Option(cfgRow.getString(0)).map(_.toLowerCase)
+      .getOrElse("frames")
+    require(Set("frames", "file")(uploadType),
+      s"upload_type must be frames or file, got $uploadType")
+    val rows = spark.read.option("header", "true").csv(csv)
+      .select("dataset_id", "file_name").collect()
+    // one listing per csv row (reference: one splitter run per
+    // dataset); rows-per-upload is operator-bounded, not corpus-scale
+    val listing = rows.map { r =>
+      spark.read.text(r.getString(1))
+        .select(lit(r.getString(0)).as("dataset_serial"),
+          col("value").as("file_name"))
+    }.reduce(_ unionByName _)
+    val registered =
+      spark.emptyDataFrame.withColumn("dataset_serial", lit(""))
+        .limit(0)
+    val parsed = SplitterIngest.ingest(listing, registered)
+    parsed.write.mode("overwrite").parquet(s"$store/frames.parquet")
+    SplitterIngest.globalMetaFromFrames(parsed)
+      .write.mode("overwrite").parquet(s"$store/global_meta.parquet")
+  }
+}

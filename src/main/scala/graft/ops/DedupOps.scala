@@ -456,4 +456,43 @@ object DedupOps {
       .orderBy(col("jaccard").desc, col("doc1"), col("doc2"))
       .limit(100)
   }
+
+  /** Cross-source duplicate-overlap matrix via theta sketches
+    * ([[graft.functions.ThetaSketch]]): per-source sketches of the
+    * content digest, then pairwise set algebra (|A|, |B|, |A∩B|,
+    * |A∪B|, Jaccard) on the SKETCH values — the corpus is scanned
+    * once, the pairwise work touches only S per-source sketches, never
+    * documents. At 100 TB the same plan holds: the scan+partial-agg is
+    * the only fact pass, the pair join is S², and k bounds every
+    * sketch at a fixed byte size. With k = 2¹⁶ ≥ per-source distincts
+    * the sketch is in its exact regime, so this query hash-matches the
+    * exact DuckDB set arithmetic (the estimating regime is
+    * ThetaSpec's job). A planted "mirror" source (every 5th doc
+    * re-sourced) makes the overlap non-trivial: the natural corpus has
+    * no cross-source duplicate.
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ThetaSketch
+    val d = Tables.documents(spark, dir).select("doc_id", "text", "source")
+    val planted = d.unionByName(
+      d.filter(col("doc_id") % 5 === 0).withColumn("source", lit("mirror")))
+    val sk = planted
+      .select(col("source"), md5(lower(trim(col("text")))).as("h"))
+      .groupBy("source")
+      .agg(ThetaSketch.sketchAgg(col("h"), 1 << 16).as("sk"))
+    val a = sk.select(col("source").as("source_a"), col("sk").as("sk_a"))
+    val b = sk.select(col("source").as("source_b"), col("sk").as("sk_b"))
+    val inter =
+      ThetaSketch.estimate(ThetaSketch.intersect(col("sk_a"), col("sk_b")))
+    val uni =
+      ThetaSketch.estimate(ThetaSketch.union(col("sk_a"), col("sk_b")))
+    a.join(b, col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        ThetaSketch.estimate(col("sk_a")).cast("bigint").as("n_a"),
+        ThetaSketch.estimate(col("sk_b")).cast("bigint").as("n_b"),
+        inter.cast("bigint").as("n_common"),
+        uni.cast("bigint").as("n_union"),
+        round(inter / uni, 6).as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
 }

@@ -4,8 +4,9 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.StringType
 
-import graft.functions.{HyperplaneBits, MinHashSig, QuantileSketchAgg, QuantileSketchEstimate, QuantileSketchUnion, SimHashVotes, TopKByScore, WordNGrams}
+import graft.functions.{HyperplaneBits, MinHashSig, QuantileSketchAgg, QuantileSketchEstimate, QuantileSketchUnion, SimHashVotes, ThetaEstimate, ThetaSetOp, ThetaSketchAgg, ThetaState, ThetaUnionAgg, TopKByScore, WordNGrams}
 
 /** SparkSessionExtensions entry point: registers graft's custom
   * expressions for SQL use, so `SELECT word_ngrams(text, 3)` works in
@@ -31,6 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.quantileSketchDescriptor)
     ext.injectFunction(GraftExtensions.quantileSketchUnionDescriptor)
     ext.injectFunction(GraftExtensions.quantileSketchEstimateDescriptor)
+    ext.injectFunction(GraftExtensions.thetaSketchDescriptor)
+    ext.injectFunction(GraftExtensions.thetaUnionDescriptor)
+    ext.injectFunction(GraftExtensions.thetaSetOpDescriptor)
+    ext.injectFunction(GraftExtensions.thetaEstimateDescriptor)
   }
 }
 
@@ -128,11 +133,54 @@ object GraftExtensions {
         "quantile_sketch_estimate(sketch, q) takes 2 arguments")
     })
 
+  val thetaSketchDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("theta_sketch_agg"),
+    new ExpressionInfo(classOf[ThetaSketchAgg].getName, "theta_sketch_agg"),
+    (args: Seq[Expression]) => args match {
+      case Seq(c) => ThetaSketchAgg(c, ThetaState.DefaultK)
+      case Seq(c, k) => ThetaSketchAgg(c, intArg(k, "sketch k"))
+      case _ => throw new IllegalArgumentException(
+        "theta_sketch_agg(value[, k]) takes 1 or 2 arguments")
+    })
+
+  val thetaUnionDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("theta_union_agg"),
+    new ExpressionInfo(classOf[ThetaUnionAgg].getName, "theta_union_agg"),
+    (args: Seq[Expression]) => args match {
+      case Seq(c) => ThetaUnionAgg(c)
+      case _ => throw new IllegalArgumentException(
+        "theta_union_agg(sketch) takes 1 argument")
+    })
+
+  val thetaSetOpDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("theta_set_op"),
+    new ExpressionInfo(classOf[ThetaSetOp].getName, "theta_set_op"),
+    (args: Seq[Expression]) => args match {
+      case Seq(a, b, Literal(op, StringType)) =>
+        ThetaSetOp(a, b, op.toString)
+      case _ => throw new IllegalArgumentException(
+        "theta_set_op(a, b, 'union'|'intersect'|'anotb') takes 3 arguments")
+    })
+
+  val thetaEstimateDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("theta_estimate"),
+    new ExpressionInfo(classOf[ThetaEstimate].getName, "theta_estimate"),
+    (args: Seq[Expression]) => args match {
+      case Seq(s) => ThetaEstimate(s)
+      case _ => throw new IllegalArgumentException(
+        "theta_estimate(sketch) takes 1 argument")
+    })
+
   private val allDescriptors =
     Seq(wordNGramsDescriptor, hyperplaneBitsDescriptor,
       minhashSigDescriptor, simhashVotesDescriptor, topKDescriptor,
       quantileSketchDescriptor, quantileSketchUnionDescriptor,
-      quantileSketchEstimateDescriptor)
+      quantileSketchEstimateDescriptor, thetaSketchDescriptor,
+      thetaUnionDescriptor, thetaSetOpDescriptor, thetaEstimateDescriptor)
 
   /** Register on an existing session (tests / REPL convenience). */
   def install(spark: org.apache.spark.sql.SparkSession): Unit =

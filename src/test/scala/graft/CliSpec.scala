@@ -1,0 +1,114 @@
+package graft
+
+import java.io.{ByteArrayOutputStream, PrintStream}
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.imaging.Cli
+
+/** The CLI surface (cli/query_data.py, data_downloader.py,
+  * data_uploader.py twins): flag parsing, dispatch, and that each
+  * subcommand produces the same artifacts as the underlying library
+  * call it wraps.
+  */
+class CliSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sfDir = TestSpark.sfDir
+
+  private def captureOut(body: => Unit): String = {
+    val bos = new ByteArrayOutputStream()
+    Console.withOut(new PrintStream(bos, true, "UTF-8"))(body)
+    bos.toString("UTF-8")
+  }
+
+  test("query prints exactly the serials getDatasets returns") {
+    val crit = graft.imaging.ImagingDb.SearchCriteria(
+      projectId = Some("PRJ3"),
+      description = Some("URGENT"))
+    val expected = graft.imaging.ImagingDb
+      .getDatasets(spark, sfDir, crit)
+      .select("dataset_serial").collect().map(_.getString(0))
+    assert(expected.nonEmpty, "test criteria must match something")
+    val out = capturedLines(Seq("query", "--dir", sfDir,
+      "--project_id", "PRJ3", "--description", "URGENT"))
+    assert(out.toSeq == expected.toSeq)
+  }
+
+  test("query date-range flags filter like the library call") {
+    val out = capturedLines(Seq("query", "--dir", sfDir,
+      "--start_date", "1995-06-01", "--end_date", "1995-06-30"))
+    val expected = graft.imaging.ImagingDb.getDatasets(spark, sfDir,
+        graft.imaging.ImagingDb.SearchCriteria(
+          startDate = Some(java.sql.Timestamp.valueOf("1995-06-01 00:00:00")),
+          endDate = Some(java.sql.Timestamp.valueOf("1995-06-30 00:00:00"))))
+      .select("dataset_serial").collect().map(_.getString(0))
+    assert(out.toSeq == expected.toSeq)
+  }
+
+  private def capturedLines(args: Seq[String]): Array[String] = {
+    var lines = Array.empty[String]
+    val txt = captureOut {
+      assert(Cli.run(spark, args) == 0)
+    }
+    lines = txt.split("\n").filter(_.nonEmpty)
+    lines
+  }
+
+  test("download writes metadata export + filtered manifest") {
+    val serial = graft.imaging.ImagingDb.getDatasets(spark, sfDir)
+      .select("dataset_serial").head().getString(0)
+    val dest = Files.createTempDirectory("cli_dl").toString
+    assert(Cli.run(spark, Seq("download", "--dir", sfDir,
+      "--id", serial, "--dest", dest, "-c", "DAPI", "GFP")) == 0)
+    assert(Files.exists(Paths.get(s"$dest/$serial/global_metadata.json")))
+    assert(Files.exists(Paths.get(s"$dest/$serial/frames_meta.csv")))
+    val manifest = spark.read.option("header", "true")
+      .csv(s"$dest/$serial/manifest.csv")
+    val expected = graft.imaging.ImagingDb.getFilenames(spark, sfDir,
+      serial, channelNames = Some(Seq("DAPI", "GFP"))).count()
+    assert(manifest.count() == expected)
+  }
+
+  test("download --no-download/--no-metadata skip their artifacts") {
+    val serial = graft.imaging.ImagingDb.getDatasets(spark, sfDir)
+      .select("dataset_serial").head().getString(0)
+    val dest = Files.createTempDirectory("cli_dl2").toString
+    assert(Cli.run(spark, Seq("download", "--dir", sfDir,
+      "--id", serial, "--dest", dest, "--no-download")) == 0)
+    assert(Files.exists(Paths.get(s"$dest/$serial/global_metadata.json")))
+    assert(!Files.exists(Paths.get(s"$dest/$serial/manifest.csv")))
+  }
+
+  test("upload runs the splitter twin over the csv's listings") {
+    val tmp = Files.createTempDirectory("cli_up")
+    val listing = tmp.resolve("frames.txt")
+    Files.writeString(listing,
+      (for (c <- 0 to 1; z <- 0 to 2; t <- 0 to 1)
+        yield f"im_c$c%03d_z$z%03d_t$t%03d_p000_7_1.png")
+        .mkString("\n"))
+    val csv = tmp.resolve("upload.csv")
+    Files.writeString(csv,
+      s"dataset_id,file_name,description\nUP-2026-01-01-00-00-00-0001,$listing,test\n")
+    val cfg = tmp.resolve("config.json")
+    Files.writeString(cfg,
+      """{"upload_type": "frames", "frames_format": "sms_name"}""")
+    val store = tmp.resolve("store").toString
+    assert(Cli.run(spark, Seq("upload", "--csv", csv.toString,
+      "--config", cfg.toString, "--store", store)) == 0)
+    val frames = spark.read.parquet(s"$store/frames.parquet")
+    assert(frames.count() == 12)
+    val gm = spark.read.parquet(s"$store/global_meta.parquet").head()
+    assert(gm.getAs[Long]("nbr_frames") == 12)
+    assert(gm.getAs[Long]("nbr_channels") == 2)
+    assert(gm.getAs[Long]("nbr_slices") == 3)
+    assert(gm.getAs[Long]("nbr_timepoints") == 2)
+  }
+
+  test("bad arguments exit 2, unknown subcommand exits 2") {
+    assert(Cli.run(spark, Seq("query")) == 2) // missing --dir
+    assert(Cli.run(spark, Seq("download", "--dir", sfDir)) == 2)
+    assert(Cli.run(spark, Seq("nonsense")) == 2)
+    assert(Cli.run(spark, Seq.empty) == 2)
+  }
+}

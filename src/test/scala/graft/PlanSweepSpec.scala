@@ -16,6 +16,8 @@ class PlanSweepSpec extends AnyFunSuite {
     "q5_region_join",      // orders x lineitem: genuinely large-large
     "q4_priority",         // orders semi lineitem keys: large-large
     "q7_volume",           // lineitem x orders, orders x customer
+    "q8_share",            // lineitem x orders, orders x customer:
+                           // same large-large chain as q7
     "q18_large",           // orders x HAVING-filtered lineitem agg
     "img_channel_overlap", // INTERSECT of two dataset-key sets: both
                            // sides are fact-derived, shuffle semi join
@@ -30,7 +32,9 @@ class PlanSweepSpec extends AnyFunSuite {
     "doc_tfidf",      // corpus-size single row cross join
     "emb_knn_brute",  // tiny query side, <> condition
     "emb_knn_ivf",    // centroid cross joins + tiny probe side
-    "emb_kmeans_step" // 16-centroid broadcast cross join (assignment)
+    "emb_kmeans_step", // 16-centroid broadcast cross join (assignment)
+    "doc_source_overlap", // S-row sketch pairs, < condition (S = sources)
+    "q22_idle"        // one-row balance census cross join
   )
 
   test("doc_zipf ranks via distributed top-k, not a global window sort") {
