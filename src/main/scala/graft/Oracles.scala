@@ -1539,6 +1539,70 @@ GROUP BY source
 ORDER BY source"""
 
   /** Every oracle, keyed like SparkEntry.queries. */
+  /** IVF+PQ twin of [[graft.ops.VectorOps.knnIvfPq]]: the coarse
+    * cosine routing of embKnnIvf composed with embKnnPq's
+    * code-assignment + ADC tables, ADC restricted to probed cells.
+    */
+  val embKnnIvfPq: String = s"""
+WITH cents AS (
+  SELECT vec_id AS ccid, embedding AS ccv FROM embeddings WHERE vec_id < 16
+), cellof AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.ccid AS cell,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY -${duckCos("e.embedding", "c.ccv")}, c.ccid) AS crank
+    FROM embeddings e CROSS JOIN cents c)
+  WHERE crank <= 1
+), probes AS (
+  SELECT qid, cell FROM (
+    SELECT e.vec_id AS qid, c.ccid AS cell,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY -${duckCos("e.embedding", "c.ccv")}, c.ccid) AS crank
+    FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 10)
+  WHERE crank <= 4
+), subq AS (
+  SELECT vec_id, m.m AS m, embedding[m.m * 8 + 1 : m.m * 8 + 8] AS sub
+  FROM embeddings CROSS JOIN (SELECT unnest(range(8)) AS m) m
+), subc AS (
+  SELECT vec_id AS cid, m.m AS m,
+    embedding[m.m * 8 + 1 : m.m * 8 + 8] AS csub
+  FROM embeddings CROSS JOIN (SELECT unnest(range(8)) AS m) m
+  WHERE vec_id < 16
+), codes AS (
+  SELECT vec_id, m, cid FROM (
+    SELECT q.vec_id, q.m, c.cid,
+      row_number() OVER (PARTITION BY q.vec_id, q.m ORDER BY
+        list_sum(list_transform(list_zip(q.sub, c.csub),
+          p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+             * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), c.cid)
+        AS rk
+    FROM subq q JOIN subc c ON q.m = c.m)
+  WHERE rk = 1
+), dtab AS (
+  SELECT q.vec_id AS qid, q.m, c.cid,
+    list_sum(list_transform(list_zip(q.sub, c.csub),
+      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS dist
+  FROM subq q JOIN subc c ON q.m = c.m
+  WHERE q.vec_id < 10
+), adc AS (
+  SELECT d.qid, a.vec_id,
+    CAST(round(sum(d.dist), 6) AS DOUBLE) AS adc_dist
+  FROM codes a
+  JOIN cellof cf ON a.vec_id = cf.vec_id
+  JOIN probes p ON cf.cell = p.cell
+  JOIN dtab d ON a.m = d.m AND a.cid = d.cid AND d.qid = p.qid
+  WHERE d.qid <> a.vec_id
+  GROUP BY d.qid, a.vec_id
+)
+SELECT qid, vec_id AS neighbor, adc_dist, rank FROM (
+  SELECT qid, vec_id, adc_dist,
+    CAST(row_number() OVER (
+      PARTITION BY qid ORDER BY adc_dist, vec_id) AS BIGINT) AS rank
+  FROM adc)
+WHERE rank <= 5
+ORDER BY qid, rank"""
+
   /** Market-share twin of [[graft.analytics.Olap.q8Share]]: same
     * PROMO/AMERICA/NATION_5 slice, DECIMAL year sums, double division
     * only at the edge.
@@ -1721,7 +1785,37 @@ FROM pairs p LEFT JOIN common c
   ON c.source_a = p.source_a AND c.source_b = p.source_b
 ORDER BY 1, 2"""
 
+  /** Unigram-LM twin of [[graft.ops.TextOps.unigramLogprob]]: ln cast
+    * to DECIMAL(20,10) at the vocabulary level on both engines, sums
+    * exact, threshold cross-multiplied.
+    */
+  val docUnigramLogprob: String = """
+WITH toks AS (
+  SELECT doc_id, source,
+    unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+      AS tok
+  FROM documents),
+vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+total AS (SELECT count(*) AS tot FROM toks),
+lp AS (
+  SELECT tok,
+    CAST(ln(CAST(cnt AS DOUBLE) / tot) AS DECIMAL(20,10)) AS lp
+  FROM vocab, total),
+perdoc AS (
+  SELECT doc_id, source, sum(lp) AS s, count(*) AS n_toks
+  FROM toks JOIN lp USING (tok)
+  GROUP BY doc_id, source)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN s < CAST(-3.5 AS DECIMAL(20,10)) * n_toks
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+  round(CAST(sum(s) AS DOUBLE) / sum(n_toks), 4) AS avg_token_logprob
+FROM perdoc
+GROUP BY source
+ORDER BY source"""
+
   def all: Map[String, String] = Map(
+    "doc_unigram_logprob" -> docUnigramLogprob,
+    "emb_knn_ivfpq" -> embKnnIvfPq,
     "doc_source_overlap" -> docSourceOverlap,
     "q8_share" -> q8Share,
     "q9_profit" -> q9Profit,

@@ -93,8 +93,10 @@ object SparkEntry {
     "doc_source_overlap" -> (DedupOps.sourceOverlap(_, _)),
     "doc_decontaminate" -> (DedupOps.decontaminate(_, _)),
     "doc_repetition" -> (TextOps.repetition(_, _)),
+    "doc_unigram_logprob" -> (TextOps.unigramLogprob(_, _)),
     "doc_hash_sample" -> (TextOps.hashSample(_, _)),
     "emb_kmeans_step" -> (VectorOps.kmeansStep(_, _)),
+    "emb_knn_ivfpq" -> (VectorOps.knnIvfPq(_, _)),
     "events_anomaly" -> (EventOps.eventsAnomaly(_, _)),
     "events_inter_arrival" -> (EventOps.eventsInterArrival(_, _)),
     "events_range_join" -> (EventOps.eventsRangeJoin(_, _)),

@@ -329,4 +329,49 @@ object TextOps {
       .select(col("source"), (col("p") + 1).cast("bigint").as("rnk"),
         col("t.id").as("doc_id"), col("t.score").cast("bigint").as("n_chars"))
       .orderBy("source", "rnk")
+
+  /** Unigram language-model score — the perplexity-proxy quality
+    * signal real corpus pipelines gate on (CCNet/Gopher use an LM
+    * score; the self-trained unigram model is its distributed
+    * baseline): corpus token frequencies become per-token log
+    * probabilities, each document scores its mean token log-prob, and
+    * sources roll up with a low-score tail count (avg < −3.5).
+    *
+    * Determinism/parity: ln() doubles are cast to DECIMAL(20,10)
+    * once per VOCABULARY entry (deterministic per token), so all
+    * per-doc and per-source sums are exact and order-independent;
+    * the low-score test cross-multiplies (s < −3.5·n) instead of
+    * dividing; doubles reappear only in the final rounded outputs.
+    *
+    * Shuffle shape at 100 TB: token counts are one map-combined
+    * exchange on tok; the score join is a second exchange on tok
+    * (vocabulary-sized build side — NOT broadcast: a web corpus's
+    * vocabulary is billions of n-grams); per-doc and per-source
+    * partial-aggs follow. No windows, no driver collection.
+    */
+  def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(20,10)"
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(expr("filter(split(lower(text), ' '), x -> x <> '')"))
+          .as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = toks.agg(count(lit(1)).as("tot"))
+    val lp = vocab.crossJoin(broadcast(total))
+      .select(col("tok"),
+        log(col("cnt").cast("double") / col("tot")).cast(dec).as("lp"))
+    val perDoc = toks.join(lp, "tok")
+      .groupBy("doc_id", "source")
+      .agg(sum(col("lp")).as("s"), count(lit(1)).as("n_toks"))
+    perDoc
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("s") < lit(-3.5).cast(dec) * col("n_toks"), 1L)
+          .otherwise(0L)).as("n_low"),
+        sum(col("s")).as("s_all"), sum(col("n_toks")).as("toks_all"))
+      .select(col("source"), col("n_docs"), col("n_low"),
+        round(col("s_all").cast("double") / col("toks_all"), 4)
+          .as("avg_token_logprob"))
+      .orderBy("source")
+  }
 }

@@ -244,6 +244,69 @@ object VectorOps {
       .orderBy("qid", "rank")
   }
 
+  /** Combined IVF + PQ ANN search — the production 100 TB vector-index
+    * architecture (FAISS IVFPQ): a coarse quantizer routes each
+    * database vector to one of 16 cells, queries probe their 4
+    * nearest cells, and WITHIN the probed cells distance comes from
+    * the 8-byte PQ codes via the broadcast ADC tables — so search
+    * touches nprobe/ncells of the corpus and reads codes, never raw
+    * vectors. The cell routing cuts the candidate set; PQ cuts the
+    * bytes per candidate; the two compose multiplicatively.
+    *
+    * In production cell + codes are a PERSISTED index (built once,
+    * like [[pqCodes]]); here both derive inline from the same table,
+    * so the one vec_id shuffle joining them stands in for the index
+    * read. Probes and distance tables broadcast (|Q|-sized); the ADC
+    * sum collapses map-side per (query, vector); final top-5 via the
+    * bounded ascending top-k aggregate.
+    */
+  def knnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("ccid"), col("embedding").as("ccv"))
+    // coarse routing: nearest cell per database vector as the map-side
+    // argmin aggregate (the window variant would shuffle 16N rows)
+    val cellOf = e.select(col("vec_id"), col("embedding"))
+      .join(broadcast(cents), col("ccid") =!= lit(-1))
+      .withColumn("cdist", -cosine(col("embedding"), col("ccv")))
+      .groupBy("vec_id")
+      .agg(min(struct(col("cdist"), col("ccid"))).as("mn"))
+      .select(col("vec_id"), col("mn.ccid").as("cell"))
+    // probe side: 4 nearest cells per query — 10 queries, window is fine
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cdist"), col("ccid"))
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .join(broadcast(cents), col("ccid") =!= lit(-1))
+      .withColumn("cdist", -cosine(col("qv"), col("ccv")))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= 4)
+      .select(col("qid"), col("ccid").as("cell"))
+    val dtab = subspaces(
+      e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv")), "qv")
+      .join(pqCents(e), Seq("m"))
+      .withColumn("dist", subL2)
+      .select("qid", "m", "cid", "dist")
+    // codes gain their cell (the "index read"), probes cut them to the
+    // probed fraction BEFORE any distance work, then the ADC lookup
+    val adc = pqAssign(spark, dir)
+      .join(cellOf, Seq("vec_id"))
+      .join(broadcast(probes), Seq("cell"))
+      .join(broadcast(dtab), Seq("qid", "m", "cid"))
+      .filter(col("qid") =!= col("vec_id"))
+      .groupBy("qid", "vec_id")
+      .agg(round(sum("dist"), 6).as("adc_dist"))
+    adc.groupBy("qid")
+      .agg(graft.functions.TopKByScore
+        .topkAsc(col("adc_dist"), col("vec_id"), 5).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("p", "t")))
+      .select(col("qid"), col("t.id").as("neighbor"),
+        col("t.score").as("adc_dist"),
+        (col("p") + 1).cast("bigint").as("rank"))
+      .orderBy("qid", "rank")
+  }
+
   /** One Lloyd (k-means) iteration over the embedding corpus — the
     * codebook-training step behind the IVF and PQ indexes (their
     * vec_id<16 seeds are exactly what this refines): assign every

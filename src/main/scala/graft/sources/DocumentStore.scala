@@ -58,4 +58,54 @@ object DocumentStore {
     read(spark, table)
       .groupBy("h")
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("group_n"))
+
+  // ---- incremental ingest ------------------------------------------
+  //
+  // The other half of the 100 TB contract: corpora GROW. A new ingest
+  // batch must update the dedup state by touching the batch and the
+  // (digest-sized) census — never by rescanning stored text.
+
+  /** Append an ingest batch in the same bucket layout (the digest is
+    * computed at write time exactly as [[write]] does, so old and new
+    * files share bucket hashing and stay co-located).
+    */
+  def append(docs: DataFrame, table: String,
+      nBuckets: Int = DefaultBuckets): Unit =
+    docs
+      .withColumn("h", md5(lower(trim(col("text")))))
+      .write.bucketBy(nBuckets, "h").sortBy("h")
+      .mode("append").saveAsTable(table)
+
+  /** Materialize the full duplicate census (every digest, including
+    * singletons) as its own bucketed table — the persistent dedup
+    * state an incremental pipeline carries between batches. Digest +
+    * two longs per distinct document: ~10⁻⁴ of corpus bytes.
+    */
+  def writeCensus(spark: SparkSession, docTable: String,
+      censusTable: String, nBuckets: Int = DefaultBuckets): Unit =
+    read(spark, docTable)
+      .groupBy("h")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("keeper"))
+      .write.bucketBy(nBuckets, "h").sortBy("h")
+      .mode("overwrite").saveAsTable(censusTable)
+
+  /** Incremental census update: stored census ⟗ batch census on the
+    * digest. With both sides bucketed on `h` at the same count the
+    * full-outer merge runs with ZERO exchanges (DocumentStoreSpec
+    * asserts it) — so absorbing a batch costs O(batch + census), not
+    * O(corpus). Group sizes add; the keeper stays the min doc_id
+    * across both sides (`least` skips the side that lacks the digest).
+    */
+  def mergedCensus(spark: SparkSession, censusTable: String,
+      batchCensusTable: String): DataFrame = {
+    val stored = spark.table(censusTable)
+      .select(col("h"), col("n").as("n_a"), col("keeper").as("k_a"))
+    val batch = spark.table(batchCensusTable)
+      .select(col("h"), col("n").as("n_b"), col("keeper").as("k_b"))
+    stored.join(batch, Seq("h"), "full_outer")
+      .select(col("h"),
+        (coalesce(col("n_a"), lit(0L)) + coalesce(col("n_b"), lit(0L)))
+          .as("n"),
+        least(col("k_a"), col("k_b")).as("keeper"))
+  }
 }

@@ -57,4 +57,50 @@ class DocumentStoreSpec extends AnyFunSuite {
       spark.sql("DROP DATABASE IF EXISTS graft_docs")
     }
   }
+
+  test("incremental census absorbs a batch with zero exchanges") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_docstore_inc").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_inc LOCATION '$tmp'")
+    try {
+      // day 0: first half of the corpus + its census
+      val full = plantedCorpus
+      val day0 = full.filter(col("doc_id") % 2 === 0)
+      val batch = full.filter(col("doc_id") % 2 =!= 0)
+      DocumentStore.write(day0, "graft_inc.docs", nBuckets = 8)
+      DocumentStore.writeCensus(spark, "graft_inc.docs",
+        "graft_inc.census", nBuckets = 8)
+
+      // day 1: batch arrives — append in layout, census it alone
+      DocumentStore.append(batch, "graft_inc.docs", nBuckets = 8)
+      DocumentStore.write(batch, "graft_inc.batch", nBuckets = 8)
+      DocumentStore.writeCensus(spark, "graft_inc.batch",
+        "graft_inc.batch_census", nBuckets = 8)
+
+      val merged = DocumentStore.mergedCensus(spark,
+        "graft_inc.census", "graft_inc.batch_census")
+      // the merge must ride both bucket layouts — no Exchange anywhere
+      val plan = merged.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"incremental census merge must not shuffle:\n$plan")
+
+      // parity: merged incremental state == full recompute over the
+      // appended store
+      val fromScratch = DocumentStore.read(spark, "graft_inc.docs")
+        .groupBy("h")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("keeper"))
+      assert(merged.except(fromScratch).count() === 0)
+      assert(fromScratch.except(merged).count() === 0)
+      // and the appended store kept its bucket layout: census over it
+      // still runs exchange-free
+      val censusPlan = DocumentStore.dupGroups(spark, "graft_inc.docs")
+        .queryExecution.executedPlan.toString
+      assert(!censusPlan.contains("Exchange"),
+        s"appended store lost its bucket layout:\n$censusPlan")
+    } finally {
+      Seq("docs", "census", "batch", "batch_census").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS graft_inc.$t"))
+      spark.sql("DROP DATABASE IF EXISTS graft_inc")
+    }
+  }
 }

@@ -22,17 +22,23 @@ class PlanSweepSpec extends AnyFunSuite {
     "img_channel_overlap", // INTERSECT of two dataset-key sets: both
                            // sides are fact-derived, shuffle semi join
                            // is the right strategy
-    "doc_dedup_pipeline"   // keeper set ⋈ corpus text on the unique
+    "doc_dedup_pipeline",  // keeper set ⋈ corpus text on the unique
                            // doc_id: both sides corpus-scale by design
                            // (the join replaced the hot-digest window;
                            // unique keys → uniform shuffle)
+    "emb_knn_ivfpq"        // PQ codes ⋈ cell routing on vec_id: both
+                           // corpus-scale — stands in for the persisted
+                           // co-bucketed IVFPQ index read (unique keys
+                           // → uniform shuffle)
   )
   // intended broadcast-nested-loop joins (non-equi or single-row sides)
   private val bnlAllowed = Set(
     "doc_tfidf",      // corpus-size single row cross join
+    "doc_unigram_logprob", // vocabulary x single-row total cross join
     "emb_knn_brute",  // tiny query side, <> condition
     "emb_knn_ivf",    // centroid cross joins + tiny probe side
     "emb_kmeans_step", // 16-centroid broadcast cross join (assignment)
+    "emb_knn_ivfpq",  // 16-centroid routing cross joins (IVF coarse step)
     "doc_source_overlap", // S-row sketch pairs, < condition (S = sources)
     "q22_idle"        // one-row balance census cross join
   )
