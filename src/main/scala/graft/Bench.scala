@@ -8,12 +8,18 @@ object Bench {
 
   /** The events table as a file-stream source with the ns-long ts
     * converted to a proper timestamp — shared by both stream benches.
+    * The source path targets `events.parquet` ITSELF (glob-matching a
+    * single file, listing a directory of part files) — a
+    * `pathGlobFilter=events.parquet` on the parent would silently
+    * match NOTHING when the table is a directory (the filter applies
+    * to leaf part-file names), draining an empty stream and turning
+    * the bench vacuous, which is exactly what happened to the
+    * round-2 10× artifact.
     */
   private def streamingEvents(spark: SparkSession, sfDir: String) = {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+      .parquet(s"$sfDir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 

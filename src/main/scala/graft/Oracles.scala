@@ -1813,7 +1813,83 @@ FROM perdoc
 GROUP BY source
 ORDER BY source"""
 
+  /** Exact-regime KLL twin of
+    * [[graft.analytics.Olap.qSketchQuantile]]: with no compaction the
+    * sketch's quantile is the element at rank ⌊q·n⌋ (capped n−1) of
+    * the sorted values, read here off a sorted list; the Spark side's
+    * union row is the same multiset, so one list over all rows twins
+    * it.
+    */
+  val qSketchQuantile: String = """
+WITH vals AS (
+  SELECT l_returnflag AS flag, CAST(l_quantity AS DOUBLE) AS v
+  FROM lineitem),
+per AS (
+  SELECT flag, CAST(count(*) AS BIGINT) AS n, list_sort(list(v)) AS lv
+  FROM vals GROUP BY flag),
+allrow AS (
+  SELECT 'ALL' AS flag, CAST(count(*) AS BIGINT) AS n,
+    list_sort(list(v)) AS lv
+  FROM vals),
+u AS (SELECT * FROM per UNION ALL SELECT * FROM allrow)
+SELECT flag, n,
+  round(lv[CAST(least(floor(0.5 * n), n - 1) AS BIGINT) + 1], 6) AS p50,
+  round(lv[CAST(least(floor(0.9 * n), n - 1) AS BIGINT) + 1], 6) AS p90
+FROM u ORDER BY flag"""
+
+  /** Cohort-LTV twin of [[graft.ops.EventOps.eventsCohortLtv]]: same
+    * epoch-nanos week division, DECIMAL revenue.
+    */
+  val eventsCohortLtv: String = """
+WITH first_seen AS (
+  SELECT user_id, min(epoch_ns(ts)) AS first_ns
+  FROM events GROUP BY user_id)
+SELECT first_ns // 604800000000000 AS cohort_week,
+  (epoch_ns(e.ts) - first_ns) // 604800000000000 AS age_week,
+  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_buyers,
+  CAST(count(*) AS BIGINT) AS n_purchases,
+  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM events e JOIN first_seen USING (user_id)
+WHERE event_type = 'purchase'
+GROUP BY 1, 2
+ORDER BY 1, 2"""
+
+  /** PII-scrub twin of [[graft.ops.TextOps.piiScrub]]: same planted
+    * contacts, same RE2 patterns, 'g' flag mirrors Spark's
+    * replace-all.
+    */
+  val docPiiScrub: String = """
+WITH planted AS (
+  SELECT source,
+    CASE WHEN doc_id % 7 = 0
+           THEN concat(text, ' contact alice@example.com or 555-123-4567')
+         WHEN doc_id % 11 = 0 THEN concat(text, ' mail bob@test.org')
+         ELSE text END AS text2
+  FROM documents),
+scored AS (
+  SELECT source,
+    len(regexp_extract_all(text2,
+      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,
+    len(regexp_extract_all(text2, '[0-9]{3}-[0-9]{3}-[0-9]{4}'))
+      AS n_phones,
+    length(regexp_replace(regexp_replace(text2,
+      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+      '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_len
+  FROM planted)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN n_emails + n_phones > 0 THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_pii_docs,
+  CAST(sum(n_emails) AS BIGINT) AS n_emails,
+  CAST(sum(n_phones) AS BIGINT) AS n_phones,
+  CAST(sum(redacted_len) AS BIGINT) AS redacted_chars
+FROM scored
+GROUP BY source
+ORDER BY source"""
+
   def all: Map[String, String] = Map(
+    "events_cohort_ltv" -> eventsCohortLtv,
+    "doc_pii_scrub" -> docPiiScrub,
+    "q_sketch_quantile" -> qSketchQuantile,
     "doc_unigram_logprob" -> docUnigramLogprob,
     "emb_knn_ivfpq" -> embKnnIvfPq,
     "doc_source_overlap" -> docSourceOverlap,

@@ -47,6 +47,7 @@ object SparkEntry {
     "q17_small_qty" -> (Olap.q17SmallQty(_, _)),
     "q19_disjunction" -> (Olap.q19Disjunction(_, _)),
     "q22_idle" -> (Olap.q22Idle(_, _)),
+    "q_sketch_quantile" -> (Olap.qSketchQuantile(_, _)),
     "img_channel_overlap" -> (ImagingOps.channelOverlap(_, _)),
     "img_lineage_depth" -> (ImagingOps.lineageDepth(_, _)),
     "img_storage_rollup" -> (ImagingOps.storageRollup(_, _)),
@@ -100,6 +101,8 @@ object SparkEntry {
     "events_anomaly" -> (EventOps.eventsAnomaly(_, _)),
     "events_inter_arrival" -> (EventOps.eventsInterArrival(_, _)),
     "events_range_join" -> (EventOps.eventsRangeJoin(_, _)),
+    "events_cohort_ltv" -> (EventOps.eventsCohortLtv(_, _)),
+    "doc_pii_scrub" -> (TextOps.piiScrub(_, _)),
     "img_payload_stats" ->
       (graft.multimodal.BinaryFrames.payloadStats(_, _)),
   )

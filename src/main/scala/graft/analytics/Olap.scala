@@ -229,6 +229,38 @@ object Olap {
         expr("percentile(l_extendedprice, 0.99)").as("p99_price"))
       .orderBy("l_returnflag")
 
+  /** KLL quantile sketches in their exact regime, oracle-checked — the
+    * sketch twin of [[qPercentiles]] and the KLL counterpart of
+    * `doc_source_overlap`'s exact-regime theta check: per-returnflag
+    * sketches of l_quantity estimate p50/p90, and a global "ALL" row
+    * comes from the UNION of the per-flag sketches — the incremental
+    * roll-up path itself under the oracle hash. With k = 2¹⁷ above
+    * the sf0.01 row count no compaction ever fires, so every estimate
+    * is exactly the element at rank ⌊q·n⌋ (capped n−1) of the sorted
+    * column — which the DuckDB twin reads off a sorted list directly.
+    * At bench scale (600 k rows > k) the same query runs estimating —
+    * the regime ApproxSpec bounds. The exchange carries sketches
+    * (O(k) doubles per group), never row values.
+    */
+  def qSketchQuantile(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.QuantileSketch
+    val k = 1 << 17
+    val per = Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(QuantileSketch.sketchAgg(
+          col("l_quantity").cast("double"), k).as("sk"),
+        count(lit(1)).as("n"))
+    val glob = per.agg(
+        QuantileSketch.unionAgg(col("sk")).as("sk"), sum(col("n")).as("n"))
+      .select(lit("ALL").as("flag"), col("sk"), col("n"))
+    per.select(col("l_returnflag").as("flag"), col("sk"), col("n"))
+      .unionByName(glob)
+      .select(col("flag"), col("n"),
+        round(QuantileSketch.estimate(col("sk"), 0.5), 6).as("p50"),
+        round(QuantileSketch.estimate(col("sk"), 0.9), 6).as("p90"))
+      .orderBy("flag")
+  }
+
   /** Sketch-based statistics — the 100 TB twin of q_percentiles /
     * countDistinct: HyperLogLog++ distinct counts and quantile sketches
     * have constant-size partial state per group, so the shuffle carries

@@ -309,4 +309,36 @@ object EventOps {
     viewers.join(buyers, Seq("user_id", "day"), "left_anti")
       .orderBy("user_id", "day")
   }
+
+  /** Cohort LTV matrix — the revenue companion of [[eventsRetention]]
+    * (which counts ACTIVITY; LTV sums VALUE): users cohorted by their
+    * first-seen week, purchase revenue accumulated per (cohort week,
+    * weeks-since-first) cell — the curve a growth team reads
+    * lifetime value off.
+    *
+    * Week arithmetic stays in raw epoch-nanos integer division (no
+    * date truncation — portable and timezone-free); revenue sums in
+    * DECIMAL. Shuffle shape: one per-user first-seen aggregate
+    * (map-combined), one user join, one (cohort, age) partial agg —
+    * all key-uniform, no windows.
+    */
+  def eventsCohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val weekNs = 7L * 86400L * NanosPerSec
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+    val firstSeen = ev.groupBy("user_id")
+      .agg(min(col("ts")).as("first_ts"))
+    ev.filter(col("event_type") === "purchase")
+      .join(firstSeen, "user_id")
+      .select(
+        expr(s"first_ts div $weekNs").as("cohort_week"),
+        expr(s"(ts - first_ts) div $weekNs").as("age_week"),
+        col("user_id"), col("value"))
+      .groupBy("cohort_week", "age_week")
+      .agg(countDistinct(col("user_id")).as("n_buyers"),
+        count(lit(1)).as("n_purchases"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("revenue"))
+      .orderBy("cohort_week", "age_week")
+  }
 }

@@ -330,6 +330,46 @@ object TextOps {
         col("t.id").as("doc_id"), col("t.score").cast("bigint").as("n_chars"))
       .orderBy("source", "rnk")
 
+  /** PII scrub audit — the redaction pass a training corpus runs
+    * before anything else: detect emails and phone numbers, count
+    * them, and measure the redacted output. The synthetic corpus has
+    * no natural PII, so deterministic contact strings are planted on
+    * every 7th/11th document (the established planting pattern —
+    * results non-trivial, oracle identical).
+    *
+    * Per-row regex work only (scan-side, codegen'd), one per-source
+    * partial agg; `redacted_chars` proves the replacement actually
+    * ran (width change), without shipping any text to the driver.
+    * Regexes are RE2-compatible so both engines match identically;
+    * DuckDB needs the 'g' flag to mirror Spark's replace-all.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    val planted = Tables.documents(spark, dir)
+      .withColumn("text2",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"),
+            lit(" contact alice@example.com or 555-123-4567")))
+          .when(col("doc_id") % 11 === 0,
+            concat(col("text"), lit(" mail bob@test.org")))
+          .otherwise(col("text")))
+    planted
+      .withColumn("n_emails", regexp_count(col("text2"), lit(emailRe)))
+      .withColumn("n_phones", regexp_count(col("text2"), lit(phoneRe)))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col("text2"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("n_emails") + col("n_phones") > 0).cast("bigint"))
+          .as("n_pii_docs"),
+        sum(col("n_emails")).cast("bigint").as("n_emails"),
+        sum(col("n_phones")).cast("bigint").as("n_phones"),
+        sum(length(col("redacted"))).cast("bigint").as("redacted_chars"))
+      .orderBy("source")
+  }
+
   /** Unigram language-model score — the perplexity-proxy quality
     * signal real corpus pipelines gate on (CCNet/Gopher use an LM
     * score; the self-trained unigram model is its distributed
