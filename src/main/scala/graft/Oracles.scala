@@ -1886,7 +1886,22 @@ FROM scored
 GROUP BY source
 ORDER BY source"""
 
+  /** LSH-health twin of [[graft.ops.DedupOps.lshHealth]]: per-band
+    * bucket statistics off the shared signature chain's `bsz` CTE.
+    */
+  val docLshHealth: String = minhashPairsCte + """
+SELECT band, CAST(count(*) AS BIGINT) AS n_buckets,
+  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singleton,
+  CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_colliding,
+  CAST(max(n) AS BIGINT) AS max_bucket,
+  CAST(sum(CASE WHEN n > 1 THEN n * (n - 1) // 2 ELSE 0 END) AS BIGINT)
+    AS n_cand_pairs
+FROM bsz
+GROUP BY band
+ORDER BY band"""
+
   def all: Map[String, String] = Map(
+    "doc_lsh_health" -> docLshHealth,
     "events_cohort_ltv" -> eventsCohortLtv,
     "doc_pii_scrub" -> docPiiScrub,
     "q_sketch_quantile" -> qSketchQuantile,

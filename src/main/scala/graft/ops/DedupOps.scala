@@ -91,8 +91,11 @@ object DedupOps {
     *    WIDTH (via `bandRows`) rather than the cap, so buckets stay
     *    small instead of being dropped.
     */
-  def minhashPairsOf(source: DataFrame, jaccardMin: Double = 0.7,
-      maxBucket: Int = 1000): DataFrame = {
+  /** The (doc_id, band, bh) LSH bucket membership of a (doc_id, text)
+    * set — the shared banding front half of [[minhashPairsOf]] and the
+    * [[lshHealth]] audit.
+    */
+  private def minhashBuckets(source: DataFrame): DataFrame = {
     val docs = withShingles(source).select("doc_id", "shset")
     // base shingle hash = top 28 bits of md5: engine-portable (the
     // DuckDB oracle computes the identical value), already < P so the
@@ -116,9 +119,14 @@ object DedupOps {
             element_at(col("sig"), BandRows * j + k + 1)): _*)
           .as("bh"))
     }
-    val buckets = sig
+    sig
       .select(col("doc_id"), explode(array(bands: _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+  }
+
+  def minhashPairsOf(source: DataFrame, jaccardMin: Double = 0.7,
+      maxBucket: Int = 1000): DataFrame = {
+    val buckets = minhashBuckets(source)
     // one pass over the buckets: group → in-bucket pair expansion —
     // avoids a self-join that would run the signature pipeline twice.
     // Buckets are capped (skew guard): a degenerate bucket of B docs
@@ -456,6 +464,30 @@ object DedupOps {
       .orderBy(col("jaccard").desc, col("doc1"), col("doc2"))
       .limit(100)
   }
+
+  /** LSH index health — the observability query a production dedup
+    * service watches (the dedup counterpart of [[graft.ops.VectorOps
+    * .pqCodes]]' codebook-balance histogram): per band, how many
+    * buckets exist, how many are singletons (no candidate signal),
+    * how many collide, the largest bucket (the skew guard's input —
+    * when max_bucket approaches the cap it's time to widen bands),
+    * and the candidate-pair load Σ n·(n−1)/2 the bucket distribution
+    * implies. One banding pass + two partial aggs; nothing touches
+    * text.
+    */
+  def lshHealth(spark: SparkSession, dir: String): DataFrame =
+    minhashBuckets(corpus(spark, dir))
+      .groupBy("band", "bh")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_singleton"),
+        sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_colliding"),
+        max(col("n")).as("max_bucket"),
+        // `div`, not `/`: Spark's `/` on bigints returns DOUBLE
+        sum(when(col("n") > 1, expr("n * (n - 1) div 2"))
+          .otherwise(0L)).as("n_cand_pairs"))
+      .orderBy("band")
 
   /** Cross-source duplicate-overlap matrix via theta sketches
     * ([[graft.functions.ThetaSketch]]): per-source sketches of the
