@@ -8,19 +8,26 @@ object Bench {
 
   /** The events table as a file-stream source with the ns-long ts
     * converted to a proper timestamp — shared by both stream benches.
-    * The source path targets `events.parquet` ITSELF (glob-matching a
-    * single file, listing a directory of part files) — a
-    * `pathGlobFilter=events.parquet` on the parent would silently
-    * match NOTHING when the table is a directory (the filter applies
-    * to leaf part-file names), draining an empty stream and turning
-    * the bench vacuous, which is exactly what happened to the
-    * round-2 10× artifact.
+    * The source handles BOTH physical layouts, because each one fails
+    * silently under the other's configuration: a directory-layout
+    * table (the ScaleGen replicas) must be the source path itself — a
+    * `pathGlobFilter=events.parquet` on the parent matches no leaf
+    * part files and drains an EMPTY stream (which made every prior
+    * round's 10× stream numbers vacuous); a single-file table (the
+    * driver-generated sf dirs) can't BE the source path — the file
+    * stream source wants a directory, the run errors out, and minOk
+    * silently drops the entry.
     */
   private def streamingEvents(spark: SparkSession, sfDir: String) = {
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    spark.readStream.schema(schema)
-      .parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val path = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val src =
+      if (new java.io.File(path).isDirectory)
+        spark.readStream.schema(schema).parquet(path)
+      else
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** End-to-end Structured Streaming throughput: the windowed

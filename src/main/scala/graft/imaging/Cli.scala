@@ -183,6 +183,7 @@ object Cli {
       s"upload_type must be frames or file, got $uploadType")
     val rows = spark.read.option("header", "true").csv(csv)
       .select("dataset_id", "file_name").collect()
+    require(rows.nonEmpty, s"upload csv has no data rows: $csv")
     // one listing per csv row (reference: one splitter run per
     // dataset); rows-per-upload is operator-bounded, not corpus-scale
     val listing = rows.map { r =>
