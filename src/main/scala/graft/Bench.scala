@@ -21,9 +21,15 @@ object Bench {
   private def streamingEvents(spark: SparkSession, sfDir: String) = {
     val path = s"$sfDir/events.parquet"
     val schema = spark.read.parquet(path).schema
+    // layout probe through Hadoop's FileSystem, not java.io.File — a
+    // java.io probe is always false for hdfs://-s3a://-style URIs, so
+    // a remote directory layout would silently fall into the glob
+    // branch and drain empty
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val isDir = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(hp).isDirectory
     val src =
-      if (new java.io.File(path).isDirectory)
-        spark.readStream.schema(schema).parquet(path)
+      if (isDir) spark.readStream.schema(schema).parquet(path)
       else
         spark.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(sfDir)

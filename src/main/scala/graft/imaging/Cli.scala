@@ -80,6 +80,11 @@ object Cli {
             Seq.empty) ++ vals))
           next
         case f :: v :: tail if f.startsWith("--") =>
+          // argparse semantics: a flag-shaped token is NOT a value —
+          // binding it would silently swallow the next option
+          // (`--dest --no-download` must error, not write to a
+          // directory named "--no-download")
+          require(!v.startsWith("--"), s"$f needs a value, got $v")
           scalars += (f.stripPrefix("--") -> v); tail
         case bad =>
           throw new IllegalArgumentException(
@@ -117,7 +122,10 @@ object Cli {
         case _ => 2
       }
     } catch {
-      case e: IllegalArgumentException =>
+      // the CLI's contract is message + exit code for ANY operational
+      // failure (bad flags, nonexistent --dir, unreadable listing) —
+      // not a raw stack trace for everything beyond argument errors
+      case scala.util.control.NonFatal(e) =>
         System.err.println(s"error: ${e.getMessage}"); 2
     }
 
@@ -181,20 +189,42 @@ object Cli {
       .getOrElse("frames")
     require(Set("frames", "file")(uploadType),
       s"upload_type must be frames or file, got $uploadType")
+    val format = Option(cfgRow.getString(1)).map(_.toLowerCase)
+      .getOrElse("sms_name")
     val rows = spark.read.option("header", "true").csv(csv)
       .select("dataset_id", "file_name").collect()
     require(rows.nonEmpty, s"upload csv has no data rows: $csv")
     // one listing per csv row (reference: one splitter run per
     // dataset); rows-per-upload is operator-bounded, not corpus-scale
-    val listing = rows.map { r =>
-      spark.read.text(r.getString(1))
-        .select(lit(r.getString(0)).as("dataset_serial"),
-          col("value").as("file_name"))
-    }.reduce(_ unionByName _)
-    val registered =
-      spark.emptyDataFrame.withColumn("dataset_serial", lit(""))
-        .limit(0)
-    val parsed = SplitterIngest.ingest(listing, registered)
+    val listings = rows.map(r =>
+      (r.getString(0), spark.read.text(r.getString(1))))
+    import spark.implicits._
+    val registered = Seq.empty[String].toDF("dataset_serial")
+    // dispatch to the declared splitter twin — each format's listing
+    // lines carry what that splitter reads (file names for sms_name,
+    // per-page MicroManagerMetadata JSON for ome_tiff); formats whose
+    // twins need richer file-level input than a line listing
+    // (tif_folder, tif_id) fail loudly rather than mis-parse
+    val parsed = format match {
+      case "sms_name" =>
+        val listing = listings.map { case (serial, lines) =>
+          lines.select(lit(serial).as("dataset_serial"),
+            col("value").as("file_name"))
+        }.reduce(_ unionByName _)
+        SplitterIngest.ingest(listing, registered)
+      case "ome_tiff" =>
+        val listing = listings.map { case (serial, lines) =>
+          lines.select(lit(serial).as("dataset_serial"),
+            col("value").as("metadata_json"))
+        }.reduce(_ unionByName _)
+        SplitterIngest.parseMetadata(listing)
+          .withColumn("already_registered", lit(false))
+      case other => throw new IllegalArgumentException(
+        s"frames_format '$other' is not wired into the CLI " +
+          "(supported: sms_name, ome_tiff; tif_folder/tif_id need " +
+          "file-level metadata beyond a name listing — use " +
+          "SplitterIngest.parseFolder/parseTifId directly)")
+    }
     parsed.write.mode("overwrite").parquet(s"$store/frames.parquet")
     SplitterIngest.globalMetaFromFrames(parsed)
       .write.mode("overwrite").parquet(s"$store/global_meta.parquet")

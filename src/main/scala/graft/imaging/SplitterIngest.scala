@@ -162,12 +162,7 @@ object SplitterIngest {
       .select(col("dataset_serial"), col("src_name"),
         col("channel_idx"), col("channel_name"),
         col("slice_idx"), col("time_idx"), col("pos_idx"),
-        concat(
-          lit("im_c"), lpad(col("channel_idx").cast("string"), 3, "0"),
-          lit("_z"), lpad(col("slice_idx").cast("string"), 3, "0"),
-          lit("_t"), lpad(col("time_idx").cast("string"), 3, "0"),
-          lit("_p"), lpad(col("pos_idx").cast("string"), 3, "0"),
-          lit(".png")).as("file_name"),
+        imName.as("file_name"),
         col("im_width"), col("im_height"), col("im_colors"),
         col("bit_depth"), col("valid_bit_depth"))
   }
@@ -211,6 +206,10 @@ object SplitterIngest {
           .when(col("bits_per_sample") === 8, "uint8"))
       .withColumn("float2uint", col("bits_per_sample") === 32)
       .withColumn("valid_bit_depth", col("bit_depth").isNotNull)
+      // a zero-page (empty/corrupt) tif yields zero frame rows — and
+      // must be filtered BEFORE the sequence: Spark infers step -1 for
+      // sequence(0, -1) and would fabricate two phantom pages [0, -1]
+      .filter(col("nbr_frames") > 0)
       .withColumn("i",
         explode(expr("sequence(0, cast(nbr_frames as int) - 1)")))
       .withColumn("channel_idx",

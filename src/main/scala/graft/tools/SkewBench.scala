@@ -99,9 +99,15 @@ object SkewBench {
     val skewMarked = qAqe.queryExecution.executedPlan.toString
       .contains("skew=true")
 
+    // identical aggregate to joined(): sum(length(payload)) keeps the
+    // fat column in the salted shuffle too — a bare count would let
+    // Catalyst prune payload below the exchange and the salted timing
+    // would compare a payload-free shuffle against payload-carrying
+    // ones
     val (tSalted, nSalted, _) = timed(() =>
       graft.ops.Skew.saltedJoin(f, d, "k", salts = 32)
-        .agg(count(lit(1)).as("n")))
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("payload"))).as("bytes")))
 
     require(nPlain == nAqe && nAqe == nSalted,
       s"variant row counts diverge: $nPlain / $nAqe / $nSalted")

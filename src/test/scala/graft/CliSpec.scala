@@ -3,6 +3,7 @@ package graft
 import java.io.{ByteArrayOutputStream, PrintStream}
 import java.nio.file.{Files, Paths}
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.imaging.Cli
@@ -105,10 +106,54 @@ class CliSpec extends AnyFunSuite {
     assert(gm.getAs[Long]("nbr_timepoints") == 2)
   }
 
+  test("upload dispatches ome_tiff listings to the metadata splitter") {
+    val tmp = Files.createTempDirectory("cli_up_ome")
+    val listing = tmp.resolve("pages.txt")
+    Files.writeString(listing,
+      (for (c <- 0 to 1; z <- 0 to 1) yield
+        s"""{"MicroManagerMetadata":{"ChannelIndex":$c,"Slice":$z,""" +
+          s""""FrameIndex":0,"PositionIndex":0,"Channel":"ch$c"}}""")
+        .mkString("\n"))
+    val csv = tmp.resolve("upload.csv")
+    Files.writeString(csv,
+      s"dataset_id,file_name,description\nOME-2026-01-01-00-00-00-0001,$listing,t\n")
+    val cfg = tmp.resolve("config.json")
+    Files.writeString(cfg,
+      """{"upload_type": "frames", "frames_format": "ome_tiff"}""")
+    val store = tmp.resolve("store").toString
+    assert(Cli.run(spark, Seq("upload", "--csv", csv.toString,
+      "--config", cfg.toString, "--store", store)) == 0)
+    val frames = spark.read.parquet(s"$store/frames.parquet")
+    assert(frames.count() == 4)
+    // channel names came from the JSON, generated names from indices
+    assert(frames.filter(col("channel_name") === "ch1").count() == 2)
+    assert(frames.filter(
+      col("file_name") === "im_c001_z001_t000_p000.png").count() == 1)
+  }
+
+  test("upload rejects formats the CLI cannot honestly run") {
+    val tmp = Files.createTempDirectory("cli_up_bad")
+    val listing = tmp.resolve("l.txt")
+    Files.writeString(listing, "whatever.tif")
+    val csv = tmp.resolve("u.csv")
+    Files.writeString(csv, s"dataset_id,file_name\nX,$listing\n")
+    val cfg = tmp.resolve("c.json")
+    Files.writeString(cfg,
+      """{"upload_type": "frames", "frames_format": "tif_folder"}""")
+    assert(Cli.run(spark, Seq("upload", "--csv", csv.toString,
+      "--config", cfg.toString, "--store", tmp.resolve("s").toString)) == 2)
+  }
+
   test("bad arguments exit 2, unknown subcommand exits 2") {
     assert(Cli.run(spark, Seq("query")) == 2) // missing --dir
     assert(Cli.run(spark, Seq("download", "--dir", sfDir)) == 2)
     assert(Cli.run(spark, Seq("nonsense")) == 2)
     assert(Cli.run(spark, Seq.empty) == 2)
+    // a flag-shaped token is not a value (argparse semantics) — this
+    // must error, not write into a directory named "--no-download"
+    assert(Cli.run(spark, Seq("download", "--dir", sfDir,
+      "--id", "X", "--dest", "--no-download")) == 2)
+    // operational failures keep the exit-code contract too
+    assert(Cli.run(spark, Seq("query", "--dir", "/no/such/dir")) == 2)
   }
 }

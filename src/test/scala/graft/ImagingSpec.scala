@@ -232,6 +232,14 @@ class ImagingSpec extends AnyFunSuite {
     // generated names stay in the shared convention
     assert(out.filter(!col("file_name")
       .rlike("^im_c\\d{3}_z\\d{3}_t\\d{3}_p\\d{3}\\.png$")).count() === 0)
+
+    // a zero-page (empty/corrupt) tif yields ZERO frame rows — not the
+    // two phantom pages sequence(0, -1)'s inferred step would fabricate
+    val empty = SplitterIngest.parseTifId(Seq(
+      ("dsE", 0, "ImageJ=1.52", 1, 16))
+      .toDF("dataset_serial", "nbr_frames", "im_description",
+        "samples_per_pixel", "bits_per_sample"))
+    assert(empty.count() === 0)
   }
 
   test("meta audit counts exactly the planted violation rates") {
