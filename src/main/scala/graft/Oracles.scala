@@ -1900,7 +1900,31 @@ FROM bsz
 GROUP BY band
 ORDER BY band"""
 
+  /** Unique-census twin of [[graft.ops.DedupOps.sourceUnique]]: the
+    * theta A-NOT-B runs exact, so "in no other source" is a NOT
+    * EXISTS.
+    */
+  val docSourceUnique: String = """
+WITH docs2 AS (
+  SELECT source, text FROM documents
+  UNION ALL
+  SELECT 'mirror' AS source, text FROM documents WHERE doc_id % 5 = 0),
+d AS (SELECT DISTINCT source, md5(lower(trim(text))) AS h FROM docs2),
+cnt AS (SELECT source, count(*) AS n FROM d GROUP BY source),
+uniq AS (
+  SELECT source, count(*) AS nu
+  FROM d x
+  WHERE NOT EXISTS (SELECT 1 FROM d y
+                    WHERE y.h = x.h AND y.source <> x.source)
+  GROUP BY source)
+SELECT c.source, CAST(c.n AS BIGINT) AS n_digests,
+  CAST(coalesce(u.nu, 0) AS BIGINT) AS n_unique,
+  round(coalesce(u.nu, 0) * 100.0 / c.n, 2) AS uniq_pct
+FROM cnt c LEFT JOIN uniq u USING (source)
+ORDER BY c.source"""
+
   def all: Map[String, String] = Map(
+    "doc_source_unique" -> docSourceUnique,
     "doc_lsh_health" -> docLshHealth,
     "events_cohort_ltv" -> eventsCohortLtv,
     "doc_pii_scrub" -> docPiiScrub,

@@ -93,6 +93,7 @@ object SparkEntry {
     "doc_minhash_recall" -> (DedupOps.minhashRecall(_, _)),
     "doc_source_overlap" -> (DedupOps.sourceOverlap(_, _)),
     "doc_lsh_health" -> (DedupOps.lshHealth(_, _)),
+    "doc_source_unique" -> (DedupOps.sourceUnique(_, _)),
     "doc_decontaminate" -> (DedupOps.decontaminate(_, _)),
     "doc_repetition" -> (TextOps.repetition(_, _)),
     "doc_unigram_logprob" -> (TextOps.unigramLogprob(_, _)),

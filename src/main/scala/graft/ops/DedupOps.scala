@@ -489,6 +489,43 @@ object DedupOps {
           .otherwise(0L)).as("n_cand_pairs"))
       .orderBy("band")
 
+  /** Per-source unique-content census via theta A-NOT-B — the
+    * set-algebra completion of [[sourceOverlap]] (which exercises
+    * union/intersect): for every source, how many distinct digests
+    * appear in NO other source. Each source's sketch subtracts the
+    * union of all the others' sketches — S² sketch-pair rows, one
+    * corpus scan, text never re-read. Same planted "mirror" source;
+    * same exact-regime contract (k ≥ per-source distincts → the
+    * DuckDB DISTINCT-arithmetic oracle hash-matches; ThetaSpec bounds
+    * the estimating regime).
+    */
+  def sourceUnique(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ThetaSketch
+    val d = Tables.documents(spark, dir).select("doc_id", "text", "source")
+    val planted = d.unionByName(
+      d.filter(col("doc_id") % 5 === 0).withColumn("source", lit("mirror")))
+    val sk = planted
+      .select(col("source"), md5(lower(trim(col("text")))).as("h"))
+      .groupBy("source")
+      .agg(ThetaSketch.sketchAgg(col("h"), 1 << 16).as("sk"))
+    val a = sk.select(col("source").as("src"), col("sk").as("sk_a"))
+    val b = sk.select(col("source").as("other"), col("sk").as("sk_b"))
+    // union of every OTHER source's sketch, then A \ others (sk_a is
+    // functionally dependent on src, so first() is deterministic)
+    val others = a.join(b, col("src") =!= col("other"))
+      .groupBy("src")
+      .agg(first(col("sk_a")).as("sk_a"),
+        ThetaSketch.unionAgg(col("sk_b")).as("sk_rest"))
+    others
+      .select(col("src").as("source"),
+        ThetaSketch.estimate(col("sk_a")).cast("bigint").as("n_digests"),
+        ThetaSketch.estimate(ThetaSketch.aNotB(col("sk_a"), col("sk_rest")))
+          .cast("bigint").as("n_unique"))
+      .withColumn("uniq_pct",
+        round(col("n_unique") * 100.0 / col("n_digests"), 2))
+      .orderBy("source")
+  }
+
   /** Cross-source duplicate-overlap matrix via theta sketches
     * ([[graft.functions.ThetaSketch]]): per-source sketches of the
     * content digest, then pairwise set algebra (|A|, |B|, |A∩B|,

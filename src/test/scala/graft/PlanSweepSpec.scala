@@ -40,6 +40,7 @@ class PlanSweepSpec extends AnyFunSuite {
     "emb_kmeans_step", // 16-centroid broadcast cross join (assignment)
     "emb_knn_ivfpq",  // 16-centroid routing cross joins (IVF coarse step)
     "doc_source_overlap", // S-row sketch pairs, < condition (S = sources)
+    "doc_source_unique",  // S-row sketch pairs, <> condition
     "q22_idle"        // one-row balance census cross join
   )
 
