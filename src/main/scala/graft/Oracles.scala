@@ -1923,7 +1923,27 @@ SELECT c.source, CAST(c.n AS BIGINT) AS n_digests,
 FROM cnt c LEFT JOIN uniq u USING (source)
 ORDER BY c.source"""
 
+  /** Gram-power twin of [[graft.ops.VectorOps.gramPower]]: identical
+    * double products cast to DECIMAL(27,12), exact sums, ordered-list
+    * sequential norm fold.
+    */
+  val embGramPower: String = """
+WITH cells AS (
+  SELECT i.i AS i, j.j AS j,
+    sum(CAST(CAST(embedding[i.i + 1] AS DOUBLE)
+      * CAST(embedding[j.j + 1] AS DOUBLE) AS DECIMAL(27,12))) AS g
+  FROM embeddings, range(64) i(i), range(64) j(j)
+  GROUP BY 1, 2),
+gv AS (SELECT i, CAST(sum(g) AS DOUBLE) AS v FROM cells GROUP BY i),
+arr AS (SELECT list(v ORDER BY i) AS a FROM gv),
+n AS (SELECT a,
+  sqrt(list_sum(list_transform(a, x -> x * x))) AS nrm FROM arr)
+SELECT i.i AS dim, round(a[i.i + 1] / nrm, 6) AS component
+FROM n, range(64) i(i)
+ORDER BY dim"""
+
   def all: Map[String, String] = Map(
+    "emb_gram_power" -> embGramPower,
     "doc_source_unique" -> docSourceUnique,
     "doc_lsh_health" -> docLshHealth,
     "events_cohort_ltv" -> eventsCohortLtv,

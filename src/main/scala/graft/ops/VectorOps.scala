@@ -358,6 +358,45 @@ object VectorOps {
       .orderBy("cid", "dim")
   }
 
+  /** One power-iteration step on the corpus Gram matrix — the
+    * PCA-direction primitive of embedding-space analytics (drift
+    * monitoring, whitening, spectral diagnostics): G = Σ x xᵀ
+    * accumulated exactly, then v₁ = normalize(G·1) from the all-ones
+    * start vector. Output: 64 rows (dim, component).
+    *
+    * Parity: each cell contribution is an IEEE double PRODUCT (both
+    * engines multiply identically) immediately cast to DECIMAL(27,12)
+    * (HALF_UP on both), so the G sums and the row sums G·1 are exact
+    * and order-independent; the final norm folds the 64 row sums
+    * SEQUENTIALLY in dim order (a grouped double sum would be
+    * partition-order dependent).
+    *
+    * 100 TB shape: the d² explode (4096 cells/vector) collapses
+    * map-side into ≤ d² keys per task, so the exchange carries
+    * O(d² · tasks) rows regardless of corpus size — the O(d²·N)
+    * compute is the actual cost of a Gram matrix, on the executors
+    * where it belongs. The final normalize touches 64 rows.
+    */
+  def gramPower(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cells = e
+      .select(col("embedding"), posexplode(col("embedding")).as(Seq("i", "xi")))
+      .select(col("i"), col("xi"), posexplode(col("embedding")).as(Seq("j", "xj")))
+      .groupBy("i", "j")
+      .agg(sum((col("xi").cast("double") * col("xj").cast("double"))
+        .cast("decimal(27,12)")).as("g"))
+    val gv = cells.groupBy("i")
+      .agg(sum(col("g")).cast("double").as("v"))
+    gv.agg(sort_array(collect_list(struct(col("i"), col("v")))).as("arr"))
+      .select(col("arr"),
+        sqrt(aggregate(col("arr"), lit(0.0),
+          (acc, s) => acc + s.getField("v") * s.getField("v"))).as("nrm"))
+      .select(explode(col("arr")).as("s"), col("nrm"))
+      .select(col("s.i").as("dim"),
+        round(col("s.v") / col("nrm"), 6).as("component"))
+      .orderBy("dim")
+  }
+
   /** Per-label norm/centroid stats via array folds — the [O]-checked
     * vector query (rounded to 6 decimals for cross-engine parity).
     */
