@@ -1942,7 +1942,67 @@ SELECT i.i AS dim, round(a[i.i + 1] / nrm, 6) AS component
 FROM n, range(64) i(i)
 ORDER BY dim"""
 
+  /** Attribution twin of [[graft.ops.EventOps.eventsAttribution]]:
+    * DuckDB's native ASOF JOIN against the custom AsOfJoinExec.
+    */
+  val eventsAttribution: String = """
+WITH views AS (
+  SELECT DISTINCT user_id AS v_user, ts AS view_ts
+  FROM events WHERE event_type = 'view'),
+attributed AS (
+  SELECT p.event_id, p.value,
+    (epoch_ns(p.ts) - epoch_ns(v.view_ts)) // 1000000000 AS lag_sec
+  FROM (SELECT event_id, user_id, ts, value FROM events
+        WHERE event_type = 'purchase') p
+  ASOF JOIN views v ON p.user_id = v.v_user AND p.ts >= v.view_ts)
+SELECT CASE WHEN lag_sec <= 1800 THEN 'session'
+            WHEN lag_sec <= 86400 THEN 'day'
+            ELSE 'older' END AS bucket,
+  CAST(count(*) AS BIGINT) AS n_purchases,
+  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+  round(CAST(sum(lag_sec) AS DOUBLE) / count(*), 2) AS avg_lag_sec
+FROM attributed
+GROUP BY 1
+ORDER BY bucket"""
+
+  /** CCNet-tier twin of [[graft.ops.TextOps.ccnetBuckets]]: identical
+    * tercile cuts (percentile ↔ quantile_cont), DECIMAL tier sums.
+    */
+  val docCcnetBuckets: String = """
+WITH toks AS (
+  SELECT doc_id, source,
+    unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+      AS tok
+  FROM documents),
+vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+total AS (SELECT count(*) AS tot FROM toks),
+lp AS (
+  SELECT tok,
+    CAST(ln(CAST(cnt AS DOUBLE) / tot) AS DECIMAL(20,10)) AS lp
+  FROM vocab, total),
+perdoc AS (
+  SELECT doc_id, source,
+    CAST(sum(lp) AS DOUBLE) / count(*) AS score
+  FROM toks JOIN lp USING (tok)
+  GROUP BY doc_id, source),
+cuts AS (
+  SELECT quantile_cont(score, 0.3333333333333333) AS t1,
+    quantile_cont(score, 0.6666666666666666) AS t2
+  FROM perdoc)
+SELECT source,
+  CASE WHEN score >= t2 THEN 'head'
+       WHEN score >= t1 THEN 'middle'
+       ELSE 'tail' END AS tier,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  round(CAST(sum(CAST(score AS DECIMAL(20,10))) AS DOUBLE) / count(*), 4)
+    AS avg_score
+FROM perdoc, cuts
+GROUP BY 1, 2
+ORDER BY source, tier"""
+
   def all: Map[String, String] = Map(
+    "events_attribution" -> eventsAttribution,
+    "doc_ccnet_buckets" -> docCcnetBuckets,
     "emb_gram_power" -> embGramPower,
     "doc_source_unique" -> docSourceUnique,
     "doc_lsh_health" -> docLshHealth,

@@ -105,6 +105,8 @@ object SparkEntry {
     "events_inter_arrival" -> (EventOps.eventsInterArrival(_, _)),
     "events_range_join" -> (EventOps.eventsRangeJoin(_, _)),
     "events_cohort_ltv" -> (EventOps.eventsCohortLtv(_, _)),
+    "events_attribution" -> (EventOps.eventsAttribution(_, _)),
+    "doc_ccnet_buckets" -> (TextOps.ccnetBuckets(_, _)),
     "doc_pii_scrub" -> (TextOps.piiScrub(_, _)),
     "img_payload_stats" ->
       (graft.multimodal.BinaryFrames.payloadStats(_, _)),

@@ -310,6 +310,40 @@ object EventOps {
       .orderBy("user_id", "day")
   }
 
+  /** Last-touch purchase attribution — every purchase credited to the
+    * user's most recent PRIOR view, rolled up by recency bucket
+    * (same-session ≤ 30 min, same-day, older). The purchase→view
+    * pairing is the custom [[graft.plans.AsOfJoin]] operator's second
+    * production use (eventsAsof being the first): hash-clustered on
+    * user, (user, time)-sorted, O(1)-state merge per row — the native
+    * alternative is a per-user window over ALL views per purchase.
+    * Revenue sums in DECIMAL; lag stays integer seconds.
+    */
+  def eventsAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+      // one row per (user, view-time): ts ties would otherwise emit
+      // duplicate as-of matches
+      .distinct()
+    graft.plans.AsOf.asofJoin(purchases, views,
+        "user_id", "v_user", "ts", "view_ts")
+      .withColumn("lag_sec", expr(s"(ts - view_ts) div $NanosPerSec"))
+      .withColumn("bucket",
+        when(col("lag_sec") <= 1800L, "session")
+          .when(col("lag_sec") <= 86400L, "day")
+          .otherwise("older"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("revenue"),
+        round(sum(col("lag_sec")).cast("double") / count(lit(1)), 2)
+          .as("avg_lag_sec"))
+      .orderBy("bucket")
+  }
+
   /** Cohort LTV matrix — the revenue companion of [[eventsRetention]]
     * (which counts ACTIVITY; LTV sums VALUE): users cohorted by their
     * first-seen week, purchase revenue accumulated per (cohort week,

@@ -389,8 +389,13 @@ object TextOps {
     * vocabulary is billions of n-grams); per-doc and per-source
     * partial-aggs follow. No windows, no driver collection.
     */
-  def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
-    val dec = "decimal(20,10)"
+  private val LpDec = "decimal(20,10)"
+
+  /** Per-doc unigram log-prob state (Σ log p(tok) as exact DECIMAL +
+    * token count) — shared by [[unigramLogprob]] and the CCNet-style
+    * tier split [[ccnetBuckets]].
+    */
+  private def perDocLogprob(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         explode(expr("filter(split(lower(text), ' '), x -> x <> '')"))
@@ -399,10 +404,15 @@ object TextOps {
     val total = toks.agg(count(lit(1)).as("tot"))
     val lp = vocab.crossJoin(broadcast(total))
       .select(col("tok"),
-        log(col("cnt").cast("double") / col("tot")).cast(dec).as("lp"))
-    val perDoc = toks.join(lp, "tok")
+        log(col("cnt").cast("double") / col("tot")).cast(LpDec).as("lp"))
+    toks.join(lp, "tok")
       .groupBy("doc_id", "source")
       .agg(sum(col("lp")).as("s"), count(lit(1)).as("n_toks"))
+  }
+
+  def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val dec = LpDec
+    val perDoc = perDocLogprob(spark, dir)
     perDoc
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
@@ -413,5 +423,33 @@ object TextOps {
         round(col("s_all").cast("double") / col("toks_all"), 4)
           .as("avg_token_logprob"))
       .orderBy("source")
+  }
+
+  /** CCNet-style quality tiers: documents split into head / middle /
+    * tail at the global terciles of the per-doc mean token log-prob —
+    * the bucketing CCNet applies before sampling training data
+    * preferentially from the head. Tercile thresholds are ONE
+    * percentile row broadcast back (never a global sort of the
+    * corpus); per-tier mean scores sum in DECIMAL so the roll-up is
+    * order-independent. Same shuffle shape as [[unigramLogprob]] plus
+    * one single-row exchange.
+    */
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val scored = perDocLogprob(spark, dir)
+      .select(col("doc_id"), col("source"),
+        (col("s").cast("double") / col("n_toks")).as("score"))
+    val cuts = scored.agg(
+      expr("percentile(score, 0.3333333333333333d)").as("t1"),
+      expr("percentile(score, 0.6666666666666666d)").as("t2"))
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("tier",
+        when(col("score") >= col("t2"), "head")
+          .when(col("score") >= col("t1"), "middle")
+          .otherwise("tail"))
+      .groupBy("source", "tier")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("score").cast(LpDec)).cast("double")
+          / count(lit(1)), 4).as("avg_score"))
+      .orderBy("source", "tier")
   }
 }

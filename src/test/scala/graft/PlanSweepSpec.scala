@@ -35,6 +35,7 @@ class PlanSweepSpec extends AnyFunSuite {
   private val bnlAllowed = Set(
     "doc_tfidf",      // corpus-size single row cross join
     "doc_unigram_logprob", // vocabulary x single-row total cross join
+    "doc_ccnet_buckets",   // same, plus the single-row tercile cuts
     "emb_knn_brute",  // tiny query side, <> condition
     "emb_knn_ivf",    // centroid cross joins + tiny probe side
     "emb_kmeans_step", // 16-centroid broadcast cross join (assignment)
