@@ -1938,7 +1938,7 @@ gv AS (SELECT i, CAST(sum(g) AS DOUBLE) AS v FROM cells GROUP BY i),
 arr AS (SELECT list(v ORDER BY i) AS a FROM gv),
 n AS (SELECT a,
   sqrt(list_sum(list_transform(a, x -> x * x))) AS nrm FROM arr)
-SELECT i.i AS dim, round(a[i.i + 1] / nrm, 6) AS component
+SELECT CAST(i.i AS INT) AS dim, round(a[i.i + 1] / nrm, 6) AS component
 FROM n, range(64) i(i)
 ORDER BY dim"""
 

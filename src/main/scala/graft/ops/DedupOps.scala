@@ -489,25 +489,41 @@ object DedupOps {
           .otherwise(0L)).as("n_cand_pairs"))
       .orderBy("band")
 
+  /** The per-source digest sketches both theta census queries consume
+    * (planted "mirror" source included — the natural corpus has no
+    * cross-source duplicate): one corpus scan, one sketch row per
+    * source. k is sized for [[sourceUnique]]'s stricter exactness
+    * condition (see there).
+    */
+  private def perSourceSketch(spark: SparkSession, dir: String,
+      k: Int): DataFrame = {
+    val d = Tables.documents(spark, dir).select("doc_id", "text", "source")
+    val planted = d.unionByName(
+      d.filter(col("doc_id") % 5 === 0).withColumn("source", lit("mirror")))
+    planted
+      .select(col("source"), md5(lower(trim(col("text")))).as("h"))
+      .groupBy("source")
+      .agg(graft.functions.ThetaSketch.sketchAgg(col("h"), k).as("sk"))
+  }
+
   /** Per-source unique-content census via theta A-NOT-B — the
     * set-algebra completion of [[sourceOverlap]] (which exercises
     * union/intersect): for every source, how many distinct digests
     * appear in NO other source. Each source's sketch subtracts the
     * union of all the others' sketches — S² sketch-pair rows, one
-    * corpus scan, text never re-read. Same planted "mirror" source;
-    * same exact-regime contract (k ≥ per-source distincts → the
-    * DuckDB DISTINCT-arithmetic oracle hash-matches; ThetaSpec bounds
-    * the estimating regime).
+    * corpus scan, text never re-read.
+    *
+    * Exactness condition — STRICTER than sourceOverlap's pairwise one:
+    * the subtracted side unions S−1 sketches, so exact results need
+    * k ≥ the TOTAL distinct digests across all sources (a union past
+    * k trims its reservoir and tightens theta, silently switching the
+    * whole query to estimates). k = 2¹⁸ holds that bound through the
+    * 30× stress corpus (~150 k distinct); past it the query degrades
+    * to the ThetaSpec-bounded estimating regime by design.
     */
   def sourceUnique(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.ThetaSketch
-    val d = Tables.documents(spark, dir).select("doc_id", "text", "source")
-    val planted = d.unionByName(
-      d.filter(col("doc_id") % 5 === 0).withColumn("source", lit("mirror")))
-    val sk = planted
-      .select(col("source"), md5(lower(trim(col("text")))).as("h"))
-      .groupBy("source")
-      .agg(ThetaSketch.sketchAgg(col("h"), 1 << 16).as("sk"))
+    val sk = perSourceSketch(spark, dir, 1 << 18)
     val a = sk.select(col("source").as("src"), col("sk").as("sk_a"))
     val b = sk.select(col("source").as("other"), col("sk").as("sk_b"))
     // union of every OTHER source's sketch, then A \ others (sk_a is
@@ -542,13 +558,7 @@ object DedupOps {
     */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.ThetaSketch
-    val d = Tables.documents(spark, dir).select("doc_id", "text", "source")
-    val planted = d.unionByName(
-      d.filter(col("doc_id") % 5 === 0).withColumn("source", lit("mirror")))
-    val sk = planted
-      .select(col("source"), md5(lower(trim(col("text")))).as("h"))
-      .groupBy("source")
-      .agg(ThetaSketch.sketchAgg(col("h"), 1 << 16).as("sk"))
+    val sk = perSourceSketch(spark, dir, 1 << 16)
     val a = sk.select(col("source").as("source_a"), col("sk").as("sk_a"))
     val b = sk.select(col("source").as("source_b"), col("sk").as("sk_b"))
     val inter =

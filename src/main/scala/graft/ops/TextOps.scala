@@ -428,11 +428,18 @@ object TextOps {
   /** CCNet-style quality tiers: documents split into head / middle /
     * tail at the global terciles of the per-doc mean token log-prob —
     * the bucketing CCNet applies before sampling training data
-    * preferentially from the head. Tercile thresholds are ONE
-    * percentile row broadcast back (never a global sort of the
-    * corpus); per-tier mean scores sum in DECIMAL so the roll-up is
-    * order-independent. Same shuffle shape as [[unigramLogprob]] plus
-    * one single-row exchange.
+    * preferentially from the head. The tercile row broadcasts back
+    * (no global sort of the corpus), and per-tier mean scores sum in
+    * DECIMAL so the roll-up is order-independent.
+    *
+    * Scale honesty: the cut uses Spark's EXACT percentile, whose
+    * final aggregation buffers every distinct (score, count) pair in
+    * one task — fine at verify/bench scale and required for oracle
+    * hash-parity, but corpus-sized state at billions of docs. The
+    * 100 TB variant swaps exactly one line: cut the terciles with
+    * [[graft.functions.QuantileSketch]] (bounded O(k log n) state,
+    * same broadcast-back shape) at the cost of sketch-rank error on
+    * the tier boundaries.
     */
   def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
     val scored = perDocLogprob(spark, dir)
