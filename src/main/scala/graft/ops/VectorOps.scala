@@ -371,33 +371,32 @@ object VectorOps {
     * SEQUENTIALLY in dim order (a grouped double sum would be
     * partition-order dependent).
     *
-    * 100 TB shape: ONE row explode (d rows/vector), then each Gram
-    * row accumulates as d parallel column sums in a single
-    * whole-stage-codegen aggregate — the O(d²·N) multiply work runs
-    * vectorized on the executors, the exchange carries d keys × d
-    * columns per task, and no d²-row intermediate ever materializes
-    * (a second explode here shuffled a d²·N-row table and cost 6× the
-    * wall clock at 10×). The final normalize touches d rows.
+    * 100 TB shape: the d² explode (4096 cells/vector) feeds a
+    * map-side-combined aggregate on d² keys, so the exchange carries
+    * O(d² · tasks) rows regardless of corpus size; the O(d²·N)
+    * multiply work is the actual cost of a Gram matrix, and one
+    * codegen'd single-sum aggregate over the exploded rows beats a
+    * single-explode variant with d parallel decimal sums (d decimal
+    * aggregation buffers blow the generated code out of whole-stage
+    * codegen — measured 10× slower). The final normalize touches d
+    * rows.
     */
   def gramPower(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val dims = 64
-    val colSums = (0 until dims).map(j =>
-      sum((col("xi").cast("double")
-        * col("embedding").getItem(j).cast("double"))
-        .cast("decimal(27,12)")).as(s"g$j"))
-    val gramRows = e
+    // spread the rows BEFORE the d² expansion: partition sizing is
+    // byte-driven (maxPartitionBytes), and a few MB of embeddings is
+    // one scan partition carrying hundreds of core-seconds of Gram
+    // work — without this the whole O(d²·N) compute runs on one core
+    // (measured 12 s single-task vs ~1 s spread at bench scale)
+    val cells = e
+      .select(col("embedding"))
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("embedding"), posexplode(col("embedding")).as(Seq("i", "xi")))
-      .groupBy("i")
-      .agg(colSums.head, colSums.tail: _*)
-    // (G·1)_i = Σ_j g_ij. NOT a 64-term `+` chain: decimal addition
-    // past precision 38 drops a scale digit under allowPrecisionLoss
-    // (the 6th-decimal parity break); aggregate sum() PRESERVES the
-    // scale, so unpivot the 64 post-agg rows (tiny) and sum exactly.
-    val stackArgs = (0 until dims).map(j => s"$j, g$j").mkString(", ")
-    val gv = gramRows
-      .selectExpr("i", s"stack($dims, $stackArgs) as (j, g)")
-      .groupBy("i")
+      .select(col("i"), col("xi"), posexplode(col("embedding")).as(Seq("j", "xj")))
+      .groupBy("i", "j")
+      .agg(sum((col("xi").cast("double") * col("xj").cast("double"))
+        .cast("decimal(27,12)")).as("g"))
+    val gv = cells.groupBy("i")
       .agg(sum(col("g")).cast("double").as("v"))
     gv.agg(sort_array(collect_list(struct(col("i"), col("v")))).as("arr"))
       .select(col("arr"),
