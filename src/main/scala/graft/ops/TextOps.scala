@@ -448,6 +448,32 @@ object TextOps {
     val cuts = scored.agg(
       expr("percentile(score, 0.3333333333333333d)").as("t1"),
       expr("percentile(score, 0.6666666666666666d)").as("t2"))
+    tierRollup(scored, cuts)
+  }
+
+  /** The 100 TB variant of [[ccnetBuckets]]: identical pipeline, but
+    * the tercile cut comes from a KLL sketch
+    * ([[graft.functions.QuantileSketch]]) — bounded O(k log n)
+    * aggregation state where the exact percentile buffers every
+    * distinct score in one task. Costs sketch-rank error on the tier
+    * BOUNDARIES only (ApproxSpec bounds the tier-count deviation);
+    * not oracle-hashed because the boundary docs legitimately differ.
+    */
+  def ccnetBucketsSketched(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.QuantileSketch
+    val scored = perDocLogprob(spark, dir)
+      .select(col("doc_id"), col("source"),
+        (col("s").cast("double") / col("n_toks")).as("score"))
+    val cuts = scored
+      .agg(QuantileSketch.sketchAgg(col("score")).as("sk"))
+      .select(
+        QuantileSketch.estimate(col("sk"), 1.0 / 3).as("t1"),
+        QuantileSketch.estimate(col("sk"), 2.0 / 3).as("t2"))
+    tierRollup(scored, cuts)
+  }
+
+  /** Shared head/middle/tail roll-up given the (t1, t2) cut row. */
+  private def tierRollup(scored: DataFrame, cuts: DataFrame): DataFrame =
     scored.crossJoin(broadcast(cuts))
       .withColumn("tier",
         when(col("score") >= col("t2"), "head")
@@ -458,5 +484,4 @@ object TextOps {
         round(sum(col("score").cast(LpDec)).cast("double")
           / count(lit(1)), 4).as("avg_score"))
       .orderBy("source", "tier")
-  }
 }

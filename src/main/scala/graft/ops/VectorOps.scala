@@ -262,41 +262,57 @@ object VectorOps {
     */
   def knnIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val cents = e.filter(col("vec_id") < 16)
+    // codes gain their cell (the "index read"), probes cut them to the
+    // probed fraction BEFORE any distance work, then the ADC lookup
+    val adc = pqAssign(spark, dir)
+      .join(coarseCells(e), Seq("vec_id"))
+      .join(broadcast(probeCells(e)), Seq("cell"))
+      .join(broadcast(queryDtab(e)), Seq("qid", "m", "cid"))
+      .filter(col("qid") =!= col("vec_id"))
+      .groupBy("qid", "vec_id")
+      .agg(round(sum("dist"), 6).as("adc_dist"))
+    adcTopK(adc)
+  }
+
+  private def ivfCents(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("ccid"), col("embedding").as("ccv"))
-    // coarse routing: nearest cell per database vector as the map-side
-    // argmin aggregate (the window variant would shuffle 16N rows)
-    val cellOf = e.select(col("vec_id"), col("embedding"))
-      .join(broadcast(cents), col("ccid") =!= lit(-1))
+
+  /** Coarse routing: nearest cell per database vector as the map-side
+    * argmin aggregate (the window variant would shuffle 16N rows).
+    */
+  private def coarseCells(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("embedding"))
+      .join(broadcast(ivfCents(e)), col("ccid") =!= lit(-1))
       .withColumn("cdist", -cosine(col("embedding"), col("ccv")))
       .groupBy("vec_id")
       .agg(min(struct(col("cdist"), col("ccid"))).as("mn"))
       .select(col("vec_id"), col("mn.ccid").as("cell"))
-    // probe side: 4 nearest cells per query — 10 queries, window is fine
+
+  /** Probe side: 4 nearest cells per query — 10 queries, window fine. */
+  private def probeCells(e: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cdist"), col("ccid"))
-    val probes = e.filter(col("vec_id") < 10)
+    e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      .join(broadcast(cents), col("ccid") =!= lit(-1))
+      .join(broadcast(ivfCents(e)), col("ccid") =!= lit(-1))
       .withColumn("cdist", -cosine(col("qv"), col("ccv")))
       .withColumn("crank", row_number().over(w))
       .filter(col("crank") <= 4)
       .select(col("qid"), col("ccid").as("cell"))
-    val dtab = subspaces(
+  }
+
+  /** Query-to-sub-centroid ADC distance tables (|Q|×8×16 rows). */
+  private def queryDtab(e: DataFrame): DataFrame =
+    subspaces(
       e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qv")), "qv")
       .join(pqCents(e), Seq("m"))
       .withColumn("dist", subL2)
       .select("qid", "m", "cid", "dist")
-    // codes gain their cell (the "index read"), probes cut them to the
-    // probed fraction BEFORE any distance work, then the ADC lookup
-    val adc = pqAssign(spark, dir)
-      .join(cellOf, Seq("vec_id"))
-      .join(broadcast(probes), Seq("cell"))
-      .join(broadcast(dtab), Seq("qid", "m", "cid"))
-      .filter(col("qid") =!= col("vec_id"))
-      .groupBy("qid", "vec_id")
-      .agg(round(sum("dist"), 6).as("adc_dist"))
+
+  /** Smallest-ADC top-5 per query via the bounded ascending top-k. */
+  private def adcTopK(adc: DataFrame): DataFrame =
     adc.groupBy("qid")
       .agg(graft.functions.TopKByScore
         .topkAsc(col("adc_dist"), col("vec_id"), 5).as("top"))
@@ -305,6 +321,39 @@ object VectorOps {
         col("t.score").as("adc_dist"),
         (col("p") + 1).cast("bigint").as("rank"))
       .orderBy("qid", "rank")
+
+  /** The persisted-index row set ([[graft.sources.VectorIndex]]):
+    * (vec_id, cell, codes[8]) — cell routing married to the PQ codes
+    * once, at build time.
+    */
+  def indexRows(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val codes = pqAssign(spark, dir)
+      .groupBy("vec_id")
+      .agg(sort_array(collect_list(struct(col("m"), col("cid"))))
+        .as("codes"))
+    coarseCells(e).join(codes, Seq("vec_id"))
+      .select("vec_id", "cell", "codes")
+  }
+
+  /** IVF+PQ search against a PERSISTED index table: identical
+    * semantics to [[knnIvfPq]] but the corpus side is one scan of the
+    * index — no routing or code recompute, no corpus-axis join
+    * (VectorIndexSpec asserts result parity and the plan shape).
+    */
+  def searchIndex(spark: SparkSession, dir: String,
+      index: DataFrame): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val adc = index
+      .join(broadcast(probeCells(e)), Seq("cell"))
+      .select(col("qid"), col("vec_id"), explode(col("codes")).as("c"))
+      .select(col("qid"), col("vec_id"),
+        col("c.m").as("m"), col("c.cid").as("cid"))
+      .join(broadcast(queryDtab(e)), Seq("qid", "m", "cid"))
+      .filter(col("qid") =!= col("vec_id"))
+      .groupBy("qid", "vec_id")
+      .agg(round(sum("dist"), 6).as("adc_dist"))
+    adcTopK(adc)
   }
 
   /** One Lloyd (k-means) iteration over the embedding corpus — the

@@ -1,0 +1,48 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF+PQ index — the build/search separation a production
+  * ANN service runs (FAISS trains and writes the index once; queries
+  * only read it). [[graft.ops.VectorOps.knnIvfPq]] derives cell
+  * routing and PQ codes inline and pays a corpus-sized vec_id join to
+  * marry them; this store materializes that join ONCE at build time
+  * into a single table — (vec_id, cell, codes[8]) — bucketed by cell,
+  * so search-time plans touch one table, prune to the probed cells,
+  * and never join on the corpus axis at all.
+  *
+  * Layout: bucketed + sorted by `cell` (the probe key). A cell-probe
+  * scan reports its distribution on `cell`, so the per-cell work in a
+  * search plan rides the bucket layout the same way
+  * [[DocumentStore]]'s census rides its digest buckets.
+  */
+object VectorIndex {
+
+  val DefaultBuckets = 16
+
+  /** Build: coarse-route every vector to its nearest of the 16 seed
+    * centroids (cosine, ties to the smaller id — identical to the
+    * inline path), PQ-encode it (8 subspaces × 16 sub-centroids, L2),
+    * and persist one row per vector with its codes as a compact
+    * array. The one corpus-axis join in the system happens HERE, once.
+    */
+  def build(spark: SparkSession, dir: String, table: String,
+      nBuckets: Int = DefaultBuckets): Unit = {
+    val routed = graft.ops.VectorOps.indexRows(spark, dir)
+    routed.write.bucketBy(nBuckets, "cell").sortBy("cell")
+      .mode("overwrite").saveAsTable(table)
+  }
+
+  def read(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+
+  /** Search the persisted index: identical semantics (and results —
+    * VectorIndexSpec asserts row parity) to the inline
+    * [[graft.ops.VectorOps.knnIvfPq]], but the corpus side is ONE
+    * bucketed scan of (vec_id, cell, codes) — no routing recompute, no
+    * code recompute, no corpus-axis join.
+    */
+  def search(spark: SparkSession, dir: String, table: String): DataFrame =
+    graft.ops.VectorOps.searchIndex(spark, dir, read(spark, table))
+}

@@ -87,6 +87,27 @@ class ApproxSpec extends AnyFunSuite {
     spark.catalog.dropTempView("kll_docs")
   }
 
+  test("sketched ccnet tiers track the exact tiers within rank error") {
+    // the declared 100 TB variant: tercile cuts from the KLL sketch
+    // instead of the exact percentile — only BOUNDARY docs may change
+    // tier, so per-tier global counts must sit within the sketch's
+    // rank-error envelope of the exact split
+    val exact = graft.ops.TextOps.ccnetBuckets(spark, sfDir)
+      .groupBy("tier").agg(sum(col("n_docs")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sketched = graft.ops.TextOps.ccnetBucketsSketched(spark, sfDir)
+      .groupBy("tier").agg(sum(col("n_docs")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = exact.values.sum
+    assert(sketched.values.sum == total)
+    for ((tier, n) <- exact) {
+      val s = sketched.getOrElse(tier, 0L)
+      // k=256 → rank error well under 2% of n; allow 3% of the corpus
+      assert(math.abs(s - n) <= math.max(2L, (total * 0.03).toLong),
+        s"tier $tier: sketched $s vs exact $n (total $total)")
+    }
+  }
+
   test("sketch aggregates land within their error bounds") {
     val rows = Olap.approxStats(spark, sfDir).collect()
     assert(rows.nonEmpty)
