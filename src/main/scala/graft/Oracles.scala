@@ -2000,7 +2000,41 @@ FROM perdoc, cuts
 GROUP BY 1, 2
 ORDER BY source, tier"""
 
+  /** Growth twin of [[graft.imaging.ImagingOps.datasetGrowth]]. */
+  val imgDatasetGrowth: String = imagingCte + """
+, monthly AS (
+  SELECT strftime(d.date_time, '%Y-%m') AS month,
+    CAST(count(*) AS BIGINT) AS n_datasets,
+    CAST(sum(g.nbr_frames) AS BIGINT) AS month_frames
+  FROM frames_global g JOIN data_set d ON g.dataset_id = d.id
+  GROUP BY 1)
+SELECT month, n_datasets, month_frames,
+  CAST(sum(month_frames) OVER (ORDER BY month
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS cum_frames,
+  CAST(sum(month_frames) OVER (ORDER BY month
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    * 8388608 AS BIGINT) AS cum_bytes
+FROM monthly
+ORDER BY month"""
+
+  /** Seasonality twin of
+    * [[graft.ops.EventOps.eventsSeasonality]]: same epoch-integer
+    * bucketing.
+    */
+  val eventsSeasonality: String = """
+SELECT (epoch_ns(ts) // 86400000000000 + 4) % 7 AS dow,
+  (epoch_ns(ts) // 3600000000000) % 24 AS hour,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY dow, hour"""
+
   def all: Map[String, String] = Map(
+    "img_dataset_growth" -> imgDatasetGrowth,
+    "events_seasonality" -> eventsSeasonality,
     "events_attribution" -> eventsAttribution,
     "doc_ccnet_buckets" -> docCcnetBuckets,
     "emb_gram_power" -> embGramPower,

@@ -51,6 +51,8 @@ object SparkEntry {
     "img_channel_overlap" -> (ImagingOps.channelOverlap(_, _)),
     "img_lineage_depth" -> (ImagingOps.lineageDepth(_, _)),
     "img_storage_rollup" -> (ImagingOps.storageRollup(_, _)),
+    "img_dataset_growth" -> (ImagingOps.datasetGrowth(_, _)),
+    "events_seasonality" -> (EventOps.eventsSeasonality(_, _)),
     "win_running" -> (Olap.winRunning(_, _)),
     "win_moving_range" -> (Olap.winMovingRange(_, _)),
     "q_corr" -> (Olap.qCorr(_, _)),

@@ -568,6 +568,32 @@ object ImagingOps {
     * and estimated bytes (w×h×2 for uint16) rolled up from
     * frames_global.
     */
+  /** Storage growth time series — the capacity-planning trend every
+    * storage service plots (the temporal companion of
+    * [[storageReport]]): datasets, frames and estimated bytes ingested
+    * per calendar month, with running cumulative totals. The fact
+    * collapses to one row per month BEFORE the cumulative window, so
+    * the unpartitioned running sum orders a bounded calendar-month
+    * series (decades = hundreds of rows), never corpus rows.
+    */
+  def datasetGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = framesGlobal(spark, dir)
+      .join(broadcast(dataSet(spark, dir).select(col("id").as("ds_id"),
+        date_format(col("date_time"), "yyyy-MM").as("month"))),
+        col("dataset_id") === col("ds_id"))
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_datasets"),
+        sum("nbr_frames").as("month_frames"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("month")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    monthly
+      .withColumn("cum_frames", sum(col("month_frames")).over(w))
+      .withColumn("cum_bytes",
+        (col("cum_frames") * lit(2048L * 2048L * 2L)))
+      .orderBy("month")
+  }
+
   def storageReport(spark: SparkSession, dir: String): DataFrame =
     framesGlobal(spark, dir)
       .join(broadcast(dataSet(spark, dir).select(col("id").as("ds_id"),

@@ -310,6 +310,28 @@ object EventOps {
       .orderBy("user_id", "day")
   }
 
+  /** Hour-of-day × day-of-week activity matrix — the seasonality
+    * heatmap behind capacity planning and anomaly baselines. Bucket
+    * arithmetic is pure epoch-integer math (epoch day 0 = Thursday;
+    * +4 maps 0 to Sunday), so both engines bucket identically with no
+    * timezone machinery; one partial-agg exchange on ≤ 168 keys.
+    */
+  def eventsSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val hourNs = 3600L * NanosPerSec
+    val dayNs = 86400L * NanosPerSec
+    Tables.events(spark, dir)
+      .select(
+        expr(s"(ts div $dayNs + 4) % 7").as("dow"),
+        expr(s"(ts div $hourNs) % 24").as("hour"),
+        col("user_id"), col("value"))
+      .groupBy("dow", "hour")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("sum_value"))
+      .orderBy("dow", "hour")
+  }
+
   /** Last-touch purchase attribution — every purchase credited to the
     * user's most recent PRIOR view, rolled up by recency bucket
     * (same-session ≤ 30 min, same-day, older). The purchase→view
