@@ -126,6 +126,39 @@ object Bench {
     (dt, st._1, st._2)
   }
 
+  /** transformWithState sessionizer throughput: the arbitrary-stateful
+    * API (typed ValueState + event-time timers as custom eviction)
+    * over the full events stream into a noop sink. Event-time timers
+    * fire on watermark advancement, so the drain terminates under
+    * AvailableNow. Requires the RocksDB state store provider — set for
+    * this query and restored after.
+    */
+  private def streamTwsBench(spark: SparkSession, sfDir: String): (Double, Long, Long) = {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val t0 = System.nanoTime()
+      val src = streamingEvents(spark, sfDir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .withWatermark("ts", "30 minutes")
+        .as[graft.streaming.EventsStream.Event]
+      val q = graft.streaming.EventsStream.sessionizeTws(spark, src)
+        .writeStream.format("noop")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      if (!q.awaitTermination(300000L)) { q.stop(); sys.error("stream timeout") }
+      val dt = (System.nanoTime() - t0) / 1e9
+      val st = stateMetrics(q)
+      (dt, st._1, st._2)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Min of the runs that succeeded; None if every run failed — a
     * failed stream bench must drop out of the report, not poison the
     * total with a sentinel.
@@ -153,15 +186,29 @@ object Bench {
     graft.tables.Tables.names.foreach { t =>
       spark.read.parquet(s"$sfDir/$t.parquet").schema
     }
+    // persisted-store entries measure the READ side: build the stores
+    // here, outside any timed run (the build is the one shuffle the
+    // bucket layout amortizes across every later query)
+    graft.sources.DocumentStore.ensureBuilt(spark, sfDir)
+    graft.sources.VectorIndex.ensureBuilt(spark, sfDir)
     // min of two runs per query: the first run pays JIT/codegen
     // compilation, the second is the steady-state number a long-running
-    // cluster job sees
+    // cluster job sees. Load canary: on a contended box the two runs
+    // diverge wildly (round 3's sf0.1 artifact carried 7-8x noise that
+    // would mask a real regression) — re-run until the two fastest
+    // agree within 2x, and past 4 attempts mark the entry `noisy` in
+    // the artifact instead of silently committing a corrupted min.
+    val noisy = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      def run(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
+      var times = List(run(), run())
+      def best2 = times.sorted.take(2)
+      while (best2(1) > best2(0) * 2 && times.length < 4) times ::= run()
+      if (best2(1) > best2(0) * 2) noisy += name
       name -> times.min
     }
     val streamTime =
@@ -172,11 +219,14 @@ object Bench {
       minOk((1 to 2).map(_ => () => streamSessionsBench(spark, sfDir)))
     val enrichTime =
       minOk((1 to 2).map(_ => () => streamEnrichBench(spark, sfDir)))
+    val twsTime =
+      minOk((1 to 2).map(_ => () => streamTwsBench(spark, sfDir)))
     val streams = Seq(
       "stream_events_window" -> streamTime,
       "stream_dedup" -> dedupTime,
       "stream_sessions" -> sessTime,
-      "stream_enrich" -> enrichTime).collect { case (k, Some(v)) => k -> v }
+      "stream_enrich" -> enrichTime,
+      "stream_tws_sessions" -> twsTime).collect { case (k, Some(v)) => k -> v }
     val all = results ++ streams.map { case (k, v) => k -> v._1 }
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -187,7 +237,8 @@ object Bench {
         ",\"state_bytes\":" + bytes + "}"
     }.mkString("{", ",", "}")
     val total = if (all.nonEmpty) all.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stream_state":$st,"sf":"$sfDir"}""")
+    val noisyJson = noisy.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stream_state":$st,"noisy":$noisyJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

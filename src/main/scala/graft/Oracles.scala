@@ -1415,10 +1415,12 @@ FROM perdoc
 GROUP BY source
 ORDER BY source"""
 
-  /** Byte-exact twin of
-    * [[graft.multimodal.BinaryFrames.payloadStats]]: the payload is
-    * unhex(sha256)×2, so every byte value is recomputed from the hex
-    * string with strpos integer arithmetic — no blob math needed.
+  /** Pixel-exact twin of
+    * [[graft.multimodal.BinaryFrames.payloadStats]]: the planted 8×8
+    * frame pixels are unhex(sha256)×2, PNG losslessness guarantees the
+    * Spark side decodes those exact values back, so every pixel is
+    * recomputed here from the hex string with strpos integer
+    * arithmetic — the oracle never needs to touch a PNG byte.
     */
   val imgPayloadStats: String = imagingCte + """
 , pb AS (
@@ -1426,14 +1428,14 @@ ORDER BY source"""
     list_transform(range(0, 32),
       i -> (strpos('0123456789abcdef', substr(sha256, 2*i + 1, 1)) - 1) * 16
          + (strpos('0123456789abcdef', substr(sha256, 2*i + 2, 1)) - 1))
-      AS bytes
+      AS px
   FROM frames
 )
 SELECT d.dataset_serial,
   CAST(count(*) AS BIGINT) AS n_frames,
-  CAST(sum(64) AS BIGINT) AS total_bytes,
-  CAST(sum(2 * list_sum(bytes)) AS BIGINT) AS sum_byte_values,
-  CAST(max(list_max(bytes)) AS INT) AS max_byte
+  CAST(sum(64) AS BIGINT) AS total_px,
+  CAST(sum(2 * list_sum(px)) AS BIGINT) AS sum_px_values,
+  CAST(max(list_max(px)) AS INT) AS max_px
 FROM pb JOIN data_set d ON pb.dataset_id = d.id
 GROUP BY d.dataset_serial
 ORDER BY d.dataset_serial"""
@@ -2000,6 +2002,52 @@ FROM perdoc, cuts
 GROUP BY 1, 2
 ORDER BY source, tier"""
 
+  /** Exact-regime KLL twin of
+    * [[graft.ops.TextOps.ccnetBucketsSketched]] at k above the doc
+    * count: like [[docCcnetBuckets]] but the tercile cuts are the
+    * sorted-rank elements at ⌊q·n⌋ (capped n−1) — exactly what the
+    * uncompacted sketch returns (the `q_sketch_quantile` rank math,
+    * with q = the IEEE doubles 1/3 and 2/3 both engines compute from
+    * the same division).
+    */
+  val docCcnetSketched: String = """
+WITH toks AS (
+  SELECT doc_id, source,
+    unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+      AS tok
+  FROM documents),
+vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+total AS (SELECT count(*) AS tot FROM toks),
+lp AS (
+  SELECT tok,
+    CAST(ln(CAST(cnt AS DOUBLE) / tot) AS DECIMAL(20,10)) AS lp
+  FROM vocab, total),
+perdoc AS (
+  SELECT doc_id, source,
+    CAST(sum(lp) AS DOUBLE) / count(*) AS score
+  FROM toks JOIN lp USING (tok)
+  GROUP BY doc_id, source),
+ranked AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, list_sort(list(score)) AS lv
+  FROM perdoc),
+cuts AS (
+  SELECT
+    lv[CAST(least(floor((CAST(1 AS DOUBLE) / 3) * n), n - 1) AS BIGINT)
+       + 1] AS t1,
+    lv[CAST(least(floor((CAST(2 AS DOUBLE) / 3) * n), n - 1) AS BIGINT)
+       + 1] AS t2
+  FROM ranked)
+SELECT source,
+  CASE WHEN score >= t2 THEN 'head'
+       WHEN score >= t1 THEN 'middle'
+       ELSE 'tail' END AS tier,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  round(CAST(sum(CAST(score AS DECIMAL(20,10))) AS DOUBLE) / count(*), 4)
+    AS avg_score
+FROM perdoc, cuts
+GROUP BY 1, 2
+ORDER BY source, tier"""
+
   /** Growth twin of [[graft.imaging.ImagingOps.datasetGrowth]]. */
   val imgDatasetGrowth: String = imagingCte + """
 , monthly AS (
@@ -2037,6 +2085,11 @@ ORDER BY dow, hour"""
     "events_seasonality" -> eventsSeasonality,
     "events_attribution" -> eventsAttribution,
     "doc_ccnet_buckets" -> docCcnetBuckets,
+    "doc_ccnet_sketched" -> docCcnetSketched,
+    // store twins: result-identical to their inline operators by
+    // construction, so they share the oracle SQL verbatim
+    "doc_exact_dedup_bucketed" -> docExactDedup,
+    "emb_knn_ivfpq_indexed" -> embKnnIvfPq,
     "emb_gram_power" -> embGramPower,
     "doc_source_unique" -> docSourceUnique,
     "doc_lsh_health" -> docLshHealth,

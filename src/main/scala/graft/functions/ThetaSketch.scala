@@ -31,7 +31,10 @@ import org.apache.spark.sql.types._
   * theta stays 1.0 and every estimate (including intersections) is
   * EXACT — [[graft.ops.DedupOps.sourceOverlap]] runs in that regime,
   * so the DuckDB oracle hash-checks it; ApproxSpec covers the
-  * estimating regime's error envelope.
+  * estimating regime's error envelope. One documented exclusion: the
+  * single hash value whose flip is Long.MaxValue can never be
+  * retained (see [[ThetaState.updateHash]]), so "exact" carries a
+  * 2⁻⁶⁴-per-distinct undercount probability.
   *
   * Internal ordering uses sign-flipped longs (h ^ Long.MinValue) so
   * signed comparisons realize unsigned hash order.
@@ -44,6 +47,15 @@ final class ThetaState(var k: Int) {
     */
   var theta: Long = Long.MaxValue
 
+  /** Retention is STRICTLY below theta, so the one hash that flips to
+    * Long.MaxValue (input hash = -1) is unrepresentable even in exact
+    * mode — the same boundary exclusion Apache DataSketches makes by
+    * keeping hashes in [1, 2^63). The exactness contract above
+    * therefore carries a 2⁻⁶⁴-per-distinct undercount; admitting the
+    * value would need an inclusive bound, which breaks eviction
+    * (pollLast would hand theta = MaxValue back) and every `f < theta`
+    * set-op filter for an event xxhash64 never produces in practice.
+    */
   def updateHash(hash: Long): Unit = {
     val f = hash ^ Long.MinValue
     if (f < theta) {

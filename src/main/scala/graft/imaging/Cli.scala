@@ -60,10 +60,19 @@ object Cli {
   /** Boolean toggles (reference store_false/store_true actions). */
   private val boolFlags = Set("--no-metadata", "--no-download")
 
+  /** argparse's negative-number rule: a '-'-prefixed token is only an
+    * option if it isn't shaped like a negative number (argparse
+    * applies this because no registered option looks numeric — true
+    * here too), so `-p -1 -2` binds the values, `-p 1 -t 2` stops at
+    * the real flag.
+    */
+  private def looksLikeFlag(a: String): Boolean =
+    a.startsWith("-") && !a.matches("""-\.?\d.*""")
+
   /** argparse-shaped parse: `--key value`, `--multi v1 v2 ...`,
     * bare toggles. Returns (scalars, multi-value lists, toggles).
     */
-  private[imaging] def parseOpts(args: Seq[String])
+  private[graft] def parseOpts(args: Seq[String])
       : (Map[String, String], Map[String, Seq[String]], Set[String]) = {
     var scalars = Map.empty[String, String]
     var multis = Map.empty[String, Seq[String]]
@@ -74,7 +83,7 @@ object Cli {
         case f :: tail if boolFlags(f) =>
           bools += f.stripPrefix("--"); tail
         case f :: tail if multiFlags.contains(f) =>
-          val (vals, next) = tail.span(a => !a.startsWith("-"))
+          val (vals, next) = tail.span(a => !looksLikeFlag(a))
           require(vals.nonEmpty, s"$f needs at least one value")
           multis += (multiFlags(f) -> (multis.getOrElse(multiFlags(f),
             Seq.empty) ++ vals))
@@ -161,12 +170,30 @@ object Cli {
     if (!b("no-metadata")) DataExport.exportMeta(spark, dir, id, out)
     if (!b("no-download")) {
       def ints(k: String) = m.get(k).map(_.map(_.toInt))
+      // Spark's csv writer emits a DIRECTORY of part files; the
+      // reference data_downloader's contract is a plain FILE at
+      // $out/manifest.csv (consumers open that path directly), so
+      // write to a temp dir and promote the single part file. The
+      // write itself stays distributed — no .collect() on the frame
+      // list, the coalesce(1) only merges at the sink.
+      val tmpDir = s"$out/_manifest_tmp"
       ImagingDb.getFilenames(spark, dir, id,
           channelNames = m.get("channels"),
           sliceIds = ints("slices"), timeIds = ints("times"),
           posIds = ints("positions"))
         .coalesce(1).write.mode("overwrite")
-        .option("header", "true").csv(s"$out/manifest.csv")
+        .option("header", "true").csv(tmpDir)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val tmp = new org.apache.hadoop.fs.Path(tmpDir)
+      val fs = tmp.getFileSystem(conf)
+      val part = fs.listStatus(tmp).map(_.getPath)
+        .find(_.getName.startsWith("part-"))
+        .getOrElse(throw new IllegalStateException(
+          s"manifest write produced no part file under $tmpDir"))
+      val target = new org.apache.hadoop.fs.Path(s"$out/manifest.csv")
+      if (fs.exists(target)) fs.delete(target, true)
+      fs.rename(part, target)
+      fs.delete(tmp, true)
     }
   }
 

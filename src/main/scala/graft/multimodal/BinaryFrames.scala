@@ -10,77 +10,85 @@ import graft.imaging.ImagingModel
   * serialized frames to object storage (image_utils.py serialize_im /
   * deserialize_im) while the DB carries the metadata.
   *
-  * The Spark-side plumbing — schema, batched per-partition decode
-  * loop, partitioning — is real and tested. The pixel codec itself is
-  * STUBBED (no image libraries in this environment): payloads are
-  * deterministic bytes derived from each frame's sha256, and
-  * `decodeStub` computes byte-level statistics where a real deployment
-  * would decode PNG/TIFF. Swap `decodeBytes` for an actual codec and
-  * nothing else changes.
+  * Since round 4 the codec is REAL: payloads are genuine PNG bytes
+  * ([[ImageCodec]], javax.imageio — no native dependency), encoded at
+  * generation time from each frame's sha256-derived pixel block and
+  * decoded back through the typed mapPartitions loop. PNG is lossless,
+  * so the decoded pixels equal the planted pre-encode values — which
+  * is exactly what lets `img_payload_stats` stay oracle-checked: the
+  * DuckDB twin recomputes the same pixel statistics from the sha256
+  * hex without ever seeing a PNG byte.
+  *
+  * The encode/decode UDF + typed mapPartitions are the sanctioned
+  * exception to the functions-not-UDFs rule: a binary codec has no
+  * Column-function form, and the shape (scan-side per-row work, one
+  * codec init per partition, no shuffle) is what a production
+  * image pipeline runs.
   */
 object BinaryFrames {
 
   case class FrameFeature(frame_id: Long, width: Int, height: Int,
-    n_bytes: Int, sum_bytes: Long, mean_byte: Double, max_byte: Int)
+    n_px: Int, sum_px: Long, mean_px: Double, max_px: Int)
 
-  /** Frames with a deterministic fake binary payload (64 bytes derived
-    * from the sha256 hex — 2 bytes per hex char via unhex+repeat).
+  /** PNG-encode the 64 sha256-derived bytes as an 8×8 uint8 grayscale
+    * frame — the upload-time serialization of image_utils.py:5-16.
+    */
+  private val encodePng = udf { (sha: String) =>
+    val b = ImageCodec.hexBytes(sha)
+    ImageCodec.encodeGray8(b ++ b, 8, 8)
+  }
+
+  /** Frames with a REAL binary payload: each frame's 64 planted pixel
+    * values (unhex(sha256) twice, row-major 8×8) PNG-encoded at
+    * generation time.
     */
   def withPayload(spark: SparkSession, dir: String): DataFrame =
     ImagingModel.frames(spark, dir)
       .select(col("id").as("frame_id"), col("file_name"),
-        expr("concat(unhex(sha256), unhex(sha256))").as("payload"),
-        struct(lit(2048).as("width"), lit(2048).as("height"),
-          lit("uint16").as("bit_depth")).as("meta"))
+        encodePng(col("sha256")).as("payload"),
+        struct(lit(8).as("width"), lit(8).as("height"),
+          lit("uint8").as("bit_depth")).as("meta"))
 
-  /** STUB decode: byte statistics standing in for pixel decode.
-    * Replace with a real codec (cv2.imdecode equivalent) off-cluster.
+  /** Per-partition batched decode — the exact shape a mapInPandas /
+    * mapPartitions image pipeline has at scale: one codec init per
+    * partition, streaming over rows, typed output schema. Width and
+    * height come from the DECODED image, not the metadata — the audit
+    * a real ingest runs to catch metadata drift.
     */
-  private def decodeBytes(payload: Array[Byte]): (Long, Int) = {
-    // ??? real codec goes here — deterministic byte stats until then
-    var sum = 0L
-    var max = 0
-    var i = 0
-    while (i < payload.length) {
-      val v = payload(i) & 0xff
-      sum += v
-      if (v > max) max = v
-      i += 1
-    }
-    (sum, max)
-  }
-
-  /** Per-partition batched "decode": the exact shape a mapInPandas /
-    * mapPartitions image pipeline has at scale — one codec init per
-    * partition, streaming over rows, typed output schema.
-    */
-  def decodeStub(spark: SparkSession, framed: DataFrame): Dataset[FrameFeature] = {
+  def decodeFrames(spark: SparkSession, framed: DataFrame): Dataset[FrameFeature] = {
     import spark.implicits._
-    framed.select("frame_id", "payload", "meta.width", "meta.height")
-      .as[(Long, Array[Byte], Int, Int)]
+    framed.select("frame_id", "payload")
+      .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         // codec/session init would happen once per partition here
-        rows.map { case (id, payload, w, h) =>
-          val (sum, max) = decodeBytes(payload)
-          val mean = if (payload.length == 0) 0.0
-            else sum.toDouble / payload.length
-          FrameFeature(id, w, h, payload.length, sum, mean, max)
+        rows.map { case (id, payload) =>
+          val (w, h, px) = ImageCodec.decodeGray(payload)
+          var sum = 0L
+          var max = 0
+          var i = 0
+          while (i < px.length) {
+            sum += px(i)
+            if (px(i) > max) max = px(i)
+            i += 1
+          }
+          val mean = if (px.length == 0) 0.0 else sum.toDouble / px.length
+          FrameFeature(id, w, h, px.length, sum, mean, max)
         }
       }
   }
 
-  /** Per-dataset payload statistics THROUGH the binary decode path —
-    * the driver-checked query that proves the multimodal plumbing end
-    * to end: real binary payloads flow through the typed mapPartitions
-    * decode, and the per-dataset roll-up (frame count, byte volume,
-    * exact byte-value sums, max byte) hash-matches a DuckDB oracle
-    * that recomputes the same bytes from the sha256 hex with integer
-    * arithmetic. Everything aggregated is an exact integer, so the
-    * parity is bit-level. frame_id div 10 recovers the dataset key
+  /** Per-dataset pixel statistics THROUGH the real decode path — the
+    * driver-checked query that proves the multimodal plumbing end to
+    * end: genuine PNG payloads flow through the typed mapPartitions
+    * decode, and the per-dataset roll-up (frame count, pixel volume,
+    * exact pixel-value sums, max pixel) hash-matches a DuckDB oracle
+    * that recomputes the same planted pixels from the sha256 hex with
+    * integer arithmetic (PNG losslessness is what makes the two equal
+    * bit-for-bit). frame_id div 10 recovers the dataset key
     * (id = orderkey*10 + linenumber, linenumber ≤ 7 by §3).
     */
   def payloadStats(spark: SparkSession, dir: String): DataFrame = {
-    val feats = decodeStub(spark, withPayload(spark, dir)).toDF()
+    val feats = decodeFrames(spark, withPayload(spark, dir)).toDF()
       .withColumn("dataset_id", expr("frame_id div 10"))
     feats
       .join(broadcast(ImagingModel.dataSet(spark, dir)
@@ -88,9 +96,9 @@ object BinaryFrames {
         col("dataset_id") === col("ds_id"))
       .groupBy("dataset_serial")
       .agg(count(lit(1)).as("n_frames"),
-        sum(col("n_bytes").cast("bigint")).as("total_bytes"),
-        sum(col("sum_bytes")).as("sum_byte_values"),
-        max(col("max_byte")).as("max_byte"))
+        sum(col("n_px").cast("bigint")).as("total_px"),
+        sum(col("sum_px")).as("sum_px_values"),
+        max(col("max_px")).as("max_px"))
       .orderBy("dataset_serial")
   }
 
@@ -101,6 +109,8 @@ object BinaryFrames {
     * within the group by the struct's leading index fields, so no
     * global sort and no window. At 100 TB each group is one stack
     * (bounded by stack geometry), so collect_list state is bounded.
+    * Payloads here are the raw stored frame bytes — reassembly moves
+    * storage blobs; decoding them is [[decodeFrames]]'s job.
     */
   def assembleStacks(spark: SparkSession, dir: String): DataFrame =
     assembleStacksOf(
@@ -157,20 +167,25 @@ object BinaryFrames {
       .drop("im_height", "im_width", "im_colors")
   }
 
-  /** STUB resize: the metadata transform is real (scaled dims in the
-    * typed meta struct), the pixel resample is stood in by truncating
-    * the payload proportionally — swap for a real resampler with the
-    * codec. Shape matches a production thumbnail pass: pure per-row
-    * column work, no shuffle.
+  private val resizePng =
+    udf((payload: Array[Byte], factor: Int) =>
+      ImageCodec.resizeGray(payload, factor))
+
+  /** REAL image resize (was a payload-truncation stub): each PNG
+    * payload decodes, nearest-neighbor resamples by `factor`, and
+    * re-encodes; the typed meta struct carries the scaled dims. Shape
+    * matches a production thumbnail pass: pure per-row column work,
+    * no shuffle.
     */
-  def resizeStub(framed: DataFrame, factor: Int): DataFrame = {
+  def resizeFrames(framed: DataFrame, factor: Int): DataFrame = {
     require(factor >= 1, s"factor must be >= 1, got $factor")
     framed
-      .withColumn("payload",
-        expr(s"substring(payload, 1, greatest(1, int(length(payload) / ${factor.toLong * factor})))"))
+      .withColumn("payload", resizePng(col("payload"), lit(factor)))
       .withColumn("meta", struct(
-        (col("meta.width") / factor).cast("int").as("width"),
-        (col("meta.height") / factor).cast("int").as("height"),
+        greatest(lit(1), (col("meta.width") / factor).cast("int"))
+          .as("width"),
+        greatest(lit(1), (col("meta.height") / factor).cast("int"))
+          .as("height"),
         col("meta.bit_depth")))
   }
 

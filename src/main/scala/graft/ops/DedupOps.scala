@@ -41,8 +41,12 @@ object DedupOps {
               j -> struct(element_at($arr, j + 1) AS a,
                           element_at($arr, i + 1) AS b))))"""))
 
-  /** documents plus a re-keyed copy of every 5th doc (planted dups). */
-  private def corpus(spark: SparkSession, dir: String): DataFrame = {
+  /** documents plus a re-keyed copy of every 5th doc (planted dups).
+    * `private[graft]`: [[graft.sources.DocumentStore.dupGroupsFor]]
+    * builds its bucketed store from the same corpus so the store twin
+    * and the inline operator stay result-identical.
+    */
+  private[graft] def corpus(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).select("doc_id", "text", "source", "lang")
     d.unionByName(
       d.filter(col("doc_id") % 5 === 0)
@@ -527,8 +531,12 @@ object DedupOps {
     val a = sk.select(col("source").as("src"), col("sk").as("sk_a"))
     val b = sk.select(col("source").as("other"), col("sk").as("sk_b"))
     // union of every OTHER source's sketch, then A \ others (sk_a is
-    // functionally dependent on src, so first() is deterministic)
-    val others = a.join(b, col("src") =!= col("other"))
+    // functionally dependent on src, so first() is deterministic).
+    // LEFT join: a source with no counterpart (single-source corpus)
+    // must still emit a row — its sk_rest unions over zero sketches,
+    // i.e. the empty sketch, so A \ ∅ = A and n_unique = n_digests,
+    // matching the oracle's NOT EXISTS semantics.
+    val others = a.join(b, col("src") =!= col("other"), "left")
       .groupBy("src")
       .agg(first(col("sk_a")).as("sk_a"),
         ThetaSketch.unionAgg(col("sk_b")).as("sk_rest"))

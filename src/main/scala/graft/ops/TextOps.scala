@@ -123,7 +123,24 @@ object TextOps {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
     val census = docs.groupBy("source")
       .agg(ceil(count(lit(1)) * 0.1).cast("bigint").as("keep_n"))
-    val k = census.agg(max("keep_n")).head().getLong(0).toInt.max(1)
+    val kLong = census.agg(max("keep_n")).head().getLong(0).max(1L)
+    // k = ceil(10% of the largest stratum) GROWS WITH THE CORPUS — the
+    // per-task top-k heaps are k rows each, so past this cap the heaps
+    // ARE the stratum and exact-fraction sampling is the wrong tool.
+    // Fail loudly (the RangeJoinExec build-cap pattern) instead of
+    // OOMing an executor: the declared 100 TB path is hashSample.
+    val cap = spark.conf.getOption("spark.graft.stratifiedSample.maxK")
+      .map(_.toLong).getOrElse(10000000L)
+    if (kLong > cap) {
+      throw new IllegalStateException(
+        s"stratifiedSample keep-count $kLong exceeds $cap rows per " +
+          "task heap — exact-fraction sampling holds k rows per " +
+          "partial aggregate, which no longer fits at this stratum " +
+          "size. Use hashSample (the hash-Bernoulli 100 TB path) or " +
+          "raise spark.graft.stratifiedSample.maxK if executors can " +
+          "really hold it.")
+    }
+    val k = kLong.toInt
     docs.groupBy("source")
       .agg(graft.functions.TopKByScore
         .topkAsc(col("doc_id").cast("double"), col("doc_id"), k).as("top"))
@@ -455,17 +472,26 @@ object TextOps {
     * the tercile cut comes from a KLL sketch
     * ([[graft.functions.QuantileSketch]]) — bounded O(k log n)
     * aggregation state where the exact percentile buffers every
-    * distinct score in one task. Costs sketch-rank error on the tier
-    * BOUNDARIES only (ApproxSpec bounds the tier-count deviation);
-    * not oracle-hashed because the boundary docs legitimately differ.
+    * distinct score in one task.
+    *
+    * Two checked regimes, selected by k (the same split
+    * `q_sketch_quantile` proves for the KLL family): with the default
+    * k the sketch compacts and tier counts are ApproxSpec-bounded
+    * against the exact split; with k above the corpus doc count
+    * (`doc_ccnet_sketched` passes 2¹⁷) no compaction fires, the sketch
+    * quantile IS the sorted-rank element at ⌊q·n⌋ (capped n−1), and
+    * the whole query hash-matches a DuckDB twin that reads the same
+    * rank off a sorted list — the declared 100 TB path itself under
+    * the oracle, with no exact `percentile` anywhere in the plan.
     */
-  def ccnetBucketsSketched(spark: SparkSession, dir: String): DataFrame = {
+  def ccnetBucketsSketched(spark: SparkSession, dir: String,
+      k: Int = 256): DataFrame = {
     import graft.functions.QuantileSketch
     val scored = perDocLogprob(spark, dir)
       .select(col("doc_id"), col("source"),
         (col("s").cast("double") / col("n_toks")).as("score"))
     val cuts = scored
-      .agg(QuantileSketch.sketchAgg(col("score")).as("sk"))
+      .agg(QuantileSketch.sketchAgg(col("score"), k).as("sk"))
       .select(
         QuantileSketch.estimate(col("sk"), 1.0 / 3).as("t1"),
         QuantileSketch.estimate(col("sk"), 2.0 / 3).as("t2"))

@@ -22,6 +22,50 @@ object DocumentStore {
 
   val DefaultBuckets = 32
 
+  /** Tables this JVM has (re)built — the build-once guard behind
+    * [[dupGroupsFor]]. Session-scoped on purpose: a stale table from a
+    * previous JVM (the in-memory catalog forgets it, the warehouse
+    * directory survives) must be rebuilt, never trusted.
+    */
+  private val built = scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  private[sources] def tableName(prefix: String, dir: String): String =
+    prefix + "_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** Drop any catalog entry AND any leftover warehouse directory for
+    * `table` — saveAsTable refuses a non-empty managed location it has
+    * no catalog entry for (exactly what a prior JVM leaves behind).
+    */
+  private[sources] def clearStale(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val p = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  /** Build the bucketed store for `dir`'s planted-dup corpus once per
+    * JVM (Bench calls this from warmup so timed runs measure the READ
+    * side — the build is the one shuffle the layout amortizes).
+    */
+  def ensureBuilt(spark: SparkSession, dir: String): String = {
+    val table = tableName("graft_docstore", dir)
+    built.getOrElseUpdate(table, {
+      clearStale(spark, table)
+      write(graft.ops.DedupOps.corpus(spark, dir), table)
+    })
+    table
+  }
+
+  /** The driver-checked twin of `doc_exact_dedup` over the persisted
+    * bucketed store: identical rows (same planted corpus, same census,
+    * same oracle SQL), but the digest groupBy rides the bucket layout
+    * — zero exchanges below the final order (DocumentStoreSpec proves
+    * the plan; the bench entry carries the timing evidence).
+    */
+  def dupGroupsFor(spark: SparkSession, dir: String): DataFrame =
+    dupGroups(spark, ensureBuilt(spark, dir)).orderBy("h")
+
   /** Persist a (doc_id, text, ...) corpus with the normalized digest
     * precomputed, bucketed by it. Bucket count is a layout decision:
     * at 100 TB size it so one bucket's duplicate census fits an

@@ -45,4 +45,29 @@ object VectorIndex {
     */
   def search(spark: SparkSession, dir: String, table: String): DataFrame =
     graft.ops.VectorOps.searchIndex(spark, dir, read(spark, table))
+
+  /** Per-JVM build-once guard — same contract as
+    * [[DocumentStore.ensureBuilt]] (stale warehouse leftovers from a
+    * previous JVM are cleared and rebuilt, never trusted).
+    */
+  private val built = scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  def ensureBuilt(spark: SparkSession, dir: String): String = {
+    val table = DocumentStore.tableName("graft_vecindex", dir)
+    built.getOrElseUpdate(table, {
+      DocumentStore.clearStale(spark, table)
+      build(spark, dir, table)
+    })
+    table
+  }
+
+  /** The driver-checked twin of `emb_knn_ivfpq` over the persisted
+    * index (same results, same oracle SQL): search-time cost is one
+    * bucketed index scan + broadcast probe/distance tables — the
+    * FAISS build/search split with the build amortized at
+    * [[ensureBuilt]] (Bench warms it so the timed entry measures
+    * search).
+    */
+  def searchFor(spark: SparkSession, dir: String): DataFrame =
+    search(spark, dir, ensureBuilt(spark, dir))
 }

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 import graft.tables.Tables
 
@@ -170,6 +170,103 @@ object EventsStream {
         && col("signup_ts") >= col("ts") - expr("INTERVAL 30 DAYS"))
       .select(col("event_id"), col("user_id"), col("ts"),
         col("event_type"), col("signup_ts"))
+  }
+
+  case class TwsSessionState(nEvents: Long, revenueCents: Long,
+    startMs: Long, lastMs: Long, timerMs: Long)
+
+  case class TwsSession(user_id: Long, n_events: Long, revenue_cents: Long,
+    start_ms: Long, duration_ms: Long)
+
+  /** Per-user sessionizer on the `transformWithState` API (SURVEY
+    * §7.12's deferred arbitrary-stateful item): the 30-minute-gap
+    * semantics of [[sessionizeEventTime]] plus per-session revenue,
+    * with the state LIFECYCLE fully explicit — a typed ValueState
+    * holds the open session, an event-time timer at last_event + gap
+    * is the custom eviction (it fires when the watermark passes:
+    * emit the session, clear the state), and superseded timers are
+    * deleted by hand. Revenue accumulates in integer cents so the
+    * fold is order-independent and the batch-parity oracle exact.
+    *
+    * Drain-safe: event-time timers fire on watermark advancement, so
+    * an AvailableNow backfill terminates (the bench requirement).
+    * State per user is ONE fixed-size row + one timer — bounded by
+    * active users inside the gap horizon, the same eviction contract
+    * the GroupStateTimeout variant has, but owned by the operator.
+    */
+  class SessionProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, Event, TwsSession] {
+    @transient private var session: ValueState[TwsSessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      session = getHandle.getValueState[TwsSessionState]("session",
+        Encoders.product[TwsSessionState], TTLConfig.NONE)
+
+    private def emit(u: Long, s: TwsSessionState) =
+      TwsSession(u, s.nEvents, s.revenueCents, s.startMs,
+        s.lastMs - s.startMs)
+
+    private def cents(v: Double): Long = math.round(v * 100)
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[TwsSession] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val closed = Seq.newBuilder[TwsSession]
+      var cur = if (session.exists()) Some(session.get()) else None
+      val prevTimer = cur.map(_.timerMs).getOrElse(-1L)
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.lastMs <= gapMs =>
+            cur = Some(s.copy(nEvents = s.nEvents + 1,
+              revenueCents = s.revenueCents + cents(e.value), lastMs = t))
+          case Some(s) =>
+            closed += emit(user, s)
+            cur = Some(TwsSessionState(1, cents(e.value), t, t, -1L))
+          case None =>
+            cur = Some(TwsSessionState(1, cents(e.value), t, t, -1L))
+        }
+      }
+      cur.foreach { s =>
+        // custom eviction: re-arm the gap timer on the session's new
+        // tail, dropping the superseded one (timers are per-key
+        // resources the operator owns, unlike GroupStateTimeout's
+        // single implicit slot)
+        val at = s.lastMs + gapMs
+        if (prevTimer > 0 && prevTimer != at)
+          getHandle.deleteTimer(prevTimer)
+        if (prevTimer != at) getHandle.registerTimer(at)
+        session.update(s.copy(timerMs = at))
+      }
+      closed.result().iterator
+    }
+
+    override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[TwsSession] = {
+      // eviction path: the watermark passed last_event + gap with no
+      // new rows — close the session and free the state row
+      val out =
+        if (session.exists()
+            && session.get().timerMs == expiredTimerInfo.getExpiryTimeInMs) {
+          val s = session.get()
+          session.clear()
+          Iterator.single(emit(user, s))
+        } else Iterator.empty
+      out
+    }
+  }
+
+  /** The transformWithState sessionizer over a watermarked event
+    * stream. Requires the RocksDB state store provider (the API's
+    * contract) — callers set
+    * `spark.sql.streaming.stateStore.providerClass` before start.
+    */
+  def sessionizeTws(spark: SparkSession, events: Dataset[Event],
+      gapMs: Long = 30L * 60 * 1000): Dataset[TwsSession] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Streaming exactly-once dedup: drop re-delivered events by id

@@ -64,11 +64,30 @@ class CliSpec extends AnyFunSuite {
       "--id", serial, "--dest", dest, "-c", "DAPI", "GFP")) == 0)
     assert(Files.exists(Paths.get(s"$dest/$serial/global_metadata.json")))
     assert(Files.exists(Paths.get(s"$dest/$serial/frames_meta.csv")))
+    // the reference's file contract: manifest.csv is a plain FILE a
+    // consumer opens directly, not a Spark part-file directory
+    assert(Files.isRegularFile(Paths.get(s"$dest/$serial/manifest.csv")))
+    assert(!Files.exists(Paths.get(s"$dest/$serial/_manifest_tmp")))
     val manifest = spark.read.option("header", "true")
       .csv(s"$dest/$serial/manifest.csv")
     val expected = graft.imaging.ImagingDb.getFilenames(spark, sfDir,
       serial, channelNames = Some(Seq("DAPI", "GFP"))).count()
     assert(manifest.count() == expected)
+  }
+
+  test("multi-flag values may be negative numbers (argparse parity)") {
+    // argparse treats '-1' as a value when no option looks numeric;
+    // the span must not stop at it (indices are non-negative today,
+    // but the flag surface shouldn't reject argparse-legal input)
+    val (_, m, _) = Cli.parseOpts(Seq(
+      "-p", "-1", "2", "-t", "3", "--slices", "-2.5", "0"))
+    assert(m("positions") == Seq("-1", "2"))
+    assert(m("times") == Seq("3"))
+    assert(m("slices") == Seq("-2.5", "0"))
+    // real flags still terminate the span
+    intercept[IllegalArgumentException] {
+      Cli.parseOpts(Seq("-p", "--no-download"))
+    }
   }
 
   test("download --no-download/--no-metadata skip their artifacts") {

@@ -21,6 +21,21 @@ class DocumentStoreSpec extends AnyFunSuite {
       .withColumn("doc_id", col("doc_id") + 1000000L))
   }
 
+  test("dupGroupsFor builds once per JVM and matches the inline operator") {
+    // the driver-checked store twin: same rows as doc_exact_dedup,
+    // build amortized (second call must reuse the table, not rewrite)
+    val first = DocumentStore.dupGroupsFor(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val table = DocumentStore.ensureBuilt(spark, sfDir)
+    val again = DocumentStore.dupGroupsFor(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(DocumentStore.ensureBuilt(spark, sfDir) == table)
+    val inline = graft.ops.DedupOps.exactDedup(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(first.toSeq === inline.toSeq)
+    assert(again.toSeq === inline.toSeq)
+  }
+
   test("dedup census over the bucketed store runs with zero exchanges") {
     val tmp = java.nio.file.Files
       .createTempDirectory("graft_docstore").toString

@@ -86,6 +86,23 @@ class HotBucketSpec extends AnyFunSuite {
       s"unexpected clusters: $clusters")
   }
 
+  test("stratified sample fails loudly past the k cap") {
+    // the RangeJoinExec build-cap pattern: exact-fraction sampling
+    // holds k rows per task heap, and k grows with the corpus — past
+    // the configured cap the operator must refuse (pointing at the
+    // hash-Bernoulli scale path), not OOM an executor
+    spark.conf.set("spark.graft.stratifiedSample.maxK", "1")
+    try {
+      val e = intercept[IllegalStateException] {
+        graft.ops.TextOps.stratifiedSample(spark, TestSpark.sfDir)
+      }
+      assert(e.getMessage.contains("hashSample"))
+    } finally spark.conf.unset("spark.graft.stratifiedSample.maxK")
+    // below the cap the sample is unchanged
+    assert(graft.ops.TextOps.stratifiedSample(spark, TestSpark.sfDir)
+      .count() > 0)
+  }
+
   test("ngram jaccard drops a hot block past the cap") {
     val hot = (0 until 50).map(i =>
       (i.toLong, "alpha beta gamma delta epsilon zeta eta theta", "web", "en"))

@@ -36,10 +36,13 @@ class PlanSweepSpec extends AnyFunSuite {
     "doc_tfidf",      // corpus-size single row cross join
     "doc_unigram_logprob", // vocabulary x single-row total cross join
     "doc_ccnet_buckets",   // same, plus the single-row tercile cuts
+    "doc_ccnet_sketched",  // same shape, KLL cut row instead of exact
     "emb_knn_brute",  // tiny query side, <> condition
     "emb_knn_ivf",    // centroid cross joins + tiny probe side
     "emb_kmeans_step", // 16-centroid broadcast cross join (assignment)
     "emb_knn_ivfpq",  // 16-centroid routing cross joins (IVF coarse step)
+    "emb_knn_ivfpq_indexed", // same probe-side routing cross joins —
+                             // the corpus side reads the bucketed index
     "doc_source_overlap", // S-row sketch pairs, < condition (S = sources)
     "doc_source_unique",  // S-row sketch pairs, <> condition
     "q22_idle"        // one-row balance census cross join
@@ -72,6 +75,18 @@ class PlanSweepSpec extends AnyFunSuite {
       s"stratified sample must not own whole strata in window partitions:\n$s")
     assert(s.contains("topk_by_score"),
       s"bounded top-k aggregate missing from the plan:\n$s")
+  }
+
+  test("doc_ccnet_sketched cuts via the KLL sketch, no exact percentile") {
+    // the driver-checked 100 TB CCNet path: the tercile cut must be
+    // the bounded-state sketch aggregate — an exact `percentile` here
+    // would buffer every distinct score in one task at corpus scale
+    val s = graft.ops.TextOps.ccnetBucketsSketched(spark, sfDir, 1 << 17)
+      .queryExecution.executedPlan.toString
+    assert(!s.toLowerCase.contains("percentile"),
+      s"ccnet sketched variant must not use the exact percentile:\n$s")
+    assert(s.contains("quantile_sketch_agg"),
+      s"KLL sketch aggregate missing from the plan:\n$s")
   }
 
   test("no query plan has an accidental join strategy") {

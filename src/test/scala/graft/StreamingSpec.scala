@@ -183,6 +183,91 @@ class StreamingSpec extends AnyFunSuite {
       s"stream closed ${got.size} sessions, batch oracle ${expected.size}")
   }
 
+  test("transformWithState sessionizer has batch parity on the corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gapMs = 30L * 60 * 1000
+    val ev = EventsStream.eventsAsTimestamps(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect()
+    // driver-side oracle: the sessionizeEventTime fold plus exact
+    // integer-cent revenue
+    val expected = ev.groupBy(_.user_id).flatMap { case (u, es) =>
+      val sorted = es.sortBy(e => (e.ts.getTime, e.event_id))
+      val out = Seq.newBuilder[(Long, Long, Long, Long, Long)]
+      var start = -1L; var last = -1L; var n = 0L; var rev = 0L
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        val c = math.round(e.value * 100)
+        if (start < 0) { start = t; last = t; n = 1; rev = c }
+        else if (t - last <= gapMs) { last = t; n += 1; rev += c }
+        else { out += ((u, n, rev, start, last - start))
+               start = t; last = t; n = 1; rev = c }
+      }
+      if (start >= 0) out += ((u, n, rev, start, last - start))
+      out.result()
+    }.toSet
+    val maxTs = ev.map(_.ts.getTime).max
+    val stream = MemoryStream[Event]
+    stream.addData(ev.toIndexedSeq)
+    stream.addData(Seq(Event(-1L,
+      new Timestamp(maxTs + 10L * 24 * 3600 * 1000), -1L, "click", 1.0)))
+    val withWm = stream.toDS().withWatermark("ts", "0 seconds").as[Event]
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val q = EventsStream.sessionizeTws(spark, withWm)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("tws_parity_out").start()
+      try q.processAllAvailable() finally q.stop()
+      val got = spark.table("tws_parity_out")
+        .as[EventsStream.TwsSession].collect()
+        .map(s => (s.user_id, s.n_events, s.revenue_cents, s.start_ms,
+          s.duration_ms)).toSet
+      assert(got === expected,
+        s"tws closed ${got.size} sessions, batch oracle ${expected.size}")
+    } finally spark.conf.unset(key)
+  }
+
+  test("transformWithState custom eviction frees state after the gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, user: Long, minute: Long) =
+      Event(id, new Timestamp((600 + minute) * 60000L), user, "click", 2.5)
+    def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+      q.recentProgress.reverse.find(_.stateOperators.nonEmpty)
+        .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+    val stream = MemoryStream[Event]
+    // 10 users, 2 events each (redelivered ids don't matter here —
+    // the risk is session state OUTLIVING the gap horizon)
+    stream.addData((1L to 10L).flatMap(u =>
+      Seq(ev(u * 10, u, u), ev(u * 10 + 1, u, u + 5))))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val withWm = stream.toDS().withWatermark("ts", "0 seconds").as[Event]
+      val q = EventsStream.sessionizeTws(spark, withWm)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("tws_evict_out").start()
+      try {
+        q.processAllAvailable()
+        // sentinel pushes the watermark past every gap timer: the
+        // expired timers must EMIT and CLEAR all 10 user rows
+        stream.addData(Seq(ev(9999, 999L, 100000L)))
+        q.processAllAvailable()
+        stream.addData(Seq(ev(10000, 999L, 100001L)))
+        q.processAllAvailable()
+        assert(spark.table("tws_evict_out")
+          .filter(col("user_id") <= 10).count() === 10L)
+        // only the sentinel user's open session may remain in state
+        assert(stateRows(q) <= 1L,
+          s"session state not evicted: ${stateRows(q)} rows remain")
+      } finally q.stop()
+    } finally spark.conf.unset(key)
+  }
+
   test("stateful sessionizer closes sessions on gaps") {
     import spark.implicits._
     def ev(id: Long, user: Long, minute: Long) =
@@ -195,20 +280,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(closed.head.user_id === 1 && closed.head.n_events === 2)
   }
 
-  test("binary frame plumbing: payloads decode with stable schema") {
+  test("binary frame plumbing: PNG payloads decode with stable schema") {
     val framed = BinaryFrames.withPayload(spark, sfDir)
-    val feats = BinaryFrames.decodeStub(spark, framed)
+    val feats = BinaryFrames.decodeFrames(spark, framed)
     assert(feats.count() === framed.count())
-    val bad = feats.filter(col("n_bytes") =!= 64
-      || col("mean_byte") < 0 || col("mean_byte") > 255).count()
+    // real decode: 8x8 planted frames, pixel stats in uint8 range
+    val bad = feats.filter(col("n_px") =!= 64
+      || col("width") =!= 8 || col("height") =!= 8
+      || col("mean_px") < 0 || col("mean_px") > 255).count()
     assert(bad === 0)
+    // every payload is a genuine PNG (8-byte magic signature)
+    val sig = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a,
+      0x1a, 0x0a)
+    val nonPng = framed
+      .filter(expr(s"substring(payload, 1, 8) <> X'${sig.map(b => f"${b & 0xff}%02x").mkString}'")).count()
+    assert(nonPng === 0)
     val sampled = BinaryFrames.sampleFrames(framed, 10)
     assert(sampled.count() > 0 && sampled.count() < framed.count())
-    val resized = BinaryFrames.resizeStub(framed, 4)
+    // real resize: the decoded dims of the resized payload shrink by
+    // the factor (nearest-neighbor resample, not a truncation stub)
+    val resized = BinaryFrames.resizeFrames(framed, 4)
     val r = resized.select(col("meta.width"), col("meta.height"),
-      length(col("payload"))).head()
-    assert(r.getInt(0) === 512 && r.getInt(1) === 512)
-    assert(r.getInt(2) === 4) // 64 bytes / 16
+      col("payload")).head()
+    assert(r.getInt(0) === 2 && r.getInt(1) === 2)
+    val (rw, rh, _) = graft.multimodal.ImageCodec.decodeGray(
+      r.getAs[Array[Byte]](2))
+    assert(rw === 2 && rh === 2)
+  }
+
+  test("codec round-trip: decode(encode(im)) == im at uint8 and uint16") {
+    import graft.multimodal.ImageCodec
+    // planted uint8 frame (the payload shape withPayload generates)
+    val px8 = Array.tabulate(64)(i => ((i * 37 + 11) % 256).toByte)
+    val enc8 = ImageCodec.encodeGray8(px8, 8, 8)
+    val (w8, h8, back8) = ImageCodec.decodeGray(enc8)
+    assert(w8 === 8 && h8 === 8)
+    assert(back8.toSeq === px8.map(_ & 0xff).toSeq)
+    // uint16: the reference's native microscope depth
+    // (image_utils.py:5-30 round-trips uint16 via PNG's 16-bit gray)
+    val px16 = Array.tabulate(48)(i => (i * 4099 + 257) % 65536)
+    val enc16 = ImageCodec.encodeGray16(px16, 8, 6)
+    val (w16, h16, back16) = ImageCodec.decodeGray(enc16)
+    assert(w16 === 8 && h16 === 6)
+    assert(back16.toSeq === px16.toSeq)
+    // non-image payloads fail loudly, not silently
+    intercept[IllegalArgumentException] {
+      ImageCodec.decodeGray(Array[Byte](1, 2, 3, 4))
+    }
   }
 
   test("squeezed dim order drops exactly the singleton dimensions") {

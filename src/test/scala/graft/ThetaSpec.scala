@@ -85,6 +85,26 @@ class ThetaSpec extends AnyFunSuite {
     spark.catalog.dropTempView("theta_vals")
   }
 
+  test("sourceUnique emits a row for a source with no counterpart") {
+    // single-source corpus, doc_ids never % 5 == 0 so the planted
+    // mirror source is empty too: the pair expansion finds no "other"
+    // row, and the left join must still carry the source through with
+    // n_unique = n_digests (the oracle's NOT EXISTS lists it)
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_single_src").toString
+    Seq((1L, "alpha beta", "solo", "en"), (2L, "gamma delta", "solo", "en"),
+        (3L, "epsilon zeta", "solo", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = graft.ops.DedupOps.sourceUnique(spark, tmp).collect()
+    assert(rows.length == 1, s"expected the solo source row, got ${rows.toSeq}")
+    val r = rows.head
+    assert(r.getString(0) == "solo")
+    assert(r.getLong(1) == 3L && r.getLong(2) == 3L,
+      s"unique census must equal the digest census: $r")
+  }
+
   test("serialization round-trips the full sketch state") {
     val st = new ThetaState(64)
     (0L until 10000L).foreach(v => st.updateHash(v * 2654435761L))
