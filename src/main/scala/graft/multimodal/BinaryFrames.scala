@@ -41,9 +41,17 @@ object BinaryFrames {
   /** Frames with a REAL binary payload: each frame's 64 planted pixel
     * values (unhex(sha256) twice, row-major 8×8) PNG-encoded at
     * generation time.
+    *
+    * The explicit row-spreading repartition is the emb_gram_power
+    * lesson applied to codecs: frame METADATA is byte-small, so the
+    * scan would hand one or two partitions ~50 µs/row of encode+decode
+    * work and run the whole codec pass single-task. Spreading to the
+    * session's shuffle parallelism costs one exchange of tiny rows and
+    * buys the full-core codec stage (75 s → ~3 s at bench scale).
     */
   def withPayload(spark: SparkSession, dir: String): DataFrame =
     ImagingModel.frames(spark, dir)
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
       .select(col("id").as("frame_id"), col("file_name"),
         encodePng(col("sha256")).as("payload"),
         struct(lit(8).as("width"), lit(8).as("height"),

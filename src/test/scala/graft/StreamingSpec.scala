@@ -329,6 +329,34 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("codec emits and reads STANDARD PNG (javax.imageio cross-check)") {
+    import graft.multimodal.ImageCodec
+    // our encoder's output must be a PNG any standard reader accepts
+    val px8 = Array.tabulate(64)(i => ((i * 53 + 7) % 256).toByte)
+    val ours = ImageCodec.encodeGray8(px8, 8, 8)
+    val im = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(ours))
+    assert(im != null, "javax.imageio could not read our PNG")
+    assert(im.getWidth === 8 && im.getHeight === 8)
+    val viaImageIo = Array.tabulate(64)(i =>
+      im.getRaster.getSample(i % 8, i / 8, 0))
+    assert(viaImageIo.toSeq === px8.map(_ & 0xff).toSeq)
+    // and our decoder must read OTHER encoders' PNGs (javax.imageio
+    // picks adaptive scanline filters — exercises the filter paths;
+    // 67x43 at 16-bit makes Sub/Up/Avg/Paeth all plausible)
+    val w = 67; val h = 43
+    val big = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    val plant = Array.tabulate(w * h)(i => (i * 2654435761L % 65536).toInt)
+    plant.zipWithIndex.foreach { case (v, i) =>
+      big.getRaster.setSample(i % w, i / w, 0, v) }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(big, "png", bos)
+    val (dw, dh, dpx) = ImageCodec.decodeGray(bos.toByteArray)
+    assert(dw === w && dh === h)
+    assert(dpx.toSeq === plant.toSeq)
+  }
+
   test("squeezed dim order drops exactly the singleton dimensions") {
     import spark.implicits._
     // data_storage.py:69-86: "XYGZCTP" minus singletons. Planted:
