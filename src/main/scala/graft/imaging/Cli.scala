@@ -18,14 +18,17 @@ import org.apache.spark.sql.functions._
   *    [--description S]` — prints matching dataset serials
   *    (query_data.py:10-52, minus `--login`: the connection string is
   *    the table directory here).
-  *  - `download --dir D --id SERIAL --dest OUT [-p|--positions i...]
-  *    [-t|--times i...] [-c|--channels name...] [-z|--slices i...]
-  *    [--no-metadata] [--no-download]` — writes
+  *  - `download --dir D --id SERIAL --dest OUT [--mount M]
+  *    [-p|--positions i...] [-t|--times i...] [-c|--channels name...]
+  *    [-z|--slices i...] [--no-metadata] [--no-download]` — writes
   *    `OUT/SERIAL/frames_meta.csv` + `global_metadata.json`
-  *    (data_downloader.py:13-110; `--no-*` toggles match). Storage
-  *    payloads are simulated in this build, so "download" emits the
-  *    storage manifest (`manifest.csv`: the per-frame storage paths
-  *    the reference's S3/local fetch loop would pull).
+  *    (data_downloader.py:13-110; `--no-*` toggles match), plus the
+  *    storage manifest (`manifest.csv`). With `--mount M` (the
+  *    local-storage mount point, local_storage.py:30-44) it MOVES THE
+  *    BYTES: every manifest frame is copied from
+  *    `M/raw_frames/SERIAL/` into `OUT/SERIAL/frames/` through
+  *    [[graft.sources.FrameStorage.downloadManifest]] — a distributed
+  *    semi-join copy, no driver-side file list.
   *  - `upload --csv F --config F --store OUT` — the uploader contract
   *    (data_uploader.py:19-58): csv rows (dataset_id, file_name,
   *    description), config JSON with upload_type/frames_format;
@@ -44,7 +47,7 @@ object Cli {
       |  graft.Cli query    --dir DIR [--project_id P] [--microscope M]
       |                     [--start_date YYYY-MM-DD] [--end_date YYYY-MM-DD]
       |                     [--description S]
-      |  graft.Cli download --dir DIR --id SERIAL --dest OUT
+      |  graft.Cli download --dir DIR --id SERIAL --dest OUT [--mount M]
       |                     [-p|--positions i ...] [-t|--times i ...]
       |                     [-c|--channels name ...] [-z|--slices i ...]
       |                     [--no-metadata] [--no-download]
@@ -170,6 +173,21 @@ object Cli {
     if (!b("no-metadata")) DataExport.exportMeta(spark, dir, id, out)
     if (!b("no-download")) {
       def ints(k: String) = m.get(k).map(_.map(_.toInt))
+      val manifest = ImagingDb.getFilenames(spark, dir, id,
+        channelNames = m.get("channels"),
+        sliceIds = ints("slices"), timeIds = ints("times"),
+        posIds = ints("positions"))
+      // real byte movement when the storage mount is given
+      // (data_downloader.py's fetch loop): manifest frames copy from
+      // the dataset's raw_frames directory into OUT/frames via the
+      // distributed semi-join — no driver-side file list
+      s.get("mount").foreach { mount =>
+        val st = new graft.sources.FrameStorage(mount, s"raw_frames/$id")
+        val n = st.downloadManifest(spark,
+          manifest.filter(col("storage_dir") === s"raw_frames/$id"),
+          s"$out/frames")
+        println(s"downloaded $n frames to $out/frames")
+      }
       // Spark's csv writer emits a DIRECTORY of part files; the
       // reference data_downloader's contract is a plain FILE at
       // $out/manifest.csv (consumers open that path directly), so
@@ -177,10 +195,7 @@ object Cli {
       // write itself stays distributed — no .collect() on the frame
       // list, the coalesce(1) only merges at the sink.
       val tmpDir = s"$out/_manifest_tmp"
-      ImagingDb.getFilenames(spark, dir, id,
-          channelNames = m.get("channels"),
-          sliceIds = ints("slices"), timeIds = ints("times"),
-          posIds = ints("positions"))
+      manifest
         .coalesce(1).write.mode("overwrite")
         .option("header", "true").csv(tmpDir)
       val conf = spark.sparkContext.hadoopConfiguration

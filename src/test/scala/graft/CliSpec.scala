@@ -75,6 +75,33 @@ class CliSpec extends AnyFunSuite {
     assert(manifest.count() == expected)
   }
 
+  test("download --mount moves real bytes from the frame store") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val serial = graft.imaging.ImagingDb.getDatasets(spark, sfDir)
+      .filter(col("frames"))
+      .select("dataset_serial").head().getString(0)
+    // populate local storage for that dataset (the upload side)
+    val mount = Files.createTempDirectory("cli_mount").toString
+    val framed = graft.multimodal.BinaryFrames.withPayload(spark, sfDir)
+      .join(graft.imaging.ImagingModel.dataSet(spark, sfDir)
+        .filter(col("dataset_serial") === serial)
+        .select(col("id").as("ds_id")),
+        expr("frame_id div 10") === col("ds_id"))
+    val st = new graft.sources.FrameStorage(mount, s"raw_frames/$serial")
+    st.uploadFrames(framed)
+    // CLI download with the mount: bytes must land under dest/frames
+    val dest = Files.createTempDirectory("cli_dl3").toString
+    assert(Cli.run(spark, Seq("download", "--dir", sfDir,
+      "--id", serial, "--dest", dest, "--mount", mount)) == 0)
+    val out = Paths.get(s"$dest/$serial/frames")
+    assert(Files.exists(out))
+    val fetched = Files.list(out).count()
+    val expected = spark.read.option("header", "true")
+      .csv(s"$dest/$serial/manifest.csv")
+      .filter(col("storage_dir") === s"raw_frames/$serial").count()
+    assert(fetched === expected && fetched > 0)
+  }
+
   test("multi-flag values may be negative numbers (argparse parity)") {
     // argparse treats '-1' as a value when no option looks numeric;
     // the span must not stop at it (indices are non-negative today,
