@@ -254,6 +254,16 @@ object EventsStream {
         } else Iterator.empty
       out
     }
+
+    /** Warm-start hook ([[SessionProcessorWithInit]]): install an
+      * open session from batch history and arm its eviction timer, as
+      * if its events had flowed through the stream.
+      */
+    private[streaming] def seed(s: TwsSessionState): Unit = {
+      val at = s.lastMs + gapMs
+      getHandle.registerTimer(at)
+      session.update(s.copy(timerMs = at))
+    }
   }
 
   /** The transformWithState sessionizer over a watermarked event
@@ -267,6 +277,76 @@ object EventsStream {
     events.groupByKey(_.user_id)
       .transformWithState(new SessionProcessor(gapMs),
         TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Warm-start variant of [[SessionProcessor]]
+    * (StatefulProcessorWithInitialState): each key's still-open
+    * session from a BATCH prefix seeds the state store before the
+    * first micro-batch, and its eviction timer is re-armed — the
+    * restart-from-history contract a production sessionizer needs
+    * (recompute history as a batch job, resume the stream without
+    * replaying it).
+    */
+  class SessionProcessorWithInit(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, Event, TwsSession, TwsSessionState] {
+    private val inner = new SessionProcessor(gapMs)
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      inner.setHandle(getHandle)
+      inner.init(outputMode, timeMode)
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[TwsSession] =
+      inner.handleInputRows(user, rows, timerValues)
+
+    override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[TwsSession] =
+      inner.handleExpiredTimer(user, timerValues, expiredTimerInfo)
+
+    override def handleInitialState(user: Long, st: TwsSessionState,
+        timerValues: TimerValues): Unit =
+      inner.seed(st)
+  }
+
+  /** Still-open sessions at the end of a batch prefix — the initial
+    * state for [[sessionizeTwsFrom]]. Per-user fold (one user's
+    * history in memory per group — bounded by per-user activity, the
+    * same envelope every GroupState sessionizer already has).
+    */
+  def openSessions(spark: SparkSession, events: Dataset[Event],
+      gapMs: Long = 30L * 60 * 1000): Dataset[(Long, TwsSessionState)] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id).mapGroups { (user, it) =>
+      val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var cur: TwsSessionState = null
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        val c = math.round(e.value * 100)
+        cur =
+          if (cur == null || t - cur.lastMs > gapMs)
+            TwsSessionState(1, c, t, t, -1L)
+          else cur.copy(nEvents = cur.nEvents + 1,
+            revenueCents = cur.revenueCents + c, lastMs = t)
+      }
+      (user, cur)
+    }
+  }
+
+  /** transformWithState sessionizer seeded with batch-computed open
+    * sessions: history was processed once as a batch (its CLOSED
+    * sessions are already in the warehouse), the stream resumes from
+    * the open tails without replaying a single historical event.
+    */
+  def sessionizeTwsFrom(spark: SparkSession, events: Dataset[Event],
+      initial: Dataset[(Long, TwsSessionState)],
+      gapMs: Long = 30L * 60 * 1000): Dataset[TwsSession] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new SessionProcessorWithInit(gapMs),
+        TimeMode.EventTime(), OutputMode.Append(),
+        initial.groupByKey(_._1).mapValues(_._2))
   }
 
   /** Streaming exactly-once dedup: drop re-delivered events by id

@@ -230,6 +230,82 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.conf.unset(key)
   }
 
+  test("warm-started tws sessionizer matches the full-stream result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gapMs = 30L * 60 * 1000
+    val all = EventsStream.eventsAsTimestamps(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect()
+    // split history/live so some session genuinely SPANS the cutoff:
+    // find a same-user event pair within the gap and cut between them
+    val cutoff = all.groupBy(_.user_id).values.flatMap { es =>
+      es.sortBy(e => (e.ts.getTime, e.event_id)).sliding(2).collectFirst {
+        case pair if pair.length == 2
+            && pair(1).ts.getTime - pair(0).ts.getTime <= gapMs
+            && pair(1).ts.getTime > pair(0).ts.getTime =>
+          pair(0).ts.getTime + 1
+      }
+    }.headOption.getOrElse(all.map(_.ts.getTime).sorted.apply(all.length / 2))
+    val (hist, live) = all.partition(_.ts.getTime < cutoff)
+    assert(hist.nonEmpty && live.nonEmpty)
+    val sentinelTs = all.map(_.ts.getTime).max + 10L * 24 * 3600 * 1000
+    def sentinel = Event(-1L, new Timestamp(sentinelTs), -1L, "click", 1.0)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    def run(name: String, events: Seq[Event],
+        initial: Option[org.apache.spark.sql.Dataset[(Long, EventsStream.TwsSessionState)]]) = {
+      val stream = MemoryStream[Event]
+      stream.addData(events.toIndexedSeq)
+      stream.addData(Seq(sentinel))
+      val src = stream.toDS().withWatermark("ts", "0 seconds").as[Event]
+      val out = initial match {
+        case Some(init) => EventsStream.sessionizeTwsFrom(spark, src, init)
+        case None => EventsStream.sessionizeTws(spark, src)
+      }
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(name).as[EventsStream.TwsSession].collect()
+        .map(s => (s.user_id, s.n_events, s.revenue_cents, s.start_ms,
+          s.duration_ms)).toSet
+    }
+    try {
+      // the reference run: the whole corpus through one stream
+      val full = run("tws_full_out", all.toSeq, None)
+      // sessions the GAP RULE closed inside history (all but each
+      // user's open tail — the tail is what openSessions seeds): the
+      // batch job's output, which the warm stream must NOT re-emit
+      val histClosed = hist.groupBy(_.user_id).flatMap { case (u, es) =>
+        val sorted = es.sortBy(e => (e.ts.getTime, e.event_id))
+        val out = Seq.newBuilder[(Long, Long, Long, Long, Long)]
+        var start = -1L; var last = -1L; var n = 0L; var rev = 0L
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          val c = math.round(e.value * 100)
+          if (start < 0) { start = t; last = t; n = 1; rev = c }
+          else if (t - last <= gapMs) { last = t; n += 1; rev += c }
+          else { out += ((u, n, rev, start, last - start))
+                 start = t; last = t; n = 1; rev = c }
+        }
+        out.result() // the still-open tail is intentionally NOT added
+      }.toSet
+      // warm start: history's open tails seed the state store; only
+      // live events stream
+      val init = EventsStream.openSessions(spark,
+        spark.createDataset(hist.toIndexedSeq))
+      val warm = run("tws_warm_out", live.toSeq, Some(init))
+      assert(warm === full -- histClosed,
+        s"warm ${warm.size} != full ${full.size} - histClosed ${histClosed.size}")
+      assert(warm.nonEmpty)
+      // at least one session genuinely SPANS the cutoff (starts in
+      // history, ends live) — the case warm-starting exists for
+      assert(warm.exists(s => s._4 < cutoff && s._4 + s._5 >= cutoff),
+        "no session spans the cutoff; the warm-start test is vacuous")
+    } finally spark.conf.unset(key)
+  }
+
   test("transformWithState custom eviction frees state after the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
