@@ -42,4 +42,16 @@ class VectorIndexSpec extends AnyFunSuite {
       spark.sql("DROP DATABASE IF EXISTS graft_vec")
     }
   }
+
+  test("searchFor builds once per JVM and matches inline results") {
+    // the driver-checked store twin (emb_knn_ivfpq_indexed): build
+    // amortized behind ensureBuilt, second call reuses the table
+    val first = VectorIndex.searchFor(spark, sfDir).collect()
+      .map(_.toString).toSeq
+    val table = VectorIndex.ensureBuilt(spark, sfDir)
+    assert(VectorIndex.ensureBuilt(spark, sfDir) == table)
+    val inline = graft.ops.VectorOps.knnIvfPq(spark, sfDir).collect()
+      .map(_.toString).toSeq
+    assert(first === inline)
+  }
 }
