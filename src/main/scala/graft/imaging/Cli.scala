@@ -173,10 +173,13 @@ object Cli {
     if (!b("no-metadata")) DataExport.exportMeta(spark, dir, id, out)
     if (!b("no-download")) {
       def ints(k: String) = m.get(k).map(_.map(_.toInt))
+      // cached: both the --mount byte copy and the csv write below are
+      // actions over this plan — without the cache the manifest join
+      // runs twice
       val manifest = ImagingDb.getFilenames(spark, dir, id,
         channelNames = m.get("channels"),
         sliceIds = ints("slices"), timeIds = ints("times"),
-        posIds = ints("positions"))
+        posIds = ints("positions")).cache()
       // real byte movement when the storage mount is given
       // (data_downloader.py's fetch loop): manifest frames copy from
       // the dataset's raw_frames directory into OUT/frames via the
@@ -207,8 +210,12 @@ object Cli {
           s"manifest write produced no part file under $tmpDir"))
       val target = new org.apache.hadoop.fs.Path(s"$out/manifest.csv")
       if (fs.exists(target)) fs.delete(target, true)
-      fs.rename(part, target)
+      // Hadoop rename reports failure as false, not an exception — a
+      // silent false here would delete the only copy below
+      require(fs.rename(part, target),
+        s"could not promote $part to $target")
       fs.delete(tmp, true)
+      manifest.unpersist()
     }
   }
 

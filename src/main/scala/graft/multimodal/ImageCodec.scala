@@ -94,6 +94,11 @@ object ImageCodec {
       val len = be32(bytes, pos)
       val ctype = new String(bytes, pos + 4, 4, "US-ASCII")
       val data = pos + 8
+      // a corrupt length must fail the documented way — unvalidated it
+      // either spins this loop forever (negative len) or escapes as an
+      // IndexOutOfBounds from the IDAT copy (len past the buffer)
+      require(len >= 0 && data + len + 4 <= bytes.length,
+        s"payload is not a decodable image (chunk $ctype length $len)")
       ctype match {
         case "IHDR" =>
           w = be32(bytes, data)

@@ -129,8 +129,11 @@ object TextOps {
     // ARE the stratum and exact-fraction sampling is the wrong tool.
     // Fail loudly (the RangeJoinExec build-cap pattern) instead of
     // OOMing an executor: the declared 100 TB path is hashSample.
+    // the heap size is an Int downstream, so the cap itself is capped:
+    // an operator raising maxK past Int.MaxValue would otherwise slip
+    // through the guard and hand TopKByScore a wrapped-negative k
     val cap = spark.conf.getOption("spark.graft.stratifiedSample.maxK")
-      .map(_.toLong).getOrElse(10000000L)
+      .map(_.toLong).getOrElse(10000000L).min(Int.MaxValue.toLong)
     if (kLong > cap) {
       throw new IllegalStateException(
         s"stratifiedSample keep-count $kLong exceeds $cap rows per " +

@@ -50,10 +50,16 @@ object DocumentStore {
     */
   def ensureBuilt(spark: SparkSession, dir: String): String = {
     val table = tableName("graft_docstore", dir)
-    built.getOrElseUpdate(table, {
-      clearStale(spark, table)
-      write(graft.ops.DedupOps.corpus(spark, dir), table)
-    })
+    // synchronized, not getOrElseUpdate: TrieMap may evaluate the
+    // update thunk more than once under concurrency, and a doubled
+    // clearStale+saveAsTable corrupts the build it guards
+    built.synchronized {
+      if (!built.contains(table)) {
+        clearStale(spark, table)
+        write(graft.ops.DedupOps.corpus(spark, dir), table)
+        built.put(table, ())
+      }
+    }
     table
   }
 

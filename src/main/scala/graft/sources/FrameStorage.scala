@@ -89,8 +89,9 @@ class FrameStorage(val mountPoint: String, val storageDir: String) {
         }
       }
       .toDF("written")
-      .agg(sum(when(col("written"), 1L).otherwise(0L)),
-        sum(when(col("written"), 0L).otherwise(1L)))
+      .agg(
+        coalesce(sum(when(col("written"), 1L).otherwise(0L)), lit(0L)),
+        coalesce(sum(when(col("written"), 0L).otherwise(1L)), lit(0L)))
       .head()
     (flags.getLong(0), flags.getLong(1))
   }

@@ -54,10 +54,15 @@ object VectorIndex {
 
   def ensureBuilt(spark: SparkSession, dir: String): String = {
     val table = DocumentStore.tableName("graft_vecindex", dir)
-    built.getOrElseUpdate(table, {
-      DocumentStore.clearStale(spark, table)
-      build(spark, dir, table)
-    })
+    // synchronized for the same reason as DocumentStore.ensureBuilt:
+    // TrieMap's update thunk may run twice under concurrency
+    built.synchronized {
+      if (!built.contains(table)) {
+        DocumentStore.clearStale(spark, table)
+        build(spark, dir, table)
+        built.put(table, ())
+      }
+    }
     table
   }
 

@@ -403,6 +403,11 @@ class StreamingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       ImageCodec.decodeGray(Array[Byte](1, 2, 3, 4))
     }
+    // a valid signature with a corrupted chunk length must fail the
+    // same loud way (not hang the chunk walk or escape as IOOBE)
+    val evil = enc8.clone()
+    evil(8) = 0xff.toByte // first byte of the IHDR length, now huge
+    intercept[IllegalArgumentException] { ImageCodec.decodeGray(evil) }
   }
 
   test("codec emits and reads STANDARD PNG (javax.imageio cross-check)") {
