@@ -1659,6 +1659,32 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01'
   AND l_shipdate < TIMESTAMP '1998-01-01'
 GROUP BY 1 ORDER BY 1"""
 
+  /** Waiting-supplier twin of [[graft.analytics.Olap.q21Waiting]]:
+    * same per-(order, supplier) late flags, same exactly-one-late
+    * census, ties in numwait broken by the unique s_name so the
+    * LIMIT cuts a total order.
+    */
+  val q21Waiting: String = """
+WITH per_supp AS (
+  SELECT l_orderkey AS okey, l_suppkey AS skey,
+    max(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 60
+             THEN 1 ELSE 0 END) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY 1, 2),
+blamed AS (
+  SELECT okey FROM per_supp
+  GROUP BY okey
+  HAVING count(*) >= 2 AND sum(late) = 1)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM per_supp
+JOIN blamed USING (okey)
+JOIN supplier ON skey = s_suppkey
+WHERE late = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100"""
+
   /** Order-count distribution twin of
     * [[graft.analytics.Olap.q13CustDist]].
     */
@@ -2103,6 +2129,7 @@ ORDER BY dow, hour"""
     "q9_profit" -> q9Profit,
     "q12_latency" -> q12Latency,
     "q13_cust_dist" -> q13CustDist,
+    "q21_waiting" -> q21Waiting,
     "q14_promo" -> q14Promo,
     "q15_top_supplier" -> q15TopSupplier,
     "q17_small_qty" -> q17SmallQty,

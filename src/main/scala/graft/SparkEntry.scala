@@ -46,6 +46,7 @@ object SparkEntry {
     "q15_top_supplier" -> (Olap.q15TopSupplier(_, _)),
     "q17_small_qty" -> (Olap.q17SmallQty(_, _)),
     "q19_disjunction" -> (Olap.q19Disjunction(_, _)),
+    "q21_waiting" -> (Olap.q21Waiting(_, _)),
     "q22_idle" -> (Olap.q22Idle(_, _)),
     "q_sketch_quantile" -> (Olap.qSketchQuantile(_, _)),
     "img_channel_overlap" -> (ImagingOps.channelOverlap(_, _)),

@@ -435,6 +435,45 @@ object Olap {
 
   }
 
+  /** TPC-H Q21-style waiting-supplier audit (adapted: no commitdate,
+    * so "late" is [[q12Latency]]'s definition — shipped more than 60
+    * days after the order date): among finished multi-supplier
+    * orders, the suppliers who were the ONLY late one. The classic
+    * double EXISTS/NOT EXISTS collapses into one derivation: per-
+    * (order, supplier) late flags (map-side-combined — the exchange
+    * carries one row per pair, never per lineitem), a per-order
+    * census filtered to exactly-one-late multi-supplier orders, and a
+    * blame join back on the orderkey. Both census sides are
+    * fact-derived and key-uniform, so the shuffle joins are the right
+    * strategy; supplier names broadcast at the end and the final
+    * ranking is a bounded TakeOrdered, not a global sort.
+    */
+  def q21Waiting(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val perSupp = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(
+        when(datediff(col("l_shipdate"), col("o_orderdate")) > 60, 1)
+          .otherwise(0)).as("late"))
+    val blamed = perSupp.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_supp"), sum("late").as("n_late"))
+      .filter(col("n_supp") >= 2 && col("n_late") === 1)
+      .select("l_orderkey")
+    perSupp.filter(col("late") === 1)
+      .join(blamed, "l_orderkey")
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
   /** TPC-H Q13-style customer order-count distribution: how many
     * customers placed N non-urgent orders, including N=0. Orders
     * collapse to a per-custkey count BEFORE touching customer (the

@@ -19,6 +19,8 @@ class PlanSweepSpec extends AnyFunSuite {
     "q8_share",            // lineitem x orders, orders x customer:
                            // same large-large chain as q7
     "q18_large",           // orders x HAVING-filtered lineitem agg
+    "q21_waiting",         // lineitem x orders + census join-back:
+                           // both sides fact-derived, key-uniform
     "img_channel_overlap", // INTERSECT of two dataset-key sets: both
                            // sides are fact-derived, shuffle semi join
                            // is the right strategy
