@@ -410,6 +410,28 @@ class StreamingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { ImageCodec.decodeGray(evil) }
   }
 
+  test("codec round-trips arbitrary dims and contents (property sweep)") {
+    import graft.multimodal.ImageCodec
+    val rnd = new scala.util.Random(42L) // fixed seed
+    for (trial <- 1 to 40) {
+      val w = 1 + rnd.nextInt(37)
+      val h = 1 + rnd.nextInt(29)
+      if (trial % 2 == 0) {
+        val px = Array.fill(w * h)(rnd.nextInt(256).toByte)
+        val (dw, dh, back) = ImageCodec.decodeGray(
+          ImageCodec.encodeGray8(px, w, h))
+        assert(dw == w && dh == h)
+        assert(back.toSeq == px.map(_ & 0xff).toSeq, s"8-bit ${w}x$h")
+      } else {
+        val px = Array.fill(w * h)(rnd.nextInt(65536))
+        val (dw, dh, back) = ImageCodec.decodeGray(
+          ImageCodec.encodeGray16(px, w, h))
+        assert(dw == w && dh == h)
+        assert(back.toSeq == px.toSeq, s"16-bit ${w}x$h")
+      }
+    }
+  }
+
   test("codec emits and reads STANDARD PNG (javax.imageio cross-check)") {
     import graft.multimodal.ImageCodec
     // our encoder's output must be a PNG any standard reader accepts
