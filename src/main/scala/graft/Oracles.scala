@@ -1605,6 +1605,23 @@ SELECT qid, vec_id AS neighbor, adc_dist, rank FROM (
 WHERE rank <= 5
 ORDER BY qid, rank"""
 
+  /** Recall twin of [[graft.ops.VectorOps.annRecall]]: composes the
+    * brute-force and IVF+PQ oracles (already hash-verified on their
+    * own) and counts the overlap per query.
+    */
+  val embAnnRecall: String = s"""
+WITH brute AS (SELECT * FROM ($embKnnBrute) b),
+approx AS (SELECT * FROM ($embKnnIvfPq) a)
+SELECT brute.qid,
+  CAST(count(approx.neighbor) AS BIGINT) AS n_hits,
+  CAST(count(*) AS BIGINT) AS k,
+  round(CAST(count(approx.neighbor) AS DOUBLE) / count(*), 4) AS recall
+FROM brute
+LEFT JOIN approx
+  ON brute.qid = approx.qid AND brute.neighbor = approx.neighbor
+GROUP BY brute.qid
+ORDER BY brute.qid"""
+
   /** Market-share twin of [[graft.analytics.Olap.q8Share]]: same
     * PROMO/AMERICA/NATION_5 slice, DECIMAL year sums, double division
     * only at the edge.
@@ -2124,6 +2141,7 @@ ORDER BY dow, hour"""
     "q_sketch_quantile" -> qSketchQuantile,
     "doc_unigram_logprob" -> docUnigramLogprob,
     "emb_knn_ivfpq" -> embKnnIvfPq,
+    "emb_ann_recall" -> embAnnRecall,
     "doc_source_overlap" -> docSourceOverlap,
     "q8_share" -> q8Share,
     "q9_profit" -> q9Profit,

@@ -103,6 +103,7 @@ object SparkEntry {
     "doc_hash_sample" -> (TextOps.hashSample(_, _)),
     "emb_kmeans_step" -> (VectorOps.kmeansStep(_, _)),
     "emb_knn_ivfpq" -> (VectorOps.knnIvfPq(_, _)),
+    "emb_ann_recall" -> (VectorOps.annRecall(_, _)),
     "emb_gram_power" -> (VectorOps.gramPower(_, _)),
     "events_anomaly" -> (EventOps.eventsAnomaly(_, _)),
     "events_inter_arrival" -> (EventOps.eventsInterArrival(_, _)),

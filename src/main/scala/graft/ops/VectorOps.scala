@@ -274,6 +274,29 @@ object VectorOps {
     adcTopK(adc)
   }
 
+  /** ANN quality audit — recall@5 of the IVF+PQ search against the
+    * brute-force ground truth, the vector-family twin of
+    * `doc_minhash_recall` (a driver-checked quality metric whose drop
+    * means a routing/codebook regression, not just a slow query). Per
+    * query: how many of the 5 true nearest neighbors the approximate
+    * index returned. The join touches two top-5 result sets (|Q|×5
+    * rows each) — the audit costs two searches, nothing more, at any
+    * corpus size.
+    */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val brute = knnBrute(spark, dir).select("qid", "neighbor")
+    val approx = knnIvfPq(spark, dir)
+      .select(col("qid").as("aqid"), col("neighbor").as("aneighbor"))
+    brute.join(approx,
+        col("qid") === col("aqid") && col("neighbor") === col("aneighbor"),
+        "left")
+      .groupBy("qid")
+      .agg(count(col("aneighbor")).as("n_hits"), count(lit(1)).as("k"))
+      .select(col("qid"), col("n_hits"), col("k"),
+        round(col("n_hits").cast("double") / col("k"), 4).as("recall"))
+      .orderBy("qid")
+  }
+
   private def ivfCents(e: DataFrame): DataFrame =
     e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("ccid"), col("embedding").as("ccv"))

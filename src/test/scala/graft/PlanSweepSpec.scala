@@ -28,10 +28,12 @@ class PlanSweepSpec extends AnyFunSuite {
                            // doc_id: both sides corpus-scale by design
                            // (the join replaced the hot-digest window;
                            // unique keys → uniform shuffle)
-    "emb_knn_ivfpq"        // PQ codes ⋈ cell routing on vec_id: both
+    "emb_knn_ivfpq",       // PQ codes ⋈ cell routing on vec_id: both
                            // corpus-scale — stands in for the persisted
                            // co-bucketed IVFPQ index read (unique keys
                            // → uniform shuffle)
+    "emb_ann_recall"       // composes knn_brute + knn_ivfpq, inherits
+                           // the ivfpq corpus-axis join
   )
   // intended broadcast-nested-loop joins (non-equi or single-row sides)
   private val bnlAllowed = Set(
@@ -45,6 +47,7 @@ class PlanSweepSpec extends AnyFunSuite {
     "emb_knn_ivfpq",  // 16-centroid routing cross joins (IVF coarse step)
     "emb_knn_ivfpq_indexed", // same probe-side routing cross joins —
                              // the corpus side reads the bucketed index
+    "emb_ann_recall", // composes knn_brute + knn_ivfpq, inherits both
     "doc_source_overlap", // S-row sketch pairs, < condition (S = sources)
     "doc_source_unique",  // S-row sketch pairs, <> condition
     "q22_idle"        // one-row balance census cross join
