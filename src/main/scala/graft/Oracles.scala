@@ -1702,6 +1702,98 @@ GROUP BY s_name
 ORDER BY numwait DESC, s_name
 LIMIT 100"""
 
+  /** Min-cost-supplier twin of [[graft.analytics.Olap.q2MinCost]]:
+    * identical unit-cost derivation (min extendedprice/quantity per
+    * pair — same IEEE division both engines), equality join on the
+    * per-part min, LIMIT over a total order.
+    */
+  val q2MinCost: String = """
+WITH eur AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'),
+slice AS (
+  SELECT p_partkey, p_name FROM part
+  WHERE p_type = 'LARGE' AND p_size BETWEEN 1 AND 15),
+pairs AS (
+  SELECT l_partkey, l_suppkey,
+    min(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem JOIN slice ON l_partkey = p_partkey
+  GROUP BY l_partkey, l_suppkey),
+ec AS (
+  SELECT p.l_partkey, p.unit_cost, e.s_name, e.s_acctbal, e.n_name
+  FROM pairs p JOIN eur e ON p.l_suppkey = e.s_suppkey),
+mn AS (
+  SELECT l_partkey AS m_partkey, min(unit_cost) AS min_cost
+  FROM ec GROUP BY l_partkey)
+SELECT e.s_acctbal, e.s_name, e.n_name, s.p_partkey, s.p_name,
+  round(e.unit_cost, 6) AS unit_cost
+FROM ec e
+JOIN mn ON e.l_partkey = m_partkey AND e.unit_cost = min_cost
+JOIN slice s ON e.l_partkey = s.p_partkey
+ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, s.p_partkey
+LIMIT 100"""
+
+  /** Important-value twin of
+    * [[graft.analytics.Olap.q11ImportantValue]]: DECIMAL value sums,
+    * cross-multiplied threshold, DOUBLE only on output.
+    */
+  val q11ImportantValue: String = """
+WITH val AS (
+  SELECT l_partkey,
+    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+      AS value
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+  GROUP BY l_partkey)
+SELECT l_partkey AS partkey, CAST(value AS DOUBLE) AS value
+FROM val, (SELECT sum(value) AS total FROM val)
+WHERE value * 1000 > total
+ORDER BY value DESC, partkey"""
+
+  /** Supplier-breadth twin of
+    * [[graft.analytics.Olap.q16SupplierCnt]]: NOT IN realizes the
+    * anti-join (flagged keys are non-null by construction).
+    */
+  val q16SupplierCnt: String = """
+SELECT p_brand, p_type, p_size,
+  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#21' AND p_type <> 'PROMO' AND p_size <= 20
+  AND l_suppkey NOT IN
+    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+
+  /** Dominant-supplier twin of
+    * [[graft.analytics.Olap.q20DominantSupplier]]: the correlated
+    * half-of-volume test cross-multiplied, IN realizes the
+    * semi-join.
+    */
+  val q20DominantSupplier: String = """
+WITH sq AS (
+  SELECT l_partkey, l_suppkey,
+    sum(CAST(l_quantity AS DECIMAL(18,2))) AS s_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'small %'
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_partkey, l_suppkey),
+tot AS (
+  SELECT l_partkey AS t_partkey, sum(s_qty) AS t_qty
+  FROM sq GROUP BY l_partkey)
+SELECT s_name, round(CAST(s_acctbal AS DOUBLE), 2) AS s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'AMERICA' AND s_suppkey IN (
+  SELECT l_suppkey FROM sq JOIN tot ON l_partkey = t_partkey
+  WHERE s_qty * 2 > t_qty)
+ORDER BY s_name"""
+
   /** Order-count distribution twin of
     * [[graft.analytics.Olap.q13CustDist]].
     */
@@ -2148,6 +2240,10 @@ ORDER BY dow, hour"""
     "q12_latency" -> q12Latency,
     "q13_cust_dist" -> q13CustDist,
     "q21_waiting" -> q21Waiting,
+    "q2_min_cost" -> q2MinCost,
+    "q11_important_value" -> q11ImportantValue,
+    "q16_supplier_cnt" -> q16SupplierCnt,
+    "q20_dominant_supplier" -> q20DominantSupplier,
     "q14_promo" -> q14Promo,
     "q15_top_supplier" -> q15TopSupplier,
     "q17_small_qty" -> q17SmallQty,

@@ -48,6 +48,10 @@ object SparkEntry {
     "q19_disjunction" -> (Olap.q19Disjunction(_, _)),
     "q21_waiting" -> (Olap.q21Waiting(_, _)),
     "q22_idle" -> (Olap.q22Idle(_, _)),
+    "q2_min_cost" -> (Olap.q2MinCost(_, _)),
+    "q11_important_value" -> (Olap.q11ImportantValue(_, _)),
+    "q16_supplier_cnt" -> (Olap.q16SupplierCnt(_, _)),
+    "q20_dominant_supplier" -> (Olap.q20DominantSupplier(_, _)),
     "q_sketch_quantile" -> (Olap.qSketchQuantile(_, _)),
     "img_channel_overlap" -> (ImagingOps.channelOverlap(_, _)),
     "img_lineage_depth" -> (ImagingOps.lineageDepth(_, _)),

@@ -624,6 +624,145 @@ object Olap {
       .orderBy("c_mktsegment")
   }
 
+  /** TPC-H Q2-style min-cost supplier: for a part slice (type+size),
+    * the European supplier(s) offering the lowest unit price. The
+    * testdata has no `partsupp` table, so the supply relation derives
+    * from lineitem: unit cost = min(extendedprice/quantity) per
+    * (part, supplier) pair — the same correlated-min shape as Q2's
+    * `ps_supplycost = (SELECT min ...)`.
+    *
+    * Scale: both dimension slices broadcast into the fact scan (part
+    * slice prunes ~95% of lineitems BEFORE the pair aggregation, the
+    * region-filtered supplier side prunes ~80%), the pair agg is one
+    * map-side-combined shuffle, and the per-part min is an aggregate
+    * + equality join-back on partkey — the q15 pattern, no window
+    * over the pairs.
+    */
+  def q2MinCost(spark: SparkSession, dir: String): DataFrame = {
+    val slice = Tables.part(spark, dir)
+      .filter(col("p_type") === "LARGE" && col("p_size").between(1, 15))
+      .select("p_partkey", "p_name")
+    val eur = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .join(broadcast(Tables.region(spark, dir)
+          .filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val pairs = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+      .join(broadcast(slice.select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+      .join(broadcast(eur), col("l_suppkey") === col("s_suppkey"))
+    val mn = pairs.groupBy(col("l_partkey").as("m_partkey"))
+      .agg(min(col("unit_cost")).as("min_cost"))
+    pairs.join(mn, col("l_partkey") === col("m_partkey")
+        && col("unit_cost") === col("min_cost"))
+      .join(broadcast(slice), col("l_partkey") === col("p_partkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"),
+        round(col("unit_cost"), 6).as("unit_cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q11-style important-value parts: parts whose revenue
+    * through one region's suppliers exceeds a fixed fraction of that
+    * region's total. `partsupp.availqty*supplycost` becomes
+    * lineitem-derived revenue (same grouped-value-vs-global-total
+    * shape). The global total is a one-row aggregate broadcast back;
+    * the threshold cross-multiplies (value·1000 > total) so the
+    * comparison stays DECIMAL-exact — no division anywhere.
+    */
+  def q11ImportantValue(spark: SparkSession, dir: String): DataFrame = {
+    val asiaSupp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .join(broadcast(Tables.region(spark, dir)
+          .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val value = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        (col("l_extendedprice").cast(dec)
+          * (lit(1).cast(dec) - col("l_discount").cast(dec))).as("rev"))
+      .join(broadcast(asiaSupp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_partkey")
+      .agg(sum(col("rev")).as("value"))
+    val total = value.agg(sum(col("value")).as("total"))
+    value.crossJoin(broadcast(total))
+      .filter(col("value") * 1000 > col("total"))
+      .select(col("l_partkey").as("partkey"),
+        col("value").cast("double").as("value"))
+      .orderBy(col("value").desc, col("partkey"))
+  }
+
+  /** TPC-H Q16-style supplier breadth: distinct supplier count per
+    * (brand, type, size) over a negated part slice, excluding
+    * flagged suppliers (negative balance stands in for Q16's
+    * complaint filter). The exclusion is a broadcast left-anti on the
+    * fact scan, the part slice broadcasts, and count(DISTINCT)
+    * expands to Spark's two-phase partial-distinct aggregate — no
+    * pre-shuffle of raw (group, suppkey) duplicates survives the
+    * map side.
+    */
+  def q16SupplierCnt(spark: SparkSession, dir: String): DataFrame = {
+    val pslice = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#21" && col("p_type") =!= "PROMO"
+        && col("p_size") <= 20)
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val flagged = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    Tables.lineitem(spark, dir).select("l_partkey", "l_suppkey")
+      .join(broadcast(flagged), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .join(broadcast(pslice), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  /** TPC-H Q20-style dominant supplier: suppliers in one region who
+    * shipped more than half of a name-sliced part's 1997 volume.
+    * Q20's `ps_availqty > 0.5 * sum(l_quantity)` correlated test
+    * becomes share-of-part dominance: per-pair quantity vs per-part
+    * total, cross-multiplied (2·s_qty > t_qty, DECIMAL-exact). The
+    * dominance set is a distinct-suppkey semi-join into the supplier
+    * dimension — the fact is scanned once, name+date filters pushed.
+    */
+  def q20DominantSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val pn = Tables.part(spark, dir)
+      .filter(col("p_name").startsWith("small "))
+      .select("p_partkey")
+    val sq = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate")
+        >= lit("1997-01-01 00:00:00").cast("timestamp"))
+      .filter(col("l_shipdate")
+        < lit("1998-01-01 00:00:00").cast("timestamp"))
+      .select("l_partkey", "l_suppkey", "l_quantity")
+      .join(broadcast(pn), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(col("l_quantity").cast(dec)).as("s_qty"))
+    val tot = sq.groupBy(col("l_partkey").as("t_partkey"))
+      .agg(sum(col("s_qty")).as("t_qty"))
+    val dominant = sq.join(tot, col("l_partkey") === col("t_partkey"))
+      .filter(col("s_qty") * 2 > col("t_qty"))
+      .select("l_suppkey").distinct()
+    Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .join(broadcast(Tables.region(spark, dir)
+          .filter(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_name"), round(col("s_acctbal"), 2).as("s_acctbal"))
+      .orderBy("s_name")
+  }
+
   /** Window functions: per-supplier running quantity + row rank over a
     * total order (ties broken by the unique (orderkey, linenumber)).
     */

@@ -32,8 +32,15 @@ class PlanSweepSpec extends AnyFunSuite {
                            // corpus-scale — stands in for the persisted
                            // co-bucketed IVFPQ index read (unique keys
                            // → uniform shuffle)
-    "emb_ann_recall"       // composes knn_brute + knn_ivfpq, inherits
+    "emb_ann_recall",      // composes knn_brute + knn_ivfpq, inherits
                            // the ivfpq corpus-axis join
+    "q2_min_cost",         // pair-cost ⋈ per-part min join-back: both
+                           // sides fact-derived aggregates keyed on
+                           // partkey — co-partitioned shuffle join is
+                           // the 100 TB plan (part scales with the
+                           // corpus, so the min side can't broadcast)
+    "q20_dominant_supplier" // per-pair qty ⋈ per-part total join-back:
+                           // same fact-derived-both-sides shape
   )
   // intended broadcast-nested-loop joins (non-equi or single-row sides)
   private val bnlAllowed = Set(
@@ -50,7 +57,8 @@ class PlanSweepSpec extends AnyFunSuite {
     "emb_ann_recall", // composes knn_brute + knn_ivfpq, inherits both
     "doc_source_overlap", // S-row sketch pairs, < condition (S = sources)
     "doc_source_unique",  // S-row sketch pairs, <> condition
-    "q22_idle"        // one-row balance census cross join
+    "q22_idle",       // one-row balance census cross join
+    "q11_important_value" // one-row value-total census cross join
   )
 
   test("doc_zipf ranks via distributed top-k, not a global window sort") {
