@@ -384,6 +384,75 @@ SELECT h, n, keeper FROM (
 WHERE n > 1
 ORDER BY h"""
 
+  /** Passage-dedup twin of [[graft.ops.DedupOps.chunkDedup]]: same
+    * planted corpus, same tumbling 20-word chunks (DuckDB's 1-based
+    * clamping list slice mirrors Spark's `slice(toks, start, 20)`),
+    * same md5 digests, total-order LIMIT.
+    */
+  val docChunkDedup: String = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0),
+toks AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM corpus),
+chunks AS (
+  SELECT doc_id,
+    md5(array_to_string(ws[(20 * i + 1):(20 * i + 20)], ' ')) AS h
+  FROM toks,
+    unnest(range(0, CAST(ceil(len(ws) / 20.0) AS BIGINT))) AS t(i))
+SELECT h, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  CAST(count(*) AS BIGINT) AS n_occ
+FROM chunks
+GROUP BY h
+HAVING count(DISTINCT doc_id) >= 2
+ORDER BY n_docs DESC, n_occ DESC, h
+LIMIT 200"""
+
+  /** Shard-census twin of [[graft.ops.TextOps.shardStats]]: identical
+    * md5-prefix bucket arithmetic (the docHashSample convention).
+    */
+  val docShardStats: String = """
+SELECT
+  ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+    % 64 AS shard,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens,
+  CAST(sum(n_chars) AS BIGINT) AS n_bytes,
+  CAST(max(len(string_split(trim(text), ' '))) AS BIGINT)
+    AS max_doc_tokens
+FROM documents
+GROUP BY shard
+ORDER BY shard"""
+
+  /** Packing-layout twin of [[graft.ops.TextOps.packStats]]: the same
+    * md5 stream order per shard, ROWS cumulative window (Spark's
+    * default RANGE frame equals ROWS here — the (ord, doc_id) order
+    * is tie-free), integer `//` bin arithmetic.
+    */
+  val docPackStats: String = """
+WITH base AS (
+  SELECT doc_id,
+    ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+      % 64 AS shard,
+    md5('ord:' || CAST(doc_id AS VARCHAR)) AS ord,
+    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS toks
+  FROM documents),
+packed AS (
+  SELECT shard, toks,
+    sum(toks) OVER (PARTITION BY shard ORDER BY ord, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM base)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(DISTINCT (cum - toks) // 512) AS BIGINT) AS n_bins,
+  CAST(sum(toks) AS BIGINT) AS n_tokens,
+  CAST(sum(CASE WHEN (cum - 1) // 512 > (cum - toks) // 512
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers,
+  round(sum(toks) * 100.0
+    / (count(DISTINCT (cum - toks) // 512) * 512), 2) AS fill_pct
+FROM packed
+GROUP BY shard
+ORDER BY shard"""
+
   val docTextStats: String = """
 SELECT source, n_docs, sum_tokens, sum_the, sum_chars,
   CAST(round(CAST(sum_tokens AS DOUBLE) / n_docs, 4) AS DOUBLE)
@@ -2251,6 +2320,9 @@ ORDER BY dow, hour"""
     "q22_idle" -> q22Idle,
     "doc_repetition" -> docRepetition,
     "doc_hash_sample" -> docHashSample,
+    "doc_chunk_dedup" -> docChunkDedup,
+    "doc_shard_stats" -> docShardStats,
+    "doc_pack_stats" -> docPackStats,
     "events_inter_arrival" -> eventsInterArrival,
     "events_range_join" -> eventsRangeJoin,
     "q4_priority" -> q4Priority,

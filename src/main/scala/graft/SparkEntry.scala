@@ -105,6 +105,9 @@ object SparkEntry {
     "doc_repetition" -> (TextOps.repetition(_, _)),
     "doc_unigram_logprob" -> (TextOps.unigramLogprob(_, _)),
     "doc_hash_sample" -> (TextOps.hashSample(_, _)),
+    "doc_chunk_dedup" -> (DedupOps.chunkDedup(_, _)),
+    "doc_shard_stats" -> (TextOps.shardStats(_, _)),
+    "doc_pack_stats" -> (TextOps.packStats(_, _)),
     "emb_kmeans_step" -> (VectorOps.kmeansStep(_, _)),
     "emb_knn_ivfpq" -> (VectorOps.knnIvfPq(_, _)),
     "emb_ann_recall" -> (VectorOps.annRecall(_, _)),

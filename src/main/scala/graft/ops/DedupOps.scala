@@ -582,4 +582,38 @@ object DedupOps {
         round(inter / uni, 6).as("jaccard"))
       .orderBy("source_a", "source_b")
   }
+
+  /** Passage-level dedup: tumbling 20-word chunks, digested ENTIRELY
+    * map-side inside one higher-order `transform` over the token
+    * array — only the 32-hex digests ever reach the exchange, never
+    * chunk text. The duplicated-passage census is the sub-document
+    * complement of [[exactDedup]] (whole-doc digests): boilerplate
+    * headers, license blocks and template paragraphs shared across
+    * otherwise-distinct documents surface here and would be invisible
+    * to whole-document hashing.
+    *
+    * 100 TB: per-doc chunking is embarrassingly parallel; the single
+    * shuffle carries (digest, doc_id) pairs with map-side combine,
+    * and the output is a bounded TakeOrdered top-200 — no full-result
+    * sort or driver collect. Tumbling (stride = width) keeps the
+    * expansion at size/20 digests per doc vs the ~size sliding
+    * shingles of [[minHashLsh]] — this is a census, not a recall
+    * search, so the cheaper chunking is the right trade.
+    */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val W = 20 // words per chunk
+    corpus(spark, dir)
+      .select(col("doc_id"), split(trim(col("text")), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(
+              sequence(0, cast(ceil(size(toks) / $W.0) as int) - 1),
+              i -> md5(concat_ws(' ', slice(toks, i * $W + 1, $W))))"""))
+        .as("h"))
+      .groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("h"))
+      .limit(200)
+  }
 }

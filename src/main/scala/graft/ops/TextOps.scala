@@ -513,4 +513,75 @@ object TextOps {
         round(sum(col("score").cast(LpDec)).cast("double")
           / count(lit(1)), 4).as("avg_score"))
       .orderBy("source", "tier")
+
+  /** Deterministic shard id for training-data export: an md5 bucket of
+    * the doc key (the [[hashSample]] trick), so the assignment is
+    * reproducible across runs, engines and cluster sizes — unlike
+    * `pmod(hash(...))` whose seed is engine-private. Pure per-row
+    * column work, no shuffle.
+    */
+  private def shardCol(nShards: Int): Column = expr(
+    s"""cast(conv(substring(md5(concat('shard:',
+        cast(doc_id as string))), 1, 7), 16, 10) as bigint) % $nShards""")
+
+  /** Shard-balance census for training-data export: docs, tokens and
+    * bytes per deterministic hash shard. The audit a sharded-export
+    * job runs FIRST — a skewed shard means a straggling writer and an
+    * oversized training file. One partial-agg shuffle on ≤ nShards
+    * keys; token counting rides the same scan (no second pass).
+    * Shard count is configuration — at 100 TB it scales with the
+    * corpus while this plan shape is unchanged.
+    */
+  def shardStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(shardCol(64).as("shard"), col("n_chars"),
+        size(split(trim(col("text")), " ")).as("toks"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks").cast("bigint")).as("n_tokens"),
+        sum(col("n_chars")).as("n_bytes"),
+        max(col("toks").cast("bigint")).as("max_doc_tokens"))
+      .orderBy("shard")
+
+  /** Sequence-packing layout audit: greedy concat-then-cut packing of
+    * documents into fixed token-budget training sequences, laid out
+    * per hash shard. Within a shard, docs stream in md5 order (a
+    * deterministic pseudo-random shuffle — neighbouring doc_ids do
+    * NOT land in the same sequence, which is the point: packing
+    * correlated docs into one context window biases training). Each
+    * doc starts in bin floor(tokens_before / budget); docs straddle
+    * bin boundaries (the standard concat-and-chunk regime), counted
+    * as `n_straddlers`. Fill percentage can exceed 100 for a shard
+    * whose straddlers spill past the last cut — that is a property of
+    * the layout, not an error.
+    *
+    * Scale: the only window runs INSIDE a shard partition — shard
+    * cardinality is configuration, each holds corpus/nShards docs by
+    * hash uniformity, so partitions stay bounded and uniform at any
+    * corpus size (the [[doc_tfidf]]-style "uniform high-cardinality
+    * key" window, never a global sort). Everything after the window
+    * is integer arithmetic and two tiny aggregates.
+    */
+  def packStats(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 512 // tokens per packed training sequence
+    val w = Window.partitionBy("shard").orderBy("ord", "doc_id")
+    val packed = Tables.documents(spark, dir)
+      .select(col("doc_id"), shardCol(64).as("shard"),
+        md5(concat(lit("ord:"), col("doc_id").cast("string"))).as("ord"),
+        size(split(trim(col("text")), " ")).cast("bigint").as("toks"))
+      .withColumn("cum", sum(col("toks")).over(w))
+      .select(col("shard"), col("toks"),
+        expr(s"(cum - toks) div $budget").as("bin"),
+        expr(s"""case when (cum - 1) div $budget > (cum - toks) div $budget
+                 then 1 else 0 end""").as("straddles"))
+    packed
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("bin")).as("n_bins"),
+        sum(col("toks")).as("n_tokens"),
+        sum(col("straddles")).as("n_straddlers"))
+      .withColumn("fill_pct",
+        round(col("n_tokens") * 100.0 / (col("n_bins") * budget), 2))
+      .orderBy("shard")
+  }
 }
