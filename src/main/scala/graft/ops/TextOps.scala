@@ -520,9 +520,17 @@ object TextOps {
     * `pmod(hash(...))` whose seed is engine-private. Pure per-row
     * column work, no shuffle.
     */
-  private def shardCol(nShards: Int): Column = expr(
+  private[graft] def shardCol(nShards: Int): Column = expr(
     s"""cast(conv(substring(md5(concat('shard:',
         cast(doc_id as string))), 1, 7), 16, 10) as bigint) % $nShards""")
+
+  /** Deterministic within-shard stream order (a pseudo-random shuffle
+    * decorrelating neighbouring doc_ids) — shared by [[packStats]]
+    * and [[graft.sources.TrainingExport]] so the exported shard files
+    * carry exactly the audited packing stream.
+    */
+  private[graft] def ordCol: Column =
+    md5(concat(lit("ord:"), col("doc_id").cast("string")))
 
   /** Shard-balance census for training-data export: docs, tokens and
     * bytes per deterministic hash shard. The audit a sharded-export
@@ -566,8 +574,7 @@ object TextOps {
     val budget = 512 // tokens per packed training sequence
     val w = Window.partitionBy("shard").orderBy("ord", "doc_id")
     val packed = Tables.documents(spark, dir)
-      .select(col("doc_id"), shardCol(64).as("shard"),
-        md5(concat(lit("ord:"), col("doc_id").cast("string"))).as("ord"),
+      .select(col("doc_id"), shardCol(64).as("shard"), ordCol.as("ord"),
         size(split(trim(col("text")), " ")).cast("bigint").as("toks"))
       .withColumn("cum", sum(col("toks")).over(w))
       .select(col("shard"), col("toks"),

@@ -1,0 +1,65 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextOps
+import graft.tables.Tables
+
+/** Sharded training-data export — the terminal operator of the
+  * dedup → filter → sample pipeline: lay the corpus out as
+  * hash-sharded parquet a trainer streams shard by shard.
+  *
+  * 100 TB design:
+  *  - shard = the deterministic md5 bucket of the doc key
+  *    ([[graft.ops.TextOps.shardCol]]) — reproducible across runs,
+  *    engines and cluster sizes, unlike `pmod(hash(...))` whose seed
+  *    and algorithm are engine-private. [[graft.ops.TextOps.shardStats]]
+  *    is the pre-flight audit of exactly this assignment;
+  *  - ONE exchange: a repartition on the shard key so writer tasks own
+  *    whole shards, then `partitionBy(shard)` lays out `shard=N`
+  *    directories. A trainer (or [[readShard]]) reads one directory,
+  *    partition-pruned at the source — scanning 1/nShards of the
+  *    corpus to read one shard is the contract;
+  *  - rows inside a writer task sort by the md5 stream order
+  *    ([[graft.ops.TextOps.ordCol]]), so a shard file IS the
+  *    [[graft.ops.TextOps.packStats]] packing stream: a sequential
+  *    reader sees docs in the audited concat-then-cut order;
+  *  - nShards is configuration: at 100 TB it scales with the corpus
+  *    (keeping shard files at a fixed target size) while every plan
+  *    here is unchanged.
+  */
+object TrainingExport {
+
+  /** Write the documents table as a sharded training export. */
+  def export(spark: SparkSession, dir: String, out: String,
+      nShards: Int = 64): Unit =
+    exportCorpus(Tables.documents(spark, dir), out, nShards)
+
+  /** Write any corpus with a `doc_id` column as a sharded export. */
+  def exportCorpus(corpus: DataFrame, out: String, nShards: Int): Unit =
+    corpus
+      .withColumn("shard", TextOps.shardCol(nShards))
+      .withColumn("ord", TextOps.ordCol)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions("shard", "ord", "doc_id")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("shard").parquet(out)
+
+  /** One shard, partition-pruned: the scan must read only the
+    * `shard=N` directory (TrainingExportSpec asserts the
+    * PartitionFilters), never list-and-filter the whole export.
+    */
+  def readShard(spark: SparkSession, out: String, shard: Int): DataFrame =
+    spark.read.parquet(out).filter(col("shard") === shard)
+
+  /** Post-write manifest: per-shard row counts straight off the
+    * export's own partition column — the check a downstream trainer
+    * runs against [[graft.ops.TextOps.shardStats]] before consuming.
+    */
+  def manifest(spark: SparkSession, out: String): DataFrame =
+    spark.read.parquet(out)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("shard")
+}

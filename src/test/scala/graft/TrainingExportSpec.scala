@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.TextOps
+import graft.sources.TrainingExport
+
+class TrainingExportSpec extends AnyFunSuite {
+  import TestSpark.{sfDir, spark}
+
+  test("export round-trips, matches the shardStats census, and is " +
+      "deterministic") {
+    val out = Files.createTempDirectory("graft_export").toString
+    TrainingExport.export(spark, sfDir, out)
+
+    val total = graft.tables.Tables.documents(spark, sfDir).count()
+    assert(spark.read.parquet(out).count() === total)
+
+    // the manifest must agree with the pre-flight shardStats audit —
+    // same shard arithmetic, same per-shard doc counts
+    val census = TextOps.shardStats(spark, sfDir)
+      .select("shard", "n_docs").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val manifest = TrainingExport.manifest(spark, out).collect()
+      .map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    assert(manifest === census)
+
+    // deterministic: a second export lands the identical assignment
+    val out2 = Files.createTempDirectory("graft_export2").toString
+    TrainingExport.export(spark, sfDir, out2)
+    val m2 = TrainingExport.manifest(spark, out2).collect()
+      .map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    assert(m2 === manifest)
+  }
+
+  test("readShard prunes partitions at the scan") {
+    val out = Files.createTempDirectory("graft_export_prune").toString
+    TrainingExport.export(spark, sfDir, out)
+    val one = TrainingExport.readShard(spark, out, 7)
+    assert(one.count() > 0)
+    assert(one.filter(col("shard") =!= 7).count() === 0)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(shard"), plan)
+  }
+
+  test("a shard file carries the packing stream order") {
+    val out = Files.createTempDirectory("graft_export_ord").toString
+    TrainingExport.export(spark, sfDir, out)
+    // within one shard directory the rows were written sorted by the
+    // md5 stream order; reading the single file back preserves it
+    val got = TrainingExport.readShard(spark, out, 3)
+      .select("ord").collect().map(_.getString(0)).toSeq
+    assert(got.nonEmpty && got === got.sorted,
+      "shard rows must stream in md5 (packing) order")
+  }
+}
