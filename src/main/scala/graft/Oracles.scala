@@ -2043,6 +2043,50 @@ SELECT flag, n,
   round(lv[CAST(least(floor(0.9 * n), n - 1) AS BIGINT) + 1], 6) AS p90
 FROM u ORDER BY flag"""
 
+  /** Cube twin of [[graft.analytics.Olap.qCube]]: DuckDB GROUPING()
+    * bits recompose Spark's grouping_id (flag bit 1, status bit 0).
+    */
+  val qCube: String = """
+SELECT coalesce(l_returnflag, 'ALL') AS flag,
+  coalesce(l_linestatus, 'ALL') AS status,
+  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+    AS gid,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+    AS sum_price,
+  CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+ORDER BY gid, flag, status"""
+
+  /** Concentration twin of [[graft.ops.EventOps.eventsPareto]]: the
+    * p99 cut read off the sorted per-user counts at the KLL
+    * exact-regime rank convention (least(floor(q·n), n−1)).
+    */
+  val eventsPareto: String = """
+WITH per AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_users,
+    list_sort(list(CAST(n AS DOUBLE))) AS lv
+  FROM per),
+cut AS (
+  SELECT n_users,
+    lv[CAST(least(floor(0.99 * n_users), n_users - 1) AS BIGINT) + 1]
+      AS p99
+  FROM s)
+SELECT n_users, CAST(sum(n) AS BIGINT) AS n_events,
+  round(p99, 6) AS p99_cut,
+  CAST(sum(CASE WHEN n >= p99 THEN 1 ELSE 0 END) AS BIGINT)
+    AS top_users,
+  CAST(sum(CASE WHEN n >= p99 THEN n ELSE 0 END) AS BIGINT)
+    AS top_events,
+  round(sum(CASE WHEN n >= p99 THEN n ELSE 0 END) * 100.0 / sum(n), 4)
+    AS top_share_pct
+FROM per, cut
+GROUP BY n_users, p99"""
+
   /** Cohort-LTV twin of [[graft.ops.EventOps.eventsCohortLtv]]: same
     * epoch-nanos week division, DECIMAL revenue.
     */
@@ -2313,6 +2357,8 @@ ORDER BY dow, hour"""
     "q11_important_value" -> q11ImportantValue,
     "q16_supplier_cnt" -> q16SupplierCnt,
     "q20_dominant_supplier" -> q20DominantSupplier,
+    "q_cube" -> qCube,
+    "events_pareto" -> eventsPareto,
     "q14_promo" -> q14Promo,
     "q15_top_supplier" -> q15TopSupplier,
     "q17_small_qty" -> q17SmallQty,

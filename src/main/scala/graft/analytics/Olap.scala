@@ -763,6 +763,28 @@ object Olap {
       .orderBy("s_name")
   }
 
+  /** CUBE over (returnflag, linestatus): all four grouping sets —
+    * detail, two marginals, grand total — in ONE pass with map-side
+    * partial aggregation (Spark Expand + hash agg; never four scans).
+    * `grouping_id` disambiguates a real value from a rolled-up NULL.
+    * Single-table cube, so Spark 4.1's DetectAmbiguousSelfJoin
+    * rollup/cube trap (see ImagingOps.storageRollup) doesn't apply.
+    */
+  def qCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(
+        grouping_id(col("l_returnflag"), col("l_linestatus"))
+          .cast("bigint").as("gid"),
+        sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(dec)).cast("double")
+          .as("sum_price"),
+        count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("gid"), col("sum_qty"), col("sum_price"), col("n"))
+      .orderBy("gid", "flag", "status")
+
   /** Window functions: per-supplier running quantity + row rank over a
     * total order (ties broken by the unique (orderkey, linenumber)).
     */

@@ -397,4 +397,37 @@ object EventOps {
           .as("revenue"))
       .orderBy("cohort_week", "age_week")
   }
+
+  /** Event-concentration (Pareto) audit: what share of all events the
+    * heaviest users (at or above the p99 per-user event count)
+    * generate — the skew census run before sizing any per-user
+    * shuffle, and the abuse/bot screen of a production event
+    * pipeline. The p99 cut comes from the KLL sketch in its exact
+    * regime (k = 2¹⁷ above the verify-scale user count → sketch
+    * quantile = sorted-rank element, oracle hash-parity; past k it
+    * degrades to the ApproxSpec-bounded estimate by design — the
+    * same contract as q_sketch_quantile). Plan: one per-user
+    * partial-agg shuffle, a one-row sketch census broadcast back, a
+    * final global aggregate. No window, no sort over users.
+    */
+  def eventsPareto(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.QuantileSketch
+    val per = Tables.events(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    val cut = per.agg(
+        QuantileSketch.sketchAgg(col("n").cast("double"), 1 << 17).as("sk"),
+        count(lit(1)).as("n_users"))
+      .select(QuantileSketch.estimate(col("sk"), 0.99).as("p99"),
+        col("n_users"))
+    per.crossJoin(broadcast(cut))
+      .agg(max(col("n_users")).as("n_users"),
+        sum(col("n")).as("n_events"),
+        round(max(col("p99")), 6).as("p99_cut"),
+        sum(when(col("n") >= col("p99"), 1L).otherwise(0L))
+          .as("top_users"),
+        sum(when(col("n") >= col("p99"), col("n")).otherwise(0L))
+          .as("top_events"))
+      .withColumn("top_share_pct",
+        round(col("top_events") * 100.0 / col("n_events"), 4))
+  }
 }

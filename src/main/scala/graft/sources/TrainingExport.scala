@@ -46,6 +46,23 @@ object TrainingExport {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("shard").parquet(out)
 
+  /** Append a new document batch into an existing export: the
+    * deterministic shard assignment routes batch rows into their
+    * existing `shard=N` directories (new files per batch — the
+    * append-compaction trade [[ImagingStore.compact]] documents).
+    * O(batch) work regardless of export size: nothing existing is
+    * read or rewritten, which is what makes the sink incremental the
+    * way [[DocumentStore.append]] is.
+    */
+  def appendCorpus(batch: DataFrame, out: String, nShards: Int): Unit =
+    batch
+      .withColumn("shard", TextOps.shardCol(nShards))
+      .withColumn("ord", TextOps.ordCol)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions("shard", "ord", "doc_id")
+      .write.mode(SaveMode.Append)
+      .partitionBy("shard").parquet(out)
+
   /** One shard, partition-pruned: the scan must read only the
     * `shard=N` directory (TrainingExportSpec asserts the
     * PartitionFilters), never list-and-filter the whole export.

@@ -58,7 +58,8 @@ class PlanSweepSpec extends AnyFunSuite {
     "doc_source_overlap", // S-row sketch pairs, < condition (S = sources)
     "doc_source_unique",  // S-row sketch pairs, <> condition
     "q22_idle",       // one-row balance census cross join
-    "q11_important_value" // one-row value-total census cross join
+    "q11_important_value", // one-row value-total census cross join
+    "events_pareto"   // one-row p99 sketch census cross join
   )
 
   test("doc_zipf ranks via distributed top-k, not a global window sort") {

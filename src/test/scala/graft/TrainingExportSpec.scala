@@ -36,6 +36,29 @@ class TrainingExportSpec extends AnyFunSuite {
     assert(m2 === manifest)
   }
 
+  test("appendCorpus lands a batch in the existing shard layout " +
+      "without rewriting it") {
+    val out = Files.createTempDirectory("graft_export_app").toString
+    TrainingExport.export(spark, sfDir, out)
+    val before = TrainingExport.manifest(spark, out).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // a re-keyed batch of new docs (disjoint doc_ids)
+    val batch = graft.tables.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 7 === 0)
+      .withColumn("doc_id", col("doc_id") + 5000000L)
+    val batchCensus = batch
+      .groupBy(TextOps.shardCol(64).cast("int").as("shard"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    TrainingExport.appendCorpus(batch, out, 64)
+    val after = TrainingExport.manifest(spark, out).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val expected = (before.keySet ++ batchCensus.keySet).map { k =>
+      k -> (before.getOrElse(k, 0L) + batchCensus.getOrElse(k, 0L))
+    }.toMap
+    assert(after === expected)
+  }
+
   test("readShard prunes partitions at the scan") {
     val out = Files.createTempDirectory("graft_export_prune").toString
     TrainingExport.export(spark, sfDir, out)
