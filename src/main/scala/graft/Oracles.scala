@@ -1609,7 +1609,33 @@ FROM b
 GROUP BY source
 ORDER BY source"""
 
-  /** Every oracle, keyed like SparkEntry.queries. */
+  /** Cell-occupancy twin of [[graft.ops.VectorOps.ivfBalance]]: same
+    * centroids, same nearest-cell tie-break, same uniform-share
+    * arithmetic.
+    */
+  val embIvfBalance: String = s"""
+WITH cents AS (
+  SELECT vec_id AS ccid, embedding AS ccv FROM embeddings WHERE vec_id < 16
+), cellof AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.ccid AS cell,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY -${duckCos("e.embedding", "c.ccv")}, c.ccid) AS crank
+    FROM embeddings e CROSS JOIN cents c)
+  WHERE crank <= 1
+), counts AS (
+  SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs
+  FROM cellof GROUP BY cell
+), t AS (
+  SELECT CAST(sum(n_vecs) AS BIGINT) AS total,
+    CAST(count(*) AS BIGINT) AS n_cells
+  FROM counts)
+SELECT cell, n_vecs,
+  round(n_vecs * 100.0 / total, 4) AS pct,
+  round(n_vecs * n_cells / CAST(total AS DOUBLE), 4) AS load_factor
+FROM counts, t
+ORDER BY cell"""
+
   /** IVF+PQ twin of [[graft.ops.VectorOps.knnIvfPq]]: the coarse
     * cosine routing of embKnnIvf composed with embKnnPq's
     * code-assignment + ADC tables, ADC restricted to probed cells.
@@ -2328,6 +2354,7 @@ FROM events
 GROUP BY 1, 2
 ORDER BY dow, hour"""
 
+  /** Every oracle, keyed like SparkEntry.queries. */
   def all: Map[String, String] = Map(
     "img_dataset_growth" -> imgDatasetGrowth,
     "events_seasonality" -> eventsSeasonality,
@@ -2346,6 +2373,7 @@ ORDER BY dow, hour"""
     "q_sketch_quantile" -> qSketchQuantile,
     "doc_unigram_logprob" -> docUnigramLogprob,
     "emb_knn_ivfpq" -> embKnnIvfPq,
+    "emb_ivf_balance" -> embIvfBalance,
     "emb_ann_recall" -> embAnnRecall,
     "doc_source_overlap" -> docSourceOverlap,
     "q8_share" -> q8Share,

@@ -51,6 +51,7 @@ object SparkEntry {
     "q2_min_cost" -> (Olap.q2MinCost(_, _)),
     "q_cube" -> (Olap.qCube(_, _)),
     "events_pareto" -> (EventOps.eventsPareto(_, _)),
+    "emb_ivf_balance" -> (VectorOps.ivfBalance(_, _)),
     "q11_important_value" -> (Olap.q11ImportantValue(_, _)),
     "q16_supplier_cnt" -> (Olap.q16SupplierCnt(_, _)),
     "q20_dominant_supplier" -> (Olap.q20DominantSupplier(_, _)),

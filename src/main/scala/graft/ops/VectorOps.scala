@@ -493,4 +493,39 @@ object VectorOps {
         round(sum(col("nrm")) / count(lit(1)), 6).as("avg_norm"),
         round(sum(col("sm")) / count(lit(1)), 6).as("avg_sum"))
       .orderBy("label")
+
+  /** IVF cell-occupancy audit — the ANN counterpart of
+    * [[graft.ops.DedupOps]]'s LSH health query: how evenly the
+    * corpus spreads over the coarse cells. A hot cell means a
+    * straggling probe task and a cold one wasted routing, so this is
+    * the census an IVF build checks BEFORE serving (and before
+    * choosing nprobe). `load_factor` is the cell's share of a
+    * perfectly uniform layout (1.0 = balanced).
+    *
+    * Plan: the same map-side-argmin assignment as [[knnIvf]] (the
+    * 16-candidate expansion collapses before the exchange — N rows
+    * shuffle, not 16N), one ≤‑nCells aggregate, a one-row total
+    * broadcast back. No window over the corpus.
+    */
+  def ivfBalance(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val counts = e.select(col("vec_id"), col("embedding"))
+      .join(broadcast(cents), col("cid") =!= lit(-1))
+      .withColumn("cdist", -cosine(col("embedding"), col("cv")))
+      .groupBy("vec_id")
+      .agg(min(struct(col("cdist"), col("cid"))).as("m"))
+      .select(col("m.cid").as("cell"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"))
+    val total = counts.agg(sum(col("n_vecs")).as("total"),
+      count(lit(1)).as("n_cells"))
+    counts.crossJoin(broadcast(total))
+      .select(col("cell"), col("n_vecs"),
+        round(col("n_vecs") * 100.0 / col("total"), 4).as("pct"),
+        round(col("n_vecs") * col("n_cells") / col("total").cast("double"),
+          4).as("load_factor"))
+      .orderBy("cell")
+  }
 }

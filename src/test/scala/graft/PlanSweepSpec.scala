@@ -59,7 +59,9 @@ class PlanSweepSpec extends AnyFunSuite {
     "doc_source_unique",  // S-row sketch pairs, <> condition
     "q22_idle",       // one-row balance census cross join
     "q11_important_value", // one-row value-total census cross join
-    "events_pareto"   // one-row p99 sketch census cross join
+    "events_pareto",  // one-row p99 sketch census cross join
+    "emb_ivf_balance" // 16-centroid assignment cross join + one-row
+                      // total census cross join
   )
 
   test("doc_zipf ranks via distributed top-k, not a global window sort") {
