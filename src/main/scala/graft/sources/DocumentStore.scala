@@ -36,7 +36,7 @@ object DocumentStore {
     * `table` — saveAsTable refuses a non-empty managed location it has
     * no catalog entry for (exactly what a prior JVM leaves behind).
     */
-  private[sources] def clearStale(spark: SparkSession, table: String): Unit = {
+  private[graft] def clearStale(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     val p = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
