@@ -70,6 +70,23 @@ object TrainingExport {
   def readShard(spark: SparkSession, out: String, shard: Int): DataFrame =
     spark.read.parquet(out).filter(col("shard") === shard)
 
+  /** Compact an export that has accrued append debt: each
+    * [[appendCorpus]] lands one file batch per shard directory, and a
+    * trainer streaming a shard pays per-file open/seek overhead — the
+    * same small-files debt [[ImagingStore.compact]] settles for the
+    * frame store. One repartition exchange rebuilds one writer task
+    * per shard and re-sorts the merged rows into the packing stream
+    * order, so the compacted shard file is byte-for-byte the layout a
+    * fresh [[exportCorpus]] of the combined corpus would have written.
+    */
+  def compactShards(spark: SparkSession, in: String, out: String,
+      nShards: Int = 64): Unit =
+    spark.read.parquet(in)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions("shard", "ord", "doc_id")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("shard").parquet(out)
+
   /** Post-write manifest: per-shard row counts straight off the
     * export's own partition column — the check a downstream trainer
     * runs against [[graft.ops.TextOps.shardStats]] before consuming.

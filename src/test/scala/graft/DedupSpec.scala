@@ -75,4 +75,35 @@ class DedupSpec extends AnyFunSuite {
     assert(pq.groupBy("qid").count().filter(col("count") =!= 5)
       .count() === 0)
   }
+
+  test("chunk dedup sees every planted doc's passages exactly twice") {
+    // every chunk of a planted-dup doc exists in both copies, so each
+    // surviving digest must report n_docs = n_occ = 2 unless the same
+    // passage also occurs elsewhere (n_docs > 2 is possible, < 2 is
+    // not — the filter guarantees it); and a planted doc's FIRST
+    // chunk digest must be among the survivors
+    val out = DedupOps.chunkDedup(spark, sfDir)
+    assert(out.count() > 0)
+    assert(out.filter(col("n_docs") < 2).count() === 0)
+    assert(out.filter(col("n_occ") < col("n_docs")).count() === 0)
+    // a planted doc's first passage digests identically here and in
+    // the operator, and it IS one of the duplicated digests (whether
+    // it survives the top-200 cut depends on h-order among the
+    // n_docs=2 ties, so assert against the unlimited candidate set)
+    val firstChunk = graft.tables.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 5 === 0)
+      .select(md5(concat_ws(" ",
+        slice(split(trim(col("text")), " "), 1, 20))).as("h"))
+      .limit(1).collect().head.getString(0)
+    val dupDigests = DedupOps.corpus(spark, sfDir)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0,
+             cast(ceil(size(split(trim(text), ' ')) / 20.0) as int) - 1),
+             i -> md5(concat_ws(' ',
+               slice(split(trim(text), ' '), i * 20 + 1, 20))))"""))
+        .as("h"))
+      .groupBy("h").agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2)
+    assert(dupDigests.filter(col("h") === firstChunk).count() === 1)
+  }
 }

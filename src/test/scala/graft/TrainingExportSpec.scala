@@ -59,6 +59,37 @@ class TrainingExportSpec extends AnyFunSuite {
     assert(after === expected)
   }
 
+  test("compactShards settles append debt and preserves the stream") {
+    val out = Files.createTempDirectory("graft_export_frag").toString
+    val compacted = Files.createTempDirectory("graft_export_comp").toString
+    TrainingExport.export(spark, sfDir, out)
+    // two append batches → up to three files per shard directory
+    for (off <- Seq(6000000L, 7000000L))
+      TrainingExport.appendCorpus(
+        graft.tables.Tables.documents(spark, sfDir)
+          .filter(col("doc_id") % 3 === 0)
+          .withColumn("doc_id", col("doc_id") + off), out, 64)
+    def filesIn(root: String): Map[String, Int] = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(java.nio.file.Paths.get(root)).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).toSeq
+        .groupBy(_.getParent.getFileName.toString).map { case (k, v) =>
+          k -> v.size
+        }
+    }
+    assert(filesIn(out).values.max >= 3, "append debt missing")
+    TrainingExport.compactShards(spark, out, compacted)
+    assert(filesIn(compacted).values.max === 1,
+      "compaction must leave one file per shard")
+    // parity + the packing stream order survives the merge
+    val a = spark.read.parquet(out)
+    val b = spark.read.parquet(compacted)
+    assert(a.count() === b.count())
+    val ord = TrainingExport.readShard(spark, compacted, 11)
+      .select("ord").collect().map(_.getString(0)).toSeq
+    assert(ord.nonEmpty && ord === ord.sorted)
+  }
+
   test("readShard prunes partitions at the scan") {
     val out = Files.createTempDirectory("graft_export_prune").toString
     TrainingExport.export(spark, sfDir, out)
