@@ -87,6 +87,52 @@ object TrainingExport {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("shard").parquet(out)
 
+  /** Targeted document deletion — the takedown / right-to-be-forgotten
+    * pass a training corpus must support. The deterministic shard
+    * assignment locates every victim's directory WITHOUT scanning the
+    * export: only the ≤ nShards affected `shard=N` directories are
+    * read, anti-joined and rewritten (staged, then swapped per
+    * directory); every other shard's files are never opened, let
+    * alone rewritten — O(affected shards), not O(corpus), which at
+    * 100 TB is the difference between a minutes-long surgical pass
+    * and a full-corpus rewrite. The rewrite re-sorts the survivors,
+    * so affected shards keep the packing stream order.
+    *
+    * The affected-shard collect is bounded by nShards (a layout
+    * constant), never by corpus or victim count.
+    */
+  def deleteDocs(spark: SparkSession, out: String, ids: DataFrame,
+      nShards: Int = 64): Unit = {
+    val victims = ids.select(col("doc_id"))
+      .withColumn("shard", TextOps.shardCol(nShards))
+    val affected = victims.select("shard").distinct()
+      .collect().map(_.getLong(0)).sorted
+    if (affected.isEmpty) return
+    val tmp = out + "_delete_staging"
+    spark.read.parquet(out)
+      .filter(col("shard").isin(affected: _*))
+      .join(victims.select("doc_id"), Seq("doc_id"), "left_anti")
+      .repartition(affected.length, col("shard"))
+      .sortWithinPartitions("shard", "ord", "doc_id")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("shard").parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val outRoot = new org.apache.hadoop.fs.Path(out)
+    val fs = outRoot.getFileSystem(conf)
+    for (s <- affected) {
+      val live = new org.apache.hadoop.fs.Path(out, s"shard=$s")
+      val staged = new org.apache.hadoop.fs.Path(tmp, s"shard=$s")
+      if (fs.exists(live)) fs.delete(live, true)
+      // a shard emptied by the delete has no staged directory — the
+      // live directory simply goes away (rename reports failure as
+      // false, so guard + require: silently losing the swap would
+      // drop a whole shard)
+      if (fs.exists(staged))
+        require(fs.rename(staged, live), s"shard swap failed: $staged")
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
   /** Post-write manifest: per-shard row counts straight off the
     * export's own partition column — the check a downstream trainer
     * runs against [[graft.ops.TextOps.shardStats]] before consuming.

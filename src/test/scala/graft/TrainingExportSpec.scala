@@ -90,6 +90,40 @@ class TrainingExportSpec extends AnyFunSuite {
     assert(ord.nonEmpty && ord === ord.sorted)
   }
 
+  test("deleteDocs rewrites only the affected shards") {
+    val out = Files.createTempDirectory("graft_export_del").toString
+    TrainingExport.export(spark, sfDir, out)
+    val total = spark.read.parquet(out).count()
+    // victims: three specific docs — their shards are knowable from
+    // the same deterministic assignment the sink uses
+    val victims = graft.tables.Tables.documents(spark, sfDir)
+      .filter(col("doc_id").isin(1L, 2L, 3L)).select("doc_id")
+    val victimShards = victims
+      .withColumn("shard", TextOps.shardCol(64))
+      .select("shard").distinct().collect().map(_.getLong(0)).toSet
+    // snapshot an untouched shard's exact file listing
+    val untouched = (0L until 64L).find(!victimShards.contains(_)).get
+    def listing(shard: Long): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(out, s"shard=$shard")
+      Files.list(p).iterator().asScala.map(_.toString).toSeq.sorted
+    }
+    val before = listing(untouched)
+    TrainingExport.deleteDocs(spark, out, victims)
+    // victims gone, everything else intact
+    assert(spark.read.parquet(out).count() === total - 3)
+    assert(spark.read.parquet(out)
+      .filter(col("doc_id").isin(1L, 2L, 3L)).count() === 0)
+    // the untouched shard's files were never rewritten — identical
+    // part-file names prove the directory was not opened for write
+    assert(listing(untouched) === before)
+    // affected shards still stream in packing order
+    val s0 = victimShards.head
+    val ord = TrainingExport.readShard(spark, out, s0.toInt)
+      .select("ord").collect().map(_.getString(0)).toSeq
+    assert(ord.nonEmpty && ord === ord.sorted)
+  }
+
   test("readShard prunes partitions at the scan") {
     val out = Files.createTempDirectory("graft_export_prune").toString
     TrainingExport.export(spark, sfDir, out)
