@@ -49,10 +49,34 @@ object VectorOps {
     * assigned to its nearest cell, queries probe their 4 nearest cells
     * and rank only those candidates.
     */
+  /** The fixed coarse-centroid set (vec_id < 16) shared by the IVF
+    * search paths and the balance audit — one definition so the index
+    * and its audit can never silently use different cells.
+    */
+  private def coarseCentroids(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+
+  /** Whole-corpus nearest-cell assignment via the map-side
+    * lexicographic-min aggregate: the 16-candidate expansion collapses
+    * BEFORE the exchange, so the shuffle carries N rows, not 16N.
+    * Tie-break is (distance, cid) — identical to the probe-side
+    * window's `ORDER BY cdist, cid` and to the oracle's row_number.
+    * Shared by [[knnIvf]] and [[ivfBalance]] so the index and its
+    * occupancy audit assign by one definition.
+    */
+  private def assignCells(e: DataFrame, cents: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("embedding"))
+      .join(broadcast(cents), col("cid") =!= lit(-1))
+      .withColumn("cdist", -cosine(col("embedding"), col("cv")))
+      .groupBy("vec_id")
+      .agg(min(struct(col("cdist"), col("cid"), col("embedding"))).as("m"))
+      .select(col("vec_id"), col("m.embedding").as("embedding"),
+        col("m.cid").as("cell"))
+
   def knnIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val cents = e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val cents = coarseCentroids(e)
     def nearestCells(df: DataFrame, idCol: String, vecCol: String,
         keep: Int): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window
@@ -63,17 +87,7 @@ object VectorOps {
         .filter(col("crank") <= keep)
         .select(col(idCol), col(vecCol), col("cid").as("cell"))
     }
-    // hot path (whole corpus, keep=1): lexicographic-min aggregate
-    // instead of a window — the 16-candidate expansion collapses
-    // map-side, so the exchange carries N rows, not 16N. The probe
-    // side keeps the window (keep=4 over 10 queries — trivial).
-    val assigned = e.select(col("vec_id"), col("embedding"))
-      .join(broadcast(cents), col("cid") =!= lit(-1))
-      .withColumn("cdist", -cosine(col("embedding"), col("cv")))
-      .groupBy("vec_id")
-      .agg(min(struct(col("cdist"), col("cid"), col("embedding"))).as("m"))
-      .select(col("vec_id"), col("m.embedding").as("embedding"),
-        col("m.cid").as("cell"))
+    val assigned = assignCells(e, cents)
     val probes = nearestCells(
       e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qv")),
@@ -509,14 +523,8 @@ object VectorOps {
     */
   def ivfBalance(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val cents = e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-    val counts = e.select(col("vec_id"), col("embedding"))
-      .join(broadcast(cents), col("cid") =!= lit(-1))
-      .withColumn("cdist", -cosine(col("embedding"), col("cv")))
-      .groupBy("vec_id")
-      .agg(min(struct(col("cdist"), col("cid"))).as("m"))
-      .select(col("m.cid").as("cell"))
+    val counts = assignCells(e, coarseCentroids(e))
+      .select("cell")
       .groupBy("cell")
       .agg(count(lit(1)).as("n_vecs"))
     val total = counts.agg(sum(col("n_vecs")).as("total"),

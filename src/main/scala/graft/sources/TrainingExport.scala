@@ -25,19 +25,55 @@ import graft.tables.Tables
   *    ([[graft.ops.TextOps.ordCol]]), so a shard file IS the
   *    [[graft.ops.TextOps.packStats]] packing stream: a sequential
   *    reader sees docs in the audited concat-then-cut order;
-  *  - nShards is configuration: at 100 TB it scales with the corpus
-  *    (keeping shard files at a fixed target size) while every plan
-  *    here is unchanged.
+  *  - nShards is a LAYOUT PROPERTY, recorded in a `_graft_nshards`
+  *    marker at export time and read back by every mutating pass —
+  *    an append or takedown running with a different modulus than
+  *    the export was written with would route victims to the wrong
+  *    directories and silently miss them. At 100 TB nShards scales
+  *    with the corpus while every plan here is unchanged.
   */
 object TrainingExport {
+
+  private val Marker = "_graft_nshards"
+
+  /** Record the export's shard modulus next to its data. */
+  private def writeMarker(spark: SparkSession, out: String,
+      nShards: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(out, Marker)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(p, true)
+    try os.write(nShards.toString.getBytes("UTF-8")) finally os.close()
+  }
+
+  /** The modulus this export was written with, if the marker exists
+    * (exports written before the marker era fall back to the caller's
+    * parameter).
+    */
+  def shardCount(spark: SparkSession, out: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(out, Marker)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](32)
+        val n = in.read(buf)
+        Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim.toInt)
+      } finally in.close()
+    }
+  }
+
+  private def layoutShards(spark: SparkSession, out: String,
+      fallback: Int): Int = shardCount(spark, out).getOrElse(fallback)
 
   /** Write the documents table as a sharded training export. */
   def export(spark: SparkSession, dir: String, out: String,
       nShards: Int = 64): Unit =
-    exportCorpus(Tables.documents(spark, dir), out, nShards)
+    exportCorpus(spark, Tables.documents(spark, dir), out, nShards)
 
   /** Write any corpus with a `doc_id` column as a sharded export. */
-  def exportCorpus(corpus: DataFrame, out: String, nShards: Int): Unit =
+  def exportCorpus(spark: SparkSession, corpus: DataFrame, out: String,
+      nShards: Int): Unit = {
     corpus
       .withColumn("shard", TextOps.shardCol(nShards))
       .withColumn("ord", TextOps.ordCol)
@@ -45,23 +81,29 @@ object TrainingExport {
       .sortWithinPartitions("shard", "ord", "doc_id")
       .write.mode(SaveMode.Overwrite)
       .partitionBy("shard").parquet(out)
+    writeMarker(spark, out, nShards)
+  }
 
   /** Append a new document batch into an existing export: the
-    * deterministic shard assignment routes batch rows into their
-    * existing `shard=N` directories (new files per batch — the
+    * deterministic shard assignment (the modulus read from the
+    * export's own marker) routes batch rows into their existing
+    * `shard=N` directories (new files per batch — the
     * append-compaction trade [[ImagingStore.compact]] documents).
     * O(batch) work regardless of export size: nothing existing is
     * read or rewritten, which is what makes the sink incremental the
     * way [[DocumentStore.append]] is.
     */
-  def appendCorpus(batch: DataFrame, out: String, nShards: Int): Unit =
+  def appendCorpus(spark: SparkSession, batch: DataFrame, out: String,
+      nShards: Int = 64): Unit = {
+    val n = layoutShards(spark, out, nShards)
     batch
-      .withColumn("shard", TextOps.shardCol(nShards))
+      .withColumn("shard", TextOps.shardCol(n))
       .withColumn("ord", TextOps.ordCol)
-      .repartition(nShards, col("shard"))
+      .repartition(n, col("shard"))
       .sortWithinPartitions("shard", "ord", "doc_id")
       .write.mode(SaveMode.Append)
       .partitionBy("shard").parquet(out)
+  }
 
   /** One shard, partition-pruned: the scan must read only the
     * `shard=N` directory (TrainingExportSpec asserts the
@@ -80,31 +122,42 @@ object TrainingExport {
     * fresh [[exportCorpus]] of the combined corpus would have written.
     */
   def compactShards(spark: SparkSession, in: String, out: String,
-      nShards: Int = 64): Unit =
+      nShards: Int = 64): Unit = {
+    val n = layoutShards(spark, in, nShards)
     spark.read.parquet(in)
-      .repartition(nShards, col("shard"))
+      .repartition(n, col("shard"))
       .sortWithinPartitions("shard", "ord", "doc_id")
       .write.mode(SaveMode.Overwrite)
       .partitionBy("shard").parquet(out)
+    writeMarker(spark, out, n)
+  }
 
   /** Targeted document deletion — the takedown / right-to-be-forgotten
     * pass a training corpus must support. The deterministic shard
-    * assignment locates every victim's directory WITHOUT scanning the
-    * export: only the ≤ nShards affected `shard=N` directories are
-    * read, anti-joined and rewritten (staged, then swapped per
-    * directory); every other shard's files are never opened, let
-    * alone rewritten — O(affected shards), not O(corpus), which at
-    * 100 TB is the difference between a minutes-long surgical pass
-    * and a full-corpus rewrite. The rewrite re-sorts the survivors,
-    * so affected shards keep the packing stream order.
+    * assignment (modulus from the export's marker, so a caller can't
+    * silently run the wrong layout) locates every victim's directory
+    * WITHOUT scanning the export: only the ≤ nShards affected
+    * `shard=N` directories are read, anti-joined and rewritten;
+    * every other shard's files are never opened, let alone rewritten
+    * — O(affected shards), not O(corpus), which at 100 TB is the
+    * difference between a minutes-long surgical pass and a
+    * full-corpus rewrite. The rewrite re-sorts the survivors, so
+    * affected shards keep the packing stream order.
+    *
+    * Swap order is crash-safe-by-staging: a shard's live directory is
+    * renamed ASIDE (never deleted first), the staged survivors move
+    * in, and only then is the old copy dropped — at no instant is a
+    * shard's data absent from disk, and an interrupted pass leaves
+    * the old copy recoverable under the staging root.
     *
     * The affected-shard collect is bounded by nShards (a layout
     * constant), never by corpus or victim count.
     */
   def deleteDocs(spark: SparkSession, out: String, ids: DataFrame,
       nShards: Int = 64): Unit = {
+    val n = layoutShards(spark, out, nShards)
     val victims = ids.select(col("doc_id"))
-      .withColumn("shard", TextOps.shardCol(nShards))
+      .withColumn("shard", TextOps.shardCol(n))
     val affected = victims.select("shard").distinct()
       .collect().map(_.getLong(0)).sorted
     if (affected.isEmpty) return
@@ -117,16 +170,17 @@ object TrainingExport {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("shard").parquet(tmp)
     val conf = spark.sparkContext.hadoopConfiguration
-    val outRoot = new org.apache.hadoop.fs.Path(out)
-    val fs = outRoot.getFileSystem(conf)
+    val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(conf)
     for (s <- affected) {
       val live = new org.apache.hadoop.fs.Path(out, s"shard=$s")
       val staged = new org.apache.hadoop.fs.Path(tmp, s"shard=$s")
-      if (fs.exists(live)) fs.delete(live, true)
+      val retired = new org.apache.hadoop.fs.Path(tmp, s"retired_shard=$s")
+      // rename reports failure as false — a silent false would either
+      // drop a shard or leave victims live, so every step requires
+      if (fs.exists(live))
+        require(fs.rename(live, retired), s"retire failed: $live")
       // a shard emptied by the delete has no staged directory — the
-      // live directory simply goes away (rename reports failure as
-      // false, so guard + require: silently losing the swap would
-      // drop a whole shard)
+      // retired copy is simply not replaced
       if (fs.exists(staged))
         require(fs.rename(staged, live), s"shard swap failed: $staged")
     }

@@ -50,7 +50,7 @@ class TrainingExportSpec extends AnyFunSuite {
       .groupBy(TextOps.shardCol(64).cast("int").as("shard"))
       .agg(count(lit(1)).as("n")).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    TrainingExport.appendCorpus(batch, out, 64)
+    TrainingExport.appendCorpus(spark, batch, out)
     val after = TrainingExport.manifest(spark, out).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val expected = (before.keySet ++ batchCensus.keySet).map { k =>
@@ -65,10 +65,10 @@ class TrainingExportSpec extends AnyFunSuite {
     TrainingExport.export(spark, sfDir, out)
     // two append batches → up to three files per shard directory
     for (off <- Seq(6000000L, 7000000L))
-      TrainingExport.appendCorpus(
+      TrainingExport.appendCorpus(spark,
         graft.tables.Tables.documents(spark, sfDir)
           .filter(col("doc_id") % 3 === 0)
-          .withColumn("doc_id", col("doc_id") + off), out, 64)
+          .withColumn("doc_id", col("doc_id") + off), out)
     def filesIn(root: String): Map[String, Int] = {
       import scala.jdk.CollectionConverters._
       Files.walk(java.nio.file.Paths.get(root)).iterator().asScala
@@ -122,6 +122,25 @@ class TrainingExportSpec extends AnyFunSuite {
     val ord = TrainingExport.readShard(spark, out, s0.toInt)
       .select("ord").collect().map(_.getString(0)).toSeq
     assert(ord.nonEmpty && ord === ord.sorted)
+  }
+
+  test("mutating passes obey the export's recorded shard modulus, " +
+      "not the caller's") {
+    val out = Files.createTempDirectory("graft_export_mod").toString
+    // written with a NON-default modulus…
+    TrainingExport.exportCorpus(spark,
+      graft.tables.Tables.documents(spark, sfDir), out, 32)
+    assert(TrainingExport.shardCount(spark, out) === Some(32))
+    val total = spark.read.parquet(out).count()
+    // …and deleted with the default parameter: the marker must win,
+    // or victims hashed mod 64 land in directories that don't exist
+    // and survive the takedown
+    val victims = graft.tables.Tables.documents(spark, sfDir)
+      .filter(col("doc_id").isin(5L, 17L, 41L)).select("doc_id")
+    TrainingExport.deleteDocs(spark, out, victims)
+    assert(spark.read.parquet(out).count() === total - 3)
+    assert(spark.read.parquet(out)
+      .filter(col("doc_id").isin(5L, 17L, 41L)).count() === 0)
   }
 
   test("readShard prunes partitions at the scan") {
