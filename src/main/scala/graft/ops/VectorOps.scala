@@ -61,18 +61,28 @@ object VectorOps {
     * lexicographic-min aggregate: the 16-candidate expansion collapses
     * BEFORE the exchange, so the shuffle carries N rows, not 16N.
     * Tie-break is (distance, cid) — identical to the probe-side
-    * window's `ORDER BY cdist, cid` and to the oracle's row_number.
-    * Shared by [[knnIvf]] and [[ivfBalance]] so the index and its
-    * occupancy audit assign by one definition.
+    * window's `ORDER BY cdist, cid` and to the oracle's row_number
+    * (cid is unique per candidate, so the trailing embedding payload
+    * never participates in the ordering). Shared by [[knnIvf]] and
+    * [[ivfBalance]] so the index and its occupancy audit assign by
+    * one definition; `carryVec=false` keeps the census's aggregate
+    * buffers to two scalars instead of hauling the vector through.
     */
-  private def assignCells(e: DataFrame, cents: DataFrame): DataFrame =
+  private def assignCells(e: DataFrame, cents: DataFrame,
+      carryVec: Boolean = true): DataFrame = {
+    val buf =
+      if (carryVec) struct(col("cdist"), col("cid"), col("embedding"))
+      else struct(col("cdist"), col("cid"))
+    val tail =
+      if (carryVec) Seq(col("m.embedding").as("embedding"))
+      else Seq.empty
     e.select(col("vec_id"), col("embedding"))
       .join(broadcast(cents), col("cid") =!= lit(-1))
       .withColumn("cdist", -cosine(col("embedding"), col("cv")))
       .groupBy("vec_id")
-      .agg(min(struct(col("cdist"), col("cid"), col("embedding"))).as("m"))
-      .select(col("vec_id"), col("m.embedding").as("embedding"),
-        col("m.cid").as("cell"))
+      .agg(min(buf).as("m"))
+      .select(col("vec_id") +: col("m.cid").as("cell") +: tail: _*)
+  }
 
   def knnIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
@@ -523,7 +533,7 @@ object VectorOps {
     */
   def ivfBalance(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val counts = assignCells(e, coarseCentroids(e))
+    val counts = assignCells(e, coarseCentroids(e), carryVec = false)
       .select("cell")
       .groupBy("cell")
       .agg(count(lit(1)).as("n_vecs"))
