@@ -139,6 +139,98 @@ object DocumentStore {
       .write.bucketBy(nBuckets, "h").sortBy("h")
       .mode("overwrite").saveAsTable(censusTable)
 
+  /** What a [[vacuum]] pass did: which buckets were rewritten and how
+    * many duplicate rows it removed.
+    */
+  case class VacuumStats(affectedBuckets: Seq[Int], removedRows: Long)
+
+  /** Settle the store's at-least-once append debt against the census
+    * (the authoritative state — [[graft.streaming.DocsStream]] doc):
+    * a crash-replayed micro-batch re-appends its files to the doc
+    * store while the registry-guarded census counts it once. This
+    * pass compares per-bucket row counts (store vs census `sum(n)`)
+    * and rewrites ONLY the buckets that disagree — the
+    * [[TrainingExport.deleteDocs]] retire-aside-then-swap pattern at
+    * bucket-file granularity: disagreeing buckets' files are renamed
+    * aside, the full-row-distinct rewrite moves in, and only then is
+    * the retired copy dropped. Untouched buckets' part files are
+    * never opened for write (the spec proves their listings survive
+    * byte-identical), so the pass is O(disagreeing buckets), not
+    * O(corpus).
+    *
+    * Full-row distinct is exact settlement because replayed appends
+    * are byte-identical rows and the ingest contract keeps doc_ids
+    * unique across batches (two legitimate duplicates of one text
+    * carry different doc_ids, so they survive).
+    *
+    * The bucket-id expression `pmod(hash(h), n)` is Spark's own
+    * bucketing function (Murmur3, seed 42), so the per-bucket census
+    * agrees with the physical file layout; the staged-file bucket-id
+    * check below fails loudly if that invariant ever broke.
+    */
+  def vacuum(spark: SparkSession, docTable: String, censusTable: String,
+      nBuckets: Int = DefaultBuckets): VacuumStats = {
+    val bucketOf = pmod(hash(col("h")), lit(nBuckets))
+    val storeCounts = spark.table(docTable)
+      .groupBy(bucketOf.as("b")).agg(count(lit(1)).as("store_n"))
+    val censusCounts = spark.table(censusTable)
+      .groupBy(bucketOf.as("b")).agg(sum("n").as("census_n"))
+    // ≤ nBuckets rows — a layout-constant collect, like deleteDocs'
+    val affected = storeCounts
+      .join(censusCounts, Seq("b"), "full_outer")
+      .filter(coalesce(col("store_n"), lit(0L)) =!=
+        coalesce(col("census_n"), lit(0L)))
+      .select("b").collect().map(_.getInt(0)).sorted
+    if (affected.isEmpty) return VacuumStats(Nil, 0L)
+    val affectedSet = affected.toSet
+
+    val staging = docTable + "_vacuum_staging"
+    clearStale(spark, staging)
+    spark.table(docTable)
+      .filter(bucketOf.isin(affected: _*))
+      .dropDuplicates()
+      .repartition(nBuckets, col("h"))
+      .write.bucketBy(nBuckets, "h").sortBy("h")
+      .mode("overwrite").saveAsTable(staging)
+    val affectedRows = spark.table(docTable)
+      .filter(bucketOf.isin(affected: _*)).count()
+    val stagedRows = spark.table(staging).count()
+
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val storeDir = new org.apache.hadoop.fs.Path(wh, docTable.toLowerCase)
+    val stagingDir = new org.apache.hadoop.fs.Path(wh, staging.toLowerCase)
+    val retireDir = new org.apache.hadoop.fs.Path(wh,
+      docTable.toLowerCase + "_vacuum_retired")
+    val fs = storeDir.getFileSystem(conf)
+    fs.mkdirs(retireDir)
+    // the bucket id a bucketed writer stamps into its part-file name
+    val bucketRe = "_(\\d{5})\\.".r
+    def bucketIdOf(name: String): Option[Int] =
+      bucketRe.findFirstMatchIn(name).map(_.group(1).toInt)
+    val staged = fs.listStatus(stagingDir)
+      .filter(_.getPath.getName.startsWith("part-"))
+    for (st <- staged; b <- bucketIdOf(st.getPath.getName))
+      require(affectedSet.contains(b),
+        s"staged file ${st.getPath.getName} outside affected buckets " +
+          s"$affectedSet — bucket expr / layout mismatch")
+    // retire aside, swap in, then drop — never delete-before-replace
+    for (st <- fs.listStatus(storeDir)
+         if st.getPath.getName.startsWith("part-")
+         if bucketIdOf(st.getPath.getName).exists(affectedSet.contains))
+      require(fs.rename(st.getPath,
+        new org.apache.hadoop.fs.Path(retireDir, st.getPath.getName)),
+        s"vacuum retire failed: ${st.getPath}")
+    for (st <- staged)
+      require(fs.rename(st.getPath,
+        new org.apache.hadoop.fs.Path(storeDir, st.getPath.getName)),
+        s"vacuum swap failed: ${st.getPath}")
+    clearStale(spark, staging)
+    fs.delete(retireDir, true)
+    spark.sql(s"REFRESH TABLE $docTable")
+    VacuumStats(affected.toSeq, affectedRows - stagedRows)
+  }
+
   /** Incremental census update: stored census ⟗ batch census on the
     * digest. With both sides bucketed on `h` at the same count the
     * full-outer merge runs with ZERO exchanges (DocumentStoreSpec

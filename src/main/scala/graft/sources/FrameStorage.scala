@@ -41,6 +41,16 @@ class FrameStorage(val mountPoint: String, val storageDir: String) {
   require(Files.exists(Paths.get(mountPoint)),
     s"Make sure local storage is mounted, dir $mountPoint doesn't exist")
 
+  /** The write paths run `java.nio.Files.write` INSIDE partitions, so
+    * on a multi-node cluster `mountPoint` must be a SHARED filesystem
+    * (NFS-style) visible at the same path on every executor — exactly
+    * the reference's local_storage deployment assumption. The driver
+    * `require` above can't see executor disks, so each partition loop
+    * re-checks ([[FrameStorage.assertMounted]]) and a misconfigured
+    * cluster fails loudly instead of scattering files on executor-local
+    * disks while reporting success.
+    */
+
   /** mount point + raw_frames|raw_files + dataset ID. */
   val idStoragePath: String = s"$mountPoint/$storageDir"
 
@@ -72,6 +82,7 @@ class FrameStorage(val mountPoint: String, val storageDir: String) {
     val flags = framed.select(col("file_name"), col("payload"))
       .as[(String, Array[Byte])]
       .mapPartitions { rows =>
+        FrameStorage.assertMounted(base)
         // one writer loop per partition — the executor-side twin of
         // the reference's per-dataset worker pool. CREATE_NEW makes
         // the overwrite guard ATOMIC: the reference's check-then-write
@@ -174,6 +185,7 @@ class FrameStorage(val mountPoint: String, val storageDir: String) {
       .filter(col("file_name").isInCollection(wanted))
       .as[(String, Array[Byte])]
       .mapPartitions { rows =>
+        FrameStorage.assertMounted(destDir)
         rows.map { case (name, bytes) =>
           Files.write(Paths.get(destDir, name), bytes)
           1L
@@ -199,6 +211,7 @@ class FrameStorage(val mountPoint: String, val storageDir: String) {
         Seq("file_name"), "left_semi")
       .as[(String, Array[Byte])]
       .mapPartitions { rows =>
+        FrameStorage.assertMounted(destDir)
         rows.map { case (name, bytes) =>
           Files.write(Paths.get(destDir, name), bytes)
           1L
@@ -217,4 +230,18 @@ class FrameStorage(val mountPoint: String, val storageDir: String) {
     Files.copy(Paths.get(getStoragePath(fileName)),
       Paths.get(destDir, fileName), StandardCopyOption.REPLACE_EXISTING)
   }
+}
+
+object FrameStorage {
+  /** Executor-side shared-mount check: the driver created `dir`
+    * before launching the job, so an executor that can't see it is on
+    * a node where the storage mount isn't shared — fail the task
+    * loudly rather than write to a local disk nobody will read.
+    */
+  private[sources] def assertMounted(dir: String): Unit =
+    if (!Files.isDirectory(Paths.get(dir)))
+      throw new IllegalStateException(
+        s"storage dir $dir not visible on this executor — " +
+          "FrameStorage requires a shared mount at the same path on " +
+          "every node (see class doc)")
 }

@@ -148,7 +148,14 @@ object TrainingExport {
     * renamed ASIDE (never deleted first), the staged survivors move
     * in, and only then is the old copy dropped — at no instant is a
     * shard's data absent from disk, and an interrupted pass leaves
-    * the old copy recoverable under the staging root.
+    * the old copy recoverable under the staging root. A later pass
+    * RECOVERS that state before touching the staging root again
+    * ([[recoverStaging]]): any `retired_shard=N` whose live directory
+    * is missing is restored to the export (the interrupted swap never
+    * completed, so the retired copy is the shard's only copy), and
+    * only then is the root cleared — the old defect where the next
+    * pass's Overwrite silently destroyed the sole remaining copy is
+    * spec-pinned closed (TrainingExportSpec).
     *
     * The affected-shard collect is bounded by nShards (a layout
     * constant), never by corpus or victim count.
@@ -156,6 +163,7 @@ object TrainingExport {
   def deleteDocs(spark: SparkSession, out: String, ids: DataFrame,
       nShards: Int = 64): Unit = {
     val n = layoutShards(spark, out, nShards)
+    recoverStaging(spark, out)
     val victims = ids.select(col("doc_id"))
       .withColumn("shard", TextOps.shardCol(n))
     val affected = victims.select("shard").distinct()
@@ -185,6 +193,31 @@ object TrainingExport {
         require(fs.rename(staged, live), s"shard swap failed: $staged")
     }
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
+  /** Recovery sweep for an interrupted [[deleteDocs]] pass. A crash
+    * between rename(live→retired) and rename(staged→live) leaves a
+    * shard's ONLY copy under the staging root as `retired_shard=N`;
+    * each such copy whose live directory is absent is renamed back
+    * into the export (pre-pass state — a re-run of the delete then
+    * re-removes its victims). Retired copies whose live directory
+    * exists were already superseded by a completed swap and are
+    * dropped with the rest of the root. Idempotent; no-op when no
+    * staging root exists.
+    */
+  def recoverStaging(spark: SparkSession, out: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tmp = new org.apache.hadoop.fs.Path(out + "_delete_staging")
+    val fs = tmp.getFileSystem(conf)
+    if (!fs.exists(tmp)) return
+    for (st <- fs.listStatus(tmp)
+         if st.getPath.getName.startsWith("retired_shard=")) {
+      val shard = st.getPath.getName.stripPrefix("retired_")
+      val live = new org.apache.hadoop.fs.Path(out, shard)
+      if (!fs.exists(live))
+        require(fs.rename(st.getPath, live), s"recover failed: $live")
+    }
+    fs.delete(tmp, true)
   }
 
   /** Post-write manifest: per-shard row counts straight off the

@@ -22,16 +22,27 @@ import graft.sources.DocumentStore
   *    window in which the accumulated state is lost;
   *  - a replayed micro-batch (same batchId) is skipped outright via
   *    the applied-batch registry, so the census never double-counts;
+  *  - the registry is DURABLE: the applied batchId is encoded in the
+  *    census version's own table name, and the warehouse directory
+  *    (unlike the in-memory catalog) survives a JVM restart — on
+  *    first touch of a base, [[recover]] scans the warehouse for
+  *    committed `<base>_v<id>` directories (`_SUCCESS`-validated, so
+  *    a crash mid-write never resurrects a partial census),
+  *    re-registers the newest as a bucketed table, and prunes the
+  *    rest. Replay idempotency therefore survives a driver restart:
+  *    the stream's checkpoint replays from the last committed offset
+  *    and every batchId at or below the recovered one is a no-op.
+  *    The checkpoint and the warehouse are ONE unit of state — retain
+  *    them together or discard them together; restarting against the
+  *    checkpoint with an emptied warehouse would re-bootstrap the
+  *    census from the replay point only;
   *  - the doc-store append itself remains at-least-once: a crash
   *    between the append and the census commit can leave a replayed
   *    batch's rows twice in the STORE (never in the census, which is
   *    rebuilt from the batch DataFrame, not the store). The census is
-  *    the authoritative dedup state; duplicate store files are the
-  *    standard at-least-once sink debt, settled by compaction.
-  *  - the registry is JVM-scoped like [[DocumentStore.ensureBuilt]]'s
-  *    build guard — the in-memory catalog cannot resurrect tables
-  *    across JVMs; a metastore-backed catalog would extend exactly
-  *    this registry into durable cross-restart recovery.
+  *    the authoritative dedup state; the duplicate store files are
+  *    settled by the census-guided [[DocumentStore.vacuum]], which
+  *    rewrites only the buckets whose counts disagree.
   *
   * The stream side is `foreachBatch`: the dedup merge is a batch plan
   * over bucketed tables (none of the stateful-operator machinery fits
@@ -41,15 +52,43 @@ import graft.sources.DocumentStore
   */
 object DocsStream {
 
-  /** censusBase → (last applied batchId, current census table). */
+  /** censusBase → (last applied batchId, current census table). A
+    * cache over the durable name-encoded registry, not the registry
+    * itself — [[recover]] rebuilds it from the warehouse.
+    */
   private val applied =
     scala.collection.concurrent.TrieMap.empty[String, (Long, String)]
 
-  /** The current census table for a base, if any batch has landed. */
+  /** Per-base monitors: ingest into UNRELATED census bases must not
+    * serialize on one global lock (TrieMap.getOrElseUpdate is atomic,
+    * so concurrent first touches agree on one monitor object).
+    */
+  private val locks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+  private def lockFor(censusBase: String): Object =
+    locks.getOrElseUpdate(censusBase, new Object)
+
+  /** The current census table for a base, if any batch has landed in
+    * this JVM (see [[currentCensus(spark:*]] for the recovery-aware
+    * variant a fresh JVM uses).
+    */
   def currentCensus(censusBase: String): Option[String] =
     applied.get(censusBase).map(_._2)
 
-  /** Drop registry state for a base (test isolation). */
+  /** Recovery-aware census lookup: consults the durable registry when
+    * this JVM has no in-memory entry.
+    */
+  def currentCensus(spark: SparkSession,
+      censusBase: String): Option[String] =
+    lockFor(censusBase).synchronized {
+      lastApplied(spark, censusBase).map(_._2)
+    }
+
+  /** Drop the IN-MEMORY registry state for a base — what a JVM
+    * restart does to the cache. The durable name-encoded registry in
+    * the warehouse is untouched, which is exactly what the
+    * restart-idempotency spec exercises.
+    */
   private[graft] def reset(censusBase: String): Unit =
     applied.remove(censusBase)
 
@@ -74,15 +113,80 @@ object DocsStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** The registry entry for a base: the in-memory cache, else the
+    * durable warehouse scan (cached on hit). Call under the base's
+    * lock.
+    */
+  private def lastApplied(spark: SparkSession,
+      censusBase: String): Option[(Long, String)] =
+    applied.get(censusBase).orElse {
+      val r = recover(spark, censusBase)
+      r.foreach(v => applied.update(censusBase, v))
+      r
+    }
+
+  /** Rebuild the registry entry from the warehouse after a restart:
+    * every committed `<base>_v<id>` directory is a candidate (the
+    * batchId lives in the name — the registry needs no side file and
+    * therefore no multi-file atomicity). `_SUCCESS` gates commit: a
+    * census whose write crashed mid-flight has no marker and is
+    * pruned, never trusted. The newest committed version is
+    * re-registered as a bucketed table (the in-memory catalog forgot
+    * it; the bucket ids survive in the part-file names, so the
+    * re-registered table keeps the zero-exchange merge — the spec
+    * asserts the recovered merge plan has no Exchange); superseded
+    * versions are pruned exactly as the happy path prunes them.
+    */
+  private def recover(spark: SparkSession,
+      censusBase: String): Option[(Long, String)] = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val whPath = new org.apache.hadoop.fs.Path(wh)
+    val fs = whPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(whPath)) return None
+    val pat = (java.util.regex.Pattern.quote(censusBase.toLowerCase)
+      + "_v(\\d+)").r
+    val candidates = fs.listStatus(whPath).toSeq
+      .filter(_.isDirectory)
+      .flatMap { st =>
+        st.getPath.getName match {
+          case pat(id) => Some((id.toLong, st.getPath))
+          case _ => None
+        }
+      }
+    val committed = candidates.filter { case (_, p) =>
+      fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+    }
+    if (committed.isEmpty) None
+    else {
+      val (maxId, dir) = committed.maxBy(_._1)
+      val table = s"${censusBase}_v$maxId"
+      if (!spark.catalog.tableExists(table)) {
+        val schema = spark.read.parquet(dir.toString).schema.toDDL
+        spark.sql(
+          s"""CREATE TABLE $table ($schema)
+             |USING PARQUET
+             |CLUSTERED BY (h) SORTED BY (h)
+             |INTO ${DocumentStore.DefaultBuckets} BUCKETS
+             |LOCATION '$dir'""".stripMargin)
+      }
+      // partial writes and superseded versions both go
+      candidates.filter(_._1 != maxId).foreach { case (id, _) =>
+        DocumentStore.clearStale(spark, s"${censusBase}_v$id")
+      }
+      Some((maxId, table))
+    }
+  }
+
   /** One ingest step — also the batch-mode entry (a backfill driver
     * can call it directly, supplying its own monotonic batch ids).
-    * Replay-idempotent: a batchId at or below the last applied one is
-    * a no-op.
+    * Replay-idempotent ACROSS restarts: a batchId at or below the
+    * last applied one — recovered from the durable registry when the
+    * in-memory cache is cold — is a no-op.
     */
   def absorbBatch(spark: SparkSession, batch: DataFrame,
       docTable: String, censusBase: String, batchId: Long): Unit =
-    applied.synchronized {
-      val prev = applied.get(censusBase)
+    lockFor(censusBase).synchronized {
+      val prev = lastApplied(spark, censusBase)
       if (prev.exists(batchId <= _._1)) return // replayed batch
       DocumentStore.append(batch, docTable)
       val batchCensus = s"${censusBase}_batch"
@@ -107,8 +211,10 @@ object DocsStream {
       }
       applied.update(censusBase, (batchId, target))
       // prune ONLY after the registry points at the successor
+      // (clearStale, not bare DROP: a recovered census is an external
+      // table whose files a DROP alone would leave behind)
       prev.foreach { case (_, old) =>
-        spark.sql(s"DROP TABLE IF EXISTS $old")
+        DocumentStore.clearStale(spark, old)
       }
     }
 }

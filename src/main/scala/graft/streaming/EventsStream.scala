@@ -76,7 +76,13 @@ object EventsStream {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.lastMs <= gapMs =>
-                  cur = Some(s.copy(nEvents = s.nEvents + 1, lastMs = t))
+                  // min/max fold: an in-watermark but out-of-order event
+                  // arriving in a LATER micro-batch must never shrink the
+                  // session envelope (lastMs = t alone would regress the
+                  // tail and re-arm eviction early)
+                  cur = Some(s.copy(nEvents = s.nEvents + 1,
+                    startMs = math.min(s.startMs, t),
+                    lastMs = math.max(s.lastMs, t)))
                 case Some(s) =>
                   closed += Session(userId, s.nEvents, s.startMs,
                     s.lastMs - s.startMs)
@@ -126,7 +132,13 @@ object EventsStream {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.lastMs <= gapMs =>
-                  cur = Some(s.copy(nEvents = s.nEvents + 1, lastMs = t))
+                  // min/max fold: an in-watermark but out-of-order event
+                  // arriving in a LATER micro-batch must never shrink the
+                  // session envelope (lastMs = t alone would regress the
+                  // tail and re-arm eviction early)
+                  cur = Some(s.copy(nEvents = s.nEvents + 1,
+                    startMs = math.min(s.startMs, t),
+                    lastMs = math.max(s.lastMs, t)))
                 case Some(s) =>
                   closed += Session(userId, s.nEvents, s.startMs,
                     s.lastMs - s.startMs)
@@ -218,8 +230,12 @@ object EventsStream {
         val t = e.ts.getTime
         cur match {
           case Some(s) if t - s.lastMs <= gapMs =>
+            // same min/max fold as the GroupState variants: a cross-batch
+            // out-of-order event must not regress the session tail
             cur = Some(s.copy(nEvents = s.nEvents + 1,
-              revenueCents = s.revenueCents + cents(e.value), lastMs = t))
+              revenueCents = s.revenueCents + cents(e.value),
+              startMs = math.min(s.startMs, t),
+              lastMs = math.max(s.lastMs, t)))
           case Some(s) =>
             closed += emit(user, s)
             cur = Some(TwsSessionState(1, cents(e.value), t, t, -1L))

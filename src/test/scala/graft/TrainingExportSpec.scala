@@ -124,6 +124,34 @@ class TrainingExportSpec extends AnyFunSuite {
     assert(ord.nonEmpty && ord === ord.sorted)
   }
 
+  test("deleteDocs recovers a shard stranded by an interrupted pass " +
+      "instead of destroying its only copy") {
+    val out = Files.createTempDirectory("graft_export_crash").toString
+    TrainingExport.export(spark, sfDir, out)
+    val total = spark.read.parquet(out).count()
+    // simulate the crash window: shard 11's live directory was retired
+    // aside and the pass died before the staged swap — the retired
+    // copy under the staging root is the shard's ONLY copy
+    val staging = java.nio.file.Paths.get(out + "_delete_staging")
+    Files.createDirectories(staging)
+    val live = java.nio.file.Paths.get(out, "shard=11")
+    val shard11Rows = spark.read.parquet(out)
+      .filter(col("shard") === 11).count()
+    assert(shard11Rows > 0)
+    Files.move(live, staging.resolve("retired_shard=11"))
+    assert(spark.read.parquet(out).count() === total - shard11Rows)
+    // the next pass must restore shard 11 before touching the staging
+    // root (the old Overwrite wiped the retired copy — rows vanished)
+    val victims = graft.tables.Tables.documents(spark, sfDir)
+      .filter(col("doc_id").isin(1L, 2L, 3L)).select("doc_id")
+    TrainingExport.deleteDocs(spark, out, victims)
+    assert(spark.read.parquet(out).count() === total - 3,
+      "interrupted-pass shard rows must survive the next takedown")
+    assert(spark.read.parquet(out)
+      .filter(col("shard") === 11).count() > 0)
+    assert(!Files.exists(staging), "staging root must be cleared")
+  }
+
   test("mutating passes obey the export's recorded shard modulus, " +
       "not the caller's") {
     val out = Files.createTempDirectory("graft_export_mod").toString
