@@ -1509,6 +1509,39 @@ FROM pb JOIN data_set d ON pb.dataset_id = d.id
 GROUP BY d.dataset_serial
 ORDER BY d.dataset_serial"""
 
+  /** Per-channel twin of [[imgPayloadStats]] for the RGB payload path
+    * ([[graft.multimodal.BinaryFrames.payloadStatsRgb]]): the planted
+    * interleaved channels are R = raw sha byte, G = 255−raw,
+    * B = (3·raw+7) mod 256, each byte used twice per channel (64 px
+    * from 32 bytes), so every channel statistic is integer arithmetic
+    * over the hex string — the oracle never sees a PNG byte, and a
+    * channel-order/stride bug on the Spark side cannot hash-match.
+    */
+  val imgPayloadStatsRgb: String = imagingCte + """
+, pb AS (
+  SELECT frames_global_id AS dataset_id,
+    list_transform(range(0, 32),
+      i -> (strpos('0123456789abcdef', substr(sha256, 2*i + 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(sha256, 2*i + 2, 1)) - 1))
+      AS px
+  FROM frames
+)
+SELECT d.dataset_serial,
+  CAST(count(*) AS BIGINT) AS n_frames,
+  CAST(sum(64) AS BIGINT) AS total_px,
+  CAST(sum(2 * list_sum(px)) AS BIGINT) AS sum_r_values,
+  CAST(sum(2 * list_sum(list_transform(px, v -> 255 - v))) AS BIGINT)
+    AS sum_g_values,
+  CAST(sum(2 * list_sum(list_transform(px, v -> (3 * v + 7) % 256)))
+    AS BIGINT) AS sum_b_values,
+  CAST(max(list_max(px)) AS INT) AS max_r,
+  CAST(max(list_max(list_transform(px, v -> 255 - v))) AS INT) AS max_g,
+  CAST(max(list_max(list_transform(px, v -> (3 * v + 7) % 256))) AS INT)
+    AS max_b
+FROM pb JOIN data_set d ON pb.dataset_id = d.id
+GROUP BY d.dataset_serial
+ORDER BY d.dataset_serial"""
+
   val q4Priority: String = """
 SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
 FROM orders o
@@ -2403,6 +2436,7 @@ ORDER BY dow, hour"""
     "q7_volume" -> q7Volume,
     "q18_large" -> q18Large,
     "img_payload_stats" -> imgPayloadStats,
+    "img_payload_stats_rgb" -> imgPayloadStatsRgb,
     "img_parse_sms_channel" -> imgParseSmsChannel,
     "img_meta_validate" -> imgMetaValidate,
     "doc_decontaminate" -> docDecontaminate,

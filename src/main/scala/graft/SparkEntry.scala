@@ -130,6 +130,8 @@ object SparkEntry {
     "doc_pii_scrub" -> (TextOps.piiScrub(_, _)),
     "img_payload_stats" ->
       (graft.multimodal.BinaryFrames.payloadStats(_, _)),
+    "img_payload_stats_rgb" ->
+      (graft.multimodal.BinaryFrames.payloadStatsRgb(_, _)),
     // persisted-store twins: identical results (and oracles) to their
     // inline operators, but the corpus side reads a bucketed table —
     // the timing evidence behind the zero-exchange plan claims. Builds

@@ -30,6 +30,10 @@ object BinaryFrames {
   case class FrameFeature(frame_id: Long, width: Int, height: Int,
     n_px: Int, sum_px: Long, mean_px: Double, max_px: Int)
 
+  case class FrameRgbFeature(frame_id: Long, width: Int, height: Int,
+    n_px: Int, sum_r: Long, sum_g: Long, sum_b: Long,
+    max_r: Int, max_g: Int, max_b: Int)
+
   /** PNG-encode the 64 sha256-derived bytes as an 8×8 uint8 grayscale
     * frame — the upload-time serialization of image_utils.py:5-16.
     */
@@ -56,6 +60,39 @@ object BinaryFrames {
         encodePng(col("sha256")).as("payload"),
         struct(lit(8).as("width"), lit(8).as("height"),
           lit("uint8").as("bit_depth")).as("meta"))
+
+  /** PNG-encode an 8×8 RGB frame (color type 2) from the sha bytes —
+    * the `im_colors=3` twin of [[encodePng]]. The three channels are
+    * DISTINCT deterministic transforms of the planted bytes
+    * (R = raw, G = 255−raw, B = (3·raw+7) mod 256), so a
+    * channel-order or stride bug in the codec changes the per-channel
+    * sums and fails the oracle — identical channels would hash-match
+    * through an R↔G swap.
+    */
+  private val encodeRgbPng = udf { (sha: String) =>
+    val b = ImageCodec.hexBytes(sha)
+    val out = new Array[Byte](192) // 8×8 px × 3 channels
+    var i = 0
+    while (i < 64) {
+      val v = b(i % 32) & 0xff
+      out(3 * i) = v.toByte
+      out(3 * i + 1) = (255 - v).toByte
+      out(3 * i + 2) = ((3 * v + 7) % 256).toByte
+      i += 1
+    }
+    ImageCodec.encodeRgb8(out, 8, 8)
+  }
+
+  /** Frames with a REAL RGB payload (same row-spreading rationale as
+    * [[withPayload]]).
+    */
+  def withPayloadRgb(spark: SparkSession, dir: String): DataFrame =
+    ImagingModel.frames(spark, dir)
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
+      .select(col("id").as("frame_id"), col("file_name"),
+        encodeRgbPng(col("sha256")).as("payload"),
+        struct(lit(8).as("width"), lit(8).as("height"),
+          lit("uint8").as("bit_depth"), lit(3).as("channels")).as("meta"))
 
   /** Per-partition batched decode — the exact shape a mapInPandas /
     * mapPartitions image pipeline has at scale: one codec init per
@@ -107,6 +144,58 @@ object BinaryFrames {
         sum(col("n_px").cast("bigint")).as("total_px"),
         sum(col("sum_px")).as("sum_px_values"),
         max(col("max_px")).as("max_px"))
+      .orderBy("dataset_serial")
+  }
+
+  /** The RGB twin of [[decodeFrames]]: one decode per row through
+    * [[ImageCodec.decodeRgb]], per-CHANNEL sums and maxima off the
+    * interleaved samples — the per-channel audit a color ingest runs.
+    */
+  def decodeFramesRgb(spark: SparkSession,
+      framed: DataFrame): Dataset[FrameRgbFeature] = {
+    import spark.implicits._
+    framed.select("frame_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val (w, h, s) = ImageCodec.decodeRgb(payload)
+          val sums = new Array[Long](3)
+          val maxs = new Array[Int](3)
+          var i = 0
+          while (i < s.length) {
+            val c = i % 3
+            sums(c) += s(i)
+            if (s(i) > maxs(c)) maxs(c) = s(i)
+            i += 1
+          }
+          FrameRgbFeature(id, w, h, w * h, sums(0), sums(1), sums(2),
+            maxs(0), maxs(1), maxs(2))
+        }
+      }
+  }
+
+  /** Per-dataset PER-CHANNEL pixel statistics through the real RGB
+    * decode path — the `im_colors=3` twin of [[payloadStats]], same
+    * hex-arithmetic oracle idea: the DuckDB twin recomputes each
+    * channel's transform of the planted sha bytes without touching a
+    * PNG byte (PNG losslessness makes the two bit-equal).
+    */
+  def payloadStatsRgb(spark: SparkSession, dir: String): DataFrame = {
+    val feats = decodeFramesRgb(spark, withPayloadRgb(spark, dir)).toDF()
+      .withColumn("dataset_id", expr("frame_id div 10"))
+    feats
+      .join(broadcast(ImagingModel.dataSet(spark, dir)
+        .select(col("id").as("ds_id"), col("dataset_serial"))),
+        col("dataset_id") === col("ds_id"))
+      .groupBy("dataset_serial")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("n_px").cast("bigint")).as("total_px"),
+        sum(col("sum_r")).as("sum_r_values"),
+        sum(col("sum_g")).as("sum_g_values"),
+        sum(col("sum_b")).as("sum_b_values"),
+        max(col("max_r")).as("max_r"),
+        max(col("max_g")).as("max_g"),
+        max(col("max_b")).as("max_b"))
       .orderBy("dataset_serial")
   }
 

@@ -3,13 +3,17 @@ package graft.multimodal
 import java.io.ByteArrayOutputStream
 import java.util.zip.{CRC32, Deflater, Inflater}
 
-/** Lossless PNG codec over grayscale frames — the real twin of the
+/** Lossless PNG codec over microscopy frames — the real twin of the
   * reference's image (de)serialization
   * (imaging_db/utils/image_utils.py:5-30: `im_bytes = cv2.imencode
-  * (".png", im)` / `cv2.imdecode(..., cv2.IMREAD_ANYDEPTH)`). Both
-  * reference depths are supported: uint8 and the microscope's native
-  * uint16 (PNG carries 16-bit grayscale losslessly, which is why the
-  * reference picked PNG over JPEG).
+  * (".png", im)` / `cv2.imdecode(..., cv2.IMREAD_ANYCOLOR |
+  * cv2.IMREAD_ANYDEPTH)`). Both reference depths are supported —
+  * uint8 and the microscope's native uint16 (PNG carries 16-bit
+  * grayscale losslessly, which is why the reference picked PNG over
+  * JPEG) — and both reference color shapes: grayscale (color type 0)
+  * and the `im_colors=3` RGB the reference threads through
+  * file_splitter.py:158 / tif_id_splitter.py:45 (color type 2, 8- and
+  * 16-bit).
   *
   * This is a from-scratch implementation of the PNG spec (RFC 2083:
   * signature, IHDR/IDAT/IEND chunks, zlib streams, all five scanline
@@ -50,7 +54,7 @@ object ImageCodec {
       System.arraycopy(pixels, y * w, raw, y * (1 + w) + 1, w)
       y += 1
     }
-    assemble(w, h, bitDepth = 8, raw)
+    assemble(w, h, bitDepth = 8, colorType = 0, raw)
   }
 
   /** Encode row-major uint16 grayscale pixels (0..65535 ints) as PNG
@@ -72,8 +76,54 @@ object ImageCodec {
       }
       y += 1
     }
-    assemble(w, h, bitDepth = 16, raw)
+    assemble(w, h, bitDepth = 16, colorType = 0, raw)
   }
+
+  /** Encode row-major INTERLEAVED uint8 RGB samples (r,g,b,r,g,b,…)
+    * as PNG color type 2 — the `im_colors=3` shape the reference
+    * decodes with IMREAD_ANYCOLOR (image_utils.py:30).
+    */
+  def encodeRgb8(samples: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    require(samples.length == 3 * w * h,
+      s"sample buffer ${samples.length} != 3x${w}x$h")
+    val raw = new Array[Byte](h * (1 + 3 * w))
+    var y = 0
+    while (y < h) {
+      System.arraycopy(samples, y * 3 * w, raw, y * (1 + 3 * w) + 1, 3 * w)
+      y += 1
+    }
+    assemble(w, h, bitDepth = 8, colorType = 2, raw)
+  }
+
+  /** Encode row-major interleaved uint16 RGB samples (0..65535 ints)
+    * as 16-bit PNG color type 2.
+    */
+  def encodeRgb16(samples: Array[Int], w: Int, h: Int): Array[Byte] = {
+    require(samples.length == 3 * w * h,
+      s"sample buffer ${samples.length} != 3x${w}x$h")
+    val stride = 6 * w
+    val raw = new Array[Byte](h * (1 + stride))
+    var y = 0
+    while (y < h) {
+      val base = y * (1 + stride) + 1
+      var s = 0
+      while (s < 3 * w) {
+        val v = samples(y * 3 * w + s) & 0xffff
+        raw(base + 2 * s) = (v >>> 8).toByte
+        raw(base + 2 * s + 1) = v.toByte
+        s += 1
+      }
+      y += 1
+    }
+    assemble(w, h, bitDepth = 16, colorType = 2, raw)
+  }
+
+  /** A decoded PNG: `channels` is 1 (grayscale) or 3 (RGB);
+    * `samples` is row-major, channel-interleaved, one Int per sample
+    * (0..255 at depth 8, 0..65535 at depth 16).
+    */
+  final case class Decoded(width: Int, height: Int, channels: Int,
+    bitDepth: Int, samples: Array[Int])
 
   /** Decode a grayscale PNG to (width, height, row-major pixels) —
     * depth-agnostic like the reference's IMREAD_ANYDEPTH: uint8 comes
@@ -82,11 +132,31 @@ object ImageCodec {
     * filtering) decode too.
     */
   def decodeGray(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    val d = decodeImage(bytes)
+    require(d.channels == 1, "not grayscale (color type 2)")
+    (d.width, d.height, d.samples)
+  }
+
+  /** Decode an RGB PNG to (width, height, interleaved r,g,b samples),
+    * either depth.
+    */
+  def decodeRgb(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    val d = decodeImage(bytes)
+    require(d.channels == 3, "not RGB (color type 0)")
+    (d.width, d.height, d.samples)
+  }
+
+  /** Decode any supported PNG (gray/RGB × 8/16-bit) — the
+    * IMREAD_ANYCOLOR | IMREAD_ANYDEPTH twin. Handles all five
+    * scanline filters.
+    */
+  def decodeImage(bytes: Array[Byte]): Decoded = {
     require(bytes.length > 8 && (0 until 8).forall(i => bytes(i) == PngSig(i)),
       "payload is not a decodable image (bad PNG signature)")
     var w = 0
     var h = 0
     var bitDepth = 0
+    var channels = 0
     val idat = new ByteArrayOutputStream()
     var pos = 8
     var done = false
@@ -105,7 +175,9 @@ object ImageCodec {
           h = be32(bytes, data + 4)
           bitDepth = bytes(data + 8) & 0xff
           val colorType = bytes(data + 9) & 0xff
-          require(colorType == 0, s"not grayscale (color type $colorType)")
+          require(colorType == 0 || colorType == 2,
+            s"unsupported color type $colorType")
+          channels = if (colorType == 2) 3 else 1
           require(bitDepth == 8 || bitDepth == 16,
             s"unsupported bit depth $bitDepth")
           require((bytes(data + 12) & 0xff) == 0, "interlace unsupported")
@@ -116,11 +188,11 @@ object ImageCodec {
       pos = data + len + 4 // skip CRC
     }
     require(w > 0 && h > 0 && idat.size() > 0, "truncated PNG")
-    val bpp = bitDepth / 8
+    val bpp = channels * (bitDepth / 8) // filter unit: bytes per pixel
     val stride = w * bpp
     val raw = inflate(idat.toByteArray, h * (1 + stride))
     // undo per-scanline filters in place (spec §6: None/Sub/Up/Avg/Paeth)
-    val out = new Array[Int](w * h)
+    val out = new Array[Int](w * h * channels)
     // `prev` holds the RECONSTRUCTED previous scanline throughout the
     // current row's filter pass (zeros above row 0, per spec), so
     // b = prev(i) and Paeth's c = prev(i - bpp) read directly from it
@@ -151,17 +223,17 @@ object ImageCodec {
         prev(i) = raw(base + 1 + i) & 0xff
         i += 1
       }
-      var px = 0
-      while (px < w) {
-        out(y * w + px) =
-          if (bpp == 1) raw(base + 1 + px) & 0xff
-          else ((raw(base + 1 + 2 * px) & 0xff) << 8) |
-            (raw(base + 1 + 2 * px + 1) & 0xff)
-        px += 1
+      var s = 0
+      while (s < w * channels) {
+        out(y * w * channels + s) =
+          if (bitDepth == 8) raw(base + 1 + s) & 0xff
+          else ((raw(base + 1 + 2 * s) & 0xff) << 8) |
+            (raw(base + 1 + 2 * s + 1) & 0xff)
+        s += 1
       }
       y += 1
     }
-    (w, h, out)
+    Decoded(w, h, channels, bitDepth, out)
   }
 
   /** Paeth predictor (PNG spec §6.6). */
@@ -175,25 +247,39 @@ object ImageCodec {
 
   /** Real image resize (nearest-neighbor, the cheap deterministic
     * resample a thumbnail pass wants): decode → sample → re-encode,
-    * depth-preserving.
+    * depth- and color-preserving (gray and RGB, 8- and 16-bit).
     */
-  def resizeGray(bytes: Array[Byte], factor: Int): Array[Byte] = {
+  def resizeGray(bytes: Array[Byte], factor: Int): Array[Byte] =
+    resizeImage(bytes, factor)
+
+  /** Nearest-neighbor resize of any supported PNG; each sampled pixel
+    * carries all its channels, so RGB never mixes samples across
+    * channels.
+    */
+  def resizeImage(bytes: Array[Byte], factor: Int): Array[Byte] = {
     require(factor >= 1, s"factor must be >= 1, got $factor")
-    val (w, h, px) = decodeGray(bytes)
-    // bit depth straight from IHDR (signature 8 + len/type 8 + w,h 8)
-    val depth16 = (bytes(8 + 8 + 8) & 0xff) == 16
-    val nw = math.max(1, w / factor)
-    val nh = math.max(1, h / factor)
-    val out = new Array[Int](nw * nh)
+    val d = decodeImage(bytes)
+    val ch = d.channels
+    val nw = math.max(1, d.width / factor)
+    val nh = math.max(1, d.height / factor)
+    val out = new Array[Int](nw * nh * ch)
     var i = 0
-    while (i < out.length) {
+    while (i < nw * nh) {
       val x = (i % nw) * factor
       val y = (i / nw) * factor
-      out(i) = px(y * w + x)
+      var c = 0
+      while (c < ch) {
+        out(i * ch + c) = d.samples((y * d.width + x) * ch + c)
+        c += 1
+      }
       i += 1
     }
-    if (depth16) encodeGray16(out, nw, nh)
-    else encodeGray8(out.map(_.toByte), nw, nh)
+    (d.channels, d.bitDepth) match {
+      case (1, 8) => encodeGray8(out.map(_.toByte), nw, nh)
+      case (1, 16) => encodeGray16(out, nw, nh)
+      case (3, 8) => encodeRgb8(out.map(_.toByte), nw, nh)
+      case (3, 16) => encodeRgb16(out, nw, nh)
+    }
   }
 
   /** Lowercase-hex → bytes (the sha256 column → planted pixel values). */
@@ -209,7 +295,7 @@ object ImageCodec {
 
   // ---- PNG plumbing --------------------------------------------------
 
-  private def assemble(w: Int, h: Int, bitDepth: Int,
+  private def assemble(w: Int, h: Int, bitDepth: Int, colorType: Int,
       raw: Array[Byte]): Array[Byte] = {
     val out = new ByteArrayOutputStream(raw.length / 2 + 64)
     out.write(PngSig, 0, 8)
@@ -217,7 +303,7 @@ object ImageCodec {
     putBe32(ihdr, 0, w)
     putBe32(ihdr, 4, h)
     ihdr(8) = bitDepth.toByte
-    ihdr(9) = 0 // color type: grayscale
+    ihdr(9) = colorType.toByte // 0 = grayscale, 2 = RGB
     // 10..12: compression 0, filter 0, interlace 0
     chunk(out, "IHDR", ihdr)
     chunk(out, "IDAT", deflate(raw))
@@ -261,8 +347,13 @@ object ImageCodec {
     try {
       while (off < expected && !inf.finished()) {
         val n = inf.inflate(out, off, expected - off)
-        if (n == 0 && inf.needsInput()) throw new IllegalArgumentException(
-          "payload is not a decodable image (truncated zlib stream)")
+        // any zero-progress iteration is terminal: needsInput = truncated
+        // stream, needsDictionary = preset-dictionary stream (which this
+        // loop can never satisfy — unhandled it spins forever)
+        if (n == 0) throw new IllegalArgumentException(
+          "payload is not a decodable image (" +
+            (if (inf.needsDictionary()) "zlib preset dictionary"
+             else "truncated zlib stream") + ")")
         off += n
       }
     } catch {

@@ -344,6 +344,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.conf.unset(key)
   }
 
+  test("an in-watermark out-of-order event in a LATER micro-batch " +
+      "cannot shrink the session envelope") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, minute: Long) =
+      Event(id, new Timestamp((600 + minute) * 60000L), 1L, "click", 1.0)
+    def far(id: Long, minute: Long) =
+      Event(id, new Timestamp((600 + minute) * 60000L), -1L, "click", 1.0)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      for ((name, mk) <- Seq[(String,
+          org.apache.spark.sql.Dataset[Event] =>
+            org.apache.spark.sql.Dataset[_])](
+          "ooo_tws_out" -> (ds => EventsStream.sessionizeTws(spark, ds)),
+          "ooo_et_out" -> (ds =>
+            EventsStream.sessionizeEventTime(spark, ds)))) {
+        val stream = MemoryStream[Event]
+        // 1-hour delay keeps the minute-10 straggler IN-watermark even
+        // after the minute-20 event advanced the watermark
+        val src = stream.toDS().withWatermark("ts", "1 hour").as[Event]
+        val q = mk(src).writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        try {
+          stream.addData(Seq(ev(1, 0), ev(2, 20)))
+          q.processAllAvailable()
+          // the straggler: minute 10, delivered one micro-batch later.
+          // The buggy fold set lastMs = 10 — session tail regressed,
+          // duration shrank from 20 min to 10 min
+          stream.addData(Seq(ev(3, 10)))
+          q.processAllAvailable()
+          // watermark push + eviction batch close the session
+          stream.addData(Seq(far(100, 100000L)))
+          q.processAllAvailable()
+          stream.addData(Seq(far(101, 100001L)))
+          q.processAllAvailable()
+          val s = spark.table(name).filter(col("user_id") === 1L).collect()
+          assert(s.length === 1, s"$name: expected one closed session")
+          assert(s.head.getAs[Long]("n_events") === 3L, name)
+          assert(s.head.getAs[Long]("start_ms") === 600L * 60000L, name)
+          assert(s.head.getAs[Long]("duration_ms") === 20L * 60000L,
+            s"$name: out-of-order straggler shrank the session")
+        } finally q.stop()
+      }
+    } finally spark.conf.unset(key)
+  }
+
   test("stateful sessionizer closes sessions on gaps") {
     import spark.implicits._
     def ev(id: Long, user: Long, minute: Long) =
@@ -408,6 +456,37 @@ class StreamingSpec extends AnyFunSuite {
     val evil = enc8.clone()
     evil(8) = 0xff.toByte // first byte of the IHDR length, now huge
     intercept[IllegalArgumentException] { ImageCodec.decodeGray(evil) }
+    // a zlib stream declaring a preset dictionary can never be
+    // satisfied by the decoder's loop — it must fail loudly, not spin
+    // forever (the inflate returns 0 with needsDictionary, not
+    // needsInput). Build the hostile PNG by hand: valid chunks, valid
+    // CRCs, FDICT-flagged IDAT
+    val raw = Array[Byte](0, 1, 2, 0, 3, 4) // 2x2 gray8, filter None
+    val d = new java.util.zip.Deflater()
+    d.setDictionary(Array.fill[Byte](16)(7))
+    d.setInput(raw); d.finish()
+    val zbuf = new Array[Byte](256)
+    val zlen = d.deflate(zbuf); d.end()
+    val dictIdat = java.util.Arrays.copyOf(zbuf, zlen)
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a,
+      0x1a, 0x0a))
+    def writeChunk(ctype: String, data: Array[Byte]): Unit = {
+      def be32(v: Int) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte,
+        (v >>> 8).toByte, v.toByte)
+      bos.write(be32(data.length))
+      val t = ctype.getBytes("US-ASCII")
+      bos.write(t); bos.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(data)
+      bos.write(be32(crc.getValue.toInt))
+    }
+    writeChunk("IHDR", Array[Byte](0, 0, 0, 2, 0, 0, 0, 2, 8, 0, 0, 0, 0))
+    writeChunk("IDAT", dictIdat)
+    writeChunk("IEND", Array.emptyByteArray)
+    intercept[IllegalArgumentException] {
+      ImageCodec.decodeGray(bos.toByteArray)
+    }
   }
 
   test("codec round-trips arbitrary dims and contents (property sweep)") {
@@ -460,6 +539,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(dpx.toSeq === plant.toSeq)
   }
 
+  test("codec RGB (color type 2) round-trips, resizes, and is standard") {
+    import graft.multimodal.ImageCodec
+    // 8-bit RGB round-trip (interleaved samples)
+    val s8 = Array.tabulate(3 * 8 * 8)(i => ((i * 41 + 13) % 256).toByte)
+    val enc8 = ImageCodec.encodeRgb8(s8, 8, 8)
+    val (w8, h8, back8) = ImageCodec.decodeRgb(enc8)
+    assert(w8 === 8 && h8 === 8)
+    assert(back8.toSeq === s8.map(_ & 0xff).toSeq)
+    // 16-bit RGB round-trip
+    val s16 = Array.tabulate(3 * 6 * 5)(i => (i * 4099 + 9) % 65536)
+    val enc16 = ImageCodec.encodeRgb16(s16, 6, 5)
+    val (w16, h16, back16) = ImageCodec.decodeRgb(enc16)
+    assert(w16 === 6 && h16 === 5)
+    assert(back16.toSeq === s16.toSeq)
+    // color/gray misuse fails loudly both ways
+    intercept[IllegalArgumentException] { ImageCodec.decodeGray(enc8) }
+    intercept[IllegalArgumentException] {
+      ImageCodec.decodeRgb(ImageCodec.encodeGray8(new Array[Byte](4), 2, 2))
+    }
+    // nearest-neighbor RGB resize keeps pixels whole (no channel mixing)
+    val rs = ImageCodec.resizeImage(enc8, 4)
+    val (rw, rh, rpx) = ImageCodec.decodeRgb(rs)
+    assert(rw === 2 && rh === 2)
+    val expect = for (y <- 0 until 2; x <- 0 until 2; c <- 0 until 3)
+      yield s8((4 * y * 8 + 4 * x) * 3 + c) & 0xff
+    assert(rpx.toSeq === expect)
+    // standard-compliance cross-check: javax.imageio reads our RGB PNG
+    val im = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(enc8))
+    assert(im != null, "javax.imageio could not read our RGB PNG")
+    assert(im.getWidth === 8 && im.getHeight === 8)
+    val viaImageIo = for (i <- 0 until 64; c <- 0 until 3)
+      yield im.getRaster.getSample(i % 8, i / 8, c)
+    assert(viaImageIo === back8.toSeq)
+    // and we read OTHER encoders' RGB PNGs (adaptive filters, odd dims)
+    val w = 53; val h = 31
+    val big = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val plant = Array.tabulate(w * h * 3)(i => ((i * 2654435761L) % 256).toInt)
+    for (i <- 0 until w * h; c <- 0 until 3)
+      big.getRaster.setSample(i % w, i / w, c, plant(3 * i + c))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(big, "png", bos)
+    val (dw, dh, dpx) = ImageCodec.decodeRgb(bos.toByteArray)
+    assert(dw === w && dh === h)
+    assert(dpx.toSeq === plant.toSeq)
+  }
+
   test("squeezed dim order drops exactly the singleton dimensions") {
     import spark.implicits._
     // data_storage.py:69-86: "XYGZCTP" minus singletons. Planted:
@@ -482,6 +609,36 @@ class StreamingSpec extends AnyFunSuite {
       .select("dataset_id", "dim_order").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out === Map(1L -> "XYZC", 2L -> "XY", 3L -> "XYT", 4L -> "XG"))
+  }
+
+  test("RGB stack assembly: real color payloads survive, G axis kept") {
+    import spark.implicits._
+    import graft.multimodal.ImageCodec
+    // an im_colors=3 brightfield stack: 2 timepoints × 2 positions,
+    // one REAL RGB PNG per frame with planted per-frame pixels
+    def plant(t: Int, p: Int): Array[Byte] =
+      Array.tabulate(3 * 4 * 4)(i => ((i * 7 + 31 * t + 101 * p) % 256).toByte)
+    val rows = for (t <- 0 to 1; p <- 0 to 1)
+      yield (7L, 0, 0, t, p, ImageCodec.encodeRgb8(plant(t, p), 4, 4))
+    val frames = rows.toDF("dataset_id", "channel_idx", "slice_idx",
+      "time_idx", "pos_idx", "payload")
+    val geometry = Seq((7L, 4, 4, 3))
+      .toDF("dataset_id", "im_height", "im_width", "im_colors")
+    val out = BinaryFrames.assembleStacksOf(frames, geometry).head()
+    assert(out.getAs[String]("dim_order") === "XYGTP")
+    val stack = out.getSeq[org.apache.spark.sql.Row](
+      out.fieldIndex("stack"))
+    assert(stack.length === 4)
+    // in-stack (t, p) order is lexicographic, and every payload decodes
+    // back to its planted RGB pixels (color axis rides INSIDE the
+    // payload, exactly the reference's squeeze_stack G placement)
+    for ((r, i) <- stack.zipWithIndex) {
+      val (t, p) = (r.getInt(2), r.getInt(3))
+      assert((t, p) === (i / 2, i % 2))
+      val (w, h, px) = ImageCodec.decodeRgb(r.getAs[Array[Byte]]("payload"))
+      assert(w === 4 && h === 4)
+      assert(px.toSeq === plant(t, p).map(_ & 0xff).toSeq)
+    }
   }
 
   test("stack assembly orders each dataset's payloads by c/z/t/p") {
