@@ -52,6 +52,7 @@ object Cli {
       |                     [-c|--channels name ...] [-z|--slices i ...]
       |                     [--no-metadata] [--no-download]
       |  graft.Cli upload   --csv FILE --config FILE --store OUT
+      |                     [--mount M]
       |""".stripMargin
 
   /** Flags taking N values (reference nargs='+'). */
@@ -268,11 +269,34 @@ object Cli {
         }.reduce(_ unionByName _)
         SplitterIngest.parseMetadata(listing)
           .withColumn("already_registered", lit(false))
+      case "tif_id" =>
+        // the csv's file_name IS the multi-page tiff: real byte-level
+        // split (tif_id_splitter.py get_frames_and_metadata) — pages
+        // decode on executors, payloads re-encode as PNG, and with
+        // --mount the PNGs land in frame storage exactly like the
+        // reference's data_uploader upload_frames terminal step
+        val tiffs = rows.map { r =>
+          val (serial, path) = (r.getString(0), r.getString(1))
+          require(Files.exists(Paths.get(path)),
+            s"File doesn't exist: $path")
+          spark.read.format("binaryFile").load(path)
+            .select(lit(serial).as("dataset_serial"), col("content"))
+        }.reduce(_ unionByName _)
+        val frames = SplitterIngest.splitTiff(spark, tiffs).toDF()
+        for (mount <- s.get("mount"); serial <- rows.map(_.getString(0))) {
+          val storage = new graft.sources.FrameStorage(mount,
+            s"raw_frames/$serial")
+          storage.uploadFrames(
+            frames.filter(col("dataset_serial") === serial)
+              .select("file_name", "payload"))
+        }
+        frames.drop("payload")
+          .withColumn("already_registered", lit(false))
       case other => throw new IllegalArgumentException(
         s"frames_format '$other' is not wired into the CLI " +
-          "(supported: sms_name, ome_tiff; tif_folder/tif_id need " +
+          "(supported: sms_name, ome_tiff, tif_id; tif_folder needs " +
           "file-level metadata beyond a name listing — use " +
-          "SplitterIngest.parseFolder/parseTifId directly)")
+          "SplitterIngest.parseFolder directly)")
     }
     parsed.write.mode("overwrite").parquet(s"$store/frames.parquet")
     SplitterIngest.globalMetaFromFrames(parsed)

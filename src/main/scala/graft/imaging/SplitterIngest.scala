@@ -1,7 +1,9 @@
 package graft.imaging
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.multimodal.{ImageCodec, TiffCodec}
 
 /** Upload-path twin (SURVEY.md §2.5): the reference's splitter pipeline
   * (file_splitter.py + filename_parsers.py) as one distributed batch
@@ -189,6 +191,97 @@ object SplitterIngest {
     * of the page number. Pure per-row column work + one bounded
     * explode; nothing shuffles.
     */
+  /** One split frame from a real TIFF byte stream: the metadata row
+    * [[parseTifId]] derives plus the page's pixels re-encoded as the
+    * PNG payload the storage layer keeps (file_splitter.py uploads
+    * `im_stack` pages as `.png`). `sha256` is over the page's
+    * canonical big-endian sample bytes — the frames-table dedup hash.
+    */
+  case class TiffFrame(dataset_serial: String, page_idx: Int,
+    channel_idx: Int, slice_idx: Int, time_idx: Int, pos_idx: Int,
+    file_name: String, im_width: Int, im_height: Int, im_colors: Int,
+    bit_depth: String, sha256: String, payload: Array[Byte])
+
+  /** BYTE-LEVEL TifID ingest — the part of tif_id_splitter.py the
+    * metadata twin [[parseTifId]] could not cover: actually reading
+    * the multi-page TIFF (`tifffile.TiffFile(...)`,
+    * tif_id_splitter.py:111-157) and splitting it into per-frame PNG
+    * payloads. Frame info comes from each page's own tags
+    * (set_frame_info: SamplesPerPixel → im_colors, BitsPerSample →
+    * bit_depth, ImageLength/Width); the c/z/t/p indices from the
+    * FIRST page's ImageDescription `key=value` dims in the declared
+    * acquisition order (channel fastest — the same mixed radix as
+    * [[parseTifId]]).
+    *
+    * Shape at 100 TB: one TIFF file = one row (binaryFile source),
+    * the codec loop is per-partition executor work (the
+    * [[graft.multimodal.BinaryFrames]] mapPartitions shape), frames
+    * fan out with no shuffle at all. `files`: (dataset_serial,
+    * content).
+    */
+  def splitTiff(spark: SparkSession, files: DataFrame): Dataset[TiffFrame] = {
+    import spark.implicits._
+    files.select(col("dataset_serial"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (serial, bytes) =>
+          val pages = TiffCodec.readPages(bytes)
+          val dims = dimsFromDescription(pages.head.imageDescription)
+          val (nc, nt, ns, np) = dims
+          pages.zipWithIndex.map { case (p, i) =>
+            val channel = i % nc
+            val slice = (i / nc) % ns
+            val pos = (i / (nc * ns)) % np
+            val time = (i / (nc * ns * np)) % nt
+            val png = (p.samplesPerPixel, p.bitsPerSample) match {
+              case (1, 8) =>
+                ImageCodec.encodeGray8(p.samples.map(_.toByte),
+                  p.width, p.height)
+              case (1, 16) => ImageCodec.encodeGray16(p.samples,
+                p.width, p.height)
+              case (3, 8) =>
+                ImageCodec.encodeRgb8(p.samples.map(_.toByte),
+                  p.width, p.height)
+              case (3, 16) => ImageCodec.encodeRgb16(p.samples,
+                p.width, p.height)
+            }
+            val canonical = new Array[Byte](p.samples.length * 2)
+            var j = 0
+            while (j < p.samples.length) {
+              canonical(2 * j) = ((p.samples(j) >>> 8) & 0xff).toByte
+              canonical(2 * j + 1) = (p.samples(j) & 0xff).toByte
+              j += 1
+            }
+            val sha = java.security.MessageDigest.getInstance("SHA-256")
+              .digest(canonical).map(b => f"${b & 0xff}%02x").mkString
+            val name = f"im_c$channel%03d_z$slice%03d_t$time%03d_p$pos%03d.png"
+            TiffFrame(serial, i, channel, slice, time, pos, name,
+              p.width, p.height, p.samplesPerPixel,
+              if (p.bitsPerSample == 16) "uint16" else "uint8",
+              sha, png)
+          }
+        }
+      }
+  }
+
+  /** tif_id_splitter._get_params_from_str: newline-separated
+    * `key=value` dims off the ImageJ ImageDescription, each defaulting
+    * to 1 ("frames" = timepoints). Executor-side, no Spark types.
+    */
+  private def dimsFromDescription(
+      desc: Option[String]): (Int, Int, Int, Int) = {
+    val kv = desc.iterator.flatMap(_.split("\n")).flatMap { line =>
+      val i = line.indexOf('=')
+      // reference: s.find(key) == 0 — the key must LEAD the line
+      if (i > 0) Some(line.substring(0, i).trim -> line.substring(i + 1).trim)
+      else None
+    }.toMap
+    def dim(k: String) = kv.get(k)
+      .flatMap(v => scala.util.Try(v.toInt).toOption)
+      .filter(_ > 0).getOrElse(1)
+    (dim("channels"), dim("frames"), dim("slices"), dim("positions"))
+  }
+
   def parseTifId(files: DataFrame): DataFrame = {
     // line must START with the key (reference: s.find(key) == 0)
     def dim(key: String) = coalesce(

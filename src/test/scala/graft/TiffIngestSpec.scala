@@ -1,0 +1,177 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.imaging.{Cli, SplitterIngest}
+import graft.multimodal.{ImageCodec, TiffCodec}
+import graft.multimodal.TiffCodec.TiffPage
+
+/** Real TIFF byte-level ingest (tif_id_splitter.py twin): a planted
+  * multi-page TIFF splits into frame rows + PNG payloads pixel-exact
+  * against the planted arrays, through the from-scratch baseline-TIFF
+  * reader — and the Cli upload path drives it end to end into frame
+  * storage.
+  */
+class TiffIngestSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  /** channels=2 × slices=2 × frames(time)=2 gray16 stack with
+    * per-page planted pixels keyed by page index.
+    */
+  private def plantPixels(page: Int): Array[Int] =
+    Array.tabulate(6 * 5)(i => (i * 4099 + page * 7717) % 65536)
+
+  private def plantedTiff(lzw: Boolean, predictor: Int): Array[Byte] = {
+    val pages = (0 until 8).map(p =>
+      TiffPage(6, 5, 16, 1, None, plantPixels(p)))
+    TiffCodec.write(pages, lzw = lzw, predictor = predictor,
+      description = Some("channels=2\nslices=2\nframes=2\nunrelated=9"))
+  }
+
+  test("TIFF codec: every shape round-trips; both endians decode") {
+    val rnd = new scala.util.Random(11)
+    for {
+      (ch, bits) <- Seq((1, 8), (1, 16), (3, 8), (3, 16))
+      lzw <- Seq(false, true)
+      pred <- Seq(1, 2)
+      if lzw || pred == 1
+    } {
+      val page = TiffPage(23, 17, bits, ch, None,
+        Array.fill(23 * 17 * ch)(rnd.nextInt(1 << bits)))
+      val back = TiffCodec.readPages(
+        TiffCodec.write(Seq(page), lzw, pred, Some("slices=1")))
+      assert(back.length === 1)
+      assert(back(0).bitsPerSample === bits)
+      assert(back(0).samplesPerPixel === ch)
+      assert(back(0).samples.toSeq === page.samples.toSeq,
+        s"ch=$ch bits=$bits lzw=$lzw pred=$pred")
+    }
+    // big-endian (MM) files decode too: javax.imageio writes MM
+    val bi = new java.awt.image.BufferedImage(16, 9,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    val planted = Array.tabulate(16 * 9)(i => (i * 2654435761L % 65536).toInt)
+    planted.zipWithIndex.foreach { case (v, i) =>
+      bi.getRaster.setSample(i % 16, i / 16, 0, v) }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "tiff", bos)
+    val mm = TiffCodec.readPages(bos.toByteArray)
+    assert(mm.head.samples.toSeq === planted.toSeq)
+    // non-TIFF bytes fail loudly
+    intercept[IllegalArgumentException] {
+      TiffCodec.readPages(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9))
+    }
+  }
+
+  test("TIFF LZW interoperates with the JDK codec across width bumps") {
+    // >60k random 16-bit samples: the code stream crosses the
+    // 9->10->11->12-bit boundaries and a table reset — any
+    // early-change off-by-one desynchronizes and fails loudly
+    val rnd = new scala.util.Random(13)
+    val page = TiffPage(210, 150, 16, 1, None,
+      Array.fill(210 * 150)(rnd.nextInt(65536)))
+    // predictor 1 here: the JDK READER rejects predictor 2 at 16-bit
+    // (its own limitation); the width-bump interop is what's under test
+    val ours = TiffCodec.write(Seq(page), lzw = true, predictor = 1)
+    val im = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(ours))
+    assert(im != null, "javax.imageio could not read our LZW TIFF")
+    val viaImageIo = Array.tabulate(210 * 150)(i =>
+      im.getRaster.getSample(i % 210, i / 210, 0))
+    assert(viaImageIo.toSeq === page.samples.toSeq)
+    // predictor-2 interop at 8-bit, where the JDK does support it
+    val page8 = TiffPage(120, 90, 8, 1, None,
+      Array.fill(120 * 90)(rnd.nextInt(256)))
+    val ours8 = TiffCodec.write(Seq(page8), lzw = true, predictor = 2)
+    val im8 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(ours8))
+    assert(im8 != null, "javax.imageio could not read our pred-2 TIFF")
+    val via8 = Array.tabulate(120 * 90)(i =>
+      im8.getRaster.getSample(i % 120, i / 120, 0))
+    assert(via8.toSeq === page8.samples.toSeq)
+    // and the other direction: the JDK's LZW stream through our reader
+    val wtr = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    wtr.setOutput(ios)
+    val param = wtr.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionType("LZW")
+    val bi = new java.awt.image.BufferedImage(210, 150,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    page.samples.zipWithIndex.foreach { case (v, i) =>
+      bi.getRaster.setSample(i % 210, i / 210, 0, v) }
+    wtr.write(null, new javax.imageio.IIOImage(bi, null, null), param)
+    ios.close()
+    val theirs = TiffCodec.readPages(bos.toByteArray)
+    assert(theirs.head.samples.toSeq === page.samples.toSeq)
+  }
+
+  test("splitTiff: planted 8-page stack -> frame rows + exact PNGs") {
+    import spark.implicits._
+    for ((lzw, pred) <- Seq((false, 1), (true, 2))) {
+      val files = Seq(("TIFF-2026-01", plantedTiff(lzw, pred)))
+        .toDF("dataset_serial", "content")
+      val frames = SplitterIngest.splitTiff(spark, files).collect()
+        .sortBy(_.page_idx)
+      assert(frames.length === 8)
+      // acquisition order: channel fastest, then slice, then time
+      // (tif_id_splitter.py itertools.product(time, pos, slice, chan))
+      for ((f, i) <- frames.zipWithIndex) {
+        assert(f.channel_idx === i % 2)
+        assert(f.slice_idx === (i / 2) % 2)
+        assert(f.pos_idx === 0)
+        assert(f.time_idx === (i / 4) % 2)
+        assert(f.file_name ===
+          f"im_c${i % 2}%03d_z${(i / 2) % 2}%03d_t${(i / 4) % 2}%03d_p000.png")
+        assert((f.im_width, f.im_height) === (6, 5))
+        assert(f.im_colors === 1 && f.bit_depth === "uint16")
+        val (w, h, px) = ImageCodec.decodeGray(f.payload)
+        assert(w === 6 && h === 5)
+        assert(px.toSeq === plantPixels(i).toSeq, s"page $i lzw=$lzw")
+      }
+      assert(frames.map(_.sha256).distinct.length === 8)
+    }
+  }
+
+  test("Cli upload tif_id: real TIFF -> store parquet + storage PNGs") {
+    val dir = Files.createTempDirectory("graft_tifup")
+    val tif = dir.resolve("stack.tif")
+    Files.write(tif, plantedTiff(lzw = true, predictor = 2))
+    val csv = dir.resolve("upload.csv")
+    Files.writeString(csv,
+      s"dataset_id,file_name,description\nTIFF-2026-02,$tif,planted\n")
+    val cfg = dir.resolve("config.json")
+    Files.writeString(cfg,
+      """{"upload_type": "frames", "frames_format": "tif_id"}""")
+    val store = dir.resolve("store").toString
+    val mount = Files.createTempDirectory("graft_tifmount").toString
+    assert(Cli.run(spark, Seq("upload", "--csv", csv.toString,
+      "--config", cfg.toString, "--store", store,
+      "--mount", mount)) === 0)
+    // registered frames: 8 rows, the generated db names, global meta
+    val frames = spark.read.parquet(s"$store/frames.parquet")
+    assert(frames.count() === 8)
+    assert(frames.columns.contains("sha256") &&
+      !frames.columns.contains("payload"))
+    val meta = spark.read.parquet(s"$store/global_meta.parquet").head()
+    assert(meta.getAs[Long]("nbr_frames") === 8)
+    assert(meta.getAs[Long]("nbr_channels") === 2)
+    assert(meta.getAs[Long]("nbr_slices") === 2)
+    assert(meta.getAs[Long]("nbr_timepoints") === 2)
+    assert(meta.getAs[Long]("nbr_positions") === 1)
+    // storage holds the 8 real PNGs, pixel-exact vs the planted pages
+    val stored = Paths.get(mount, "raw_frames/TIFF-2026-02")
+    assert(Files.list(stored).count() === 8)
+    for (i <- 0 until 8) {
+      val name =
+        f"im_c${i % 2}%03d_z${(i / 2) % 2}%03d_t${(i / 4) % 2}%03d_p000.png"
+      val png = Files.readAllBytes(stored.resolve(name))
+      val (w, h, px) = ImageCodec.decodeGray(png)
+      assert(w === 6 && h === 5)
+      assert(px.toSeq === plantPixels(i).toSeq, s"stored page $i")
+    }
+  }
+}
