@@ -1,27 +1,25 @@
 package graft.sources
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
-
-import graft.multimodal.ImageCodec
+import java.nio.file.{Files, Paths}
 
 /** REAL local blob storage — the byte-moving twin of the reference's
-  * filestorage layer (data_storage.py:9-264, local_storage.py:9-176),
-  * which round 3's verdict listed as the last honestly-simulated
-  * piece. Frames are genuine PNG files on disk under
+  * filestorage layer (data_storage.py:9-264, local_storage.py:9-176).
+  * Frames are genuine PNG files on disk under
   * `mount/storageDir/im_c###_z###_t###_p###....png`, written and read
-  * back as real bytes.
+  * back as real bytes. The distributed transfer paths live in
+  * [[FrameStorageApi]] (shared with the S3-shaped backend); this class
+  * supplies local_storage.py's existence semantics: a dataset is
+  * unique iff its DIRECTORY doesn't exist, and a frame exists iff its
+  * exact file path does.
   *
-  * Spark-first shape: the reference parallelizes transfers with a
-  * process/thread pool per dataset (local_storage.py:105,
-  * data_storage.py:161) — here the SAME role is played by executor
-  * parallelism: uploads are a `foreachPartition` over the frame
-  * DataFrame (one writer loop per partition, no driver fan-out), and
-  * reads come back through Spark's `binaryFile` source (a distributed
-  * scan of the store with file pruning), so a 1000-executor cluster
-  * moves 1000 frames at a time without any coordinator loop.
+  * The write paths run `java.nio.Files.write` INSIDE partitions, so on
+  * a multi-node cluster `mountPoint` must be a SHARED filesystem
+  * (NFS-style) visible at the same path on every executor — exactly
+  * the reference's local_storage deployment assumption. The driver
+  * `require` below can't see executor disks, so each partition loop
+  * re-checks ([[FrameStorage.assertMounted]]) and a misconfigured
+  * cluster fails loudly instead of scattering files on executor-local
+  * disks while reporting success.
   *
   * Reference semantics kept:
   *  - `assertUniqueId` (local_storage.py:49-56): a dataset directory
@@ -29,27 +27,14 @@ import graft.multimodal.ImageCodec
   *  - `nonexistentStoragePath` (local_storage.py:58-69): per-file
   *    overwrite guard — existing frames are SKIPPED, not clobbered
   *    (upload_im_tuple:116-120 prints and moves on; we count skips).
-  *  - `uploadFile`/`downloadFile` (raw_files branch): unopened byte
-  *    copies.
-  *  - `getStackFromMeta` (data_storage.py:198-241): fetch + assemble
-  *    ordered by the c/z/t/p grid with the squeeze dim-order — here
-  *    the decode feeds [[graft.multimodal.BinaryFrames.assembleStacksOf]]
-  *    so stacking itself is the one aggregate Spark already proves.
+  *    The skip itself is ATOMIC (CREATE_NEW): the reference's
+  *    check-then-write races when two workers carry the same name.
   */
-class FrameStorage(val mountPoint: String, val storageDir: String) {
+class FrameStorage(val mountPoint: String, val storageDir: String)
+    extends FrameStorageApi {
 
   require(Files.exists(Paths.get(mountPoint)),
     s"Make sure local storage is mounted, dir $mountPoint doesn't exist")
-
-  /** The write paths run `java.nio.Files.write` INSIDE partitions, so
-    * on a multi-node cluster `mountPoint` must be a SHARED filesystem
-    * (NFS-style) visible at the same path on every executor — exactly
-    * the reference's local_storage deployment assumption. The driver
-    * `require` above can't see executor disks, so each partition loop
-    * re-checks ([[FrameStorage.assertMounted]]) and a misconfigured
-    * cluster fails loudly instead of scattering files on executor-local
-    * disks while reporting success.
-    */
 
   /** mount point + raw_frames|raw_files + dataset ID. */
   val idStoragePath: String = s"$mountPoint/$storageDir"
@@ -63,173 +48,21 @@ class FrameStorage(val mountPoint: String, val storageDir: String) {
   def nonexistentStoragePath(storagePath: String): Boolean =
     !Files.exists(Paths.get(mountPoint, storagePath))
 
-  def getStoragePath(fileName: String): String =
-    s"$idStoragePath/$fileName"
-
-  /** Distributed frame upload (upload_frames, local_storage.py:85-106):
-    * every (file_name, payload) row lands as a real file under the
-    * dataset directory; existing files are skipped per the reference's
-    * overwrite guard. Returns (written, skipped) counts — the reference
-    * prints skips; a Spark job must surface them as data.
-    *
-    * `framed` needs `file_name` (no path) and binary `payload`.
-    */
-  def uploadFrames(framed: DataFrame): (Long, Long) = {
-    Files.createDirectories(Paths.get(idStoragePath))
-    val base = idStoragePath
-    val spark = framed.sparkSession
-    import spark.implicits._
-    val flags = framed.select(col("file_name"), col("payload"))
-      .as[(String, Array[Byte])]
-      .mapPartitions { rows =>
-        FrameStorage.assertMounted(base)
-        // one writer loop per partition — the executor-side twin of
-        // the reference's per-dataset worker pool. CREATE_NEW makes
-        // the overwrite guard ATOMIC: the reference's check-then-write
-        // (local_storage.py:116-118) races when two workers carry the
-        // same name; an atomic create can't double-write
-        rows.map { case (name, bytes) =>
-          val p = Paths.get(base, name)
-          try {
-            Files.write(p, bytes,
-              java.nio.file.StandardOpenOption.CREATE_NEW)
-            true
-          } catch {
-            case _: java.nio.file.FileAlreadyExistsException => false
-          }
-        }
-      }
-      .toDF("written")
-      .agg(
-        coalesce(sum(when(col("written"), 1L).otherwise(0L)), lit(0L)),
-        coalesce(sum(when(col("written"), 0L).otherwise(1L)), lit(0L)))
-      .head()
-    (flags.getLong(0), flags.getLong(1))
+  protected def prepareUpload(): Unit = {
+    Files.createDirectories(Paths.get(idStoragePath)); ()
   }
 
-  /** Single-image upload with the overwrite guard
-    * (upload_im, local_storage.py:122-136). True if written.
-    */
-  def uploadIm(imName: String, png: Array[Byte]): Boolean = {
-    val rel = s"$storageDir/$imName"
-    if (nonexistentStoragePath(rel)) {
-      Files.createDirectories(Paths.get(idStoragePath))
-      Files.write(Paths.get(mountPoint, rel), png)
+  protected def putNew(fileName: String, bytes: Array[Byte]): Boolean =
+    try {
+      Files.write(Paths.get(idStoragePath, fileName), bytes,
+        java.nio.file.StandardOpenOption.CREATE_NEW)
       true
-    } else false
-  }
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    }
 
-  /** raw_files branch: copy a file into storage unopened
-    * (upload_file, local_storage.py:138-151).
-    */
-  def uploadFile(filePath: String): Unit = {
-    assertUniqueId()
-    Files.createDirectories(Paths.get(idStoragePath))
-    val name = Paths.get(filePath).getFileName.toString
-    Files.copy(Paths.get(filePath), Paths.get(getStoragePath(name)),
-      StandardCopyOption.COPY_ATTRIBUTES)
-  }
-
-  /** Fetch one frame's pixels (get_im, local_storage.py:153-164 —
-    * IMREAD_ANYDEPTH parity via [[ImageCodec.decodeGray]]).
-    */
-  def getIm(fileName: String): (Int, Int, Array[Int]) =
-    ImageCodec.decodeGray(Files.readAllBytes(Paths.get(getStoragePath(fileName))))
-
-  /** The whole dataset directory as a DataFrame of real stored bytes —
-    * Spark's binaryFile source: a DISTRIBUTED scan of the store (path
-    * pruning + per-file tasks), the cluster-shaped replacement for the
-    * reference's thread-pool `get_stack` loop (data_storage.py:150-168).
-    * Columns: file_name, payload.
-    */
-  def readFrames(spark: SparkSession): DataFrame =
-    spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.png")
-      .load(idStoragePath)
-      .select(
-        element_at(split(col("path"), "/"), -1).as("file_name"),
-        col("content").as("payload"))
-
-  /** Download-path stack assembly from REAL stored bytes
-    * (get_stack_from_meta, data_storage.py:198-241): the stored frames
-    * join their c/z/t/p indices from `framesMeta` (file_name-keyed,
-    * like the reference's frames_meta dataframe), then the ordered
-    * per-dataset stack + squeeze dim-order come from the same
-    * aggregate the metadata path proves
-    * ([[graft.multimodal.BinaryFrames.assembleStacksOf]]).
-    *
-    * `framesMeta` needs (dataset_id, file_name, channel_idx,
-    * slice_idx, time_idx, pos_idx); `geometry` per-dataset
-    * (dataset_id, im_height, im_width, im_colors).
-    */
-  def stackFromStorage(spark: SparkSession, framesMeta: DataFrame,
-      geometry: DataFrame): DataFrame =
-    graft.multimodal.BinaryFrames.assembleStacksOf(
-      readFrames(spark).join(framesMeta, Seq("file_name"))
-        .select(col("dataset_id"), col("channel_idx"), col("slice_idx"),
-          col("time_idx"), col("pos_idx"), col("payload")),
-      geometry)
-
-  /** Distributed byte download (download_files, data_storage.py:243-253):
-    * copy the named files from storage into `destDir` without opening
-    * them — a binaryFile scan + per-partition write loop, the executor
-    * twin of the reference's thread pool. Returns files copied.
-    */
-  def downloadFiles(spark: SparkSession, fileNames: Seq[String],
-      destDir: String): Long = {
-    if (fileNames.isEmpty) return 0L
-    Files.createDirectories(Paths.get(destDir))
-    val wanted = fileNames.toSet
-    import spark.implicits._
-    readFrames(spark)
-      .filter(col("file_name").isInCollection(wanted))
-      .as[(String, Array[Byte])]
-      .mapPartitions { rows =>
-        FrameStorage.assertMounted(destDir)
-        rows.map { case (name, bytes) =>
-          Files.write(Paths.get(destDir, name), bytes)
-          1L
-        }
-      }
-      .toDF("n")
-      .agg(coalesce(sum("n"), lit(0L)))
-      .head().getLong(0)
-  }
-
-  /** Manifest-driven download with NO driver-side file list: the
-    * stored frames semi-join the manifest DataFrame on file_name and
-    * each match copies inside its partition — the fully-distributed
-    * version of the reference's download loop, scaling to manifests a
-    * driver couldn't hold. Returns files copied.
-    */
-  def downloadManifest(spark: SparkSession, manifest: DataFrame,
-      destDir: String): Long = {
-    Files.createDirectories(Paths.get(destDir))
-    import spark.implicits._
-    readFrames(spark)
-      .join(broadcast(manifest.select("file_name").distinct()),
-        Seq("file_name"), "left_semi")
-      .as[(String, Array[Byte])]
-      .mapPartitions { rows =>
-        FrameStorage.assertMounted(destDir)
-        rows.map { case (name, bytes) =>
-          Files.write(Paths.get(destDir, name), bytes)
-          1L
-        }
-      }
-      .toDF("n")
-      .agg(coalesce(sum("n"), lit(0L)))
-      .head().getLong(0)
-  }
-
-  /** Single-file download, unopened (download_file,
-    * local_storage.py:166-176).
-    */
-  def downloadFile(fileName: String, destDir: String): Unit = {
-    Files.createDirectories(Paths.get(destDir))
-    Files.copy(Paths.get(getStoragePath(fileName)),
-      Paths.get(destDir, fileName), StandardCopyOption.REPLACE_EXISTING)
-  }
+  protected def checkVisible(): Unit =
+    FrameStorage.assertMounted(idStoragePath)
 }
 
 object FrameStorage {

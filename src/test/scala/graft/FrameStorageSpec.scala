@@ -6,17 +6,23 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.multimodal.{BinaryFrames, ImageCodec}
-import graft.sources.FrameStorage
+import graft.sources.{FrameStorage, FrameStorageApi, S3FrameStorage}
 
-/** Real blob transfer (data_storage.py / local_storage.py twin): bytes
-  * genuinely move — frames land as PNG files on disk, read back
-  * pixel-exact, with the reference's uniqueness + overwrite guards.
+/** Real blob transfer (data_storage.py twin): bytes genuinely move —
+  * frames land as PNG objects, read back pixel-exact, with the
+  * reference's uniqueness + overwrite guards. The quartet runs
+  * unchanged against every backend of [[FrameStorageApi]] (the
+  * reference's DataStorage subclasses promise exactly this
+  * substitutability between local_storage and s3_storage).
   */
-class FrameStorageSpec extends AnyFunSuite {
+abstract class FrameStorageContract extends AnyFunSuite {
   import TestSpark.{sfDir, spark}
 
+  def backend: String
+  def mkStorage(root: String, storageDir: String): FrameStorageApi
+
   private def mount() =
-    Files.createTempDirectory("graft_mount").toString
+    Files.createTempDirectory(s"graft_${backend}_mount").toString
 
   /** One dataset's frames with real PNG payloads + grid indices —
     * smallest dataset that still has ≥6 frames (the download test
@@ -31,16 +37,16 @@ class FrameStorageSpec extends AnyFunSuite {
     (framed.filter(col("dataset_id") === dsId), dsId)
   }
 
-  test("upload writes real PNG files; read-back is pixel-exact") {
+  test(s"[$backend] upload writes real PNG files; read-back is pixel-exact") {
     val m = mount()
     val (framed, dsId) = oneDataset()
-    val st = new FrameStorage(m, s"raw_frames/$dsId")
+    val st = mkStorage(m, s"raw_frames/$dsId")
     st.assertUniqueId() // nothing there yet
     val (written, skipped) = st.uploadFrames(framed)
     val rows = framed.count()
     // the synthetic lineitem carries one duplicate (orderkey,
     // linenumber) in this dataset, so two frames share a name — the
-    // atomic CREATE_NEW guard writes one and skips the other (the
+    // atomic conditional create writes one and skips the other (the
     // reference's overwrite-guard semantics, race-free)
     val distinctNames = framed.select("file_name").distinct().count()
     assert(written === distinctNames && written + skipped === rows)
@@ -62,12 +68,12 @@ class FrameStorageSpec extends AnyFunSuite {
     }
   }
 
-  test("uniqueness and overwrite guards match the reference") {
+  test(s"[$backend] uniqueness and overwrite guards match the reference") {
     val m = mount()
     val (framed, dsId) = oneDataset()
-    val st = new FrameStorage(m, s"raw_frames/$dsId")
+    val st = mkStorage(m, s"raw_frames/$dsId")
     st.uploadFrames(framed)
-    // dataset directory now exists → assert_unique_id must refuse
+    // dataset now exists → assert_unique_id must refuse
     intercept[IllegalArgumentException] { st.assertUniqueId() }
     // re-upload: every frame skipped, none clobbered
     val (written, skipped) = st.uploadFrames(framed)
@@ -77,16 +83,16 @@ class FrameStorageSpec extends AnyFunSuite {
     assert(!st.uploadIm(name, ImageCodec.encodeGray8(new Array[Byte](4), 2, 2)))
     assert(st.uploadIm("im_extra.png",
       ImageCodec.encodeGray8(new Array[Byte](4), 2, 2)))
-    // a missing mount point refuses up front
+    // a missing mount point / bucket refuses up front
     intercept[IllegalArgumentException] {
-      new FrameStorage(s"$m/nope", "raw_frames/x")
+      mkStorage(s"$m/nope", "raw_frames/x")
     }
   }
 
-  test("stack assembly from stored bytes matches the metadata path") {
+  test(s"[$backend] stack assembly from stored bytes matches the metadata path") {
     val m = mount()
     val (framed, dsId) = oneDataset()
-    val st = new FrameStorage(m, s"raw_frames/$dsId")
+    val st = mkStorage(m, s"raw_frames/$dsId")
     st.uploadFrames(framed)
     val meta = graft.imaging.ImagingModel.frames(spark, sfDir)
       .filter(expr("id div 10") === dsId)
@@ -107,10 +113,10 @@ class FrameStorageSpec extends AnyFunSuite {
     assert(stored.getAs[String]("dim_order").nonEmpty)
   }
 
-  test("distributed download copies exact bytes") {
+  test(s"[$backend] distributed download copies exact bytes") {
     val m = mount()
     val (framed, dsId) = oneDataset()
-    val st = new FrameStorage(m, s"raw_frames/$dsId")
+    val st = mkStorage(m, s"raw_frames/$dsId")
     st.uploadFrames(framed)
     val names = framed.select("file_name").collect().map(_.getString(0))
     val dest = Files.createTempDirectory("graft_dl").toString
@@ -127,5 +133,39 @@ class FrameStorageSpec extends AnyFunSuite {
     val dest2 = Files.createTempDirectory("graft_dl2").toString
     assert(st.downloadManifest(spark, manifest, dest2) === 2L)
     assert(Files.list(Paths.get(dest2)).count() === 2L)
+  }
+}
+
+class FrameStorageSpec extends FrameStorageContract {
+  def backend = "local"
+  def mkStorage(root: String, dir: String) = new FrameStorage(root, dir)
+}
+
+class S3FrameStorageSpec extends FrameStorageContract {
+  def backend = "s3"
+  def mkStorage(root: String, dir: String) = new S3FrameStorage(root, dir)
+
+  test("[s3] existence is a string-prefix listing, not a directory stat") {
+    val bucket = Files.createTempDirectory("graft_s3_bucket").toString
+    val st1 = new S3FrameStorage(bucket, "raw_frames/ds1")
+    assert(st1.uploadIm("a.png", ImageCodec.encodeGray8(new Array[Byte](4), 2, 2)))
+    // key-granular check: an exact key that exists vs one that doesn't
+    assert(!st1.nonexistentStoragePath("raw_frames/ds1/a.png"))
+    assert(st1.nonexistentStoragePath("raw_frames/ds1/b.png"))
+    intercept[IllegalArgumentException] { st1.assertUniqueId() }
+    // boto3 parity footgun: with ONLY ds10's object in the bucket, the
+    // raw string prefix `raw_frames/ds1` still matches
+    // `raw_frames/ds10/b.png` — the twin reproduces the API's
+    // behavior rather than papering over it (callers scope with a
+    // trailing separator, exactly as against the real service)
+    val bucket2 = Files.createTempDirectory("graft_s3_bucket2").toString
+    val st10 = new S3FrameStorage(bucket2, "raw_frames/ds10")
+    assert(st10.uploadIm("b.png", ImageCodec.encodeGray8(new Array[Byte](4), 2, 2)))
+    intercept[IllegalArgumentException] {
+      new S3FrameStorage(bucket2, "raw_frames/ds1").assertUniqueId()
+    }
+    // the separator-scoped prefix is clean
+    assert(new S3FrameStorage(bucket2, "raw_frames/ds1")
+      .nonexistentStoragePath("raw_frames/ds1/"))
   }
 }
