@@ -33,7 +33,16 @@ object Bench {
       else
         spark.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-    src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // ts arrives as ns-long (timestamp[ns] under nanosAsLong) or as a
+    // real timestamp (timestamp[us] layout, tz'd or NTZ); the stream
+    // needs TimestampType
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    schema("ts").dataType match {
+      case TimestampType => src
+      case TimestampNTZType =>
+        src.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
   }
 
   /** End-to-end Structured Streaming throughput: the windowed

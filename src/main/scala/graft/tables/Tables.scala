@@ -24,7 +24,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  /** The events table always presents `ts` as BIGINT epoch-nanos, no
+    * matter which physical parquet type the generator emitted. Layouts
+    * seen in the wild: timestamp[ns] (which Spark only reads under
+    * `spark.sql.legacy.parquet.nanosAsLong`, arriving as LongType nanos
+    * already) and timestamp[us] with or without tz metadata (arriving
+    * as TimestampType / TimestampNTZType). All event operators do exact
+    * integer nano arithmetic on `ts`, so the micros layouts are widened
+    * here — `unix_micros * 1000` under the UTC session timezone every
+    * graft entry point pins — instead of letting every consumer fail on
+    * a type it didn't expect.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => df
+      case TimestampType | TimestampNTZType =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case other =>
+        sys.error(s"events.ts: unsupported physical type $other")
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }
