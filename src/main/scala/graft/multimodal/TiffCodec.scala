@@ -10,12 +10,15 @@ import scala.collection.mutable.ArrayBuffer
   * (ImageWidth/ImageLength, BitsPerSample, SamplesPerPixel,
   * ImageDescription) plus the decoded pixels per page.
   *
-  * Scope is the baseline-TIFF subset microscopes actually emit and the
+  * Scope is the TIFF subset microscopes actually emit and the
   * splitters actually read: gray (PhotometricInterpretation 0/1) and
-  * RGB, 8- and 16-bit, both byte orders, strip layout, Compression 1
-  * (none) and 5 (LZW, with the spec's early-change code widths and
-  * horizontal-differencing Predictor 2). Tiles, palettes, planar
-  * layout, and float samples are out of scope and fail loudly.
+  * RGB, 8- and 16-bit, both byte orders, strip AND tile layouts
+  * (TIFF6 §15 — real OME-TIFF instrument exports are frequently
+  * tiled), chunky and planar sample order (PlanarConfiguration 1/2),
+  * Compression 1 (none) and 5 (LZW, with the spec's early-change code
+  * widths and horizontal-differencing Predictor 2, whose runs restart
+  * at every segment row because segments decompress independently).
+  * Palettes and float samples are out of scope and fail loudly.
   *
   * Like [[ImageCodec]], everything is executor-side per-row work — no
   * Spark imports, safe inside mapPartitions. The writer exists for
@@ -101,9 +104,13 @@ object TiffCodec {
       var width = 0L; var height = 0L
       var bps = Array(1L); var spp = 1L
       var compression = 1L; var predictor = 1L
+      var planar = 1L
       var rowsPerStrip = 0xffffffffL
       var stripOffsets = Array.empty[Long]
       var stripCounts = Array.empty[Long]
+      var tileW = 0L; var tileL = 0L
+      var tileOffsets = Array.empty[Long]
+      var tileCounts = Array.empty[Long]
       var description: Option[String] = None
       var e = 0
       while (e < n) {
@@ -118,7 +125,12 @@ object TiffCodec {
           case 277 => spp = values(off)(0)
           case 278 => rowsPerStrip = values(off)(0)
           case 279 => stripCounts = values(off)
+          case 284 => planar = values(off)(0)
           case 317 => predictor = values(off)(0)
+          case 322 => tileW = values(off)(0)
+          case 323 => tileL = values(off)(0)
+          case 324 => tileOffsets = values(off)
+          case 325 => tileCounts = values(off)
           case _ => // tag the splitters don't read — skip
         }
         e += 1
@@ -135,62 +147,143 @@ object TiffCodec {
         s"unsupported compression $compression (baseline + LZW only)")
       require(predictor == 1 || predictor == 2,
         s"unsupported predictor $predictor")
-      require(stripOffsets.nonEmpty && stripCounts.length == stripOffsets.length,
-        "TIFF page missing strip layout")
+      require(planar == 1 || planar == 2,
+        s"unsupported PlanarConfiguration $planar")
 
       val w = width.toInt; val h = height.toInt
-      val rowBytes = w * channels * (bits / 8)
-      val raw = new Array[Byte](h * rowBytes)
-      val rps = math.min(rowsPerStrip, height).toInt
-      var strip = 0
-      var row = 0
-      while (strip < stripOffsets.length) {
-        val rowsHere = math.min(rps, h - row)
-        require(rowsHere > 0, "more strips than image rows")
-        val so = stripOffsets(strip).toInt
-        val sc = stripCounts(strip).toInt
-        require(so >= 0 && sc >= 0 && so + sc <= bytes.length,
-          "TIFF strip out of bounds")
-        if (compression == 1) {
-          require(sc == rowsHere * rowBytes,
-            s"uncompressed strip size $sc != ${rowsHere * rowBytes}")
-          System.arraycopy(bytes, so, raw, row * rowBytes, sc)
-        } else {
-          val dec = lzwDecode(bytes, so, sc, rowsHere * rowBytes)
-          System.arraycopy(dec, 0, raw, row * rowBytes, dec.length)
-        }
-        row += rowsHere
-        strip += 1
-      }
-      require(row == h, s"strips cover $row of $h rows")
+      val tiled = tileOffsets.nonEmpty
+      val bytesPerSample = bits / 8
+      // separate planes: one sample stream per channel (planar config 2
+      // is chunky when there is only one channel anyway)
+      val planes = if (planar == 2) channels else 1
+      val chSeg = if (planar == 2) 1 else channels
 
-      // bytes → samples (sample endianness follows the file's)
-      val out = new Array[Int](w * h * channels)
-      if (bits == 8) {
-        var i = 0
-        while (i < out.length) { out(i) = raw(i) & 0xff; i += 1 }
-      } else {
-        var i = 0
-        while (i < out.length) {
-          out(i) =
-            if (little) (raw(2 * i) & 0xff) | ((raw(2 * i + 1) & 0xff) << 8)
-            else ((raw(2 * i) & 0xff) << 8) | (raw(2 * i + 1) & 0xff)
-          i += 1
-        }
+      // decompress one segment (strip or tile) to exactly `expected`
+      // raw bytes
+      def segBytes(idx: Int, offs: Array[Long], cnts: Array[Long],
+          expected: Int): Array[Byte] = {
+        val so = offs(idx).toInt; val sc = cnts(idx).toInt
+        require(so >= 0 && sc >= 0 && so + sc <= bytes.length,
+          "TIFF segment out of bounds")
+        if (compression == 1) {
+          require(sc == expected,
+            s"uncompressed segment size $sc != $expected")
+          java.util.Arrays.copyOfRange(bytes, so, so + sc)
+        } else lzwDecode(bytes, so, sc, expected)
       }
-      // horizontal differencing undone on SAMPLE values, per row and
-      // per channel (TIFF6 §14)
-      if (predictor == 2) {
-        val mask = if (bits == 8) 0xff else 0xffff
-        var y = 0
-        while (y < h) {
-          val base = y * w * channels
-          var i = channels
-          while (i < w * channels) {
-            out(base + i) = (out(base + i) + out(base + i - channels)) & mask
+      // raw segment bytes → samples (endianness follows the file's),
+      // horizontal differencing undone per SEGMENT row — segments
+      // decompress independently and every row restarts the predictor
+      // run (TIFF6 §14), so a tile row of tw samples is its own run
+      def segSamples(raw: Array[Byte], rowSamples: Int): Array[Int] = {
+        val nS = raw.length / bytesPerSample
+        val s = new Array[Int](nS)
+        if (bits == 8) {
+          var i = 0
+          while (i < nS) { s(i) = raw(i) & 0xff; i += 1 }
+        } else {
+          var i = 0
+          while (i < nS) {
+            s(i) =
+              if (little) (raw(2 * i) & 0xff) | ((raw(2 * i + 1) & 0xff) << 8)
+              else ((raw(2 * i) & 0xff) << 8) | (raw(2 * i + 1) & 0xff)
             i += 1
           }
-          y += 1
+        }
+        if (predictor == 2) {
+          val mask = if (bits == 8) 0xff else 0xffff
+          var rowBase = 0
+          while (rowBase < nS) {
+            var i = chSeg
+            while (i < rowSamples) {
+              s(rowBase + i) = (s(rowBase + i) + s(rowBase + i - chSeg)) & mask
+              i += 1
+            }
+            rowBase += rowSamples
+          }
+        }
+        s
+      }
+
+      val out = new Array[Int](w * h * channels)
+      if (!tiled) {
+        require(stripOffsets.nonEmpty &&
+          stripCounts.length == stripOffsets.length,
+          "TIFF page missing strip layout")
+        val rps = math.min(rowsPerStrip, height).toInt
+        require(rps > 0, s"bad RowsPerStrip $rps")
+        val stripsPerPlane = (h + rps - 1) / rps
+        require(stripOffsets.length == stripsPerPlane * planes,
+          s"strip count ${stripOffsets.length} != " +
+            s"$stripsPerPlane strips x $planes planes")
+        var p = 0
+        while (p < planes) {
+          var s = 0
+          while (s < stripsPerPlane) {
+            val row0 = s * rps
+            val rowsHere = math.min(rps, h - row0)
+            val rowSamples = w * chSeg
+            val seg = segSamples(
+              segBytes(p * stripsPerPlane + s, stripOffsets, stripCounts,
+                rowsHere * rowSamples * bytesPerSample), rowSamples)
+            if (planes == 1)
+              System.arraycopy(seg, 0, out, row0 * rowSamples, seg.length)
+            else {
+              var i = 0
+              while (i < seg.length) {
+                out((row0 * w + i) * channels + p) = seg(i)
+                i += 1
+              }
+            }
+            s += 1
+          }
+          p += 1
+        }
+      } else {
+        val tw = tileW.toInt; val tl = tileL.toInt
+        require(tw > 0 && tl > 0, s"bad tile size ${tw}x$tl")
+        require(tileCounts.length == tileOffsets.length,
+          "TIFF page missing tile layout")
+        val across = (w + tw - 1) / tw
+        val down = (h + tl - 1) / tl
+        require(tileOffsets.length == across * down * planes,
+          s"tile count ${tileOffsets.length} != " +
+            s"$across x $down x $planes planes")
+        val rowSamples = tw * chSeg
+        var p = 0
+        while (p < planes) {
+          var ty = 0
+          while (ty < down) {
+            var tx = 0
+            while (tx < across) {
+              val seg = segSamples(
+                segBytes((p * down + ty) * across + tx, tileOffsets,
+                  tileCounts, tl * rowSamples * bytesPerSample), rowSamples)
+              // copy the unpadded region (edge tiles carry full tw x tl
+              // data; the right/bottom padding is discarded)
+              val cols = math.min(tw, w - tx * tw)
+              val rows = math.min(tl, h - ty * tl)
+              var yy = 0
+              while (yy < rows) {
+                val y = ty * tl + yy
+                if (planes == 1)
+                  System.arraycopy(seg, yy * rowSamples,
+                    out, (y * w + tx * tw) * channels, cols * channels)
+                else {
+                  var xx = 0
+                  while (xx < cols) {
+                    out((y * w + tx * tw + xx) * channels + p) =
+                      seg(yy * tw + xx)
+                    xx += 1
+                  }
+                }
+                yy += 1
+              }
+              tx += 1
+            }
+            ty += 1
+          }
+          p += 1
         }
       }
       pages += TiffPage(w, h, bits, channels, description, out)
@@ -202,17 +295,25 @@ object TiffCodec {
     result
   }
 
-  /** Encode pages as a little-endian multi-page baseline TIFF (one
-    * strip per page). `lzw` selects Compression 5 with the given
-    * predictor (1 = none, 2 = horizontal differencing); description
-    * lands in the FIRST page's ImageDescription — where
-    * tif_id_splitter._get_params_from_str reads it.
+  /** Encode pages as a little-endian multi-page TIFF. Default layout
+    * is one strip per page; `tileSize` switches to the tiled layout
+    * (TIFF6 §15, dims must be multiples of 16) and `planar` to
+    * PlanarConfiguration 2 (one segment stream per channel). `lzw`
+    * selects Compression 5 with the given predictor (1 = none, 2 =
+    * horizontal differencing); description lands in the FIRST page's
+    * ImageDescription — where tif_id_splitter._get_params_from_str
+    * reads it.
     */
   def write(pages: Seq[TiffPage], lzw: Boolean = false,
-      predictor: Int = 1, description: Option[String] = None): Array[Byte] = {
+      predictor: Int = 1, description: Option[String] = None,
+      tileSize: Option[(Int, Int)] = None,
+      planar: Boolean = false): Array[Byte] = {
     require(pages.nonEmpty, "no pages to write")
     require(predictor == 1 || predictor == 2, s"bad predictor $predictor")
     require(lzw || predictor == 1, "predictor needs LZW here")
+    for ((tw, tl) <- tileSize)
+      require(tw > 0 && tl > 0 && tw % 16 == 0 && tl % 16 == 0,
+        s"tile dims must be positive multiples of 16, got ${tw}x$tl")
     val buf = new ArrayBuffer[Byte](1 << 16)
     def put8(v: Int): Unit = buf += v.toByte
     def put16(v: Int): Unit = { put8(v & 0xff); put8((v >>> 8) & 0xff) }
@@ -233,41 +334,96 @@ object TiffCodec {
       require(p.samples.length == w * h * ch, "bad sample buffer")
       require(bits == 8 || bits == 16, s"bad bit depth $bits")
       require(ch == 1 || ch == 3, s"bad channels $ch")
-      // sample values → (optionally differenced) little-endian bytes
-      val src =
-        if (predictor == 2) {
-          val mask = if (bits == 8) 0xff else 0xffff
-          val d = new Array[Int](p.samples.length)
-          var y = 0
-          while (y < h) {
-            val base = y * w * ch
-            var i = w * ch - 1
-            while (i >= ch) {
-              d(base + i) =
-                (p.samples(base + i) - p.samples(base + i - ch)) & mask
-              i -= 1
+      val planes = if (planar && ch > 1) ch else 1
+      val chSeg = if (planes > 1) 1 else ch
+
+      // per-segment sample arrays in reader order (plane-major, then
+      // row-major tiles); edge tiles zero-padded to full tw x tl
+      val segSamples: IndexedSeq[Array[Int]] = tileSize match {
+        case Some((tw, tl)) =>
+          val across = (w + tw - 1) / tw
+          val down = (h + tl - 1) / tl
+          for (pl <- 0 until planes; ty <- 0 until down; tx <- 0 until across)
+            yield {
+              val seg = new Array[Int](tw * tl * chSeg)
+              val cols = math.min(tw, w - tx * tw)
+              val rows = math.min(tl, h - ty * tl)
+              var yy = 0
+              while (yy < rows) {
+                val y = ty * tl + yy
+                if (planes == 1)
+                  System.arraycopy(p.samples, (y * w + tx * tw) * ch,
+                    seg, yy * tw * ch, cols * ch)
+                else {
+                  var xx = 0
+                  while (xx < cols) {
+                    seg(yy * tw + xx) =
+                      p.samples((y * w + tx * tw + xx) * ch + pl)
+                    xx += 1
+                  }
+                }
+                yy += 1
+              }
+              seg
             }
-            var c = 0
-            while (c < ch) { d(base + c) = p.samples(base + c); c += 1 }
-            y += 1
+        case None =>
+          if (planes == 1) IndexedSeq(p.samples)
+          else (0 until planes).map { pl =>
+            val seg = new Array[Int](w * h)
+            var i = 0
+            while (i < seg.length) { seg(i) = p.samples(i * ch + pl); i += 1 }
+            seg
           }
-          d
-        } else p.samples
-      val rawBytes = new Array[Byte](src.length * (bits / 8))
-      var i = 0
-      if (bits == 8) while (i < src.length) { rawBytes(i) = src(i).toByte; i += 1 }
-      else while (i < src.length) {
-        rawBytes(2 * i) = (src(i) & 0xff).toByte
-        rawBytes(2 * i + 1) = ((src(i) >>> 8) & 0xff).toByte
-        i += 1
       }
-      val strip = if (lzw) lzwEncode(rawBytes) else rawBytes
-      val stripOff = buf.length
-      buf ++= strip
-      if (buf.length % 2 == 1) put8(0) // word-align the IFD
+      val rowSamplesSeg = tileSize match {
+        case Some((tw, _)) => tw * chSeg
+        case None => w * chSeg
+      }
+
+      // samples -> (optionally differenced per segment row) ->
+      // little-endian bytes -> (optionally LZW); every segment row is
+      // its own predictor run, matching the reader and TIFF6 (segments
+      // decompress independently)
+      def encodeSeg(samples: Array[Int]): Array[Byte] = {
+        val src =
+          if (predictor == 2) {
+            val mask = if (bits == 8) 0xff else 0xffff
+            val d = samples.clone()
+            var rowBase = 0
+            while (rowBase < d.length) {
+              var i = rowSamplesSeg - 1
+              while (i >= chSeg) {
+                d(rowBase + i) =
+                  (samples(rowBase + i) - samples(rowBase + i - chSeg)) & mask
+                i -= 1
+              }
+              rowBase += rowSamplesSeg
+            }
+            d
+          } else samples
+        val rawBytes = new Array[Byte](src.length * (bits / 8))
+        var i = 0
+        if (bits == 8)
+          while (i < src.length) { rawBytes(i) = src(i).toByte; i += 1 }
+        else while (i < src.length) {
+          rawBytes(2 * i) = (src(i) & 0xff).toByte
+          rawBytes(2 * i + 1) = ((src(i) >>> 8) & 0xff).toByte
+          i += 1
+        }
+        if (lzw) lzwEncode(rawBytes) else rawBytes
+      }
+      val segOffsets = new Array[Long](segSamples.length)
+      val segCounts = new Array[Long](segSamples.length)
+      for ((seg, si) <- segSamples.zipWithIndex) {
+        val enc = encodeSeg(seg)
+        segOffsets(si) = buf.length
+        segCounts(si) = enc.length
+        buf ++= enc
+        if (buf.length % 2 == 1) put8(0) // word-align
+      }
       // external value areas
       val desc = if (pageIdx == 0) description else None
-      val descBytes = desc.map(s => (s + " ").getBytes("US-ASCII"))
+      val descBytes = desc.map(s => (s + " ").getBytes("US-ASCII"))
       var descOff = 0
       for (db <- descBytes if db.length > 4) {
         descOff = buf.length; buf ++= db
@@ -277,6 +433,12 @@ object TiffCodec {
       if (ch == 3) { // count 3 SHORTs = 6 bytes, can't inline
         bpsOff = buf.length
         (0 until 3).foreach(_ => put16(bits))
+      }
+      // segment offset/count arrays when they can't inline (LONG x n)
+      var segOffsOff = 0; var segCntsOff = 0
+      if (segSamples.length > 1) {
+        segOffsOff = buf.length; segOffsets.foreach(put32)
+        segCntsOff = buf.length; segCounts.foreach(put32)
       }
       val ifdOff = buf.length
       patch32(prevNextPtr, ifdOff)
@@ -291,10 +453,25 @@ object TiffCodec {
       for (db <- descBytes)
         entries += (if (db.length > 4) Entry(270, 2, db.length, descOff)
           else Entry(270, 2, db.length, 0, Some(db)))
-      entries += Entry(273, 4, 1, stripOff)
       entries += Entry(277, 3, 1, ch)
-      entries += Entry(278, 4, 1, h) // one strip per page
-      entries += Entry(279, 4, 1, strip.length)
+      if (planes > 1) entries += Entry(284, 3, 1, 2)
+      def segEntries(offTag: Int, cntTag: Int): Unit =
+        if (segSamples.length == 1) {
+          entries += Entry(offTag, 4, 1, segOffsets(0))
+          entries += Entry(cntTag, 4, 1, segCounts(0))
+        } else {
+          entries += Entry(offTag, 4, segSamples.length, segOffsOff)
+          entries += Entry(cntTag, 4, segSamples.length, segCntsOff)
+        }
+      tileSize match {
+        case Some((tw, tl)) =>
+          entries += Entry(322, 3, 1, tw)
+          entries += Entry(323, 3, 1, tl)
+          segEntries(324, 325)
+        case None =>
+          entries += Entry(278, 4, 1, h) // one strip (per plane)
+          segEntries(273, 279)
+      }
       if (lzw && predictor == 2) entries += Entry(317, 3, 1, 2)
       val sorted = entries.sortBy(_.tag)
       put16(sorted.length)

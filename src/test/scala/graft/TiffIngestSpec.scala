@@ -65,6 +65,73 @@ class TiffIngestSpec extends AnyFunSuite {
     }
   }
 
+  test("TIFF tiled + planar layouts round-trip at every shape") {
+    val rnd = new scala.util.Random(17)
+    // 37x21 with 16x16 tiles: 3x2 tile grid with right+bottom edge
+    // padding, so the unpadded-copy path is genuinely exercised
+    for {
+      (ch, bits) <- Seq((1, 8), (1, 16), (3, 8), (3, 16))
+      tile <- Seq(None, Some((16, 16)))
+      planar <- Seq(false, true)
+      lzw <- Seq(false, true)
+      pred <- Seq(1, 2)
+      if lzw || pred == 1
+      if tile.nonEmpty || planar // plain strip-chunky covered above
+    } {
+      val page = TiffPage(37, 21, bits, ch, None,
+        Array.fill(37 * 21 * ch)(rnd.nextInt(1 << bits)))
+      val back = TiffCodec.readPages(TiffCodec.write(Seq(page), lzw, pred,
+        None, tileSize = tile, planar = planar))
+      assert(back.length === 1)
+      assert((back(0).width, back(0).height) === (37, 21))
+      assert(back(0).samples.toSeq === page.samples.toSeq,
+        s"ch=$ch bits=$bits tile=$tile planar=$planar lzw=$lzw pred=$pred")
+    }
+    // multi-page tiled stacks keep page identity
+    val pages = (0 until 4).map(p =>
+      TiffPage(20, 18, 16, 1, None,
+        Array.tabulate(20 * 18)(i => (i * 31 + p * 9973) % 65536)))
+    val back = TiffCodec.readPages(
+      TiffCodec.write(pages, lzw = true, predictor = 2,
+        tileSize = Some((16, 16))))
+    assert(back.length === 4)
+    for ((p, i) <- back.zipWithIndex)
+      assert(p.samples.toSeq === pages(i).samples.toSeq, s"page $i")
+  }
+
+  test("TIFF tiled layout interoperates with the JDK codec both ways") {
+    val rnd = new scala.util.Random(19)
+    val planted = Array.fill(70 * 50)(rnd.nextInt(65536))
+    // JDK-written tiled TIFF (the layout real OME-TIFF exporters emit)
+    // through our reader
+    val wtr = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    wtr.setOutput(ios)
+    val param = wtr.getDefaultWriteParam
+    param.setTilingMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setTiling(32, 32, 0, 0)
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionType("LZW")
+    val bi = new java.awt.image.BufferedImage(70, 50,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    planted.zipWithIndex.foreach { case (v, i) =>
+      bi.getRaster.setSample(i % 70, i / 70, 0, v) }
+    wtr.write(null, new javax.imageio.IIOImage(bi, null, null), param)
+    ios.close()
+    val theirs = TiffCodec.readPages(bos.toByteArray)
+    assert(theirs.head.samples.toSeq === planted.toSeq)
+    // our tiled file through the JDK reader
+    val page = TiffPage(70, 50, 16, 1, None, planted)
+    val ours = TiffCodec.write(Seq(page), lzw = true, predictor = 1,
+      tileSize = Some((32, 32)))
+    val im = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(ours))
+    assert(im != null, "javax.imageio could not read our tiled TIFF")
+    val viaImageIo = Array.tabulate(70 * 50)(i =>
+      im.getRaster.getSample(i % 70, i / 70, 0))
+    assert(viaImageIo.toSeq === planted.toSeq)
+  }
+
   test("TIFF LZW interoperates with the JDK codec across width bumps") {
     // >60k random 16-bit samples: the code stream crosses the
     // 9->10->11->12-bit boundaries and a table reset — any
