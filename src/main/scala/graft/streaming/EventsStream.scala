@@ -378,4 +378,159 @@ object EventsStream {
     events
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Per-session journey digest emitted at session close. */
+  case class TwsDigest(user_id: Long, n_events: Long, n_types: Long,
+    dominant_type: String, topk_cents: Long, start_ms: Long,
+    duration_ms: Long)
+
+  /** Session bounds for [[DigestProcessor]] (counts and top-k live in
+    * the composite states, not here).
+    */
+  case class TwsDigestBounds(nEvents: Long, startMs: Long, lastMs: Long,
+    timerMs: Long)
+
+  /** Per-user journey digest on transformWithState's COMPOSITE state
+    * types (SURVEY §7.16's deferred ListState/MapState item): the same
+    * 30-minute-gap session boundary as [[SessionProcessor]], but the
+    * per-session facts live in the state shapes a production journey
+    * tracker needs —
+    *
+    *  - `MapState[String, Long]` holds per-event-type counts, updated
+    *    key-wise per batch (O(types touched), never a whole-map
+    *    rewrite — the point of MapState over a map-in-ValueState,
+    *    which would round-trip the full map every micro-batch);
+    *  - `ListState[Long]` holds the top-k event values in integer
+    *    cents, appended when under capacity and rewritten (k values)
+    *    only when a trim is needed;
+    *  - a ValueState carries the session bounds and the event-time
+    *    eviction timer, exactly the [[SessionProcessor]] lifecycle.
+    *
+    * The digest emitted at close: distinct-type count, dominant type
+    * (max count, lexicographic tie-break — order-independent), top-k
+    * value sum (multiset semantics — order-independent), plus the
+    * session envelope. State per user is bounded by the event-type
+    * vocabulary + k + one bounds row, evicted whole at close.
+    */
+  class DigestProcessor(gapMs: Long, k: Int)
+      extends StatefulProcessor[Long, Event, TwsDigest] {
+    @transient private var bounds: ValueState[TwsDigestBounds] = _
+    @transient private var typeCounts: org.apache.spark.sql.streaming.MapState[String, Long] = _
+    @transient private var topCents: org.apache.spark.sql.streaming.ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      bounds = getHandle.getValueState[TwsDigestBounds]("bounds",
+        Encoders.product[TwsDigestBounds], TTLConfig.NONE)
+      typeCounts = getHandle.getMapState[String, Long]("type_counts",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+      topCents = getHandle.getListState[Long]("top_cents",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    private def digestOf(user: Long, b: TwsDigestBounds,
+        counts: collection.Map[String, Long],
+        top: collection.Seq[Long]): TwsDigest = {
+      val dominant = counts.minBy { case (t, c) => (-c, t) }._1
+      TwsDigest(user, b.nEvents, counts.size, dominant,
+        top.sorted.takeRight(k).sum, b.startMs, b.lastMs - b.startMs)
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[TwsDigest] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val closed = Seq.newBuilder[TwsDigest]
+      var cur = if (bounds.exists()) Some(bounds.get()) else None
+      val prevTimer = cur.map(_.timerMs).getOrElse(-1L)
+      // the continuing session's batch-local delta — merged key-wise
+      // into MapState at the end, full map never read on this path
+      var delta = scala.collection.mutable.Map.empty[String, Long]
+      var deltaFresh = cur.isEmpty // fresh session: state is empty
+      var top = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var topLoaded = cur.isEmpty
+      var topStored = 0
+      var topTrimmed = false
+      def loadTop(): Unit = if (!topLoaded) {
+        topCents.get().foreach(top += _)
+        topStored = top.length
+        topLoaded = true
+      }
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(b) if t - b.lastMs <= gapMs =>
+            cur = Some(b.copy(nEvents = b.nEvents + 1,
+              startMs = math.min(b.startMs, t),
+              lastMs = math.max(b.lastMs, t)))
+          case Some(b) =>
+            // close the stored session: merge its delta over the FULL
+            // stored map (read once, only on a close), likewise top-k
+            val merged = scala.collection.mutable.Map.empty[String, Long]
+            typeCounts.iterator().foreach { case (ty, c) => merged(ty) = c }
+            delta.foreach { case (ty, c) =>
+              merged(ty) = merged.getOrElse(ty, 0L) + c }
+            loadTop()
+            closed += digestOf(user, b, merged, top)
+            typeCounts.clear(); topCents.clear()
+            delta = scala.collection.mutable.Map.empty[String, Long]
+            deltaFresh = true
+            top = scala.collection.mutable.ArrayBuffer.empty[Long]
+            topStored = 0
+            topTrimmed = false
+            cur = Some(TwsDigestBounds(1, t, t, -1L))
+          case None =>
+            cur = Some(TwsDigestBounds(1, t, t, -1L))
+        }
+        delta(e.event_type) = delta.getOrElse(e.event_type, 0L) + 1
+        loadTop()
+        top += math.round(e.value * 100)
+        if (top.length > k) {
+          top.sortInPlace()
+          while (top.length > k) { top.remove(0); topTrimmed = true }
+        }
+      }
+      cur.foreach { b =>
+        // key-wise merge: only types touched this batch round-trip
+        delta.foreach { case (ty, c) =>
+          val base =
+            if (deltaFresh || !typeCounts.containsKey(ty)) 0L
+            else typeCounts.getValue(ty)
+          typeCounts.updateValue(ty, base + c)
+        }
+        if (topTrimmed || deltaFresh) topCents.put(top.toArray)
+        else if (delta.nonEmpty)
+          // under capacity and nothing evicted: append only the new
+          // values (the stored prefix is already there, untouched)
+          topCents.appendList(top.drop(topStored).toArray)
+        val at = b.lastMs + gapMs
+        if (prevTimer > 0 && prevTimer != at) getHandle.deleteTimer(prevTimer)
+        if (prevTimer != at) getHandle.registerTimer(at)
+        bounds.update(b.copy(timerMs = at))
+      }
+      closed.result().iterator
+    }
+
+    override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[TwsDigest] = {
+      if (bounds.exists()
+          && bounds.get().timerMs == expiredTimerInfo.getExpiryTimeInMs) {
+        val b = bounds.get()
+        val counts = scala.collection.mutable.Map.empty[String, Long]
+        typeCounts.iterator().foreach { case (ty, c) => counts(ty) = c }
+        val top = topCents.get().toSeq
+        bounds.clear(); typeCounts.clear(); topCents.clear()
+        Iterator.single(digestOf(user, b, counts, top))
+      } else Iterator.empty
+    }
+  }
+
+  /** The journey-digest processor over a watermarked event stream
+    * (RocksDB state store required, like [[sessionizeTws]]).
+    */
+  def journeyDigest(spark: SparkSession, events: Dataset[Event],
+      gapMs: Long = 30L * 60 * 1000, k: Int = 3): Dataset[TwsDigest] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new DigestProcessor(gapMs, k),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

@@ -230,6 +230,67 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.conf.unset(key)
   }
 
+  test("ListState/MapState journey digest has batch parity on the corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gapMs = 30L * 60 * 1000
+    val k = 3
+    val ev = EventsStream.eventsAsTimestamps(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect()
+    // driver-side oracle: gap-fold with per-session type counts,
+    // dominant type (max count, lexicographic tie-break) and top-k
+    // cent sum — all order-independent digests
+    val expected = ev.groupBy(_.user_id).flatMap { case (u, es) =>
+      val sorted = es.sortBy(e => (e.ts.getTime, e.event_id))
+      val out = Seq.newBuilder[(Long, Long, Long, String, Long, Long, Long)]
+      var ses = Seq.empty[Event]
+      def close(): Unit = if (ses.nonEmpty) {
+        val counts = ses.groupBy(_.event_type).view.mapValues(_.size.toLong)
+        val dominant = counts.toSeq.minBy { case (t, c) => (-c, t) }._1
+        val cents = ses.map(e => math.round(e.value * 100))
+        val start = ses.map(_.ts.getTime).min
+        val last = ses.map(_.ts.getTime).max
+        out += ((u, ses.size.toLong, counts.size.toLong, dominant,
+          cents.sorted.takeRight(k).sum, start, last - start))
+      }
+      sorted.foreach { e =>
+        if (ses.nonEmpty && e.ts.getTime - ses.map(_.ts.getTime).max > gapMs) {
+          close(); ses = Seq.empty
+        }
+        ses :+= e
+      }
+      close()
+      out.result()
+    }.toSet
+    val maxTs = ev.map(_.ts.getTime).max
+    val stream = MemoryStream[Event]
+    // two batches (split mid-corpus) so the MapState key-wise merge and
+    // the ListState append/trim paths both run against PERSISTED state,
+    // then a far-future sentinel to fire every eviction timer
+    val (b1, b2) = ev.sortBy(_.ts.getTime).splitAt(ev.length / 2)
+    stream.addData(b1.toIndexedSeq)
+    stream.addData(b2.toIndexedSeq)
+    stream.addData(Seq(Event(-1L,
+      new Timestamp(maxTs + 10L * 24 * 3600 * 1000), -1L, "click", 1.0)))
+    val withWm = stream.toDS().withWatermark("ts", "0 seconds").as[Event]
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val q = EventsStream.journeyDigest(spark, withWm, gapMs, k)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("digest_parity_out").start()
+      try q.processAllAvailable() finally q.stop()
+      val got = spark.table("digest_parity_out")
+        .as[EventsStream.TwsDigest].collect()
+        .map(d => (d.user_id, d.n_events, d.n_types, d.dominant_type,
+          d.topk_cents, d.start_ms, d.duration_ms)).toSet
+      assert(got === expected,
+        s"digest closed ${got.size} sessions, batch oracle ${expected.size}")
+    } finally spark.conf.unset(key)
+  }
+
   test("warm-started tws sessionizer matches the full-stream result") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
