@@ -2239,11 +2239,12 @@ ORDER BY c.source"""
   val embGramPower: String = """
 WITH cells AS (
   SELECT i.i AS i, j.j AS j,
-    sum(CAST(CAST(embedding[i.i + 1] AS DOUBLE)
-      * CAST(embedding[j.j + 1] AS DOUBLE) AS DECIMAL(27,12))) AS g
+    sum(CAST(floor(CAST(embedding[i.i + 1] AS DOUBLE)
+      * CAST(embedding[j.j + 1] AS DOUBLE) * 1e12 + 0.5)
+      AS DECIMAL(38,0))) AS g
   FROM embeddings, range(64) i(i), range(64) j(j)
   GROUP BY 1, 2),
-gv AS (SELECT i, CAST(sum(g) AS DOUBLE) AS v FROM cells GROUP BY i),
+gv AS (SELECT i, CAST(sum(g) AS DOUBLE) / 1e12 AS v FROM cells GROUP BY i),
 arr AS (SELECT list(v ORDER BY i) AS a FROM gv),
 n AS (SELECT a,
   sqrt(list_sum(list_transform(a, x -> x * x))) AS nrm FROM arr)

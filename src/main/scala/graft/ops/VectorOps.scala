@@ -461,11 +461,25 @@ object VectorOps {
     * start vector. Output: 64 rows (dim, component).
     *
     * Parity: each cell contribution is an IEEE double PRODUCT (both
-    * engines multiply identically) immediately cast to DECIMAL(27,12)
-    * (HALF_UP on both), so the G sums and the row sums G·1 are exact
-    * and order-independent; the final norm folds the 64 row sums
-    * SEQUENTIALLY in dim order (a grouped double sum would be
+    * engines multiply identically) fixed-pointed to integer 1e-12
+    * units via `floor(p·1e12 + 0.5)` — pure double arithmetic that
+    * both engines evaluate bit-identically — and summed as
+    * DECIMAL(38,0) units, so the G sums and the row sums G·1 are
+    * exact and order-independent; the final norm folds the 64 row
+    * sums SEQUENTIALLY in dim order (a grouped double sum would be
     * partition-order dependent).
+    *
+    * The scaled-LONG cell path replaced a per-row
+    * `CAST(p AS DECIMAL(27,12))`: Spark's double→decimal cast
+    * allocates a BigDecimal per row, and at 30× that is ~246M
+    * short-lived BigDecimals — the single heaviest allocation site in
+    * the whole bench, and the reason this query degraded up to 4×
+    * inside a long-lived bench JVM while its plan never changed. A
+    * long→DECIMAL(38,0) input stays on Spark's compact-long Decimal
+    * representation (scale 0 matches the sum buffer, so the adds stay
+    * long-backed too); the overflow guard raises loudly at |p| ≥ 1e3,
+    * far above unit-norm embedding products but well inside the 2^53
+    * double-exact integer range the fixed-point step needs.
     *
     * 100 TB shape: the d² explode (4096 cells/vector) feeds a
     * map-side-combined aggregate on d² keys, so the exchange carries
@@ -484,16 +498,21 @@ object VectorOps {
     // one scan partition carrying hundreds of core-seconds of Gram
     // work — without this the whole O(d²·N) compute runs on one core
     // (measured 12 s single-task vs ~1 s spread at bench scale)
+    val p = col("xi").cast("double") * col("xj").cast("double")
     val cells = e
       .select(col("embedding"))
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("embedding"), posexplode(col("embedding")).as(Seq("i", "xi")))
       .select(col("i"), col("xi"), posexplode(col("embedding")).as(Seq("j", "xj")))
+      .select(col("i"), col("j"),
+        when(abs(p) < 1e3, floor(p * 1e12 + 0.5))
+          .otherwise(raise_error(lit(
+            "gram cell product >= 1e3 overflows the 1e-12 fixed point " +
+              "— rescale the embeddings or widen the unit"))).as("units"))
       .groupBy("i", "j")
-      .agg(sum((col("xi").cast("double") * col("xj").cast("double"))
-        .cast("decimal(27,12)")).as("g"))
+      .agg(sum(col("units").cast("decimal(38,0)")).as("g"))
     val gv = cells.groupBy("i")
-      .agg(sum(col("g")).cast("double").as("v"))
+      .agg((sum(col("g")).cast("double") / 1e12).as("v"))
     gv.agg(sort_array(collect_list(struct(col("i"), col("v")))).as("arr"))
       .select(col("arr"),
         sqrt(aggregate(col("arr"), lit(0.0),
