@@ -168,6 +168,37 @@ object Bench {
     }
   }
 
+  /** Full drain of the ListState/MapState journey digest — the
+    * composite-state transformWithState path under bench load (same
+    * drain-safety contract as the tws sessionizer: event-time timers
+    * only, so AvailableNow terminates).
+    */
+  private def streamDigestBench(spark: SparkSession, sfDir: String): (Double, Long, Long) = {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val t0 = System.nanoTime()
+      val src = streamingEvents(spark, sfDir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .withWatermark("ts", "30 minutes")
+        .as[graft.streaming.EventsStream.Event]
+      val q = graft.streaming.EventsStream.journeyDigest(spark, src)
+        .writeStream.format("noop")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      if (!q.awaitTermination(300000L)) { q.stop(); sys.error("stream timeout") }
+      val dt = (System.nanoTime() - t0) / 1e9
+      val st = stateMetrics(q)
+      (dt, st._1, st._2)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Min of the runs that succeeded; None if every run failed — a
     * failed stream bench must drop out of the report, not poison the
     * total with a sentinel.
@@ -279,12 +310,15 @@ object Bench {
       minOk((1 to 2).map(_ => () => streamEnrichBench(spark, sfDir)))
     val twsTime =
       minOk((1 to 2).map(_ => () => streamTwsBench(spark, sfDir)))
+    val digestTime =
+      minOk((1 to 2).map(_ => () => streamDigestBench(spark, sfDir)))
     val streams = Seq(
       "stream_events_window" -> streamTime,
       "stream_dedup" -> dedupTime,
       "stream_sessions" -> sessTime,
       "stream_enrich" -> enrichTime,
-      "stream_tws_sessions" -> twsTime).collect { case (k, Some(v)) => k -> v }
+      "stream_tws_sessions" -> twsTime,
+      "stream_journey_digest" -> digestTime).collect { case (k, Some(v)) => k -> v }
     // stream entries already take min-of-2 full drains (expensive); the
     // cross-run canary flags them without extra re-runs
     streams.foreach { case (k, (v, _, _)) =>
