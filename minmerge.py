@@ -44,7 +44,14 @@ def main():
         "value": sum(merged.values()),
         "unit": "sec",
         "queries": merged,
-        "stream_state": runs[0].get("stream_state", {}),
+        # union across runs, first-found wins: an entry added to the
+        # bench surface mid-round only exists in later runs and must
+        # not lose its bounded-state evidence to run order
+        "stream_state": {
+            k: v
+            for r in reversed(runs)
+            for k, v in r.get("stream_state", {}).items()
+        },
         "noisy": sorted(noisy),
         "regressed": {k: runs[0]["regressed"][k] for k in sorted(regressed_keys)},
         "sf": runs[0].get("sf"),
