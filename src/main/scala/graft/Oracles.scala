@@ -1602,6 +1602,59 @@ WHERE gap_sec IS NOT NULL
 GROUP BY event_type
 ORDER BY event_type"""
 
+  /** Journey-digest twin of [[graft.ops.EventOps.eventsJourneyDigest]]
+    * (and semantically of the streaming
+    * [[graft.streaming.EventsStream.journeyDigest]]): same gap
+    * sessionization as [[eventsSessions]], then per-session digests.
+    * Cents fixed-point with floor(value·100 + 0.5) — identical IEEE
+    * double arithmetic on both engines; dominant type via
+    * row_number ordered (n DESC, type); top-3 sum is a multiset so
+    * the row_number tie-break cannot change it.
+    */
+  val eventsJourneyDigest: String = """
+WITH ev AS (
+  SELECT user_id, epoch_ns(ts) AS tns, event_id, event_type,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events),
+s AS (
+  SELECT *, CASE WHEN
+      lag(tns) OVER (PARTITION BY user_id ORDER BY tns, event_id) IS NULL
+      OR tns - lag(tns) OVER (PARTITION BY user_id ORDER BY tns, event_id)
+        > 1800000000000
+    THEN 1 ELSE 0 END AS new_s
+  FROM ev),
+s2 AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY tns, event_id
+    ROWS UNBOUNDED PRECEDING) AS sess
+  FROM s),
+tc AS (
+  SELECT user_id, sess, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM s2 GROUP BY 1, 2, 3),
+dom AS (
+  SELECT user_id, sess, event_type AS dominant_type FROM (
+    SELECT user_id, sess, event_type,
+      row_number() OVER (PARTITION BY user_id, sess
+        ORDER BY n DESC, event_type) AS rn
+    FROM tc) WHERE rn = 1),
+top AS (
+  SELECT user_id, sess, CAST(sum(cents) AS BIGINT) AS topk_cents FROM (
+    SELECT user_id, sess, cents,
+      row_number() OVER (PARTITION BY user_id, sess
+        ORDER BY cents DESC, event_id) AS rn
+    FROM s2) t WHERE rn <= 3 GROUP BY 1, 2),
+agg AS (
+  SELECT user_id, sess, CAST(count(*) AS BIGINT) AS n_events,
+    CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+    min(tns) // 1000000000 AS start_epoch,
+    (max(tns) - min(tns)) // 1000000000 AS duration_sec
+  FROM s2 GROUP BY 1, 2)
+SELECT a.user_id, a.n_events, a.n_types, d.dominant_type, t.topk_cents,
+  a.start_epoch, a.duration_sec
+FROM agg a
+JOIN dom d ON a.user_id = d.user_id AND a.sess = d.sess
+JOIN top t ON a.user_id = t.user_id AND a.sess = t.sess
+ORDER BY a.user_id, a.start_epoch"""
+
   /** Range-join twin of [[graft.ops.EventOps.eventsRangeJoin]]: the
     * same synthesized windows, joined by a plain containment predicate
     * (DuckDB plans its own inequality join — only the RESULT must
@@ -2433,6 +2486,7 @@ ORDER BY dow, hour"""
     "doc_pack_stats" -> docPackStats,
     "events_inter_arrival" -> eventsInterArrival,
     "events_range_join" -> eventsRangeJoin,
+    "events_journey_digest" -> eventsJourneyDigest,
     "q4_priority" -> q4Priority,
     "q7_volume" -> q7Volume,
     "q18_large" -> q18Large,

@@ -86,6 +86,60 @@ object EventOps {
       .orderBy("user_id", "session_idx")
   }
 
+  /** Batch twin of [[graft.streaming.EventsStream.journeyDigest]]:
+    * per-session journey digests (distinct-type count, dominant type,
+    * top-3 value sum) over the same 30-minute-gap sessions — the
+    * digest semantics under the driver's DuckDB oracle, where the
+    * streaming variant is spec-checked.
+    *
+    * Parity: cents are fixed-pointed with `floor(value·100 + 0.5)`
+    * (pure IEEE double arithmetic, bit-identical on both engines);
+    * the dominant type is `min_by(type, (-n, type))` — max count,
+    * lexicographic tie-break; the top-3 sum is a multiset (boundary
+    * ties carry equal values), so every digest is order-independent.
+    *
+    * Plan shape: sessionize with one user_id window (single shuffle,
+    * both window passes share the sort), then TWO nested partial-agg
+    * levels and NO join — per-(session,type) partials carry their own
+    * top-3 arrays, and the session level merges them (the global
+    * top-3 is the top-3 of the per-type top-3s), so nothing bigger
+    * than 3 longs per type crosses the second exchange.
+    */
+  def eventsJourneyDigest(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sess = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .withColumn("gap", col("ts") - lag(col("ts"), 1).over(byUser))
+      .withColumn("new_s",
+        when(col("gap").isNull || col("gap") > 1800L * NanosPerSec, 1)
+          .otherwise(0))
+      .withColumn("sess",
+        sum(col("new_s")).over(byUser.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).cast("bigint"))
+    val perType = sess
+      .groupBy("user_id", "sess", "event_type")
+      .agg(count(lit(1)).as("n"),
+        slice(sort_array(collect_list(col("cents")), asc = false), 1, 3)
+          .as("top3"),
+        min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"))
+    perType
+      .groupBy("user_id", "sess")
+      .agg(sum(col("n")).as("n_events"),
+        count(lit(1)).as("n_types"),
+        min_by(col("event_type"), struct((-col("n")).as("neg_n"),
+          col("event_type"))).as("dominant_type"),
+        aggregate(
+          slice(sort_array(flatten(collect_list(col("top3"))), asc = false),
+            1, 3),
+          lit(0L), (acc, x) => acc + x).as("topk_cents"),
+        expr(s"min(min_ts) div $NanosPerSec").as("start_epoch"),
+        expr(s"(max(max_ts) - min(min_ts)) div $NanosPerSec")
+          .as("duration_sec"))
+      .drop("sess")
+      .orderBy("user_id", "start_epoch")
+  }
+
   /** Conversion funnel view → click → purchase, defined on strictly
     * increasing first-occurrence times per user. One shuffle
     * (per-user conditional-min agg, map-side combined), then a scalar
