@@ -24,11 +24,13 @@ class TiffIngestSpec extends AnyFunSuite {
   private def plantPixels(page: Int): Array[Int] =
     Array.tabulate(6 * 5)(i => (i * 4099 + page * 7717) % 65536)
 
-  private def plantedTiff(lzw: Boolean, predictor: Int): Array[Byte] = {
+  private def plantedTiff(lzw: Boolean, predictor: Int,
+      tileSize: Option[(Int, Int)] = None): Array[Byte] = {
     val pages = (0 until 8).map(p =>
       TiffPage(6, 5, 16, 1, None, plantPixels(p)))
     TiffCodec.write(pages, lzw = lzw, predictor = predictor,
-      description = Some("channels=2\nslices=2\nframes=2\nunrelated=9"))
+      description = Some("channels=2\nslices=2\nframes=2\nunrelated=9"),
+      tileSize = tileSize)
   }
 
   test("TIFF codec: every shape round-trips; both endians decode") {
@@ -178,8 +180,12 @@ class TiffIngestSpec extends AnyFunSuite {
 
   test("splitTiff: planted 8-page stack -> frame rows + exact PNGs") {
     import spark.implicits._
-    for ((lzw, pred) <- Seq((false, 1), (true, 2))) {
-      val files = Seq(("TIFF-2026-01", plantedTiff(lzw, pred)))
+    // third shape: a TILED stack (16x16 tiles over 6x5 pages — pure
+    // edge-tile padding) through the SAME ingest path, so the upload
+    // pipeline is proven on the layout real OME-TIFF exporters emit
+    for ((lzw, pred, tile) <- Seq((false, 1, None), (true, 2, None),
+        (true, 1, Some((16, 16))))) {
+      val files = Seq(("TIFF-2026-01", plantedTiff(lzw, pred, tile)))
         .toDF("dataset_serial", "content")
       val frames = SplitterIngest.splitTiff(spark, files).collect()
         .sortBy(_.page_idx)
