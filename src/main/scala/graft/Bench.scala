@@ -69,6 +69,27 @@ object Bench {
     (dt, st._1, st._2)
   }
 
+  /** Sliding-window (10 min / 5 min) streaming agg over the full
+    * events stream — the overlapping-window counterpart of
+    * [[streamBench]]: twice the window keys per event, state still
+    * volume-independent.
+    */
+  private def streamSlidingBench(spark: SparkSession, sfDir: String,
+      run: Int): (Double, Long, Long) = {
+    val t0 = System.nanoTime()
+    val q = graft.streaming.EventsStream
+      .slidingCounts(streamingEvents(spark, sfDir))
+      .writeStream.format("memory").queryName(s"bench_slide_$run")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    if (!q.awaitTermination(300000L)) { q.stop(); sys.error("stream timeout") }
+    val dt = (System.nanoTime() - t0) / 1e9
+    val st = stateMetrics(q)
+    spark.catalog.dropTempView(s"bench_slide_$run")
+    (dt, st._1, st._2)
+  }
+
   /** Total state rows + bytes from the last progress that reported
     * state operators — the 100 TB risk a wall-clock number hides:
     * state that grows with the stream instead of the watermark.
@@ -312,8 +333,11 @@ object Bench {
       minOk((1 to 2).map(_ => () => streamTwsBench(spark, sfDir)))
     val digestTime =
       minOk((1 to 2).map(_ => () => streamDigestBench(spark, sfDir)))
+    val slidingTime =
+      minOk((1 to 2).map(r => () => streamSlidingBench(spark, sfDir, r)))
     val streams = Seq(
       "stream_events_window" -> streamTime,
+      "stream_sliding" -> slidingTime,
       "stream_dedup" -> dedupTime,
       "stream_sessions" -> sessTime,
       "stream_enrich" -> enrichTime,

@@ -350,6 +350,27 @@ FROM events
 GROUP BY 1, 2
 ORDER BY win_start_epoch, event_type"""
 
+  /** Sliding-window twin of [[graft.ops.EventOps.eventsSliding]]:
+    * each event lands in its two covering 10-minute windows (starts =
+    * floor-to-5-min and that minus 5 min), cents fixed-pointed with
+    * the engine-identical floor(value·100 + 0.5).
+    */
+  val eventsSliding: String = """
+WITH e AS (
+  SELECT event_type,
+    (epoch_ns(ts) // 300000000000) * 300000000000 AS base,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+), w AS (
+  SELECT event_type, cents, base - s.s AS ws
+  FROM e, unnest([0::BIGINT, 300000000000::BIGINT]) AS s(s)
+)
+SELECT ws // 1000000000 AS win_start_epoch, event_type,
+  CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM w
+GROUP BY 1, 2
+ORDER BY win_start_epoch, event_type"""
+
   val eventsSessions: String = """
 WITH e AS (
   SELECT user_id, ts, event_id,
@@ -407,6 +428,54 @@ GROUP BY h
 HAVING count(DISTINCT doc_id) >= 2
 ORDER BY n_docs DESC, n_occ DESC, h
 LIMIT 200"""
+
+  /** Duplicated-span twin of [[graft.ops.DedupOps.spanDedup]]: the
+    * same positional 10-word windows (1-based list slices here vs
+    * 0-based posexplode there — the difference cancels in every gap
+    * and span expression), the same ≥2-occurrences duplication rule,
+    * and the same lag/running-sum island merge.
+    */
+  val docSpanDedup: String = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0),
+toks AS (
+  SELECT doc_id,
+    list_filter(string_split(lower(text), ' '), t -> t <> '') AS ws
+  FROM corpus),
+pos AS (
+  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words, ws, t.i AS i
+  FROM toks, unnest(range(1, len(ws) - 8)) AS t(i)),
+dig AS (
+  SELECT doc_id, n_words, i,
+    md5(array_to_string(ws[i:i+9], ' ')) AS dg
+  FROM pos),
+occ AS (SELECT dg FROM dig GROUP BY dg HAVING count(*) >= 2),
+dup AS (
+  SELECT d.doc_id, d.n_words, d.i
+  FROM dig d JOIN occ USING (dg)),
+brk AS (
+  SELECT doc_id, n_words, i,
+    CASE WHEN lag(i) OVER w IS NULL
+           OR i - lag(i) OVER w > 10 THEN 1 ELSE 0 END AS b
+  FROM dup
+  WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+runs AS (
+  SELECT doc_id, n_words, i,
+    sum(b) OVER (PARTITION BY doc_id ORDER BY i
+      ROWS UNBOUNDED PRECEDING) AS run
+  FROM brk),
+spans AS (
+  SELECT doc_id, n_words, run, max(i) - min(i) + 10 AS span_words
+  FROM runs GROUP BY doc_id, n_words, run)
+SELECT doc_id, n_words, CAST(count(*) AS BIGINT) AS n_spans,
+  CAST(max(span_words) AS BIGINT) AS longest_span,
+  CAST(sum(span_words) AS BIGINT) AS dup_words
+FROM spans
+GROUP BY doc_id, n_words
+ORDER BY dup_words DESC, doc_id
+LIMIT 100"""
 
   /** Shard-census twin of [[graft.ops.TextOps.shardStats]]: identical
     * md5-prefix bucket arithmetic (the docHashSample convention).
@@ -911,6 +980,38 @@ SELECT v1, v2, cos FROM (
 WHERE cos >= 0.9
 ORDER BY v1, v2"""
   }
+
+  /** SemDeDup twin of [[graft.ops.VectorOps.semDedup]]: the same
+    * planted-dup corpus, the same fixed-centroid assignment tie-break
+    * as [[embKnnIvf]], the same keep-first within-cell drop rule on
+    * the bit-identical sequential-fold cosine.
+    */
+  val embSemDedup: String = s"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 50 = 0
+), cents AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16
+), assigned AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cid AS cell,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY -${duckCos("e.embedding", "c.cv")}, c.cid) AS crank
+    FROM corpus e CROSS JOIN cents c)
+  WHERE crank <= 1
+), dropped AS (
+  SELECT DISTINCT a.cell, b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE ${duckCos("a.embedding", "b.embedding")} >= 0.85
+), tot AS (SELECT cell, count(*) AS n_vecs FROM assigned GROUP BY cell),
+drp AS (SELECT cell, count(*) AS n_dropped FROM dropped GROUP BY cell)
+SELECT t.cell, CAST(t.n_vecs AS BIGINT) AS n_vecs,
+  CAST(coalesce(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+  CAST(t.n_vecs - coalesce(d.n_dropped, 0) AS BIGINT) AS n_kept
+FROM tot t LEFT JOIN drp d USING (cell)
+ORDER BY t.cell"""
 
   val imgLineageDepth: String =
     imagingCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """
@@ -2482,6 +2583,9 @@ ORDER BY dow, hour"""
     "doc_repetition" -> docRepetition,
     "doc_hash_sample" -> docHashSample,
     "doc_chunk_dedup" -> docChunkDedup,
+    "doc_span_dedup" -> docSpanDedup,
+    "emb_semdedup" -> embSemDedup,
+    "events_sliding" -> eventsSliding,
     "doc_shard_stats" -> docShardStats,
     "doc_pack_stats" -> docPackStats,
     "events_inter_arrival" -> eventsInterArrival,

@@ -109,6 +109,9 @@ object SparkEntry {
     "doc_unigram_logprob" -> (TextOps.unigramLogprob(_, _)),
     "doc_hash_sample" -> (TextOps.hashSample(_, _)),
     "doc_chunk_dedup" -> (DedupOps.chunkDedup(_, _)),
+    "doc_span_dedup" -> (DedupOps.spanDedup(_, _)),
+    "emb_semdedup" -> (VectorOps.semDedup(_, _)),
+    "events_sliding" -> (EventOps.eventsSliding(_, _)),
     "doc_shard_stats" -> (TextOps.shardStats(_, _)),
     "doc_pack_stats" -> (TextOps.packStats(_, _)),
     "emb_kmeans_step" -> (VectorOps.kmeansStep(_, _)),

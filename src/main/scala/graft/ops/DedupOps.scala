@@ -600,6 +600,58 @@ object DedupOps {
     * shingles of [[minHashLsh]] — this is a census, not a recall
     * search, so the cheaper chunking is the right trade.
     */
+  /** Duplicated-SPAN detector (the substring-level dedup of Lee et
+    * al.'s "Deduplicating Training Data Makes Language Models Better",
+    * re-expressed relationally): every 10-word window of every doc is
+    * digested at its word position; windows whose digest occurs ≥ 2
+    * times anywhere in the corpus (cross-doc boilerplate AND in-doc
+    * repetition both count, as in the suffix-array formulation) are
+    * duplicated; per doc, overlapping/adjacent duplicated windows
+    * merge into MAXIMAL spans (positions p, p' are one span iff
+    * p' − p ≤ W, which makes span coverage max−min+W exact, not an
+    * overcount). Output: the 100 most duplicated docs by covered
+    * words, with span count / longest span / coverage.
+    *
+    * 100 TB: the explode is ~n_words rows/doc (the same expansion
+    * class as [[minHashLsh]]'s shingles) but only (digest, doc, pos)
+    * triples ever shuffle, never text; the occurrence census is a
+    * map-side-combined agg on the digest; the join-back is digest ⋈
+    * digest co-partitioned (the dup-digest side is unbounded — a hot
+    * boilerplate 10-gram at corpus scale — so it can NEVER broadcast:
+    * an intentional shuffle join, sweep-whitelisted); the island
+    * windows run per-doc, bounded by document length; the final
+    * ranking is a bounded TakeOrdered top-100.
+    */
+  def spanDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextExpressions.wordNGramsPos
+    val W = 10
+    val dig = corpus(spark, dir)
+      .select(col("doc_id"),
+        size(filter(split(lower(col("text")), " "), t => t =!= ""))
+          .cast("long").as("n_words"),
+        posexplode(wordNGramsPos(col("text"), W)).as(Seq("pos", "sh")))
+      .select(col("doc_id"), col("n_words"), col("pos"), md5(col("sh")).as("dg"))
+    val dupDigests = dig.groupBy("dg").agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    dig.join(dupDigests, "dg")
+      .select(col("doc_id"), col("n_words"), col("pos"))
+      .withColumn("gap", col("pos") - lag(col("pos"), 1).over(byDoc))
+      .withColumn("brk",
+        when(col("gap").isNull || col("gap") > W, 1).otherwise(0))
+      .withColumn("run", sum(col("brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "n_words", "run")
+      .agg((max(col("pos")) - min(col("pos")) + W).cast("long").as("span_words"))
+      .groupBy("doc_id", "n_words")
+      .agg(count(lit(1)).as("n_spans"),
+        max(col("span_words")).as("longest_span"),
+        sum(col("span_words")).as("dup_words"))
+      .orderBy(col("dup_words").desc, col("doc_id"))
+      .limit(100)
+  }
+
   def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
     val W = 20 // words per chunk
     corpus(spark, dir)

@@ -32,6 +32,29 @@ object EventOps {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .orderBy("win_start_epoch", "event_type")
 
+  /** Sliding 10-minute windows advancing every 5 minutes, per event
+    * type — the overlapping-window twin of [[eventsWindow]]. Each
+    * event covers exactly window/slide = 2 starts, materialized with
+    * a 2-element explode (the same covering-window trick Spark's own
+    * `window()` uses), so the expansion is a constant factor and the
+    * shuffle stays keyed on (window, type) — state per key, never per
+    * event. Batch twin of
+    * [[graft.streaming.EventsStream.slidingCounts]].
+    */
+  def eventsSliding(spark: SparkSession, dir: String): DataFrame = {
+    val slideNs = 300L * NanosPerSec // 5 min
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("ts"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .withColumn("base", expr(s"ts div $slideNs") * slideNs)
+      .select(col("event_type"), col("cents"),
+        explode(array(col("base"), col("base") - slideNs)).as("ws"))
+      .groupBy(expr(s"ws div $NanosPerSec").as("win_start_epoch"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .orderBy("win_start_epoch", "event_type")
+  }
+
   /** As-of join: every event paired with the user's most recent signup
     * at-or-before it — runs on the custom AsOfJoinExec operator
     * (graft.plans.AsOfJoin), oracle-checked against DuckDB's native

@@ -182,6 +182,51 @@ object VectorOps {
       .orderBy("v1", "v2")
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication"): semantic dedup by
+    * clustering embeddings and dropping, within each cluster, every
+    * vector that has a LOWER-id neighbor above the cosine threshold
+    * (keep-first — one representative survives per semantic-dup
+    * group). Runs over the planted-dup corpus of [[embNearDup]] so
+    * drops provably exist; clusters are the same fixed 16-centroid
+    * assignment as the IVF paths. Output is the per-cell census
+    * (n_vecs / n_dropped / n_kept) — the pruning report a curation
+    * run ships.
+    *
+    * 100 TB: the pair stage is a cell-co-partitioned self-join —
+    * quadratic IN CELL SIZE, which is exactly the published design:
+    * the cluster count is the scale knob (k ∝ N keeps expected cell
+    * size constant, FAISS-style), so pair work is k·cellsize², linear
+    * in N at fixed cell geometry. Neither side can broadcast (both
+    * are corpus-sized), so this is an intentional shuffle join,
+    * sweep-whitelisted; only (cell, id) pairs leave the pair stage.
+    */
+  def semDedup(spark: SparkSession, dir: String,
+      tau: Double = 0.85): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val corpus = e.select(col("vec_id"), col("embedding")).unionByName(
+      e.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    val cents = coarseCentroids(e)
+    val assigned = assignCells(corpus, cents)
+    val dropped = assigned
+      .select(col("cell"), col("vec_id").as("v1"), col("embedding").as("e1"))
+      .join(assigned.select(col("cell"), col("vec_id").as("v2"),
+        col("embedding").as("e2")), "cell")
+      .filter(col("v1") < col("v2"))
+      .filter(cosine(col("e1"), col("e2")) >= tau)
+      .select(col("cell"), col("v2").as("vec_id"))
+      .distinct()
+      .groupBy("cell").agg(count(lit(1)).as("n_dropped"))
+    assigned.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+      .join(dropped, Seq("cell"), "left")
+      .select(col("cell"),
+        col("n_vecs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (col("n_vecs") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
+      .orderBy("cell")
+  }
+
   /** Product-quantization code assignment — the compression that makes
     * 100 TB vector search feasible: the 64-dim space splits into 8
     * 8-dim subspaces, each vector's subvector snaps to its nearest of

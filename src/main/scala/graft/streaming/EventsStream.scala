@@ -41,6 +41,25 @@ object EventsStream {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Sliding 10-minute windows advancing every 5 minutes, per event
+    * type — the overlapping-window variant of [[windowedCounts]]
+    * (Spark's `window(col, windowDuration, slideDuration)` emits both
+    * covering windows per event). State is keyed (window × type):
+    * twice [[windowedCounts]]'s key count for window/slide = 2,
+    * still independent of event volume, and the watermark retires
+    * windows exactly as in the tumbling case. Batch twin under the
+    * driver oracle: [[graft.ops.EventOps.eventsSliding]].
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("sum_cents"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_cents"))
+
   /** The events table with ns-long `ts` converted to a proper µs
     * timestamp column — the batch twin's input, sharing the plan with
     * the streaming source.

@@ -106,4 +106,39 @@ class DedupSpec extends AnyFunSuite {
       .filter(col("nd") >= 2)
     assert(dupDigests.filter(col("h") === firstChunk).count() === 1)
   }
+
+  test("span dedup: coverage invariants hold and planted copies are " +
+      "fully covered") {
+    val out = DedupOps.spanDedup(spark, sfDir)
+    val rows = out.collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    // spans are maximal and non-overlapping by construction, so the
+    // covered-word total can never exceed the document
+    assert(out.filter(col("dup_words") > col("n_words")).count() === 0)
+    assert(out.filter(col("longest_span") > col("dup_words")).count() === 0)
+    assert(out.filter(col("n_spans") < 1).count() === 0)
+    // a planted full copy duplicates EVERY 10-word window of its
+    // source, so some doc must show full coverage (dup_words ==
+    // n_words) — and the top-ranked docs are exactly such docs
+    assert(rows.exists(r => r.getLong(4) === r.getLong(1)))
+  }
+
+  test("semdedup drops every planted exact copy, keep-first") {
+    val out = VectorOps.semDedup(spark, sfDir)
+    val rows = out.collect()
+    assert(rows.length <= 16)
+    // census arithmetic: kept + dropped == total per cell
+    assert(out.filter(col("n_kept") + col("n_dropped") =!= col("n_vecs"))
+      .count() === 0)
+    // every planted copy (vec_id + 1e6) shares its source's embedding:
+    // same cell, cosine 1.0, higher id — all must be dropped
+    val nPlantedVecs = graft.tables.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 50 === 0).count()
+    val totalDropped = rows.map(_.getLong(2)).sum
+    assert(totalDropped >= nPlantedVecs)
+    // corpus conservation: cells partition the corpus
+    val corpusSize = graft.tables.Tables.embeddings(spark, sfDir).count() +
+      nPlantedVecs
+    assert(rows.map(_.getLong(1)).sum === corpusSize)
+  }
 }

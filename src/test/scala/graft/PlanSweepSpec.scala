@@ -39,8 +39,14 @@ class PlanSweepSpec extends AnyFunSuite {
                            // partkey — co-partitioned shuffle join is
                            // the 100 TB plan (part scales with the
                            // corpus, so the min side can't broadcast)
-    "q20_dominant_supplier" // per-pair qty ⋈ per-part total join-back:
+    "q20_dominant_supplier", // per-pair qty ⋈ per-part total join-back:
                            // same fact-derived-both-sides shape
+    "emb_semdedup"         // cell-co-partitioned self-join: both sides
+                           // are the corpus-sized assignment — pair
+                           // work is quadratic in CELL size only, and
+                           // the cluster count is the published scale
+                           // knob (k ∝ N), so neither side ever
+                           // broadcasts by design
   )
   // intended broadcast-nested-loop joins (non-equi or single-row sides)
   private val bnlAllowed = Set(
@@ -60,8 +66,10 @@ class PlanSweepSpec extends AnyFunSuite {
     "q22_idle",       // one-row balance census cross join
     "q11_important_value", // one-row value-total census cross join
     "events_pareto",  // one-row p99 sketch census cross join
-    "emb_ivf_balance" // 16-centroid assignment cross join + one-row
+    "emb_ivf_balance", // 16-centroid assignment cross join + one-row
                       // total census cross join
+    "emb_semdedup"    // 16-centroid assignment cross join (the shared
+                      // assignCells coarse step)
   )
 
   test("doc_zipf ranks via distributed top-k, not a global window sort") {

@@ -34,6 +34,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamResult.sameElements(batchResult))
   }
 
+  test("streaming sliding windows match the batch twin") {
+    import spark.implicits._
+    val batchInput = EventsStream.eventsAsTimestamps(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val batchResult = EventsStream.slidingCounts(batchInput)
+      .orderBy("win_start", "event_type").collect()
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    stream.addData(batchInput.as[Event].collect().toIndexedSeq)
+    val q = EventsStream.slidingCounts(stream.toDF())
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("slide_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamResult = spark.table("slide_out")
+      .orderBy("win_start", "event_type").collect()
+
+    assert(streamResult.length === batchResult.length)
+    assert(streamResult.sameElements(batchResult))
+    // and the oracle-checked ns-integer batch twin agrees row for row
+    // (window starts as epoch seconds, counts, cents)
+    val oracleTwin = graft.ops.EventOps.eventsSliding(spark, sfDir)
+      .collect()
+    val asEpochs = EventsStream.slidingCounts(batchInput)
+      .select((org.apache.spark.sql.functions.unix_timestamp(
+        org.apache.spark.sql.functions.col("win_start"))).as("win_start_epoch"),
+        org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("n"),
+        org.apache.spark.sql.functions.col("sum_cents"))
+      .orderBy("win_start_epoch", "event_type").collect()
+    assert(asEpochs.length === oracleTwin.length)
+    assert(asEpochs.sameElements(oracleTwin))
+  }
+
   test("stream-stream signup enrichment matches the batch twin") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
