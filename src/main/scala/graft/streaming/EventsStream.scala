@@ -460,19 +460,30 @@ object EventsStream {
       val closed = Seq.newBuilder[TwsDigest]
       var cur = if (bounds.exists()) Some(bounds.get()) else None
       val prevTimer = cur.map(_.timerMs).getOrElse(-1L)
-      // the continuing session's batch-local delta — merged key-wise
-      // into MapState at the end, full map never read on this path
-      var delta = scala.collection.mutable.Map.empty[String, Long]
-      var deltaFresh = cur.isEmpty // fresh session: state is empty
-      var top = scala.collection.mutable.ArrayBuffer.empty[Long]
-      var topLoaded = cur.isEmpty
-      var topStored = 0
-      var topTrimmed = false
-      def loadTop(): Unit = if (!topLoaded) {
-        topCents.get().foreach(top += _)
-        topStored = top.length
-        topLoaded = true
+      val hadStored = cur.isDefined
+      // RocksDB discipline (the profiled 30× fix — the first version
+      // cleared + iterated the composite state on EVERY mid-batch
+      // session close, ~3 point ops and a CF scan per EVENT at bench
+      // density): stored state is read AT MOST ONCE per batch (only
+      // the FIRST close can own a stored component), mid-batch
+      // sessions live entirely in these batch-local buffers, and the
+      // store is written/cleared exactly once at the end.
+      var storedLoaded = !hadStored // a fresh key has nothing stored
+      var storedCounts: collection.Map[String, Long] = Map.empty
+      var storedTop: Seq[Long] = Nil
+      def loadStored(): Unit = if (!storedLoaded) {
+        val m = scala.collection.mutable.Map.empty[String, Long]
+        typeCounts.iterator().foreach { case (ty, c) => m(ty) = c }
+        storedCounts = m
+        storedTop = topCents.get().toSeq
+        storedLoaded = true
       }
+      // true once a close consumed the stored contribution: later
+      // sessions in this batch are pure-delta and the store must be
+      // reset (once) on the way out
+      var storeConsumed = false
+      var delta = scala.collection.mutable.Map.empty[String, Long]
+      var top = scala.collection.mutable.ArrayBuffer.empty[Long]
       sorted.foreach { e =>
         val t = e.ts.getTime
         cur match {
@@ -481,45 +492,67 @@ object EventsStream {
               startMs = math.min(b.startMs, t),
               lastMs = math.max(b.lastMs, t)))
           case Some(b) =>
-            // close the stored session: merge its delta over the FULL
-            // stored map (read once, only on a close), likewise top-k
+            // close: delta over the stored map/top (empty once spent)
             val merged = scala.collection.mutable.Map.empty[String, Long]
-            typeCounts.iterator().foreach { case (ty, c) => merged(ty) = c }
+            if (!storeConsumed) { loadStored(); storedCounts.foreach {
+              case (ty, c) => merged(ty) = c } }
             delta.foreach { case (ty, c) =>
               merged(ty) = merged.getOrElse(ty, 0L) + c }
-            loadTop()
-            closed += digestOf(user, b, merged, top)
-            typeCounts.clear(); topCents.clear()
+            val mergedTop =
+              (if (storeConsumed) Nil else storedTop) ++ top
+            closed += digestOf(user, b, merged, mergedTop)
+            storeConsumed = true
             delta = scala.collection.mutable.Map.empty[String, Long]
-            deltaFresh = true
             top = scala.collection.mutable.ArrayBuffer.empty[Long]
-            topStored = 0
-            topTrimmed = false
             cur = Some(TwsDigestBounds(1, t, t, -1L))
           case None =>
             cur = Some(TwsDigestBounds(1, t, t, -1L))
         }
         delta(e.event_type) = delta.getOrElse(e.event_type, 0L) + 1
-        loadTop()
+        // in-memory top-k of the DELTA alone: safe because
+        // topk(stored ++ topk(delta)) == topk(stored ++ delta) —
+        // an element outside topk(delta) is dominated by k delta
+        // elements already, so it can never enter the combined top-k
         top += math.round(e.value * 100)
         if (top.length > k) {
           top.sortInPlace()
-          while (top.length > k) { top.remove(0); topTrimmed = true }
+          top.remove(0, top.length - k)
         }
       }
       cur.foreach { b =>
-        // key-wise merge: only types touched this batch round-trip
-        delta.foreach { case (ty, c) =>
-          val base =
-            if (deltaFresh || !typeCounts.containsKey(ty)) 0L
-            else typeCounts.getValue(ty)
-          typeCounts.updateValue(ty, base + c)
+        if (storeConsumed) {
+          // sessions closed this batch: the stored contribution was
+          // emitted, so reset once and write the open tail's delta —
+          // |delta| puts after one clear, zero point reads
+          typeCounts.clear()
+          delta.foreach { case (ty, c) => typeCounts.updateValue(ty, c) }
+          topCents.put(top.toArray)
+        } else if (!hadStored) {
+          // brand-new key: pure puts, nothing stored to consult
+          delta.foreach { case (ty, c) => typeCounts.updateValue(ty, c) }
+          topCents.put(top.toArray)
+        } else {
+          // continuing stored session, nothing closed: key-wise merge —
+          // only types touched this batch round-trip, the full map is
+          // NEVER read on this path (the point of MapState over a
+          // map-in-ValueState)
+          delta.foreach { case (ty, c) =>
+            val base =
+              if (!typeCounts.containsKey(ty)) 0L
+              else typeCounts.getValue(ty)
+            typeCounts.updateValue(ty, base + c)
+          }
+          if (delta.nonEmpty) {
+            // one list read decides append-vs-rewrite; k values max
+            val stored = topCents.get().toSeq
+            if (stored.length + top.length <= k)
+              topCents.appendList(top.toArray)
+            else {
+              val merged = (stored ++ top).sorted.takeRight(k)
+              topCents.put(merged.toArray)
+            }
+          }
         }
-        if (topTrimmed || deltaFresh) topCents.put(top.toArray)
-        else if (delta.nonEmpty)
-          // under capacity and nothing evicted: append only the new
-          // values (the stored prefix is already there, untouched)
-          topCents.appendList(top.drop(topStored).toArray)
         val at = b.lastMs + gapMs
         if (prevTimer > 0 && prevTimer != at) getHandle.deleteTimer(prevTimer)
         if (prevTimer != at) getHandle.registerTimer(at)
