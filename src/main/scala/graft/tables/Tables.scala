@@ -17,13 +17,36 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** Physical-layout drift guard for timestamp-like columns (the r6
+    * lesson generalized: the generator regenerated `events.ts` with a
+    * different parquet type and silently broke every consumer — the
+    * same can happen to the date columns). Canonical form here is
+    * TimestampType (µs): NTZ/DATE widen by cast, a ns-long layout
+    * (read under `nanosAsLong`) converts exactly, anything else fails
+    * loudly.
+    */
+  private def tsNormalize(df: DataFrame, c: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types._
+    df.schema(c).dataType match {
+      case TimestampType => df
+      case TimestampNTZType | DateType =>
+        df.withColumn(c, col(c).cast(TimestampType))
+      case LongType =>
+        df.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+      case other => sys.error(s"$c: unsupported physical type $other")
+    }
+  }
+
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame =
+    tsNormalize(load(s, d, "orders"), "o_orderdate")
+  def lineitem(s: SparkSession, d: String): DataFrame =
+    tsNormalize(load(s, d, "lineitem"), "l_shipdate")
   /** The events table always presents `ts` as BIGINT epoch-nanos, no
     * matter which physical parquet type the generator emitted. Layouts
     * seen in the wild: timestamp[ns] (which Spark only reads under
@@ -48,5 +71,23 @@ object Tables {
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** The embeddings table always presents `embedding` as
+    * ARRAY<FLOAT> — a regenerated list&lt;double&gt; layout would
+    * silently change every cosine (operators promote float→double per
+    * element, and the oracle's list folds do the same from FLOAT
+    * parquet values); normalizing at the loader keeps the drift from
+    * reaching any consumer.
+    */
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val df = load(s, d, "embeddings")
+    df.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) => df
+      case ArrayType(DoubleType, _) =>
+        df.withColumn("embedding", col("embedding").cast(ArrayType(FloatType)))
+      case other => sys.error(s"embedding: unsupported physical type $other")
+    }
+  }
 }
