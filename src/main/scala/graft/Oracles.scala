@@ -477,6 +477,41 @@ GROUP BY doc_id, n_words
 ORDER BY dup_words DESC, doc_id
 LIMIT 100"""
 
+  /** Winnowing twin of [[graft.ops.TextOps.winnow]]: same 28-bit md5
+    * 4-gram hashes, same 4-hash windows, same rightmost-min selection
+    * (row_number ordered (h, p DESC) mirrors Spark's min on
+    * struct(h, −p)). Spark's 0-based posexplode positions map to the
+    * 1-based slice starts here as p = i − 1, which cancels in every
+    * window-membership bound.
+    */
+  val docWinnow: String = """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split(lower(text), ' '), t -> t <> '') AS ws
+  FROM documents),
+grams AS (
+  SELECT doc_id, CAST(len(ws) - 3 AS BIGINT) AS m, t.i - 1 AS p,
+    ('0x' || substr(md5(array_to_string(ws[t.i:t.i+3], ' ')), 1, 7))::BIGINT
+      AS h
+  FROM toks, unnest(range(1, len(ws) - 2)) AS t(i)
+  WHERE len(ws) - 3 >= 4),
+wins AS (
+  SELECT doc_id, m, p, h, s.s AS s
+  FROM grams, unnest(range(greatest(p - 3, 0), least(p, m - 4) + 1))
+    AS s(s)),
+sel AS (
+  SELECT doc_id, m, p, h FROM (
+    SELECT doc_id, m, p, h,
+      row_number() OVER (PARTITION BY doc_id, s ORDER BY h, p DESC) AS rk
+    FROM wins)
+  WHERE rk = 1),
+fps AS (SELECT DISTINCT doc_id, m, p, h FROM sel)
+SELECT doc_id, m AS n_hashes, CAST(count(*) AS BIGINT) AS n_fps
+FROM fps
+GROUP BY doc_id, m
+ORDER BY n_fps DESC, doc_id
+LIMIT 100"""
+
   /** Shard-census twin of [[graft.ops.TextOps.shardStats]]: identical
     * md5-prefix bucket arithmetic (the docHashSample convention).
     */
@@ -2584,6 +2619,7 @@ ORDER BY dow, hour"""
     "doc_hash_sample" -> docHashSample,
     "doc_chunk_dedup" -> docChunkDedup,
     "doc_span_dedup" -> docSpanDedup,
+    "doc_winnow" -> docWinnow,
     "emb_semdedup" -> embSemDedup,
     "events_sliding" -> eventsSliding,
     "doc_shard_stats" -> docShardStats,

@@ -103,6 +103,52 @@ object TextOps {
           .as("fp"))
       .orderBy("doc_id")
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the MOSS
+    * algorithm): hash every word 4-gram, slide a 4-hash window, and
+    * select each window's minimal hash with RIGHTMOST tie-break; the
+    * distinct selected (position, hash) pairs are the document's
+    * fingerprints — guaranteed to catch any shared run of ≥ w+k−1
+    * words while storing only ~2/(w+1) of the hashes, the
+    * position-robust alternative to [[fingerprint]]'s whole-doc hash.
+    * Output: the 100 densest docs by fingerprint count.
+    *
+    * Relational formulation: a gram joins the ≤ w windows covering it
+    * (constant-factor explode), per-window argmin is a map-side
+    * lexicographic-min aggregate on struct(hash, −pos) — the
+    * [[graft.ops.VectorOps]] assignCells pattern, so the shuffle
+    * carries one row per (doc, window), and nothing text-valued ever
+    * shuffles. Per-doc work is bounded by doc length; the final
+    * ranking is a bounded TakeOrdered top-100.
+    */
+  def winnow(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextExpressions.wordNGramsPos
+    val K = 4 // words per gram
+    val W = 4 // hashes per winnowing window
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), wordNGramsPos(col("text"), K).as("arr"))
+      .select(col("doc_id"), size(col("arr")).as("m"),
+        posexplode(col("arr")).as(Seq("p", "g")))
+      .filter(col("m") >= W)
+      .select(col("doc_id"), col("m"), col("p"),
+        expr("cast(conv(substring(md5(g), 1, 7), 16, 10) as bigint)")
+          .as("h"))
+    grams
+      .select(col("doc_id"), col("m"), col("p"), col("h"),
+        explode(sequence(greatest(col("p") - (W - 1), lit(0)),
+          least(col("p"), col("m") - W))).as("s"))
+      .groupBy("doc_id", "m", "s")
+      .agg(min(struct(col("h"), (-col("p")).as("np"))).as("sel"))
+      .select(col("doc_id"), col("m"),
+        (-col("sel.np")).as("p"), col("sel.h").as("h"))
+      .distinct()
+      .groupBy("doc_id", "m")
+      .agg(count(lit(1)).as("n_fps"))
+      .select(col("doc_id"), col("m").cast("long").as("n_hashes"),
+        col("n_fps"))
+      .orderBy(col("n_fps").desc, col("doc_id"))
+      .limit(100)
+  }
+
   /** Deterministic exact-fraction stratified sample: the first
     * ceil(10%) of each source stratum in doc_id order. Deterministic
     * by construction — reproducible sampling is what a training-data

@@ -123,6 +123,22 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.exists(r => r.getLong(4) === r.getLong(1)))
   }
 
+  test("winnowing density sits in the guaranteed band") {
+    val rows = TextOps.winnow(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    // each selection serves at most w windows, so density ≥ ~1/w even
+    // on degenerate text, and ≤ 1 by construction; random hashes give
+    // the classic 2/(w+1) = 0.4 expectation
+    rows.foreach { r =>
+      val (m, fps) = (r.getLong(1), r.getLong(2))
+      assert(fps >= 1 && fps <= m)
+    }
+    val density = rows.map(_.getLong(2)).sum.toDouble /
+      rows.map(_.getLong(1)).sum
+    assert(density > 0.2 && density < 0.75,
+      s"winnowing density $density outside the plausible band")
+  }
+
   test("semdedup drops every planted exact copy, keep-first") {
     val out = VectorOps.semDedup(spark, sfDir)
     val rows = out.collect()
