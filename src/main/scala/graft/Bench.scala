@@ -220,6 +220,39 @@ object Bench {
     }
   }
 
+  /** Object-store read path under bench load (VERDICT r5 #6): a 5%
+    * frame slice is uploaded ONCE per scale dir into the emulated
+    * S3 bucket (amortized like the persisted-store builds — upload is
+    * the write side the storage specs already time-box), then the
+    * timed body runs the DISTRIBUTED read a download does: binaryFile
+    * scan over the bucket → per-partition PNG decode → pixel-stat
+    * aggregate. On a real deployment the same code reads s3a:// keys.
+    */
+  private def s3FramesBench(spark: SparkSession, sfDir: String): Double = {
+    import org.apache.spark.sql.functions.xxhash64
+    val base = sfDir.reverse.takeWhile(_ != '/').reverse
+    val bucket = s"/tmp/graft_s3_bench_$base"
+    new java.io.File(bucket).mkdirs()
+    val storage = new graft.sources.S3FrameStorage(bucket, "raw_frames/bench")
+    val marker = new java.io.File(s"$bucket/_graft_uploaded")
+    if (!marker.exists()) {
+      val framed = graft.multimodal.BinaryFrames.withPayload(spark, sfDir)
+        .filter(expr("(frame_id div 10) % 20 = 0"))
+      storage.uploadFrames(framed)
+      marker.createNewFile()
+    }
+    val t0 = System.nanoTime()
+    graft.multimodal.BinaryFrames.decodeFrames(spark,
+        storage.readFrames(spark)
+          .select(xxhash64(col("file_name")).as("frame_id"),
+            col("payload")))
+      .toDF()
+      .agg(count(lit(1)).as("n"), sum("sum_px").as("sum_px"),
+        max("max_px").as("max_px"))
+      .collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** Min of the runs that succeeded; None if every run failed — a
     * failed stream bench must drop out of the report, not poison the
     * total with a sentinel.
@@ -349,7 +382,15 @@ object Bench {
       for (p <- prior.get(k) if p > 0 && v > p * 2 && v > 0.5)
         regressed += ((k, p, v))
     }
-    val all = results ++ streams.map { case (k, v) => k -> v._1 }
+    val s3Time = scala.util.Try(
+      Seq(s3FramesBench(spark, sfDir), s3FramesBench(spark, sfDir)).min
+    ).toOption
+    s3Time.foreach { v =>
+      for (p <- prior.get("s3_frames_read") if p > 0 && v > p * 2 && v > 0.5)
+        regressed += (("s3_frames_read", p, v))
+    }
+    val all = results ++ streams.map { case (k, v) => k -> v._1 } ++
+      s3Time.map("s3_frames_read" -> _)
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // bounded-state evidence per stream entry: total state rows and

@@ -59,6 +59,17 @@ object DocsStream {
   private val applied =
     scala.collection.concurrent.TrieMap.empty[String, (Long, String)]
 
+  /** Bases whose registry entry came from [[recover]] and whose doc
+    * store has not yet been settled (VERDICT r5 #5): a crash between
+    * `DocumentStore.append` and the census advance leaves the store
+    * one replayed append ahead of the census after the batch is
+    * redelivered. The debt only MATERIALIZES once the replay
+    * re-appends, so settlement runs at the END of the first
+    * post-recovery [[absorbBatch]], not inside recovery itself.
+    */
+  private val recoveredPending =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+
   /** Per-base monitors: ingest into UNRELATED census bases must not
     * serialize on one global lock (TrieMap.getOrElseUpdate is atomic,
     * so concurrent first touches agree on one monitor object).
@@ -89,8 +100,10 @@ object DocsStream {
     * the warehouse is untouched, which is exactly what the
     * restart-idempotency spec exercises.
     */
-  private[graft] def reset(censusBase: String): Unit =
+  private[graft] def reset(censusBase: String): Unit = {
     applied.remove(censusBase)
+    recoveredPending.remove(censusBase)
+  }
 
   /** Start the ingest loop over a streaming `source` of documents
     * (any plan with `doc_id` and `text` columns). Each micro-batch:
@@ -121,7 +134,10 @@ object DocsStream {
       censusBase: String): Option[(Long, String)] =
     applied.get(censusBase).orElse {
       val r = recover(spark, censusBase)
-      r.foreach(v => applied.update(censusBase, v))
+      r.foreach { v =>
+        applied.update(censusBase, v)
+        recoveredPending.update(censusBase, ())
+      }
       r
     }
 
@@ -186,8 +202,23 @@ object DocsStream {
   def absorbBatch(spark: SparkSession, batch: DataFrame,
       docTable: String, censusBase: String, batchId: Long): Unit =
     lockFor(censusBase).synchronized {
+      // auto-settlement of recovery debt: after the first
+      // post-recovery batch lands (replayed or fresh), compare the
+      // per-bucket store counts against the census (≤ nBuckets rows)
+      // and distinct-rewrite only disagreeing buckets — a restarted
+      // ingest loop needs no manual vacuum call
+      def settleIfRecovered(): Unit =
+        if (recoveredPending.remove(censusBase).isDefined)
+          applied.get(censusBase).foreach { case (_, cur) =>
+            DocumentStore.vacuum(spark, docTable, cur)
+          }
       val prev = lastApplied(spark, censusBase)
-      if (prev.exists(batchId <= _._1)) return // replayed batch
+      if (prev.exists(batchId <= _._1)) {
+        // replayed no-op: the registry already covers this batch, but
+        // an EARLIER crash may still have left settleable debt
+        settleIfRecovered()
+        return
+      }
       DocumentStore.append(batch, docTable)
       val batchCensus = s"${censusBase}_batch"
       DocumentStore.clearStale(spark, batchCensus)
@@ -216,5 +247,6 @@ object DocsStream {
       prev.foreach { case (_, old) =>
         DocumentStore.clearStale(spark, old)
       }
+      settleIfRecovered()
     }
 }

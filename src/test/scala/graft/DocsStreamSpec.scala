@@ -180,6 +180,41 @@ class DocsStreamSpec extends AnyFunSuite {
     assert(!fs.exists(partial), "partial version must be pruned")
   }
 
+  test("recovery auto-settles the replayed append without a manual " +
+      "vacuum call (crash between append and census advance)") {
+    val docTable = "graft_autovac_docs"
+    val censusBase = "graft_autovac_census"
+    DocsStream.reset(censusBase)
+    for (t <- Seq(docTable, censusBase + "_batch", censusBase + "_v0",
+        censusBase + "_v1", docTable + "_vacuum_staging"))
+      DocumentStore.clearStale(spark, t)
+    val docs = graft.tables.Tables.documents(spark, sfDir)
+      .select("doc_id", "text")
+    val batch0 = docs.filter(col("doc_id") < 100)
+    val batch1 = docs.filter(col("doc_id") >= 100 && col("doc_id") < 200)
+
+    DocsStream.absorbBatch(spark, batch0, docTable, censusBase, 0L)
+    // crash window: batch 1's APPEND lands, the census never advances
+    DocumentStore.append(batch1, docTable)
+    // driver restart: in-memory registry gone, warehouse survives
+    DocsStream.reset(censusBase)
+    // foreachBatch redelivers batch 1 — recovery resolves v0, the
+    // replay re-appends (store now holds batch 1 twice), and the
+    // END-of-batch auto-settlement must remove the duplicate rows
+    // with NO manual vacuum call
+    DocsStream.absorbBatch(spark, batch1, docTable, censusBase, 1L)
+
+    val expected = batch0.unionByName(batch1).count()
+    assert(spark.table(docTable).count() === expected,
+      "recovered ingest left replayed duplicate rows in the store")
+    val censusTotal = censusOf(censusBase)
+      .agg(sum("n")).collect().head.getLong(0)
+    assert(censusTotal === expected,
+      "census and store disagree after auto-settlement")
+    // and the store holds no byte-identical duplicates at all
+    assert(spark.table(docTable).distinct().count() === expected)
+  }
+
   test("vacuum settles the store's at-least-once append debt, " +
       "rewriting only the disagreeing buckets") {
     val docTable = "graft_vacuum_docs"
