@@ -429,6 +429,52 @@ HAVING count(DISTINCT doc_id) >= 2
 ORDER BY n_docs DESC, n_occ DESC, h
 LIMIT 200"""
 
+  /** Bloom-probe twin of [[graft.ops.DedupOps.bloomDedup]]: identical
+    * 28-bit md5 bases, identical affine position family folded into
+    * m = 1024 bits, identical all-positions-set flag rule and exact
+    * true-membership audit — the filter is pure integer arithmetic on
+    * both engines, which is what makes a Bloom filter hash-checkable
+    * here when a library one never is.
+    */
+  val docBloomDedup: String = """
+WITH hist AS (
+  SELECT md5(lower(trim(text))) AS dg FROM documents WHERE doc_id < 250),
+histd AS (SELECT DISTINCT dg FROM hist),
+bits AS (
+  SELECT DISTINCT
+    ((((1000003 * j.j + 12345) % 2147483647)
+        * ('0x' || substr(dg, 1, 7))::BIGINT
+      + ((998244353 * (j.j + 1) + 7) % 2147483647))
+     % 2147483647) % 1024 AS pos
+  FROM hist, (SELECT unnest(range(4)) AS j) j),
+incoming AS (
+  SELECT doc_id, source, md5(lower(trim(text))) AS dg
+  FROM documents WHERE doc_id >= 250
+  UNION ALL
+  SELECT doc_id + 2000000, source, md5(lower(trim(text)))
+  FROM documents WHERE doc_id < 250 AND doc_id % 10 = 0),
+ipos AS (
+  SELECT doc_id, source, dg,
+    ((((1000003 * j.j + 12345) % 2147483647)
+        * ('0x' || substr(dg, 1, 7))::BIGINT
+      + ((998244353 * (j.j + 1) + 7) % 2147483647))
+     % 2147483647) % 1024 AS pos
+  FROM incoming, (SELECT unnest(range(4)) AS j) j),
+probe AS (
+  SELECT i.doc_id, i.source, i.dg,
+    min(CASE WHEN b.pos IS NULL THEN 0 ELSE 1 END) AS all_set
+  FROM ipos i LEFT JOIN bits b ON i.pos = b.pos
+  GROUP BY i.doc_id, i.source, i.dg)
+SELECT source, CAST(count(*) AS BIGINT) AS n_probed,
+  CAST(sum(all_set) AS BIGINT) AS n_flagged,
+  CAST(sum(CASE WHEN h.dg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_true_dup,
+  CAST(sum(CASE WHEN all_set = 1 AND h.dg IS NULL THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_false_pos
+FROM probe p LEFT JOIN histd h ON p.dg = h.dg
+GROUP BY source
+ORDER BY source"""
+
   /** Duplicated-span twin of [[graft.ops.DedupOps.spanDedup]]: the
     * same positional 10-word windows (1-based list slices here vs
     * 0-based posexplode there — the difference cancels in every gap
@@ -2620,6 +2666,7 @@ ORDER BY dow, hour"""
     "doc_chunk_dedup" -> docChunkDedup,
     "doc_span_dedup" -> docSpanDedup,
     "doc_winnow" -> docWinnow,
+    "doc_bloom_dedup" -> docBloomDedup,
     "emb_semdedup" -> embSemDedup,
     "events_sliding" -> eventsSliding,
     "doc_shard_stats" -> docShardStats,

@@ -111,6 +111,7 @@ object SparkEntry {
     "doc_chunk_dedup" -> (DedupOps.chunkDedup(_, _)),
     "doc_span_dedup" -> (DedupOps.spanDedup(_, _)),
     "doc_winnow" -> (TextOps.winnow(_, _)),
+    "doc_bloom_dedup" -> (DedupOps.bloomDedup(_, _)),
     "emb_semdedup" -> (VectorOps.semDedup(_, _)),
     "events_sliding" -> (EventOps.eventsSliding(_, _)),
     "doc_shard_stats" -> (TextOps.shardStats(_, _)),

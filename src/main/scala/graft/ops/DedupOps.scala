@@ -600,6 +600,69 @@ object DedupOps {
     * shingles of [[minHashLsh]] — this is a census, not a recall
     * search, so the cheaper chunking is the right trade.
     */
+  /** Bloom-filter membership dedup (the one-sided probe pass of
+    * Dolma-style incremental pipelines), expressed RELATIONALLY so it
+    * is exactly reproducible — and therefore oracle-checkable, which
+    * a library Bloom filter never is: the filter over the historical
+    * corpus is the DISTINCT SET of md5-affine bit positions (k = 4
+    * hashes into m = 1024 bits — m deliberately small so the
+    * false-positive audit has signal at test scale; production sizes
+    * m to the element budget), materialized as a ≤m-row table. An
+    * incoming doc is flagged iff every one of its positions is set —
+    * no false negatives by construction, false positives counted
+    * exactly against the true digest membership. Output: per-source
+    * probe census (probed / flagged / true dups / false positives).
+    *
+    * 100 TB: the filter table is ≤m rows NO MATTER the historical
+    * corpus size (the point of a Bloom filter) and broadcasts; probes
+    * are one scan + a broadcast join + a per-doc k-row agg. The
+    * true-membership audit join is exact only because the historical
+    * slice here is fixed-size; at scale that audit samples.
+    */
+  def bloomDedup(spark: SparkSession, dir: String): DataFrame = {
+    val M = 1024
+    val K = 4
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("source"))
+    val hist = docs.filter(col("doc_id") < 250)
+    val incoming = docs.filter(col("doc_id") >= 250)
+      .unionByName(hist.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 2000000L))
+    def digest(c: Column) = md5(lower(trim(c)))
+    // 28-bit md5 base + the minhash affine family, folded into [0, M)
+    val baseExpr =
+      expr("cast(conv(substring(dg, 1, 7), 16, 10) as bigint)")
+    def positions(df: DataFrame): DataFrame = df
+      .withColumn("b", baseExpr)
+      .select(df.columns.map(col) :+
+        explode(array((0 until K).map { j =>
+          val a = (1000003L * j + 12345L) % P
+          val c = (998244353L * (j + 1) + 7L) % P
+          ((lit(a) * col("b") + lit(c)) % P) % M
+        }: _*)).as("pos"): _*)
+    val bits = positions(hist.select(digest(col("text")).as("dg")))
+      .select("pos").distinct()
+    val truth = hist.select(digest(col("text")).as("dg")).distinct()
+      .withColumn("is_dup", lit(1L))
+    val probed = positions(
+      incoming.select(col("doc_id"), col("source"),
+        digest(col("text")).as("dg")))
+      .join(broadcast(bits.withColumn("hit", lit(1))), Seq("pos"), "left")
+      .groupBy("doc_id", "source", "dg")
+      .agg(min(coalesce(col("hit"), lit(0))).as("all_set"))
+    probed
+      .join(broadcast(truth), Seq("dg"), "left")
+      .select(col("source"), col("all_set"),
+        coalesce(col("is_dup"), lit(0L)).as("is_dup"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_probed"),
+        sum(col("all_set").cast("long")).as("n_flagged"),
+        sum(col("is_dup")).as("n_true_dup"),
+        sum(when(col("all_set") === 1 && col("is_dup") === 0L, 1L)
+          .otherwise(0L)).as("n_false_pos"))
+      .orderBy("source")
+  }
+
   /** Duplicated-SPAN detector (the substring-level dedup of Lee et
     * al.'s "Deduplicating Training Data Makes Language Models Better",
     * re-expressed relationally): every 10-word window of every doc is

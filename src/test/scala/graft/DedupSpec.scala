@@ -123,6 +123,25 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.exists(r => r.getLong(4) === r.getLong(1)))
   }
 
+  test("bloom probe: zero false negatives, bounded false positives") {
+    val rows = DedupOps.bloomDedup(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // a Bloom filter can NEVER miss a true member, so every true dup
+    // is flagged: flagged − false_pos == true_dup in every stratum
+    rows.foreach { r =>
+      val (flagged, trueDup, falsePos) =
+        (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(flagged - falsePos === trueDup,
+        s"false negative in ${r.getString(0)}")
+    }
+    val probed = rows.map(_.getLong(1)).sum
+    val fp = rows.map(_.getLong(4)).sum
+    assert(fp.toDouble / probed < 0.5,
+      s"false-positive rate ${fp.toDouble / probed} implausibly high")
+    // and the planted copies guarantee the true-dup signal exists
+    assert(rows.map(_.getLong(3)).sum > 0)
+  }
+
   test("winnowing density sits in the guaranteed band") {
     val rows = TextOps.winnow(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 100)
