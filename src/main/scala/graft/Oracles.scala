@@ -495,7 +495,7 @@ pos AS (
   FROM toks, unnest(range(1, len(ws) - 8)) AS t(i)),
 dig AS (
   SELECT doc_id, n_words, i,
-    md5(array_to_string(ws[i:i+9], ' ')) AS dg
+    substr(md5(array_to_string(ws[i:i+9], ' ')), 1, 16) AS dg
   FROM pos),
 occ AS (SELECT dg FROM dig GROUP BY dg HAVING count(*) >= 2),
 dup AS (

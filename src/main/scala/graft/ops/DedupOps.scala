@@ -694,7 +694,10 @@ object DedupOps {
         size(filter(split(lower(col("text")), " "), t => t =!= ""))
           .cast("long").as("n_words"),
         posexplode(wordNGramsPos(col("text"), W)).as(Seq("pos", "sh")))
-      .select(col("doc_id"), col("n_words"), col("pos"), md5(col("sh")).as("dg"))
+      .select(col("doc_id"), col("n_words"), col("pos"),
+        // 64-bit digest prefix: half the shuffle bytes of a full md5,
+        // collision-safe at any realistic shingle cardinality
+        substring(md5(col("sh")), 1, 16).as("dg"))
     val dupDigests = dig.groupBy("dg").agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= 2)
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
