@@ -149,8 +149,21 @@ object Cli {
   private def query(spark: SparkSession, args: Seq[String]): Unit = {
     val (s, _, _) = parseOpts(args)
     val dir = req(s, "dir")
-    def day(k: String): Option[Timestamp] =
-      s.get(k).map(d => Timestamp.valueOf(s"$d 00:00:00"))
+    // cli_utils.py:44-55 validate_date: strict YYYY-MM-DD, a clear
+    // message on anything else
+    def day(k: String): Option[Timestamp] = s.get(k).map { d =>
+      val ld = try java.time.LocalDate.parse(d)
+        catch { case _: java.time.format.DateTimeParseException =>
+          throw new IllegalArgumentException(
+            "Incorrect data format, should be YYYY-MM-DD") }
+      Timestamp.valueOf(ld.atStartOfDay())
+    }
+    // cli_utils.py:57-68 assert_date_order, applied exactly when both
+    // bounds are present (query_data.py:83-86)
+    for (sd <- day("start_date"); ed <- day("end_date"))
+      require(ed.after(sd),
+        s"End date ${s("end_date")} must come after start date " +
+          s("start_date"))
     val crit = ImagingDb.SearchCriteria(
       projectId = s.get("project_id"),
       microscope = s.get("microscope"),
@@ -255,7 +268,17 @@ object Cli {
     // per-page MicroManagerMetadata JSON for ome_tiff); formats whose
     // twins need richer file-level input than a line listing
     // (tif_folder, tif_id) fail loudly rather than mis-parse
-    val parsed = format match {
+    // the reference accepts spelling aliases per format
+    // (aux_utils.py:31-60 get_splitter_class: ome_tif/tiff →
+    // OmeTiffSplitter, tiff_id → TifIDSplitter, tiff_folder →
+    // TifFolderSplitter)
+    val canonical = format match {
+      case "ome_tif" | "tiff" => "ome_tiff"
+      case "tiff_id" => "tif_id"
+      case "tiff_folder" => "tif_folder"
+      case f => f
+    }
+    val parsed = canonical match {
       case "sms_name" =>
         val listing = listings.map { case (serial, lines) =>
           lines.select(lit(serial).as("dataset_serial"),

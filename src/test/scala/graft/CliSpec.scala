@@ -47,6 +47,18 @@ class CliSpec extends AnyFunSuite {
     assert(out.toSeq == expected.toSeq)
   }
 
+  test("query validates date format and date order (cli_utils parity)") {
+    // end before start → assert_date_order trips (exit 2, not a crash)
+    assert(Cli.run(spark, Seq("query", "--dir", sfDir,
+      "--start_date", "1995-06-30", "--end_date", "1995-06-01")) == 2)
+    // malformed date → validate_date's message path (exit 2)
+    assert(Cli.run(spark, Seq("query", "--dir", sfDir,
+      "--start_date", "1995/06/01")) == 2)
+    // equal dates also fail: the reference asserts strictly-after
+    assert(Cli.run(spark, Seq("query", "--dir", sfDir,
+      "--start_date", "1995-06-01", "--end_date", "1995-06-01")) == 2)
+  }
+
   private def capturedLines(args: Seq[String]): Array[String] = {
     var lines = Array.empty[String]
     val txt = captureOut {
