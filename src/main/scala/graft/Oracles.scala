@@ -530,11 +530,14 @@ LIMIT 100"""
     * 1-based slice starts here as p = i − 1, which cancels in every
     * window-membership bound.
     */
-  val docWinnow: String = """
-WITH toks AS (
+  /** The winnowing selection chain from a `(doc_id, text)` relation
+    * to a `fps` CTE member — shared by the density census and the
+    * cross-doc overlap, like [[minhashChain]].
+    */
+  private def winnowChain(corpusRel: String): String = s"""toks AS (
   SELECT doc_id,
     list_filter(string_split(lower(text), ' '), t -> t <> '') AS ws
-  FROM documents),
+  FROM $corpusRel),
 grams AS (
   SELECT doc_id, CAST(len(ws) - 3 AS BIGINT) AS m, t.i - 1 AS p,
     ('0x' || substr(md5(array_to_string(ws[t.i:t.i+3], ' ')), 1, 7))::BIGINT
@@ -552,11 +555,43 @@ sel AS (
     FROM wins)
   WHERE rk = 1),
 fps AS (SELECT DISTINCT doc_id, m, p, h FROM sel)
+"""
+
+  val docWinnow: String = "WITH " + winnowChain("documents") + """
 SELECT doc_id, m AS n_hashes, CAST(count(*) AS BIGINT) AS n_fps
 FROM fps
 GROUP BY doc_id, m
 ORDER BY n_fps DESC, doc_id
 LIMIT 100"""
+
+  /** Overlap twin of [[graft.ops.TextOps.winnowOverlap]]: same
+    * selection chain over the planted corpus, same 2..1000 bucket cap
+    * on the per-hash doc count, same shared-count ranking.
+    */
+  val docWinnowOverlap: String = """
+WITH wcorpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0),
+""" + winnowChain("wcorpus") + """,
+fpv AS (SELECT DISTINCT doc_id, h FROM fps),
+bsz AS (SELECT h, count(*) AS n FROM fpv GROUP BY h),
+pairs AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+    CAST(count(*) AS BIGINT) AS n_shared
+  FROM fpv a
+  JOIN fpv b ON a.h = b.h AND a.doc_id < b.doc_id
+  JOIN bsz ON bsz.h = a.h
+  WHERE bsz.n BETWEEN 2 AND 1000
+  GROUP BY a.doc_id, b.doc_id),
+cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf FROM fpv
+  GROUP BY doc_id)
+SELECT doc1, doc2, n_shared, c1.nf AS n1, c2.nf AS n2
+FROM pairs
+JOIN cnt c1 ON doc1 = c1.doc_id
+JOIN cnt c2 ON doc2 = c2.doc_id
+ORDER BY n_shared DESC, doc1, doc2
+LIMIT 50"""
 
   /** Shard-census twin of [[graft.ops.TextOps.shardStats]]: identical
     * md5-prefix bucket arithmetic (the docHashSample convention).
@@ -2667,6 +2702,7 @@ ORDER BY dow, hour"""
     "doc_span_dedup" -> docSpanDedup,
     "doc_winnow" -> docWinnow,
     "doc_bloom_dedup" -> docBloomDedup,
+    "doc_winnow_overlap" -> docWinnowOverlap,
     "emb_semdedup" -> embSemDedup,
     "events_sliding" -> eventsSliding,
     "doc_shard_stats" -> docShardStats,

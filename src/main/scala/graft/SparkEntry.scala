@@ -112,6 +112,7 @@ object SparkEntry {
     "doc_span_dedup" -> (DedupOps.spanDedup(_, _)),
     "doc_winnow" -> (TextOps.winnow(_, _)),
     "doc_bloom_dedup" -> (DedupOps.bloomDedup(_, _)),
+    "doc_winnow_overlap" -> (TextOps.winnowOverlap(_, _)),
     "emb_semdedup" -> (VectorOps.semDedup(_, _)),
     "events_sliding" -> (EventOps.eventsSliding(_, _)),
     "doc_shard_stats" -> (TextOps.shardStats(_, _)),

@@ -120,11 +120,15 @@ object TextOps {
     * shuffles. Per-doc work is bounded by doc length; the final
     * ranking is a bounded TakeOrdered top-100.
     */
-  def winnow(spark: SparkSession, dir: String): DataFrame = {
+  /** The winnowing selection over any (doc_id, text) frame: distinct
+    * selected (position, hash) fingerprints plus the per-doc gram
+    * count `m`. Shared by the density census [[winnow]] and the
+    * cross-doc overlap [[winnowOverlap]].
+    */
+  private[ops] def winnowSelected(docs: DataFrame,
+      K: Int = 4, W: Int = 4): DataFrame = {
     import graft.functions.TextExpressions.wordNGramsPos
-    val K = 4 // words per gram
-    val W = 4 // hashes per winnowing window
-    val grams = Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), wordNGramsPos(col("text"), K).as("arr"))
       .select(col("doc_id"), size(col("arr")).as("m"),
         posexplode(col("arr")).as(Seq("p", "g")))
@@ -132,7 +136,6 @@ object TextOps {
       .select(col("doc_id"), col("m"), col("p"),
         expr("cast(conv(substring(md5(g), 1, 7), 16, 10) as bigint)")
           .as("h"))
-    grams
       .select(col("doc_id"), col("m"), col("p"), col("h"),
         explode(sequence(greatest(col("p") - (W - 1), lit(0)),
           least(col("p"), col("m") - W))).as("s"))
@@ -141,12 +144,51 @@ object TextOps {
       .select(col("doc_id"), col("m"),
         (-col("sel.np")).as("p"), col("sel.h").as("h"))
       .distinct()
+  }
+
+  def winnow(spark: SparkSession, dir: String): DataFrame = {
+    winnowSelected(Tables.documents(spark, dir).select("doc_id", "text"))
       .groupBy("doc_id", "m")
       .agg(count(lit(1)).as("n_fps"))
       .select(col("doc_id"), col("m").cast("long").as("n_hashes"),
         col("n_fps"))
       .orderBy(col("n_fps").desc, col("doc_id"))
       .limit(100)
+  }
+
+  /** Cross-document winnowing overlap — MOSS's actual output: doc
+    * pairs ranked by SHARED fingerprints, over the planted-dup corpus
+    * (full copies share every fingerprint, so the planted pairs top
+    * the list; partially-overlapping docs surface by their shared
+    * coverage). A shared fingerprint survives word REPOSITIONING
+    * (insertions/deletions around the copied run) that would break
+    * whole-doc hashing — what winnowing buys over [[fingerprint]].
+    *
+    * 100 TB: pairs meet through per-hash buckets CAPPED like every
+    * LSH path here (a hash shared by >maxBucket docs is boilerplate,
+    * not plagiarism signal — dropped, bounded pair expansion); the
+    * per-doc fingerprint counts join back on the unique doc_id
+    * (key-uniform). Bounded top-50 ranking.
+    */
+  def winnowOverlap(spark: SparkSession, dir: String,
+      maxBucket: Int = 1000): DataFrame = {
+    val fps = winnowSelected(
+      graft.ops.DedupOps.corpus(spark, dir).select("doc_id", "text"))
+      .select("doc_id", "h").distinct()
+    val pairs = fps.groupBy("h")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(graft.ops.DedupOps.bucketPairs("ids").as("pr"))
+      .select(col("pr.a").as("doc1"), col("pr.b").as("doc2"))
+      .groupBy("doc1", "doc2")
+      .agg(count(lit(1)).as("n_shared"))
+    val cnt = fps.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+    pairs
+      .join(cnt.select(col("doc_id").as("doc1"), col("nf").as("n1")), "doc1")
+      .join(cnt.select(col("doc_id").as("doc2"), col("nf").as("n2")), "doc2")
+      .select("doc1", "doc2", "n_shared", "n1", "n2")
+      .orderBy(col("n_shared").desc, col("doc1"), col("doc2"))
+      .limit(50)
   }
 
   /** Deterministic exact-fraction stratified sample: the first

@@ -158,6 +158,22 @@ class DedupSpec extends AnyFunSuite {
       s"winnowing density $density outside the plausible band")
   }
 
+  test("winnowing overlap ranks planted full copies with complete " +
+      "fingerprint agreement") {
+    val rows = TextOps.winnowOverlap(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    // shared fingerprints can never exceed either side's count
+    rows.foreach { r =>
+      assert(r.getLong(2) <= math.min(r.getLong(3), r.getLong(4)))
+    }
+    // a planted full copy shares its source's entire fingerprint set
+    val planted = rows.filter(r => r.getLong(1) === r.getLong(0) + 1000000L)
+    assert(planted.nonEmpty, "no planted pair surfaced in the top-50")
+    planted.foreach { r =>
+      assert(r.getLong(2) === r.getLong(3) && r.getLong(3) === r.getLong(4))
+    }
+  }
+
   test("semdedup drops every planted exact copy, keep-first") {
     val out = VectorOps.semDedup(spark, sfDir)
     val rows = out.collect()
