@@ -1327,6 +1327,42 @@ FROM (
     min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END) AS tp
   FROM events GROUP BY user_id)"""
 
+  /** Windowed-funnel twin of
+    * [[graft.ops.EventOps.eventsWindowFunnel]]: identical 24 h
+    * step-window joins on exact epoch-nanos, depth census over the
+    * distinct-user base.
+    */
+  val eventsWindowFunnel: String = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+v AS (
+  SELECT user_id, min(epoch_ns(ts)) AS tv FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, min(epoch_ns(e.ts)) AS tc
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click'
+    AND epoch_ns(e.ts) > v.tv
+    AND epoch_ns(e.ts) <= v.tv + 86400000000000
+  GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, min(epoch_ns(e.ts)) AS tp
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase'
+    AND epoch_ns(e.ts) > c.tc
+    AND epoch_ns(e.ts) <= c.tc + 86400000000000
+  GROUP BY e.user_id)
+SELECT funnel_depth, CAST(count(*) AS BIGINT) AS n_users FROM (
+  SELECT CASE WHEN p.user_id IS NOT NULL THEN 3
+              WHEN c.user_id IS NOT NULL THEN 2
+              WHEN v.user_id IS NOT NULL THEN 1
+              ELSE 0 END AS funnel_depth
+  FROM u
+  LEFT JOIN v ON u.user_id = v.user_id
+  LEFT JOIN c ON u.user_id = c.user_id
+  LEFT JOIN p ON u.user_id = p.user_id)
+GROUP BY funnel_depth
+ORDER BY funnel_depth"""
+
   val eventsRetention: String = """
 WITH ev AS (
   SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
@@ -2721,6 +2757,7 @@ ORDER BY dow, hour"""
     "emb_kmeans_step" -> embKmeansStep,
     "events_anomaly" -> eventsAnomaly,
     "events_funnel" -> eventsFunnel,
+    "events_window_funnel" -> eventsWindowFunnel,
     "events_resample" -> eventsResample,
     "events_dau_wau" -> eventsDauWau,
     "events_transitions" -> eventsTransitions,

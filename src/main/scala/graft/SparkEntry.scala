@@ -86,6 +86,7 @@ object SparkEntry {
     "emb_pq_codes" -> (VectorOps.pqCodes(_, _)),
     "emb_knn_pq" -> (VectorOps.knnPq(_, _)),
     "events_funnel" -> (EventOps.eventsFunnel(_, _)),
+    "events_window_funnel" -> (EventOps.eventsWindowFunnel(_, _)),
     "events_resample" -> (EventOps.eventsResample(_, _)),
     "events_dau_wau" -> (EventOps.eventsDauWau(_, _)),
     "events_transitions" -> (EventOps.eventsTransitions(_, _)),

@@ -182,6 +182,46 @@ object EventOps {
           .otherwise(0L)).as("n_full_funnel"))
   }
 
+  /** Windowed funnel (the ClickHouse `windowFunnel` shape): the
+    * view → click → purchase chain where EACH step follows the
+    * previous within 24 h — unlike [[eventsFunnel]]'s
+    * any-time-ordering, this is the conversion-window semantics
+    * product analytics actually uses. Emits the user census per
+    * funnel depth 0–3 (0 = active user with no qualifying view).
+    *
+    * Plan shape: three conditional-min aggregates chained by
+    * user_id-keyed joins — every exchange hashes the same key, so
+    * Catalyst reuses one shuffle layout; no window over event rows,
+    * output bounded at 4 rows.
+    */
+  def eventsWindowFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val winNs = 86400L * NanosPerSec
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val users = ev.select("user_id").distinct()
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("tv"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("ts") > col("tv") && col("ts") <= col("tv") + winNs)
+      .groupBy("user_id").agg(min(col("ts")).as("tc"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("ts") > col("tc") && col("ts") <= col("tc") + winNs)
+      .groupBy("user_id").agg(min(col("ts")).as("tp"))
+    users
+      .join(v.select(col("user_id"), lit(1).as("d1")), Seq("user_id"), "left")
+      .join(c.select(col("user_id"), lit(1).as("d2")), Seq("user_id"), "left")
+      .join(p.select(col("user_id"), lit(1).as("d3")), Seq("user_id"), "left")
+      .select(when(col("d3").isNotNull, 3)
+        .when(col("d2").isNotNull, 2)
+        .when(col("d1").isNotNull, 1)
+        .otherwise(0).as("funnel_depth"))
+      .groupBy("funnel_depth")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("funnel_depth")
+  }
+
   /** Daily cohort retention: cohort = day of a user's first event,
     * counted distinct-active at offsets 0-7 days. The first-day agg
     * and the join back both hash on user_id, so Catalyst reuses one
