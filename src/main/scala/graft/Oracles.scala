@@ -2694,8 +2694,203 @@ FROM events
 GROUP BY 1, 2
 ORDER BY dow, hour"""
 
+  /** Entropy twin of [[graft.ops.TextOps.tokenEntropy]]: identical
+    * c·ln(c) DECIMAL(20,10) terms, per-doc rounding, DECIMAL roll-up.
+    */
+  val docTokenEntropy: String = """
+WITH toks AS (
+  SELECT doc_id, source,
+    unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+      AS tok
+  FROM documents),
+cnts AS (
+  SELECT doc_id, source, tok, count(*) AS c
+  FROM toks GROUP BY doc_id, source, tok),
+perdoc AS (
+  SELECT doc_id, source, sum(c) AS n, count(*) AS n_types,
+    sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax,
+    sum(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+      AS DECIMAL(20,10))) AS s
+  FROM cnts GROUP BY doc_id, source),
+feat AS (
+  SELECT source, n_hapax,
+    round(ln(CAST(n AS DOUBLE)) - CAST(s AS DOUBLE) / n, 4) AS entropy,
+    round(CAST(n_types AS DOUBLE) / n, 4) AS ttr
+  FROM perdoc)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN entropy < 3.2 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_low_entropy,
+  round(CAST(sum(CAST(entropy AS DECIMAL(14,4))) AS DOUBLE) / count(*),
+    4) AS avg_entropy,
+  round(CAST(sum(CAST(ttr AS DECIMAL(14,4))) AS DOUBLE) / count(*), 4)
+    AS avg_ttr,
+  CAST(sum(n_hapax) AS BIGINT) AS hapax_total
+FROM feat
+GROUP BY source
+ORDER BY source"""
+
+  /** RFM twin of [[graft.ops.EventOps.eventsRfm]]: integer day/cent
+    * arithmetic, ntile(4) with the same user_id tie-break.
+    */
+  val eventsRfm: String = """
+WITH per AS (
+  SELECT user_id, max(epoch_ns(ts)) AS last_ts,
+    CAST(count(*) AS BIGINT) AS freq,
+    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      AS cents
+  FROM events GROUP BY user_id),
+ref AS (SELECT max(last_ts) AS ref_ts FROM per),
+scored AS (
+  SELECT cents,
+    CAST(ntile(4) OVER (ORDER BY
+      (ref_ts - last_ts) // 86400000000000, user_id) AS BIGINT)
+      AS r_score,
+    CAST(ntile(4) OVER (ORDER BY freq DESC, user_id) AS BIGINT)
+      AS f_score,
+    CAST(ntile(4) OVER (ORDER BY cents DESC, user_id) AS BIGINT)
+      AS m_score
+  FROM per, ref)
+SELECT r_score, f_score, m_score,
+  CAST(count(*) AS BIGINT) AS n_users,
+  CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM scored
+GROUP BY r_score, f_score, m_score
+ORDER BY r_score, f_score, m_score"""
+
+  /** SQ8 twin of [[graft.ops.VectorOps.knnSq8]]: identical per-dim
+    * [min,max] census, byte quantization with the same double
+    * operation order, pure-BIGINT distance ranking.
+    */
+  val embKnnSq8: String = """
+WITH dims AS (
+  SELECT dd.d AS d,
+    min(CAST(embedding[dd.d + 1] AS DOUBLE)) AS lo,
+    max(CAST(embedding[dd.d + 1] AS DOUBLE)) AS hi
+  FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS d) dd
+  GROUP BY dd.d),
+codes AS (
+  SELECT vec_id,
+    list(CAST(greatest(0, least(255,
+      floor((CAST(embedding[dd.d + 1] AS DOUBLE) - lo) * 255.0
+        / ((CASE WHEN hi = lo THEN lo + 1.0 ELSE hi END) - lo)
+        + 0.5))) AS BIGINT) ORDER BY dd.d) AS code
+  FROM embeddings
+  CROSS JOIN (SELECT unnest(range(64)) AS d) dd
+  JOIN dims ON dims.d = dd.d
+  GROUP BY vec_id),
+q AS (SELECT vec_id AS qid, code AS qcode FROM codes WHERE vec_id < 10),
+scored AS (
+  SELECT qid, c.vec_id,
+    CAST(list_sum(list_transform(list_zip(q.qcode, c.code),
+      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS idist
+  FROM codes c JOIN q ON c.vec_id <> q.qid)
+SELECT qid, vec_id AS neighbor, idist, rank
+FROM (
+  SELECT qid, vec_id, idist,
+    CAST(row_number() OVER (PARTITION BY qid ORDER BY idist, vec_id)
+      AS BIGINT) AS rank
+  FROM scored)
+WHERE rank <= 5
+ORDER BY qid, rank"""
+
+  /** Path-analysis twin of [[graft.ops.EventOps.eventsPaths]]. */
+  val eventsPaths: String = """
+WITH seq AS (
+  SELECT event_type AS t1,
+    lead(event_type, 1) OVER (PARTITION BY user_id
+      ORDER BY epoch_ns(ts), event_id) AS t2,
+    lead(event_type, 2) OVER (PARTITION BY user_id
+      ORDER BY epoch_ns(ts), event_id) AS t3
+  FROM events)
+SELECT t1 || '>' || t2 || '>' || t3 AS path,
+  CAST(count(*) AS BIGINT) AS n
+FROM seq
+WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+GROUP BY 1
+ORDER BY n DESC, path
+LIMIT 20"""
+
+  /** Mixture twin of [[graft.ops.TextOps.mixWeights]]: identical token
+    * length arithmetic and DECIMAL Zipf normalizer.
+    */
+  val docMixWeights: String = """
+WITH per0 AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+      ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1
+      END) AS BIGINT) AS tokens
+  FROM documents GROUP BY source),
+per AS (
+  SELECT *, CAST(1.0 / (CAST(substr(source, 4) AS INTEGER) + 1)
+    AS DECIMAL(20,10)) AS raw_w
+  FROM per0),
+tot AS (SELECT sum(tokens) AS tot_tokens, sum(raw_w) AS tot_w FROM per),
+shares AS (
+  SELECT source, n_docs, tokens,
+    round(CAST(tokens AS DOUBLE) / tot_tokens, 6) AS actual_share,
+    round(CAST(raw_w AS DOUBLE) / CAST(tot_w AS DOUBLE), 6)
+      AS target_share
+  FROM per, tot)
+SELECT source, n_docs, tokens, actual_share, target_share,
+  round(target_share / actual_share, 4) AS sampling_weight
+FROM shares
+ORDER BY source"""
+
+  /** nprobe-sweep twin of [[graft.ops.VectorOps.nprobeCurve]]: one
+    * max-nprobe candidate scan carrying its probe rank, filtered per
+    * level, ranked per (level, query), recalled against the brute
+    * truth.
+    */
+  val embNprobeCurve: String = s"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16
+), assigned AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cid AS cell,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY -${duckCos("e.embedding", "c.cv")}, c.cid) AS crank
+    FROM embeddings e CROSS JOIN cents c)
+  WHERE crank <= 1
+), probes AS (
+  SELECT qid, qv, cell, crank FROM (
+    SELECT e.vec_id AS qid, e.embedding AS qv, c.cid AS cell,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY -${duckCos("e.embedding", "c.cv")}, c.cid) AS crank
+    FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 10)
+  WHERE crank <= 8
+), scored AS (
+  SELECT p.qid, p.crank, a.vec_id,
+    ${duckCos("p.qv", "a.embedding")} AS sim
+  FROM probes p JOIN assigned a ON p.cell = a.cell AND p.qid <> a.vec_id
+), levels AS (SELECT unnest([1, 2, 4, 8]) AS np),
+top AS (
+  SELECT np, qid, vec_id AS neighbor FROM (
+    SELECT l.np, s.qid, s.vec_id,
+      row_number() OVER (PARTITION BY l.np, s.qid
+        ORDER BY s.sim DESC, s.vec_id) AS rk
+    FROM scored s JOIN levels l ON s.crank <= l.np)
+  WHERE rk <= 5
+), truth AS (
+  SELECT l.np, b.qid, b.neighbor
+  FROM ($embKnnBrute) b CROSS JOIN levels l)
+SELECT CAST(t.np AS BIGINT) AS nprobe,
+  CAST(count(tp.neighbor) AS BIGINT) AS n_hits,
+  CAST(count(*) AS BIGINT) AS n_truth,
+  round(CAST(count(tp.neighbor) AS DOUBLE) / count(*), 4) AS recall
+FROM truth t
+LEFT JOIN top tp
+  ON t.np = tp.np AND t.qid = tp.qid AND t.neighbor = tp.neighbor
+GROUP BY t.np
+ORDER BY nprobe"""
+
   /** Every oracle, keyed like SparkEntry.queries. */
   def all: Map[String, String] = Map(
+    "events_paths" -> eventsPaths,
+    "doc_mix_weights" -> docMixWeights,
+    "emb_nprobe_curve" -> embNprobeCurve,
+    "doc_token_entropy" -> docTokenEntropy,
+    "events_rfm" -> eventsRfm,
+    "emb_knn_sq8" -> embKnnSq8,
     "img_dataset_growth" -> imgDatasetGrowth,
     "events_seasonality" -> eventsSeasonality,
     "events_attribution" -> eventsAttribution,

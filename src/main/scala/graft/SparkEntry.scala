@@ -113,6 +113,12 @@ object SparkEntry {
     "doc_span_dedup" -> (DedupOps.spanDedup(_, _)),
     "doc_winnow" -> (TextOps.winnow(_, _)),
     "doc_bloom_dedup" -> (DedupOps.bloomDedup(_, _)),
+    "doc_token_entropy" -> (TextOps.tokenEntropy(_, _)),
+    "events_rfm" -> (EventOps.eventsRfm(_, _)),
+    "emb_knn_sq8" -> (VectorOps.knnSq8(_, _)),
+    "events_paths" -> (EventOps.eventsPaths(_, _)),
+    "doc_mix_weights" -> (TextOps.mixWeights(_, _)),
+    "emb_nprobe_curve" -> (VectorOps.nprobeCurve(_, _)),
     "doc_winnow_overlap" -> (TextOps.winnowOverlap(_, _)),
     "emb_semdedup" -> (VectorOps.semDedup(_, _)),
     "events_sliding" -> (EventOps.eventsSliding(_, _)),

@@ -346,6 +346,29 @@ object EventOps {
       .orderBy("prev_type", "curr_type")
   }
 
+  /** Top-20 three-step user paths (the "path analysis" report of a
+    * product-analytics suite, one order up from [[eventsTransitions]]'
+    * Markov bigrams): consecutive event-type trigrams per user in
+    * (ts, event_id) order, counted corpus-wide, ranked (n desc, path).
+    * The lead window partitions by user — per-user state only, the
+    * same scale declaration as every sessionize twin — and the final
+    * top-20 compiles to TakeOrderedAndProject (distributed partial
+    * top-k), never a global sort.
+    */
+  def eventsPaths(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("t2", lead(col("event_type"), 1).over(byUser))
+      .withColumn("t3", lead(col("event_type"), 2).over(byUser))
+      .filter(col("t2").isNotNull && col("t3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t2"), col("t3"))
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path")).limit(20)
+  }
+
   /** DAU / trailing-7-day WAU per day. Rolling DISTINCT counts don't
     * fit window frames (no count(DISTINCT) over RANGE), so each
     * active (user, day) pair is exploded onto the up-to-7 future days
@@ -546,5 +569,43 @@ object EventOps {
           .as("top_events"))
       .withColumn("top_share_pct",
         round(col("top_events") * 100.0 / col("n_events"), 4))
+  }
+
+  /** RFM segmentation: per-user Recency / Frequency / Monetary
+    * quartiles crossed into ≤64 segments with user counts and exact
+    * revenue mass — the classic marketing-analytics cut of an event
+    * log. Recency is exact integer day arithmetic on the nano
+    * timestamps; monetary sums integer cents (floor(v·100+0.5), the
+    * [[eventsSliding]] trick) so no float accumulation ever shuffles.
+    * Each ntile(4) breaks ties with user_id, making the quartile
+    * assignment a total order both engines agree on.
+    *
+    * Scale shape: the only event-sized operation is the per-user
+    * partial agg; the three quartile windows sort the USER CENSUS
+    * (one row per user — orders of magnitude below the event count,
+    * same census-bounded declaration as [[eventsPareto]]'s sketch
+    * input). At a 100 TB event log with ~10⁸ users the census sort is
+    * a routine exchange, not a straggler.
+    */
+  def eventsRfm(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy("user_id")
+      .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("freq"),
+        sum(col("cents")).as("cents"))
+    val ref = perUser.agg(max(col("last_ts")).as("ref_ts"))
+    perUser.crossJoin(broadcast(ref))
+      .withColumn("rec_days",
+        expr(s"(ref_ts - last_ts) div ${86400L * NanosPerSec}"))
+      .withColumn("r_score", ntile(4).over(
+        Window.orderBy(col("rec_days"), col("user_id"))).cast("bigint"))
+      .withColumn("f_score", ntile(4).over(
+        Window.orderBy(col("freq").desc, col("user_id"))).cast("bigint"))
+      .withColumn("m_score", ntile(4).over(
+        Window.orderBy(col("cents").desc, col("user_id"))).cast("bigint"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_users"), sum(col("cents")).as("sum_cents"))
+      .orderBy("r_score", "f_score", "m_score")
   }
 }

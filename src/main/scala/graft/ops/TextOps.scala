@@ -418,6 +418,87 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Data-mixture sampling weights (the DoReMi/Pile-style "domain
+    * reweighting" audit a training run does before sampling): actual
+    * token share per source vs a Zipf target mixture (raw weight
+    * 1/(idx+1) over the OBSERVED sources — no hardcoded source list),
+    * and the per-source sampling weight target/actual; weight > 1
+    * means the source must be oversampled (epochs repeated) to hit
+    * the target mix.
+    *
+    * Determinism: token counts are whitespace length arithmetic
+    * (exact integers); the Zipf normalizer sums DECIMAL(20,10)-cast
+    * raw weights so the ≤S-row reduction is order-independent.
+    * Shuffle shape: one map-combined partial agg to S source rows,
+    * one one-row census broadcast back — nothing else.
+    */
+  def mixWeights(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables.documents(spark, dir)
+      .withColumn("t", trim(col("text")))
+      .withColumn("n_tokens",
+        when(length(col("t")) === 0, lit(0L)).otherwise(
+          (length(col("t")) - length(expr("replace(t, ' ', '')")) + 1)
+            .cast("bigint")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+      .withColumn("raw_w",
+        (lit(1.0) / (expr("cast(substring(source, 4) as int)") + 1))
+          .cast("decimal(20,10)"))
+    val totals = perSource.agg(sum(col("tokens")).as("tot_tokens"),
+      sum(col("raw_w")).as("tot_w"))
+    perSource.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        round(col("tokens").cast("double") / col("tot_tokens"), 6)
+          .as("actual_share"),
+        round(col("raw_w").cast("double") / col("tot_w").cast("double"), 6)
+          .as("target_share"))
+      .withColumn("sampling_weight",
+        round(col("target_share") / col("actual_share"), 4))
+      .orderBy("source")
+  }
+
+  /** Lexical-diversity audit: per-doc unigram Shannon entropy,
+    * type-token ratio and hapax count, rolled up per source — the
+    * low-diversity signal orthogonal to [[repetition]]'s duplicate-span
+    * gate (a doc cycling two tokens fools 3-gram distinctness far less
+    * than it fools entropy). Docs with ≥1 token participate; the
+    * synthetic corpus has no empty docs.
+    *
+    * Determinism: H = ln(n) − Σ c·ln(c)/n; each c·ln(c) term is cast
+    * to DECIMAL(20,10) before the per-doc sum (order-independent — the
+    * [[unigramLogprob]] trick), per-doc H and TTR round to 4 places,
+    * and the per-source averages sum those rounded values as DECIMAL.
+    * Shuffle shape: one exchange on (doc, token) with map-side
+    * combine, then a partial-agg on source — nothing corpus-global.
+    */
+  def tokenEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(expr("filter(split(lower(text), ' '), x -> x <> '')"))
+          .as("tok"))
+    val perDoc = toks
+      .groupBy("doc_id", "source", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "source")
+      .agg(sum("c").as("n"),
+        count(lit(1)).as("n_types"),
+        sum((col("c") === 1).cast("long")).as("n_hapax"),
+        sum((col("c").cast("double") * log(col("c").cast("double")))
+          .cast(LpDec)).as("s"))
+      .select(col("source"), col("n_hapax"),
+        round(log(col("n").cast("double"))
+          - col("s").cast("double") / col("n"), 4).as("entropy"),
+        round(col("n_types").cast("double") / col("n"), 4).as("ttr"))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("entropy") < 3.2).cast("long")).as("n_low_entropy"),
+        round(sum(col("entropy").cast("decimal(14,4)")).cast("double")
+          / count(lit(1)), 4).as("avg_entropy"),
+        round(sum(col("ttr").cast("decimal(14,4)")).cast("double")
+          / count(lit(1)), 4).as("avg_ttr"),
+        sum(col("n_hapax")).as("hapax_total"))
+      .orderBy("source")
+  }
+
   /** Top-3 longest documents per source via the bounded
     * [[graft.functions.TopKByScore]] aggregate. A per-source
     * row_number window would hash the WHOLE corpus into

@@ -610,4 +610,112 @@ object VectorOps {
           4).as("load_factor"))
       .orderBy("cell")
   }
+
+  /** IVF tuning curve: recall@5 vs nprobe ∈ {1,2,4,8} against the
+    * brute-force ground truth — the speed/recall trade-off table an
+    * ANN deployment reads before picking its operating point (the
+    * audit FAISS users run as `nprobe` sweeps). One candidate scan at
+    * the maximum nprobe carries its probe rank; each level filters
+    * `crank ≤ np` — four levels cost one search, not four.
+    *
+    * Scale shape: inherits [[knnIvf]]'s candidate bound (|Q| × nprobe
+    * × cell_size, independent of N) ×4 for the level expansion; top-5
+    * per (level, query) rides the bounded TopKByScore aggregate; the
+    * truth join is |Q|×5 rows a side.
+    */
+  def nprobeCurve(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cents = coarseCentroids(e)
+    val levels = Seq(1, 2, 4, 8)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cdist"), col("cid"))
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .join(broadcast(cents), col("cid") =!= lit(-1))
+      .withColumn("cdist", -cosine(col("qv"), col("cv")))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= levels.max)
+      .select(col("qid"), col("qv"), col("cid").as("cell"), col("crank"))
+    val assigned = assignCells(e, cents)
+    val scored = broadcast(probes).join(assigned, Seq("cell"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("crank"), col("vec_id"),
+        cosine(col("qv"), col("embedding")).as("sim"))
+    val top = scored
+      .select(col("qid"), col("crank"), col("vec_id"), col("sim"),
+        explode(array(levels.map(lit): _*)).as("np"))
+      .filter(col("crank") <= col("np"))
+      .groupBy("np", "qid")
+      .agg(graft.functions.TopKByScore
+        .topk(col("sim"), col("vec_id"), 5).as("top"))
+      .select(col("np"), col("qid"),
+        explode(expr("transform(top, t -> t.id)")).as("neighbor"),
+        lit(1).as("hit"))
+    val truth = knnBrute(spark, dir).select(col("qid"), col("neighbor"))
+      .crossJoin(spark.range(1).select(
+        explode(array(levels.map(lit): _*)).as("np")))
+    // both sides are |Q|×5×levels rows but sit behind windows/aggs
+    // (unknown size estimates) — hint the broadcast or this degrades
+    // to a sort-merge join
+    truth.join(broadcast(top), Seq("np", "qid", "neighbor"), "left")
+      .groupBy("np")
+      .agg(count(col("hit")).as("n_hits"), count(lit(1)).as("n_truth"))
+      .select(col("np").cast("bigint").as("nprobe"), col("n_hits"),
+        col("n_truth"),
+        round(col("n_hits").cast("double") / col("n_truth"), 4)
+          .as("recall"))
+      .orderBy("nprobe")
+  }
+
+  /** Scalar-quantized (SQ8) kNN — the memory-compression companion to
+    * the PQ family: each float component maps to one byte via the
+    * global per-dimension [min,max] range (the FAISS
+    * `ScalarQuantizer(QT_8bit)` layout), and search ranks candidates
+    * by exact integer squared distance on the codes. 4× smaller than
+    * float32 with far better fidelity than PQ's 8 bytes — the middle
+    * rung of the compression ladder.
+    *
+    * Determinism: quantization is floor(x·scale + 0.5) on doubles
+    * whose operation order both engines share, and distances are pure
+    * BIGINT arithmetic — no float accumulation anywhere in ranking.
+    *
+    * Scale shape: the dimension census is a posexplode partial-agg
+    * (map-side combine collapses each task to d rows before the
+    * d-key exchange); the ranges broadcast back as two d-element
+    * arrays; codes never shuffle (scored in place, bounded
+    * [[graft.functions.TopKByScore]] top-k). At 100 TB the quantized
+    * corpus is the only thing RAM-resident per executor — that 4×
+    * is the point of the operator.
+    */
+  def knnSq8(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val dims = e
+      .select(posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy("d")
+      .agg(min(col("x").cast("double")).as("lo"),
+        max(col("x").cast("double")).as("hi"))
+    val ranges = dims
+      .agg(sort_array(collect_list(struct(col("d"), col("lo"), col("hi"))))
+        .as("ds"))
+      .select(expr("transform(ds, s -> s.lo)").as("los"),
+        expr("transform(ds, s -> CASE WHEN s.hi = s.lo THEN s.lo + 1.0" +
+          " ELSE s.hi END)").as("his"))
+    val quantized = e.crossJoin(broadcast(ranges))
+      .select(col("vec_id"),
+        expr("transform(arrays_zip(embedding, los, his), s -> " +
+          "greatest(0L, least(255L, floor((CAST(s.embedding AS DOUBLE)" +
+          " - s.los) * 255.0 / (s.his - s.los) + 0.5d))))").as("code"))
+    val q = quantized.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("code").as("qcode"))
+    val scored = quantized.join(broadcast(q), col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        expr("aggregate(zip_with(qcode, code, (x, y) -> (x - y) * (x - y))," +
+          " 0L, (acc, v) -> acc + v)").as("idist"))
+    // integer distances ride the shared bounded top-k as exact
+    // negated doubles (max 64·255² ≪ 2^53)
+    topK(scored.select(col("qid"), col("vec_id"),
+        (-col("idist").cast("double")).as("sim")), 5)
+      .select(col("qid"), col("neighbor"),
+        (-col("sim")).cast("bigint").as("idist"), col("rank"))
+  }
 }

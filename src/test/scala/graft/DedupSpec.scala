@@ -192,4 +192,112 @@ class DedupSpec extends AnyFunSuite {
       nPlantedVecs
     assert(rows.map(_.getLong(1)).sum === corpusSize)
   }
+
+  test("token entropy bounds: 0 ≤ H ≤ ln(n), 0 < TTR ≤ 1, full census") {
+    val rows = TextOps.tokenEntropy(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (avgH, avgTtr) = (r.getDouble(3), r.getDouble(4))
+      // vocab is a few dozen tokens → ln(vocab) < 6 bounds any doc
+      assert(avgH >= 0.0 && avgH < 6.0, s"entropy $avgH out of range")
+      assert(avgTtr > 0.0 && avgTtr <= 1.0, s"ttr $avgTtr out of range")
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(1))
+    }
+    // every document carries ≥1 token, so the census is complete
+    val nDocs = graft.tables.Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getLong(1)).sum === nDocs)
+  }
+
+  test("RFM segments partition the user census with scores in 1..4") {
+    import graft.ops.EventOps
+    val rows = EventOps.eventsRfm(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      Seq(r.getLong(0), r.getLong(1), r.getLong(2)).foreach(s =>
+        assert(s >= 1 && s <= 4, s"score $s outside 1..4"))
+    }
+    val ev = graft.tables.Tables.events(spark, sfDir)
+    val nUsers = ev.select("user_id").distinct().count()
+    assert(rows.map(_.getLong(3)).sum === nUsers)
+    // exact cents conservation across segments
+    val totalCents = ev
+      .select(floor(col("value") * 100 + 0.5).cast("long").as("c"))
+      .agg(sum("c")).collect()(0).getLong(0)
+    assert(rows.map(_.getLong(4)).sum === totalCents)
+  }
+
+  test("SQ8 kNN: 5 ranked neighbors per query, distances monotone, " +
+      "and high recall vs exact L2") {
+    val rows = VectorOps.knnSq8(spark, sfDir).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size === 10 && byQ.values.forall(_.length === 5))
+    byQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getLong(3))
+      assert(sorted.map(_.getLong(3)).toSeq === (1L to 5L))
+      val dists = sorted.map(_.getLong(2))
+      assert(dists.forall(_ >= 0))
+      assert(dists.zip(dists.tail).forall { case (a, b) => a <= b },
+        "idist not monotone in rank")
+    }
+    // 8-bit scalar quantization preserves L2 geometry almost exactly:
+    // the exact-L2 top-5 (same tie-break) must overlap strongly
+    import org.apache.spark.sql.expressions.Window
+    val e = graft.tables.Tables.embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val w = Window.partitionBy("qid").orderBy(col("l2"), col("vec_id"))
+    val exact = e.join(broadcast(q), col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        expr("aggregate(zip_with(qv, embedding, (x, y) -> " +
+          "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * " +
+          "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), 0D, " +
+          "(acc, v) -> acc + v)").as("l2"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"SQ8 recall vs exact L2 only $recall")
+  }
+
+  test("path analysis: well-formed trigrams ranked by count") {
+    import graft.ops.EventOps
+    val rows = EventOps.eventsPaths(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      assert(r.getString(0).count(_ == '>') === 2,
+        s"malformed path ${r.getString(0)}")
+      assert(r.getLong(1) > 0)
+    }
+    val ns = rows.map(_.getLong(1))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b },
+      "counts not ranked descending")
+  }
+
+  test("mixture weights: shares each sum to ~1, weights consistent") {
+    val rows = TextOps.mixWeights(spark, sfDir).collect()
+    val nSources = graft.tables.Tables.documents(spark, sfDir)
+      .select("source").distinct().count()
+    assert(rows.length === nSources)
+    val actual = rows.map(_.getDouble(3)).sum
+    val target = rows.map(_.getDouble(4)).sum
+    assert(math.abs(actual - 1.0) < 1e-3, s"actual shares sum $actual")
+    assert(math.abs(target - 1.0) < 1e-3, s"target shares sum $target")
+    rows.foreach { r =>
+      assert(r.getDouble(5) > 0)
+      // weight is the ratio of the two rounded shares
+      assert(math.abs(r.getDouble(5)
+        - r.getDouble(4) / r.getDouble(3)) < 1e-3)
+    }
+  }
+
+  test("nprobe curve: recall monotone in nprobe, full truth coverage") {
+    val rows = VectorOps.nprobeCurve(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 4L, 8L))
+    rows.foreach(r => assert(r.getLong(2) === 50, "truth must be 10×5"))
+    val recalls = rows.map(_.getDouble(3))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall not monotone in nprobe: ${recalls.mkString(",")}")
+    assert(recalls.last > 0.5, "probing half the cells should recall >0.5")
+  }
 }

@@ -68,8 +68,14 @@ class PlanSweepSpec extends AnyFunSuite {
     "events_pareto",  // one-row p99 sketch census cross join
     "emb_ivf_balance", // 16-centroid assignment cross join + one-row
                       // total census cross join
-    "emb_semdedup"    // 16-centroid assignment cross join (the shared
+    "emb_semdedup",   // 16-centroid assignment cross join (the shared
                       // assignCells coarse step)
+    "events_rfm",     // one-row reference-date census cross join
+    "emb_knn_sq8",    // one-row [min,max]-range census cross join +
+                      // tiny quantized query side, <> condition
+    "doc_mix_weights", // one-row token/weight-total census cross join
+    "emb_nprobe_curve" // 16-centroid routing cross joins + brute-truth
+                       // composition (inherits emb_knn_brute's shape)
   )
 
   test("doc_zipf ranks via distributed top-k, not a global window sort") {
