@@ -2883,8 +2883,93 @@ LEFT JOIN top tp
 GROUP BY t.np
 ORDER BY nprobe"""
 
+  /** Funnel twin of [[graft.ops.DedupOps.survivalFunnel]]: identical
+    * stage predicates — digest keeper, the shared minhashChain pair
+    * derivation over the exact-dedup representatives, the quality-gate
+    * flags on text length, and the eval-shingle semi-join.
+    */
+  val docSurvivalFunnel: String = """WITH stage0 AS (
+  SELECT doc_id, source, text FROM (
+    SELECT doc_id, source, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, source, text FROM documents
+    WHERE doc_id % 5 = 0)
+  WHERE doc_id >= 10
+), hashed AS (
+  SELECT doc_id, source, text, md5(lower(trim(text))) AS h FROM stage0
+), keep1 AS (SELECT h, min(doc_id) AS keeper FROM hashed GROUP BY h),
+s1 AS (
+  SELECT hashed.doc_id, hashed.source, hashed.text,
+    (hashed.doc_id = keep1.keeper) AS surv1
+  FROM hashed JOIN keep1 ON hashed.h = keep1.h
+), repdocs AS (SELECT doc_id, text FROM s1 WHERE surv1),
+sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(toks) >= 3 THEN
+      list_transform(range(1, len(toks) - 1),
+        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      ELSE [text] END) AS shset
+  FROM (
+    SELECT doc_id, text,
+      list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+    FROM repdocs)
+)""" + minhashChain("sh") + """
+, neardrop AS (SELECT DISTINCT doc2 AS doc_id FROM pairs),
+sh0 AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(toks) >= 3 THEN
+      list_transform(range(1, len(toks) - 1),
+        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      ELSE [text] END) AS shset
+  FROM (
+    SELECT doc_id, text,
+      list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+    FROM stage0)
+), evalsh AS (
+  SELECT DISTINCT unnest(shset) AS s FROM (
+    SELECT list_distinct(CASE WHEN len(toks) >= 3 THEN
+        list_transform(range(1, len(toks) - 1),
+          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        ELSE [text] END) AS shset
+    FROM (
+      SELECT text,
+        list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+      FROM documents WHERE doc_id < 10))
+), contam AS (
+  SELECT DISTINCT x.doc_id FROM (
+    SELECT doc_id, unnest(shset) AS s FROM sh0) x
+  JOIN evalsh e ON x.s = e.s
+), flags AS (
+  SELECT s1.source, s1.surv1,
+    (s1.surv1 AND nd.doc_id IS NULL) AS surv2,
+    (length(s1.text) >= 100
+      AND len(list_filter(string_split(lower(s1.text), ' '),
+        x -> x <> '')) >= 20
+      AND NOT (2 * len(list_filter(string_split(lower(s1.text), ' '),
+        x -> x = 'the' OR x = 'a'))
+        > len(list_filter(string_split(lower(s1.text), ' '),
+          x -> x <> '')))) AS quality,
+    (c.doc_id IS NULL) AS clean
+  FROM s1
+  LEFT JOIN neardrop nd ON s1.doc_id = nd.doc_id
+  LEFT JOIN contam c ON s1.doc_id = c.doc_id)
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_raw,
+  CAST(sum(CASE WHEN surv1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+  CAST(sum(CASE WHEN surv2 THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
+  CAST(sum(CASE WHEN surv2 AND quality THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_quality,
+  CAST(sum(CASE WHEN surv2 AND quality AND clean THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_clean,
+  round(CAST(sum(CASE WHEN surv2 AND quality AND clean THEN 1 ELSE 0 END)
+    AS DOUBLE) / count(*), 4) AS retention
+FROM flags
+GROUP BY source
+ORDER BY source"""
+
   /** Every oracle, keyed like SparkEntry.queries. */
   def all: Map[String, String] = Map(
+    "doc_survival_funnel" -> docSurvivalFunnel,
     "events_paths" -> eventsPaths,
     "doc_mix_weights" -> docMixWeights,
     "emb_nprobe_curve" -> embNprobeCurve,

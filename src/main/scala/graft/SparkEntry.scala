@@ -117,6 +117,7 @@ object SparkEntry {
     "events_rfm" -> (EventOps.eventsRfm(_, _)),
     "emb_knn_sq8" -> (VectorOps.knnSq8(_, _)),
     "events_paths" -> (EventOps.eventsPaths(_, _)),
+    "doc_survival_funnel" -> (DedupOps.survivalFunnel(_, _)),
     "doc_mix_weights" -> (TextOps.mixWeights(_, _)),
     "emb_nprobe_curve" -> (VectorOps.nprobeCurve(_, _)),
     "doc_winnow_overlap" -> (TextOps.winnowOverlap(_, _)),

@@ -392,6 +392,70 @@ object DedupOps {
       .orderBy("doc1", "doc2")
   }
 
+  /** Pipeline survival funnel — the headline data-funnel report of a
+    * training-corpus build: how many documents per source survive
+    * each cleaning stage, CUMULATIVELY — raw → exact dedup (digest
+    * keeper) → near-dup dedup (LSH-confirmed pairs, keep-lower-id) →
+    * quality gate (length/token/stopword) → eval decontamination
+    * (shared 3-gram shingle with the held-out set). Eval originals
+    * (doc_id < 10) are excluded up front; their PLANTED copies stay
+    * in — exact dedup cannot see them (the originals are gone) but
+    * the decontamination stage catches the leaked text, which is
+    * precisely the leak story this report exists to tell.
+    *
+    * 100 TB shape: stage flags are per-doc booleans folded in ONE
+    * final per-source partial agg. The digest keeper join-back and
+    * the contamination flag join-back ride UNIQUE keys (digest /
+    * doc_id — uniform shuffles, whitelisted like doc_dedup_pipeline);
+    * the near-dup drop set is LSH-cap bounded and broadcasts; eval
+    * shingles broadcast by definition. No stage rescans text it
+    * doesn't need.
+    */
+  def survivalFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val stage0 = corpus(spark, dir).filter(col("doc_id") >= 10)
+      .select("doc_id", "source", "text")
+    val hashed = stage0.withColumn("h", md5(lower(trim(col("text")))))
+    val keepers = hashed.select("doc_id", "h").groupBy("h")
+      .agg(min("doc_id").as("keeper"))
+    val s1 = hashed.join(keepers, "h")
+      .withColumn("surv1", col("doc_id") === col("keeper"))
+    val reps = s1.filter(col("surv1")).select("doc_id", "text")
+    val nearDrop = minhashPairsOf(reps)
+      .select(col("doc2").as("doc_id")).distinct()
+      .withColumn("near_dup", lit(1))
+    val evalSh = withShingles(docs.filter(col("doc_id") < 10))
+      .select(explode(col("shset")).as("sh")).distinct()
+    val contaminated = withShingles(stage0.select("doc_id", "text"))
+      .select(col("doc_id"), explode(col("shset")).as("sh"))
+      .join(broadcast(evalSh), "sh")
+      .select("doc_id").distinct().withColumn("contam", lit(1))
+    s1
+      .withColumn("n_tokens",
+        expr("size(filter(split(lower(text), ' '), x -> x <> ''))")
+          .cast("bigint"))
+      .withColumn("stop_n",
+        expr("size(filter(split(lower(text), ' '), " +
+          "x -> x = 'the' or x = 'a'))").cast("bigint"))
+      .withColumn("quality",
+        length(col("text")) >= 100 && col("n_tokens") >= 20 &&
+          !(col("stop_n") * 2 > col("n_tokens")))
+      .join(broadcast(nearDrop), Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .withColumn("surv2", col("surv1") && col("near_dup").isNull)
+      .withColumn("surv3", col("surv2") && col("quality"))
+      .withColumn("surv4", col("surv3") && col("contam").isNull)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_raw"),
+        sum(col("surv1").cast("long")).as("n_exact"),
+        sum(col("surv2").cast("long")).as("n_near"),
+        sum(col("surv3").cast("long")).as("n_quality"),
+        sum(col("surv4").cast("long")).as("n_clean"))
+      .withColumn("retention",
+        round(col("n_clean").cast("double") / col("n_raw"), 4))
+      .orderBy("source")
+  }
+
   /** Benchmark decontamination — the eval-set leakage scan every LLM
     * training corpus runs before release: which training docs share
     * any word-3-gram shingle with the held-out eval set (doc_id < 10

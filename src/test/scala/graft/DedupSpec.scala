@@ -260,6 +260,29 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"SQ8 recall vs exact L2 only $recall")
   }
 
+  test("survival funnel: stages monotone, exact stage counts planted " +
+      "dups, leaked eval copies die at decontamination") {
+    val rows = DedupOps.survivalFunnel(spark, sfDir).collect()
+    val docs = graft.tables.Tables.documents(spark, sfDir)
+    // per source, every stage can only shrink the corpus
+    rows.foreach { r =>
+      val chain = (1 to 5).map(r.getLong)
+      assert(chain.zip(chain.tail).forall { case (a, b) => a >= b },
+        s"non-monotone funnel for ${r.getString(0)}: $chain")
+      assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0)
+    }
+    // exact stage drops exactly the planted copies whose original is
+    // still in stage0 (doc_id % 5 == 0 AND >= 10)
+    val plantedWithOriginal =
+      docs.filter(col("doc_id") % 5 === 0 && col("doc_id") >= 10).count()
+    assert(rows.map(r => r.getLong(1) - r.getLong(2)).sum
+      === plantedWithOriginal)
+    // the two leaked eval copies (planted ids 1000000/1000005) slip
+    // past exact dedup (originals excluded) but must die by the
+    // decontamination stage: clean strictly below quality overall
+    assert(rows.map(_.getLong(5)).sum < rows.map(_.getLong(4)).sum)
+  }
+
   test("path analysis: well-formed trigrams ranked by count") {
     import graft.ops.EventOps
     val rows = EventOps.eventsPaths(spark, sfDir).collect()

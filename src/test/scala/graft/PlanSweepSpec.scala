@@ -41,6 +41,10 @@ class PlanSweepSpec extends AnyFunSuite {
                            // corpus, so the min side can't broadcast)
     "q20_dominant_supplier", // per-pair qty ⋈ per-part total join-back:
                            // same fact-derived-both-sides shape
+    "doc_survival_funnel", // digest keeper join-back + per-doc contam
+                           // flag join-back: both sides corpus-scale on
+                           // UNIQUE keys (digest / doc_id) — uniform
+                           // shuffles, the doc_dedup_pipeline shape
     "emb_semdedup"         // cell-co-partitioned self-join: both sides
                            // are the corpus-sized assignment — pair
                            // work is quadratic in CELL size only, and
