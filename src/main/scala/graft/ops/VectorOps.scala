@@ -270,15 +270,22 @@ object VectorOps {
     */
   private def pqAssign(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    subspaces(e.select(col("vec_id"), col("label"), col("embedding")),
+    pqAssignOf(e, e)
+  }
+
+  /** PQ assignment with rows and codebook source split — see
+    * [[coarseCellsOf]] for the frozen-codebook rationale.
+    */
+  private[graft] def pqAssignOf(rows: DataFrame,
+      codebooks: DataFrame): DataFrame =
+    subspaces(rows.select(col("vec_id"), col("label"), col("embedding")),
       "embedding")
-      .join(broadcast(pqCents(e)), Seq("m"))
+      .join(broadcast(pqCents(codebooks)), Seq("m"))
       .withColumn("dist", subL2)
       .groupBy("vec_id", "label", "m")
       .agg(min(struct(col("dist"), col("cid"))).as("mn"))
       .select(col("vec_id"), col("label"), col("m"),
         col("mn.cid").as("cid"))
-  }
 
   /** PQ ANN search (asymmetric distance computation): each query keeps
     * its exact subvectors, the database side is its 8 PQ codes; the
@@ -374,8 +381,17 @@ object VectorOps {
     * argmin aggregate (the window variant would shuffle 16N rows).
     */
   private def coarseCells(e: DataFrame): DataFrame =
-    e.select(col("vec_id"), col("embedding"))
-      .join(broadcast(ivfCents(e)), col("ccid") =!= lit(-1))
+    coarseCellsOf(e, e)
+
+  /** Routing with rows and codebook source split — the incremental
+    * form: a streamed ingest batch routes against the FROZEN seed
+    * centroids of the original corpus (FAISS adds to a trained index;
+    * it never retrains per add).
+    */
+  private[graft] def coarseCellsOf(rows: DataFrame,
+      codebooks: DataFrame): DataFrame =
+    rows.select(col("vec_id"), col("embedding"))
+      .join(broadcast(ivfCents(codebooks)), col("ccid") =!= lit(-1))
       .withColumn("cdist", -cosine(col("embedding"), col("ccv")))
       .groupBy("vec_id")
       .agg(min(struct(col("cdist"), col("ccid"))).as("mn"))
@@ -420,11 +436,22 @@ object VectorOps {
     */
   def indexRows(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val codes = pqAssign(spark, dir)
+    indexRowsOf(e, e)
+  }
+
+  /** Index rows for an arbitrary batch against frozen codebooks — the
+    * incremental-add path of [[graft.sources.VectorIndex.append]]:
+    * batch vectors route and PQ-encode against `codebooks` (the
+    * original corpus seeds), so appended rows are layout-identical to
+    * build-time rows.
+    */
+  private[graft] def indexRowsOf(rows: DataFrame,
+      codebooks: DataFrame): DataFrame = {
+    val codes = pqAssignOf(rows, codebooks)
       .groupBy("vec_id")
       .agg(sort_array(collect_list(struct(col("m"), col("cid"))))
         .as("codes"))
-    coarseCells(e).join(codes, Seq("vec_id"))
+    coarseCellsOf(rows, codebooks).join(codes, Seq("vec_id"))
       .select("vec_id", "cell", "codes")
   }
 

@@ -171,13 +171,30 @@ object DocumentStore {
   def vacuum(spark: SparkSession, docTable: String, censusTable: String,
       nBuckets: Int = DefaultBuckets): VacuumStats = {
     val bucketOf = pmod(hash(col("h")), lit(nBuckets))
-    val storeCounts = spark.table(docTable)
-      .groupBy(bucketOf.as("b")).agg(count(lit(1)).as("store_n"))
     val censusCounts = spark.table(censusTable)
       .groupBy(bucketOf.as("b")).agg(sum("n").as("census_n"))
+    vacuumKeyed(spark, docTable, "h", censusCounts, nBuckets)
+  }
+
+  /** The bucket-granular settle pass itself, parameterized on the
+    * bucketing key so other bucketed stores share it — the vector
+    * index ([[graft.streaming.VecStream]]) settles its at-least-once
+    * append debt against its per-cell registry through exactly this
+    * code path. `expected` is (b, census_n): the authoritative row
+    * count per PHYSICAL bucket (`pmod(hash(key), n)` — Spark's own
+    * bucketing function, so the census agrees with the file layout;
+    * the staged-file bucket-id check fails loudly if that invariant
+    * ever broke).
+    */
+  private[graft] def vacuumKeyed(spark: SparkSession, docTable: String,
+      keyCol: String, expected: DataFrame,
+      nBuckets: Int = DefaultBuckets): VacuumStats = {
+    val bucketOf = pmod(hash(col(keyCol)), lit(nBuckets))
+    val storeCounts = spark.table(docTable)
+      .groupBy(bucketOf.as("b")).agg(count(lit(1)).as("store_n"))
     // ≤ nBuckets rows — a layout-constant collect, like deleteDocs'
     val affected = storeCounts
-      .join(censusCounts, Seq("b"), "full_outer")
+      .join(expected, Seq("b"), "full_outer")
       .filter(coalesce(col("store_n"), lit(0L)) =!=
         coalesce(col("census_n"), lit(0L)))
       .select("b").collect().map(_.getInt(0)).sorted
@@ -189,8 +206,8 @@ object DocumentStore {
     spark.table(docTable)
       .filter(bucketOf.isin(affected: _*))
       .dropDuplicates()
-      .repartition(nBuckets, col("h"))
-      .write.bucketBy(nBuckets, "h").sortBy("h")
+      .repartition(nBuckets, col(keyCol))
+      .write.bucketBy(nBuckets, keyCol).sortBy(keyCol)
       .mode("overwrite").saveAsTable(staging)
     val affectedRows = spark.table(docTable)
       .filter(bucketOf.isin(affected: _*)).count()

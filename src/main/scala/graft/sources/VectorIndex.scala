@@ -37,6 +37,43 @@ object VectorIndex {
   def read(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 
+  /** Incremental add — the FAISS `index.add()` path: batch vectors
+    * route and PQ-encode against the FROZEN codebooks of the original
+    * corpus at `codebookDir` (an index never retrains per add) and
+    * append in the same cell-bucket layout, so old and new rows stay
+    * co-located and every search plan is unchanged. O(batch) per
+    * call; the stored index is never rescanned.
+    */
+  def append(spark: SparkSession, batch: DataFrame, table: String,
+      codebookDir: String, nBuckets: Int = DefaultBuckets): Unit = {
+    val cb = graft.tables.Tables.embeddings(spark, codebookDir)
+    graft.ops.VectorOps.indexRowsOf(batch, cb)
+      .write.bucketBy(nBuckets, "cell").sortBy("cell")
+      .mode("append").saveAsTable(table)
+    // any earlier read of the table (e.g. the bootstrap settle pass)
+    // cached its file listing in the relation cache; an appended file
+    // is invisible through that cache until the table refreshes
+    spark.sql(s"REFRESH TABLE $table")
+  }
+
+  /** Settle the index's at-least-once append debt against a per-cell
+    * registry census (`(cell, n)` — authoritative cumulative counts,
+    * maintained by [[graft.streaming.VecStream]]): same
+    * bucket-granular retire-aside-then-swap pass as
+    * [[DocumentStore.vacuum]], rewriting ONLY buckets whose physical
+    * counts disagree. Full-row distinct is exact settlement because a
+    * replayed append re-writes byte-identical (vec_id, cell, codes)
+    * rows and vec_ids are unique across batches.
+    */
+  def settle(spark: SparkSession, table: String, registryTable: String,
+      nBuckets: Int = DefaultBuckets): DocumentStore.VacuumStats = {
+    import org.apache.spark.sql.functions._
+    val expected = spark.table(registryTable)
+      .groupBy(pmod(hash(col("cell")), lit(nBuckets)).as("b"))
+      .agg(sum("n").as("census_n"))
+    DocumentStore.vacuumKeyed(spark, table, "cell", expected, nBuckets)
+  }
+
   /** Search the persisted index: identical semantics (and results —
     * VectorIndexSpec asserts row parity) to the inline
     * [[graft.ops.VectorOps.knnIvfPq]], but the corpus side is ONE
