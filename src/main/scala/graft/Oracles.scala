@@ -2356,6 +2356,174 @@ FROM pairs p LEFT JOIN common c
   ON c.source_a = p.source_a AND c.source_b = p.source_b
 ORDER BY 1, 2"""
 
+  /** Zipf-fit twin of [[graft.ops.TextOps.zipfSlope]]: each point's
+    * log10 values and products cast to DECIMAL per row, so the
+    * regression moments are exact on both engines; the slope division
+    * happens once in double.
+    */
+  val docZipfSlope: String = """
+WITH counts AS (
+  SELECT tok, count(*) AS n FROM (
+    SELECT unnest(list_filter(string_split(lower(text), ' '),
+      x -> x <> '')) AS tok
+    FROM documents)
+  GROUP BY tok),
+top AS (SELECT tok, n FROM counts ORDER BY n DESC, tok LIMIT 100),
+pts AS (
+  SELECT
+    CAST(log10(CAST(rank AS DOUBLE)) AS DECIMAL(20,10)) AS x,
+    CAST(log10(CAST(n AS DOUBLE)) AS DECIMAL(20,10)) AS y,
+    CAST(log10(CAST(rank AS DOUBLE)) * log10(CAST(rank AS DOUBLE))
+      AS DECIMAL(20,10)) AS xx,
+    CAST(log10(CAST(rank AS DOUBLE)) * log10(CAST(n AS DOUBLE))
+      AS DECIMAL(20,10)) AS xy
+  FROM (SELECT n,
+      row_number() OVER (ORDER BY n DESC, tok) AS rank FROM top)),
+mo AS (
+  SELECT count(*) AS n_ranks, sum(x) AS sx, sum(y) AS sy,
+    sum(xx) AS sxx, sum(xy) AS sxy FROM pts)
+SELECT CAST(n_ranks AS BIGINT) AS n_ranks,
+  round(CAST(n_ranks * sxy - sx * sy AS DOUBLE)
+    / CAST(n_ranks * sxx - sx * sx AS DOUBLE), 6) AS slope,
+  round((CAST(sy AS DOUBLE) - (CAST(n_ranks * sxy - sx * sy AS DOUBLE)
+    / CAST(n_ranks * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+    / n_ranks, 6) AS intercept
+FROM mo"""
+
+  /** Bigram-LM twin of [[graft.ops.TextOps.bigramLogprob]]: bigrams
+    * built positionally from the token list (range join on list
+    * indices — same pairs as Spark's zip_with-of-slices), the
+    * interpolated log evaluated once per bigram type and cast to
+    * DECIMAL, sums exact, threshold cross-multiplied.
+    */
+  val docBigramLogprob: String = """
+WITH docs AS (
+  SELECT doc_id, source,
+    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents),
+bi AS (
+  SELECT doc_id, source,
+    unnest(list_transform(range(1, greatest(len(toks), 1)),
+      i -> toks[i] || ' ' || toks[i + 1])) AS bg
+  FROM docs),
+cb AS (
+  SELECT bg, split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+    count(*) AS cb
+  FROM bi GROUP BY bg),
+ctx AS (SELECT w1, sum(cb) AS cctx FROM cb GROUP BY w1),
+toks AS (
+  SELECT unnest(toks) AS tok FROM docs),
+uni AS (SELECT tok AS w2, count(*) AS cu FROM toks GROUP BY tok),
+total AS (SELECT count(*) AS tot FROM toks),
+lp AS (
+  SELECT bg,
+    CAST(ln(0.7 * (CAST(cb AS DOUBLE) / cctx)
+          + 0.3 * (CAST(cu AS DOUBLE) / tot)) AS DECIMAL(20,10)) AS lp
+  FROM cb JOIN ctx USING (w1) JOIN uni USING (w2), total),
+perdoc AS (
+  SELECT doc_id, source, sum(lp) AS s, count(*) AS n_bi
+  FROM bi JOIN lp USING (bg)
+  GROUP BY doc_id, source)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN s < CAST(-4.0 AS DECIMAL(20,10)) * n_bi
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+  round(CAST(sum(s) AS DOUBLE) / sum(n_bi), 4) AS avg_bigram_logprob
+FROM perdoc
+GROUP BY source
+ORDER BY source"""
+
+  /** DSIR twin of [[graft.ops.TextOps.dsirWeights]]: both smoothed
+    * log terms evaluate once per vocabulary type, land in DECIMAL,
+    * sums exact; the target slice is the lang='en' conditional sum
+    * off the same scan.
+    */
+  val docDsirWeights: String = """
+WITH toks AS (
+  SELECT doc_id, source, lang,
+    unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+      AS tok
+  FROM documents),
+vocab AS (
+  SELECT tok, count(*) AS craw,
+    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ctgt
+  FROM toks GROUP BY tok),
+totals AS (
+  SELECT sum(craw) AS traw, sum(ctgt) AS ttgt, count(*) AS v FROM vocab),
+lp AS (
+  SELECT tok,
+    CAST(ln((ctgt + 1.0) / (ttgt + v))
+       - ln((craw + 1.0) / (traw + v)) AS DECIMAL(20,10)) AS dlp
+  FROM vocab, totals),
+perdoc AS (
+  SELECT doc_id, source, sum(dlp) AS w
+  FROM toks JOIN lp USING (tok)
+  GROUP BY doc_id, source)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN w > CAST(0 AS DECIMAL(20,10)) THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_upweighted,
+  round(CAST(sum(w) AS DOUBLE) / count(*), 4) AS avg_weight
+FROM perdoc
+GROUP BY source
+ORDER BY source"""
+
+  /** Distortion twin of [[graft.ops.VectorOps.pqDistortion]]: the
+    * same sequential-fold squared L2 as [[embPqCodes]], the min dist
+    * cast to DECIMAL per (vec, subspace) row, codes-used as the same
+    * 16-bit membership bitmap.
+    */
+  val embPqDistortion: String = """
+WITH subq AS (
+  SELECT vec_id, m.m AS m,
+    embedding[m.m * 8 + 1 : m.m * 8 + 8] AS sub
+  FROM embeddings CROSS JOIN (SELECT unnest(range(8)) AS m) m),
+subc AS (
+  SELECT vec_id AS cid, m.m AS m,
+    embedding[m.m * 8 + 1 : m.m * 8 + 8] AS csub
+  FROM embeddings CROSS JOIN (SELECT unnest(range(8)) AS m) m
+  WHERE vec_id < 16),
+scored AS (
+  SELECT q.vec_id, q.m, c.cid,
+    list_sum(list_transform(list_zip(q.sub, c.csub),
+      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS dist
+  FROM subq q JOIN subc c ON q.m = c.m),
+assigned AS (
+  SELECT m, CAST(dist AS DECIMAL(20,10)) AS d, cid FROM (
+    SELECT vec_id, m, cid, dist,
+      row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rk
+    FROM scored)
+  WHERE rk = 1)
+SELECT m AS subspace, CAST(count(*) AS BIGINT) AS n_vecs,
+  round(CAST(sum(d) AS DOUBLE) / count(*), 6) AS mse,
+  round(CAST(max(d) AS DOUBLE), 6) AS max_sq_err,
+  CAST(bit_count(bit_or(1::BIGINT << cid)) AS BIGINT) AS codes_used
+FROM assigned
+GROUP BY m
+ORDER BY subspace"""
+
+  /** Moment twin of [[graft.ops.VectorOps.dimStats]]: per-row values
+    * and squares in DECIMAL (float→double exact, one deterministic
+    * rounding for the square), min/max exact doubles.
+    */
+  val embDimStats: String = """
+WITH el AS (
+  SELECT i.i - 1 AS dim, CAST(embedding[i.i] AS DOUBLE) AS xd
+  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i),
+dd AS (
+  SELECT dim, xd,
+    CAST(xd AS DECIMAL(20,10)) AS x1,
+    CAST(xd * xd AS DECIMAL(20,10)) AS x2
+  FROM el)
+SELECT CAST(dim AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n,
+  round(CAST(sum(x1) AS DOUBLE) / count(*), 6) AS mean,
+  round(CAST(sum(x2) AS DOUBLE) / count(*)
+    - (CAST(sum(x1) AS DOUBLE) / count(*))
+    * (CAST(sum(x1) AS DOUBLE) / count(*)), 6) AS variance,
+  min(xd) AS min_v, max(xd) AS max_v
+FROM dd
+GROUP BY dim
+ORDER BY dim"""
+
   /** Unigram-LM twin of [[graft.ops.TextOps.unigramLogprob]]: ln cast
     * to DECIMAL(20,10) at the vocabulary level on both engines, sums
     * exact, threshold cross-multiplied.
@@ -2970,6 +3138,11 @@ ORDER BY source"""
   /** Every oracle, keyed like SparkEntry.queries. */
   def all: Map[String, String] = Map(
     "doc_survival_funnel" -> docSurvivalFunnel,
+    "doc_zipf_slope" -> docZipfSlope,
+    "doc_bigram_logprob" -> docBigramLogprob,
+    "doc_dsir_weights" -> docDsirWeights,
+    "emb_pq_distortion" -> embPqDistortion,
+    "emb_dim_stats" -> embDimStats,
     "events_paths" -> eventsPaths,
     "doc_mix_weights" -> docMixWeights,
     "emb_nprobe_curve" -> embNprobeCurve,

@@ -118,6 +118,11 @@ object SparkEntry {
     "emb_knn_sq8" -> (VectorOps.knnSq8(_, _)),
     "events_paths" -> (EventOps.eventsPaths(_, _)),
     "doc_survival_funnel" -> (DedupOps.survivalFunnel(_, _)),
+    "doc_zipf_slope" -> (TextOps.zipfSlope(_, _)),
+    "doc_bigram_logprob" -> (TextOps.bigramLogprob(_, _)),
+    "doc_dsir_weights" -> (TextOps.dsirWeights(_, _)),
+    "emb_pq_distortion" -> (VectorOps.pqDistortion(_, _)),
+    "emb_dim_stats" -> (VectorOps.dimStats(_, _)),
     "doc_mix_weights" -> (TextOps.mixWeights(_, _)),
     "emb_nprobe_curve" -> (VectorOps.nprobeCurve(_, _)),
     "doc_winnow_overlap" -> (TextOps.winnowOverlap(_, _)),

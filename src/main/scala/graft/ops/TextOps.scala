@@ -760,4 +760,157 @@ object TextOps {
         round(col("n_tokens") * 100.0 / (col("n_bins") * budget), 2))
       .orderBy("shard")
   }
+
+  /** Zipf-law fit: OLS regression of log10(frequency) on log10(rank)
+    * over the corpus's top-100 tokens — the one-number summary of
+    * [[zipfTokens]]'s curve (a natural corpus sits near slope −1;
+    * boilerplate-heavy or deduplicated corpora drift off it, which is
+    * why corpus builds track the slope across versions).
+    *
+    * Determinism: each point's log10 values and their products are
+    * computed per ROW in double (identical on both engines) and cast
+    * to DECIMAL before the sums, so the regression moments are exact
+    * and order-independent; doubles reappear only in the final
+    * slope/intercept division. Scale: token counting is one
+    * map-combined exchange, the top-100 is TakeOrderedAndProject
+    * (never a global vocabulary sort), and the regression itself runs
+    * over ≤100 rows.
+    */
+  def zipfSlope(spark: SparkSession, dir: String): DataFrame = {
+    val dec = LpDec
+    val counts = Tables.documents(spark, dir)
+      .select(explode(
+        expr("filter(split(lower(text), ' '), x -> x <> '')")).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n"))
+    val top = counts.orderBy(col("n").desc, col("tok")).limit(100)
+    val w = Window.orderBy(col("n").desc, col("tok"))
+    val pts = top
+      .withColumn("rank", row_number().over(w).cast("double"))
+      .select(
+        log10(col("rank")).cast(dec).as("x"),
+        log10(col("n").cast("double")).cast(dec).as("y"),
+        (log10(col("rank")) * log10(col("rank"))).cast(dec).as("xx"),
+        (log10(col("rank")) * log10(col("n").cast("double")))
+          .cast(dec).as("xy"))
+    pts.agg(count(lit(1)).as("n_ranks"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum("xx").as("sxx"), sum("xy").as("sxy"))
+      .select(col("n_ranks"),
+        round((col("n_ranks") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") /
+          (col("n_ranks") * col("sxx") - col("sx") * col("sx"))
+            .cast("double"), 6).as("slope"),
+        round((col("sy") - ((col("n_ranks") * col("sxy")
+            - col("sx") * col("sy")).cast("double")
+          / (col("n_ranks") * col("sxx") - col("sx") * col("sx"))
+            .cast("double")) * col("sx")).cast("double")
+          / col("n_ranks"), 6).as("intercept"))
+  }
+
+  /** Interpolated bigram language-model score per source — the
+    * next rung above [[unigramLogprob]] on the perplexity-filtering
+    * ladder (CCNet proper scores with a 5-gram KenLM; a bigram model
+    * is the honest in-engine version with the same plan shape). Each
+    * token scores log(λ·P(w|prev) + (1−λ)·P(w)), λ = 0.7, where
+    * P(w|prev) is the bigram MLE and the unigram term is the backoff
+    * mass that keeps unseen continuations finite.
+    *
+    * Determinism: the log is evaluated once per bigram TYPE
+    * (deterministic per row) and cast to DECIMAL, so the per-doc and
+    * per-source sums are exact in any order; the low-score flag
+    * cross-multiplies instead of dividing.
+    *
+    * 100 TB shuffle shape: bigram construction is pure map work
+    * (zip_with over the token array — no positional self-join);
+    * bigram/context/unigram counts are map-combined exchanges on
+    * vocabulary keys, NEVER broadcast (a web corpus's bigram
+    * vocabulary is billions of rows); the score joins back on the
+    * same keys; one corpus-total row broadcasts.
+    */
+  def bigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val dec = LpDec
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        expr("filter(split(lower(text), ' '), x -> x <> '')").as("toks"))
+    val bi = docs
+      .select(col("doc_id"), col("source"), explode(expr(
+        """zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),
+                    slice(toks, 2, greatest(size(toks) - 1, 0)),
+                    (a, b) -> concat(a, ' ', b))""")).as("bg"))
+    val cb = bi.groupBy("bg").agg(count(lit(1)).as("cb"))
+      .withColumn("w1", expr("substring_index(bg, ' ', 1)"))
+      .withColumn("w2", expr("substring_index(bg, ' ', -1)"))
+    val ctx = cb.groupBy("w1").agg(sum("cb").as("cctx"))
+    val toks = docs.select(explode(col("toks")).as("tok"))
+    val uni = toks.groupBy("tok").agg(count(lit(1)).as("cu"))
+    val total = toks.agg(count(lit(1)).as("tot"))
+    val lp = cb.join(ctx, "w1")
+      .join(uni.withColumnRenamed("tok", "w2"), "w2")
+      .crossJoin(broadcast(total))
+      .select(col("bg"),
+        log(lit(0.7) * (col("cb").cast("double") / col("cctx"))
+          + lit(0.3) * (col("cu").cast("double") / col("tot")))
+          .cast(dec).as("lp"))
+    bi.join(lp, "bg")
+      .groupBy("doc_id", "source")
+      .agg(sum(col("lp")).as("s"), count(lit(1)).as("n_bi"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("s") < lit(-4.0).cast(dec) * col("n_bi"), 1L)
+          .otherwise(0L)).as("n_low"),
+        sum(col("s")).as("s_all"), sum(col("n_bi")).as("bi_all"))
+      .select(col("source"), col("n_docs"), col("n_low"),
+        round(col("s_all").cast("double") / col("bi_all"), 4)
+          .as("avg_bigram_logprob"))
+      .orderBy("source")
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by how much more likely its tokens are under a TARGET
+    * distribution (here the `lang = 'en'` slice — the stand-in for
+    * "high-quality domain") than under the RAW corpus, w(doc) =
+    * Σ_tok [log p_target(tok) − log p_raw(tok)], with add-one
+    * smoothing over the shared corpus vocabulary so unseen-in-target
+    * tokens stay finite. Positive-weight docs are the ones importance
+    * resampling would up-sample into the training mix.
+    *
+    * Same determinism contract as [[unigramLogprob]]: both log terms
+    * evaluate once per vocabulary TYPE, land in DECIMAL, and all
+    * sums are exact; outputs round at the end. Shuffle shape: two
+    * map-combined vocabulary aggregates off one scan (target counts
+    * ride a conditional sum — no second pass), a join back on tok,
+    * and per-doc/per-source partials; the two scalar totals broadcast
+    * as one row.
+    */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val dec = LpDec
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        explode(expr("filter(split(lower(text), ' '), x -> x <> '')"))
+          .as("tok"))
+    val vocab = toks.groupBy("tok")
+      .agg(count(lit(1)).as("craw"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ctgt"))
+    val totals = vocab.agg(sum("craw").as("traw"), sum("ctgt").as("ttgt"),
+      count(lit(1)).as("v"))
+    val lp = vocab.crossJoin(broadcast(totals))
+      .select(col("tok"),
+        (log((col("ctgt") + 1.0) / (col("ttgt") + col("v")))
+          - log((col("craw") + 1.0) / (col("traw") + col("v"))))
+          .cast(dec).as("dlp"))
+    toks.join(lp, "tok")
+      .groupBy("doc_id", "source")
+      .agg(sum(col("dlp")).as("w"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("w") > lit(0).cast(dec), 1L).otherwise(0L))
+          .as("n_upweighted"),
+        sum(col("w")).as("w_all"))
+      .select(col("source"), col("n_docs"), col("n_upweighted"),
+        round(col("w_all").cast("double") / col("n_docs"), 4)
+          .as("avg_weight"))
+      .orderBy("source")
+  }
 }

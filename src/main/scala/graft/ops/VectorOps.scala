@@ -243,6 +243,70 @@ object VectorOps {
       .agg(count(lit(1)).as("n_vecs"))
       .orderBy("label", "subspace", "code")
 
+  /** PQ quantization-error census — the audit FAISS prints after
+    * codebook training: per subspace, how much of the corpus's
+    * geometry the 16 sub-centroids destroy (mean / max squared L2 to
+    * the assigned centroid) and how many codes the corpus actually
+    * uses. A subspace with high mse or dead codes means the codebook
+    * under-fits that slice and ADC distances ([[knnPq]]) degrade.
+    *
+    * Plan shape: the same map-side argmin assignment as [[pqCodes]]
+    * (16-candidate expansion collapses BEFORE the exchange), then
+    * one ≤8-group aggregate. Each vector's min distance casts to
+    * DECIMAL per row, so the mse sums are exact in any order;
+    * codes-used is a 16-bit membership bitmap (bit_or + bit_count),
+    * not a countDistinct — no Expand in the plan.
+    */
+  def pqDistortion(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    subspaces(e.select(col("vec_id"), col("embedding")), "embedding")
+      .join(broadcast(pqCents(e)), Seq("m"))
+      .withColumn("dist", subL2)
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("dist"), col("cid"))).as("mn"))
+      .select(col("m"),
+        col("mn.dist").cast("decimal(20,10)").as("d"),
+        col("mn.cid").as("cid"))
+      .groupBy(col("m").as("subspace"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("d")).cast("double") / count(lit(1)), 6).as("mse"),
+        round(max(col("d")).cast("double"), 6).as("max_sq_err"),
+        expr("cast(bit_count(bit_or(shiftleft(1L, cid))) as bigint)")
+          .as("codes_used"))
+      .orderBy("subspace")
+  }
+
+  /** Per-dimension moment census of the embedding corpus — the
+    * anisotropy diagnostic run before whitening / PCA ([[gramPower]]
+    * is the rotation step; this is the cheap marginal version): mean,
+    * variance and range per coordinate. Embedding stacks collapse
+    * toward a few dominant directions as corpora grow; a dimension
+    * whose variance dwarfs the rest distorts every cosine.
+    *
+    * Per-row values and squares land in DECIMAL (float→double is
+    * exact, the product is one deterministic rounding), so the
+    * d-group sums are order-independent; min/max are exact. Pure
+    * map-side expansion (×d) collapsing in the partial agg — the
+    * shuffle carries d groups regardless of corpus size.
+    */
+  def dimStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim").cast("bigint").as("dim"),
+        col("x").cast("double").as("xd"))
+      .select(col("dim"), col("xd"),
+        col("xd").cast("decimal(20,10)").as("x1"),
+        (col("xd") * col("xd")).cast("decimal(20,10)").as("x2"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("x1")).cast("double") / count(lit(1)), 6).as("mean"),
+        round(sum(col("x2")).cast("double") / count(lit(1))
+          - (sum(col("x1")).cast("double") / count(lit(1)))
+          * (sum(col("x1")).cast("double") / count(lit(1))), 6)
+          .as("variance"),
+        min(col("xd")).as("min_v"), max(col("xd")).as("max_v"))
+      .orderBy("dim")
+
   /** Per-subspace slices of a vector column (8 subspaces × 8 dims). */
   private def subspaces(df: DataFrame, vecCol: String): DataFrame =
     df.withColumn("m", explode(expr("sequence(0, 7)")))

@@ -314,6 +314,70 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("zipf slope: negative power-law fit over the top ranks") {
+    val r = TextOps.zipfSlope(spark, sfDir).collect()
+    assert(r.length === 1)
+    // the fit covers min(vocabulary, 100) ranks — the test corpus's
+    // word-soup vocabulary is tiny
+    assert(r(0).getLong(0) >= 10L && r(0).getLong(0) <= 100L)
+    val slope = r(0).getDouble(1)
+    // frequency must FALL with rank; the synthetic word-soup corpus is
+    // flatter than a natural −1 but the sign is structural
+    assert(slope < 0, s"zipf slope must be negative, got $slope")
+    assert(slope > -3, s"implausible slope $slope")
+  }
+
+  test("bigram logprob: per-source averages bounded by the model") {
+    val rows = TextOps.bigramLogprob(spark, sfDir).collect()
+    val nSources = graft.tables.Tables.documents(spark, sfDir)
+      .select("source").distinct().count()
+    assert(rows.length === nSources)
+    rows.foreach { r =>
+      val avg = r.getDouble(3)
+      // interpolated probability is ≤1 and ≥0.3·min unigram mass, so
+      // the per-token average sits strictly inside (−ln(tot/0.3), 0)
+      assert(avg < 0, s"avg bigram logprob must be negative: $r")
+      assert(avg > -20, s"implausible logprob: $r")
+    }
+  }
+
+  test("dsir weights: en-slice target upweights en docs vs the corpus") {
+    val docs = graft.tables.Tables.documents(spark, sfDir)
+    val perDocAvg = TextOps.dsirWeights(spark, sfDir).collect()
+    assert(perDocAvg.length ===
+      docs.select("source").distinct().count())
+    // upweighted counts are bounded by source size
+    perDocAvg.foreach(r =>
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(1)))
+  }
+
+  test("pq distortion: 8 subspaces, centroids reconstruct themselves") {
+    val rows = VectorOps.pqDistortion(spark, sfDir).collect()
+    assert(rows.map(_.getInt(0)).toSeq === (0 to 7))
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0 && r.getDouble(2) <= r.getDouble(3),
+        s"mse must sit in [0, max]: $r")
+      assert(r.getLong(4) >= 1 && r.getLong(4) <= 16, s"codes_used: $r")
+    }
+    // every vector's min distance is ≤ its distance to centroid 0, and
+    // the 16 codebook vectors themselves have distance exactly 0 — so
+    // each subspace's mse is strictly below the corpus variance scale
+    assert(rows.map(_.getDouble(2)).max < 10.0)
+  }
+
+  test("dim stats: 64 dims, variance nonnegative, range brackets mean") {
+    val rows = VectorOps.dimStats(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSeq === (0L to 63L))
+    val n = rows.head.getLong(1)
+    rows.foreach { r =>
+      assert(r.getLong(1) === n, "every dim sees every vector")
+      assert(r.getDouble(3) >= 0, s"negative variance: $r")
+      assert(r.getDouble(4) <= r.getDouble(2) &&
+        r.getDouble(2) <= r.getDouble(5),
+        s"mean outside [min,max]: $r")
+    }
+  }
+
   test("nprobe curve: recall monotone in nprobe, full truth coverage") {
     val rows = VectorOps.nprobeCurve(spark, sfDir).collect()
     assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 4L, 8L))

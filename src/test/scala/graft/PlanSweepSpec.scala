@@ -45,6 +45,13 @@ class PlanSweepSpec extends AnyFunSuite {
                            // flag join-back: both sides corpus-scale on
                            // UNIQUE keys (digest / doc_id) — uniform
                            // shuffles, the doc_dedup_pipeline shape
+    "doc_bigram_logprob",  // bigram occurrences ⋈ per-type score on the
+                           // bigram key: both sides vocabulary/corpus
+                           // scale by design (a web corpus's bigram
+                           // vocabulary is billions of rows — never
+                           // broadcast); uniform high-cardinality keys
+    "doc_dsir_weights",    // token occurrences ⋈ per-type weight on the
+                           // token key: same vocabulary-scale shape
     "emb_semdedup"         // cell-co-partitioned self-join: both sides
                            // are the corpus-sized assignment — pair
                            // work is quadratic in CELL size only, and
@@ -78,6 +85,8 @@ class PlanSweepSpec extends AnyFunSuite {
     "emb_knn_sq8",    // one-row [min,max]-range census cross join +
                       // tiny quantized query side, <> condition
     "doc_mix_weights", // one-row token/weight-total census cross join
+    "doc_bigram_logprob", // one-row token-total census cross join
+    "doc_dsir_weights",   // one-row corpus-totals census cross join
     "emb_nprobe_curve" // 16-centroid routing cross joins + brute-truth
                        // composition (inherits emb_knn_brute's shape)
   )
