@@ -2356,6 +2356,90 @@ FROM pairs p LEFT JOIN common c
   ON c.source_a = p.source_a AND c.source_b = p.source_b
 ORDER BY 1, 2"""
 
+  /** Lag-histogram twin of [[graft.ops.EventOps.eventsConversionLag]]:
+    * both firsts from one conditional-min aggregate on epoch nanos,
+    * integer day buckets, shares via the proven n*100.0/total shape.
+    */
+  val eventsConversionLag: String = """
+WITH pu AS (
+  SELECT user_id,
+    min(CASE WHEN event_type = 'signup' THEN epoch_ns(ts) END) AS s_ts,
+    min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END) AS p_ts
+  FROM events GROUP BY user_id),
+lags AS (
+  SELECT least((p_ts - s_ts) // 86400000000000, 14) AS lag_days
+  FROM pu WHERE p_ts >= s_ts),
+counts AS (
+  SELECT lag_days, CAST(count(*) AS BIGINT) AS n_users
+  FROM lags GROUP BY lag_days),
+total AS (SELECT sum(n_users) AS tot FROM counts)
+SELECT CAST(lag_days AS BIGINT) AS lag_days, n_users,
+  round(n_users * 100.0 / tot, 4) AS pct,
+  round(sum(n_users) OVER (ORDER BY lag_days) * 100.0 / tot, 4)
+    AS cum_pct
+FROM counts, total
+ORDER BY lag_days"""
+
+  /** Coverage twin of [[graft.ops.DedupOps.ngramCoverage]]: the same
+    * word-3-gram shingle construction as [[docDecontaminate]], the
+    * covered set intersected once, per-eval-doc roll-up.
+    */
+  val docNgramCoverage: String = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE doc_id % 5 = 0),
+shd AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(toks) >= 3 THEN
+      list_transform(range(1, len(toks) - 1),
+        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      ELSE [text] END) AS shset
+  FROM (
+    SELECT doc_id, text,
+      list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+    FROM corpus)),
+ev AS (SELECT doc_id, unnest(shset) AS sh FROM shd WHERE doc_id < 10),
+evd AS (SELECT DISTINCT sh FROM ev),
+cov AS (
+  SELECT DISTINCT t.sh FROM
+    (SELECT unnest(shset) AS sh FROM shd WHERE doc_id >= 10) t
+    JOIN evd ON t.sh = evd.sh)
+SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+  CAST(sum(CASE WHEN c.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_covered,
+  round(sum(CASE WHEN c.sh IS NOT NULL THEN 1 ELSE 0 END) * 100.0
+    / count(*), 4) AS coverage_pct
+FROM ev e LEFT JOIN cov c ON e.sh = c.sh
+GROUP BY e.doc_id
+ORDER BY e.doc_id"""
+
+  /** Separation twin of [[graft.ops.VectorOps.labelMargin]]:
+    * per-(label, dim) DECIMAL sums, means divided once in double,
+    * ordered-list centroids, sequential-fold cosine per pair.
+    */
+  val embLabelMargin: String = """
+WITH el AS (
+  SELECT label, i.i - 1 AS dim, CAST(embedding[i.i] AS DOUBLE) AS xd
+  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i),
+cd AS (
+  SELECT label, dim, sum(CAST(xd AS DECIMAL(20,10))) AS s, count(*) AS n
+  FROM el GROUP BY label, dim),
+cents AS (
+  SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
+    list(CAST(s AS DOUBLE) / n ORDER BY dim) AS cv
+  FROM cd GROUP BY label)
+SELECT a.label AS label_a, b.label AS label_b,
+  a.n_vecs AS n_a, b.n_vecs AS n_b,
+  CAST(round(list_sum(list_transform(list_zip(a.cv, b.cv),
+      p -> p[1] * p[2]))
+    / (sqrt(list_sum(list_transform(a.cv, x -> x * x)))
+     * sqrt(list_sum(list_transform(b.cv, x -> x * x)))), 6) AS DOUBLE)
+    AS cosine
+FROM cents a JOIN cents b ON a.label < b.label
+ORDER BY label_a, label_b"""
+
   /** Zipf-fit twin of [[graft.ops.TextOps.zipfSlope]]: each point's
     * log10 values and products cast to DECIMAL per row, so the
     * regression moments are exact on both engines; the slope division
@@ -3139,6 +3223,9 @@ ORDER BY source"""
   def all: Map[String, String] = Map(
     "doc_survival_funnel" -> docSurvivalFunnel,
     "doc_zipf_slope" -> docZipfSlope,
+    "events_conversion_lag" -> eventsConversionLag,
+    "doc_ngram_coverage" -> docNgramCoverage,
+    "emb_label_margin" -> embLabelMargin,
     "doc_bigram_logprob" -> docBigramLogprob,
     "doc_dsir_weights" -> docDsirWeights,
     "emb_pq_distortion" -> embPqDistortion,

@@ -119,6 +119,9 @@ object SparkEntry {
     "events_paths" -> (EventOps.eventsPaths(_, _)),
     "doc_survival_funnel" -> (DedupOps.survivalFunnel(_, _)),
     "doc_zipf_slope" -> (TextOps.zipfSlope(_, _)),
+    "events_conversion_lag" -> (EventOps.eventsConversionLag(_, _)),
+    "doc_ngram_coverage" -> (DedupOps.ngramCoverage(_, _)),
+    "emb_label_margin" -> (VectorOps.labelMargin(_, _)),
     "doc_bigram_logprob" -> (TextOps.bigramLogprob(_, _)),
     "doc_dsir_weights" -> (TextOps.dsirWeights(_, _)),
     "emb_pq_distortion" -> (VectorOps.pqDistortion(_, _)),

@@ -490,6 +490,40 @@ object DedupOps {
       .orderBy("source")
   }
 
+  /** Eval-set n-gram coverage — the flip side of [[decontaminate]]:
+    * instead of flagging TRAIN docs that leak eval shingles, measure
+    * per EVAL doc how much of it the training corpus already contains
+    * (a benchmark whose shingles are fully covered can be memorized,
+    * not solved). Output: per eval doc, its distinct shingle count,
+    * how many appear anywhere in the training split, and the
+    * coverage share.
+    *
+    * 100 TB shape: the eval shingle set is tiny and broadcasts BOTH
+    * ways — the corpus-side scan semi-joins against it (never the
+    * reverse), the surviving covered set is ≤ eval-sized, and the
+    * final per-doc roll-up touches only eval rows. One corpus scan,
+    * nothing corpus-proportional shuffles.
+    */
+  def ngramCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = corpus(spark, dir).select("doc_id", "text")
+    val evalSh = withShingles(docs.filter(col("doc_id") < 10))
+      .select(col("doc_id"), explode(col("shset")).as("sh"))
+    val evalDistinct = evalSh.select("sh").distinct()
+    val covered = withShingles(docs.filter(col("doc_id") >= 10))
+      .select(explode(col("shset")).as("sh"))
+      .join(broadcast(evalDistinct), "sh")
+      .distinct()
+      .withColumn("cov", lit(1L))
+    evalSh.join(broadcast(covered), Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("cov"), lit(0L))).as("n_covered"))
+      .select(col("doc_id"), col("n_shingles"), col("n_covered"),
+        round(col("n_covered") * 100.0 / col("n_shingles"), 4)
+          .as("coverage_pct"))
+      .orderBy("doc_id")
+  }
+
   /** Exact word-3-gram Jaccard over blocked candidate pairs (same
     * source+lang block), top-100 most similar.
     */

@@ -163,6 +163,39 @@ object EventOps {
       .orderBy("user_id", "start_epoch")
   }
 
+  /** Time-to-convert distribution: per converting user (first
+    * purchase at or after first signup), the signup→purchase lag in
+    * whole days, capped into a 15-bucket histogram with per-bucket and
+    * cumulative shares — the curve a growth team reads conversion
+    * velocity off. Both firsts come from ONE per-user conditional-min
+    * aggregate (map-side combined, no self-join of the events table);
+    * the bucket census is ≤15 rows, so the cumulative window and the
+    * one-row total broadcast are driver-trivial at any corpus size.
+    */
+  def eventsConversionLag(spark: SparkSession, dir: String): DataFrame = {
+    val dayNs = 86400L * NanosPerSec
+    val perUser = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "signup", col("ts"))).as("s_ts"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("p_ts"))
+      .filter(col("p_ts") >= col("s_ts"))
+    val counts = perUser
+      .select(least(expr(s"(p_ts - s_ts) div $dayNs"), lit(14L))
+        .as("lag_days"))
+      .groupBy("lag_days")
+      .agg(count(lit(1)).as("n_users"))
+    val total = counts.agg(sum("n_users").as("tot"))
+    val w = Window.orderBy("lag_days")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts.crossJoin(broadcast(total))
+      .withColumn("cum_users", sum("n_users").over(w))
+      .select(col("lag_days"), col("n_users"),
+        round(col("n_users") * 100.0 / col("tot"), 4).as("pct"),
+        round(col("cum_users") * 100.0 / col("tot"), 4).as("cum_pct"))
+      .orderBy("lag_days")
+  }
+
   /** Conversion funnel view → click → purchase, defined on strictly
     * increasing first-occurrence times per user. One shuffle
     * (per-user conditional-min agg, map-side combined), then a scalar

@@ -307,6 +307,46 @@ object VectorOps {
         min(col("xd")).as("min_v"), max(col("xd")).as("max_v"))
       .orderBy("dim")
 
+  /** Label-centroid separation matrix — the class-separability audit
+    * run before training on labeled embeddings: pairwise cosine
+    * between per-label mean vectors (labels whose centroids nearly
+    * coincide are the confusion hot-spots; a centroid cosine near 1
+    * across the board means the embedding space never learned the
+    * label structure).
+    *
+    * Determinism: per-(label, dim) sums accumulate in DECIMAL
+    * (float→double exact per element), means divide once in double,
+    * and each pair's cosine is a sequential 64-term fold — identical
+    * on both engines. Scale shape: the moment census is one
+    * map-combined exchange on (label, dim) — |L|·d groups regardless
+    * of corpus size; centroids assemble per label via a bounded
+    * sort_array(collect_list) over exactly d rows; the |L|²/2 pair
+    * expansion is a broadcast self-join over the |L|-row census.
+    */
+  def labelMargin(spark: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("label"), col("dim"),
+        col("x").cast("double").cast("decimal(20,10)").as("xd"))
+      .groupBy("label", "dim")
+      .agg(sum(col("xd")).as("s"), count(lit(1)).as("n"))
+      .groupBy("label")
+      .agg(
+        sort_array(collect_list(struct(col("dim").as("d"),
+          (col("s").cast("double") / col("n")).as("v")))).as("cent"),
+        max(col("n")).as("n_vecs"))
+      .select(col("label"), expr("transform(cent, c -> c.v)").as("cv"),
+        col("n_vecs"))
+    val a = cents.select(col("label").as("label_a"), col("cv").as("va"),
+      col("n_vecs").as("n_a"))
+    val b = cents.select(col("label").as("label_b"), col("cv").as("vb"),
+      col("n_vecs").as("n_b"))
+    a.join(broadcast(b), col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        round(cosine(col("va"), col("vb")), 6).as("cosine"))
+      .orderBy("label_a", "label_b")
+  }
+
   /** Per-subspace slices of a vector column (8 subspaces × 8 dims). */
   private def subspaces(df: DataFrame, vecCol: String): DataFrame =
     df.withColumn("m", explode(expr("sequence(0, 7)")))

@@ -378,6 +378,51 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("conversion lag: buckets in range, shares sum to 100") {
+    val rows = graft.ops.EventOps.eventsConversionLag(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 0 && r.getLong(0) <= 14, s"bucket: $r")
+      assert(r.getLong(1) > 0)
+    }
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 100.0) < 0.01,
+      "per-bucket shares must sum to 100%")
+    assert(math.abs(rows.last.getDouble(3) - 100.0) < 0.01,
+      "cumulative share must end at 100%")
+    val cums = rows.map(_.getDouble(3))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b },
+      "cumulative share must be monotone")
+  }
+
+  test("ngram coverage: planted-duplicate eval docs are fully covered") {
+    val rows = DedupOps.ngramCoverage(spark, sfDir).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), s"covered > total: $r")
+      assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 100)
+    }
+    // every doc_id % 5 == 0 has a verbatim copy planted at
+    // doc_id + 1000000 in the training split, so eval docs 0 and 5
+    // must be 100% covered
+    rows.filter(r => r.getLong(0) % 5 == 0).foreach(r =>
+      assert(r.getDouble(3) === 100.0,
+        s"planted-copy eval doc not fully covered: $r"))
+  }
+
+  test("label margin: one row per label pair, cosines in [-1,1]") {
+    val rows = VectorOps.labelMargin(spark, sfDir).collect()
+    val labels = graft.tables.Tables.embeddings(spark, sfDir)
+      .select("label").distinct().count().toInt
+    assert(rows.length === labels * (labels - 1) / 2)
+    rows.foreach { r =>
+      assert(r.getInt(0) < r.getInt(1), s"unordered pair: $r")
+      val c = r.getDouble(4)
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9, s"cosine range: $r")
+      assert(r.getLong(2) > 0 && r.getLong(3) > 0)
+    }
+  }
+
   test("nprobe curve: recall monotone in nprobe, full truth coverage") {
     val rows = VectorOps.nprobeCurve(spark, sfDir).collect()
     assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 4L, 8L))

@@ -87,6 +87,8 @@ class PlanSweepSpec extends AnyFunSuite {
     "doc_mix_weights", // one-row token/weight-total census cross join
     "doc_bigram_logprob", // one-row token-total census cross join
     "doc_dsir_weights",   // one-row corpus-totals census cross join
+    "events_conversion_lag", // one-row converter-total census cross join
+    "emb_label_margin",   // |L|-row centroid census self-join on <
     "emb_nprobe_curve" // 16-centroid routing cross joins + brute-truth
                        // composition (inherits emb_knn_brute's shape)
   )
