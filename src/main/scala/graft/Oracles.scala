@@ -2356,6 +2356,94 @@ FROM pairs p LEFT JOIN common c
   ON c.source_a = p.source_a AND c.source_b = p.source_b
 ORDER BY 1, 2"""
 
+  /** Inflation twin of [[graft.ops.DedupOps.dedupInflation]]: the
+    * same planted-duplicate corpus union, digest grouping on
+    * md5(lower(trim(text))), token counts riding the digest rows.
+    */
+  val docDedupInflation: String = """
+WITH corpus AS (
+  SELECT source, text FROM documents
+  UNION ALL
+  SELECT source, text FROM documents WHERE doc_id % 5 = 0),
+dg AS (
+  SELECT source, md5(lower(trim(text))) AS h, count(*) AS cnt,
+    max(len(list_filter(string_split(lower(text), ' '), x -> x <> '')))
+      AS toks
+  FROM corpus GROUP BY source, md5(lower(trim(text))))
+SELECT source, CAST(sum(cnt) AS BIGINT) AS n_docs,
+  CAST(count(*) AS BIGINT) AS n_unique,
+  CAST(sum(cnt * toks) AS BIGINT) AS tokens_raw,
+  CAST(sum(toks) AS BIGINT) AS tokens_unique,
+  round(CAST(sum(cnt * toks) AS DOUBLE) / sum(toks), 4) AS inflation
+FROM dg GROUP BY source ORDER BY source"""
+
+  /** Hill-estimator twin of [[graft.ops.EventOps.eventsPowerLaw]]:
+    * identical (count desc, user_id) order statistics, per-row log
+    * ratios in DECIMAL, the k/Σ division once in double.
+    */
+  val eventsPowerLaw: String = """
+WITH pu AS (
+  SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id),
+top AS (
+  SELECT user_id, n_events FROM pu
+  ORDER BY n_events DESC, user_id LIMIT 101),
+ranked AS (
+  SELECT n_events,
+    row_number() OVER (ORDER BY n_events DESC, user_id) AS rk
+  FROM top),
+b AS (SELECT rk AS krk, n_events AS x_kp1 FROM ranked
+      ORDER BY rk DESC LIMIT 1)
+SELECT CAST(count(*) AS BIGINT) AS k_used,
+  CAST(max(x_kp1) AS BIGINT) AS x_kp1,
+  CASE WHEN sum(lx) > CAST(0 AS DECIMAL(20,10))
+    THEN round(count(*) / CAST(sum(lx) AS DOUBLE), 6) END AS alpha
+FROM (
+  SELECT r.n_events, b.x_kp1,
+    CAST(ln(CAST(r.n_events AS DOUBLE) / b.x_kp1) AS DECIMAL(20,10))
+      AS lx
+  FROM ranked r, b WHERE r.rk < b.krk)"""
+
+  /** Shift twin of [[graft.ops.VectorOps.centroidShift]]: the
+    * [[embKmeansStep]] assignment and moment CTEs, per-dim squared
+    * deltas in DECIMAL, sqrt once per cell.
+    */
+  val embCentroidShift: String = """
+WITH c AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16
+), scored AS (
+  SELECT e.vec_id, c.cid, e.embedding,
+    list_sum(list_transform(list_zip(e.embedding, c.cv),
+      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS dist
+  FROM embeddings e CROSS JOIN c
+), assigned AS (
+  SELECT cid, embedding FROM (
+    SELECT cid, embedding,
+      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+    FROM scored)
+  WHERE rk = 1
+), comps AS (
+  SELECT cid, unnest(range(len(embedding))) AS dim,
+    unnest(embedding) AS v
+  FROM assigned
+), mo AS (
+  SELECT cid, dim, count(*) AS n_members,
+    sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(20,10))) AS s
+  FROM comps GROUP BY cid, dim
+), seeds AS (
+  SELECT vec_id AS cid, unnest(range(len(embedding))) AS dim,
+    unnest(embedding) AS sv
+  FROM embeddings WHERE vec_id < 16
+), d2 AS (
+  SELECT m.cid, m.n_members,
+    CAST((CAST(m.s AS DOUBLE) / m.n_members - CAST(s.sv AS DOUBLE))
+       * (CAST(m.s AS DOUBLE) / m.n_members - CAST(s.sv AS DOUBLE))
+      AS DECIMAL(20,10)) AS d2
+  FROM mo m JOIN seeds s ON m.cid = s.cid AND m.dim = s.dim)
+SELECT cid, CAST(max(n_members) AS BIGINT) AS n_members,
+  round(sqrt(CAST(sum(d2) AS DOUBLE)), 6) AS shift
+FROM d2 GROUP BY cid ORDER BY cid"""
+
   /** Lag-histogram twin of [[graft.ops.EventOps.eventsConversionLag]]:
     * both firsts from one conditional-min aggregate on epoch nanos,
     * integer day buckets, shares via the proven n*100.0/total shape.
@@ -3224,6 +3312,9 @@ ORDER BY source"""
     "doc_survival_funnel" -> docSurvivalFunnel,
     "doc_zipf_slope" -> docZipfSlope,
     "events_conversion_lag" -> eventsConversionLag,
+    "doc_dedup_inflation" -> docDedupInflation,
+    "events_power_law" -> eventsPowerLaw,
+    "emb_centroid_shift" -> embCentroidShift,
     "doc_ngram_coverage" -> docNgramCoverage,
     "emb_label_margin" -> embLabelMargin,
     "doc_bigram_logprob" -> docBigramLogprob,

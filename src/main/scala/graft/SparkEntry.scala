@@ -120,6 +120,9 @@ object SparkEntry {
     "doc_survival_funnel" -> (DedupOps.survivalFunnel(_, _)),
     "doc_zipf_slope" -> (TextOps.zipfSlope(_, _)),
     "events_conversion_lag" -> (EventOps.eventsConversionLag(_, _)),
+    "doc_dedup_inflation" -> (DedupOps.dedupInflation(_, _)),
+    "events_power_law" -> (EventOps.eventsPowerLaw(_, _)),
+    "emb_centroid_shift" -> (VectorOps.centroidShift(_, _)),
     "doc_ngram_coverage" -> (DedupOps.ngramCoverage(_, _)),
     "emb_label_margin" -> (VectorOps.labelMargin(_, _)),
     "doc_bigram_logprob" -> (TextOps.bigramLogprob(_, _)),

@@ -490,6 +490,35 @@ object DedupOps {
       .orderBy("source")
   }
 
+  /** Token-inflation census (the headline number of Lee et al. 2022's
+    * dedup case: how many times over the corpus pays for its
+    * duplicated text): per source, raw vs digest-unique doc and token
+    * counts and the inflation factor raw_tokens/unique_tokens — the
+    * multiplier a training run wastes on repeats if it skips dedup.
+    *
+    * One map-combined exchange on (source, digest) — token counts
+    * ride the digest rows (identical text ⇒ identical count), so the
+    * corpus text never shuffles and a hot duplicate group collapses
+    * in the partial aggregate; the per-source roll-up is S keys.
+    */
+  def dedupInflation(spark: SparkSession, dir: String): DataFrame =
+    corpus(spark, dir)
+      .select(col("source"), md5(lower(trim(col("text")))).as("h"),
+        expr("size(filter(split(lower(text), ' '), x -> x <> ''))")
+          .cast("bigint").as("toks"))
+      .groupBy("source", "h")
+      .agg(count(lit(1)).as("cnt"), max("toks").as("toks"))
+      .groupBy("source")
+      .agg(sum(col("cnt")).as("n_docs"),
+        count(lit(1)).as("n_unique"),
+        sum(col("cnt") * col("toks")).as("tokens_raw"),
+        sum(col("toks")).as("tokens_unique"))
+      .select(col("source"), col("n_docs"), col("n_unique"),
+        col("tokens_raw"), col("tokens_unique"),
+        round(col("tokens_raw").cast("double") / col("tokens_unique"), 4)
+          .as("inflation"))
+      .orderBy("source")
+
   /** Eval-set n-gram coverage — the flip side of [[decontaminate]]:
     * instead of flagging TRAIN docs that leak eval shingles, measure
     * per EVAL doc how much of it the training corpus already contains

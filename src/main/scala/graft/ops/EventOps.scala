@@ -163,6 +163,43 @@ object EventOps {
       .orderBy("user_id", "start_epoch")
   }
 
+  /** Pareto-tail power-law fit: the Hill estimator of the per-user
+    * activity tail index over the top-100 users — the one-number
+    * companion of [[eventsPareto]]'s concentration share (α near 1
+    * means a catastrophically heavy tail for shuffle sizing; α > 2
+    * means bounded variance and safe uniform partitioning).
+    * α̂ = k / Σ_{i≤k} ln(x_i / x_{k+1}) over the order statistics.
+    *
+    * Per-user counting is one map-combined exchange; the top-(k+1)
+    * rides TakeOrderedAndProject (never a global user sort), the rank
+    * window covers ≤101 survivors, each log ratio casts to DECIMAL
+    * per row (exact sum), and the boundary row broadcasts.
+    */
+  def eventsPowerLaw(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(20,10)"
+    val top = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("n_events").desc, col("user_id"))
+      .limit(101)
+    val w = Window.orderBy(col("n_events").desc, col("user_id"))
+    val ranked = top.withColumn("rk", row_number().over(w))
+    val boundary = ranked
+      .agg(max(struct(col("rk"), col("n_events"))).as("b"))
+      .select(col("b.rk").as("krk"), col("b.n_events").as("x_kp1"))
+    ranked.crossJoin(broadcast(boundary))
+      .filter(col("rk") < col("krk"))
+      .select(col("x_kp1"),
+        log(col("n_events").cast("double") / col("x_kp1"))
+          .cast(dec).as("lx"))
+      .groupBy("x_kp1")
+      .agg(count(lit(1)).as("k_used"), sum(col("lx")).as("s"))
+      .select(col("k_used"), col("x_kp1"),
+        when(col("s") > lit(0).cast(dec),
+          round(col("k_used") / col("s").cast("double"), 6))
+          .as("alpha"))
+  }
+
   /** Time-to-convert distribution: per converting user (first
     * purchase at or after first signup), the signup→purchase lag in
     * whole days, capped into a 15-bucket histogram with per-bucket and

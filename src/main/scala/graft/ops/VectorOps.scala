@@ -595,8 +595,12 @@ object VectorOps {
     * map-side combine, so the shuffle carries one row per key per
     * task, not per vector.
     */
-  def kmeansStep(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+  /** Per-(cell, dim) Lloyd-update moments (member count + DECIMAL
+    * component sum) off the L2 nearest-seed assignment — shared by
+    * [[kmeansStep]] (which reads off the new centroid components) and
+    * [[centroidShift]] (which compares them against the seeds).
+    */
+  private def kmeansMoments(e: DataFrame): DataFrame = {
     val l2 = expr("""aggregate(zip_with(embedding, cv,
         (x, y) -> (cast(x as double) - cast(y as double))
                 * (cast(x as double) - cast(y as double))),
@@ -623,11 +627,46 @@ object VectorOps {
         // through its double value (DuckDB's direct REAL→DECIMAL cast
         // goes through the shortest-repr string and disagrees)
         sum(col("v").cast("double").cast("decimal(20,10)")).as("s"))
+  }
+
+  def kmeansStep(spark: SparkSession, dir: String): DataFrame =
+    kmeansMoments(Tables.embeddings(spark, dir))
       .select(col("cid"), col("dim").cast("int").as("dim"),
         col("n_members"),
         round(col("s").cast("double") / col("n_members"), 6)
           .as("centroid_val"))
       .orderBy("cid", "dim")
+
+  /** Lloyd convergence census — the number a k-means training loop
+    * watches to decide when the codebook has settled: per cell, the
+    * L2 distance its centroid moved in one update step (seed → member
+    * mean). A cell still moving after the corpus grew means the
+    * codebook behind the IVF/PQ index ([[knnIvfPq]]) was trained on a
+    * stale distribution and routing quality is drifting.
+    *
+    * Same moment table as [[kmeansStep]] (16×d-key map-combined
+    * shuffle at any corpus size); per-dim squared deltas are
+    * deterministic doubles cast to DECIMAL per row, so the per-cell
+    * sums are exact in any order; the seed join is 16×d rows
+    * broadcast.
+    */
+  def centroidShift(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val seeds = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"),
+        posexplode(col("embedding")).as(Seq("dim", "sv")))
+      .select(col("cid"), col("dim"), col("sv").cast("double").as("seedv"))
+    kmeansMoments(e)
+      .select(col("cid"), col("dim"), col("n_members"),
+        (col("s").cast("double") / col("n_members")).as("newv"))
+      .join(broadcast(seeds), Seq("cid", "dim"))
+      .select(col("cid"), col("n_members"),
+        ((col("newv") - col("seedv")) * (col("newv") - col("seedv")))
+          .cast("decimal(20,10)").as("d2"))
+      .groupBy("cid")
+      .agg(max(col("n_members")).as("n_members"),
+        round(sqrt(sum(col("d2")).cast("double")), 6).as("shift"))
+      .orderBy("cid")
   }
 
   /** One power-iteration step on the corpus Gram matrix — the

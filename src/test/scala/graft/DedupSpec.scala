@@ -423,6 +423,36 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup inflation: planted duplicates inflate every fifth source") {
+    val rows = DedupOps.dedupInflation(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), s"unique > raw docs: $r")
+      assert(r.getLong(4) <= r.getLong(3), s"unique > raw tokens: $r")
+      assert(r.getDouble(5) >= 1.0, s"inflation below 1: $r")
+    }
+    // the corpus() union duplicates every doc_id % 5 == 0, so at
+    // least one source must show inflation strictly above 1
+    assert(rows.exists(_.getDouble(5) > 1.0), "no inflation anywhere")
+  }
+
+  test("power law: one-row Hill estimate over at most 100 exceedances") {
+    val r = graft.ops.EventOps.eventsPowerLaw(spark, sfDir).collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(0) >= 1 && r(0).getLong(0) <= 100)
+    assert(r(0).getLong(1) >= 1)
+    if (!r(0).isNullAt(2)) assert(r(0).getDouble(2) > 0)
+  }
+
+  test("centroid shift: 16 cells partition the corpus, shifts finite") {
+    val rows = VectorOps.centroidShift(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSeq === (0L to 15L))
+    val n = graft.tables.Tables.embeddings(spark, sfDir).count()
+    assert(rows.map(_.getLong(1)).sum === n,
+      "cell members must partition the corpus exactly")
+    rows.foreach(r => assert(r.getDouble(2) >= 0 && r.getDouble(2) < 10,
+      s"implausible shift: $r"))
+  }
+
   test("nprobe curve: recall monotone in nprobe, full truth coverage") {
     val rows = VectorOps.nprobeCurve(spark, sfDir).collect()
     assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 4L, 8L))

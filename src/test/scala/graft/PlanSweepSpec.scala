@@ -89,6 +89,9 @@ class PlanSweepSpec extends AnyFunSuite {
     "doc_dsir_weights",   // one-row corpus-totals census cross join
     "events_conversion_lag", // one-row converter-total census cross join
     "emb_label_margin",   // |L|-row centroid census self-join on <
+    "events_power_law",   // one-row order-stat boundary cross join
+    "emb_centroid_shift", // 16-centroid broadcast cross join (the
+                          // shared kmeansMoments assignment)
     "emb_nprobe_curve" // 16-centroid routing cross joins + brute-truth
                        // composition (inherits emb_knn_brute's shape)
   )
