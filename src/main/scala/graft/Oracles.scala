@@ -2356,6 +2356,128 @@ FROM pairs p LEFT JOIN common c
   ON c.source_a = p.source_a AND c.source_b = p.source_b
 ORDER BY 1, 2"""
 
+  /** Sweep twin of [[graft.ops.DedupOps.minhashBandTune]]: the same
+    * md5-affine signature chain as [[docMinhashLsh]], banded three
+    * ways by a cross join on r; pair load is integer arithmetic on
+    * bucket sizes, the threshold formula exp(ln(r/64)/r) matches the
+    * Spark expression shape exactly.
+    */
+  val docMinhashBandTune: String = corpusCte + """, shx AS (
+  SELECT doc_id, unnest(shset) AS s FROM sh
+), base AS (
+  SELECT doc_id, ('0x' || substr(md5(s), 1, 7))::BIGINT AS base FROM shx
+), mins AS (
+  SELECT doc_id, p.p AS p,
+    min((((1000003 * p.p + 12345) % 2147483647) * base
+         + ((998244353 * (p.p + 1) + 7) % 2147483647)) % 2147483647) AS mh
+  FROM base CROSS JOIN (SELECT unnest(range(64)) AS p) p
+  GROUP BY doc_id, p.p
+), bandkeys AS (
+  SELECT doc_id, r.r AS rcfg, p // r.r AS band,
+    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY p) AS bh
+  FROM mins CROSS JOIN (SELECT unnest([8, 4, 2]) AS r) r
+  GROUP BY doc_id, r.r, p // r.r
+), bsz AS (
+  SELECT rcfg, band, bh, count(*) AS n
+  FROM bandkeys GROUP BY rcfg, band, bh
+), lo AS (
+  SELECT rcfg, CAST(count(*) AS BIGINT) AS n_buckets,
+    CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_colliding,
+    CAST(max(n) AS BIGINT) AS max_bucket,
+    CAST(sum(n * (n - 1) // 2) AS BIGINT) AS cand_pairs
+  FROM bsz GROUP BY rcfg
+), matched AS (
+  SELECT DISTINCT x.rcfg, x.doc_id
+  FROM bandkeys x JOIN bandkeys y
+    ON x.rcfg = y.rcfg AND x.band = y.band AND x.bh = y.bh
+   AND y.doc_id = x.doc_id + 1000000
+  WHERE x.doc_id % 5 = 0 AND x.doc_id < 1000000
+), found AS (
+  SELECT rcfg, count(*) AS n_found FROM matched GROUP BY rcfg
+), tot AS (
+  SELECT count(*) AS n_planted FROM corpus
+  WHERE doc_id % 5 = 0 AND doc_id < 1000000)
+SELECT CAST(l.rcfg AS BIGINT) AS rows_per_band,
+  CAST(64 // l.rcfg AS BIGINT) AS n_bands,
+  round(exp(ln(l.rcfg / 64.0) / l.rcfg), 6) AS threshold,
+  l.n_buckets, l.n_colliding, l.max_bucket, l.cand_pairs,
+  round(coalesce(f.n_found, 0) * 100.0 / t.n_planted, 2) AS recall_pct
+FROM lo l LEFT JOIN found f ON l.rcfg = f.rcfg, tot t
+ORDER BY rows_per_band"""
+
+  /** Triage twin of [[graft.ops.TextOps.perplexityOutliers]]: scores
+    * rounded to 6 dp before ranking on both engines, (score, doc_id)
+    * tie-break.
+    */
+  val docPerplexityOutliers: String = """
+WITH toks AS (
+  SELECT doc_id, source,
+    unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+      AS tok
+  FROM documents),
+vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+total AS (SELECT count(*) AS tot FROM toks),
+lp AS (
+  SELECT tok,
+    CAST(ln(CAST(cnt AS DOUBLE) / tot) AS DECIMAL(20,10)) AS lp
+  FROM vocab, total),
+perdoc AS (
+  SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_toks,
+    round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS score
+  FROM toks JOIN lp USING (tok)
+  GROUP BY doc_id, source)
+SELECT CAST(row_number() OVER (ORDER BY score, doc_id) AS BIGINT)
+    AS rank,
+  doc_id, source, n_toks, score
+FROM perdoc
+ORDER BY score, doc_id
+LIMIT 20"""
+
+  /** Triage twin of [[graft.ops.VectorOps.normOutliers]]: the same
+    * sequential-fold norm rounded to 6 dp before ranking, both ends.
+    */
+  val embNormOutliers: String = """
+WITH scored AS (
+  SELECT vec_id, label,
+    round(sqrt(list_sum(list_transform(embedding,
+      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS nrm
+  FROM embeddings),
+hi AS (
+  SELECT 'high' AS "end",
+    CAST(row_number() OVER (ORDER BY nrm DESC, vec_id) AS BIGINT)
+      AS rank,
+    vec_id, label, nrm
+  FROM scored ORDER BY nrm DESC, vec_id LIMIT 10),
+lo AS (
+  SELECT 'low' AS "end",
+    CAST(row_number() OVER (ORDER BY nrm, vec_id) AS BIGINT) AS rank,
+    vec_id, label, nrm
+  FROM scored ORDER BY nrm, vec_id LIMIT 10)
+SELECT * FROM hi UNION ALL SELECT * FROM lo
+ORDER BY "end", rank"""
+
+  /** Growth-accounting twin of
+    * [[graft.ops.EventOps.eventsNewVsReturning]]: distinct
+    * (user, week), first week per user, per-week new/returning split.
+    */
+  val eventsNewVsReturning: String = """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+    epoch_ns(ts) // 604800000000000 AS week
+  FROM events),
+fw AS (SELECT user_id, min(week) AS fw FROM uw GROUP BY user_id)
+SELECT u.week, CAST(count(*) AS BIGINT) AS n_active,
+  CAST(sum(CASE WHEN u.week = f.fw THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_new,
+  CAST(count(*) - sum(CASE WHEN u.week = f.fw THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_returning,
+  round(sum(CASE WHEN u.week = f.fw THEN 1 ELSE 0 END) * 100.0
+    / count(*), 4) AS pct_new
+FROM uw u JOIN fw f USING (user_id)
+GROUP BY u.week
+ORDER BY week"""
+
   /** Inflation twin of [[graft.ops.DedupOps.dedupInflation]]: the
     * same planted-duplicate corpus union, digest grouping on
     * md5(lower(trim(text))), token counts riding the digest rows.
@@ -3313,6 +3435,10 @@ ORDER BY source"""
     "doc_zipf_slope" -> docZipfSlope,
     "events_conversion_lag" -> eventsConversionLag,
     "doc_dedup_inflation" -> docDedupInflation,
+    "doc_minhash_band_tune" -> docMinhashBandTune,
+    "doc_perplexity_outliers" -> docPerplexityOutliers,
+    "emb_norm_outliers" -> embNormOutliers,
+    "events_new_vs_returning" -> eventsNewVsReturning,
     "events_power_law" -> eventsPowerLaw,
     "emb_centroid_shift" -> embCentroidShift,
     "doc_ngram_coverage" -> docNgramCoverage,

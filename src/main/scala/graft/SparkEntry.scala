@@ -121,6 +121,10 @@ object SparkEntry {
     "doc_zipf_slope" -> (TextOps.zipfSlope(_, _)),
     "events_conversion_lag" -> (EventOps.eventsConversionLag(_, _)),
     "doc_dedup_inflation" -> (DedupOps.dedupInflation(_, _)),
+    "doc_minhash_band_tune" -> (DedupOps.minhashBandTune(_, _)),
+    "doc_perplexity_outliers" -> (TextOps.perplexityOutliers(_, _)),
+    "emb_norm_outliers" -> (VectorOps.normOutliers(_, _)),
+    "events_new_vs_returning" -> (EventOps.eventsNewVsReturning(_, _)),
     "events_power_law" -> (EventOps.eventsPowerLaw(_, _)),
     "emb_centroid_shift" -> (VectorOps.centroidShift(_, _)),
     "doc_ngram_coverage" -> (DedupOps.ngramCoverage(_, _)),

@@ -99,34 +99,43 @@ object DedupOps {
     * set — the shared banding front half of [[minhashPairsOf]] and the
     * [[lshHealth]] audit.
     */
-  private def minhashBuckets(source: DataFrame): DataFrame = {
-    val docs = withShingles(source).select("doc_id", "shset")
-    // base shingle hash = top 28 bits of md5: engine-portable (the
-    // DuckDB oracle computes the identical value), already < P so the
-    // affine permutations (a*base + b) % P never overflow a long
-    val exploded = docs
+  /** Per-doc 64-perm MinHash signature: base shingle hash = top 28
+    * bits of md5 (engine-portable — the DuckDB oracle computes the
+    * identical value, already < P so the affine permutations
+    * (a*base + b) % P never overflow a long), then one
+    * typed-imperative aggregate builds the whole signature (map-side
+    * partials, elementwise-min merge) — see MinHashSig. Shared by the
+    * LSH bucket path and the band-tuning sweep.
+    */
+  private def minhashSignatures(source: DataFrame): DataFrame =
+    withShingles(source).select("doc_id", "shset")
       .select(col("doc_id"), explode(col("shset")).as("sh"))
       .select(col("doc_id"),
         expr("cast(conv(substring(md5(sh), 1, 7), 16, 10) as bigint)")
           .as("base"))
-    // one typed-imperative aggregate builds the whole 64-perm signature
-    // (map-side partials, elementwise-min merge) — see MinHashSig
-    val sig = exploded.groupBy("doc_id")
+      .groupBy("doc_id")
       .agg(graft.functions.MinHashSig.minhashSig(col("base"), NumPerm)
         .as("sig"))
-    // band key = the 4 signature values joined as a string — no second
-    // hash, so the DuckDB oracle reproduces the key verbatim
-    val bands = (0 until NumPerm / BandRows).map { j =>
+
+  /** (doc_id, band, bh) band keys off a signature frame for `r`
+    * signature rows per band — the key is the r values joined as a
+    * string (no second hash, so the DuckDB oracle reproduces it
+    * verbatim).
+    */
+  private def bandKeys(sig: DataFrame, r: Int): DataFrame = {
+    val bands = (0 until NumPerm / r).map { j =>
       struct(lit(j).as("band"),
         concat_ws(",",
-          (0 until BandRows).map(k =>
-            element_at(col("sig"), BandRows * j + k + 1)): _*)
+          (0 until r).map(k => element_at(col("sig"), r * j + k + 1)): _*)
           .as("bh"))
     }
     sig
       .select(col("doc_id"), explode(array(bands: _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
   }
+
+  private def minhashBuckets(source: DataFrame): DataFrame =
+    bandKeys(minhashSignatures(source), BandRows)
 
   def minhashPairsOf(source: DataFrame, jaccardMin: Double = 0.7,
       maxBucket: Int = 1000): DataFrame = {
@@ -488,6 +497,61 @@ object DedupOps {
         coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
         coalesce(col("sum_hits"), lit(0L)).as("sum_hits"))
       .orderBy("source")
+  }
+
+  /** LSH band-tuning sweep — the operating-point table a dedup
+    * deployment reads before fixing (bands × rows): for each banding
+    * of the SAME 64-perm signature (8×8 strict, 16×4 production, 32×2
+    * loose), the S-curve threshold (1/b)^(1/r), the realized bucket
+    * census (buckets, colliding buckets, max bucket), the implied
+    * candidate-pair load Σ s(s−1)/2 — the cost axis — and the planted
+    * -pair recall — the quality axis. The text twin of
+    * [[graft.ops.VectorOps.nprobeCurve]]: one signature pass feeds
+    * every configuration.
+    *
+    * Scale shape: signatures compute once (map-combined min
+    * aggregate); the three band expansions are constant factors; the
+    * bucket census is map-combined on (cfg, band, key); pair load is
+    * integer arithmetic on bucket SIZES (no pair materialization —
+    * the sweep costs counts, not joins); the recall probe joins only
+    * the planted slice (labeled pairs), broadcast.
+    */
+  def minhashBandTune(spark: SparkSession, dir: String): DataFrame = {
+    val src = corpus(spark, dir)
+    val sig = minhashSignatures(src)
+    val bandRows = Seq(8, 4, 2).map { r =>
+      bandKeys(sig, r).withColumn("rcfg", lit(r.toLong))
+    }.reduce(_ unionByName _)
+    val load = bandRows.groupBy("rcfg", "band", "bh")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("rcfg")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(when(col("n") >= 2, 1L).otherwise(0L)).as("n_colliding"),
+        max(col("n")).as("max_bucket"),
+        sum(expr("n * (n - 1) div 2")).as("cand_pairs"))
+    val left = bandRows
+      .filter(col("doc_id") % 5 === 0 && col("doc_id") < 1000000L)
+    val right = bandRows.filter(col("doc_id") >= 1000000L)
+      .select(col("doc_id").as("doc2"), col("rcfg"), col("band"),
+        col("bh"))
+    val matched = left.join(broadcast(right), Seq("rcfg", "band", "bh"))
+      .filter(col("doc2") === col("doc_id") + 1000000L)
+      .select("rcfg", "doc_id").distinct()
+      .groupBy("rcfg").agg(count(lit(1)).as("n_found"))
+    val tot = src.filter(col("doc_id") % 5 === 0
+        && col("doc_id") < 1000000L)
+      .agg(count(lit(1)).as("n_planted"))
+    load.join(broadcast(matched), Seq("rcfg"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("rcfg").as("rows_per_band"),
+        (lit(NumPerm.toLong) / col("rcfg")).cast("bigint").as("n_bands"),
+        round(exp(log(col("rcfg") / lit(NumPerm.toDouble)) / col("rcfg")),
+          6).as("threshold"),
+        col("n_buckets"), col("n_colliding"), col("max_bucket"),
+        col("cand_pairs"),
+        round(coalesce(col("n_found"), lit(0L)) * 100.0
+          / col("n_planted"), 2).as("recall_pct"))
+      .orderBy("rows_per_band")
   }
 
   /** Token-inflation census (the headline number of Lee et al. 2022's

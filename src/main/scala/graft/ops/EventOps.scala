@@ -163,6 +163,32 @@ object EventOps {
       .orderBy("user_id", "start_epoch")
   }
 
+  /** Weekly new-vs-returning split — the growth-accounting view on
+    * top of [[eventsRetention]]'s cohort triangle: per activity week,
+    * how many active users were in their FIRST week vs returning.
+    * No user-level self-join: one distinct (user, week) pass, then
+    * each user's min week and week set come from the same per-user
+    * aggregate (the week list is bounded by the time range, not the
+    * corpus), re-exploded to the ≤weeks-sized census.
+    */
+  def eventsNewVsReturning(spark: SparkSession, dir: String): DataFrame = {
+    val weekNs = 7L * 86400L * NanosPerSec
+    Tables.events(spark, dir)
+      .select(col("user_id"), expr(s"ts div $weekNs").as("week"))
+      .distinct()
+      .groupBy("user_id")
+      .agg(min("week").as("fw"), collect_set("week").as("weeks"))
+      .select(col("fw"), explode(col("weeks")).as("week"))
+      .groupBy("week")
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("week") === col("fw"), 1L).otherwise(0L))
+          .as("n_new"))
+      .select(col("week"), col("n_active"), col("n_new"),
+        (col("n_active") - col("n_new")).as("n_returning"),
+        round(col("n_new") * 100.0 / col("n_active"), 4).as("pct_new"))
+      .orderBy("week")
+  }
+
   /** Pareto-tail power-law fit: the Hill estimator of the per-user
     * activity tail index over the top-100 users — the one-number
     * companion of [[eventsPareto]]'s concentration share (α near 1

@@ -614,6 +614,31 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Worst-document triage list: the bottom-20 docs by mean unigram
+    * log-prob — the "eyeball the tail" report a quality engineer pulls
+    * after [[unigramLogprob]] flags a source (CCNet-style pipelines
+    * human-review exactly this list before tuning thresholds). Scores
+    * round to 6 dp BEFORE ranking so the order is engine-identical;
+    * ranking rides the bounded TopKByScore aggregate (k-row map-side
+    * partials — never a global doc sort), and the 20 survivors join
+    * text stats back via broadcast.
+    */
+  def perplexityOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val scored = perDocLogprob(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_toks"),
+        round(col("s").cast("double") / col("n_toks"), 6).as("score"))
+    val worst = scored
+      .agg(graft.functions.TopKByScore
+        .topkAsc(col("score"), col("doc_id"), 20).as("top"))
+      .select(posexplode(col("top")).as(Seq("p", "t")))
+      .select(col("t.id").as("doc_id"),
+        (col("p") + 1).cast("bigint").as("rank"))
+    scored.join(broadcast(worst), Seq("doc_id"))
+      .select(col("rank"), col("doc_id"), col("source"), col("n_toks"),
+        col("score"))
+      .orderBy("rank")
+  }
+
   /** CCNet-style quality tiers: documents split into head / middle /
     * tail at the global terciles of the per-doc mean token log-prob —
     * the bucketing CCNet applies before sampling training data

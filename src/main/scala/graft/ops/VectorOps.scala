@@ -307,6 +307,33 @@ object VectorOps {
         min(col("xd")).as("min_v"), max(col("xd")).as("max_v"))
       .orderBy("dim")
 
+  /** Norm-outlier triage list: the 10 largest- and 10 smallest-norm
+    * vectors — the embedding-QA report pulled when [[normStats]]
+    * shows a label drifting (zero-norm rows are dead encoder outputs;
+    * exploding norms dominate every cosine). Norms round to 6 dp
+    * BEFORE ranking (engine-identical order), both ends ride the
+    * bounded TopKByScore aggregate — never a corpus sort.
+    */
+  def normOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        round(norm(col("embedding")), 6).as("nrm"))
+    def end(tag: String, agg: Column): DataFrame =
+      scored.agg(agg.as("top"))
+        .select(posexplode(col("top")).as(Seq("p", "t")))
+        .select(lit(tag).as("end"),
+          (col("p") + 1).cast("bigint").as("rank"),
+          col("t.id").as("vec_id"), col("t.score").as("nrm"))
+    val both = end("high", graft.functions.TopKByScore
+        .topk(col("nrm"), col("vec_id"), 10))
+      .unionByName(end("low", graft.functions.TopKByScore
+        .topkAsc(col("nrm"), col("vec_id"), 10)))
+    scored.select("vec_id", "label").join(broadcast(both), Seq("vec_id"))
+      .select(col("end"), col("rank"), col("vec_id"), col("label"),
+        col("nrm"))
+      .orderBy("end", "rank")
+  }
+
   /** Label-centroid separation matrix — the class-separability audit
     * run before training on labeled embeddings: pairwise cosine
     * between per-label mean vectors (labels whose centroids nearly

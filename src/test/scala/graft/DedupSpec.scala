@@ -453,6 +453,56 @@ class DedupSpec extends AnyFunSuite {
       s"implausible shift: $r"))
   }
 
+  test("band tune: stricter banding costs fewer pairs, full recall") {
+    val rows = DedupOps.minhashBandTune(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(2L, 4L, 8L))
+    // candidate-pair load falls as rows-per-band rises (stricter);
+    // the S-curve threshold rises with it
+    val pairs = rows.map(_.getLong(6))
+    assert(pairs.zip(pairs.tail).forall { case (a, b) => a >= b },
+      s"pair load must fall with strictness: ${pairs.mkString(",")}")
+    val th = rows.map(_.getDouble(2))
+    assert(th.zip(th.tail).forall { case (a, b) => a < b },
+      s"threshold must rise with rows per band: ${th.mkString(",")}")
+    // planted copies are verbatim → identical signatures → every
+    // config catches every planted pair
+    rows.foreach(r => assert(r.getDouble(7) === 100.0, s"recall: $r"))
+  }
+
+  test("perplexity outliers: 20 worst docs, scores ranked ascending") {
+    val rows = TextOps.perplexityOutliers(spark, sfDir).collect()
+    assert(rows.length === 20)
+    assert(rows.map(_.getLong(0)).toSeq === (1L to 20L))
+    val scores = rows.map(_.getDouble(4))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a <= b },
+      "outlier list must rank worst-first")
+    scores.foreach(s => assert(s < 0, "log-probs are negative"))
+  }
+
+  test("norm outliers: high end dominates low end") {
+    val rows = VectorOps.normOutliers(spark, sfDir).collect()
+    assert(rows.length === 20)
+    val hi = rows.filter(_.getString(0) == "high").map(_.getDouble(4))
+    val lo = rows.filter(_.getString(0) == "low").map(_.getDouble(4))
+    assert(hi.length === 10 && lo.length === 10)
+    assert(hi.min >= lo.max,
+      s"extreme ends must not overlap: hi.min=${hi.min} lo.max=${lo.max}")
+  }
+
+  test("new vs returning: week one all new, users conserved") {
+    val rows = graft.ops.EventOps.eventsNewVsReturning(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.head.getDouble(4) === 100.0,
+      "the first week has no returning users")
+    rows.foreach(r =>
+      assert(r.getLong(1) === r.getLong(2) + r.getLong(3), s"split: $r"))
+    val users = graft.tables.Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getLong(2)).sum === users,
+      "every user is new exactly once")
+  }
+
   test("nprobe curve: recall monotone in nprobe, full truth coverage") {
     val rows = VectorOps.nprobeCurve(spark, sfDir).collect()
     assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 4L, 8L))

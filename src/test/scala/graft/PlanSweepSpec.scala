@@ -92,6 +92,9 @@ class PlanSweepSpec extends AnyFunSuite {
     "events_power_law",   // one-row order-stat boundary cross join
     "emb_centroid_shift", // 16-centroid broadcast cross join (the
                           // shared kmeansMoments assignment)
+    "doc_minhash_band_tune", // one-row planted-total census cross join
+    "doc_perplexity_outliers", // vocabulary x one-row total cross join
+                               // (the shared perDocLogprob shape)
     "emb_nprobe_curve" // 16-centroid routing cross joins + brute-truth
                        // composition (inherits emb_knn_brute's shape)
   )
