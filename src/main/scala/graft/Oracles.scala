@@ -1744,6 +1744,60 @@ ORDER BY source"""
     * recomputed here from the hex string with strpos integer
     * arithmetic — the oracle never needs to touch a PNG byte.
     */
+  /** Drift twin of [[graft.multimodal.BinaryFrames.intensityDrift]]:
+    * per-(dataset, time) means from the planted hex bytes (each byte
+    * appears twice in the 8×8 frame), drift between two ROUNDED
+    * means — the oracle never sees a PNG byte.
+    */
+  val imgIntensityDrift: String = imagingCte + """
+, pb AS (
+  SELECT frames_global_id AS dataset_id,
+    CAST((id % 10) - 1 AS INT) AS time_idx,
+    list_transform(range(0, 32),
+      i -> (strpos('0123456789abcdef', substr(sha256, 2*i + 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(sha256, 2*i + 2, 1)) - 1))
+      AS px
+  FROM frames
+), bt AS (
+  SELECT d.dataset_serial, time_idx,
+    CAST(count(*) AS BIGINT) AS n_frames,
+    round(CAST(sum(2 * list_sum(px)) AS DOUBLE) / sum(64), 6) AS mean_px
+  FROM pb JOIN data_set d ON pb.dataset_id = d.id
+  GROUP BY d.dataset_serial, time_idx
+), t0 AS (
+  SELECT dataset_serial, mean_px AS mean_t0 FROM bt WHERE time_idx = 0)
+SELECT b.dataset_serial, b.time_idx, b.n_frames, b.mean_px,
+  round((b.mean_px - t.mean_t0) * 100.0 / t.mean_t0, 4) AS drift_pct
+FROM bt b JOIN t0 t ON b.dataset_serial = t.dataset_serial
+ORDER BY b.dataset_serial, b.time_idx"""
+
+  /** Focus twin of [[graft.multimodal.BinaryFrames.focusRank]]:
+    * variance from the exact integer moments of the planted bytes,
+    * rounded before the per-dataset rank.
+    */
+  val imgFocusRank: String = imagingCte + """
+, pb AS (
+  SELECT frames_global_id AS dataset_id, id AS frame_id,
+    list_transform(range(0, 32),
+      i -> (strpos('0123456789abcdef', substr(sha256, 2*i + 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(sha256, 2*i + 2, 1)) - 1))
+      AS px
+  FROM frames
+), fv AS (
+  SELECT d.dataset_serial, frame_id,
+    round(CAST(2 * list_sum(list_transform(px, x -> x * x)) AS DOUBLE) / 64
+      - (CAST(2 * list_sum(px) AS DOUBLE) / 64)
+      * (CAST(2 * list_sum(px) AS DOUBLE) / 64), 6) AS variance
+  FROM pb JOIN data_set d ON pb.dataset_id = d.id
+)
+SELECT dataset_serial, rank, frame_id, variance FROM (
+  SELECT dataset_serial, frame_id, variance,
+    CAST(row_number() OVER (PARTITION BY dataset_serial
+      ORDER BY variance, frame_id) AS BIGINT) AS rank
+  FROM fv)
+WHERE rank <= 5
+ORDER BY dataset_serial, rank"""
+
   val imgPayloadStats: String = imagingCte + """
 , pb AS (
   SELECT frames_global_id AS dataset_id,
@@ -3437,6 +3491,8 @@ ORDER BY source"""
     "doc_dedup_inflation" -> docDedupInflation,
     "doc_minhash_band_tune" -> docMinhashBandTune,
     "doc_perplexity_outliers" -> docPerplexityOutliers,
+    "img_intensity_drift" -> imgIntensityDrift,
+    "img_focus_rank" -> imgFocusRank,
     "emb_norm_outliers" -> embNormOutliers,
     "events_new_vs_returning" -> eventsNewVsReturning,
     "events_power_law" -> eventsPowerLaw,

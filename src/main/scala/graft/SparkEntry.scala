@@ -160,6 +160,10 @@ object SparkEntry {
     "doc_pii_scrub" -> (TextOps.piiScrub(_, _)),
     "img_payload_stats" ->
       (graft.multimodal.BinaryFrames.payloadStats(_, _)),
+    "img_intensity_drift" ->
+      (graft.multimodal.BinaryFrames.intensityDrift(_, _)),
+    "img_focus_rank" ->
+      (graft.multimodal.BinaryFrames.focusRank(_, _)),
     "img_payload_stats_rgb" ->
       (graft.multimodal.BinaryFrames.payloadStatsRgb(_, _)),
     // persisted-store twins: identical results (and oracles) to their

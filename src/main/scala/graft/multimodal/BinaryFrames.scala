@@ -28,7 +28,7 @@ import graft.imaging.ImagingModel
 object BinaryFrames {
 
   case class FrameFeature(frame_id: Long, width: Int, height: Int,
-    n_px: Int, sum_px: Long, mean_px: Double, max_px: Int)
+    n_px: Int, sum_px: Long, sum_sq: Long, mean_px: Double, max_px: Int)
 
   case class FrameRgbFeature(frame_id: Long, width: Int, height: Int,
     n_px: Int, sum_r: Long, sum_g: Long, sum_b: Long,
@@ -109,15 +109,17 @@ object BinaryFrames {
         rows.map { case (id, payload) =>
           val (w, h, px) = ImageCodec.decodeGray(payload)
           var sum = 0L
+          var sumSq = 0L
           var max = 0
           var i = 0
           while (i < px.length) {
             sum += px(i)
+            sumSq += px(i).toLong * px(i)
             if (px(i) > max) max = px(i)
             i += 1
           }
           val mean = if (px.length == 0) 0.0 else sum.toDouble / px.length
-          FrameFeature(id, w, h, px.length, sum, mean, max)
+          FrameFeature(id, w, h, px.length, sum, sumSq, mean, max)
         }
       }
   }
@@ -132,6 +134,73 @@ object BinaryFrames {
     * bit-for-bit). frame_id div 10 recovers the dataset key
     * (id = orderkey*10 + linenumber, linenumber ≤ 7 by §3).
     */
+  /** Photobleaching drift curve — the acquisition-QC metric a
+    * time-lapse microscopy run is checked against first: per
+    * (dataset, time index), the mean pixel intensity through the REAL
+    * PNG decode, and its percent drift against the t=0 frame set. A
+    * monotone decay is bleaching; a jump is a lamp/stage event. The
+    * time index derives from the frame id arithmetic (no metadata
+    * join); dataset serials join from the broadcast dimension; decode
+    * is embarrassingly parallel mapPartitions and only integer sums
+    * reach the exchange. The t=0 reference census (one row per
+    * dataset) broadcasts back — the same dimension-sized contract as
+    * the serial join. Drift divides two ROUNDED means, so the output
+    * is engine-exact (hex-arithmetic oracle, no PNG bytes).
+    */
+  def intensityDrift(spark: SparkSession, dir: String): DataFrame = {
+    val feats = decodeFrames(spark, withPayload(spark, dir)).toDF()
+      .withColumn("dataset_id", expr("frame_id div 10"))
+      .withColumn("time_idx", expr("cast(frame_id % 10 - 1 as int)"))
+    val byTime = feats
+      .join(broadcast(ImagingModel.dataSet(spark, dir)
+        .select(col("id").as("ds_id"), col("dataset_serial"))),
+        col("dataset_id") === col("ds_id"))
+      .groupBy("dataset_serial", "time_idx")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("sum_px")).as("spx"),
+        sum(col("n_px").cast("bigint")).as("npx"))
+      .select(col("dataset_serial"), col("time_idx"), col("n_frames"),
+        round(col("spx").cast("double") / col("npx"), 6).as("mean_px"))
+    val t0 = byTime.filter(col("time_idx") === 0)
+      .select(col("dataset_serial"), col("mean_px").as("mean_t0"))
+    byTime.join(broadcast(t0), Seq("dataset_serial"))
+      .select(col("dataset_serial"), col("time_idx"), col("n_frames"),
+        col("mean_px"),
+        round((col("mean_px") - col("mean_t0")) * 100.0 / col("mean_t0"),
+          4).as("drift_pct"))
+      .orderBy("dataset_serial", "time_idx")
+  }
+
+  /** Focus triage — the blur QC of an imaging ingest: pixel variance
+    * per frame (a defocused frame's intensity distribution collapses,
+    * so low variance is the classic cheap focus proxy) through the
+    * real decode, then the 5 flattest frames per dataset via the
+    * bounded TopKByScore aggregate (k-row map-side partials — never a
+    * per-dataset window over all frames). Variance comes from the
+    * exact integer moments (Σpx, Σpx²) and rounds BEFORE ranking, so
+    * the order is engine-identical.
+    */
+  def focusRank(spark: SparkSession, dir: String): DataFrame = {
+    val feats = decodeFrames(spark, withPayload(spark, dir)).toDF()
+      .withColumn("dataset_id", expr("frame_id div 10"))
+      .withColumn("variance", round(
+        col("sum_sq").cast("double") / col("n_px")
+          - (col("sum_px").cast("double") / col("n_px"))
+          * (col("sum_px").cast("double") / col("n_px")), 6))
+    feats
+      .join(broadcast(ImagingModel.dataSet(spark, dir)
+        .select(col("id").as("ds_id"), col("dataset_serial"))),
+        col("dataset_id") === col("ds_id"))
+      .groupBy("dataset_serial")
+      .agg(graft.functions.TopKByScore
+        .topkAsc(col("variance"), col("frame_id"), 5).as("top"))
+      .select(col("dataset_serial"), posexplode(col("top")).as(Seq("p", "t")))
+      .select(col("dataset_serial"),
+        (col("p") + 1).cast("bigint").as("rank"),
+        col("t.id").as("frame_id"), col("t.score").as("variance"))
+      .orderBy("dataset_serial", "rank")
+  }
+
   def payloadStats(spark: SparkSession, dir: String): DataFrame = {
     val feats = decodeFrames(spark, withPayload(spark, dir)).toDF()
       .withColumn("dataset_id", expr("frame_id div 10"))

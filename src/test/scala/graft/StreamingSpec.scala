@@ -499,6 +499,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(closed.head.user_id === 1 && closed.head.n_events === 2)
   }
 
+  test("intensity drift: t0 rows anchor at zero drift, means in range") {
+    val rows = BinaryFrames.intensityDrift(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 255,
+        s"mean out of uint8 range: $r")
+      if (r.getInt(1) == 0)
+        assert(r.getDouble(4) === 0.0, s"t0 must self-reference: $r")
+    }
+  }
+
+  test("focus rank: at most 5 per dataset, variance ranked ascending") {
+    val rows = BinaryFrames.focusRank(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (_, g) =>
+      val sorted = g.sortBy(_.getLong(1))
+      assert(sorted.length <= 5)
+      val vs = sorted.map(_.getDouble(3))
+      assert(vs.zip(vs.tail).forall { case (a, b) => a <= b },
+        "blurriest-first order broken")
+      vs.foreach(v => assert(v >= 0, "negative variance"))
+    }
+  }
+
   test("binary frame plumbing: PNG payloads decode with stable schema") {
     val framed = BinaryFrames.withPayload(spark, sfDir)
     val feats = BinaryFrames.decodeFrames(spark, framed)
