@@ -1798,6 +1798,55 @@ SELECT dataset_serial, rank, frame_id, variance FROM (
 WHERE rank <= 5
 ORDER BY dataset_serial, rank"""
 
+  /** Cross-talk twin of
+    * [[graft.multimodal.BinaryFrames.channelCrosstalk]]: channel
+    * moments as exact integer sums over the planted transforms
+    * (R = raw byte, G = 255−raw, B = (3·raw+7) mod 256, each byte
+    * twice), one double correlation formula at the end.
+    */
+  val imgChannelCrosstalk: String = imagingCte + """
+, pb AS (
+  SELECT frames_global_id AS dataset_id,
+    list_transform(range(0, 32),
+      i -> (strpos('0123456789abcdef', substr(sha256, 2*i + 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(sha256, 2*i + 2, 1)) - 1))
+      AS px
+  FROM frames
+), fm AS (
+  SELECT dataset_id, 64 AS n,
+    2 * list_sum(px) AS sr,
+    2 * list_sum(list_transform(px, x -> 255 - x)) AS sg,
+    2 * list_sum(list_transform(px, x -> (3 * x + 7) % 256)) AS sb,
+    2 * list_sum(list_transform(px, x -> x * x)) AS srr,
+    2 * list_sum(list_transform(px, x -> (255 - x) * (255 - x))) AS sgg,
+    2 * list_sum(list_transform(px,
+      x -> ((3 * x + 7) % 256) * ((3 * x + 7) % 256))) AS sbb,
+    2 * list_sum(list_transform(px, x -> x * (255 - x))) AS srg,
+    2 * list_sum(list_transform(px,
+      x -> (255 - x) * ((3 * x + 7) % 256))) AS sgb,
+    2 * list_sum(list_transform(px, x -> x * ((3 * x + 7) % 256))) AS srb
+  FROM pb
+), ag AS (
+  SELECT d.dataset_serial, CAST(count(*) AS BIGINT) AS n_frames,
+    sum(n) AS n, sum(sr) AS sr, sum(sg) AS sg, sum(sb) AS sb,
+    sum(srr) AS srr, sum(sgg) AS sgg, sum(sbb) AS sbb,
+    sum(srg) AS srg, sum(sgb) AS sgb, sum(srb) AS srb
+  FROM fm JOIN data_set d ON fm.dataset_id = d.id
+  GROUP BY d.dataset_serial
+)
+SELECT dataset_serial, n_frames,
+  round(CAST(n * srg - sr * sg AS DOUBLE)
+    / (sqrt(CAST(n * srr - sr * sr AS DOUBLE))
+     * sqrt(CAST(n * sgg - sg * sg AS DOUBLE))), 6) AS corr_rg,
+  round(CAST(n * sgb - sg * sb AS DOUBLE)
+    / (sqrt(CAST(n * sgg - sg * sg AS DOUBLE))
+     * sqrt(CAST(n * sbb - sb * sb AS DOUBLE))), 6) AS corr_gb,
+  round(CAST(n * srb - sr * sb AS DOUBLE)
+    / (sqrt(CAST(n * srr - sr * sr AS DOUBLE))
+     * sqrt(CAST(n * sbb - sb * sb AS DOUBLE))), 6) AS corr_rb
+FROM ag
+ORDER BY dataset_serial"""
+
   val imgPayloadStats: String = imagingCte + """
 , pb AS (
   SELECT frames_global_id AS dataset_id,
@@ -3484,6 +3533,36 @@ GROUP BY source
 ORDER BY source"""
 
   /** Every oracle, keyed like SparkEntry.queries. */
+  /** Ladder twin of [[graft.ops.VectorOps.recallLadder]]: each rung's
+    * full oracle query nests as a derived table (CTE names scope to
+    * the parentheses), truth joined per method — the ladder is
+    * literally the composition of the four oracle-checked searches.
+    */
+  val embRecallLadder: String = {
+    def sub(q: String) = "(" + q + ") "
+    def hit(m: String) =
+      s"""CAST((SELECT count(*) FROM truth t JOIN ${sub(m)} m
+        ON t.qid = m.qid AND t.neighbor = m.neighbor) AS BIGINT)"""
+    s"""WITH truth AS (SELECT qid, neighbor FROM ${sub(embKnnBrute)} tb),
+nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM truth)
+SELECT method, bytes_per_vec, n_hits, n_truth,
+  round(CAST(n_hits AS DOUBLE) / n_truth, 4) AS recall
+FROM (
+  SELECT 'float32' AS method, CAST(256 AS BIGINT) AS bytes_per_vec,
+    (SELECT n FROM nt) AS n_hits, (SELECT n FROM nt) AS n_truth
+  UNION ALL
+  SELECT 'sq8', CAST(64 AS BIGINT), ${hit(embKnnSq8)},
+    (SELECT n FROM nt)
+  UNION ALL
+  SELECT 'pq8', CAST(8 AS BIGINT), ${hit(embKnnPq)},
+    (SELECT n FROM nt)
+  UNION ALL
+  SELECT 'ivfpq', CAST(8 AS BIGINT), ${hit(embKnnIvfPq)},
+    (SELECT n FROM nt)
+)
+ORDER BY method"""
+  }
+
   def all: Map[String, String] = Map(
     "doc_survival_funnel" -> docSurvivalFunnel,
     "doc_zipf_slope" -> docZipfSlope,
@@ -3493,6 +3572,8 @@ ORDER BY source"""
     "doc_perplexity_outliers" -> docPerplexityOutliers,
     "img_intensity_drift" -> imgIntensityDrift,
     "img_focus_rank" -> imgFocusRank,
+    "img_channel_crosstalk" -> imgChannelCrosstalk,
+    "emb_recall_ladder" -> embRecallLadder,
     "emb_norm_outliers" -> embNormOutliers,
     "events_new_vs_returning" -> eventsNewVsReturning,
     "events_power_law" -> eventsPowerLaw,

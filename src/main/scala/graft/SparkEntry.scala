@@ -124,6 +124,7 @@ object SparkEntry {
     "doc_minhash_band_tune" -> (DedupOps.minhashBandTune(_, _)),
     "doc_perplexity_outliers" -> (TextOps.perplexityOutliers(_, _)),
     "emb_norm_outliers" -> (VectorOps.normOutliers(_, _)),
+    "emb_recall_ladder" -> (VectorOps.recallLadder(_, _)),
     "events_new_vs_returning" -> (EventOps.eventsNewVsReturning(_, _)),
     "events_power_law" -> (EventOps.eventsPowerLaw(_, _)),
     "emb_centroid_shift" -> (VectorOps.centroidShift(_, _)),
@@ -164,6 +165,8 @@ object SparkEntry {
       (graft.multimodal.BinaryFrames.intensityDrift(_, _)),
     "img_focus_rank" ->
       (graft.multimodal.BinaryFrames.focusRank(_, _)),
+    "img_channel_crosstalk" ->
+      (graft.multimodal.BinaryFrames.channelCrosstalk(_, _)),
     "img_payload_stats_rgb" ->
       (graft.multimodal.BinaryFrames.payloadStatsRgb(_, _)),
     // persisted-store twins: identical results (and oracles) to their

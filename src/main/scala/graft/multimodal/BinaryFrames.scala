@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.imaging.ImagingModel
@@ -32,7 +32,9 @@ object BinaryFrames {
 
   case class FrameRgbFeature(frame_id: Long, width: Int, height: Int,
     n_px: Int, sum_r: Long, sum_g: Long, sum_b: Long,
-    max_r: Int, max_g: Int, max_b: Int)
+    max_r: Int, max_g: Int, max_b: Int,
+    sum_rr: Long, sum_gg: Long, sum_bb: Long,
+    sum_rg: Long, sum_gb: Long, sum_rb: Long)
 
   /** PNG-encode the 64 sha256-derived bytes as an 8×8 uint8 grayscale
     * frame — the upload-time serialization of image_utils.py:5-16.
@@ -230,15 +232,22 @@ object BinaryFrames {
           val (w, h, s) = ImageCodec.decodeRgb(payload)
           val sums = new Array[Long](3)
           val maxs = new Array[Int](3)
+          var rr, gg, bb, rg, gb, rb = 0L
           var i = 0
           while (i < s.length) {
             val c = i % 3
             sums(c) += s(i)
             if (s(i) > maxs(c)) maxs(c) = s(i)
+            if (c == 2) {
+              val r = s(i - 2).toLong; val g = s(i - 1).toLong
+              val b = s(i).toLong
+              rr += r * r; gg += g * g; bb += b * b
+              rg += r * g; gb += g * b; rb += r * b
+            }
             i += 1
           }
           FrameRgbFeature(id, w, h, w * h, sums(0), sums(1), sums(2),
-            maxs(0), maxs(1), maxs(2))
+            maxs(0), maxs(1), maxs(2), rr, gg, bb, rg, gb, rb)
         }
       }
   }
@@ -265,6 +274,49 @@ object BinaryFrames {
         max(col("max_r")).as("max_r"),
         max(col("max_g")).as("max_g"),
         max(col("max_b")).as("max_b"))
+      .orderBy("dataset_serial")
+  }
+
+  /** Channel cross-talk audit — the spectral bleed-through QC a
+    * multi-channel acquisition is validated against: per dataset, the
+    * Pearson correlation between each channel pair's pixel series
+    * through the REAL RGB decode. High |r| between nominally
+    * independent channels means filter bleed-through (or, here, the
+    * planted transforms: G = 255−R is exactly −1 by construction —
+    * the built-in proof the formula is right — while the modular B
+    * channel decorrelates). All moments (Σx, Σx², Σxy) accumulate as
+    * EXACT integers in the decode loop and the partial agg; doubles
+    * appear once in the final correlation formula, rounded — so the
+    * hex-arithmetic oracle matches bit for bit without seeing a PNG.
+    */
+  def channelCrosstalk(spark: SparkSession, dir: String): DataFrame = {
+    val feats = decodeFramesRgb(spark, withPayloadRgb(spark, dir)).toDF()
+      .withColumn("dataset_id", expr("frame_id div 10"))
+    def corr(sx: Column, sy: Column, sxx: Column, syy: Column,
+        sxy: Column, n: Column): Column =
+      round((n * sxy - sx * sy).cast("double") /
+        (sqrt((n * sxx - sx * sx).cast("double"))
+          * sqrt((n * syy - sy * sy).cast("double"))), 6)
+    feats
+      .join(broadcast(ImagingModel.dataSet(spark, dir)
+        .select(col("id").as("ds_id"), col("dataset_serial"))),
+        col("dataset_id") === col("ds_id"))
+      .groupBy("dataset_serial")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("n_px").cast("bigint")).as("n"),
+        sum(col("sum_r")).as("sr"), sum(col("sum_g")).as("sg"),
+        sum(col("sum_b")).as("sb"),
+        sum(col("sum_rr")).as("srr"), sum(col("sum_gg")).as("sgg"),
+        sum(col("sum_bb")).as("sbb"),
+        sum(col("sum_rg")).as("srg"), sum(col("sum_gb")).as("sgb"),
+        sum(col("sum_rb")).as("srb"))
+      .select(col("dataset_serial"), col("n_frames"),
+        corr(col("sr"), col("sg"), col("srr"), col("sgg"), col("srg"),
+          col("n")).as("corr_rg"),
+        corr(col("sg"), col("sb"), col("sgg"), col("sbb"), col("sgb"),
+          col("n")).as("corr_gb"),
+        corr(col("sr"), col("sb"), col("srr"), col("sbb"), col("srb"),
+          col("n")).as("corr_rb"))
       .orderBy("dataset_serial")
   }
 

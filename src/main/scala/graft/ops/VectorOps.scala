@@ -504,6 +504,35 @@ object VectorOps {
       .orderBy("qid")
   }
 
+  /** Compression-ladder summary — the one-table answer to "which
+    * index do we ship": recall@5 vs brute-force truth for every rung
+    * (float32 exact / SQ8 bytes / PQ codes / IVF+PQ) next to its
+    * bytes-per-vector cost. The deployment doc of a vector index is
+    * exactly this table; each rung reuses its oracle-checked search
+    * path, so the ladder can't drift from the individual operators.
+    * Truth is |Q|·k rows; every per-method join touches only those.
+    */
+  def recallLadder(spark: SparkSession, dir: String): DataFrame = {
+    val truth = knnBrute(spark, dir).select("qid", "neighbor")
+    def rung(method: String, bytes: Long, approx: DataFrame): DataFrame =
+      truth.join(
+          approx.select(col("qid").as("aqid"),
+            col("neighbor").as("aneighbor")),
+          col("qid") === col("aqid")
+            && col("neighbor") === col("aneighbor"), "left")
+        .agg(count(col("aneighbor")).as("n_hits"),
+          count(lit(1)).as("n_truth"))
+        .select(lit(method).as("method"),
+          lit(bytes).as("bytes_per_vec"), col("n_hits"), col("n_truth"),
+          round(col("n_hits").cast("double") / col("n_truth"), 4)
+            .as("recall"))
+    rung("float32", 256L, knnBrute(spark, dir))
+      .unionByName(rung("sq8", 64L, knnSq8(spark, dir)))
+      .unionByName(rung("pq8", 8L, knnPq(spark, dir)))
+      .unionByName(rung("ivfpq", 8L, knnIvfPq(spark, dir)))
+      .orderBy("method")
+  }
+
   private def ivfCents(e: DataFrame): DataFrame =
     e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("ccid"), col("embedding").as("ccv"))

@@ -503,6 +503,22 @@ class DedupSpec extends AnyFunSuite {
       "every user is new exactly once")
   }
 
+  test("recall ladder: float32 rung is exact, every rung bounded") {
+    val rows = VectorOps.recallLadder(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq ===
+      Seq("float32", "ivfpq", "pq8", "sq8"))
+    val byM = rows.map(r => r.getString(0) -> r).toMap
+    assert(byM("float32").getDouble(4) === 1.0,
+      "exact search must have perfect recall by definition")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3), s"hits > truth: $r")
+      assert(r.getDouble(4) >= 0 && r.getDouble(4) <= 1)
+    }
+    // coarser quantization cannot beat the finer rung's cost point:
+    // sq8 (64 B) must hold at least pq8's (8 B) recall
+    assert(byM("sq8").getDouble(4) >= byM("pq8").getDouble(4))
+  }
+
   test("nprobe curve: recall monotone in nprobe, full truth coverage") {
     val rows = VectorOps.nprobeCurve(spark, sfDir).collect()
     assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 4L, 8L))

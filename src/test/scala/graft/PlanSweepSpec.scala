@@ -34,6 +34,8 @@ class PlanSweepSpec extends AnyFunSuite {
                            // → uniform shuffle)
     "emb_ann_recall",      // composes knn_brute + knn_ivfpq, inherits
                            // the ivfpq corpus-axis join
+    "emb_recall_ladder",   // composes all four search rungs, inherits
+                           // the ivfpq corpus-axis join
     "q2_min_cost",         // pair-cost ⋈ per-part min join-back: both
                            // sides fact-derived aggregates keyed on
                            // partkey — co-partitioned shuffle join is
@@ -72,6 +74,7 @@ class PlanSweepSpec extends AnyFunSuite {
     "emb_knn_ivfpq_indexed", // same probe-side routing cross joins —
                              // the corpus side reads the bucketed index
     "emb_ann_recall", // composes knn_brute + knn_ivfpq, inherits both
+    "emb_recall_ladder", // composes brute/sq8/pq/ivfpq, inherits all
     "doc_source_overlap", // S-row sketch pairs, < condition (S = sources)
     "doc_source_unique",  // S-row sketch pairs, <> condition
     "q22_idle",       // one-row balance census cross join
