@@ -2459,6 +2459,24 @@ FROM pairs p LEFT JOIN common c
   ON c.source_a = p.source_a AND c.source_b = p.source_b
 ORDER BY 1, 2"""
 
+  /** Audit twin of [[graft.ops.DedupOps.hashCollisionAudit]]: the
+    * same 28-bit md5 base as the signature chain over the distinct
+    * shingle set.
+    */
+  val docHashCollisionAudit: String = corpusCte + """, shx AS (
+  SELECT DISTINCT unnest(shset) AS s FROM sh
+), bases AS (
+  SELECT ('0x' || substr(md5(s), 1, 7))::BIGINT AS base FROM shx
+), per AS (
+  SELECT base, count(*) AS cnt FROM bases GROUP BY base)
+SELECT CAST(sum(cnt) AS BIGINT) AS n_shingles,
+  CAST(count(*) AS BIGINT) AS n_bases,
+  CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_colliding_bases,
+  CAST(max(cnt) AS BIGINT) AS max_per_base,
+  round((sum(cnt) - count(*)) * 100.0 / sum(cnt), 6) AS collision_pct
+FROM per"""
+
   /** Sweep twin of [[graft.ops.DedupOps.minhashBandTune]]: the same
     * md5-affine signature chain as [[docMinhashLsh]], banded three
     * ways by a cross join on r; pair load is integer arithmetic on
@@ -3533,6 +3551,34 @@ GROUP BY source
 ORDER BY source"""
 
   /** Every oracle, keyed like SparkEntry.queries. */
+  /** Purity twin of [[graft.ops.VectorOps.cellPurity]]: the
+    * [[embIvfBalance]] assignment with the label carried, majority
+    * with (count desc, label) tie-break.
+    */
+  val embCellPurity: String = s"""
+WITH cents AS (
+  SELECT vec_id AS ccid, embedding AS ccv FROM embeddings WHERE vec_id < 16
+), cellof AS (
+  SELECT cell, label FROM (
+    SELECT e.label, c.ccid AS cell,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY -${duckCos("e.embedding", "c.ccv")}, c.ccid) AS crank
+    FROM embeddings e CROSS JOIN cents c)
+  WHERE crank <= 1
+), counts AS (
+  SELECT cell, label, count(*) AS n FROM cellof GROUP BY cell, label
+), per AS (
+  SELECT cell, label, n,
+    row_number() OVER (PARTITION BY cell ORDER BY n DESC, label) AS rk,
+    sum(n) OVER (PARTITION BY cell) AS n_vecs,
+    count(*) OVER (PARTITION BY cell) AS n_labels
+  FROM counts)
+SELECT cell, CAST(n_vecs AS BIGINT) AS n_vecs,
+  CAST(n_labels AS BIGINT) AS n_labels,
+  CAST(label AS INT) AS majority_label, CAST(n AS BIGINT) AS majority_n,
+  round(n * 100.0 / n_vecs, 4) AS purity_pct
+FROM per WHERE rk = 1 ORDER BY cell"""
+
   /** Ladder twin of [[graft.ops.VectorOps.recallLadder]]: each rung's
     * full oracle query nests as a derived table (CTE names scope to
     * the parentheses), truth joined per method — the ladder is
@@ -3574,6 +3620,8 @@ ORDER BY method"""
     "img_focus_rank" -> imgFocusRank,
     "img_channel_crosstalk" -> imgChannelCrosstalk,
     "emb_recall_ladder" -> embRecallLadder,
+    "doc_hash_collision_audit" -> docHashCollisionAudit,
+    "emb_cell_purity" -> embCellPurity,
     "emb_norm_outliers" -> embNormOutliers,
     "events_new_vs_returning" -> eventsNewVsReturning,
     "events_power_law" -> eventsPowerLaw,

@@ -125,6 +125,8 @@ object SparkEntry {
     "doc_perplexity_outliers" -> (TextOps.perplexityOutliers(_, _)),
     "emb_norm_outliers" -> (VectorOps.normOutliers(_, _)),
     "emb_recall_ladder" -> (VectorOps.recallLadder(_, _)),
+    "doc_hash_collision_audit" -> (DedupOps.hashCollisionAudit(_, _)),
+    "emb_cell_purity" -> (VectorOps.cellPurity(_, _)),
     "events_new_vs_returning" -> (EventOps.eventsNewVsReturning(_, _)),
     "events_power_law" -> (EventOps.eventsPowerLaw(_, _)),
     "emb_centroid_shift" -> (VectorOps.centroidShift(_, _)),

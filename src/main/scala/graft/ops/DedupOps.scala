@@ -499,6 +499,35 @@ object DedupOps {
       .orderBy("source")
   }
 
+  /** Base-hash collision audit — the "is 28 bits enough" birthday
+    * check under the MinHash machinery: every signature in
+    * [[minhashSignatures]] starts from a 28-bit md5 prefix per
+    * shingle, and colliding bases make distinct shingles
+    * indistinguishable to every permutation at once (a silent recall
+    * ceiling no band setting can recover). Reports the distinct
+    * shingle count, distinct base count, colliding bases and the
+    * observed collision share. One distinct pass + one map-combined
+    * aggregate on the base key — no Expand, nothing text-valued past
+    * the first exchange.
+    */
+  def hashCollisionAudit(spark: SparkSession, dir: String): DataFrame =
+    withShingles(corpus(spark, dir))
+      .select(explode(col("shset")).as("sh")).distinct()
+      .select(expr(
+        "cast(conv(substring(md5(sh), 1, 7), 16, 10) as bigint)")
+        .as("base"))
+      .groupBy("base")
+      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("cnt")).as("n_shingles"),
+        count(lit(1)).as("n_bases"),
+        sum(when(col("cnt") >= 2, 1L).otherwise(0L))
+          .as("n_colliding_bases"),
+        max(col("cnt")).as("max_per_base"))
+      .select(col("n_shingles"), col("n_bases"),
+        col("n_colliding_bases"), col("max_per_base"),
+        round((col("n_shingles") - col("n_bases")) * 100.0
+          / col("n_shingles"), 6).as("collision_pct"))
+
   /** LSH band-tuning sweep — the operating-point table a dedup
     * deployment reads before fixing (bands × rows): for each banding
     * of the SAME 64-perm signature (8×8 strict, 16×4 production, 32×2

@@ -504,6 +504,38 @@ object VectorOps {
       .orderBy("qid")
   }
 
+  /** Label purity per IVF cell — does the coarse quantizer's
+    * partition line up with the label structure? A cell whose
+    * majority label owns most of it means routing approximately
+    * respects classes (good for filtered ANN); uniform mixes mean
+    * the labels live on directions the quantizer ignores. The same
+    * map-side-argmin assignment as [[knnIvf]] with the label carried
+    * through the min struct (constant per vector — tie-break
+    * unaffected), a (cell, label) census, and a ≤|cells| majority
+    * roll-up with (count desc, label asc) tie-break.
+    */
+  def cellPurity(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cents = coarseCentroids(e)
+    val assigned = e.select(col("vec_id"), col("label"), col("embedding"))
+      .join(broadcast(cents), col("cid") =!= lit(-1))
+      .withColumn("cdist", -cosine(col("embedding"), col("cv")))
+      .groupBy("vec_id")
+      .agg(min(struct(col("cdist"), col("cid"), col("label"))).as("m"))
+      .select(col("m.cid").as("cell"), col("m.label").as("label"))
+    assigned.groupBy("cell", "label")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("cell")
+      .agg(sum(col("n")).as("n_vecs"),
+        count(lit(1)).as("n_labels"),
+        max(struct(col("n"), (-col("label")).as("neg"))).as("mj"))
+      .select(col("cell"), col("n_vecs"), col("n_labels"),
+        (-col("mj.neg")).cast("int").as("majority_label"),
+        col("mj.n").as("majority_n"),
+        round(col("mj.n") * 100.0 / col("n_vecs"), 4).as("purity_pct"))
+      .orderBy("cell")
+  }
+
   /** Compression-ladder summary — the one-table answer to "which
     * index do we ship": recall@5 vs brute-force truth for every rung
     * (float32 exact / SQ8 bytes / PQ codes / IVF+PQ) next to its

@@ -519,6 +519,31 @@ class DedupSpec extends AnyFunSuite {
     assert(byM("sq8").getDouble(4) >= byM("pq8").getDouble(4))
   }
 
+  test("hash collision audit: bases bounded by shingles, pct consistent") {
+    val r = DedupOps.hashCollisionAudit(spark, sfDir).collect()
+    assert(r.length === 1)
+    val (nSh, nBase, nColl, mx) =
+      (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2), r(0).getLong(3))
+    assert(nBase <= nSh)
+    assert(nColl <= nBase)
+    assert(mx >= 1 && (nColl > 0) == (mx >= 2))
+    assert(math.abs(r(0).getDouble(4)
+      - (nSh - nBase) * 100.0 / nSh) < 1e-4)
+  }
+
+  test("cell purity: cells partition the corpus, majority consistent") {
+    val rows = VectorOps.cellPurity(spark, sfDir).collect()
+    val n = graft.tables.Tables.embeddings(spark, sfDir).count()
+    assert(rows.map(_.getLong(1)).sum === n,
+      "cell members must partition the corpus")
+    rows.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(1), s"majority > total: $r")
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= 10, s"label count: $r")
+      assert(r.getDouble(5) >= 100.0 / 10 - 1e-9,
+        s"majority share below uniform floor: $r")
+    }
+  }
+
   test("nprobe curve: recall monotone in nprobe, full truth coverage") {
     val rows = VectorOps.nprobeCurve(spark, sfDir).collect()
     assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 4L, 8L))
