@@ -329,7 +329,13 @@ object Bench {
     val prior = priorBench(sfDir)
     val regressed =
       scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev-only subset filter (comma-separated names); unset for the
+    // driver's full runs — stream entries still run unless filtered to
+    // batch names only, which is the point of a quick isolation check
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       def run(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -354,20 +360,22 @@ object Bench {
       }
       name -> times.min
     }
-    val streamTime =
-      minOk((1 to 2).map(r => () => streamBench(spark, sfDir, r)))
-    val dedupTime =
-      minOk((1 to 2).map(_ => () => streamDedupBench(spark, sfDir)))
-    val sessTime =
-      minOk((1 to 2).map(_ => () => streamSessionsBench(spark, sfDir)))
-    val enrichTime =
-      minOk((1 to 2).map(_ => () => streamEnrichBench(spark, sfDir)))
-    val twsTime =
-      minOk((1 to 2).map(_ => () => streamTwsBench(spark, sfDir)))
-    val digestTime =
-      minOk((1 to 2).map(_ => () => streamDigestBench(spark, sfDir)))
-    val slidingTime =
-      minOk((1 to 2).map(r => () => streamSlidingBench(spark, sfDir, r)))
+    def ifOn(name: String)(t: => Option[(Double, Long, Long)]) =
+      if (only.forall(_.contains(name))) t else None
+    val streamTime = ifOn("stream_events_window") {
+      minOk((1 to 2).map(r => () => streamBench(spark, sfDir, r))) }
+    val dedupTime = ifOn("stream_dedup") {
+      minOk((1 to 2).map(_ => () => streamDedupBench(spark, sfDir))) }
+    val sessTime = ifOn("stream_sessions") {
+      minOk((1 to 2).map(_ => () => streamSessionsBench(spark, sfDir))) }
+    val enrichTime = ifOn("stream_enrich") {
+      minOk((1 to 2).map(_ => () => streamEnrichBench(spark, sfDir))) }
+    val twsTime = ifOn("stream_tws_sessions") {
+      minOk((1 to 2).map(_ => () => streamTwsBench(spark, sfDir))) }
+    val digestTime = ifOn("stream_journey_digest") {
+      minOk((1 to 2).map(_ => () => streamDigestBench(spark, sfDir))) }
+    val slidingTime = ifOn("stream_sliding") {
+      minOk((1 to 2).map(r => () => streamSlidingBench(spark, sfDir, r))) }
     val streams = Seq(
       "stream_events_window" -> streamTime,
       "stream_sliding" -> slidingTime,
@@ -382,9 +390,11 @@ object Bench {
       for (p <- prior.get(k) if p > 0 && v > p * 2 && v > 0.5)
         regressed += ((k, p, v))
     }
-    val s3Time = scala.util.Try(
-      Seq(s3FramesBench(spark, sfDir), s3FramesBench(spark, sfDir)).min
-    ).toOption
+    val s3Time =
+      if (!only.forall(_.contains("s3_frames_read"))) None
+      else scala.util.Try(
+        Seq(s3FramesBench(spark, sfDir), s3FramesBench(spark, sfDir)).min
+      ).toOption
     s3Time.foreach { v =>
       for (p <- prior.get("s3_frames_read") if p > 0 && v > p * 2 && v > 0.5)
         regressed += (("s3_frames_read", p, v))

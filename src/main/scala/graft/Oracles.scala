@@ -1898,6 +1898,61 @@ FROM pb JOIN data_set d ON pb.dataset_id = d.id
 GROUP BY d.dataset_serial
 ORDER BY d.dataset_serial"""
 
+  /** Hex-arithmetic twin of
+    * [[graft.multimodal.BinaryFrames.pixelHistogram]]: the planted
+    * pixels are the 32 sha bytes each used twice, so every bin count
+    * is `2 * count` over the hex-decoded list — no PNG byte is ever
+    * decoded on the oracle side. Zero bins are absent on both engines.
+    */
+  val imgPixelHistogram: String = imagingCte + """
+, pb AS (
+  SELECT frames_global_id AS dataset_id,
+    list_transform(range(0, 32),
+      i -> (strpos('0123456789abcdef', substr(sha256, 2*i + 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(sha256, 2*i + 2, 1)) - 1))
+      AS px
+  FROM frames
+), pxv AS (
+  SELECT dataset_id, unnest(px) AS v FROM pb
+), bins AS (
+  SELECT d.dataset_serial, CAST(v // 16 AS INT) AS bin,
+    CAST(2 * count(*) AS BIGINT) AS n_px
+  FROM pxv JOIN data_set d ON pxv.dataset_id = d.id
+  GROUP BY d.dataset_serial, v // 16
+)
+SELECT dataset_serial, bin, n_px,
+  round(CAST(n_px AS DOUBLE)
+    / sum(n_px) OVER (PARTITION BY dataset_serial), 6) AS pct
+FROM bins
+ORDER BY dataset_serial, bin"""
+
+  /** Hex-arithmetic twin of
+    * [[graft.multimodal.BinaryFrames.saturationQc]] — top decode bin
+    * [240,255] and bottom bin [0,15] counted straight off the sha
+    * bytes (each byte twice), fractions rounded identically.
+    */
+  val imgSaturation: String = imagingCte + """
+, pb AS (
+  SELECT frames_global_id AS dataset_id,
+    list_transform(range(0, 32),
+      i -> (strpos('0123456789abcdef', substr(sha256, 2*i + 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(sha256, 2*i + 2, 1)) - 1))
+      AS px
+  FROM frames
+)
+SELECT d.dataset_serial,
+  CAST(count(*) AS BIGINT) AS n_frames,
+  CAST(sum(64) AS BIGINT) AS total_px,
+  CAST(sum(2 * len(list_filter(px, v -> v >= 240))) AS BIGINT) AS n_sat,
+  CAST(sum(2 * len(list_filter(px, v -> v < 16))) AS BIGINT) AS n_dark,
+  round(CAST(sum(2 * len(list_filter(px, v -> v >= 240))) AS DOUBLE)
+    / sum(64), 6) AS sat_pct,
+  round(CAST(sum(2 * len(list_filter(px, v -> v < 16))) AS DOUBLE)
+    / sum(64), 6) AS dark_pct
+FROM pb JOIN data_set d ON pb.dataset_id = d.id
+GROUP BY d.dataset_serial
+ORDER BY d.dataset_serial"""
+
   val q4Priority: String = """
 SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
 FROM orders o
@@ -3693,6 +3748,8 @@ ORDER BY method"""
     "q18_large" -> q18Large,
     "img_payload_stats" -> imgPayloadStats,
     "img_payload_stats_rgb" -> imgPayloadStatsRgb,
+    "img_pixel_histogram" -> imgPixelHistogram,
+    "img_saturation" -> imgSaturation,
     "img_parse_sms_channel" -> imgParseSmsChannel,
     "img_meta_validate" -> imgMetaValidate,
     "doc_decontaminate" -> docDecontaminate,

@@ -171,6 +171,10 @@ object SparkEntry {
       (graft.multimodal.BinaryFrames.channelCrosstalk(_, _)),
     "img_payload_stats_rgb" ->
       (graft.multimodal.BinaryFrames.payloadStatsRgb(_, _)),
+    "img_pixel_histogram" ->
+      (graft.multimodal.BinaryFrames.pixelHistogram(_, _)),
+    "img_saturation" ->
+      (graft.multimodal.BinaryFrames.saturationQc(_, _)),
     // persisted-store twins: identical results (and oracles) to their
     // inline operators, but the corpus side reads a bucketed table —
     // the timing evidence behind the zero-exchange plan claims. Builds

@@ -320,6 +320,90 @@ object BinaryFrames {
       .orderBy("dataset_serial")
   }
 
+  case class FrameHist(frame_id: Long, n_px: Int, bins: Array[Long])
+
+  /** Per-frame 16-bin intensity histogram through the real PNG decode
+    * — one codec pass emits the bin counts (bin = px div 16), from
+    * which both the exposure histogram and the clipping audit derive.
+    * Same partition shape as [[decodeFrames]]: per-partition codec
+    * init, no shuffle, only 16 longs per frame reach the exchange.
+    */
+  def decodeHist16(spark: SparkSession,
+      framed: DataFrame): Dataset[FrameHist] = {
+    import spark.implicits._
+    framed.select("frame_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val (_, _, px) = ImageCodec.decodeGray(payload)
+          val bins = new Array[Long](16)
+          var i = 0
+          while (i < px.length) { bins(px(i) >> 4) += 1L; i += 1 }
+          FrameHist(id, px.length, bins)
+        }
+      }
+  }
+
+  /** Exposure histogram — the per-dataset intensity distribution an
+    * acquisition QC dashboard plots first: 16 equal-width bins over
+    * the uint8 range through the REAL decode ([[decodeHist16]]),
+    * rolled up per dataset with each bin's share of the pixel volume.
+    * The per-bin partial sums are the only shuffled state (16 longs
+    * per dataset-partition), and the share window runs over the
+    * per-(dataset, bin) census — ≤16 rows per dataset, never frame
+    * rows. Bins with zero pixels are absent (identically in the
+    * hex-arithmetic oracle).
+    */
+  def pixelHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val feats = decodeHist16(spark, withPayload(spark, dir)).toDF()
+      .withColumn("dataset_id", expr("frame_id div 10"))
+    val perBin = feats
+      .select(col("dataset_id"), posexplode(col("bins")).as(Seq("bin", "cnt")))
+      .filter(col("cnt") > 0)
+      .join(broadcast(ImagingModel.dataSet(spark, dir)
+        .select(col("id").as("ds_id"), col("dataset_serial"))),
+        col("dataset_id") === col("ds_id"))
+      .groupBy("dataset_serial", "bin")
+      .agg(sum(col("cnt")).as("n_px"))
+    perBin
+      .select(col("dataset_serial"), col("bin").cast("int").as("bin"),
+        col("n_px"),
+        round(col("n_px").cast("double") /
+          sum(col("n_px")).over(Window.partitionBy("dataset_serial")), 6)
+          .as("pct"))
+      .orderBy("dataset_serial", "bin")
+  }
+
+  /** Clipping audit — the saturation/underexposure QC of an imaging
+    * ingest: per dataset, the fraction of pixels in the top decode bin
+    * ([240,255] — sensor clipping) and the bottom bin ([0,15] — dead
+    * pixels / shutter misses), through the same single
+    * [[decodeHist16]] pass as the histogram. Integer counts shuffle;
+    * doubles appear once in the rounded fractions, so the
+    * hex-arithmetic oracle is bit-exact.
+    */
+  def saturationQc(spark: SparkSession, dir: String): DataFrame = {
+    val feats = decodeHist16(spark, withPayload(spark, dir)).toDF()
+      .withColumn("dataset_id", expr("frame_id div 10"))
+    feats
+      .join(broadcast(ImagingModel.dataSet(spark, dir)
+        .select(col("id").as("ds_id"), col("dataset_serial"))),
+        col("dataset_id") === col("ds_id"))
+      .groupBy("dataset_serial")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("n_px").cast("bigint")).as("total_px"),
+        sum(col("bins").getItem(15)).as("n_sat"),
+        sum(col("bins").getItem(0)).as("n_dark"))
+      .select(col("dataset_serial"), col("n_frames"), col("total_px"),
+        col("n_sat"), col("n_dark"),
+        round(col("n_sat").cast("double") / col("total_px"), 6)
+          .as("sat_pct"),
+        round(col("n_dark").cast("double") / col("total_px"), 6)
+          .as("dark_pct"))
+      .orderBy("dataset_serial")
+  }
+
   /** Stack reassembly — the download path of the reference
     * (data_storage.py make_stack_from_meta): collect each dataset's
     * frame payloads into one array ordered by (channel, slice, time,

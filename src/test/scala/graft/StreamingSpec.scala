@@ -523,6 +523,37 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("pixel histogram: bins partition the pixel volume, shares sum to 1") {
+    val rows = BinaryFrames.pixelHistogram(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val bin = r.getInt(1)
+      assert(bin >= 0 && bin <= 15, s"bin out of range: $r")
+      assert(r.getLong(2) > 0, s"zero bin must be absent: $r")
+    }
+    rows.groupBy(_.getString(0)).foreach { case (ds, g) =>
+      assert(g.map(_.getLong(2)).sum % 64 === 0,
+        s"$ds: pixel volume not a whole number of 8x8 frames")
+      val pctSum = g.map(_.getDouble(3)).sum
+      assert(math.abs(pctSum - 1.0) < 1e-4, s"$ds: shares sum to $pctSum")
+    }
+  }
+
+  test("saturation QC agrees with the histogram's edge bins") {
+    val hist = BinaryFrames.pixelHistogram(spark, sfDir).collect()
+      .groupBy(_.getString(0))
+    val rows = BinaryFrames.saturationQc(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val g = hist(r.getString(0))
+      def binPx(b: Int) =
+        g.find(_.getInt(1) == b).map(_.getLong(2)).getOrElse(0L)
+      assert(r.getLong(2) === g.map(_.getLong(2)).sum, s"total_px: $r")
+      assert(r.getLong(3) === binPx(15), s"n_sat != bin15: $r")
+      assert(r.getLong(4) === binPx(0), s"n_dark != bin0: $r")
+    }
+  }
+
   test("binary frame plumbing: PNG payloads decode with stable schema") {
     val framed = BinaryFrames.withPayload(spark, sfDir)
     val feats = BinaryFrames.decodeFrames(spark, framed)
