@@ -2936,6 +2936,87 @@ FROM perdoc
 GROUP BY source
 ORDER BY source"""
 
+  /** Twin of [[graft.ops.TextOps.sourceKl]]: identical join shape off
+    * one token explode, KL terms as double p·(ln p − ln q) cast to
+    * DECIMAL(20,10) before the per-source sum.
+    */
+  val docSourceKl: String = """
+WITH toks AS (
+  SELECT source,
+    unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+      AS tok
+  FROM documents),
+st AS (SELECT source, tok, count(*) AS cs FROM toks GROUP BY 1, 2),
+ct AS (SELECT tok, sum(cs) AS c FROM st GROUP BY 1),
+stot AS (SELECT source, sum(cs) AS ns, count(*) AS vocab_src
+  FROM st GROUP BY 1),
+ntot AS (SELECT sum(c) AS n FROM ct)
+SELECT source, CAST(ns AS BIGINT) AS n_tokens,
+  CAST(vocab_src AS BIGINT) AS vocab_size,
+  round(CAST(sum(CAST((CAST(cs AS DOUBLE) / ns)
+    * (ln(CAST(cs AS DOUBLE) / ns) - ln(CAST(c AS DOUBLE) / n))
+    AS DECIMAL(20,10))) AS DOUBLE), 6) AS kl_vs_corpus
+FROM st JOIN ct USING (tok) JOIN stot USING (source), ntot
+GROUP BY source, ns, vocab_src
+ORDER BY source"""
+
+  /** Twin of [[graft.ops.EventOps.eventsTypeEntropy]]: per-user
+    * entropy terms cast to DECIMAL before the sum, identical bin
+    * arithmetic.
+    */
+  val eventsTypeEntropy: String = """
+WITH ut AS (
+  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2),
+wt AS (
+  SELECT user_id, n, sum(n) OVER (PARTITION BY user_id) AS tot FROM ut),
+pu AS (
+  SELECT user_id, tot,
+    sum(CAST(-(CAST(n AS DOUBLE) / tot) * ln(CAST(n AS DOUBLE) / tot)
+      AS DECIMAL(20,10))) AS h
+  FROM wt GROUP BY user_id, tot),
+bins AS (
+  SELECT tot, CAST(least(floor(CAST(h AS DOUBLE) / 0.2), 8) AS INT) AS bin
+  FROM pu)
+SELECT bin, CAST(round(bin * 0.2, 1) AS DOUBLE) AS lo_nats,
+  CAST(count(*) AS BIGINT) AS n_users,
+  CAST(round(avg(tot), 2) AS DOUBLE) AS avg_events
+FROM bins GROUP BY bin ORDER BY bin"""
+
+  /** Twin of [[graft.ops.VectorOps.hardNegatives]]: the same md5
+    * anchor sample, sequential-fold cosine, NULL-dropping maxima and
+    * DECIMAL margins.
+    */
+  val embHardNegatives: String = """
+WITH a AS (
+  SELECT vec_id AS aid, label AS alabel, embedding AS av
+  FROM embeddings
+  WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 7))::BIGINT
+    % 8 = 0),
+scored AS (
+  SELECT aid, alabel, (e.label = alabel) AS same,
+    list_sum(list_transform(list_zip(a.av, e.embedding),
+      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(a.av,
+        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      * sqrt(list_sum(list_transform(e.embedding,
+        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+  FROM embeddings e JOIN a ON e.vec_id <> a.aid),
+pa AS (
+  SELECT aid, alabel,
+    max(CASE WHEN same THEN sim END) AS best_pos,
+    max(CASE WHEN NOT same THEN sim END) AS best_neg
+  FROM scored GROUP BY aid, alabel),
+pm AS (
+  SELECT aid, alabel,
+    CAST(best_pos - best_neg AS DECIMAL(20,10)) AS margin
+  FROM pa WHERE best_pos IS NOT NULL AND best_neg IS NOT NULL)
+SELECT alabel AS label, CAST(count(*) AS BIGINT) AS n_anchors,
+  CAST(sum(CASE WHEN margin < CAST(0 AS DECIMAL(20,10)) THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_hard,
+  round(CAST(sum(margin) AS DOUBLE) / count(*), 4) AS avg_margin,
+  CAST(round(CAST(min(margin) AS DOUBLE), 4) AS DOUBLE) AS min_margin
+FROM pm GROUP BY alabel ORDER BY label"""
+
   /** Distortion twin of [[graft.ops.VectorOps.pqDistortion]]: the
     * same sequential-fold squared L2 as [[embPqCodes]], the min dist
     * cast to DECIMAL per (vec, subspace) row, codes-used as the same
@@ -3750,6 +3831,9 @@ ORDER BY method"""
     "img_payload_stats_rgb" -> imgPayloadStatsRgb,
     "img_pixel_histogram" -> imgPixelHistogram,
     "img_saturation" -> imgSaturation,
+    "doc_source_kl" -> docSourceKl,
+    "events_type_entropy" -> eventsTypeEntropy,
+    "emb_hard_negatives" -> embHardNegatives,
     "img_parse_sms_channel" -> imgParseSmsChannel,
     "img_meta_validate" -> imgMetaValidate,
     "doc_decontaminate" -> docDecontaminate,

@@ -134,6 +134,9 @@ object SparkEntry {
     "emb_label_margin" -> (VectorOps.labelMargin(_, _)),
     "doc_bigram_logprob" -> (TextOps.bigramLogprob(_, _)),
     "doc_dsir_weights" -> (TextOps.dsirWeights(_, _)),
+    "doc_source_kl" -> (TextOps.sourceKl(_, _)),
+    "events_type_entropy" -> (EventOps.eventsTypeEntropy(_, _)),
+    "emb_hard_negatives" -> (VectorOps.hardNegatives(_, _)),
     "emb_pq_distortion" -> (VectorOps.pqDistortion(_, _)),
     "emb_dim_stats" -> (VectorOps.dimStats(_, _)),
     "doc_mix_weights" -> (TextOps.mixWeights(_, _)),

@@ -704,4 +704,37 @@ object EventOps {
       .agg(count(lit(1)).as("n_users"), sum(col("cents")).as("sum_cents"))
       .orderBy("r_score", "f_score", "m_score")
   }
+
+  /** Behavioral-diversity census — per-user Shannon entropy over event
+    * types (a habit-vs-exploration segmentation: H=0 is a single-type
+    * user, H=ln 5 a uniform one), histogrammed in 0.2-nat bins. The
+    * per-(user, type) counts are one partial-agg shuffle; the user
+    * total is a window over the per-user census (≤|types| rows per
+    * user — per-user state only, the sessionize-twin declaration);
+    * entropy terms are doubles cast to exact DECIMAL before the
+    * per-user sum, so partition order never changes a bin assignment.
+    * Output is the bounded histogram (≤9 bins), with the average
+    * events-per-user in each bin from exact integer sums.
+    */
+  def eventsTypeEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(20,10)"
+    val byUt = Tables.events(spark, dir)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+    val withTot = byUt.withColumn("tot",
+      sum(col("n")).over(Window.partitionBy("user_id")))
+    val p = col("n").cast("double") / col("tot")
+    val perUser = withTot
+      .select(col("user_id"), col("tot"), (-p * log(p)).cast(dec).as("term"))
+      .groupBy("user_id", "tot")
+      .agg(sum(col("term")).cast("double").as("h"))
+    perUser
+      .select(col("tot"), least(floor(col("h") / 0.2), lit(8))
+        .cast("int").as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_users"),
+        round(avg(col("tot")), 2).as("avg_events"))
+      .withColumn("lo_nats", round(col("bin") * 0.2, 1))
+      .select("bin", "lo_nats", "n_users", "avg_events")
+      .orderBy("bin")
+  }
 }

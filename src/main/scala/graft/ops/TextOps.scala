@@ -938,4 +938,43 @@ object TextOps {
           .as("avg_weight"))
       .orderBy("source")
   }
+
+  /** Per-source distribution shift — KL(source ‖ corpus) over unigram
+    * distributions, the domain-shift metric a mixture-balancing pass
+    * ranks sources by before reweighting (a source whose vocabulary
+    * usage diverges from the corpus carries distinct — or broken —
+    * content). One token-explode pass feeds all three aggregates: the
+    * (source, token) counts, the corpus per-token counts (rolled up
+    * FROM the source counts, never a second scan), and the per-source
+    * totals census. The only corpus-axis join is (source, token) ⋈
+    * token — vocabulary-scale on a high-cardinality key, the
+    * [[dsirWeights]] shape; totals broadcast (S rows / one row). KL
+    * terms are p·(ln p − ln q) computed in double and summed as exact
+    * DECIMAL, so the per-source sum is partition-order independent
+    * and the oracle matches bit for bit.
+    */
+  def sourceKl(spark: SparkSession, dir: String): DataFrame = {
+    val dec = LpDec
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(expr("filter(split(lower(text), ' '), x -> x <> '')"))
+          .as("tok"))
+    val st = toks.groupBy("source", "tok").agg(count(lit(1)).as("cs"))
+    val ct = st.groupBy("tok").agg(sum("cs").as("c"))
+    val stot = st.groupBy("source")
+      .agg(sum("cs").as("ns"), count(lit(1)).as("vocab_src"))
+    val ntot = ct.agg(sum("c").as("n"))
+    val p = col("cs").cast("double") / col("ns")
+    val q = col("c").cast("double") / col("n")
+    st.join(ct, "tok")
+      .join(broadcast(stot), "source")
+      .crossJoin(broadcast(ntot))
+      .select(col("source"), col("ns"), col("vocab_src"),
+        (p * (log(p) - log(q))).cast(dec).as("term"))
+      .groupBy("source", "ns", "vocab_src")
+      .agg(round(sum(col("term")).cast("double"), 6).as("kl_vs_corpus"))
+      .select(col("source"), col("ns").as("n_tokens"),
+        col("vocab_src").as("vocab_size"), col("kl_vs_corpus"))
+      .orderBy("source")
+  }
 }

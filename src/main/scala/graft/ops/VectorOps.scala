@@ -976,4 +976,49 @@ object VectorOps {
       .select(col("qid"), col("neighbor"),
         (-col("sim")).cast("bigint").as("idist"), col("rank"))
   }
+
+  /** Hard-negative mining audit — the contrastive-training curation
+    * report: for a deterministic 1-in-8 hash sample of anchors, the
+    * nearest SAME-label and nearest OTHER-label cosine over the whole
+    * corpus, and the margin between them (negative margin = a hard
+    * negative outranks every positive — the pairs a triplet-loss
+    * curriculum mines for). Per-label roll-up: anchor count, hard
+    * count, mean/min margin.
+    *
+    * Scale shape: the anchor side is the hash-bounded sample (the
+    * [[graft.ops.TextOps.hashSample]] discipline — rate is the knob),
+    * broadcast against one corpus scan; per-anchor maxima are
+    * order-independent doubles, and the margin is cast to exact
+    * DECIMAL before the per-label mean. The 100 TB path swaps the
+    * corpus scan for the IVF probe ([[knnIvfPq]]) — this is the exact
+    * baseline that validates it, the same contract as [[knnBrute]] vs
+    * the indexed searches. Anchors whose label has no second member
+    * (no positive exists) drop out on both engines.
+    */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(20,10)"
+    val e = Tables.embeddings(spark, dir)
+    val anchors = e.filter(expr(
+        """cast(conv(substring(md5(cast(vec_id as string)), 1, 7), 16, 10)
+           as bigint) % 8 = 0"""))
+      .select(col("vec_id").as("aid"), col("label").as("alabel"),
+        col("embedding").as("av"))
+    val perAnchor = e.join(broadcast(anchors), col("aid") =!= col("vec_id"))
+      .select(col("aid"), col("alabel"),
+        (col("label") === col("alabel")).as("same"),
+        cosine(col("av"), col("embedding")).as("sim"))
+      .groupBy("aid", "alabel")
+      .agg(max(when(col("same"), col("sim"))).as("best_pos"),
+        max(when(!col("same"), col("sim"))).as("best_neg"))
+      .filter(col("best_pos").isNotNull && col("best_neg").isNotNull)
+      .withColumn("margin", (col("best_pos") - col("best_neg")).cast(dec))
+    perAnchor
+      .groupBy(col("alabel").as("label"))
+      .agg(count(lit(1)).as("n_anchors"),
+        sum((col("margin") < 0).cast("long")).as("n_hard"),
+        round(sum(col("margin")).cast("double") / count(lit(1)), 4)
+          .as("avg_margin"),
+        round(min(col("margin")).cast("double"), 4).as("min_margin"))
+      .orderBy("label")
+  }
 }

@@ -54,6 +54,9 @@ class PlanSweepSpec extends AnyFunSuite {
                            // broadcast); uniform high-cardinality keys
     "doc_dsir_weights",    // token occurrences ⋈ per-type weight on the
                            // token key: same vocabulary-scale shape
+    "doc_source_kl",       // (source, token) counts ⋈ corpus token
+                           // counts on the token key: vocabulary-scale
+                           // both sides, the dsir shape
     "emb_semdedup"         // cell-co-partitioned self-join: both sides
                            // are the corpus-sized assignment — pair
                            // work is quadratic in CELL size only, and
@@ -100,8 +103,11 @@ class PlanSweepSpec extends AnyFunSuite {
                           // shared assignment shape)
     "doc_perplexity_outliers", // vocabulary x one-row total cross join
                                // (the shared perDocLogprob shape)
-    "emb_nprobe_curve" // 16-centroid routing cross joins + brute-truth
+    "emb_nprobe_curve", // 16-centroid routing cross joins + brute-truth
                        // composition (inherits emb_knn_brute's shape)
+    "doc_source_kl",   // one-row corpus-total census cross join
+    "emb_hard_negatives" // hash-bounded anchor sample broadcast with a
+                         // <> condition (the knn_brute query-side shape)
   )
 
   test("doc_zipf ranks via distributed top-k, not a global window sort") {
