@@ -229,4 +229,39 @@ object TrainingExport {
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("shard")
+
+  /** JSONL twin of [[exportCorpus]] — the interchange format most
+    * training stacks consume directly (one JSON object per line,
+    * newline-delimited). Identical layout contract: md5 shard
+    * assignment, one repartition exchange, rows inside each shard file
+    * in the audited packing order, `shard=N` directory per shard, the
+    * nShards marker. Spark's `text` sink takes exactly one value
+    * column beside the partition column, which is what the
+    * `to_json(struct(...))` projection produces; JSON strings are
+    * UTF-8 with escaped newlines, so one line is always one document.
+    */
+  def exportJsonl(spark: SparkSession, corpus: DataFrame, out: String,
+      nShards: Int = 64): Unit = {
+    val cols = corpus.columns.map(col)
+    corpus
+      .withColumn("shard", TextOps.shardCol(nShards))
+      .withColumn("ord", TextOps.ordCol)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions("shard", "ord", "doc_id")
+      .select(col("shard"), to_json(struct(cols: _*)).as("value"))
+      .write.mode(SaveMode.Overwrite).partitionBy("shard").text(out)
+    writeMarker(spark, out, nShards)
+  }
+
+  /** One JSONL shard parsed back to rows — partition-pruned like
+    * [[readShard]]; `schema` is the document schema the export was
+    * written with (JSONL carries no schema of its own — the reader
+    * owns it, the usual contract of the format).
+    */
+  def readJsonlShard(spark: SparkSession, out: String, shard: Int,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.text(out)
+      .filter(col("shard") === shard)
+      .select(from_json(col("value"), schema).as("doc"))
+      .select("doc.*")
 }

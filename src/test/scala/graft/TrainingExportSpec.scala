@@ -181,6 +181,28 @@ class TrainingExportSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters: [isnotnull(shard"), plan)
   }
 
+  test("JSONL export round-trips per shard with the parquet layout") {
+    val docs = graft.tables.Tables.documents(spark, sfDir)
+    val outP = Files.createTempDirectory("graft_export_pq").toString
+    val outJ = Files.createTempDirectory("graft_export_jsonl").toString
+    TrainingExport.export(spark, sfDir, outP)
+    TrainingExport.exportJsonl(spark, docs, outJ)
+    assert(TrainingExport.shardCount(spark, outJ) === Some(64))
+    // the same docs land in the same shard under both formats, and the
+    // JSON round-trip preserves every column value
+    val pq = TrainingExport.readShard(spark, outP, 11)
+      .select(docs.columns.map(col): _*)
+    val jl = TrainingExport.readJsonlShard(spark, outJ, 11, docs.schema)
+    assert(jl.count() === pq.count() && jl.count() > 0)
+    assert(jl.exceptAll(pq).isEmpty && pq.exceptAll(jl).isEmpty)
+    // one line per document, genuine JSONL on disk
+    val dirJ = new java.io.File(outJ, "shard=11")
+    val lines = dirJ.listFiles().filter(_.getName.endsWith(".txt"))
+      .flatMap(f => scala.io.Source.fromFile(f, "UTF-8").getLines())
+    assert(lines.length.toLong === pq.count())
+    assert(lines.forall(l => l.startsWith("{") && l.endsWith("}")))
+  }
+
   test("a shard file carries the packing stream order") {
     val out = Files.createTempDirectory("graft_export_ord").toString
     TrainingExport.export(spark, sfDir, out)
