@@ -1129,6 +1129,82 @@ SELECT t.cell, CAST(t.n_vecs AS BIGINT) AS n_vecs,
 FROM tot t LEFT JOIN drp d USING (cell)
 ORDER BY t.cell"""
 
+  /** Twin of [[graft.ops.VectorOps.knnClassify]]: same anchor sample,
+    * row_number top-5 matching the bounded aggregate's (sim desc, id)
+    * order, majority/confusion tie-breaks (count desc, label asc).
+    */
+  val embKnnClassify: String = s"""
+WITH a AS (
+  SELECT vec_id AS aid, label AS alabel, embedding AS av FROM embeddings
+  WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 7))::BIGINT
+    % 8 = 0),
+scored AS (
+  SELECT aid, alabel, e.vec_id, ${duckCos("a.av", "e.embedding")} AS sim
+  FROM embeddings e JOIN a ON e.vec_id <> a.aid),
+top5 AS (
+  SELECT aid, alabel, vec_id FROM (
+    SELECT aid, alabel, vec_id,
+      row_number() OVER (PARTITION BY aid ORDER BY sim DESC, vec_id)
+        AS rn
+    FROM scored) WHERE rn <= 5),
+votes AS (
+  SELECT aid, alabel, e.label AS nlabel, count(*) AS cnt
+  FROM top5 JOIN embeddings e ON top5.vec_id = e.vec_id
+  GROUP BY 1, 2, 3),
+pred AS (
+  SELECT aid, alabel, nlabel AS pred FROM (
+    SELECT aid, alabel, nlabel,
+      row_number() OVER (PARTITION BY aid ORDER BY cnt DESC, nlabel)
+        AS rn
+    FROM votes) WHERE rn = 1),
+base AS (
+  SELECT alabel, count(*) AS n_anchors,
+    sum(CASE WHEN pred = alabel THEN 1 ELSE 0 END) AS n_correct
+  FROM pred GROUP BY alabel),
+wrongs AS (
+  SELECT alabel, pred, count(*) AS cnt FROM pred
+  WHERE pred <> alabel GROUP BY alabel, pred),
+conf AS (
+  SELECT alabel, pred AS top_confusion FROM (
+    SELECT alabel, pred,
+      row_number() OVER (PARTITION BY alabel ORDER BY cnt DESC, pred)
+        AS rn
+    FROM wrongs) WHERE rn = 1)
+SELECT b.alabel AS label, CAST(b.n_anchors AS BIGINT) AS n_anchors,
+  CAST(b.n_correct AS BIGINT) AS n_correct,
+  round(b.n_correct * 100.0 / b.n_anchors, 2) AS acc_pct,
+  coalesce(c.top_confusion, -1) AS top_confusion
+FROM base b LEFT JOIN conf c USING (alabel)
+ORDER BY label"""
+
+  /** Twin of [[graft.ops.VectorOps.paraphraseCandidates]]: the shared
+    * cell assignment, in-cell pairs, rounded-sim top-50, document
+    * annotation after the cut.
+    */
+  val docParaphraseMining: String = s"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+  WHERE vec_id < 16),
+assigned AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cid AS cell,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY -${duckCos("e.embedding", "c.cv")}, c.cid) AS crank
+    FROM embeddings e CROSS JOIN cents c)
+  WHERE crank <= 1),
+pairs AS (
+  SELECT a.cell, a.vec_id AS v1, b.vec_id AS v2,
+    round(${duckCos("a.embedding", "b.embedding")}, 6) AS sim
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id),
+top AS (SELECT * FROM pairs ORDER BY sim DESC, v1, v2 LIMIT 50)
+SELECT t.cell, t.v1, t.v2, CAST(t.sim AS DOUBLE) AS sim,
+  d1.source AS src1, d2.source AS src2,
+  (md5(d1.text) = md5(d2.text)) AS same_text
+FROM top t JOIN documents d1 ON t.v1 = d1.doc_id
+JOIN documents d2 ON t.v2 = d2.doc_id
+ORDER BY sim DESC, v1, v2"""
+
   val imgLineageDepth: String =
     imagingCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """
 , anc AS (
@@ -3834,6 +3910,8 @@ ORDER BY method"""
     "doc_source_kl" -> docSourceKl,
     "events_type_entropy" -> eventsTypeEntropy,
     "emb_hard_negatives" -> embHardNegatives,
+    "emb_knn_classify" -> embKnnClassify,
+    "doc_paraphrase_mining" -> docParaphraseMining,
     "img_parse_sms_channel" -> imgParseSmsChannel,
     "img_meta_validate" -> imgMetaValidate,
     "doc_decontaminate" -> docDecontaminate,

@@ -137,6 +137,8 @@ object SparkEntry {
     "doc_source_kl" -> (TextOps.sourceKl(_, _)),
     "events_type_entropy" -> (EventOps.eventsTypeEntropy(_, _)),
     "emb_hard_negatives" -> (VectorOps.hardNegatives(_, _)),
+    "emb_knn_classify" -> (VectorOps.knnClassify(_, _)),
+    "doc_paraphrase_mining" -> (VectorOps.paraphraseCandidates(_, _)),
     "emb_pq_distortion" -> (VectorOps.pqDistortion(_, _)),
     "emb_dim_stats" -> (VectorOps.dimStats(_, _)),
     "doc_mix_weights" -> (TextOps.mixWeights(_, _)),

@@ -1021,4 +1021,102 @@ object VectorOps {
         round(min(col("margin")).cast("double"), 4).as("min_margin"))
       .orderBy("label")
   }
+
+  /** k-NN label audit — the confident-learning-style label-error
+    * detector a curation pass runs over labeled embeddings: for the
+    * same hashed anchor sample as [[hardNegatives]], predict each
+    * anchor's label by majority vote of its 5 nearest neighbors
+    * (cosine, self excluded) and report per-label leave-one-out
+    * accuracy plus the dominant confusion target. A label whose
+    * accuracy collapses is mislabeled or genuinely overlapping — the
+    * slice to re-annotate first.
+    *
+    * Scale shape: anchor side hash-bounded and broadcast (one corpus
+    * scan); the top-5 selection is the bounded [[topK]] aggregate
+    * (k-row map-side partials); the neighbor-label lookup joins the
+    * ≤5·|anchors| winner rows — the bounded side — broadcast against
+    * one metadata scan. Majority and confusion tie-breaks are
+    * (count desc, label asc) on both engines via lexicographic
+    * max-struct, so the report is engine-exact. `top_confusion` is
+    * −1 when a label's anchors are all correctly predicted.
+    */
+  def knnClassify(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val anchors = e.filter(expr(
+        """cast(conv(substring(md5(cast(vec_id as string)), 1, 7), 16, 10)
+           as bigint) % 8 = 0"""))
+      .select(col("vec_id").as("aid"), col("label").as("alabel"),
+        col("embedding").as("av"))
+    val scored = e.join(broadcast(anchors), col("aid") =!= col("vec_id"))
+      .select(col("aid"), col("alabel"), col("vec_id"),
+        cosine(col("av"), col("embedding")).as("sim"))
+    val top = scored.groupBy("aid", "alabel")
+      .agg(graft.functions.TopKByScore
+        .topk(col("sim"), col("vec_id"), 5).as("top"))
+      .select(col("aid"), col("alabel"),
+        explode(expr("transform(top, t -> t.id)")).as("neighbor"))
+    val votes = broadcast(top)
+      .join(e.select(col("vec_id").as("neighbor"),
+        col("label").as("nlabel")), "neighbor")
+      .groupBy("aid", "alabel", "nlabel")
+      .agg(count(lit(1)).as("cnt"))
+    val pred = votes.groupBy("aid", "alabel")
+      .agg(max(struct(col("cnt"), (-col("nlabel")).as("neg"),
+        col("nlabel"))).as("m"))
+      .select(col("aid"), col("alabel"), col("m.nlabel").as("pred"))
+    val conf = pred.filter(col("pred") =!= col("alabel"))
+      .groupBy("alabel", "pred").agg(count(lit(1)).as("cnt"))
+      .groupBy("alabel")
+      .agg(max(struct(col("cnt"), (-col("pred")).as("neg"),
+        col("pred"))).as("m"))
+      .select(col("alabel"), col("m.pred").as("top_confusion"))
+    pred.groupBy("alabel")
+      .agg(count(lit(1)).as("n_anchors"),
+        sum((col("pred") === col("alabel")).cast("long")).as("n_correct"))
+      .join(broadcast(conf), Seq("alabel"), "left")
+      .select(col("alabel").as("label"), col("n_anchors"),
+        col("n_correct"),
+        round(col("n_correct") * 100.0 / col("n_anchors"), 2)
+          .as("acc_pct"),
+        coalesce(col("top_confusion"), lit(-1)).as("top_confusion"))
+      .orderBy("label")
+  }
+
+  /** Paraphrase mining — the cross-modal curation report joining the
+    * vector and text sides: within each IVF cell (the same shared
+    * [[assignCells]] coarse step as SemDeDup), the 50 most
+    * cosine-similar document pairs, each annotated with its two
+    * sources and whether the TEXTS are byte-identical (md5). High
+    * similarity with distinct text is a paraphrase/near-translation
+    * candidate — the pairs a contrastive-training set mines and a
+    * dedup pass must NOT collapse. Pair expansion is quadratic in
+    * cell size only (the published SemDeDup scale knob: k ∝ N); the
+    * global top-50 compiles to TakeOrderedAndProject, and the
+    * document join runs AFTER the cut — 50 broadcast rows against one
+    * metadata scan, never a corpus×corpus text join. Similarity is
+    * rounded before ranking so the cut is engine-identical.
+    */
+  def paraphraseCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val assigned = assignCells(e, coarseCentroids(e))
+    val pairs = assigned
+      .select(col("cell"), col("vec_id").as("v1"), col("embedding").as("e1"))
+      .join(assigned.select(col("cell"), col("vec_id").as("v2"),
+        col("embedding").as("e2")), "cell")
+      .filter(col("v1") < col("v2"))
+      .select(col("cell"), col("v1"), col("v2"),
+        round(cosine(col("e1"), col("e2")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("v1"), col("v2"))
+      .limit(50)
+    def side(n: Int) = Tables.documents(spark, dir)
+      .select(col("doc_id").as(s"v$n"), col("source").as(s"src$n"),
+        md5(col("text")).as(s"dg$n"))
+    broadcast(pairs)
+      .join(side(1), s"v1" :: Nil)
+      .join(side(2), s"v2" :: Nil)
+      .select(col("cell"), col("v1"), col("v2"), col("sim"),
+        col("src1"), col("src2"),
+        (col("dg1") === col("dg2")).as("same_text"))
+      .orderBy(col("sim").desc, col("v1"), col("v2"))
+  }
 }

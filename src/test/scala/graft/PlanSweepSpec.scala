@@ -57,6 +57,10 @@ class PlanSweepSpec extends AnyFunSuite {
     "doc_source_kl",       // (source, token) counts ⋈ corpus token
                            // counts on the token key: vocabulary-scale
                            // both sides, the dsir shape
+    "doc_paraphrase_mining", // cell-co-partitioned self-join (the
+                           // emb_semdedup shape below); the document
+                           // annotation joins run AFTER the top-50
+                           // cut and broadcast
     "emb_semdedup"         // cell-co-partitioned self-join: both sides
                            // are the corpus-sized assignment — pair
                            // work is quadratic in CELL size only, and
@@ -106,8 +110,11 @@ class PlanSweepSpec extends AnyFunSuite {
     "emb_nprobe_curve", // 16-centroid routing cross joins + brute-truth
                        // composition (inherits emb_knn_brute's shape)
     "doc_source_kl",   // one-row corpus-total census cross join
-    "emb_hard_negatives" // hash-bounded anchor sample broadcast with a
+    "emb_hard_negatives", // hash-bounded anchor sample broadcast with a
                          // <> condition (the knn_brute query-side shape)
+    "emb_knn_classify", // same anchor-sample <> broadcast shape
+    "doc_paraphrase_mining" // 16-centroid assignment cross join (the
+                            // shared assignCells coarse step)
   )
 
   test("doc_zipf ranks via distributed top-k, not a global window sort") {
