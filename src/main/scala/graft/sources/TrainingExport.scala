@@ -253,6 +253,56 @@ object TrainingExport {
     writeMarker(spark, out, nShards)
   }
 
+  /** One micro-batch of a STREAMING export, exactly-once by
+    * construction: batch `id` lands (whole, sorted, sharded) under
+    * `batches/batch=<id>/shard=N`, and a foreachBatch replay simply
+    * OVERWRITES that batch directory with identical content — no
+    * registry, no settlement pass, because the idempotency lives in
+    * the path, not in bookkeeping. This is the strongest of the three
+    * sink disciplines in this codebase (DocsStream's census needs a
+    * durable registry because its merge folds state; a plain
+    * appendCorpus is at-least-once); the price is one directory level
+    * per batch — the small-files debt [[compactStreamed]] settles.
+    * The shard modulus still comes from the export's marker, so a
+    * stream resumed against an existing layout keeps its routing.
+    */
+  def exportBatch(spark: SparkSession, batch: DataFrame, out: String,
+      batchId: Long, nShards: Int = 64): Unit = {
+    val n = layoutShards(spark, out, nShards)
+    batch
+      .withColumn("shard", TextOps.shardCol(n))
+      .withColumn("ord", TextOps.ordCol)
+      .repartition(n, col("shard"))
+      .sortWithinPartitions("shard", "ord", "doc_id")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("shard")
+      .parquet(s"$out/batches/batch=$batchId")
+    if (shardCount(spark, out).isEmpty) writeMarker(spark, out, n)
+  }
+
+  /** Everything a streaming export has landed so far (partition
+    * columns `batch`, `shard` from the directory layout). A filter on
+    * `shard` partition-prunes across every batch directory — reading
+    * one shard of the streamed corpus never lists another shard's
+    * files.
+    */
+  def readStreamed(spark: SparkSession, out: String): DataFrame =
+    spark.read.parquet(s"$out/batches")
+
+  /** Fold a streamed export's batch directories into one canonical
+    * sharded layout at `dest` ([[exportCorpus]] semantics: one writer
+    * task per shard, stream order rebuilt across batches). `dest`
+    * must differ from `out`; the batch directories survive until the
+    * caller deletes them, so a crash mid-compact loses nothing.
+    */
+  def compactStreamed(spark: SparkSession, out: String, dest: String,
+      nShards: Int = 64): Unit = {
+    require(dest != out, "compactStreamed needs a fresh destination")
+    val n = layoutShards(spark, out, nShards)
+    exportCorpus(spark,
+      readStreamed(spark, out).drop("batch", "shard", "ord"), dest, n)
+  }
+
   /** One JSONL shard parsed back to rows — partition-pruned like
     * [[readShard]]; `schema` is the document schema the export was
     * written with (JSONL carries no schema of its own — the reader

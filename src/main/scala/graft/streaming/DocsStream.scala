@@ -193,6 +193,29 @@ object DocsStream {
     }
   }
 
+  /** Streaming TRAINING-EXPORT ingest — the terminal sink of the
+    * continuous corpus build: micro-batches of (cleaned, deduped)
+    * documents land directly in the sharded training-export layout
+    * via [[graft.sources.TrainingExport.exportBatch]]. Exactly-once
+    * without any registry: each batch overwrites its own
+    * `batches/batch=<id>` directory, so foreachBatch's at-least-once
+    * replay is byte-idempotent by construction. Pair with
+    * [[ingestDedup]] upstream (census-gated keepers) and
+    * [[graft.sources.TrainingExport.compactStreamed]] downstream (the
+    * periodic small-files settlement a trainer-facing layout runs).
+    */
+  def ingestExport(spark: SparkSession, source: DataFrame,
+      out: String, checkpoint: String,
+      nShards: Int = 64): StreamingQuery =
+    source.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.TrainingExport
+          .exportBatch(spark, batch, out, batchId, nShards)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** One ingest step — also the batch-mode entry (a backfill driver
     * can call it directly, supplying its own monotonic batch ids).
     * Replay-idempotent ACROSS restarts: a batchId at or below the

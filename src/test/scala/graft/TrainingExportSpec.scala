@@ -203,6 +203,52 @@ class TrainingExportSpec extends AnyFunSuite {
     assert(lines.forall(l => l.startsWith("{") && l.endsWith("}")))
   }
 
+  test("streaming export drains into batch dirs, replays are " +
+      "byte-idempotent, compact folds to the canonical layout") {
+    val src = Files.createTempDirectory("graft_expsrc").toString
+    val ckpt = Files.createTempDirectory("graft_expckpt").toString
+    val out = Files.createTempDirectory("graft_expstream").toString + "/ex"
+    val docs = graft.tables.Tables.documents(spark, TestSpark.sfDir)
+      .select("doc_id", "text", "source")
+    docs.filter(col("doc_id") < 250).coalesce(1)
+      .write.parquet(src + "/f1.parquet")
+    docs.filter(col("doc_id") >= 250).coalesce(1)
+      .write.parquet(src + "/f2.parquet")
+    val source = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src + "/*.parquet")
+    graft.streaming.DocsStream
+      .ingestExport(spark, source, out, ckpt).awaitTermination()
+
+    val streamed = TrainingExport.readStreamed(spark, out)
+    assert(streamed.count() === docs.count())
+    assert(streamed.select("batch").distinct().count() >= 2,
+      "maxFilesPerTrigger must have produced >=2 batch directories")
+    assert(TrainingExport.shardCount(spark, out) === Some(64))
+    // shard pruning works across every batch directory
+    val one = streamed.filter(col("shard") === 7)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), plan)
+    assert(plan.contains("(shard"), plan)
+
+    // replaying a batch (same id, same rows) is byte-idempotent
+    val before = streamed.count()
+    TrainingExport.exportBatch(spark,
+      docs.filter(col("doc_id") < 250), out, 0L)
+    assert(TrainingExport.readStreamed(spark, out).count() === before)
+
+    // compact folds every batch into one canonical export
+    val dest = Files.createTempDirectory("graft_expcompact").toString + "/c"
+    TrainingExport.compactStreamed(spark, out, dest)
+    val canon = spark.read.parquet(dest)
+    assert(canon.count() === docs.count())
+    val a = canon.select("doc_id", "text", "source")
+    assert(a.exceptAll(docs).isEmpty && docs.exceptAll(a).isEmpty)
+    intercept[IllegalArgumentException] {
+      TrainingExport.compactStreamed(spark, out, out)
+    }
+  }
+
   test("a shard file carries the packing stream order") {
     val out = Files.createTempDirectory("graft_export_ord").toString
     TrainingExport.export(spark, sfDir, out)
