@@ -358,14 +358,19 @@ object BinaryFrames {
     import org.apache.spark.sql.expressions.Window
     val feats = decodeHist16(spark, withPayload(spark, dir)).toDF()
       .withColumn("dataset_id", expr("frame_id div 10"))
+    // aggregate on the long (dataset, bin) key FIRST — the explode's
+    // 16× row churn collapses map-side to the census before any join
+    // or string serial exists; the broadcast dimension join then runs
+    // over census-sized input only
     val perBin = feats
       .select(col("dataset_id"), posexplode(col("bins")).as(Seq("bin", "cnt")))
       .filter(col("cnt") > 0)
+      .groupBy("dataset_id", "bin")
+      .agg(sum(col("cnt")).as("n_px"))
       .join(broadcast(ImagingModel.dataSet(spark, dir)
         .select(col("id").as("ds_id"), col("dataset_serial"))),
         col("dataset_id") === col("ds_id"))
-      .groupBy("dataset_serial", "bin")
-      .agg(sum(col("cnt")).as("n_px"))
+      .select(col("dataset_serial"), col("bin"), col("n_px"))
     perBin
       .select(col("dataset_serial"), col("bin").cast("int").as("bin"),
         col("n_px"),

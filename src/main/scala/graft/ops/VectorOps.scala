@@ -19,14 +19,17 @@ import graft.tables.Tables
   */
 object VectorOps {
 
+  /** Codegen'd sequential-fold inner product
+    * ([[graft.functions.VecDot]]) — arithmetic identical to the
+    * `aggregate(zip_with(...))` higher-order fold it replaced, one
+    * compiled loop per pair instead of two interpreted lambdas and a
+    * zipped intermediate array.
+    */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b,
-      (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VecDot.dot(a, b)
 
   private def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0),
-      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    sqrt(graft.functions.VecDot.dot(a, a))
 
   private def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
@@ -1002,11 +1005,16 @@ object VectorOps {
         """cast(conv(substring(md5(cast(vec_id as string)), 1, 7), 16, 10)
            as bigint) % 8 = 0"""))
       .select(col("vec_id").as("aid"), col("label").as("alabel"),
-        col("embedding").as("av"))
-    val perAnchor = e.join(broadcast(anchors), col("aid") =!= col("vec_id"))
+        col("embedding").as("av"), norm(col("embedding")).as("anorm"))
+    // norms precomputed once per SIDE (|A| + N evaluations), so the
+    // |A|×N pair loop pays one dot fold instead of three
+    val cand = e.select(col("vec_id"), col("label"), col("embedding"),
+      norm(col("embedding")).as("cnorm"))
+    val perAnchor = cand.join(broadcast(anchors), col("aid") =!= col("vec_id"))
       .select(col("aid"), col("alabel"),
         (col("label") === col("alabel")).as("same"),
-        cosine(col("av"), col("embedding")).as("sim"))
+        (dot(col("av"), col("embedding"))
+          / (col("anorm") * col("cnorm"))).as("sim"))
       .groupBy("aid", "alabel")
       .agg(max(when(col("same"), col("sim"))).as("best_pos"),
         max(when(!col("same"), col("sim"))).as("best_neg"))
@@ -1046,10 +1054,13 @@ object VectorOps {
         """cast(conv(substring(md5(cast(vec_id as string)), 1, 7), 16, 10)
            as bigint) % 8 = 0"""))
       .select(col("vec_id").as("aid"), col("label").as("alabel"),
-        col("embedding").as("av"))
-    val scored = e.join(broadcast(anchors), col("aid") =!= col("vec_id"))
+        col("embedding").as("av"), norm(col("embedding")).as("anorm"))
+    val cand = e.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("cnorm"))
+    val scored = cand.join(broadcast(anchors), col("aid") =!= col("vec_id"))
       .select(col("aid"), col("alabel"), col("vec_id"),
-        cosine(col("av"), col("embedding")).as("sim"))
+        (dot(col("av"), col("embedding"))
+          / (col("anorm") * col("cnorm"))).as("sim"))
     val top = scored.groupBy("aid", "alabel")
       .agg(graft.functions.TopKByScore
         .topk(col("sim"), col("vec_id"), 5).as("top"))
@@ -1099,13 +1110,16 @@ object VectorOps {
   def paraphraseCandidates(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val assigned = assignCells(e, coarseCentroids(e))
+      .withColumn("nrm", norm(col("embedding")))
     val pairs = assigned
-      .select(col("cell"), col("vec_id").as("v1"), col("embedding").as("e1"))
+      .select(col("cell"), col("vec_id").as("v1"),
+        col("embedding").as("e1"), col("nrm").as("n1"))
       .join(assigned.select(col("cell"), col("vec_id").as("v2"),
-        col("embedding").as("e2")), "cell")
+        col("embedding").as("e2"), col("nrm").as("n2")), "cell")
       .filter(col("v1") < col("v2"))
       .select(col("cell"), col("v1"), col("v2"),
-        round(cosine(col("e1"), col("e2")), 6).as("sim"))
+        round(dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 6)
+          .as("sim"))
       .orderBy(col("sim").desc, col("v1"), col("v2"))
       .limit(50)
     def side(n: Int) = Tables.documents(spark, dir)
