@@ -220,6 +220,37 @@ object Bench {
     }
   }
 
+  /** Streaming training-export sink throughput: the whole documents
+    * table drained through [[graft.streaming.DocsStream.ingestExport]]
+    * into a fresh batch-scoped sharded layout — times the
+    * exactly-once overwrite path end to end (source discovery,
+    * micro-batch shard shuffle, sorted sharded write, marker).
+    */
+  private def streamDocExportBench(spark: SparkSession,
+      sfDir: String): (Double, Long, Long) = {
+    val path = s"$sfDir/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val isDir = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(hp).isDirectory
+    val src =
+      if (isDir) spark.readStream.schema(schema).parquet(path)
+      else spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+    val base = java.nio.file.Files.createTempDirectory("graft_bench_export")
+    val out = base.resolve("ex").toString
+    val ckpt = base.resolve("ckpt").toString
+    val t0 = System.nanoTime()
+    val q = graft.streaming.DocsStream.ingestExport(spark, src, out, ckpt)
+    if (!q.awaitTermination(300000L)) { q.stop(); sys.error("stream timeout") }
+    val dt = (System.nanoTime() - t0) / 1e9
+    // an empty drain must fail the entry, not commit a vacuous number
+    require(
+      graft.sources.TrainingExport.readStreamed(spark, out).count() > 0,
+      "streaming export drained no rows")
+    (dt, 0L, 0L)
+  }
+
   /** Object-store read path under bench load (VERDICT r5 #6): a 5%
     * frame slice is uploaded ONCE per scale dir into the emulated
     * S3 bucket (amortized like the persisted-store builds — upload is
@@ -376,6 +407,8 @@ object Bench {
       minOk((1 to 2).map(_ => () => streamDigestBench(spark, sfDir))) }
     val slidingTime = ifOn("stream_sliding") {
       minOk((1 to 2).map(r => () => streamSlidingBench(spark, sfDir, r))) }
+    val docExportTime = ifOn("stream_doc_export") {
+      minOk((1 to 2).map(_ => () => streamDocExportBench(spark, sfDir))) }
     val streams = Seq(
       "stream_events_window" -> streamTime,
       "stream_sliding" -> slidingTime,
@@ -383,7 +416,9 @@ object Bench {
       "stream_sessions" -> sessTime,
       "stream_enrich" -> enrichTime,
       "stream_tws_sessions" -> twsTime,
-      "stream_journey_digest" -> digestTime).collect { case (k, Some(v)) => k -> v }
+      "stream_journey_digest" -> digestTime,
+      "stream_doc_export" -> docExportTime)
+      .collect { case (k, Some(v)) => k -> v }
     // stream entries already take min-of-2 full drains (expensive); the
     // cross-run canary flags them without extra re-runs
     streams.foreach { case (k, (v, _, _)) =>
