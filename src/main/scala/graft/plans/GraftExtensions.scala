@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.StringType
 
-import graft.functions.{HyperplaneBits, MinHashSig, QuantileSketchAgg, QuantileSketchEstimate, QuantileSketchUnion, SimHashVotes, ThetaEstimate, ThetaSetOp, ThetaSketchAgg, ThetaState, ThetaUnionAgg, TopKByScore, WordNGrams}
+import graft.functions.{HyperplaneBits, MinHashSig, QuantileSketchAgg, QuantileSketchEstimate, QuantileSketchUnion, SimHashVotes, ThetaEstimate, ThetaSetOp, ThetaSketchAgg, ThetaState, ThetaUnionAgg, TopKByScore, VecDot, WordNGrams}
 
 /** SparkSessionExtensions entry point: registers graft's custom
   * expressions for SQL use, so `SELECT word_ngrams(text, 3)` works in
@@ -36,6 +36,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.thetaUnionDescriptor)
     ext.injectFunction(GraftExtensions.thetaSetOpDescriptor)
     ext.injectFunction(GraftExtensions.thetaEstimateDescriptor)
+    ext.injectFunction(GraftExtensions.vecDotDescriptor)
   }
 }
 
@@ -175,12 +176,23 @@ object GraftExtensions {
         "theta_estimate(sketch) takes 1 argument")
     })
 
+  val vecDotDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("vec_dot"),
+    new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+    (args: Seq[Expression]) => args match {
+      case Seq(a, b) => VecDot(a, b)
+      case _ => throw new IllegalArgumentException(
+        "vec_dot(a, b) takes 2 arguments")
+    })
+
   private val allDescriptors =
     Seq(wordNGramsDescriptor, hyperplaneBitsDescriptor,
       minhashSigDescriptor, simhashVotesDescriptor, topKDescriptor,
       quantileSketchDescriptor, quantileSketchUnionDescriptor,
       quantileSketchEstimateDescriptor, thetaSketchDescriptor,
-      thetaUnionDescriptor, thetaSetOpDescriptor, thetaEstimateDescriptor)
+      thetaUnionDescriptor, thetaSetOpDescriptor, thetaEstimateDescriptor,
+      vecDotDescriptor)
 
   /** Register on an existing session (tests / REPL convenience). */
   def install(spark: org.apache.spark.sql.SparkSession): Unit =

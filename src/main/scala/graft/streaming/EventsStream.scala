@@ -68,6 +68,32 @@ object EventsStream {
     Tables.events(spark, dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
+  /** Live anomaly flags via a STREAM-STATIC broadcast join — the
+    * reference-data enrichment pattern a production monitor runs: the
+    * streaming hourly (window × type) counts join a BATCH-computed
+    * per-type baseline (mean/std of hourly counts, e.g. refreshed
+    * nightly from [[graft.ops.EventOps.eventsAnomaly]]'s history), and
+    * each closed window reports its z-score. The static side is a
+    * census (one row per event type) and broadcasts — no state beyond
+    * the windowed agg's own watermark-bounded keys, and the join adds
+    * ZERO streaming state (a static broadcast probe, unlike the
+    * stream-stream [[enrichedWithSignup]]). Works identically on a
+    * batch input, which is what the parity spec exercises.
+    *
+    * `baseline`: (event_type, mean_n, std_n).
+    */
+  def anomalyFlags(events: DataFrame, baseline: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(baseline), "event_type")
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"),
+        round((col("n") - col("mean_n")) / col("std_n"), 4).as("z"),
+        (abs((col("n") - col("mean_n")) / col("std_n")) > 3.0)
+          .as("anomalous"))
+
   /** Stateful streaming sessionizer: 30-minute-gap sessions per user
     * via flatMapGroupsWithState with a processing-time timeout.
     * Emits a session when the gap closes it; timeout flushes the rest.

@@ -73,6 +73,22 @@ class SourcesSpec extends AnyFunSuite {
       Seq((3.0, 7L), (3.0, 30L)))
   }
 
+  test("vec_dot is callable from SQL and matches the HOF fold") {
+    GraftExtensions.install(spark)
+    val row = spark.sql("""
+      SELECT vec_dot(array(cast(1.5 as float), cast(-2.0 as float)),
+                     array(cast(4.0 as float), cast(0.5 as float))) AS d,
+             vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dd,
+             aggregate(zip_with(array(1.0D, 2.0D), array(3.0D, 4.0D),
+               (x, y) -> x * y), 0D, (a, v) -> a + v) AS hof""").head()
+    assert(row.getDouble(0) === 1.5 * 4.0 + (-2.0) * 0.5)
+    assert(row.getDouble(1) === row.getDouble(2))
+    // type misuse is an analysis error, not a runtime cast failure
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT vec_dot('a', array(1.0D))").collect()
+    }
+  }
+
   test("hyperplane_bits and minhash_sig work from SQL") {
     GraftExtensions.install(spark)
     // a constant vector: fp bit j = 1 iff plane j's signs sum positive

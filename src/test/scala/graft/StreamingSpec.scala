@@ -68,6 +68,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(asEpochs.sameElements(oracleTwin))
   }
 
+  test("stream-static anomaly flags match the batch twin and add no " +
+      "join state") {
+    import spark.implicits._
+    val batchInput = EventsStream.eventsAsTimestamps(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    // batch-computed per-type baseline over hourly counts — the
+    // static reference table a monitor refreshes offline
+    val baseline = batchInput
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("event_type")
+      .agg(avg("n").as("mean_n"), stddev_pop("n").as("std_n"))
+    val batchResult = EventsStream.anomalyFlags(batchInput, baseline)
+      .orderBy("win_start", "event_type").collect()
+    assert(batchResult.nonEmpty)
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    stream.addData(batchInput.as[Event].collect().toIndexedSeq)
+    val q = EventsStream.anomalyFlags(stream.toDF(), baseline)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("anom_out").start()
+    try {
+      q.processAllAvailable()
+      val streamResult = spark.table("anom_out")
+        .orderBy("win_start", "event_type").collect()
+      assert(streamResult.length === batchResult.length)
+      assert(streamResult.sameElements(batchResult))
+      // the static join must contribute no streaming state operator:
+      // only the windowed aggregation holds state
+      val ops = q.lastProgress.stateOperators
+      assert(ops.length === 1,
+        s"expected only the agg state operator, got ${ops.length}")
+    } finally q.stop()
+  }
+
   test("stream-stream signup enrichment matches the batch twin") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
