@@ -1194,11 +1194,12 @@ assigned AS (
   WHERE crank <= 1),
 pairs AS (
   SELECT a.cell, a.vec_id AS v1, b.vec_id AS v2,
-    round(${duckCos("a.embedding", "b.embedding")}, 6) AS sim
+    ${duckCos("a.embedding", "b.embedding")} AS sim
   FROM assigned a JOIN assigned b
     ON a.cell = b.cell AND a.vec_id < b.vec_id),
-top AS (SELECT * FROM pairs ORDER BY sim DESC, v1, v2 LIMIT 50)
-SELECT t.cell, t.v1, t.v2, CAST(t.sim AS DOUBLE) AS sim,
+top AS (SELECT cell, v1, v2, sim FROM pairs
+  ORDER BY sim DESC, v1, v2 LIMIT 50)
+SELECT t.cell, t.v1, t.v2, CAST(round(t.sim, 6) AS DOUBLE) AS sim,
   d1.source AS src1, d2.source AS src2,
   (md5(d1.text) = md5(d2.text)) AS same_text
 FROM top t JOIN documents d1 ON t.v1 = d1.doc_id

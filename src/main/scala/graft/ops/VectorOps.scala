@@ -1118,10 +1118,14 @@ object VectorOps {
         col("embedding").as("e2"), col("nrm").as("n2")), "cell")
       .filter(col("v1") < col("v2"))
       .select(col("cell"), col("v1"), col("v2"),
-        round(dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 6)
-          .as("sim"))
+        (dot(col("e1"), col("e2")) / (col("n1") * col("n2"))).as("sim"))
+      // rank on the RAW sim (bit-identical doubles on both engines —
+      // deterministic folds) and round only the 50 survivors: a
+      // round() here would allocate a BigDecimal per pair row, the
+      // emb_gram_power allocation disease at N²/cells pair counts
       .orderBy(col("sim").desc, col("v1"), col("v2"))
       .limit(50)
+      .withColumn("sim", round(col("sim"), 6))
     def side(n: Int) = Tables.documents(spark, dir)
       .select(col("doc_id").as(s"v$n"), col("source").as(s"src$n"),
         md5(col("text")).as(s"dg$n"))
