@@ -238,17 +238,24 @@ object Bench {
       else spark.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
     val base = java.nio.file.Files.createTempDirectory("graft_bench_export")
-    val out = base.resolve("ex").toString
-    val ckpt = base.resolve("ckpt").toString
-    val t0 = System.nanoTime()
-    val q = graft.streaming.DocsStream.ingestExport(spark, src, out, ckpt)
-    if (!q.awaitTermination(300000L)) { q.stop(); sys.error("stream timeout") }
-    val dt = (System.nanoTime() - t0) / 1e9
-    // an empty drain must fail the entry, not commit a vacuous number
-    require(
-      graft.sources.TrainingExport.readStreamed(spark, out).count() > 0,
-      "streaming export drained no rows")
-    (dt, 0L, 0L)
+    try {
+      val out = base.resolve("ex").toString
+      val ckpt = base.resolve("ckpt").toString
+      val t0 = System.nanoTime()
+      val q = graft.streaming.DocsStream.ingestExport(spark, src, out, ckpt)
+      if (!q.awaitTermination(300000L)) { q.stop(); sys.error("stream timeout") }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // an empty drain must fail the entry, not commit a vacuous number
+      require(
+        graft.sources.TrainingExport.readStreamed(spark, out).count() > 0,
+        "streaming export drained no rows")
+      (dt, 0L, 0L)
+    } finally {
+      // each run writes a full corpus copy + checkpoint; at the 30x
+      // dirs leaving them would leak GBs of /tmp per artifact refresh
+      org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+      ()
+    }
   }
 
   /** Object-store read path under bench load (VERDICT r5 #6): a 5%

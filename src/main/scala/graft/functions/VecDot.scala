@@ -10,15 +10,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Inner product of two FLOAT[]/DOUBLE[] vectors in one compiled loop.
   *
-  * Semantically identical to the higher-order
+  * On well-formed inputs (equal lengths, no null elements — what the
+  * [[graft.tables.Tables.embeddings]] loader guarantees), arithmetic
+  * is identical to the higher-order
   * `aggregate(zip_with(a, b, (x, y) -> double(x) * double(y)), 0D, +)`
   * fold (same element promotion, same sequential IEEE addition order —
   * so every DuckDB `list_sum(list_transform(list_zip(...)))` oracle
   * still matches bit for bit), but without materializing the zipped
   * intermediate array or running two interpreted lambdas per element.
-  * This is the hot kernel of the similarity-search family: a brute
-  * pass over N candidates for |Q| anchors runs |Q|·N of these folds,
-  * and at 100 TB the constant factor IS the bill.
+  * Ill-formed inputs fail loudly (see [[VecDot.compute]]) where the
+  * HOF fold would have returned NULL. This is the hot kernel of the
+  * similarity-search family: a brute pass over N candidates for |Q|
+  * anchors runs |Q|·N of these folds, and at 100 TB the constant
+  * factor IS the bill.
   */
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -65,13 +69,29 @@ object VecDot {
     GraftSqlBridge.column(VecDot(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
-  /** Shared by the interpreted path and the generated code. */
+  /** Shared by the interpreted path and the generated code.
+    *
+    * Ill-formed inputs FAIL LOUDLY (the RangeJoin-cap discipline)
+    * instead of silently diverging from the HOF fold: `zip_with` pads
+    * a length mismatch with nulls and a null element poisons the
+    * whole fold to NULL — a truncated or element-null "dot product"
+    * here would instead be a finite wrong similarity flowing into
+    * every ANN result, so both cases throw with the cause named.
+    */
   def compute(a: ArrayData, b: ArrayData,
       aDouble: Boolean, bDouble: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"vec_dot: length mismatch ($n vs ${b.numElements()}) — " +
+          "the zip_with fold this kernel replaces would return NULL")
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"vec_dot: null element at index $i — the zip_with fold " +
+            "this kernel replaces would return NULL")
       val x = if (aDouble) a.getDouble(i) else a.getFloat(i).toDouble
       val y = if (bDouble) b.getDouble(i) else b.getFloat(i).toDouble
       acc += x * y

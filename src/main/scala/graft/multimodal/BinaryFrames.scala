@@ -323,10 +323,13 @@ object BinaryFrames {
   case class FrameHist(frame_id: Long, n_px: Int, bins: Array[Long])
 
   /** Per-frame 16-bin intensity histogram through the real PNG decode
-    * — one codec pass emits the bin counts (bin = px div 16), from
-    * which both the exposure histogram and the clipping audit derive.
-    * Same partition shape as [[decodeFrames]]: per-partition codec
-    * init, no shuffle, only 16 longs per frame reach the exchange.
+    * — one codec pass emits the bin counts (bin width = 1/16 of the
+    * frame's OWN depth range: 16 values at uint8, 4096 at uint16, so
+    * a 16-bit acquisition histograms correctly instead of indexing
+    * past the bin array), from which both the exposure histogram and
+    * the clipping audit derive. Same partition shape as
+    * [[decodeFrames]]: per-partition codec init, no shuffle, only 16
+    * longs per frame reach the exchange.
     */
   def decodeHist16(spark: SparkSession,
       framed: DataFrame): Dataset[FrameHist] = {
@@ -335,10 +338,13 @@ object BinaryFrames {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, payload) =>
-          val (_, _, px) = ImageCodec.decodeGray(payload)
+          val d = ImageCodec.decodeImage(payload)
+          require(d.channels == 1, "not grayscale (color type 2)")
+          val px = d.samples
+          val shift = d.bitDepth - 4
           val bins = new Array[Long](16)
           var i = 0
-          while (i < px.length) { bins(px(i) >> 4) += 1L; i += 1 }
+          while (i < px.length) { bins(px(i) >> shift) += 1L; i += 1 }
           FrameHist(id, px.length, bins)
         }
       }

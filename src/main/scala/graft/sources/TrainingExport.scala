@@ -71,14 +71,28 @@ object TrainingExport {
       nShards: Int = 64): Unit =
     exportCorpus(spark, Tables.documents(spark, dir), out, nShards)
 
+  /** THE layout contract, defined once: shard assignment + packing
+    * order + one exchange + in-task sort. Every sink (parquet, JSONL,
+    * streaming batch) routes through here — the specs prove the
+    * contract against this one definition, so a future change cannot
+    * silently fork one format's layout from the others'.
+    */
+  private def sharded(df: DataFrame, nShards: Int): DataFrame =
+    resharded(df
+      .withColumn("shard", TextOps.shardCol(nShards))
+      .withColumn("ord", TextOps.ordCol), nShards)
+
+  /** [[sharded]] for frames that ALREADY carry shard/ord (compaction
+    * and delete rebuilds re-sort existing layout columns).
+    */
+  private def resharded(df: DataFrame, nTasks: Int): DataFrame =
+    df.repartition(nTasks, col("shard"))
+      .sortWithinPartitions("shard", "ord", "doc_id")
+
   /** Write any corpus with a `doc_id` column as a sharded export. */
   def exportCorpus(spark: SparkSession, corpus: DataFrame, out: String,
       nShards: Int): Unit = {
-    corpus
-      .withColumn("shard", TextOps.shardCol(nShards))
-      .withColumn("ord", TextOps.ordCol)
-      .repartition(nShards, col("shard"))
-      .sortWithinPartitions("shard", "ord", "doc_id")
+    sharded(corpus, nShards)
       .write.mode(SaveMode.Overwrite)
       .partitionBy("shard").parquet(out)
     writeMarker(spark, out, nShards)
@@ -96,11 +110,7 @@ object TrainingExport {
   def appendCorpus(spark: SparkSession, batch: DataFrame, out: String,
       nShards: Int = 64): Unit = {
     val n = layoutShards(spark, out, nShards)
-    batch
-      .withColumn("shard", TextOps.shardCol(n))
-      .withColumn("ord", TextOps.ordCol)
-      .repartition(n, col("shard"))
-      .sortWithinPartitions("shard", "ord", "doc_id")
+    sharded(batch, n)
       .write.mode(SaveMode.Append)
       .partitionBy("shard").parquet(out)
   }
@@ -124,9 +134,7 @@ object TrainingExport {
   def compactShards(spark: SparkSession, in: String, out: String,
       nShards: Int = 64): Unit = {
     val n = layoutShards(spark, in, nShards)
-    spark.read.parquet(in)
-      .repartition(n, col("shard"))
-      .sortWithinPartitions("shard", "ord", "doc_id")
+    resharded(spark.read.parquet(in), n)
       .write.mode(SaveMode.Overwrite)
       .partitionBy("shard").parquet(out)
     writeMarker(spark, out, n)
@@ -170,11 +178,10 @@ object TrainingExport {
       .collect().map(_.getLong(0)).sorted
     if (affected.isEmpty) return
     val tmp = out + "_delete_staging"
-    spark.read.parquet(out)
-      .filter(col("shard").isin(affected: _*))
-      .join(victims.select("doc_id"), Seq("doc_id"), "left_anti")
-      .repartition(affected.length, col("shard"))
-      .sortWithinPartitions("shard", "ord", "doc_id")
+    resharded(spark.read.parquet(out)
+        .filter(col("shard").isin(affected: _*))
+        .join(victims.select("doc_id"), Seq("doc_id"), "left_anti"),
+        affected.length)
       .write.mode(SaveMode.Overwrite)
       .partitionBy("shard").parquet(tmp)
     val conf = spark.sparkContext.hadoopConfiguration
@@ -243,11 +250,7 @@ object TrainingExport {
   def exportJsonl(spark: SparkSession, corpus: DataFrame, out: String,
       nShards: Int = 64): Unit = {
     val cols = corpus.columns.map(col)
-    corpus
-      .withColumn("shard", TextOps.shardCol(nShards))
-      .withColumn("ord", TextOps.ordCol)
-      .repartition(nShards, col("shard"))
-      .sortWithinPartitions("shard", "ord", "doc_id")
+    sharded(corpus, nShards)
       .select(col("shard"), to_json(struct(cols: _*)).as("value"))
       .write.mode(SaveMode.Overwrite).partitionBy("shard").text(out)
     writeMarker(spark, out, nShards)
@@ -269,11 +272,7 @@ object TrainingExport {
   def exportBatch(spark: SparkSession, batch: DataFrame, out: String,
       batchId: Long, nShards: Int = 64): Unit = {
     val n = layoutShards(spark, out, nShards)
-    batch
-      .withColumn("shard", TextOps.shardCol(n))
-      .withColumn("ord", TextOps.ordCol)
-      .repartition(n, col("shard"))
-      .sortWithinPartitions("shard", "ord", "doc_id")
+    sharded(batch, n)
       .write.mode(SaveMode.Overwrite)
       .partitionBy("shard")
       .parquet(s"$out/batches/batch=$batchId")

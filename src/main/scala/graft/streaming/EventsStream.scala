@@ -80,18 +80,27 @@ object EventsStream {
     * stream-stream [[enrichedWithSignup]]). Works identically on a
     * batch input, which is what the parity spec exercises.
     *
-    * `baseline`: (event_type, mean_n, std_n).
+    * `baseline`: (event_type, mean_n, std_n). The join is LEFT outer:
+    * an event type ABSENT from the baseline is the most anomalous
+    * signal a monitor sees (brand-new traffic) and must flag, not
+    * vanish through an inner join; a zero-variance baseline (constant
+    * history) has no finite z, so any deviation from its mean flags
+    * directly. `z` is null in both special cases.
     */
   def anomalyFlags(events: DataFrame, baseline: DataFrame): DataFrame =
     events
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
-      .join(broadcast(baseline), "event_type")
+      .join(broadcast(baseline), Seq("event_type"), "left")
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"),
-        round((col("n") - col("mean_n")) / col("std_n"), 4).as("z"),
-        (abs((col("n") - col("mean_n")) / col("std_n")) > 3.0)
+        when(col("std_n") > 0,
+          round((col("n") - col("mean_n")) / col("std_n"), 4)).as("z"),
+        (col("mean_n").isNull ||
+          (col("std_n") === 0 && col("n") =!= col("mean_n")) ||
+          (col("std_n") > 0 &&
+            abs((col("n") - col("mean_n")) / col("std_n")) > 3.0))
           .as("anomalous"))
 
   /** Stateful streaming sessionizer: 30-minute-gap sessions per user

@@ -102,6 +102,24 @@ class StreamingSpec extends AnyFunSuite {
       assert(ops.length === 1,
         s"expected only the agg state operator, got ${ops.length}")
     } finally q.stop()
+
+    // a type ABSENT from the baseline must flag (left join), not
+    // vanish; a zero-variance baseline flags any deviation directly
+    val partial = baseline
+      .filter(!col("event_type").isin("error", "view"))
+      .unionByName(spark.sql(
+        "SELECT 'view' AS event_type, 1.0D AS mean_n, 0.0D AS std_n"))
+    val special = EventsStream.anomalyFlags(batchInput, partial)
+      .filter(col("event_type").isin("error", "view"))
+    val err = special.filter(col("event_type") === "error")
+    assert(err.count() > 0, "baseline-less type must not vanish")
+    assert(err.filter(!col("anomalous") || col("z").isNotNull)
+      .count() === 0, "baseline-less windows must flag with null z")
+    val vw = special.filter(col("event_type") === "view")
+      .filter(col("n") =!= 1.0)
+    assert(vw.count() > 0 &&
+      vw.filter(!col("anomalous")).count() === 0,
+      "zero-variance baseline must flag any deviation")
   }
 
   test("stream-stream signup enrichment matches the batch twin") {

@@ -231,10 +231,15 @@ class TrainingExportSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters: ["), plan)
     assert(plan.contains("(shard"), plan)
 
-    // replaying a batch (same id, same rows) is byte-idempotent
+    // replaying a batch (same id, same rows) is byte-idempotent —
+    // replay the rows that ACTUALLY landed in batch 0 (the file→batch
+    // assignment depends on mtime ordering, so doc_id<250 may be
+    // either batch)
     val before = streamed.count()
+    val batch0Ids = TrainingExport.readStreamed(spark, out)
+      .filter(col("batch") === 0).select("doc_id")
     TrainingExport.exportBatch(spark,
-      docs.filter(col("doc_id") < 250), out, 0L)
+      docs.join(batch0Ids, "doc_id"), out, 0L)
     assert(TrainingExport.readStreamed(spark, out).count() === before)
 
     // compact folds every batch into one canonical export
