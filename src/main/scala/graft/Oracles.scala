@@ -1206,6 +1206,63 @@ FROM top t JOIN documents d1 ON t.v1 = d1.doc_id
 JOIN documents d2 ON t.v2 = d2.doc_id
 ORDER BY sim DESC, v1, v2"""
 
+  /** Twin of [[graft.ops.ImagingOps.datasetOverlap]]: same 2..20
+    * shareable band, same two-stage (cut on ids, present by serial)
+    * ordering.
+    */
+  val imgDatasetOverlap: String = imagingCte + """
+, sd AS (SELECT DISTINCT sha256 AS sha, frames_global_id AS ds
+    FROM frames),
+shareable AS (
+  SELECT sha FROM (SELECT sha, count(*) AS c FROM sd GROUP BY sha)
+  WHERE c BETWEEN 2 AND 20),
+pool AS (SELECT sd.sha, sd.ds FROM sd JOIN shareable USING (sha)),
+top AS (
+  SELECT a.ds AS d1, b.ds AS d2, CAST(count(*) AS BIGINT)
+    AS shared_digests
+  FROM pool a JOIN pool b ON a.sha = b.sha AND a.ds < b.ds
+  GROUP BY 1, 2 ORDER BY shared_digests DESC, d1, d2 LIMIT 50)
+SELECT s1.dataset_serial AS serial1, s2.dataset_serial AS serial2,
+  shared_digests
+FROM top JOIN data_set s1 ON d1 = s1.id JOIN data_set s2 ON d2 = s2.id
+ORDER BY shared_digests DESC, serial1, serial2"""
+
+  /** Twin of [[graft.ops.EventOps.eventsForecastEval]]: identical
+    * integer regression moments, double slope/intercept, DECIMAL
+    * held-out errors.
+    */
+  val eventsForecastEval: String = """
+WITH daily AS (
+  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+    count(*) AS n
+  FROM events GROUP BY 1, 2),
+d0 AS (SELECT min(day) AS d0 FROM daily),
+t AS (SELECT event_type, day - d0 AS t, n FROM daily, d0),
+fit AS (
+  SELECT event_type, count(*) AS k, sum(t) AS st, sum(n) AS sy,
+    sum(t * n) AS sty, sum(t * t) AS stt
+  FROM t WHERE t < 21 GROUP BY event_type),
+fit2 AS (
+  SELECT event_type, k AS n_train,
+    CAST(k * sty - st * sy AS DOUBLE) / (k * stt - st * st) AS slope,
+    st, sy, k
+  FROM fit),
+fit3 AS (
+  SELECT event_type, n_train, slope,
+    (sy - slope * st) / k AS intercept
+  FROM fit2),
+ev AS (
+  SELECT t.event_type, n_train, slope, intercept,
+    CAST(abs(n - (intercept + slope * t.t)) AS DECIMAL(20,10)) AS err
+  FROM t JOIN fit3 USING (event_type) WHERE t.t >= 21)
+SELECT event_type, CAST(n_train AS BIGINT) AS n_train,
+  CAST(count(*) AS BIGINT) AS n_test,
+  CAST(round(slope, 6) AS DOUBLE) AS slope,
+  CAST(round(intercept, 4) AS DOUBLE) AS intercept,
+  round(CAST(sum(err) AS DOUBLE) / count(*), 4) AS mae
+FROM ev GROUP BY event_type, n_train, slope, intercept
+ORDER BY event_type"""
+
   val imgLineageDepth: String =
     imagingCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """
 , anc AS (
@@ -3913,6 +3970,8 @@ ORDER BY method"""
     "emb_hard_negatives" -> embHardNegatives,
     "emb_knn_classify" -> embKnnClassify,
     "doc_paraphrase_mining" -> docParaphraseMining,
+    "img_dataset_overlap" -> imgDatasetOverlap,
+    "events_forecast_eval" -> eventsForecastEval,
     "img_parse_sms_channel" -> imgParseSmsChannel,
     "img_meta_validate" -> imgMetaValidate,
     "doc_decontaminate" -> docDecontaminate,

@@ -136,6 +136,8 @@ object SparkEntry {
     "doc_dsir_weights" -> (TextOps.dsirWeights(_, _)),
     "doc_source_kl" -> (TextOps.sourceKl(_, _)),
     "events_type_entropy" -> (EventOps.eventsTypeEntropy(_, _)),
+    "events_forecast_eval" -> (EventOps.eventsForecastEval(_, _)),
+    "img_dataset_overlap" -> (ImagingOps.datasetOverlap(_, _)),
     "emb_hard_negatives" -> (VectorOps.hardNegatives(_, _)),
     "emb_knn_classify" -> (VectorOps.knnClassify(_, _)),
     "doc_paraphrase_mining" -> (VectorOps.paraphraseCandidates(_, _)),

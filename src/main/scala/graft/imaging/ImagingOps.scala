@@ -216,6 +216,42 @@ object ImagingOps {
       .orderBy(col("n_frames").desc, col("sha256"))
       .limit(200)
 
+  /** Cross-dataset duplication audit — which dataset PAIRS share
+    * frame content (a re-uploaded acquisition, a copied position
+    * series): the 50 pairs sharing the most sha256 digests, named by
+    * serial. The pair derivation is the LSH-bucket discipline applied
+    * to digests: only digests present in 2..20 datasets pair up
+    * (singletons carry no signal; a hotter digest is background
+    * content — calibration frames — whose pair set explodes
+    * quadratically, so it drops like a hot LSH bucket). Only 64-char
+    * digests and dataset keys shuffle; the digest self-join is
+    * co-partitioned corpus-scale by design, and the serial
+    * annotation joins 50 broadcast rows after the TakeOrdered cut.
+    */
+  def datasetOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val sd = frames(spark, dir)
+      .select(col("sha256"), col("frames_global_id").as("ds"))
+      .distinct()
+    val shareable = sd.groupBy("sha256")
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2 && col("c") <= 20)
+      .select("sha256")
+    val pool = sd.join(shareable, "sha256")
+    val top = pool.select(col("sha256"), col("ds").as("d1"))
+      .join(pool.select(col("sha256"), col("ds").as("d2")), "sha256")
+      .filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).as("shared_digests"))
+      .orderBy(col("shared_digests").desc, col("d1"), col("d2"))
+      .limit(50)
+    def serialOf(n: Int) = dataSet(spark, dir)
+      .select(col("id").as(s"d$n"), col("dataset_serial").as(s"serial$n"))
+    broadcast(top)
+      .join(serialOf(1), "d1").join(serialOf(2), "d2")
+      .select(col("serial1"), col("serial2"), col("shared_digests"))
+      .orderBy(col("shared_digests").desc, col("serial1"), col("serial2"))
+  }
+
   /** Grid-completeness audit — datasets whose observed c×z×t×p grid
     * size disagrees with the frame count (missing frames at upload,
     * the failure mode file_splitter.py guards against).

@@ -705,6 +705,55 @@ object EventOps {
       .orderBy("r_score", "f_score", "m_score")
   }
 
+  /** Forecast backtest — the holdout evaluation a capacity-planning
+    * forecast is judged by before anyone trusts it: per event type, an
+    * OLS linear trend of DAILY counts fit on the first 21 days and
+    * scored on the remaining held-out days (MAE). All regression
+    * moments (Σt, Σy, Σty, Σt²) are exact integer sums over the
+    * per-(type, day) census — the [[graft.ops.TextOps]] zipf-slope
+    * discipline — so slope/intercept are engine-exact doubles;
+    * held-out absolute errors are DECIMAL-cast per census row before
+    * the mean. Everything after the one daily partial-agg shuffle is
+    * census-sized (≤ types × days).
+    */
+  def eventsForecastEval(spark: SparkSession, dir: String): DataFrame = {
+    val dayNs = 86400L * NanosPerSec
+    val dec = "decimal(20,10)"
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr(s"ts div $dayNs").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val d0row = daily.agg(min("day").as("d0"))
+    val t = daily.crossJoin(broadcast(d0row))
+      .select(col("event_type"), (col("day") - col("d0")).as("t"),
+        col("n"))
+    val fit = t.filter(col("t") < 21)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("k"), sum("t").as("st"), sum("n").as("sy"),
+        sum(col("t") * col("n")).as("sty"),
+        sum(col("t") * col("t")).as("stt"))
+      .select(col("event_type"), col("k").as("n_train"),
+        ((col("k") * col("sty") - col("st") * col("sy")).cast("double")
+          / (col("k") * col("stt") - col("st") * col("st")))
+          .as("slope"),
+        col("st"), col("sy"), col("k"))
+      .withColumn("intercept",
+        (col("sy") - col("slope") * col("st")) / col("k"))
+    t.filter(col("t") >= 21)
+      .join(broadcast(fit), "event_type")
+      .select(col("event_type"), col("n_train"), col("slope"),
+        col("intercept"),
+        abs(col("n") - (col("intercept") + col("slope") * col("t")))
+          .cast(dec).as("err"))
+      .groupBy("event_type", "n_train", "slope", "intercept")
+      .agg(count(lit(1)).as("n_test"),
+        round(sum(col("err")).cast("double") / count(lit(1)), 4)
+          .as("mae"))
+      .select(col("event_type"), col("n_train"), col("n_test"),
+        round(col("slope"), 6).as("slope"),
+        round(col("intercept"), 4).as("intercept"), col("mae"))
+      .orderBy("event_type")
+  }
+
   /** Behavioral-diversity census — per-user Shannon entropy over event
     * types (a habit-vs-exploration segmentation: H=0 is a single-type
     * user, H=ln 5 a uniform one), histogrammed in 0.2-nat bins. The

@@ -57,6 +57,11 @@ class PlanSweepSpec extends AnyFunSuite {
     "doc_source_kl",       // (source, token) counts ⋈ corpus token
                            // counts on the token key: vocabulary-scale
                            // both sides, the dsir shape
+    "img_dataset_overlap", // digest-keyed self-join + shareable-band
+                           // semi-join: both sides corpus-scale on the
+                           // sha key (the LSH-bucket discipline) —
+                           // co-partitioned shuffles; serial joins run
+                           // after the top-50 cut and broadcast
     "doc_paraphrase_mining", // cell-co-partitioned self-join (the
                            // emb_semdedup shape below); the document
                            // annotation joins run AFTER the top-50
@@ -110,6 +115,7 @@ class PlanSweepSpec extends AnyFunSuite {
     "emb_nprobe_curve", // 16-centroid routing cross joins + brute-truth
                        // composition (inherits emb_knn_brute's shape)
     "doc_source_kl",   // one-row corpus-total census cross join
+    "events_forecast_eval", // one-row day-origin census cross join
     "emb_hard_negatives", // hash-bounded anchor sample broadcast with a
                          // <> condition (the knn_brute query-side shape)
     "emb_knn_classify", // same anchor-sample <> broadcast shape
