@@ -2087,6 +2087,36 @@ FROM pb JOIN data_set d ON pb.dataset_id = d.id
 GROUP BY d.dataset_serial
 ORDER BY d.dataset_serial"""
 
+  /** Twin of [[graft.multimodal.BinaryFrames.zProfile]]: slice index
+    * from the data model (the filename `_z###_` token round-trips
+    * l_partkey % 8), hex-arithmetic pixel sums, rounded means on both
+    * sides of the deviation.
+    */
+  val imgZProfile: String = imagingCte + """
+, pb AS (
+  SELECT frames_global_id AS dataset_id, slice_idx,
+    list_transform(range(0, 32),
+      i -> (strpos('0123456789abcdef', substr(sha256, 2*i + 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(sha256, 2*i + 2, 1)) - 1))
+      AS px
+  FROM frames
+), byz AS (
+  SELECT d.dataset_serial, pb.slice_idx,
+    CAST(count(*) AS BIGINT) AS n_frames,
+    sum(2 * list_sum(px)) AS spx, sum(64) AS npx
+  FROM pb JOIN data_set d ON pb.dataset_id = d.id
+  GROUP BY 1, 2)
+SELECT dataset_serial, slice_idx, n_frames,
+  CAST(round(CAST(spx AS DOUBLE) / npx, 6) AS DOUBLE) AS mean_px,
+  CAST(round((round(CAST(spx AS DOUBLE) / npx, 6) - dm) * 100.0 / dm, 4)
+    AS DOUBLE) AS dev_pct
+FROM (
+  SELECT dataset_serial, slice_idx, n_frames, spx, npx,
+    round(CAST(sum(spx) OVER (PARTITION BY dataset_serial) AS DOUBLE)
+      / sum(npx) OVER (PARTITION BY dataset_serial), 6) AS dm
+  FROM byz)
+ORDER BY dataset_serial, slice_idx"""
+
   val q4Priority: String = """
 SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
 FROM orders o
@@ -3965,6 +3995,7 @@ ORDER BY method"""
     "img_payload_stats_rgb" -> imgPayloadStatsRgb,
     "img_pixel_histogram" -> imgPixelHistogram,
     "img_saturation" -> imgSaturation,
+    "img_z_profile" -> imgZProfile,
     "doc_source_kl" -> docSourceKl,
     "events_type_entropy" -> eventsTypeEntropy,
     "emb_hard_negatives" -> embHardNegatives,

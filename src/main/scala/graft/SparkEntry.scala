@@ -182,6 +182,8 @@ object SparkEntry {
       (graft.multimodal.BinaryFrames.pixelHistogram(_, _)),
     "img_saturation" ->
       (graft.multimodal.BinaryFrames.saturationQc(_, _)),
+    "img_z_profile" ->
+      (graft.multimodal.BinaryFrames.zProfile(_, _)),
     // persisted-store twins: identical results (and oracles) to their
     // inline operators, but the corpus side reads a bucketed table —
     // the timing evidence behind the zero-exchange plan claims. Builds

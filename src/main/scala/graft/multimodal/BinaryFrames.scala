@@ -386,6 +386,62 @@ object BinaryFrames {
       .orderBy("dataset_serial", "bin")
   }
 
+  /** Focal-plane profile — the z-stack QC a volumetric acquisition is
+    * checked against: per (dataset, slice index), the mean pixel
+    * intensity through the REAL decode and its percent deviation from
+    * the dataset-wide mean (a monotone falloff with depth is
+    * attenuation/scattering; one aberrant plane is a bad optical
+    * section). The slice index is parsed from the FILE NAME (the
+    * `_z###_` token filename_parsers.py round-trips) before the
+    * decode, and rides the typed mapPartitions row — no join against
+    * the frames fact. Integer moments shuffle; the dataset-wide
+    * reference mean derives from a window over the per-(dataset,
+    * slice) census (≤ slices rows per dataset), and deviation divides
+    * two ROUNDED means, so the output is engine-exact.
+    */
+  def zProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val framed = withPayload(spark, dir)
+      .select(col("frame_id"),
+        expr("cast(substring(split_part(file_name, '_', 3), 2, 3) as int)")
+          .as("slice_idx"),
+        col("payload"))
+    val feats = framed.as[(Long, Int, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, z, payload) =>
+          val (_, _, px) = ImageCodec.decodeGray(payload)
+          var sum = 0L
+          var i = 0
+          while (i < px.length) { sum += px(i); i += 1 }
+          (id, z, px.length, sum)
+        }
+      }
+      .toDF("frame_id", "slice_idx", "n_px", "sum_px")
+    val byZ = feats
+      .withColumn("dataset_id", expr("frame_id div 10"))
+      .groupBy("dataset_id", "slice_idx")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("sum_px")).as("spx"),
+        sum(col("n_px").cast("bigint")).as("npx"))
+      .join(broadcast(ImagingModel.dataSet(spark, dir)
+        .select(col("id").as("ds_id"), col("dataset_serial"))),
+        col("dataset_id") === col("ds_id"))
+      .select(col("dataset_serial"), col("slice_idx"), col("n_frames"),
+        round(col("spx").cast("double") / col("npx"), 6).as("mean_px"),
+        col("spx"), col("npx"))
+    val w = Window.partitionBy("dataset_serial")
+    byZ
+      .withColumn("ds_mean",
+        round(sum(col("spx")).over(w).cast("double")
+          / sum(col("npx")).over(w), 6))
+      .select(col("dataset_serial"), col("slice_idx"), col("n_frames"),
+        col("mean_px"),
+        round((col("mean_px") - col("ds_mean")) * 100.0 / col("ds_mean"),
+          4).as("dev_pct"))
+      .orderBy("dataset_serial", "slice_idx")
+  }
+
   /** Clipping audit — the saturation/underexposure QC of an imaging
     * ingest: per dataset, the fraction of pixels in the top decode bin
     * ([240,255] — sensor clipping) and the bottom bin ([0,15] — dead

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming frame ingest — the microscope-facing loop of a
+  * continuously-acquiring facility: micro-batches of freshly-split
+  * frame rows (the [[graft.imaging.SplitterIngest]] output shape plus
+  * the `project` partition key) land in a project-partitioned store
+  * layout as they arrive, completing the streaming triad alongside
+  * [[DocsStream.ingestDedup]] (documents) and
+  * [[VecStream.ingestIndex]] (vectors).
+  *
+  * Exactly-once discipline is the batch-scoped-overwrite one
+  * ([[graft.sources.TrainingExport.exportBatch]]): each micro-batch
+  * owns `batches/batch=<id>/project=P/...` and a foreachBatch replay
+  * overwrites that directory with identical content — idempotency
+  * lives in the path, no registry, no settlement pass. A reader
+  * filtering on `project` partition-prunes across every batch
+  * directory; [[compactStreamed]] periodically folds the batch dirs
+  * into the canonical [[graft.sources.ImagingStore]] layout (the
+  * small-files settlement an append-per-acquisition store needs).
+  */
+object ImgStream {
+
+  /** Land one micro-batch (also the batch-mode/backfill entry).
+    * Within each project the rows sort by (dataset, c, z, t, p) so a
+    * per-dataset read touches few row groups — the
+    * [[graft.sources.ImagingStore.compact]] ordering from day one.
+    */
+  def landBatch(spark: SparkSession, batch: DataFrame, store: String,
+      batchId: Long): Unit =
+    batch
+      .repartition(col("project"))
+      .sortWithinPartitions("project", "frames_global_id",
+        "channel_idx", "slice_idx", "time_idx", "pos_idx")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("project")
+      .parquet(s"$store/batches/batch=$batchId")
+
+  /** Start the ingest loop over a streaming `source` of frame rows. */
+  def ingestFrames(spark: SparkSession, source: DataFrame,
+      store: String, checkpoint: String): StreamingQuery =
+    source.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        landBatch(spark, batch, store, batchId)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Everything landed so far (partition columns `batch`, `project`
+    * from the directory layout).
+    */
+  def readStreamed(spark: SparkSession, store: String): DataFrame =
+    spark.read.parquet(s"$store/batches")
+
+  /** One project's frames across every batch directory —
+    * partition-pruned like [[graft.sources.ImagingStore.readProject]].
+    */
+  def readStreamedProject(spark: SparkSession, store: String,
+      project: String): DataFrame =
+    readStreamed(spark, store).filter(col("project") === project)
+
+  /** Fold the batch directories into one canonical
+    * project-partitioned layout at `dest` (must differ from `store`;
+    * batch dirs survive until the caller deletes them, so a crash
+    * mid-compact loses nothing — the
+    * [[graft.sources.TrainingExport.compactStreamed]] contract).
+    */
+  def compactStreamed(spark: SparkSession, store: String,
+      dest: String): Unit = {
+    require(dest != store, "compactStreamed needs a fresh destination")
+    readStreamed(spark, store).drop("batch")
+      .repartition(col("project"))
+      .sortWithinPartitions("project", "frames_global_id",
+        "channel_idx", "slice_idx", "time_idx", "pos_idx")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("project")
+      .parquet(dest)
+  }
+}

@@ -23,6 +23,65 @@ class SourcesSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters: [isnotnull(project"), plan)
   }
 
+  test("streaming frame ingest drains exactly-once into project " +
+      "partitions and compacts to the canonical layout") {
+    val src = Files.createTempDirectory("graft_imgsrc").toString
+    val ckpt = Files.createTempDirectory("graft_imgckpt").toString
+    val store = Files.createTempDirectory("graft_imgstream").toString + "/st"
+    val d = graft.imaging.ImagingModel.dataSet(spark, sfDir)
+      .select(col("id").as("ds_id"),
+        expr("split_part(dataset_serial, '-', 1)").as("project"))
+    val frames = graft.imaging.ImagingModel.frames(spark, sfDir)
+      .join(broadcast(d), col("frames_global_id") === col("ds_id"))
+      .drop("ds_id")
+    frames.filter(col("frames_global_id") % 2 === 0).coalesce(1)
+      .write.parquet(src + "/f1.parquet")
+    frames.filter(col("frames_global_id") % 2 === 1).coalesce(1)
+      .write.parquet(src + "/f2.parquet")
+    val source = spark.readStream.schema(frames.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src + "/*.parquet")
+    graft.streaming.ImgStream
+      .ingestFrames(spark, source, store, ckpt).awaitTermination()
+
+    val streamed = graft.streaming.ImgStream.readStreamed(spark, store)
+    assert(streamed.count() === frames.count())
+    assert(streamed.select("batch").distinct().count() >= 2)
+    // project pruning across every batch directory
+    val prj = graft.streaming.ImgStream
+      .readStreamedProject(spark, store, "PRJ1")
+    assert(prj.count() > 0)
+    val plan = prj.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), plan)
+    assert(plan.contains("(project"), plan)
+
+    // replaying the rows that actually landed in batch 0 is idempotent
+    // (batch 0 is whichever parity file the mtime ordering picked
+    // first; frame ids are NOT unique in the synthetic fact, so the
+    // replay set is reconstructed by parity, not an id join)
+    val before = streamed.count()
+    val b0even = graft.streaming.ImgStream.readStreamed(spark, store)
+      .filter(col("batch") === 0)
+      .select((col("frames_global_id") % 2 === 0).as("e"))
+      .head().getBoolean(0)
+    graft.streaming.ImgStream.landBatch(spark,
+      frames.filter(col("frames_global_id") % 2 ===
+        (if (b0even) 0 else 1)), store, 0L)
+    assert(graft.streaming.ImgStream.readStreamed(spark, store).count()
+      === before)
+
+    // compact folds the batch dirs into the canonical project layout
+    val dest = Files.createTempDirectory("graft_imgcanon").toString + "/c"
+    graft.streaming.ImgStream.compactStreamed(spark, store, dest)
+    val canon = spark.read.parquet(dest)
+    assert(canon.count() === frames.count())
+    val cols = frames.columns.map(col)
+    assert(canon.select(cols: _*).exceptAll(frames).isEmpty)
+    intercept[IllegalArgumentException] {
+      graft.streaming.ImgStream.compactStreamed(spark, store, store)
+    }
+  }
+
   test("compaction shrinks file counts and preserves the data") {
     val store = Files.createTempDirectory("graft_frag").toString
     val compacted = Files.createTempDirectory("graft_comp").toString
