@@ -1211,16 +1211,18 @@ ORDER BY sim DESC, v1, v2"""
     * ordering.
     */
   val imgDatasetOverlap: String = imagingCte + """
-, sd AS (SELECT DISTINCT sha256 AS sha, frames_global_id AS ds
+, sd AS (SELECT DISTINCT
+    ('0x' || substr(sha256, 1, 15))::BIGINT AS h,
+    frames_global_id AS ds
     FROM frames),
 shareable AS (
-  SELECT sha FROM (SELECT sha, count(*) AS c FROM sd GROUP BY sha)
+  SELECT h FROM (SELECT h, count(*) AS c FROM sd GROUP BY h)
   WHERE c BETWEEN 2 AND 20),
-pool AS (SELECT sd.sha, sd.ds FROM sd JOIN shareable USING (sha)),
+pool AS (SELECT sd.h, sd.ds FROM sd JOIN shareable USING (h)),
 top AS (
   SELECT a.ds AS d1, b.ds AS d2, CAST(count(*) AS BIGINT)
     AS shared_digests
-  FROM pool a JOIN pool b ON a.sha = b.sha AND a.ds < b.ds
+  FROM pool a JOIN pool b ON a.h = b.h AND a.ds < b.ds
   GROUP BY 1, 2 ORDER BY shared_digests DESC, d1, d2 LIMIT 50)
 SELECT s1.dataset_serial AS serial1, s2.dataset_serial AS serial2,
   shared_digests

@@ -229,16 +229,23 @@ object ImagingOps {
     * annotation joins 50 broadcast rows after the TakeOrdered cut.
     */
   def datasetOverlap(spark: SparkSession, dir: String): DataFrame = {
+    // the doc_span_dedup shuffle-width trade: every exchange keys on
+    // the first 60 bits of the digest (8-byte long) instead of the
+    // 64-char hex string — a prefix collision merely co-buckets two
+    // digests (the 2..20 band and the pair counts absorb it, and
+    // doc_hash_collision_audit is the standing monitor for exactly
+    // this family of base-hash truncations)
+    val hKey = expr("cast(conv(substring(sha256, 1, 15), 16, 10) as bigint)")
     val sd = frames(spark, dir)
-      .select(col("sha256"), col("frames_global_id").as("ds"))
+      .select(hKey.as("h"), col("frames_global_id").as("ds"))
       .distinct()
-    val shareable = sd.groupBy("sha256")
+    val shareable = sd.groupBy("h")
       .agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2 && col("c") <= 20)
-      .select("sha256")
-    val pool = sd.join(shareable, "sha256")
-    val top = pool.select(col("sha256"), col("ds").as("d1"))
-      .join(pool.select(col("sha256"), col("ds").as("d2")), "sha256")
+      .select("h")
+    val pool = sd.join(shareable, "h")
+    val top = pool.select(col("h"), col("ds").as("d1"))
+      .join(pool.select(col("h"), col("ds").as("d2")), "h")
       .filter(col("d1") < col("d2"))
       .groupBy("d1", "d2")
       .agg(count(lit(1)).as("shared_digests"))
