@@ -2089,6 +2089,37 @@ FROM pb JOIN data_set d ON pb.dataset_id = d.id
 GROUP BY d.dataset_serial
 ORDER BY d.dataset_serial"""
 
+  /** Twin of [[graft.multimodal.BinaryAudio.waveformStats]]: the
+    * planted PCM16 samples are s_i = ((b(i mod 32)·257 + i·131) mod
+    * 65536) − 32768 over the hex-decoded sha bytes — every moment is
+    * integer arithmetic on the hex string, no WAV byte decoded.
+    */
+  val audWaveformStats: String = imagingCte + """
+, pb AS (
+  SELECT frames_global_id AS dataset_id,
+    list_transform(range(0, 32),
+      i -> (strpos('0123456789abcdef', substr(sha256, 2*i + 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(sha256, 2*i + 2, 1)) - 1))
+      AS bv
+  FROM frames
+), smp AS (
+  SELECT dataset_id,
+    list_transform(range(0, 256),
+      i -> ((bv[(i % 32) + 1] * 257 + i * 131) % 65536) - 32768) AS s
+  FROM pb
+)
+SELECT d.dataset_serial,
+  CAST(count(*) AS BIGINT) AS n_clips,
+  CAST(sum(256) AS BIGINT) AS total_samples,
+  round(sqrt(CAST(sum(list_sum(list_transform(s, x -> x * x)))
+    AS DOUBLE) / sum(256)), 4) AS rms,
+  CAST(max(list_max(list_transform(s, x -> abs(x)))) AS INT) AS peak,
+  round(CAST(sum(len(list_filter(s, x -> abs(x) >= 32700))) AS DOUBLE)
+    / sum(256), 6) AS clip_pct
+FROM smp JOIN data_set d ON smp.dataset_id = d.id
+GROUP BY d.dataset_serial
+ORDER BY d.dataset_serial"""
+
   /** Twin of [[graft.multimodal.BinaryFrames.zProfile]]: slice index
     * from the data model (the filename `_z###_` token round-trips
     * l_partkey % 8), hex-arithmetic pixel sums, rounded means on both
@@ -3998,6 +4029,7 @@ ORDER BY method"""
     "img_pixel_histogram" -> imgPixelHistogram,
     "img_saturation" -> imgSaturation,
     "img_z_profile" -> imgZProfile,
+    "aud_waveform_stats" -> audWaveformStats,
     "doc_source_kl" -> docSourceKl,
     "events_type_entropy" -> eventsTypeEntropy,
     "emb_hard_negatives" -> embHardNegatives,

@@ -184,6 +184,8 @@ object SparkEntry {
       (graft.multimodal.BinaryFrames.saturationQc(_, _)),
     "img_z_profile" ->
       (graft.multimodal.BinaryFrames.zProfile(_, _)),
+    "aud_waveform_stats" ->
+      (graft.multimodal.BinaryAudio.waveformStats(_, _)),
     // persisted-store twins: identical results (and oracles) to their
     // inline operators, but the corpus side reads a bucketed table —
     // the timing evidence behind the zero-exchange plan claims. Builds

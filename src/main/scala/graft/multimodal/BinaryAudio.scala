@@ -1,0 +1,108 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.imaging.ImagingModel
+
+/** Audio as an opaque binary column with typed metadata — the third
+  * modality of the multimodal plumbing (images: [[BinaryFrames]];
+  * this file: mono PCM16 WAV clips). The shape is identical to the
+  * imaging path: payloads are REAL bytes of the interchange format
+  * ([[AudioCodec]], 44-byte RIFF header + little-endian PCM), encoded
+  * at generation time from each frame's sha256-derived samples and
+  * decoded back through a typed mapPartitions loop; PCM losslessness
+  * is what keeps the stats oracle-checked from the hex string alone.
+  */
+object BinaryAudio {
+
+  val ClipSamples = 256
+  val SampleRate = 16000
+
+  private def synthSamples(sha: String): Array[Short] = {
+    val b = ImageCodec.hexBytes(sha)
+    Array.tabulate(ClipSamples) { i =>
+      ((((b(i % 32) & 0xff) * 257 + i * 131) % 65536) - 32768).toShort
+    }
+  }
+
+  private val encodeWav = udf { (sha: String) =>
+    AudioCodec.encodePcm16(synthSamples(sha), SampleRate)
+  }
+
+  /** One WAV clip per frame row (clip_id = frame id), with the typed
+    * metadata struct a catalog carries next to the blob. Same
+    * row-spreading rationale as [[BinaryFrames.withPayload]].
+    */
+  def withAudioPayload(spark: SparkSession, dir: String): DataFrame =
+    ImagingModel.frames(spark, dir)
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
+      .select(col("id").as("clip_id"),
+        encodeWav(col("sha256")).as("payload"),
+        struct(lit(SampleRate).as("sample_rate"),
+          lit(ClipSamples).as("n_samples"),
+          lit("pcm16").as("encoding")).as("meta"))
+
+  case class ClipFeature(clip_id: Long, sample_rate: Int, n: Int,
+    sum_sq: Long, peak: Int, n_clipped: Int)
+
+  /** Per-partition batched decode — one codec pass emits the exact
+    * integer moments (Σs², peak |s|, near-full-scale count) every
+    * audio QC derives from. No shuffle; only six numbers per clip
+    * reach the exchange.
+    */
+  def decodeClips(spark: SparkSession,
+      clips: DataFrame): Dataset[ClipFeature] = {
+    import spark.implicits._
+    clips.select("clip_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val (rate, s) = AudioCodec.decodePcm16(payload)
+          var sumSq = 0L
+          var peak = 0
+          var clipped = 0
+          var i = 0
+          while (i < s.length) {
+            val v = s(i).toInt
+            val a = math.abs(v)
+            sumSq += v.toLong * v
+            if (a > peak) peak = a
+            if (a >= 32700) clipped += 1
+            i += 1
+          }
+          ClipFeature(id, rate, s.length, sumSq, peak, clipped)
+        }
+      }
+  }
+
+  /** Loudness/clipping QC per dataset THROUGH the real WAV decode —
+    * the audio twin of [[BinaryFrames.payloadStats]]: RMS level from
+    * exact integer Σs², peak sample magnitude, and the near-full-scale
+    * fraction a recording chain monitors for clipping. The
+    * hex-arithmetic oracle recomputes the planted samples without
+    * touching a WAV byte.
+    */
+  def waveformStats(spark: SparkSession, dir: String): DataFrame = {
+    val feats = decodeClips(spark, withAudioPayload(spark, dir)).toDF()
+      .withColumn("dataset_id", expr("clip_id div 10"))
+    feats
+      .join(broadcast(ImagingModel.dataSet(spark, dir)
+        .select(col("id").as("ds_id"), col("dataset_serial"))),
+        col("dataset_id") === col("ds_id"))
+      .groupBy("dataset_serial")
+      .agg(count(lit(1)).as("n_clips"),
+        sum(col("n").cast("bigint")).as("total_samples"),
+        sum(col("sum_sq")).as("ssq"),
+        max(col("peak")).as("peak"),
+        sum(col("n_clipped").cast("bigint")).as("ncl"))
+      .select(col("dataset_serial"), col("n_clips"),
+        col("total_samples"),
+        round(sqrt(col("ssq").cast("double") / col("total_samples")), 4)
+          .as("rms"),
+        col("peak"),
+        round(col("ncl").cast("double") / col("total_samples"), 6)
+          .as("clip_pct"))
+      .orderBy("dataset_serial")
+  }
+}

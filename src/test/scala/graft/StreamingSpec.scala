@@ -652,6 +652,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(rw === 2 && rh === 2)
   }
 
+  test("WAV codec round-trips PCM16 and fails loudly on bad input") {
+    import graft.multimodal.AudioCodec
+    val s = Array.tabulate(300)(i => ((i * 4099 + 7) % 65536 - 32768).toShort)
+    val wav = AudioCodec.encodePcm16(s, 16000)
+    // genuine RIFF on disk-shaped bytes
+    assert(new String(wav, 0, 4, "US-ASCII") === "RIFF")
+    val (rate, back) = AudioCodec.decodePcm16(wav)
+    assert(rate === 16000)
+    assert(back.toSeq === s.toSeq)
+    // a decoder that skips unknown chunks: splice a LIST chunk before data
+    val spliced = {
+      val head = wav.slice(0, 36) // RIFF..fmt chunk end
+      val list = "LIST".getBytes("US-ASCII") ++
+        Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+      head ++ list ++ wav.slice(36, wav.length)
+    }
+    assert(AudioCodec.decodePcm16(spliced)._2.toSeq === s.toSeq)
+    // loud failures: truncated header, non-PCM format tag, bad chunk len
+    intercept[IllegalArgumentException] {
+      AudioCodec.decodePcm16(Array[Byte](1, 2, 3))
+    }
+    val nonPcm = wav.clone(); nonPcm(20) = 2 // format tag -> ADPCM
+    intercept[IllegalArgumentException] { AudioCodec.decodePcm16(nonPcm) }
+    val badLen = wav.clone(); badLen(40) = 0x7f // data len past payload
+    intercept[IllegalArgumentException] { AudioCodec.decodePcm16(badLen) }
+    // the stats decode path consumes the generated payloads end to end
+    val clips = graft.multimodal.BinaryAudio
+      .withAudioPayload(spark, sfDir)
+    val feats = graft.multimodal.BinaryAudio.decodeClips(spark, clips)
+    assert(feats.count() === clips.count())
+    assert(feats.filter(col("n") =!= 256 || col("sample_rate") =!= 16000)
+      .count() === 0)
+  }
+
   test("codec round-trip: decode(encode(im)) == im at uint8 and uint16") {
     import graft.multimodal.ImageCodec
     // planted uint8 frame (the payload shape withPayload generates)
