@@ -2120,6 +2120,39 @@ FROM smp JOIN data_set d ON smp.dataset_id = d.id
 GROUP BY d.dataset_serial
 ORDER BY d.dataset_serial"""
 
+  /** Twin of [[graft.multimodal.BinaryFrames.sceneCuts]]: exact
+    * means (integer sum / 64), identical series partition and
+    * tie-broken lag order, same 25-unit cut threshold.
+    */
+  val vidSceneCuts: String = imagingCte + """
+, pb AS (
+  SELECT id, frames_global_id AS dataset_id, channel_idx AS c,
+    slice_idx AS z, time_idx AS t, pos_idx AS p,
+    CAST(2 * list_sum(list_transform(range(0, 32),
+      i -> (strpos('0123456789abcdef', substr(sha256, 2*i + 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(sha256, 2*i + 2, 1)) - 1)))
+      AS DOUBLE) / 64 AS mean_px
+  FROM frames
+), lagged AS (
+  SELECT dataset_id, mean_px,
+    lag(mean_px) OVER (PARTITION BY dataset_id, c, z, p
+      ORDER BY t, id, mean_px) AS prev
+  FROM pb
+), agg AS (
+  SELECT dataset_id,
+    CAST(sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_series,
+    CAST(sum(CASE WHEN prev IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_transitions,
+    CAST(sum(CASE WHEN abs(mean_px - prev) > 25.0 THEN 1 ELSE 0 END)
+      AS BIGINT) AS n_cuts,
+    CAST(round(max(abs(mean_px - prev)), 4) AS DOUBLE) AS max_jump
+  FROM lagged GROUP BY dataset_id
+)
+SELECT d.dataset_serial, n_series, n_transitions, n_cuts, max_jump
+FROM agg JOIN data_set d ON agg.dataset_id = d.id
+ORDER BY d.dataset_serial"""
+
   /** Twin of [[graft.multimodal.BinaryFrames.zProfile]]: slice index
     * from the data model (the filename `_z###_` token round-trips
     * l_partkey % 8), hex-arithmetic pixel sums, rounded means on both
@@ -4030,6 +4063,7 @@ ORDER BY method"""
     "img_saturation" -> imgSaturation,
     "img_z_profile" -> imgZProfile,
     "aud_waveform_stats" -> audWaveformStats,
+    "vid_scene_cuts" -> vidSceneCuts,
     "doc_source_kl" -> docSourceKl,
     "events_type_entropy" -> eventsTypeEntropy,
     "emb_hard_negatives" -> embHardNegatives,

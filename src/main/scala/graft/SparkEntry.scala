@@ -186,6 +186,8 @@ object SparkEntry {
       (graft.multimodal.BinaryFrames.zProfile(_, _)),
     "aud_waveform_stats" ->
       (graft.multimodal.BinaryAudio.waveformStats(_, _)),
+    "vid_scene_cuts" ->
+      (graft.multimodal.BinaryFrames.sceneCuts(_, _)),
     // persisted-store twins: identical results (and oracles) to their
     // inline operators, but the corpus side reads a bucketed table —
     // the timing evidence behind the zero-exchange plan claims. Builds

@@ -471,6 +471,60 @@ object BinaryFrames {
       .orderBy("dataset_serial")
   }
 
+  /** Temporal-discontinuity detection — the scene-cut / lamp-event
+    * audit of a time-series acquisition, the video-shaped operator
+    * over the frame grid: within each (dataset, channel, slice,
+    * position) series ordered by time, the jump in mean intensity
+    * between consecutive frames through the REAL decode; a jump > 25
+    * uint8 units is a cut (stage lamp event, re-focus, sample swap).
+    * Per dataset: series count (one window head per series), observed
+    * transitions, cuts, and the largest jump. The lag window
+    * partitions by series — ≤ timepoints rows of state, the same
+    * per-key declaration as every sessionize twin. Frame means are
+    * sums divided by 64 (a power of two), so every mean is EXACT in
+    * double and the jump comparison is engine-identical; the order-by
+    * appends the mean itself so duplicate grid slots (the synthetic
+    * fact has them) tie-break to identical lag sequences on both
+    * engines.
+    */
+  def sceneCuts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val framed = ImagingModel.frames(spark, dir)
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
+      .select(col("id"), col("channel_idx"), col("slice_idx"),
+        col("time_idx"), col("pos_idx"), encodePng(col("sha256")).as("payload"))
+    val feats = framed
+      .as[(Long, Int, Int, Int, Int, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, c, z, t, p, payload) =>
+          val (_, _, px) = ImageCodec.decodeGray(payload)
+          var sum = 0L
+          var i = 0
+          while (i < px.length) { sum += px(i); i += 1 }
+          (id, c, z, t, p, sum.toDouble / px.length)
+        }
+      }
+      .toDF("frame_id", "c", "z", "t", "p", "mean_px")
+      .withColumn("dataset_id", expr("frame_id div 10"))
+    val series = Window.partitionBy("dataset_id", "c", "z", "p")
+      .orderBy(col("t"), col("frame_id"), col("mean_px"))
+    feats
+      .withColumn("prev", lag(col("mean_px"), 1).over(series))
+      .withColumn("jump", abs(col("mean_px") - col("prev")))
+      .groupBy("dataset_id")
+      .agg(sum(col("prev").isNull.cast("long")).as("n_series"),
+        sum(col("prev").isNotNull.cast("long")).as("n_transitions"),
+        sum(when(col("jump") > 25.0, 1L).otherwise(0L)).as("n_cuts"),
+        round(max(col("jump")), 4).as("max_jump"))
+      .join(broadcast(ImagingModel.dataSet(spark, dir)
+        .select(col("id").as("ds_id"), col("dataset_serial"))),
+        col("dataset_id") === col("ds_id"))
+      .select(col("dataset_serial"), col("n_series"),
+        col("n_transitions"), col("n_cuts"), col("max_jump"))
+      .orderBy("dataset_serial")
+  }
+
   /** Stack reassembly — the download path of the reference
     * (data_storage.py make_stack_from_meta): collect each dataset's
     * frame payloads into one array ordered by (channel, slice, time,
