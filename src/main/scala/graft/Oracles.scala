@@ -1243,7 +1243,8 @@ t AS (SELECT event_type, day - d0 AS t, n FROM daily, d0),
 fit AS (
   SELECT event_type, count(*) AS k, sum(t) AS st, sum(n) AS sy,
     sum(t * n) AS sty, sum(t * t) AS stt
-  FROM t WHERE t < 21 GROUP BY event_type),
+  FROM t WHERE t < 21 GROUP BY event_type
+  HAVING count(*) >= 2),
 fit2 AS (
   SELECT event_type, k AS n_train,
     CAST(k * sty - st * sy AS DOUBLE) / (k * stt - st * st) AS slope,

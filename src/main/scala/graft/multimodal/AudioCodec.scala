@@ -69,7 +69,9 @@ object AudioCodec {
     while (off + 8 <= bytes.length) {
       val id = new String(bytes, off, 4, "US-ASCII")
       val len = rd32(bytes, off + 4)
-      require(len >= 0 && off + 8 + len <= bytes.length,
+      // Long arithmetic: a forged ~2 GB chunk length must not wrap the
+      // bound check negative and sail past the corrupt-payload guard
+      require(len >= 0 && off + 8L + len <= bytes.length,
         s"corrupt WAV chunk '$id' (declared $len bytes past the payload)")
       id match {
         case "fmt " =>

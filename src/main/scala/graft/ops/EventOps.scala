@@ -731,6 +731,10 @@ object EventOps {
       .agg(count(lit(1)).as("k"), sum("t").as("st"), sum("n").as("sy"),
         sum(col("t") * col("n")).as("sty"),
         sum(col("t") * col("t")).as("stt"))
+      // a one-day training history has no line (zero OLS denominator,
+      // where the engines' divide-by-zero semantics diverge): such a
+      // type drops on BOTH engines instead of fitting garbage
+      .filter(col("k") >= 2)
       .select(col("event_type"), col("k").as("n_train"),
         ((col("k") * col("sty") - col("st") * col("sy")).cast("double")
           / (col("k") * col("stt") - col("st") * col("st")))

@@ -294,9 +294,25 @@ object TrainingExport {
     * must differ from `out`; the batch directories survive until the
     * caller deletes them, so a crash mid-compact loses nothing.
     */
+  /** True when one path contains (or is) the other after URI
+    * normalization — the guard both streamed-compaction passes use:
+    * an Overwrite of a destination inside the source would delete the
+    * batch directories the lazy read is still scanning (a raw string
+    * `dest != store` compare misses `store + "/"` and `..` variants).
+    */
+  private[graft] def pathsOverlap(a: String, b: String): Boolean = {
+    def norm(p: String): String =
+      new org.apache.hadoop.fs.Path(p).toUri.normalize()
+        .toString.stripSuffix("/")
+    val (na, nb) = (norm(a), norm(b))
+    na == nb || na.startsWith(nb + "/") || nb.startsWith(na + "/")
+  }
+
   def compactStreamed(spark: SparkSession, out: String, dest: String,
       nShards: Int = 64): Unit = {
-    require(dest != out, "compactStreamed needs a fresh destination")
+    require(!pathsOverlap(out, dest),
+      s"compactStreamed needs a fresh destination outside the export " +
+        s"(got out=$out dest=$dest)")
     val n = layoutShards(spark, out, nShards)
     exportCorpus(spark,
       readStreamed(spark, out).drop("batch", "shard", "ord"), dest, n)

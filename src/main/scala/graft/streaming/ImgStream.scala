@@ -71,7 +71,9 @@ object ImgStream {
     */
   def compactStreamed(spark: SparkSession, store: String,
       dest: String): Unit = {
-    require(dest != store, "compactStreamed needs a fresh destination")
+    require(!graft.sources.TrainingExport.pathsOverlap(store, dest),
+      s"compactStreamed needs a fresh destination outside the store " +
+        s"(got store=$store dest=$dest)")
     readStreamed(spark, store).drop("batch")
       .repartition(col("project"))
       .sortWithinPartitions("project", "frames_global_id",

@@ -80,6 +80,15 @@ class SourcesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       graft.streaming.ImgStream.compactStreamed(spark, store, store)
     }
+    // overlapping-path variants must also be rejected (a raw string
+    // compare would let these Overwrite the batch dirs mid-scan)
+    intercept[IllegalArgumentException] {
+      graft.streaming.ImgStream.compactStreamed(spark, store, store + "/")
+    }
+    intercept[IllegalArgumentException] {
+      graft.streaming.ImgStream
+        .compactStreamed(spark, store, store + "/batches/sub")
+    }
   }
 
   test("compaction shrinks file counts and preserves the data") {

@@ -677,6 +677,12 @@ class StreamingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { AudioCodec.decodePcm16(nonPcm) }
     val badLen = wav.clone(); badLen(40) = 0x7f // data len past payload
     intercept[IllegalArgumentException] { AudioCodec.decodePcm16(badLen) }
+    // a forged ~2 GB chunk length must hit the bound guard, not wrap
+    // the Int check negative and OOM on allocation
+    val huge = wav.clone()
+    huge(40) = 0xf0.toByte; huge(41) = 0xff.toByte
+    huge(42) = 0xff.toByte; huge(43) = 0x7f.toByte
+    intercept[IllegalArgumentException] { AudioCodec.decodePcm16(huge) }
     // the stats decode path consumes the generated payloads end to end
     val clips = graft.multimodal.BinaryAudio
       .withAudioPayload(spark, sfDir)
