@@ -382,13 +382,12 @@ object VectorOps {
     df.withColumn("m", explode(expr("sequence(0, 7)")))
       .withColumn("sub", expr(s"slice($vecCol, m * 8 + 1, 8)"))
 
-  /** Squared L2 between the `sub` and `csub` slice columns, as a
-    * sequential fold (deterministic, oracle-portable).
+  /** Squared L2 between the `sub` and `csub` slice columns — the
+    * codegen'd [[graft.functions.VecL2]] kernel, arithmetic identical
+    * to the sequential HOF fold it replaced (deterministic,
+    * oracle-portable).
     */
-  private val subL2 = expr("""aggregate(zip_with(sub, csub,
-      (x, y) -> (cast(x as double) - cast(y as double))
-              * (cast(x as double) - cast(y as double))),
-      0D, (acc, v) -> acc + v)""")
+  private val subL2 = graft.functions.VecL2.l2(col("sub"), col("csub"))
 
   /** The PQ sub-centroid table: (m, cid, csub). */
   private def pqCents(e: DataFrame): DataFrame =
@@ -692,10 +691,7 @@ object VectorOps {
     * [[centroidShift]] (which compares them against the seeds).
     */
   private def kmeansMoments(e: DataFrame): DataFrame = {
-    val l2 = expr("""aggregate(zip_with(embedding, cv,
-        (x, y) -> (cast(x as double) - cast(y as double))
-                * (cast(x as double) - cast(y as double))),
-        0D, (acc, v) -> acc + v)""")
+    val l2 = graft.functions.VecL2.l2(col("embedding"), col("cv"))
     // nearest centroid as ONE lexicographic-min aggregate over
     // struct(dist, cid, embedding) — identical semantics to a
     // row_number window ordered by (dist, cid), but the partial
