@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.StringType
 
-import graft.functions.{HyperplaneBits, MinHashSig, QuantileSketchAgg, QuantileSketchEstimate, QuantileSketchUnion, SimHashVotes, ThetaEstimate, ThetaSetOp, ThetaSketchAgg, ThetaState, ThetaUnionAgg, TopKByScore, VecDot, WordNGrams}
+import graft.functions.{HyperplaneBits, MinHashSig, QuantileSketchAgg, QuantileSketchEstimate, QuantileSketchUnion, SimHashVotes, ThetaEstimate, ThetaSetOp, ThetaSketchAgg, ThetaState, ThetaUnionAgg, TopKByScore, VecDot, VecL2, WordNGrams}
 
 /** SparkSessionExtensions entry point: registers graft's custom
   * expressions for SQL use, so `SELECT word_ngrams(text, 3)` works in
@@ -37,6 +37,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.thetaSetOpDescriptor)
     ext.injectFunction(GraftExtensions.thetaEstimateDescriptor)
     ext.injectFunction(GraftExtensions.vecDotDescriptor)
+    ext.injectFunction(GraftExtensions.vecL2Descriptor)
   }
 }
 
@@ -186,13 +187,23 @@ object GraftExtensions {
         "vec_dot(a, b) takes 2 arguments")
     })
 
+  val vecL2Descriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("vec_l2"),
+    new ExpressionInfo(classOf[VecL2].getName, "vec_l2"),
+    (args: Seq[Expression]) => args match {
+      case Seq(a, b) => VecL2(a, b)
+      case _ => throw new IllegalArgumentException(
+        "vec_l2(a, b) takes 2 arguments")
+    })
+
   private val allDescriptors =
     Seq(wordNGramsDescriptor, hyperplaneBitsDescriptor,
       minhashSigDescriptor, simhashVotesDescriptor, topKDescriptor,
       quantileSketchDescriptor, quantileSketchUnionDescriptor,
       quantileSketchEstimateDescriptor, thetaSketchDescriptor,
       thetaUnionDescriptor, thetaSetOpDescriptor, thetaEstimateDescriptor,
-      vecDotDescriptor)
+      vecDotDescriptor, vecL2Descriptor)
 
   /** Register on an existing session (tests / REPL convenience). */
   def install(spark: org.apache.spark.sql.SparkSession): Unit =

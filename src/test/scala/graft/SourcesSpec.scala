@@ -155,6 +155,10 @@ class SourcesSpec extends AnyFunSuite {
     intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT vec_dot('a', array(1.0D))").collect()
     }
+    // the L2 twin: same SQL surface, same HOF-fold parity
+    val l2 = spark.sql(
+      "SELECT vec_l2(array(1.0D, 2.0D), array(4.0D, 6.0D)) AS d").head()
+    assert(l2.getDouble(0) === 9.0 + 16.0)
   }
 
   test("hyperplane_bits and minhash_sig work from SQL") {
