@@ -2864,6 +2864,26 @@ lo AS (
 SELECT * FROM hi UNION ALL SELECT * FROM lo
 ORDER BY "end", rank"""
 
+  /** Twin of [[graft.ops.VectorOps.oodOutliers]]: same assignment
+    * tie-break, rounded cosines ranked (asc, vec_id).
+    */
+  val embOodOutliers: String = s"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+  WHERE vec_id < 16),
+assigned AS (
+  SELECT vec_id, label, cell, round(cosv, 6) AS cos_c FROM (
+    SELECT e.vec_id, e.label, c.cid AS cell,
+      ${duckCos("e.embedding", "c.cv")} AS cosv,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY -${duckCos("e.embedding", "c.cv")}, c.cid) AS crank
+    FROM embeddings e CROSS JOIN cents c)
+  WHERE crank <= 1)
+SELECT CAST(row_number() OVER (ORDER BY cos_c, vec_id) AS BIGINT)
+    AS rank,
+  vec_id, label, cell, CAST(cos_c AS DOUBLE) AS cos_to_centroid
+FROM assigned ORDER BY cos_c, vec_id LIMIT 20"""
+
   /** Growth-accounting twin of
     * [[graft.ops.EventOps.eventsNewVsReturning]]: distinct
     * (user, week), first week per user, per-week new/returning split.
@@ -4065,6 +4085,7 @@ ORDER BY method"""
     "img_z_profile" -> imgZProfile,
     "aud_waveform_stats" -> audWaveformStats,
     "vid_scene_cuts" -> vidSceneCuts,
+    "emb_ood_outliers" -> embOodOutliers,
     "doc_source_kl" -> docSourceKl,
     "events_type_entropy" -> eventsTypeEntropy,
     "emb_hard_negatives" -> embHardNegatives,

@@ -124,6 +124,7 @@ object SparkEntry {
     "doc_minhash_band_tune" -> (DedupOps.minhashBandTune(_, _)),
     "doc_perplexity_outliers" -> (TextOps.perplexityOutliers(_, _)),
     "emb_norm_outliers" -> (VectorOps.normOutliers(_, _)),
+    "emb_ood_outliers" -> (VectorOps.oodOutliers(_, _)),
     "emb_recall_ladder" -> (VectorOps.recallLadder(_, _)),
     "doc_hash_collision_audit" -> (DedupOps.hashCollisionAudit(_, _)),
     "emb_cell_purity" -> (VectorOps.cellPurity(_, _)),

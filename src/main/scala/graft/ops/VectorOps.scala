@@ -337,6 +337,41 @@ object VectorOps {
       .orderBy("end", "rank")
   }
 
+  /** OOD / novelty triage — the 20 vectors FARTHEST from their
+    * assigned coarse centroid (lowest cosine): the out-of-distribution
+    * review list a curation pass pulls before training (a vector no
+    * cell represents well is novel content, an encoder glitch, or the
+    * start of domain drift the codebook hasn't absorbed) —
+    * complementary to [[normOutliers]] (magnitude) and [[semDedup]]
+    * (redundancy). The shared 16-centroid assignment runs as the
+    * map-side argmin with the distance KEPT, cosines round to 6
+    * BEFORE ranking (engine-identical order), the global bottom-20
+    * rides the bounded TopKByScore aggregate, and the metadata
+    * join-back touches 20 broadcast rows.
+    */
+  def oodOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val assigned = e
+      .join(broadcast(coarseCentroids(e)), col("cid") =!= lit(-1))
+      .withColumn("cdist", -cosine(col("embedding"), col("cv")))
+      .groupBy("vec_id", "label")
+      .agg(min(struct(col("cdist"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("label"), col("m.cid").as("cell"),
+        round(-col("m.cdist"), 6).as("cos_c"))
+    val top = assigned
+      .agg(graft.functions.TopKByScore
+        .topkAsc(col("cos_c"), col("vec_id"), 20).as("top"))
+      .select(posexplode(col("top")).as(Seq("p", "t")))
+      .select((col("p") + 1).cast("bigint").as("rank"),
+        col("t.id").as("vec_id"),
+        col("t.score").as("cos_to_centroid"))
+    assigned.select("vec_id", "label", "cell")
+      .join(broadcast(top), Seq("vec_id"))
+      .select(col("rank"), col("vec_id"), col("label"), col("cell"),
+        col("cos_to_centroid"))
+      .orderBy("rank")
+  }
+
   /** Label-centroid separation matrix — the class-separability audit
     * run before training on labeled embeddings: pairwise cosine
     * between per-label mean vectors (labels whose centroids nearly

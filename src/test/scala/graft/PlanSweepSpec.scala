@@ -110,6 +110,8 @@ class PlanSweepSpec extends AnyFunSuite {
     "doc_minhash_band_tune", // one-row planted-total census cross join
     "emb_cell_purity",    // 16-centroid broadcast cross join (the
                           // shared assignment shape)
+    "emb_ood_outliers",   // 16-centroid broadcast cross join (the
+                          // shared assignment shape)
     "doc_perplexity_outliers", // vocabulary x one-row total cross join
                                // (the shared perDocLogprob shape)
     "emb_nprobe_curve", // 16-centroid routing cross joins + brute-truth
