@@ -1108,7 +1108,9 @@ WITH corpus AS (
   UNION ALL
   SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 50 = 0
 ), cents AS (
-  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+  WHERE vec_id < (SELECT greatest(16,
+    CAST(ceil(count(*) / 128.0) AS BIGINT)) FROM corpus)
 ), assigned AS (
   SELECT vec_id, embedding, cell FROM (
     SELECT e.vec_id, e.embedding, c.cid AS cell,
@@ -1177,14 +1179,22 @@ SELECT b.alabel AS label, CAST(b.n_anchors AS BIGINT) AS n_anchors,
 FROM base b LEFT JOIN conf c USING (alabel)
 ORDER BY label"""
 
-  /** Twin of [[graft.ops.VectorOps.paraphraseCandidates]]: the shared
-    * cell assignment, in-cell pairs, rounded-sim top-50, document
-    * annotation after the cut.
+  /** The k ∝ N cell-count scalar ([[graft.ops.VectorOps.derivedK]]
+    * twin): greatest(floor, ceil(N / targetCell)) over `table`.
     */
-  val docParaphraseMining: String = s"""
+  private def kCellsSql(table: String, targetCell: Int,
+      floor: Int): String =
+    s"""SELECT greatest($floor,
+      CAST(ceil(count(*) / $targetCell.0) AS BIGINT)) FROM $table"""
+
+  /** In-cell top-50 pair mining for a given centroid predicate —
+    * shared by the fixed-16 baseline and the k ∝ N twin; yields
+    * (cell, v1, v2, sim) pre-annotation.
+    */
+  private def docParaphrasePairsSql(centsWhere: String): String = s"""
 WITH cents AS (
   SELECT vec_id AS cid, embedding AS cv FROM embeddings
-  WHERE vec_id < 16),
+  WHERE $centsWhere),
 assigned AS (
   SELECT vec_id, embedding, cell FROM (
     SELECT e.vec_id, e.embedding, c.cid AS cell,
@@ -1196,15 +1206,44 @@ pairs AS (
   SELECT a.cell, a.vec_id AS v1, b.vec_id AS v2,
     ${duckCos("a.embedding", "b.embedding")} AS sim
   FROM assigned a JOIN assigned b
-    ON a.cell = b.cell AND a.vec_id < b.vec_id),
-top AS (SELECT cell, v1, v2, sim FROM pairs
-  ORDER BY sim DESC, v1, v2 LIMIT 50)
+    ON a.cell = b.cell AND a.vec_id < b.vec_id)
+SELECT cell, v1, v2, sim FROM pairs
+ORDER BY sim DESC, v1, v2 LIMIT 50"""
+
+  /** Document annotation of a mined top-50 pair set (after the cut). */
+  private def docParaphraseSql(centsWhere: String): String = s"""
+WITH top AS (${docParaphrasePairsSql(centsWhere)})
 SELECT t.cell, t.v1, t.v2, CAST(round(t.sim, 6) AS DOUBLE) AS sim,
   d1.source AS src1, d2.source AS src2,
   (md5(d1.text) = md5(d2.text)) AS same_text
 FROM top t JOIN documents d1 ON t.v1 = d1.doc_id
 JOIN documents d2 ON t.v2 = d2.doc_id
 ORDER BY sim DESC, v1, v2"""
+
+  /** Twin of [[graft.ops.VectorOps.paraphraseCandidates]]: the shared
+    * cell assignment, in-cell pairs, rounded-sim top-50, document
+    * annotation after the cut.
+    */
+  val docParaphraseMining: String = docParaphraseSql("vec_id < 16")
+
+  /** Twin of [[graft.ops.VectorOps.paraphraseCandidatesIvf]]: same
+    * mining over the k ∝ N codebook (floor 32, target cell 64).
+    */
+  val docParaphraseMiningIvf: String =
+    docParaphraseSql(s"vec_id < (${kCellsSql("embeddings", 64, 32)})")
+
+  /** Twin of [[graft.ops.VectorOps.paraphraseRecall]]: top-50 pair
+    * overlap of the baseline and the k ∝ N twin.
+    */
+  val docParaphraseIvfRecall: String = s"""
+WITH x AS (${docParaphrasePairsSql("vec_id < 16")}),
+y AS (${docParaphrasePairsSql(
+      s"vec_id < (${kCellsSql("embeddings", 64, 32)})")})
+SELECT CAST(count(*) AS BIGINT) AS n_exact,
+  CAST(count(y.v1) AS BIGINT) AS n_common,
+  CASE WHEN count(*) > 0
+    THEN round(count(y.v1) * 100.0 / count(*), 2) END AS common_pct
+FROM x LEFT JOIN y ON x.v1 = y.v1 AND x.v2 = y.v2"""
 
   /** Twin of [[graft.ops.ImagingOps.datasetOverlap]]: same 2..20
     * shareable band, same two-stage (cut on ids, present by serial)
@@ -3268,6 +3307,167 @@ SELECT alabel AS label, CAST(count(*) AS BIGINT) AS n_anchors,
   CAST(round(CAST(min(margin) AS DOUBLE), 4) AS DOUBLE) AS min_margin
 FROM pm GROUP BY alabel ORDER BY label"""
 
+  /** The 1-in-8 md5 anchor sample shared by the mining audits and
+    * their IVF-probe twins ([[graft.ops.VectorOps]] anchorSample).
+    */
+  private val hnAnchorsSql: String = """
+SELECT vec_id AS aid, label AS alabel, embedding AS av
+FROM embeddings
+WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 7))::BIGINT
+  % 8 = 0"""
+
+  /** Exact anchor-candidate scores: (aid, alabel, vec_id, label,
+    * sim) over the full corpus, self excluded.
+    */
+  private val hnScoredExactSql: String = s"""
+SELECT aid, alabel, e.vec_id, e.label,
+  ${duckCos("a.av", "e.embedding")} AS sim
+FROM embeddings e JOIN ($hnAnchorsSql) a ON e.vec_id <> a.aid"""
+
+  /** IVF-probed anchor-candidate scores — twin of
+    * [[graft.ops.VectorOps]] probedScored: corpus routed to k ∝ N
+    * cells (crank = 1 assignment, the shared tie-break), anchors
+    * probe their 4 nearest cells (crank <= 4 — the bounded
+    * ascending top-k's (cdist, cid) order), candidates restricted to
+    * the probed cells.
+    */
+  private val hnScoredProbeSql: String = s"""
+WITH a AS ($hnAnchorsSql),
+cents AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+  WHERE vec_id < (${kCellsSql("embeddings", 128, 16)})),
+assigned AS (
+  SELECT vec_id, label, embedding, cell FROM (
+    SELECT e.vec_id, e.label, e.embedding, c.cid AS cell,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY -${duckCos("e.embedding", "c.cv")}, c.cid) AS crank
+    FROM embeddings e CROSS JOIN cents c)
+  WHERE crank <= 1),
+probes AS (
+  SELECT aid, cell FROM (
+    SELECT a.aid, c.cid AS cell,
+      row_number() OVER (PARTITION BY a.aid
+        ORDER BY -${duckCos("a.av", "c.cv")}, c.cid) AS crank
+    FROM a CROSS JOIN cents c)
+  WHERE crank <= 4)
+SELECT p.aid, a.alabel, s.vec_id, s.label,
+  ${duckCos("a.av", "s.embedding")} AS sim
+FROM probes p JOIN a USING (aid)
+JOIN assigned s ON s.cell = p.cell AND s.vec_id <> p.aid"""
+
+  /** Per-anchor triplet margin over any scored pair set. */
+  private def hnMarginSql(scored: String): String = s"""
+SELECT aid, alabel, CAST(best_pos - best_neg AS DECIMAL(20,10)) AS margin
+FROM (
+  SELECT aid, alabel,
+    max(CASE WHEN label = alabel THEN sim END) AS best_pos,
+    max(CASE WHEN label <> alabel THEN sim END) AS best_neg
+  FROM ($scored) GROUP BY aid, alabel)
+WHERE best_pos IS NOT NULL AND best_neg IS NOT NULL"""
+
+  /** Per-label margin roll-up (the embHardNegatives tail). */
+  private def hnRollupSql(margin: String): String = s"""
+SELECT alabel AS label, CAST(count(*) AS BIGINT) AS n_anchors,
+  CAST(sum(CASE WHEN margin < CAST(0 AS DECIMAL(20,10)) THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_hard,
+  round(CAST(sum(margin) AS DOUBLE) / count(*), 4) AS avg_margin,
+  CAST(round(CAST(min(margin) AS DOUBLE), 4) AS DOUBLE) AS min_margin
+FROM (${margin}) GROUP BY alabel ORDER BY label"""
+
+  /** Twin of [[graft.ops.VectorOps.hardNegativesIvf]]. */
+  val embHardNegativesIvf: String =
+    hnRollupSql(hnMarginSql(hnScoredProbeSql))
+
+  /** Twin of [[graft.ops.VectorOps.hardNegativesRecall]]: exact vs
+    * probed per-anchor margins, left-joined on the anchor.
+    */
+  val embHnIvfRecall: String = s"""
+WITH x AS (${hnMarginSql(hnScoredExactSql)}),
+y AS (${hnMarginSql(hnScoredProbeSql)})
+SELECT CAST(count(*) AS BIGINT) AS n_anchors,
+  CAST(count(y.aid) AS BIGINT) AS n_probed,
+  CAST(sum(CASE WHEN x.margin < 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_hard_exact,
+  CAST(sum(CASE WHEN x.margin < 0 AND y.margin < 0 THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_hard_agree,
+  CASE WHEN sum(CASE WHEN x.margin < 0 THEN 1 ELSE 0 END) > 0
+    THEN round(sum(CASE WHEN x.margin < 0 AND y.margin < 0
+        THEN 1 ELSE 0 END) * 100.0
+      / sum(CASE WHEN x.margin < 0 THEN 1 ELSE 0 END), 2)
+  END AS hard_recall_pct,
+  CASE WHEN count(y.aid) > 0
+    THEN round(CAST(sum(y.margin - x.margin) AS DOUBLE)
+      / count(y.aid), 6)
+  END AS avg_margin_gap
+FROM x LEFT JOIN y ON x.aid = y.aid"""
+
+  /** Per-anchor 5-NN majority-vote prediction over any scored set:
+    * row_number top-5 matching the bounded aggregate's (sim desc,
+    * id) order, vote tie-break (count desc, label asc).
+    */
+  private def classifyPredSql(scored: String): String = s"""
+SELECT aid, alabel, nlabel AS pred FROM (
+  SELECT aid, alabel, nlabel,
+    row_number() OVER (PARTITION BY aid ORDER BY cnt DESC, nlabel) AS rn
+  FROM (
+    SELECT t.aid, t.alabel, e.label AS nlabel, count(*) AS cnt
+    FROM (
+      SELECT aid, alabel, vec_id FROM (
+        SELECT aid, alabel, vec_id,
+          row_number() OVER (PARTITION BY aid
+            ORDER BY sim DESC, vec_id) AS rn5
+        FROM ($scored)) WHERE rn5 <= 5) t
+    JOIN embeddings e ON t.vec_id = e.vec_id
+    GROUP BY 1, 2, 3))
+WHERE rn = 1"""
+
+  /** Per-label accuracy/confusion report (the embKnnClassify tail). */
+  private def classifyReportSql(pred: String): String = s"""
+WITH pred AS ($pred),
+base AS (
+  SELECT alabel, count(*) AS n_anchors,
+    sum(CASE WHEN pred = alabel THEN 1 ELSE 0 END) AS n_correct
+  FROM pred GROUP BY alabel),
+wrongs AS (
+  SELECT alabel, pred, count(*) AS cnt FROM pred
+  WHERE pred <> alabel GROUP BY alabel, pred),
+conf AS (
+  SELECT alabel, pred AS top_confusion FROM (
+    SELECT alabel, pred,
+      row_number() OVER (PARTITION BY alabel ORDER BY cnt DESC, pred)
+        AS rn
+    FROM wrongs) WHERE rn = 1)
+SELECT b.alabel AS label, CAST(b.n_anchors AS BIGINT) AS n_anchors,
+  CAST(b.n_correct AS BIGINT) AS n_correct,
+  round(b.n_correct * 100.0 / b.n_anchors, 2) AS acc_pct,
+  coalesce(c.top_confusion, -1) AS top_confusion
+FROM base b LEFT JOIN conf c USING (alabel)
+ORDER BY label"""
+
+  /** Twin of [[graft.ops.VectorOps.knnClassifyIvf]]. */
+  val embKnnClassifyIvf: String =
+    classifyReportSql(classifyPredSql(hnScoredProbeSql))
+
+  /** Twin of [[graft.ops.VectorOps.knnClassifyRecall]]: exact vs
+    * probed per-anchor predictions, left-joined on the anchor.
+    */
+  val embClassifyIvfRecall: String = s"""
+WITH x AS (${classifyPredSql(hnScoredExactSql)}),
+y AS (${classifyPredSql(hnScoredProbeSql)})
+SELECT CAST(count(*) AS BIGINT) AS n_anchors,
+  CAST(count(y.aid) AS BIGINT) AS n_probed,
+  CAST(sum(CASE WHEN x.pred = y.pred THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_agree,
+  CASE WHEN count(*) > 0
+    THEN round(sum(CASE WHEN x.pred = y.pred THEN 1 ELSE 0 END)
+      * 100.0 / count(*), 2)
+  END AS agree_pct,
+  CAST(sum(CASE WHEN x.pred = x.alabel THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_correct_exact,
+  CAST(sum(CASE WHEN y.pred = x.alabel THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_correct_probe
+FROM x LEFT JOIN y ON x.aid = y.aid"""
+
   /** Distortion twin of [[graft.ops.VectorOps.pqDistortion]]: the
     * same sequential-fold squared L2 as [[embPqCodes]], the min dist
     * cast to DECIMAL per (vec, subspace) row, codes-used as the same
@@ -4089,8 +4289,14 @@ ORDER BY method"""
     "doc_source_kl" -> docSourceKl,
     "events_type_entropy" -> eventsTypeEntropy,
     "emb_hard_negatives" -> embHardNegatives,
+    "emb_hard_negatives_ivf" -> embHardNegativesIvf,
+    "emb_hn_ivf_recall" -> embHnIvfRecall,
     "emb_knn_classify" -> embKnnClassify,
+    "emb_knn_classify_ivf" -> embKnnClassifyIvf,
+    "emb_classify_ivf_recall" -> embClassifyIvfRecall,
     "doc_paraphrase_mining" -> docParaphraseMining,
+    "doc_paraphrase_mining_ivf" -> docParaphraseMiningIvf,
+    "doc_paraphrase_ivf_recall" -> docParaphraseIvfRecall,
     "img_dataset_overlap" -> imgDatasetOverlap,
     "events_forecast_eval" -> eventsForecastEval,
     "img_parse_sms_channel" -> imgParseSmsChannel,

@@ -140,8 +140,14 @@ object SparkEntry {
     "events_forecast_eval" -> (EventOps.eventsForecastEval(_, _)),
     "img_dataset_overlap" -> (ImagingOps.datasetOverlap(_, _)),
     "emb_hard_negatives" -> (VectorOps.hardNegatives(_, _)),
+    "emb_hard_negatives_ivf" -> (VectorOps.hardNegativesIvf(_, _)),
+    "emb_hn_ivf_recall" -> (VectorOps.hardNegativesRecall(_, _)),
     "emb_knn_classify" -> (VectorOps.knnClassify(_, _)),
+    "emb_knn_classify_ivf" -> (VectorOps.knnClassifyIvf(_, _)),
+    "emb_classify_ivf_recall" -> (VectorOps.knnClassifyRecall(_, _)),
     "doc_paraphrase_mining" -> (VectorOps.paraphraseCandidates(_, _)),
+    "doc_paraphrase_mining_ivf" -> (VectorOps.paraphraseCandidatesIvf(_, _)),
+    "doc_paraphrase_ivf_recall" -> (VectorOps.paraphraseRecall(_, _)),
     "emb_pq_distortion" -> (VectorOps.pqDistortion(_, _)),
     "emb_dim_stats" -> (VectorOps.dimStats(_, _)),
     "doc_mix_weights" -> (TextOps.mixWeights(_, _)),

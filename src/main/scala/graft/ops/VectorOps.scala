@@ -200,9 +200,14 @@ object VectorOps {
     * quadratic IN CELL SIZE, which is exactly the published design:
     * the cluster count is the scale knob (k ∝ N keeps expected cell
     * size constant, FAISS-style), so pair work is k·cellsize², linear
-    * in N at fixed cell geometry. Neither side can broadcast (both
-    * are corpus-sized), so this is an intentional shuffle join,
-    * sweep-whitelisted; only (cell, id) pairs leave the pair stage.
+    * in N at fixed cell geometry. The knob is WIRED: the cell count
+    * derives from the corpus count ([[derivedK]] — floor 16, target
+    * cell 128, so test-scale results are unchanged while the 10×/30×
+    * replicas get 160/479 cells instead of a fixed 16 — the bound a
+    * caller would otherwise have to remember to retune). Neither side
+    * can broadcast (both are corpus-sized), so this is an intentional
+    * shuffle join, sweep-whitelisted; only (cell, id) pairs leave the
+    * pair stage.
     */
   def semDedup(spark: SparkSession, dir: String,
       tau: Double = 0.85): DataFrame = {
@@ -210,7 +215,9 @@ object VectorOps {
     val corpus = e.select(col("vec_id"), col("embedding")).unionByName(
       e.filter(col("vec_id") % 50 === 0)
         .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
-    val cents = coarseCentroids(e)
+    val k = derivedK(corpus.count())
+    val cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
     val assigned = assignCells(corpus, cents)
     val dropped = assigned
       .select(col("cell"), col("vec_id").as("v1"), col("embedding").as("e1"))
@@ -1011,6 +1018,120 @@ object VectorOps {
         (-col("sim")).cast("bigint").as("idist"), col("rank"))
   }
 
+
+  // ---- anchor-sample mining: exact baselines + IVF-probe twins ----
+
+  /** The published k ∝ N cell-count rule (SemDeDup, Abbas et al.
+    * 2023; FAISS IVF practice): enough cells that the EXPECTED cell
+    * size stays at `targetCell` as the corpus grows, floored so the
+    * codebook is never degenerate at test scale. Centroids are the
+    * first k vec_ids — deterministic on both engines. The codebook is
+    * k·d floats = N·d/targetCell bytes; at petabyte corpus a
+    * production build refines the flat scan into a two-level (IMI)
+    * coarse quantizer — the Spark plan shape this file owns
+    * (broadcast codebook, one corpus-keyed shuffle, bounded probe
+    * sets) is unchanged by that refinement.
+    */
+  private[graft] def derivedK(n: Long, targetCell: Int = 128,
+      floor: Int = 16): Int =
+    math.max(floor.toLong,
+      math.ceil(n.toDouble / targetCell).toLong).toInt
+
+  /** The deterministic 1-in-8 md5 anchor sample shared by the mining
+    * audits ([[hardNegatives]], [[knnClassify]]) and their IVF-probe
+    * twins — rate is the published knob on the anchor side.
+    */
+  private def anchorSample(e: DataFrame): DataFrame =
+    e.filter(expr(
+        """cast(conv(substring(md5(cast(vec_id as string)), 1, 7), 16, 10)
+           as bigint) % 8 = 0"""))
+      .select(col("vec_id").as("aid"), col("label").as("alabel"),
+        col("embedding").as("av"), norm(col("embedding")).as("anorm"))
+
+  /** Exact anchor-candidate scores — the |A|×N corpus scan both
+    * mining audits rank over: anchors broadcast, norms precomputed
+    * once per SIDE (|A| + N evaluations), so the pair loop pays one
+    * codegen'd dot fold per pair. Output: (aid, alabel, vec_id,
+    * label, sim), self excluded.
+    */
+  private def exactScored(e: DataFrame): DataFrame = {
+    val cand = e.select(col("vec_id"), col("label"), col("embedding"),
+      norm(col("embedding")).as("cnorm"))
+    cand.join(broadcast(anchorSample(e)), col("aid") =!= col("vec_id"))
+      .select(col("aid"), col("alabel"), col("vec_id"), col("label"),
+        (dot(col("av"), col("embedding"))
+          / (col("anorm") * col("cnorm"))).as("sim"))
+  }
+
+  /** IVF-probed anchor-candidate scores — the 100 TB substitute for
+    * [[exactScored]]'s |A|×N scan: the corpus routes ONCE to k ∝ N
+    * cells (the [[assignCells]] map-side-argmin shape, one N-row
+    * shuffle), each anchor probes its `nprobe` nearest cells via the
+    * bounded ascending top-k (map-side partials — never an |A|×k
+    * window shuffle), and scoring touches |A|·nprobe·targetCell
+    * pairs — linear in N at fixed geometry. The anchor⋈probe and
+    * probe⋈cell joins are corpus-scale on both sides by design
+    * (unique aid / k-cardinality cell keys), so they shuffle rather
+    * than broadcast — whitelisted. Candidates keep their label from
+    * the routing pass (constant per vec_id — the min-struct
+    * tie-break (cdist, cid) is unaffected).
+    */
+  private def probedScored(e: DataFrame, nprobe: Int = 4): DataFrame = {
+    val k = derivedK(e.count())
+    val cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val anchors = anchorSample(e)
+    val assigned = e.select(col("vec_id"), col("label"), col("embedding"))
+      .join(broadcast(cents), col("cid") =!= lit(-1))
+      .withColumn("cdist", -cosine(col("embedding"), col("cv")))
+      .groupBy("vec_id")
+      .agg(min(struct(col("cdist"), col("cid"), col("label"),
+        col("embedding"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cell"),
+        col("m.label").as("label"), col("m.embedding").as("embedding"))
+      .withColumn("cnorm", norm(col("embedding")))
+    val probes = anchors
+      .join(broadcast(cents), col("cid") =!= lit(-1))
+      .withColumn("cdist", -cosine(col("av"), col("cv")))
+      .groupBy("aid")
+      .agg(graft.functions.TopKByScore
+        .topkAsc(col("cdist"), col("cid"), nprobe).as("top"))
+      .select(col("aid"),
+        explode(expr("transform(top, t -> t.id)")).as("cell"))
+    probes.join(anchors, Seq("aid"))
+      .join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("aid"))
+      .select(col("aid"), col("alabel"), col("vec_id"), col("label"),
+        (dot(col("av"), col("embedding"))
+          / (col("anorm") * col("cnorm"))).as("sim"))
+  }
+
+  /** Per-anchor triplet margin (best same-label minus best
+    * other-label cosine, exact DECIMAL) over any scored pair set;
+    * anchors lacking either side drop out on both engines.
+    */
+  private def marginPerAnchor(scored: DataFrame): DataFrame =
+    scored
+      .select(col("aid"), col("alabel"),
+        (col("label") === col("alabel")).as("same"), col("sim"))
+      .groupBy("aid", "alabel")
+      .agg(max(when(col("same"), col("sim"))).as("best_pos"),
+        max(when(!col("same"), col("sim"))).as("best_neg"))
+      .filter(col("best_pos").isNotNull && col("best_neg").isNotNull)
+      .withColumn("margin",
+        (col("best_pos") - col("best_neg")).cast("decimal(20,10)"))
+
+  /** Per-label margin roll-up shared by the exact and probed miners. */
+  private def marginRollup(perAnchor: DataFrame): DataFrame =
+    perAnchor
+      .groupBy(col("alabel").as("label"))
+      .agg(count(lit(1)).as("n_anchors"),
+        sum((col("margin") < 0).cast("long")).as("n_hard"),
+        round(sum(col("margin")).cast("double") / count(lit(1)), 4)
+          .as("avg_margin"),
+        round(min(col("margin")).cast("double"), 4).as("min_margin"))
+      .orderBy("label")
+
   /** Hard-negative mining audit — the contrastive-training curation
     * report: for a deterministic 1-in-8 hash sample of anchors, the
     * nearest SAME-label and nearest OTHER-label cosine over the whole
@@ -1023,41 +1144,108 @@ object VectorOps {
     * [[graft.ops.TextOps.hashSample]] discipline — rate is the knob),
     * broadcast against one corpus scan; per-anchor maxima are
     * order-independent doubles, and the margin is cast to exact
-    * DECIMAL before the per-label mean. The 100 TB path swaps the
-    * corpus scan for the IVF probe ([[knnIvfPq]]) — this is the exact
-    * baseline that validates it, the same contract as [[knnBrute]] vs
-    * the indexed searches. Anchors whose label has no second member
-    * (no positive exists) drop out on both engines.
+    * DECIMAL before the per-label mean. This is the EXACT BASELINE
+    * for [[hardNegativesIvf]] (the knnBrute-vs-indexed contract);
+    * [[hardNegativesRecall]] is the audit tying the two together.
     */
-  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
-    val dec = "decimal(20,10)"
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame =
+    marginRollup(marginPerAnchor(
+      exactScored(Tables.embeddings(spark, dir))))
+
+  /** IVF-probe twin of [[hardNegatives]] — the committed 100 TB
+    * path: identical anchors, margins and roll-up, but each anchor
+    * ranks only the candidates in its 4 probed cells of the k ∝ N
+    * coarse codebook ([[probedScored]]), so pair work is
+    * |A|·nprobe·targetCell instead of |A|·N. Margins are
+    * approximations wherever the true best positive/negative lives
+    * outside the probed cells — [[hardNegativesRecall]] measures
+    * exactly that against the exact baseline.
+    */
+  def hardNegativesIvf(spark: SparkSession, dir: String): DataFrame =
+    marginRollup(marginPerAnchor(
+      probedScored(Tables.embeddings(spark, dir))))
+
+  /** Probe-quality audit for the hard-negative miner: per-anchor
+    * margins from the exact |A|×N scan joined (left) against the
+    * probe twin's — how many anchors the probe path still sees, how
+    * many exact-hard anchors it also flags hard (the mining recall),
+    * and the mean signed margin gap on the anchors both paths score.
+    * One |A|-row join — the audit costs the two miners, nothing
+    * more. Null pct/gap when the denominator is empty, on both
+    * engines.
+    */
+  def hardNegativesRecall(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val anchors = e.filter(expr(
-        """cast(conv(substring(md5(cast(vec_id as string)), 1, 7), 16, 10)
-           as bigint) % 8 = 0"""))
-      .select(col("vec_id").as("aid"), col("label").as("alabel"),
-        col("embedding").as("av"), norm(col("embedding")).as("anorm"))
-    // norms precomputed once per SIDE (|A| + N evaluations), so the
-    // |A|×N pair loop pays one dot fold instead of three
-    val cand = e.select(col("vec_id"), col("label"), col("embedding"),
-      norm(col("embedding")).as("cnorm"))
-    val perAnchor = cand.join(broadcast(anchors), col("aid") =!= col("vec_id"))
-      .select(col("aid"), col("alabel"),
-        (col("label") === col("alabel")).as("same"),
-        (dot(col("av"), col("embedding"))
-          / (col("anorm") * col("cnorm"))).as("sim"))
-      .groupBy("aid", "alabel")
-      .agg(max(when(col("same"), col("sim"))).as("best_pos"),
-        max(when(!col("same"), col("sim"))).as("best_neg"))
-      .filter(col("best_pos").isNotNull && col("best_neg").isNotNull)
-      .withColumn("margin", (col("best_pos") - col("best_neg")).cast(dec))
-    perAnchor
-      .groupBy(col("alabel").as("label"))
+    val ex = marginPerAnchor(exactScored(e))
+      .select(col("aid"), col("margin").as("margin_x"))
+    val pr = marginPerAnchor(probedScored(e))
+      .select(col("aid").as("paid"), col("margin").as("margin_p"))
+    ex.join(pr, col("aid") === col("paid"), "left")
       .agg(count(lit(1)).as("n_anchors"),
-        sum((col("margin") < 0).cast("long")).as("n_hard"),
-        round(sum(col("margin")).cast("double") / count(lit(1)), 4)
-          .as("avg_margin"),
-        round(min(col("margin")).cast("double"), 4).as("min_margin"))
+        count(col("paid")).as("n_probed"),
+        sum(when(col("margin_x") < 0, 1L).otherwise(0L))
+          .as("n_hard_exact"),
+        sum(when(col("margin_x") < 0 && col("margin_p") < 0, 1L)
+          .otherwise(0L)).as("n_hard_agree"),
+        sum((col("margin_p") - col("margin_x"))).as("gap_sum"))
+      .select(col("n_anchors"), col("n_probed"), col("n_hard_exact"),
+        col("n_hard_agree"),
+        when(col("n_hard_exact") > 0,
+          round(col("n_hard_agree") * 100.0 / col("n_hard_exact"), 2))
+          .as("hard_recall_pct"),
+        when(col("n_probed") > 0,
+          round(col("gap_sum").cast("double") / col("n_probed"), 6))
+          .as("avg_margin_gap"))
+  }
+
+  /** Per-anchor 5-NN majority-vote label prediction over any scored
+    * pair set: bounded top-k selection (k-row map-side partials),
+    * neighbor labels joined back over the ≤5·|A| winner rows, vote
+    * tie-break (count desc, label asc) via lexicographic max-struct.
+    * The exact path broadcasts the winner rows (its anchor side is
+    * the bounded sample against one metadata scan); the probe twin
+    * joins on the unique vec_id key instead — anchor volume is
+    * corpus-proportional on the 100 TB path, so nothing
+    * |A|-proportional may broadcast there.
+    */
+  private def classifyPred(scored: DataFrame, e: DataFrame,
+      broadcastTop: Boolean): DataFrame = {
+    val top0 = scored.groupBy("aid", "alabel")
+      .agg(graft.functions.TopKByScore
+        .topk(col("sim"), col("vec_id"), 5).as("top"))
+      .select(col("aid"), col("alabel"),
+        explode(expr("transform(top, t -> t.id)")).as("neighbor"))
+    val top = if (broadcastTop) broadcast(top0) else top0
+    val votes = top
+      .join(e.select(col("vec_id").as("neighbor"),
+        col("label").as("nlabel")), "neighbor")
+      .groupBy("aid", "alabel", "nlabel")
+      .agg(count(lit(1)).as("cnt"))
+    votes.groupBy("aid", "alabel")
+      .agg(max(struct(col("cnt"), (-col("nlabel")).as("neg"),
+        col("nlabel"))).as("m"))
+      .select(col("aid"), col("alabel"), col("m.nlabel").as("pred"))
+  }
+
+  /** Per-label accuracy + dominant-confusion report shared by the
+    * exact and probed classifiers.
+    */
+  private def classifyReport(pred: DataFrame): DataFrame = {
+    val conf = pred.filter(col("pred") =!= col("alabel"))
+      .groupBy("alabel", "pred").agg(count(lit(1)).as("cnt"))
+      .groupBy("alabel")
+      .agg(max(struct(col("cnt"), (-col("pred")).as("neg"),
+        col("pred"))).as("m"))
+      .select(col("alabel"), col("m.pred").as("top_confusion"))
+    pred.groupBy("alabel")
+      .agg(count(lit(1)).as("n_anchors"),
+        sum((col("pred") === col("alabel")).cast("long")).as("n_correct"))
+      .join(broadcast(conf), Seq("alabel"), "left")
+      .select(col("alabel").as("label"), col("n_anchors"),
+        col("n_correct"),
+        round(col("n_correct") * 100.0 / col("n_anchors"), 2)
+          .as("acc_pct"),
+        coalesce(col("top_confusion"), lit(-1)).as("top_confusion"))
       .orderBy("label")
   }
 
@@ -1077,72 +1265,69 @@ object VectorOps {
     * one metadata scan. Majority and confusion tie-breaks are
     * (count desc, label asc) on both engines via lexicographic
     * max-struct, so the report is engine-exact. `top_confusion` is
-    * −1 when a label's anchors are all correctly predicted.
+    * −1 when a label's anchors are all correctly predicted. This is
+    * the EXACT BASELINE for [[knnClassifyIvf]];
+    * [[knnClassifyRecall]] audits the two against each other.
     */
   def knnClassify(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val anchors = e.filter(expr(
-        """cast(conv(substring(md5(cast(vec_id as string)), 1, 7), 16, 10)
-           as bigint) % 8 = 0"""))
-      .select(col("vec_id").as("aid"), col("label").as("alabel"),
-        col("embedding").as("av"), norm(col("embedding")).as("anorm"))
-    val cand = e.select(col("vec_id"), col("embedding"),
-      norm(col("embedding")).as("cnorm"))
-    val scored = cand.join(broadcast(anchors), col("aid") =!= col("vec_id"))
-      .select(col("aid"), col("alabel"), col("vec_id"),
-        (dot(col("av"), col("embedding"))
-          / (col("anorm") * col("cnorm"))).as("sim"))
-    val top = scored.groupBy("aid", "alabel")
-      .agg(graft.functions.TopKByScore
-        .topk(col("sim"), col("vec_id"), 5).as("top"))
-      .select(col("aid"), col("alabel"),
-        explode(expr("transform(top, t -> t.id)")).as("neighbor"))
-    val votes = broadcast(top)
-      .join(e.select(col("vec_id").as("neighbor"),
-        col("label").as("nlabel")), "neighbor")
-      .groupBy("aid", "alabel", "nlabel")
-      .agg(count(lit(1)).as("cnt"))
-    val pred = votes.groupBy("aid", "alabel")
-      .agg(max(struct(col("cnt"), (-col("nlabel")).as("neg"),
-        col("nlabel"))).as("m"))
-      .select(col("aid"), col("alabel"), col("m.nlabel").as("pred"))
-    val conf = pred.filter(col("pred") =!= col("alabel"))
-      .groupBy("alabel", "pred").agg(count(lit(1)).as("cnt"))
-      .groupBy("alabel")
-      .agg(max(struct(col("cnt"), (-col("pred")).as("neg"),
-        col("pred"))).as("m"))
-      .select(col("alabel"), col("m.pred").as("top_confusion"))
-    pred.groupBy("alabel")
-      .agg(count(lit(1)).as("n_anchors"),
-        sum((col("pred") === col("alabel")).cast("long")).as("n_correct"))
-      .join(broadcast(conf), Seq("alabel"), "left")
-      .select(col("alabel").as("label"), col("n_anchors"),
-        col("n_correct"),
-        round(col("n_correct") * 100.0 / col("n_anchors"), 2)
-          .as("acc_pct"),
-        coalesce(col("top_confusion"), lit(-1)).as("top_confusion"))
-      .orderBy("label")
+    classifyReport(classifyPred(exactScored(e), e, broadcastTop = true))
   }
 
-  /** Paraphrase mining — the cross-modal curation report joining the
-    * vector and text sides: within each IVF cell (the same shared
-    * [[assignCells]] coarse step as SemDeDup), the 50 most
-    * cosine-similar document pairs, each annotated with its two
-    * sources and whether the TEXTS are byte-identical (md5). High
-    * similarity with distinct text is a paraphrase/near-translation
-    * candidate — the pairs a contrastive-training set mines and a
-    * dedup pass must NOT collapse. Pair expansion is quadratic in
-    * cell size only (the published SemDeDup scale knob: k ∝ N); the
-    * global top-50 compiles to TakeOrderedAndProject, and the
-    * document join runs AFTER the cut — 50 broadcast rows against one
-    * metadata scan, never a corpus×corpus text join. Similarity is
-    * rounded before ranking so the cut is engine-identical.
+  /** IVF-probe twin of [[knnClassify]] — the committed 100 TB path:
+    * identical vote/report semantics, but the 5-NN candidates come
+    * from each anchor's 4 probed cells of the k ∝ N codebook
+    * ([[probedScored]]), and no |A|-proportional set broadcasts.
+    * Predictions differ from exact wherever true neighbors fall
+    * outside the probed cells — [[knnClassifyRecall]] measures the
+    * agreement.
     */
-  def paraphraseCandidates(spark: SparkSession, dir: String): DataFrame = {
+  def knnClassifyIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val assigned = assignCells(e, coarseCentroids(e))
+    classifyReport(classifyPred(probedScored(e), e,
+      broadcastTop = false))
+  }
+
+  /** Probe-quality audit for the k-NN classifier: per-anchor
+    * predictions from the exact scan left-joined against the probe
+    * twin's — anchors seen by the probe path, prediction agreement,
+    * and each path's own accuracy on the full anchor census. One
+    * |A|-row join over two already-audited classifiers.
+    */
+  def knnClassifyRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val ex = classifyPred(exactScored(e), e, broadcastTop = true)
+    val pr = classifyPred(probedScored(e), e, broadcastTop = false)
+      .select(col("aid").as("paid"), col("pred").as("pred_p"))
+    ex.join(pr, col("aid") === col("paid"), "left")
+      .agg(count(lit(1)).as("n_anchors"),
+        count(col("paid")).as("n_probed"),
+        sum(when(col("pred") === col("pred_p"), 1L).otherwise(0L))
+          .as("n_agree"),
+        sum(when(col("pred") === col("alabel"), 1L).otherwise(0L))
+          .as("n_correct_exact"),
+        sum(when(col("pred_p") === col("alabel"), 1L).otherwise(0L))
+          .as("n_correct_probe"))
+      .select(col("n_anchors"), col("n_probed"), col("n_agree"),
+        when(col("n_anchors") > 0,
+          round(col("n_agree") * 100.0 / col("n_anchors"), 2))
+          .as("agree_pct"),
+        col("n_correct_exact"), col("n_correct_probe"))
+  }
+
+  /** In-cell top-50 cosine pair mining over a given coarse codebook —
+    * the shared core of [[paraphraseCandidates]] (fixed 16-cell
+    * baseline) and [[paraphraseCandidatesIvf]] (k ∝ N twin). Pair
+    * expansion is quadratic in CELL size only; the global top-50
+    * compiles to TakeOrderedAndProject; ranking is on the raw
+    * bit-identical doubles with rounding applied to the 50 survivors
+    * (a per-pair round() would allocate a BigDecimal per row — the
+    * emb_gram_power allocation disease).
+    */
+  private def paraphrasePairs(e: DataFrame, cents: DataFrame): DataFrame = {
+    val assigned = assignCells(e, cents)
       .withColumn("nrm", norm(col("embedding")))
-    val pairs = assigned
+    assigned
       .select(col("cell"), col("vec_id").as("v1"),
         col("embedding").as("e1"), col("nrm").as("n1"))
       .join(assigned.select(col("cell"), col("vec_id").as("v2"),
@@ -1150,13 +1335,17 @@ object VectorOps {
       .filter(col("v1") < col("v2"))
       .select(col("cell"), col("v1"), col("v2"),
         (dot(col("e1"), col("e2")) / (col("n1") * col("n2"))).as("sim"))
-      // rank on the RAW sim (bit-identical doubles on both engines —
-      // deterministic folds) and round only the 50 survivors: a
-      // round() here would allocate a BigDecimal per pair row, the
-      // emb_gram_power allocation disease at N²/cells pair counts
       .orderBy(col("sim").desc, col("v1"), col("v2"))
       .limit(50)
       .withColumn("sim", round(col("sim"), 6))
+  }
+
+  /** Source/same-text annotation of a mined pair set: runs AFTER the
+    * top-50 cut — 50 broadcast rows against one metadata scan, never
+    * a corpus×corpus text join.
+    */
+  private def paraphraseAnnotate(spark: SparkSession, dir: String,
+      pairs: DataFrame): DataFrame = {
     def side(n: Int) = Tables.documents(spark, dir)
       .select(col("doc_id").as(s"v$n"), col("source").as(s"src$n"),
         md5(col("text")).as(s"dg$n"))
@@ -1167,5 +1356,61 @@ object VectorOps {
         col("src1"), col("src2"),
         (col("dg1") === col("dg2")).as("same_text"))
       .orderBy(col("sim").desc, col("v1"), col("v2"))
+  }
+
+  /** Paraphrase mining — the cross-modal curation report joining the
+    * vector and text sides: within each coarse cell, the 50 most
+    * cosine-similar document pairs, each annotated with its two
+    * sources and whether the TEXTS are byte-identical (md5). High
+    * similarity with distinct text is a paraphrase/near-translation
+    * candidate — the pairs a contrastive-training set mines and a
+    * dedup pass must NOT collapse. This baseline mines over the
+    * FIXED 16-cell codebook shared with [[semDedup]]'s assignment —
+    * N²/16 pair work, the exact reference for
+    * [[paraphraseCandidatesIvf]]; [[paraphraseRecall]] measures what
+    * the finer twin loses.
+    */
+  def paraphraseCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    paraphraseAnnotate(spark, dir,
+      paraphrasePairs(e, coarseCentroids(e)))
+  }
+
+  /** k ∝ N twin of [[paraphraseCandidates]] — the committed 100 TB
+    * path: the codebook grows with the corpus (floor 32, target cell
+    * 64 — deliberately finer than the baseline so the twin is
+    * distinguishable at test scale), keeping pair work at
+    * N·targetCell instead of N²/16. Pairs split across finer cells
+    * are unseen by construction — [[paraphraseRecall]] reports that
+    * loss against the fixed-codebook baseline.
+    */
+  def paraphraseCandidatesIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val k = derivedK(e.count(), targetCell = 64, floor = 32)
+    paraphraseAnnotate(spark, dir,
+      paraphrasePairs(e, e.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))))
+  }
+
+  /** Probe-quality audit for paraphrase mining: overlap of the
+    * baseline's and the k ∝ N twin's top-50 pair sets — the mining
+    * recall of the finer codebook. Joins two 50-row sets.
+    */
+  def paraphraseRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val k = derivedK(e.count(), targetCell = 64, floor = 32)
+    val ex = paraphrasePairs(e, coarseCentroids(e))
+      .select(col("v1"), col("v2"))
+    val pr = paraphrasePairs(e, e.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv")))
+      .select(col("v1").as("w1"), col("v2").as("w2"))
+    ex.join(pr, col("v1") === col("w1") && col("v2") === col("w2"),
+        "left")
+      .agg(count(lit(1)).as("n_exact"),
+        count(col("w1")).as("n_common"))
+      .select(col("n_exact"), col("n_common"),
+        when(col("n_exact") > 0,
+          round(col("n_common") * 100.0 / col("n_exact"), 2))
+          .as("common_pct"))
   }
 }

@@ -65,13 +65,32 @@ class PlanSweepSpec extends AnyFunSuite {
     "doc_paraphrase_mining", // cell-co-partitioned self-join (the
                            // emb_semdedup shape below); the document
                            // annotation joins run AFTER the top-50
-                           // cut and broadcast
+                           // cut and broadcast. Baseline for
+                           // doc_paraphrase_mining_ivf (the k ∝ N twin)
+    "doc_paraphrase_mining_ivf", // same cell-co-partitioned self-join
+                           // over the k ∝ N codebook — bounded cell
+                           // size by construction
+    "doc_paraphrase_ivf_recall", // composes both miners, inherits the
+                           // pair-stage self-joins
+    "emb_hard_negatives_ivf", // probe-path joins: anchors⋈probes on the
+                           // unique aid and probes⋈assignment on the
+                           // k-cardinality cell key — both sides
+                           // corpus-proportional on the 100 TB path,
+                           // so neither may broadcast by design
+    "emb_knn_classify_ivf", // same probe-path joins + the ≤5·|A| winner
+                           // rows ⋈ labels on the unique vec_id (the
+                           // |A|-proportional set that must NOT
+                           // broadcast at scale)
+    "emb_hn_ivf_recall",   // composes the exact + probed miners,
+                           // inherits the probe-path joins
+    "emb_classify_ivf_recall", // composes the exact + probed
+                           // classifiers, inherits the probe-path joins
     "emb_semdedup"         // cell-co-partitioned self-join: both sides
                            // are the corpus-sized assignment — pair
                            // work is quadratic in CELL size only, and
-                           // the cluster count is the published scale
-                           // knob (k ∝ N), so neither side ever
-                           // broadcasts by design
+                           // the cluster count is the WIRED scale
+                           // knob (k ∝ N via derivedK), so neither
+                           // side ever broadcasts by design
   )
   // intended broadcast-nested-loop joins (non-equi or single-row sides)
   private val bnlAllowed = Set(
@@ -119,10 +138,21 @@ class PlanSweepSpec extends AnyFunSuite {
     "doc_source_kl",   // one-row corpus-total census cross join
     "events_forecast_eval", // one-row day-origin census cross join
     "emb_hard_negatives", // hash-bounded anchor sample broadcast with a
-                         // <> condition (the knn_brute query-side shape)
-    "emb_knn_classify", // same anchor-sample <> broadcast shape
-    "doc_paraphrase_mining" // 16-centroid assignment cross join (the
+                         // <> condition (the knn_brute query-side
+                         // shape); exact baseline for
+                         // emb_hard_negatives_ivf
+    "emb_knn_classify", // same anchor-sample <> broadcast shape; exact
+                        // baseline for emb_knn_classify_ivf
+    "emb_hard_negatives_ivf", // k ∝ N centroid broadcast cross joins
+                        // (corpus routing + anchor probing)
+    "emb_knn_classify_ivf",   // same probe-side centroid cross joins
+    "emb_hn_ivf_recall",      // composes exact + probe, inherits both
+    "emb_classify_ivf_recall", // composes exact + probe, inherits both
+    "doc_paraphrase_mining", // 16-centroid assignment cross join (the
                             // shared assignCells coarse step)
+    "doc_paraphrase_mining_ivf", // k ∝ N centroid assignment cross join
+    "doc_paraphrase_ivf_recall"  // composes both miners, inherits the
+                                 // assignment cross joins
   )
 
   test("doc_zipf ranks via distributed top-k, not a global window sort") {
