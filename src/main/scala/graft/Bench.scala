@@ -93,12 +93,16 @@ object Bench {
   /** Total state rows + bytes from the last progress that reported
     * state operators — the 100 TB risk a wall-clock number hides:
     * state that grows with the stream instead of the watermark.
+    * (-1, -1) when NO progress carried state operators (a stateless
+    * pipeline, e.g. a foreachBatch export): emitted as null in the
+    * artifact so "stateless by construction" never reads as
+    * "measured zero".
     */
   private def stateMetrics(q: StreamingQuery): (Long, Long) =
     q.recentProgress.reverse.find(_.stateOperators.nonEmpty).map { pr =>
       (pr.stateOperators.map(_.numRowsTotal).sum,
         pr.stateOperators.map(_.memoryUsedBytes).sum)
-    }.getOrElse((0L, 0L))
+    }.getOrElse((-1L, -1L))
 
   /** Stateful-streaming throughput: watermark + dropDuplicates over
     * the full events stream into a noop sink — times the dedup state
@@ -249,7 +253,11 @@ object Bench {
       require(
         graft.sources.TrainingExport.readStreamed(spark, out).count() > 0,
         "streaming export drained no rows")
-      (dt, 0L, 0L)
+      // measured from query progress like every other stream entry;
+      // a foreachBatch export has no state operators, so this yields
+      // the explicit stateless sentinel rather than a fake zero
+      val st = stateMetrics(q)
+      (dt, st._1, st._2)
     } finally {
       // each run writes a full corpus copy + checkpoint; at the 30x
       // dirs leaving them would leak GBs of /tmp per artifact refresh
@@ -448,8 +456,10 @@ object Bench {
     // bounded-state evidence per stream entry: total state rows and
     // state memory from the final progress of the best run
     val st = streams.map { case (k, (_, rows, bytes)) =>
-      s"\"" + k + "\":{\"state_rows\":" + rows +
-        ",\"state_bytes\":" + bytes + "}"
+      val r = if (rows < 0) "null" else rows.toString
+      val b = if (bytes < 0) "null" else bytes.toString
+      s"\"" + k + "\":{\"state_rows\":" + r +
+        ",\"state_bytes\":" + b + "}"
     }.mkString("{", ",", "}")
     val total = if (all.nonEmpty) all.map(_._2).sum else 0.0
     val noisyJson = noisy.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")

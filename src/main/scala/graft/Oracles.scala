@@ -89,6 +89,14 @@ object Oracles {
     CAST(count(DISTINCT f.pos_idx) AS BIGINT) AS nbr_positions,
     'uint16' AS bit_depth,
     concat('raw_frames/', d.dataset_serial) AS storage_dir,
+    concat('{"protein_name":"',
+      list_extract(['TOPOR','LMNB1','SEC61B','TOMM20','ACTB','TUBA1B',
+        'CANX','FBL','GAPDH','HIST1H2BJ','MYH10','VIM'],
+        CAST(f.frames_global_id % 12 AS INT) + 1),
+      '","well":"',
+      substring('ABCDEFGH', CAST(f.frames_global_id % 8 AS INT) + 1, 1),
+      CAST(f.frames_global_id % 12 + 1 AS VARCHAR),
+      '"}') AS metadata_json,
     f.frames_global_id AS dataset_id
   FROM frames f JOIN data_set d ON f.frames_global_id = d.id
   GROUP BY f.frames_global_id, d.dataset_serial
@@ -174,6 +182,26 @@ SELECT d.dataset_serial, g.nbr_frames, g.im_width, g.im_height,
   g.nbr_positions, g.bit_depth, g.storage_dir
 FROM frames_global g JOIN data_set d ON g.dataset_id = d.id
 ORDER BY d.dataset_serial"""
+
+  /** Twin of [[graft.ops.ImagingOps.metaSearch]] — the notebook's
+    * JSONB containment query (jsonb_queries.ipynb cell 4).
+    */
+  val imgMetaSearch: String = imagingCte + """
+SELECT d.dataset_serial,
+  json_extract_string(g.metadata_json, '$.protein_name') AS protein_name,
+  g.nbr_frames
+FROM frames_global g JOIN data_set d ON g.dataset_id = d.id
+WHERE json_extract_string(g.metadata_json, '$.protein_name') = 'TOPOR'
+ORDER BY d.dataset_serial"""
+
+  /** Twin of [[graft.ops.ImagingOps.metaValues]] — the notebook's
+    * distinct-JSONB-values listing (jsonb_queries.ipynb cell 6).
+    */
+  val imgMetaValues: String = imagingCte + """
+SELECT DISTINCT json_extract_string(metadata_json, '$.protein_name')
+  AS protein_name
+FROM frames_global
+ORDER BY protein_name"""
 
   val imgUniqueness: String = imagingCte + """
 SELECT project, n_datasets, n_serials,
@@ -4360,6 +4388,8 @@ ORDER BY method"""
     "img_frames_meta" -> imgFramesMeta,
     "img_filenames" -> imgFilenames,
     "img_global_meta" -> imgGlobalMeta,
+    "img_meta_search" -> imgMetaSearch,
+    "img_meta_values" -> imgMetaValues,
     "img_uniqueness" -> imgUniqueness,
     "img_lineage" -> imgLineage,
     "img_sha_dedup" -> imgShaDedup,

@@ -21,6 +21,8 @@ object SparkEntry {
     "img_frames_meta" -> (ImagingOps.framesMeta(_, _)),
     "img_filenames" -> (ImagingOps.filenames(_, _)),
     "img_global_meta" -> (ImagingOps.globalMeta(_, _)),
+    "img_meta_search" -> (ImagingOps.metaSearch(_, _)),
+    "img_meta_values" -> (ImagingOps.metaValues(_, _)),
     "img_uniqueness" -> (ImagingOps.uniqueness(_, _)),
     "img_lineage" -> (ImagingOps.lineage(_, _)),
     "img_sha_dedup" -> (ImagingOps.shaDedup(_, _)),

@@ -23,15 +23,25 @@ import org.apache.spark.sql.functions._
 object ImagingDb {
   import ImagingModel._
 
-  /** Search criteria ↔ the reference's search_dict keys. */
+  /** Search criteria ↔ the reference's search_dict keys, plus the
+    * JSONB containment criterion its notebook queries compose
+    * (jsonb_queries.ipynb cell 4: `FramesGlobal.metadata_json
+    * .contains({key: value})`).
+    */
   case class SearchCriteria(
       projectId: Option[String] = None,
       microscope: Option[String] = None,
       startDate: Option[Timestamp] = None,
       endDate: Option[Timestamp] = None,
-      description: Option[String] = None)
+      description: Option[String] = None,
+      metaContains: Option[(String, String)] = None)
 
-  /** Multi-criterion dataset search, ordered by serial. */
+  /** Multi-criterion dataset search, ordered by serial. A
+    * `metaContains` criterion joins through the dataset-cardinality
+    * frames_global metadata (left-semi — datasets qualify, rows don't
+    * multiply), evaluating the JSON predicate on the metadata side
+    * exactly like the reference's JSONB containment.
+    */
   def getDatasets(spark: SparkSession, dir: String,
       criteria: SearchCriteria = SearchCriteria()): DataFrame = {
     var ds = dataSet(spark, dir)
@@ -45,6 +55,12 @@ object ImagingDb {
       ds = ds.filter(col("date_time") <= lit(t)))
     criteria.description.foreach(d =>
       ds = ds.filter(col("description").contains(d)))
+    criteria.metaContains.foreach { case (k, v) =>
+      val matching = framesGlobal(spark, dir)
+        .filter(get_json_object(col("metadata_json"), s"$$['$k']") === v)
+        .select(col("dataset_id").as("meta_ds_id"))
+      ds = ds.join(matching, col("id") === col("meta_ds_id"), "left_semi")
+    }
     ds.orderBy("dataset_serial")
   }
 

@@ -174,8 +174,28 @@ object ImagingModel {
         col("nbr_timepoints"), col("nbr_positions"),
         lit("uint16").as("bit_depth"),
         concat(lit("raw_frames/"), col("dataset_serial")).as("storage_dir"),
+        // dataset-level JSONB twin (frames_global.py metadata_json —
+        // the field the reference's jsonb_queries.ipynb searches by
+        // protein): deterministic per dataset, mirrored verbatim in
+        // the oracle CTE
+        concat(lit("{\"protein_name\":\""),
+          element_at(array(proteinNames.map(lit): _*),
+            (col("frames_global_id") % 12 + 1).cast("int")),
+          lit("\",\"well\":\""),
+          expr("substring('ABCDEFGH', " +
+            "cast(frames_global_id % 8 as int) + 1, 1)"),
+          ((col("frames_global_id") % 12) + 1).cast("string"),
+          lit("\"}")).as("metadata_json"),
         col("frames_global_id").as("dataset_id"))
   }
+
+  /** The deterministic protein rotation behind frames_global's
+    * metadata_json (publicly known tagged-line targets; TOPOR is the
+    * serial the reference notebook demos).
+    */
+  private[imaging] val proteinNames: Seq[String] = Seq(
+    "TOPOR", "LMNB1", "SEC61B", "TOMM20", "ACTB", "TUBA1B",
+    "CANX", "FBL", "GAPDH", "HIST1H2BJ", "MYH10", "VIM")
 
   /** file_global: frames=false datasets stored as whole files. */
   def fileGlobal(spark: SparkSession, dir: String): DataFrame =

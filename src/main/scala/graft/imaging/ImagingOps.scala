@@ -169,6 +169,43 @@ object ImagingOps {
         "nbr_positions", "bit_depth", "storage_dir")
       .orderBy("dataset_serial")
 
+  /** Metadata-JSON containment search — notebooks/jsonb_queries.ipynb
+    * cell 4: `session.query(DataSet).join(FramesGlobal).join(Frames)
+    * .filter(FramesGlobal.metadata_json.contains({"protein_name":
+    * "TOPOR"}))` — every dataset whose stack-level JSONB carries the
+    * given key/value. The JSON predicate evaluates on the
+    * dataset-cardinality frames_global side (one row per dataset,
+    * never the frames fact), then the tiny dimension broadcasts for
+    * the serial — at 100 TB the filter runs on the metadata table
+    * scan exactly like the reference's JSONB GIN probe.
+    */
+  def metaSearch(spark: SparkSession, dir: String,
+      protein: String = "TOPOR"): DataFrame =
+    framesGlobal(spark, dir)
+      .select(col("dataset_id"),
+        get_json_object(col("metadata_json"), "$.protein_name")
+          .as("protein_name"),
+        col("nbr_frames"))
+      .filter(col("protein_name") === protein)
+      .join(broadcast(dataSet(spark, dir)
+        .select(col("id").as("ds_id"), col("dataset_serial"))),
+        col("dataset_id") === col("ds_id"))
+      .select("dataset_serial", "protein_name", "nbr_frames")
+      .orderBy("dataset_serial")
+
+  /** Distinct metadata-JSON values for a key —
+    * notebooks/jsonb_queries.ipynb cell 6: `query(FramesGlobal
+    * .metadata_json['protein_name']).distinct().order_by(...)`. The
+    * distinct runs over dataset-cardinality extracted strings — a
+    * partial-agg shuffle of ≤|proteins| rows per task.
+    */
+  def metaValues(spark: SparkSession, dir: String): DataFrame =
+    framesGlobal(spark, dir)
+      .select(get_json_object(col("metadata_json"), "$.protein_name")
+        .as("protein_name"))
+      .distinct()
+      .orderBy("protein_name")
+
   /** Serial-uniqueness audit — db_operations.py:104-114
     * (assert_unique_id) as a batch audit: per-project serial counts and
     * duplicate census.

@@ -84,6 +84,9 @@ object AudioCodec {
           require(rd16(bytes, off + 22) == 16,
             s"unsupported bit depth ${rd16(bytes, off + 22)} (16-bit only)")
           rate = rd32(bytes, off + 12)
+          // validate here so a corrupt fmt rate gets its own message
+          // instead of failing later as a bogus "data before fmt"
+          require(rate > 0, s"invalid WAV sample rate $rate")
         case "data" =>
           require(rate > 0, "WAV data chunk before fmt")
           require(len % 2 == 0, "odd PCM16 data length")

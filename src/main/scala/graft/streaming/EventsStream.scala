@@ -85,7 +85,10 @@ object EventsStream {
     * signal a monitor sees (brand-new traffic) and must flag, not
     * vanish through an inner join; a zero-variance baseline (constant
     * history) has no finite z, so any deviation from its mean flags
-    * directly. `z` is null in both special cases.
+    * directly; a null std with a present mean (one-window history —
+    * stddev_samp of a single sample) can't establish variance and
+    * flags like a missing baseline. `z` is null in all three special
+    * cases, and `anomalous` is always a real boolean, never null.
     */
   def anomalyFlags(events: DataFrame, baseline: DataFrame): DataFrame =
     events
@@ -97,7 +100,12 @@ object EventsStream {
         col("n"),
         when(col("std_n") > 0,
           round((col("n") - col("mean_n")) / col("std_n"), 4)).as("z"),
-        (col("mean_n").isNull ||
+        // std_n can be NULL with a PRESENT mean (stddev_samp over a
+        // one-window baseline); without the explicit isNull arm the
+        // whole disjunction evaluates to NULL and the window silently
+        // neither flags nor clears — treat it like a missing baseline:
+        // flag, with null z
+        (col("mean_n").isNull || col("std_n").isNull ||
           (col("std_n") === 0 && col("n") =!= col("mean_n")) ||
           (col("std_n") > 0 &&
             abs((col("n") - col("mean_n")) / col("std_n")) > 3.0))

@@ -35,6 +35,26 @@ class ImagingDbSpec extends AnyFunSuite {
     assert(hits.count() <= wider.count())
   }
 
+  test("getDatasets metaContains matches the JSONB containment query") {
+    // the reference notebook's search (jsonb_queries.ipynb cell 4):
+    // datasets whose frames_global metadata carries the protein
+    val hits = ImagingDb.getDatasets(spark, sfDir,
+      SearchCriteria(metaContains = Some(("protein_name", "TOPOR"))))
+    assert(hits.count() > 0)
+    // exactly the driver-checked containment operator's dataset set
+    val expected = graft.imaging.ImagingOps.metaSearch(spark, sfDir)
+      .select("dataset_serial")
+    assert(hits.select("dataset_serial").collect().toSeq ===
+      expected.collect().toSeq)
+    // the semi join must not multiply dataset rows
+    assert(hits.groupBy("dataset_serial").count()
+      .filter(col("count") > 1).count() === 0)
+    // an absent value matches nothing, not everything
+    assert(ImagingDb.getDatasets(spark, sfDir,
+      SearchCriteria(metaContains = Some(("protein_name", "NOPE"))))
+      .count() === 0)
+  }
+
   test("getFramesSubset slices on the requested dimensions only") {
     val sub = ImagingDb.getFramesSubset(spark, sfDir, someSerial,
       channelNames = Some(Seq("DAPI", "GFP")), sliceIds = Some(Seq(0, 1)))

@@ -105,11 +105,24 @@ class StreamingSpec extends AnyFunSuite {
 
     // a type ABSENT from the baseline must flag (left join), not
     // vanish; a zero-variance baseline flags any deviation directly
+    // a null std with a PRESENT mean (stddev_samp over a one-window
+    // history) must flag like a missing baseline — not evaluate the
+    // whole flag to NULL and silently neither flag nor clear
     val partial = baseline
-      .filter(!col("event_type").isin("error", "view"))
+      .filter(!col("event_type").isin("error", "view", "click"))
       .unionByName(spark.sql(
         "SELECT 'view' AS event_type, 1.0D AS mean_n, 0.0D AS std_n"))
-    val special = EventsStream.anomalyFlags(batchInput, partial)
+      .unionByName(spark.sql(
+        "SELECT 'click' AS event_type, 1.0D AS mean_n, " +
+          "CAST(NULL AS DOUBLE) AS std_n"))
+    val specialAll = EventsStream.anomalyFlags(batchInput, partial)
+    assert(specialAll.filter(col("anomalous").isNull).count() === 0,
+      "anomalous must always be a real boolean, never null")
+    val nullStd = specialAll.filter(col("event_type") === "click")
+    assert(nullStd.count() > 0)
+    assert(nullStd.filter(!col("anomalous") || col("z").isNotNull)
+      .count() === 0, "null-std baseline must flag with null z")
+    val special = specialAll
       .filter(col("event_type").isin("error", "view"))
     val err = special.filter(col("event_type") === "error")
     assert(err.count() > 0, "baseline-less type must not vanish")
@@ -677,6 +690,14 @@ class StreamingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { AudioCodec.decodePcm16(nonPcm) }
     val badLen = wav.clone(); badLen(40) = 0x7f // data len past payload
     intercept[IllegalArgumentException] { AudioCodec.decodePcm16(badLen) }
+    // an invalid (zero) fmt sample rate must fail IN the fmt branch
+    // with its own message, not later as a bogus "data before fmt"
+    val badRate = wav.clone()
+    badRate(24) = 0; badRate(25) = 0; badRate(26) = 0; badRate(27) = 0
+    val rateErr = intercept[IllegalArgumentException] {
+      AudioCodec.decodePcm16(badRate)
+    }
+    assert(rateErr.getMessage.contains("sample rate"))
     // a forged ~2 GB chunk length must hit the bound guard, not wrap
     // the Int check negative and OOM on allocation
     val huge = wav.clone()
