@@ -233,7 +233,24 @@ object SplitterIngest {
             val slice = (i / nc) % ns
             val pos = (i / (nc * ns)) % np
             val time = (i / (nc * ns * np)) % nt
-            val png = (p.samplesPerPixel, p.bitsPerSample) match {
+            val isFloat = p.sampleFormat == 3
+            // uint pages stay PNG (the reference's frame format);
+            // float pages (SampleFormat 3 — no lossless PNG mapping)
+            // keep their raw little-endian IEEE bits as the opaque
+            // payload, typed by bit_depth — the multimodal contract
+            val payload = (p.samplesPerPixel, p.bitsPerSample) match {
+              case (1, 32) if isFloat =>
+                val raw = new Array[Byte](p.samples.length * 4)
+                var j = 0
+                while (j < p.samples.length) {
+                  val v = p.samples(j)
+                  raw(4 * j) = (v & 0xff).toByte
+                  raw(4 * j + 1) = ((v >>> 8) & 0xff).toByte
+                  raw(4 * j + 2) = ((v >>> 16) & 0xff).toByte
+                  raw(4 * j + 3) = ((v >>> 24) & 0xff).toByte
+                  j += 1
+                }
+                raw
               case (1, 8) =>
                 ImageCodec.encodeGray8(p.samples.map(_.toByte),
                   p.width, p.height)
@@ -245,20 +262,26 @@ object SplitterIngest {
               case (3, 16) => ImageCodec.encodeRgb16(p.samples,
                 p.width, p.height)
             }
-            val canonical = new Array[Byte](p.samples.length * 2)
-            var j = 0
-            while (j < p.samples.length) {
-              canonical(2 * j) = ((p.samples(j) >>> 8) & 0xff).toByte
-              canonical(2 * j + 1) = (p.samples(j) & 0xff).toByte
-              j += 1
+            val canonical = if (isFloat) payload else {
+              val c = new Array[Byte](p.samples.length * 2)
+              var j = 0
+              while (j < p.samples.length) {
+                c(2 * j) = ((p.samples(j) >>> 8) & 0xff).toByte
+                c(2 * j + 1) = (p.samples(j) & 0xff).toByte
+                j += 1
+              }
+              c
             }
             val sha = java.security.MessageDigest.getInstance("SHA-256")
               .digest(canonical).map(b => f"${b & 0xff}%02x").mkString
-            val name = f"im_c$channel%03d_z$slice%03d_t$time%03d_p$pos%03d.png"
+            val ext = if (isFloat) "raw" else "png"
+            val name =
+              f"im_c$channel%03d_z$slice%03d_t$time%03d_p$pos%03d.$ext"
             TiffFrame(serial, i, channel, slice, time, pos, name,
               p.width, p.height, p.samplesPerPixel,
-              if (p.bitsPerSample == 16) "uint16" else "uint8",
-              sha, png)
+              if (isFloat) "float32"
+              else if (p.bitsPerSample == 16) "uint16" else "uint8",
+              sha, payload)
           }
         }
       }

@@ -18,7 +18,14 @@ import scala.collection.mutable.ArrayBuffer
   * Compression 1 (none) and 5 (LZW, with the spec's early-change code
   * widths and horizontal-differencing Predictor 2, whose runs restart
   * at every segment row because segments decompress independently).
-  * Palettes and float samples are out of scope and fail loudly.
+  * (r8) Plus the two instrument-export shapes that used to fail
+  * loudly: 32-bit IEEE-float gray (SampleFormat 3 — the
+  * ometif_splitter.py:68 quantitative-phase export) decoded as raw
+  * float bits with a typed [[TiffPage.floats]] view, and 8-bit
+  * palette-color (PhotometricInterpretation 3 + ColorMap) expanded
+  * through its 16-bit colormap to an RGB page. Signed-int samples
+  * and the floating-point predictor (3) stay out of scope and fail
+  * loudly.
   *
   * Like [[ImageCodec]], everything is executor-side per-row work — no
   * Spark imports, safe inside mapPartitions. The writer exists for
@@ -30,11 +37,19 @@ object TiffCodec {
 
   /** One decoded TIFF page: `samples` is row-major,
     * channel-interleaved (length = width × height × samplesPerPixel),
-    * one Int per sample.
+    * one Int per sample. `sampleFormat` follows tag 339: 1 = unsigned
+    * int (the samples ARE the pixel values), 3 = IEEE float (each Int
+    * holds the raw float bits — read through [[floats]]).
     */
   final case class TiffPage(width: Int, height: Int, bitsPerSample: Int,
     samplesPerPixel: Int, imageDescription: Option[String],
-    samples: Array[Int])
+    samples: Array[Int], sampleFormat: Int = 1) {
+    /** Typed view of a float page's samples. */
+    def floats: Array[Float] = {
+      require(sampleFormat == 3, s"not a float page (format $sampleFormat)")
+      samples.map(java.lang.Float.intBitsToFloat)
+    }
+  }
 
   /** Decode every page of a TIFF byte array, in IFD-chain order. */
   def readPages(bytes: Array[Byte]): Vector[TiffPage] = {
@@ -105,6 +120,9 @@ object TiffCodec {
       var bps = Array(1L); var spp = 1L
       var compression = 1L; var predictor = 1L
       var planar = 1L
+      var photometric = 1L
+      var sampleFmt = Array(1L)
+      var colorMap = Array.empty[Long]
       var rowsPerStrip = 0xffffffffL
       var stripOffsets = Array.empty[Long]
       var stripCounts = Array.empty[Long]
@@ -120,6 +138,7 @@ object TiffCodec {
           case 257 => height = values(off)(0)
           case 258 => bps = values(off)
           case 259 => compression = values(off)(0)
+          case 262 => photometric = values(off)(0)
           case 270 => description = Some(ascii(off))
           case 273 => stripOffsets = values(off)
           case 277 => spp = values(off)(0)
@@ -127,6 +146,8 @@ object TiffCodec {
           case 279 => stripCounts = values(off)
           case 284 => planar = values(off)(0)
           case 317 => predictor = values(off)(0)
+          case 320 => colorMap = values(off)
+          case 339 => sampleFmt = values(off)
           case 322 => tileW = values(off)(0)
           case 323 => tileL = values(off)(0)
           case 324 => tileOffsets = values(off)
@@ -138,9 +159,21 @@ object TiffCodec {
       require(width > 0 && height > 0, "TIFF page missing dimensions")
       require(bps.forall(_ == bps(0)),
         "mixed per-channel bit depths unsupported")
+      require(sampleFmt.forall(_ == sampleFmt(0)),
+        "mixed per-channel sample formats unsupported")
+      val sfmt = sampleFmt(0).toInt
+      require(sfmt == 1 || sfmt == 3,
+        s"unsupported SampleFormat $sfmt (unsigned int + IEEE float only)")
       val bits = bps(0).toInt
-      require(bits == 8 || bits == 16, s"unsupported bit depth $bits")
       val channels = spp.toInt
+      if (sfmt == 3) {
+        require(bits == 32, s"float TIFF must be 32-bit, got $bits")
+        require(channels == 1, "float TIFF supported as single-channel")
+        require(predictor == 1,
+          s"unsupported predictor $predictor for float samples " +
+            "(fp predictor 3 out of scope)")
+      } else
+        require(bits == 8 || bits == 16, s"unsupported bit depth $bits")
       require(channels == 1 || channels == 3,
         s"unsupported SamplesPerPixel $channels")
       require(compression == 1 || compression == 5,
@@ -149,6 +182,14 @@ object TiffCodec {
         s"unsupported predictor $predictor")
       require(planar == 1 || planar == 2,
         s"unsupported PlanarConfiguration $planar")
+      val isPalette = photometric == 3
+      if (isPalette) {
+        require(colorMap.nonEmpty, "palette TIFF missing ColorMap")
+        require(channels == 1 && bits == 8 && sfmt == 1,
+          "palette TIFF supported as 8-bit single-channel indices")
+        require(colorMap.length == 3 * 256,
+          s"ColorMap length ${colorMap.length} != 768")
+      }
 
       val w = width.toInt; val h = height.toInt
       val tiled = tileOffsets.nonEmpty
@@ -181,12 +222,25 @@ object TiffCodec {
         if (bits == 8) {
           var i = 0
           while (i < nS) { s(i) = raw(i) & 0xff; i += 1 }
-        } else {
+        } else if (bits == 16) {
           var i = 0
           while (i < nS) {
             s(i) =
               if (little) (raw(2 * i) & 0xff) | ((raw(2 * i + 1) & 0xff) << 8)
               else ((raw(2 * i) & 0xff) << 8) | (raw(2 * i + 1) & 0xff)
+            i += 1
+          }
+        } else { // 32-bit float: the raw IEEE bits, endianness applied
+          var i = 0
+          while (i < nS) {
+            s(i) =
+              if (little)
+                (raw(4 * i) & 0xff) | ((raw(4 * i + 1) & 0xff) << 8) |
+                  ((raw(4 * i + 2) & 0xff) << 16) |
+                  ((raw(4 * i + 3) & 0xff) << 24)
+              else
+                ((raw(4 * i) & 0xff) << 24) | ((raw(4 * i + 1) & 0xff) << 16) |
+                  ((raw(4 * i + 2) & 0xff) << 8) | (raw(4 * i + 3) & 0xff)
             i += 1
           }
         }
@@ -286,7 +340,21 @@ object TiffCodec {
           p += 1
         }
       }
-      pages += TiffPage(w, h, bits, channels, description, out)
+      pages += (if (isPalette) {
+        // expand indices through the 16-bit colormap (TIFF6: all
+        // reds, then greens, then blues) to a chunky RGB page — what
+        // tifffile hands a consumer after palette application
+        val rgb = new Array[Int](w * h * 3)
+        var i = 0
+        while (i < w * h) {
+          val idx = out(i)
+          rgb(3 * i) = colorMap(idx).toInt
+          rgb(3 * i + 1) = colorMap(256 + idx).toInt
+          rgb(3 * i + 2) = colorMap(512 + idx).toInt
+          i += 1
+        }
+        TiffPage(w, h, 16, 3, description, rgb)
+      } else TiffPage(w, h, bits, channels, description, out, sfmt))
       ifd = u32(ifd + 2 + 12 * n).toInt
       nPages += 1
     }
@@ -307,10 +375,17 @@ object TiffCodec {
   def write(pages: Seq[TiffPage], lzw: Boolean = false,
       predictor: Int = 1, description: Option[String] = None,
       tileSize: Option[(Int, Int)] = None,
-      planar: Boolean = false): Array[Byte] = {
+      planar: Boolean = false,
+      colorMap: Option[Array[Int]] = None): Array[Byte] = {
     require(pages.nonEmpty, "no pages to write")
     require(predictor == 1 || predictor == 2, s"bad predictor $predictor")
     require(lzw || predictor == 1, "predictor needs LZW here")
+    for (cm <- colorMap) {
+      require(cm.length == 3 * 256, s"ColorMap length ${cm.length} != 768")
+      require(pages.forall(p =>
+        p.samplesPerPixel == 1 && p.bitsPerSample == 8),
+        "palette pages must be 8-bit single-channel indices")
+    }
     for ((tw, tl) <- tileSize)
       require(tw > 0 && tl > 0 && tw % 16 == 0 && tl % 16 == 0,
         s"tile dims must be positive multiples of 16, got ${tw}x$tl")
@@ -332,7 +407,14 @@ object TiffCodec {
       val w = p.width; val h = p.height
       val ch = p.samplesPerPixel; val bits = p.bitsPerSample
       require(p.samples.length == w * h * ch, "bad sample buffer")
-      require(bits == 8 || bits == 16, s"bad bit depth $bits")
+      require(p.sampleFormat == 1 || p.sampleFormat == 3,
+        s"bad sample format ${p.sampleFormat}")
+      if (p.sampleFormat == 3) {
+        require(bits == 32 && ch == 1,
+          "float pages must be 32-bit single-channel")
+        require(predictor == 1, "predictor 2 unsupported for float pages")
+      } else
+        require(bits == 8 || bits == 16, s"bad bit depth $bits")
       require(ch == 1 || ch == 3, s"bad channels $ch")
       val planes = if (planar && ch > 1) ch else 1
       val chSeg = if (planes > 1) 1 else ch
@@ -405,9 +487,16 @@ object TiffCodec {
         var i = 0
         if (bits == 8)
           while (i < src.length) { rawBytes(i) = src(i).toByte; i += 1 }
-        else while (i < src.length) {
+        else if (bits == 16) while (i < src.length) {
           rawBytes(2 * i) = (src(i) & 0xff).toByte
           rawBytes(2 * i + 1) = ((src(i) >>> 8) & 0xff).toByte
+          i += 1
+        }
+        else while (i < src.length) { // 32-bit float bits, LE
+          rawBytes(4 * i) = (src(i) & 0xff).toByte
+          rawBytes(4 * i + 1) = ((src(i) >>> 8) & 0xff).toByte
+          rawBytes(4 * i + 2) = ((src(i) >>> 16) & 0xff).toByte
+          rawBytes(4 * i + 3) = ((src(i) >>> 24) & 0xff).toByte
           i += 1
         }
         if (lzw) lzwEncode(rawBytes) else rawBytes
@@ -434,6 +523,11 @@ object TiffCodec {
         bpsOff = buf.length
         (0 until 3).foreach(_ => put16(bits))
       }
+      var cmOff = 0
+      for (cm <- colorMap) { // 768 SHORTs, external
+        cmOff = buf.length
+        cm.foreach(put16)
+      }
       // segment offset/count arrays when they can't inline (LONG x n)
       var segOffsOff = 0; var segCntsOff = 0
       if (segSamples.length > 1) {
@@ -449,7 +543,8 @@ object TiffCodec {
         if (ch == 3) Entry(258, 3, 3, bpsOff)
         else Entry(258, 3, 1, bits),
         Entry(259, 3, 1, if (lzw) 5 else 1),
-        Entry(262, 3, 1, if (ch == 3) 2 else 1)) // photometric: RGB|gray
+        Entry(262, 3, 1, // photometric: palette|RGB|gray
+          if (colorMap.isDefined) 3 else if (ch == 3) 2 else 1))
       for (db <- descBytes)
         entries += (if (db.length > 4) Entry(270, 2, db.length, descOff)
           else Entry(270, 2, db.length, 0, Some(db)))
@@ -473,6 +568,9 @@ object TiffCodec {
           segEntries(273, 279)
       }
       if (lzw && predictor == 2) entries += Entry(317, 3, 1, 2)
+      for (cm <- colorMap) entries += Entry(320, 3, cm.length, cmOff)
+      if (p.sampleFormat != 1)
+        entries += Entry(339, 3, 1, p.sampleFormat)
       val sorted = entries.sortBy(_.tag)
       put16(sorted.length)
       for (en <- sorted) {

@@ -209,6 +209,36 @@ class TiffIngestSpec extends AnyFunSuite {
     }
   }
 
+  test("splitTiff: planted float stack -> pixel-exact raw frames") {
+    import spark.implicits._
+    // a 4-page float32 stack (2 channels x 2 slices) — the
+    // quantitative-phase export; payloads are the raw IEEE bits,
+    // typed float32, lossless by construction
+    def plantFloats(page: Int): Array[Float] =
+      Array.tabulate(6 * 5)(i => (i * 0.125f - page * 3.5f) *
+        (if ((i + page) % 2 == 0) 1f else -1f))
+    val pages = (0 until 4).map(p => TiffPage(6, 5, 32, 1, None,
+      plantFloats(p).map(java.lang.Float.floatToIntBits),
+      sampleFormat = 3))
+    val tiff = TiffCodec.write(pages,
+      description = Some("channels=2\nslices=2\nframes=1"))
+    val files = Seq(("TIFF-F-2026-01", tiff))
+      .toDF("dataset_serial", "content")
+    val frames = SplitterIngest.splitTiff(spark, files).collect()
+      .sortBy(_.page_idx)
+    assert(frames.length === 4)
+    for ((f, i) <- frames.zipWithIndex) {
+      assert(f.bit_depth === "float32")
+      assert(f.file_name.endsWith(".raw"))
+      assert(f.payload.length === 6 * 5 * 4)
+      val bb = java.nio.ByteBuffer.wrap(f.payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val got = Array.fill(6 * 5)(bb.getFloat)
+      assert(got.toSeq === plantFloats(i).toSeq, s"page $i")
+    }
+    assert(frames.map(_.sha256).distinct.length === 4)
+  }
+
   test("Cli upload tif_id: real TIFF -> store parquet + storage PNGs") {
     val dir = Files.createTempDirectory("graft_tifup")
     val tif = dir.resolve("stack.tif")
@@ -246,5 +276,127 @@ class TiffIngestSpec extends AnyFunSuite {
       assert(w === 6 && h === 5)
       assert(px.toSeq === plantPixels(i).toSeq, s"stored page $i")
     }
+  }
+
+  test("TIFF 32-bit float gray (SampleFormat 3) round-trips exactly") {
+    // the ometif_splitter.py:68 quantitative-phase export shape
+    val floats = Array.tabulate(19 * 11) { i =>
+      java.lang.Float.intBitsToFloat(
+        (i * 2654435761L).toInt & 0x7f7fffff) * // finite by masking exp
+        (if (i % 2 == 0) 1f else -1f)
+    }
+    val bits = floats.map(java.lang.Float.floatToIntBits)
+    for (lzw <- Seq(false, true)) {
+      val page = TiffPage(19, 11, 32, 1, None, bits, sampleFormat = 3)
+      val back = TiffCodec.readPages(
+        TiffCodec.write(Seq(page), lzw = lzw, predictor = 1,
+          description = Some("slices=1")))
+      assert(back.length === 1)
+      assert(back(0).sampleFormat === 3)
+      assert(back(0).bitsPerSample === 32)
+      // bit-exact: raw IEEE bits survive the container untouched
+      assert(back(0).samples.toSeq === bits.toSeq, s"lzw=$lzw")
+      assert(back(0).floats.toSeq === floats.toSeq)
+    }
+    // the typed view refuses a uint page
+    intercept[IllegalArgumentException] {
+      TiffPage(2, 1, 16, 1, None, Array(1, 2)).floats
+    }
+    // loud failures: signed-int samples, 32-bit uint, float predictor
+    val floatTiff = TiffCodec.write(
+      Seq(TiffPage(19, 11, 32, 1, None, bits, sampleFormat = 3)))
+    def patchShortTagValue(b: Array[Byte], tag: Int, v: Int): Array[Byte] = {
+      // little-endian single-page writer layout: IFD at u32(4)
+      val out = b.clone()
+      val ifd = ((b(4) & 0xff) | ((b(5) & 0xff) << 8) |
+        ((b(6) & 0xff) << 16) | ((b(7) & 0xff) << 24))
+      val n = (b(ifd) & 0xff) | ((b(ifd + 1) & 0xff) << 8)
+      var e = 0
+      var found = false
+      while (e < n && !found) {
+        val off = ifd + 2 + 12 * e
+        val t = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+        if (t == tag) {
+          out(off + 8) = (v & 0xff).toByte
+          out(off + 9) = ((v >>> 8) & 0xff).toByte
+          found = true
+        }
+        e += 1
+      }
+      assert(found, s"tag $tag not in planted file")
+      out
+    }
+    val signed = patchShortTagValue(floatTiff, 339, 2)
+    val e1 = intercept[IllegalArgumentException] {
+      TiffCodec.readPages(signed) }
+    assert(e1.getMessage.contains("SampleFormat"))
+    val uint32 = patchShortTagValue(floatTiff, 339, 1)
+    intercept[IllegalArgumentException] { TiffCodec.readPages(uint32) }
+    intercept[IllegalArgumentException] {
+      TiffCodec.write(Seq(TiffPage(19, 11, 32, 1, None, bits,
+        sampleFormat = 3)), lzw = true, predictor = 2)
+    }
+    // javax.imageio cross-check where supported: the JDK TIFF plugin
+    // reads float rasters on this platform or returns null — only a
+    // successful read is compared, a null is recorded and skipped
+    val im = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(floatTiff))
+    if (im != null) {
+      val r = im.getRaster
+      val got = Array.tabulate(19 * 11)(i =>
+        r.getSampleFloat(i % 19, i / 19, 0))
+      assert(got.toSeq === floats.toSeq,
+        "javax.imageio float decode disagrees")
+    } else info("javax.imageio cannot read float TIFF here; skipped")
+  }
+
+  test("TIFF 8-bit palette pages expand through their 16-bit colormap") {
+    val rnd = new scala.util.Random(29)
+    val w = 21; val h = 13
+    val indices = Array.fill(w * h)(rnd.nextInt(256))
+    // planted 16-bit colormap: reds, greens, blues (TIFF6 tag 320)
+    val cm = Array.tabulate(3 * 256)(i => (i * 40503) % 65536)
+    for (lzw <- Seq(false, true)) {
+      val bytes = TiffCodec.write(
+        Seq(TiffPage(w, h, 8, 1, None, indices)),
+        lzw = lzw, colorMap = Some(cm))
+      val back = TiffCodec.readPages(bytes)
+      assert(back.length === 1)
+      // palette expands to a chunky 16-bit RGB page
+      assert(back(0).samplesPerPixel === 3)
+      assert(back(0).bitsPerSample === 16)
+      val exp = indices.flatMap(ix =>
+        Seq(cm(ix), cm(256 + ix), cm(512 + ix)))
+      assert(back(0).samples.toSeq === exp.toSeq, s"lzw=$lzw")
+    }
+    // loud failures: bad colormap length at write, stripped map at read
+    intercept[IllegalArgumentException] {
+      TiffCodec.write(Seq(TiffPage(w, h, 8, 1, None, indices)),
+        colorMap = Some(cm.take(512)))
+    }
+    // javax.imageio writes standard palette TIFFs; our reader must
+    // expand them to the same colors the JDK reports
+    val icm = new java.awt.image.IndexColorModel(8, 256,
+      Array.tabulate(256)(i => ((cm(i) >>> 8) & 0xff).toByte),
+      Array.tabulate(256)(i => ((cm(256 + i) >>> 8) & 0xff).toByte),
+      Array.tabulate(256)(i => ((cm(512 + i) >>> 8) & 0xff).toByte))
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+    indices.zipWithIndex.foreach { case (v, i) =>
+      bi.getRaster.setSample(i % w, i / w, 0, v) }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "tiff", bos)
+    val jdkBack = TiffCodec.readPages(bos.toByteArray)
+    if (jdkBack(0).samplesPerPixel == 3) {
+      // the JDK wrote palette-color: compare the high bytes (the JDK
+      // colormap is 8-bit, ours 16) against what it displays
+      val shown = Array.tabulate(w * h) { i =>
+        val rgb = bi.getRGB(i % w, i / w)
+        Seq((rgb >>> 16) & 0xff, (rgb >>> 8) & 0xff, rgb & 0xff)
+      }.flatten
+      val oursHigh = jdkBack(0).samples.map(_ >>> 8)
+      assert(oursHigh.toSeq === shown.toSeq,
+        "palette expansion disagrees with the JDK's rendering")
+    } else info("JDK wrote palette as expanded RGB/gray; skipped")
   }
 }
