@@ -73,18 +73,29 @@ object VectorOps {
     */
   private def assignCells(e: DataFrame, cents: DataFrame,
       carryVec: Boolean = true): DataFrame = {
-    val buf =
-      if (carryVec) struct(col("cdist"), col("cid"), col("embedding"))
-      else struct(col("cdist"), col("cid"))
-    val tail =
-      if (carryVec) Seq(col("m.embedding").as("embedding"))
-      else Seq.empty
-    e.select(col("vec_id"), col("embedding"))
-      .join(broadcast(cents), col("cid") =!= lit(-1))
-      .withColumn("cdist", -cosine(col("embedding"), col("cv")))
+    // two k ∝ N disciplines learned at 30×: (1) norms fold ONCE per
+    // side (N + k sqrts) instead of re-folding both per candidate —
+    // 3× the dot work otherwise; (2) the N×k expansion stays SKINNY
+    // (vec_id, cdist, cid): carrying the 256-byte embedding through
+    // 29M+ min-struct evaluations allocates a copied array per
+    // candidate row — the vector joins back on the unique vec_id key
+    // AFTER the argmin instead (sqrt/div orders unchanged, so oracle
+    // hashes are identical)
+    val skinny = e.select(col("vec_id"), col("embedding"))
+      .withColumn("enrm", norm(col("embedding")))
+      .join(broadcast(cents.withColumn("cnrm", norm(col("cv")))),
+        col("cid") =!= lit(-1))
+      .select(col("vec_id"),
+        (-(dot(col("embedding"), col("cv"))
+          / (col("enrm") * col("cnrm")))).as("cdist"),
+        col("cid"))
       .groupBy("vec_id")
-      .agg(min(buf).as("m"))
-      .select(col("vec_id") +: col("m.cid").as("cell") +: tail: _*)
+      .agg(min(struct(col("cdist"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cell"))
+    if (carryVec)
+      skinny.join(e.select(col("vec_id"), col("embedding")), "vec_id")
+        .select("vec_id", "cell", "embedding")
+    else skinny
   }
 
   def knnIvf(spark: SparkSession, dir: String): DataFrame = {
@@ -218,13 +229,18 @@ object VectorOps {
     val k = derivedK(corpus.count())
     val cents = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    // per-row norms precomputed before the pair expansion (the
+    // paraphrasePairs discipline — one dot fold per pair, not three);
+    // numerically identical to the inline cosine, oracle unchanged
     val assigned = assignCells(corpus, cents)
+      .withColumn("nrm", norm(col("embedding")))
     val dropped = assigned
-      .select(col("cell"), col("vec_id").as("v1"), col("embedding").as("e1"))
+      .select(col("cell"), col("vec_id").as("v1"),
+        col("embedding").as("e1"), col("nrm").as("n1"))
       .join(assigned.select(col("cell"), col("vec_id").as("v2"),
-        col("embedding").as("e2")), "cell")
+        col("embedding").as("e2"), col("nrm").as("n2")), "cell")
       .filter(col("v1") < col("v2"))
-      .filter(cosine(col("e1"), col("e2")) >= tau)
+      .filter(dot(col("e1"), col("e2")) / (col("n1") * col("n2")) >= tau)
       .select(col("cell"), col("v2").as("vec_id"))
       .distinct()
       .groupBy("cell").agg(count(lit(1)).as("n_dropped"))
@@ -1078,21 +1094,35 @@ object VectorOps {
     */
   private def probedScored(e: DataFrame, nprobe: Int = 4): DataFrame = {
     val k = derivedK(e.count())
+    // centroid norms folded once (k rows) and shipped inside the
+    // broadcast; row norms folded once per vector and carried through
+    // the min struct (constant per vec_id — tie-break unaffected).
+    // With k ∝ N the N×k assignment would otherwise re-fold both
+    // norms per candidate — 3× the dot work for nothing.
     val cents = e.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        norm(col("embedding")).as("cnrm"))
     val anchors = anchorSample(e)
-    val assigned = e.select(col("vec_id"), col("label"), col("embedding"))
+    // skinny argmin + join-back, the assignCells discipline: the N×k
+    // expansion carries three scalars, the vector/label/norm attach
+    // on the unique vec_id key afterwards
+    val cellOf = e.select(col("vec_id"), col("embedding"))
+      .withColumn("enrm", norm(col("embedding")))
       .join(broadcast(cents), col("cid") =!= lit(-1))
-      .withColumn("cdist", -cosine(col("embedding"), col("cv")))
+      .select(col("vec_id"),
+        (-(dot(col("embedding"), col("cv"))
+          / (col("enrm") * col("cnrm")))).as("cdist"),
+        col("cid"))
       .groupBy("vec_id")
-      .agg(min(struct(col("cdist"), col("cid"), col("label"),
-        col("embedding"))).as("m"))
-      .select(col("vec_id"), col("m.cid").as("cell"),
-        col("m.label").as("label"), col("m.embedding").as("embedding"))
-      .withColumn("cnorm", norm(col("embedding")))
+      .agg(min(struct(col("cdist"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cell"))
+    val assigned = e.select(col("vec_id"), col("label"), col("embedding"),
+        norm(col("embedding")).as("cnorm"))
+      .join(cellOf, "vec_id")
     val probes = anchors
       .join(broadcast(cents), col("cid") =!= lit(-1))
-      .withColumn("cdist", -cosine(col("av"), col("cv")))
+      .withColumn("cdist",
+        -(dot(col("av"), col("cv")) / (col("anorm") * col("cnrm"))))
       .groupBy("aid")
       .agg(graft.functions.TopKByScore
         .topkAsc(col("cdist"), col("cid"), nprobe).as("top"))
