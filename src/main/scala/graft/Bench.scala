@@ -224,6 +224,36 @@ object Bench {
     }
   }
 
+  /** The MapState top-k-evidence drain — state bounded by
+    * users × (k map entries + bounds), the point-op diff discipline
+    * under bench volume (RocksDB, like the digest entry).
+    */
+  private def streamTopkBench(spark: SparkSession, sfDir: String): (Double, Long, Long) = {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val t0 = System.nanoTime()
+      val src = streamingEvents(spark, sfDir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .withWatermark("ts", "30 minutes")
+        .as[graft.streaming.EventsStream.Event]
+      val q = graft.streaming.EventsStream.sessionTopk(spark, src)
+        .writeStream.format("noop")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      if (!q.awaitTermination(300000L)) { q.stop(); sys.error("stream timeout") }
+      val dt = (System.nanoTime() - t0) / 1e9
+      val st = stateMetrics(q)
+      (dt, st._1, st._2)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Streaming training-export sink throughput: the whole documents
     * table drained through [[graft.streaming.DocsStream.ingestExport]]
     * into a fresh batch-scoped sharded layout — times the
@@ -424,9 +454,12 @@ object Bench {
       minOk((1 to 2).map(r => () => streamSlidingBench(spark, sfDir, r))) }
     val docExportTime = ifOn("stream_doc_export") {
       minOk((1 to 2).map(_ => () => streamDocExportBench(spark, sfDir))) }
+    val topkTime = ifOn("stream_topk_evidence") {
+      minOk((1 to 2).map(_ => () => streamTopkBench(spark, sfDir))) }
     val streams = Seq(
       "stream_events_window" -> streamTime,
       "stream_sliding" -> slidingTime,
+      "stream_topk_evidence" -> topkTime,
       "stream_dedup" -> dedupTime,
       "stream_sessions" -> sessTime,
       "stream_enrich" -> enrichTime,

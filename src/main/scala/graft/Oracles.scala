@@ -2364,6 +2364,41 @@ JOIN dom d ON a.user_id = d.user_id AND a.sess = d.sess
 JOIN top t ON a.user_id = t.user_id AND a.sess = t.sess
 ORDER BY a.user_id, a.start_epoch"""
 
+  /** Top-k-evidence twin of
+    * [[graft.ops.EventOps.eventsSessionTopk]]: the shared gap
+    * sessionization, then row_number (cents DESC, event_id) ≤ 3 —
+    * the bounded aggregate's exact ordering.
+    */
+  val eventsSessionTopk: String = """
+WITH ev AS (
+  SELECT user_id, epoch_ns(ts) AS tns, event_id,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events),
+s AS (
+  SELECT *, CASE WHEN
+      lag(tns) OVER (PARTITION BY user_id ORDER BY tns, event_id) IS NULL
+      OR tns - lag(tns) OVER (PARTITION BY user_id ORDER BY tns, event_id)
+        > 1800000000000
+    THEN 1 ELSE 0 END AS new_s
+  FROM ev),
+s2 AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY tns, event_id
+    ROWS UNBOUNDED PRECEDING) AS sess
+  FROM s),
+st AS (
+  SELECT user_id, sess, min(tns) // 1000000000 AS start_epoch
+  FROM s2 GROUP BY 1, 2)
+SELECT s2.user_id, st.start_epoch, CAST(rn AS BIGINT) AS rank,
+  event_id, cents
+FROM (
+  SELECT user_id, sess, event_id, cents,
+    row_number() OVER (PARTITION BY user_id, sess
+      ORDER BY cents DESC, event_id) AS rn
+  FROM s2) s2
+JOIN st ON s2.user_id = st.user_id AND s2.sess = st.sess
+WHERE rn <= 3
+ORDER BY s2.user_id, st.start_epoch, rank"""
+
   /** Range-join twin of [[graft.ops.EventOps.eventsRangeJoin]]: the
     * same synthesized windows, joined by a plain containment predicate
     * (DuckDB plans its own inequality join — only the RESULT must
@@ -4303,6 +4338,7 @@ ORDER BY method"""
     "events_inter_arrival" -> eventsInterArrival,
     "events_range_join" -> eventsRangeJoin,
     "events_journey_digest" -> eventsJourneyDigest,
+    "events_session_topk" -> eventsSessionTopk,
     "q4_priority" -> q4Priority,
     "q7_volume" -> q7Volume,
     "q18_large" -> q18Large,

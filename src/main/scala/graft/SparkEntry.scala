@@ -167,6 +167,7 @@ object SparkEntry {
     "events_inter_arrival" -> (EventOps.eventsInterArrival(_, _)),
     "events_range_join" -> (EventOps.eventsRangeJoin(_, _)),
     "events_journey_digest" -> (EventOps.eventsJourneyDigest(_, _)),
+    "events_session_topk" -> (EventOps.eventsSessionTopk(_, _)),
     "events_cohort_ltv" -> (EventOps.eventsCohortLtv(_, _)),
     "events_attribution" -> (EventOps.eventsAttribution(_, _)),
     "doc_ccnet_buckets" -> (TextOps.ccnetBuckets(_, _)),

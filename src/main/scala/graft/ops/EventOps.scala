@@ -163,6 +163,46 @@ object EventOps {
       .orderBy("user_id", "start_epoch")
   }
 
+  /** Per-session top-k evidence WITH IDENTITY — the review list the
+    * digest's top-k SUM deliberately drops: for each 30-minute-gap
+    * session, the 3 highest-value events as (rank, event_id, cents)
+    * rows — the concrete events an attribution or fraud review opens
+    * first. Batch twin of
+    * [[graft.streaming.EventsStream.sessionTopk]] (the MapState
+    * point-op processor), under the DuckDB oracle.
+    *
+    * Plan shape: the one user-window sessionization shuffle shared by
+    * every session op, then the bounded [[graft.functions.TopKByScore]]
+    * aggregate per (user, session) — k-row map-side partials, never a
+    * window over all events by value. Cents are exact longs riding
+    * the double score (≪ 2^53); ordering (cents desc, event_id asc)
+    * on both engines.
+    */
+  def eventsSessionTopk(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sess = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .withColumn("gap", col("ts") - lag(col("ts"), 1).over(byUser))
+      .withColumn("new_s",
+        when(col("gap").isNull || col("gap") > 1800L * NanosPerSec, 1)
+          .otherwise(0))
+      .withColumn("sess",
+        sum(col("new_s")).over(byUser.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).cast("bigint"))
+    sess.groupBy("user_id", "sess")
+      .agg(graft.functions.TopKByScore
+        .topk(col("cents").cast("double"), col("event_id"), 3).as("top"),
+        expr(s"min(ts) div $NanosPerSec").as("start_epoch"))
+      .select(col("user_id"), col("start_epoch"),
+        posexplode(col("top")).as(Seq("p", "t")))
+      .select(col("user_id"), col("start_epoch"),
+        (col("p") + 1).cast("bigint").as("rank"),
+        col("t.id").as("event_id"),
+        col("t.score").cast("long").as("cents"))
+      .orderBy("user_id", "start_epoch", "rank")
+  }
+
   /** Weekly new-vs-returning split — the growth-accounting view on
     * top of [[eventsRetention]]'s cohort triangle: per activity week,
     * how many active users were in their FIRST week vs returning.

@@ -628,4 +628,143 @@ object EventsStream {
       .transformWithState(new DigestProcessor(gapMs, k),
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  /** One ranked evidence row of a closed session's top-k. */
+  case class TopkEvidence(user_id: Long, start_ms: Long, rank: Int,
+    event_id: Long, cents: Long)
+
+  /** Per-session top-k evidence WITH IDENTITY on
+    * `MapState[event_id, cents]` — the state shape [[DigestProcessor]]'s
+    * top-k SUM cannot express (SURVEY §7.23): a review pipeline needs
+    * WHICH events were the session's largest, so the k entries keep
+    * their event ids as map keys and displacement is pure point ops
+    * (removeKey the evicted id, updateValue the entrant) — never a
+    * whole-structure rewrite. Same session lifecycle, batch-local
+    * delta discipline and single store write per key-batch as the
+    * digest (its profiled RocksDB contract); state per user is ≤ k
+    * map entries + one bounds row, evicted whole at close.
+    *
+    * Emission at close: the merged top-k as (rank, event_id, cents)
+    * rows ordered (cents desc, event_id asc) — exactly the batch twin
+    * [[graft.ops.EventOps.eventsSessionTopk]]'s ordering.
+    */
+  class TopkEvidenceProcessor(gapMs: Long, k: Int)
+      extends StatefulProcessor[Long, Event, TopkEvidence] {
+    @transient private var bounds: ValueState[TwsDigestBounds] = _
+    @transient private var topEvents: org.apache.spark.sql.streaming.MapState[Long, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      bounds = getHandle.getValueState[TwsDigestBounds]("bounds",
+        Encoders.product[TwsDigestBounds], TTLConfig.NONE)
+      topEvents = getHandle.getMapState[Long, Long]("top_events",
+        Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    /** (cents desc, event_id asc) — a beats b. */
+    private def beats(a: (Long, Long), b: (Long, Long)): Boolean =
+      a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+
+    private def topkOf(es: Seq[(Long, Long)]): Seq[(Long, Long)] =
+      es.sortWith(beats).take(k)
+
+    private def emitRows(user: Long, startMs: Long,
+        es: Seq[(Long, Long)]): Iterator[TopkEvidence] =
+      topkOf(es).zipWithIndex.map { case ((id, c), i) =>
+        TopkEvidence(user, startMs, i + 1, id, c)
+      }.iterator
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[TopkEvidence] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val closed = Seq.newBuilder[TopkEvidence]
+      var cur = if (bounds.exists()) Some(bounds.get()) else None
+      val prevTimer = cur.map(_.timerMs).getOrElse(-1L)
+      val hadStored = cur.isDefined
+      // stored map read at most once per batch (first close only),
+      // mid-batch sessions live in the batch-local buffer, store
+      // written/diffed exactly once at the end — the digest contract
+      var storedLoaded = !hadStored
+      var storedTop: Seq[(Long, Long)] = Nil
+      def loadStored(): Unit = if (!storedLoaded) {
+        storedTop = topEvents.iterator().toSeq
+        storedLoaded = true
+      }
+      var storeConsumed = false
+      var top = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      def trim(): Unit = if (top.length > k) {
+        val kept = topkOf(top.toSeq)
+        top.clear(); top ++= kept
+      }
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(b) if t - b.lastMs <= gapMs =>
+            cur = Some(b.copy(nEvents = b.nEvents + 1,
+              startMs = math.min(b.startMs, t),
+              lastMs = math.max(b.lastMs, t)))
+          case Some(b) =>
+            if (!storeConsumed) loadStored()
+            val merged = (if (storeConsumed) Nil else storedTop) ++ top
+            closed ++= emitRows(user, b.startMs, merged)
+            storeConsumed = true
+            top = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+            cur = Some(TwsDigestBounds(1, t, t, -1L))
+          case None =>
+            cur = Some(TwsDigestBounds(1, t, t, -1L))
+        }
+        // topk(stored ++ topk(delta)) == topk(stored ++ delta): an
+        // element outside topk(delta) is dominated by k delta entries
+        top += ((e.event_id, math.round(e.value * 100)))
+        trim()
+      }
+      cur.foreach { b =>
+        if (storeConsumed) {
+          // stored contribution emitted: one clear + ≤k puts
+          topEvents.clear()
+          top.foreach { case (id, c) => topEvents.updateValue(id, c) }
+        } else if (!hadStored) {
+          top.foreach { case (id, c) => topEvents.updateValue(id, c) }
+        } else if (top.nonEmpty) {
+          // continuing session: merge and apply the DIFF as point ops —
+          // evicted ids removeKey, entrants updateValue; survivors'
+          // cents never change (event ids are unique), so untouched
+          // keys never round-trip the store
+          loadStored()
+          val merged = topkOf(storedTop ++ top)
+          val before = storedTop.map(_._1).toSet
+          val after = merged.map(_._1).toSet
+          (before -- after).foreach(topEvents.removeKey)
+          merged.filterNot { case (id, _) => before(id) }
+            .foreach { case (id, c) => topEvents.updateValue(id, c) }
+        }
+        val at = b.lastMs + gapMs
+        if (prevTimer > 0 && prevTimer != at) getHandle.deleteTimer(prevTimer)
+        if (prevTimer != at) getHandle.registerTimer(at)
+        bounds.update(b.copy(timerMs = at))
+      }
+      closed.result().iterator
+    }
+
+    override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[TopkEvidence] = {
+      if (bounds.exists()
+          && bounds.get().timerMs == expiredTimerInfo.getExpiryTimeInMs) {
+        val b = bounds.get()
+        val es = topEvents.iterator().toSeq
+        bounds.clear(); topEvents.clear()
+        emitRows(user, b.startMs, es)
+      } else Iterator.empty
+    }
+  }
+
+  /** The top-k-evidence processor over a watermarked event stream
+    * (RocksDB state store required, like [[sessionizeTws]]).
+    */
+  def sessionTopk(spark: SparkSession, events: Dataset[Event],
+      gapMs: Long = 30L * 60 * 1000, k: Int = 3): Dataset[TopkEvidence] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TopkEvidenceProcessor(gapMs, k),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

@@ -392,6 +392,73 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.conf.unset(key)
   }
 
+  test("MapState session top-k evidence has batch parity on the corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gapMs = 30L * 60 * 1000
+    val k = 3
+    val ev = EventsStream.eventsAsTimestamps(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect()
+    // driver-side oracle: gap-fold, per-session top-k by
+    // (cents desc, event_id asc) WITH identity
+    val expected = ev.groupBy(_.user_id).flatMap { case (u, es) =>
+      val sorted = es.sortBy(e => (e.ts.getTime, e.event_id))
+      val out = Seq.newBuilder[(Long, Long, Int, Long, Long)]
+      var ses = Seq.empty[Event]
+      def close(): Unit = if (ses.nonEmpty) {
+        val start = ses.map(_.ts.getTime).min
+        ses.map(e => (e.event_id, math.round(e.value * 100)))
+          .sortBy { case (id, c) => (-c, id) }.take(k)
+          .zipWithIndex.foreach { case ((id, c), i) =>
+            out += ((u, start, i + 1, id, c)) }
+      }
+      sorted.foreach { e =>
+        if (ses.nonEmpty && e.ts.getTime - ses.map(_.ts.getTime).max > gapMs) {
+          close(); ses = Seq.empty
+        }
+        ses :+= e
+      }
+      close()
+      out.result()
+    }.toSet
+    val maxTs = ev.map(_.ts.getTime).max
+    val stream = MemoryStream[Event]
+    // mid-corpus split so the continuing-session DIFF path (point-op
+    // removeKey/updateValue against PERSISTED map entries) runs, then
+    // a far-future sentinel fires every eviction timer
+    val (b1, b2) = ev.sortBy(_.ts.getTime).splitAt(ev.length / 2)
+    stream.addData(b1.toIndexedSeq)
+    stream.addData(b2.toIndexedSeq)
+    stream.addData(Seq(Event(-1L,
+      new Timestamp(maxTs + 10L * 24 * 3600 * 1000), -1L, "click", 1.0)))
+    val withWm = stream.toDS().withWatermark("ts", "0 seconds").as[Event]
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val q = EventsStream.sessionTopk(spark, withWm, gapMs, k)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("topk_parity_out").start()
+      try q.processAllAvailable() finally q.stop()
+      val got = spark.table("topk_parity_out")
+        .as[EventsStream.TopkEvidence].collect()
+        .map(r => (r.user_id, r.start_ms, r.rank, r.event_id, r.cents))
+        .toSet
+      assert(got === expected,
+        s"topk emitted ${got.size} rows, batch oracle ${expected.size}")
+      // and the BATCH twin agrees row-for-row on the identity columns
+      // (epoch-second starts; the driver oracle is ms)
+      val batch = graft.ops.EventOps.eventsSessionTopk(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      val gotEpoch = got.map { case (u, s, r, id, c) =>
+        (u, s / 1000, r.toLong, id, c) }
+      assert(gotEpoch === batch,
+        "streaming evidence disagrees with the oracle-checked batch twin")
+    } finally spark.conf.unset(key)
+  }
+
   test("warm-started tws sessionizer matches the full-stream result") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
