@@ -104,26 +104,51 @@ object ImagingDb {
       .orderBy("file_name", "sha256")
   }
 
-  /** Full per-frame metadata of one dataset (frames ⋈ global meta). */
+  /** Full per-frame metadata of one dataset (frames ⋈ global meta),
+    * sliced by the reference's optional dimension criteria
+    * (db_operations.py:426-430 `get_frames_meta(positions, times,
+    * channels, slices)` — the notebook's
+    * `get_frames_meta(channels=['568','Transmission'], positions=
+    * [50, 60], slices=[11..15])` shape, database_queries.ipynb cell
+    * 35). The GLOBAL columns (nbr_*, metadata_json) describe the
+    * WHOLE dataset like the reference's `_get_global_meta` — they
+    * aggregate the unfiltered frames, while the returned rows are
+    * the filtered subset.
+    */
   def getFramesMeta(spark: SparkSession, dir: String,
-      datasetSerial: String): DataFrame = {
+      datasetSerial: String,
+      channelNames: Option[Seq[String]] = None,
+      channelIds: Option[Seq[Int]] = None,
+      sliceIds: Option[Seq[Int]] = None,
+      timeIds: Option[Seq[Int]] = None,
+      posIds: Option[Seq[Int]] = None): DataFrame = {
     val target = dataSet(spark, dir)
       .filter(col("dataset_serial") === datasetSerial)
       .select(col("id").as("ds_id"), col("dataset_serial"))
-    val f = frames(spark, dir)
+    val f0 = frames(spark, dir)
       .join(broadcast(target), col("frames_global_id") === col("ds_id"))
-    val g = f.groupBy(col("frames_global_id").as("g_id"))
+    val f = applyFrameFilters(f0, channelNames, channelIds, sliceIds,
+      timeIds, posIds)
+    val g = f0.groupBy(col("frames_global_id").as("g_id"))
       .agg(count(lit(1)).as("nbr_frames"),
         countDistinct(col("slice_idx")).as("nbr_slices"),
         countDistinct(col("channel_idx")).as("nbr_channels"),
         countDistinct(col("time_idx")).as("nbr_timepoints"),
         countDistinct(col("pos_idx")).as("nbr_positions"))
+    // aliased: the frames table has a PER-FRAME metadata_json; the
+    // output's metadata_json is the DATASET-level JSONB, matching the
+    // reference's _get_global_meta
+    val meta = framesGlobal(spark, dir)
+      .select(col("dataset_id").as("m_id"),
+        col("metadata_json").as("global_json"))
     f.join(broadcast(g), col("frames_global_id") === col("g_id"))
+      .join(broadcast(meta), col("frames_global_id") === col("m_id"))
       .select(col("dataset_serial"), col("file_name"), col("channel_idx"),
         col("channel_name"), col("slice_idx"), col("time_idx"),
         col("pos_idx"), col("sha256"), col("nbr_frames"),
         col("nbr_slices"), col("nbr_channels"),
-        col("nbr_timepoints"), col("nbr_positions"))
+        col("nbr_timepoints"), col("nbr_positions"),
+        col("global_json").as("metadata_json"))
       .orderBy("file_name", "sha256")
   }
 

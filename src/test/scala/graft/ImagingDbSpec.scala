@@ -71,6 +71,29 @@ class ImagingDbSpec extends AnyFunSuite {
     // nbr_frames equals the actual row count and is constant
     assert(rows.map(_.getAs[Long]("nbr_frames")).distinct.toSeq ===
       Seq(rows.length.toLong))
+    // the dataset-level JSONB rides along, one value per dataset
+    assert(rows.map(_.getAs[String]("metadata_json")).distinct.length === 1)
+    assert(rows.head.getAs[String]("metadata_json")
+      .contains("\"protein_name\""))
+  }
+
+  test("getFramesMeta slices rows but keeps WHOLE-dataset globals") {
+    // the reference shape (db_operations.py:426, notebook cell 35):
+    // dimension criteria cut frames_meta; global_meta still describes
+    // the full dataset
+    val all = ImagingDb.getFramesMeta(spark, sfDir, someSerial).collect()
+    val sub = ImagingDb.getFramesMeta(spark, sfDir, someSerial,
+      channelNames = Some(Seq("DAPI", "GFP")), sliceIds = Some(Seq(0, 1)))
+      .collect()
+    assert(sub.nonEmpty && sub.length < all.length)
+    assert(sub.forall(r => Seq("DAPI", "GFP")
+      .contains(r.getAs[String]("channel_name"))))
+    assert(sub.forall(r => Seq(0, 1).contains(r.getAs[Int]("slice_idx"))))
+    // globals unchanged by the slicing
+    assert(sub.head.getAs[Long]("nbr_frames") ===
+      all.head.getAs[Long]("nbr_frames"))
+    assert(sub.head.getAs[Long]("nbr_channels") ===
+      all.head.getAs[Long]("nbr_channels"))
   }
 
   test("getFilenames returns the frames branch for a frames dataset") {
