@@ -1260,6 +1260,49 @@ ORDER BY sim DESC, v1, v2"""
   val docParaphraseMiningIvf: String =
     docParaphraseSql(s"vec_id < (${kCellsSql("embeddings", 64, 32)})")
 
+  /** Twin of [[graft.ops.VectorOps.domainClusters]]: the k ∝ N
+    * assignment (same crank tie-break), document join on the id key,
+    * per-(cell, source) partials, dominant source via row_number
+    * (n DESC, source).
+    */
+  val docDomainClusters: String = s"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+  WHERE vec_id < (${kCellsSql("embeddings", 128, 16)})),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cid AS cell,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY -${duckCos("e.embedding", "c.cv")}, c.cid) AS crank
+    FROM embeddings e CROSS JOIN cents c)
+  WHERE crank <= 1),
+docs AS (
+  SELECT doc_id AS vec_id, source,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+      ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1
+    END AS n_tokens
+  FROM documents),
+ps AS (
+  SELECT cell, source, count(*) AS n, sum(n_tokens) AS tok
+  FROM assigned JOIN docs USING (vec_id) GROUP BY 1, 2),
+dom AS (
+  SELECT cell, source AS dominant_source FROM (
+    SELECT cell, source,
+      row_number() OVER (PARTITION BY cell ORDER BY n DESC, source) AS rn
+    FROM ps) WHERE rn = 1),
+pc AS (
+  SELECT cell, CAST(sum(n) AS BIGINT) AS n_docs,
+    CAST(count(*) AS BIGINT) AS n_sources,
+    CAST(sum(tok) AS BIGINT) AS sum_tokens
+  FROM ps GROUP BY 1),
+tot AS (SELECT sum(n_docs) AS total_docs FROM pc)
+SELECT pc.cell, pc.n_docs,
+  round(pc.n_docs * 100.0 / tot.total_docs, 4) AS pct,
+  pc.n_sources, d.dominant_source,
+  round(CAST(pc.sum_tokens AS DOUBLE) / pc.n_docs, 4) AS avg_tokens
+FROM pc JOIN dom d USING (cell) CROSS JOIN tot
+ORDER BY pc.cell"""
+
   /** Twin of [[graft.ops.VectorOps.paraphraseRecall]]: top-50 pair
     * overlap of the baseline and the k ∝ N twin.
     */
@@ -4360,6 +4403,7 @@ ORDER BY method"""
     "emb_classify_ivf_recall" -> embClassifyIvfRecall,
     "doc_paraphrase_mining" -> docParaphraseMining,
     "doc_paraphrase_mining_ivf" -> docParaphraseMiningIvf,
+    "doc_domain_clusters" -> docDomainClusters,
     "doc_paraphrase_ivf_recall" -> docParaphraseIvfRecall,
     "img_dataset_overlap" -> imgDatasetOverlap,
     "events_forecast_eval" -> eventsForecastEval,

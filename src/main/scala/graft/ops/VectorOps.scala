@@ -1422,6 +1422,54 @@ object VectorOps {
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))))
   }
 
+  /** SemDeDup-style per-cluster curation census — the cross-modal
+    * cluster view a pruning pass reads before deciding which semantic
+    * regions to drop or re-weight (Abbas et al. report per-cluster
+    * profiles; DoReMi/DSIR re-weight by domain): embeddings route to
+    * the k ∝ N coarse cells, each cell joins its documents and
+    * reports size, corpus share, source mix (distinct sources +
+    * dominant source, count-desc/lexicographic tie-break) and mean
+    * whitespace-token length.
+    *
+    * Scale shape: assignment is the shared skinny argmin (one N-row
+    * shuffle); the doc join runs on the unique vec_id/doc_id key
+    * (corpus-scale both sides — whitelisted shuffle join); stats
+    * collapse in one ≤(k·sources)-key partial agg; the corpus total
+    * is a one-row broadcast cross join.
+    */
+  def domainClusters(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val k = derivedK(e.count())
+    val cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val assigned = assignCells(e, cents, carryVec = false)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id").as("vec_id"), col("source"),
+        trim(col("text")).as("t"))
+      .withColumn("n_tokens",
+        when(length(col("t")) === 0, lit(0L)).otherwise(
+          (length(col("t")) - length(expr("replace(t, ' ', '')")) + 1)
+            .cast("bigint")))
+      .select("vec_id", "source", "n_tokens")
+    val perSource = assigned.join(docs, "vec_id")
+      .groupBy("cell", "source")
+      .agg(count(lit(1)).as("n"), sum(col("n_tokens")).as("tok"))
+    val perCell = perSource.groupBy("cell")
+      .agg(sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_sources"),
+        min_by(col("source"), struct((-col("n")).as("neg_n"),
+          col("source"))).as("dominant_source"),
+        sum(col("tok")).as("sum_tokens"))
+    val total = perCell.agg(sum(col("n_docs")).as("total_docs"))
+    perCell.join(broadcast(total), col("total_docs").isNotNull)
+      .select(col("cell"), col("n_docs"),
+        round(col("n_docs") * 100.0 / col("total_docs"), 4).as("pct"),
+        col("n_sources"), col("dominant_source"),
+        round(col("sum_tokens").cast("double") / col("n_docs"), 4)
+          .as("avg_tokens"))
+      .orderBy("cell")
+  }
+
   /** Probe-quality audit for paraphrase mining: overlap of the
     * baseline's and the k ∝ N twin's top-50 pair sets — the mining
     * recall of the finer codebook. Joins two 50-row sets.

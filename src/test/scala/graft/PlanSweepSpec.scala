@@ -72,6 +72,9 @@ class PlanSweepSpec extends AnyFunSuite {
                            // size by construction
     "doc_paraphrase_ivf_recall", // composes both miners, inherits the
                            // pair-stage self-joins
+    "doc_domain_clusters", // cell assignment ⋈ documents on the unique
+                           // vec_id/doc_id key: both sides corpus-scale
+                           // by design — uniform shuffle join
     "emb_hard_negatives_ivf", // probe-path joins: anchors⋈probes on the
                            // unique aid and probes⋈assignment on the
                            // k-cardinality cell key — both sides
@@ -151,8 +154,10 @@ class PlanSweepSpec extends AnyFunSuite {
     "doc_paraphrase_mining", // 16-centroid assignment cross join (the
                             // shared assignCells coarse step)
     "doc_paraphrase_mining_ivf", // k ∝ N centroid assignment cross join
-    "doc_paraphrase_ivf_recall"  // composes both miners, inherits the
+    "doc_paraphrase_ivf_recall", // composes both miners, inherits the
                                  // assignment cross joins
+    "doc_domain_clusters"  // k ∝ N centroid assignment cross join +
+                           // one-row corpus-total census cross join
   )
 
   test("doc_zipf ranks via distributed top-k, not a global window sort") {
