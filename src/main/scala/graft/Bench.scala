@@ -254,6 +254,57 @@ object Bench {
     }
   }
 
+  /** Streaming vector-index ingest throughput: the embeddings corpus
+    * drained through [[graft.streaming.VecStream.ingestIndex]] in four
+    * micro-batches (route + PQ-encode against the frozen codebooks,
+    * cell-bucket append, registry version per batch) — the FAISS
+    * `index.add()` loop end to end, including the bootstrap settle.
+    * foreachBatch sink → stateless by construction (null state in the
+    * artifact). Source-file layout is setup, not timed.
+    */
+  private def streamVecIngestBench(spark: SparkSession,
+      sfDir: String): (Double, Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("graft_bench_vec")
+    // UNIQUE names per run: the registry is durable BY NAME in the
+    // warehouse (that's its crash contract), so a reused base from an
+    // earlier run/JVM would be "recovered" and turn every batch into
+    // a replayed no-op
+    val run = java.lang.Long.toHexString(System.nanoTime())
+    val table = s"graft_bench_vecindex_$run"
+    val reg = s"graft_bench_vecreg_$run"
+    graft.streaming.VecStream.reset(reg)
+    try {
+      val src = base.resolve("src").toString
+      val ckpt = base.resolve("ckpt").toString
+      val e = graft.tables.Tables.embeddings(spark, sfDir)
+      val n = e.count()
+      (0 until 4).foreach(i => e.filter(col("vec_id") % 4 === i)
+        .coalesce(1).write.parquet(s"$src/f$i.parquet"))
+      val t0 = System.nanoTime()
+      val source = spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*.parquet")
+      val q = graft.streaming.VecStream
+        .ingestIndex(spark, source, table, reg, sfDir, ckpt)
+      if (!q.awaitTermination(300000L)) { q.stop(); sys.error("stream timeout") }
+      val dt = (System.nanoTime() - t0) / 1e9
+      require(graft.sources.VectorIndex.read(spark, table).count() == n,
+        "streamed index dropped rows")
+      val st = stateMetrics(q)
+      (dt, st._1, st._2)
+    } finally {
+      // drop the index and EVERY registry version (batchIds are in the
+      // table names; leaving any version leaks warehouse dirs)
+      val versions = (0 to 8).map(i => s"${reg}_v$i")
+      (table +: versions).foreach(t =>
+        scala.util.Try(graft.sources.DocumentStore.clearStale(spark, t)))
+      graft.streaming.VecStream.reset(reg)
+      org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+      ()
+    }
+  }
+
   /** Streaming training-export sink throughput: the whole documents
     * table drained through [[graft.streaming.DocsStream.ingestExport]]
     * into a fresh batch-scoped sharded layout — times the
@@ -456,6 +507,8 @@ object Bench {
       minOk((1 to 2).map(_ => () => streamDocExportBench(spark, sfDir))) }
     val topkTime = ifOn("stream_topk_evidence") {
       minOk((1 to 2).map(_ => () => streamTopkBench(spark, sfDir))) }
+    val vecIngestTime = ifOn("stream_vec_ingest") {
+      minOk((1 to 2).map(_ => () => streamVecIngestBench(spark, sfDir))) }
     val streams = Seq(
       "stream_events_window" -> streamTime,
       "stream_sliding" -> slidingTime,
@@ -465,7 +518,8 @@ object Bench {
       "stream_enrich" -> enrichTime,
       "stream_tws_sessions" -> twsTime,
       "stream_journey_digest" -> digestTime,
-      "stream_doc_export" -> docExportTime)
+      "stream_doc_export" -> docExportTime,
+      "stream_vec_ingest" -> vecIngestTime)
       .collect { case (k, Some(v)) => k -> v }
     // stream entries already take min-of-2 full drains (expensive); the
     // cross-run canary flags them without extra re-runs

@@ -1004,11 +1004,13 @@ FROM found"""
 SELECT doc1, doc2, jaccard FROM pairs
 ORDER BY doc1, doc2"""
 
-  /** Connected components over the dup-edge graph via a recursive CTE
-    * (min reachable id per node) — the oracle for the distributed
-    * label-propagation in [[graft.ops.DedupOps.dupClusters]].
+  /** The shared recursive-CTE chain to the converged per-doc cluster
+    * label (`final(id, lbl)` — min reachable id per node): the oracle
+    * core for the distributed label propagation behind
+    * [[graft.ops.DedupOps.dupClusters]] and
+    * [[graft.ops.DedupOps.dedupKeepBest]].
     */
-  val docDupClusters: String =
+  private val dupLabelsCte: String =
     minhashPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """
 , exact_star AS (
   SELECT g.keeper AS src, c.doc_id AS dst
@@ -1033,11 +1035,58 @@ ORDER BY doc1, doc2"""
   SELECT e.dst, r.lbl FROM reach r JOIN eb e ON e.src = r.id
 ), final AS (
   SELECT id, min(lbl) AS lbl FROM reach GROUP BY id
-)
+)"""
+
+  /** Connected components over the dup-edge graph via a recursive CTE
+    * (min reachable id per node) — the oracle for the distributed
+    * label-propagation in [[graft.ops.DedupOps.dupClusters]].
+    */
+  val docDupClusters: String = dupLabelsCte + """
 SELECT lbl AS cluster, CAST(count(*) AS BIGINT) AS n_members,
   min(id) AS min_doc, max(id) AS max_doc
 FROM final GROUP BY lbl
 ORDER BY cluster"""
+
+  /** Twin of [[graft.ops.DedupOps.dedupKeepBest]]: the same cluster
+    * labels, survivor by row_number (n_tokens DESC, doc_id) — the
+    * min-struct's (−tokens, id) order — and the keep-first
+    * comparison against the cluster label (the min id).
+    */
+  val docDedupKeepBest: String = dupLabelsCte + """
+, toks AS (
+  SELECT doc_id, source,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+      ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1
+    END AS n_tokens
+  FROM corpus),
+clustered AS (
+  SELECT t.doc_id, t.source, t.n_tokens,
+    coalesce(f.lbl, t.doc_id) AS cluster
+  FROM toks t LEFT JOIN final f ON t.doc_id = f.id),
+wsz AS (SELECT cluster, count(*) AS n FROM clustered GROUP BY cluster),
+wbest AS (
+  SELECT cluster, doc_id AS best_id, source AS best_source FROM (
+    SELECT cluster, doc_id, source,
+      row_number() OVER (PARTITION BY cluster
+        ORDER BY n_tokens DESC, doc_id) AS rn
+    FROM clustered) WHERE rn = 1),
+perdoc AS (
+  SELECT c.source, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(CASE WHEN c.doc_id = w.best_id THEN 1 ELSE 0 END)
+      AS BIGINT) AS n_kept
+  FROM clustered c JOIN wbest w USING (cluster) GROUP BY c.source),
+perwin AS (
+  SELECT w.best_source AS source,
+    CAST(count(*) AS BIGINT) AS n_clusters_won,
+    CAST(sum(CASE WHEN w.best_id <> w.cluster THEN 1 ELSE 0 END)
+      AS BIGINT) AS n_policy_diff
+  FROM wbest w JOIN wsz s USING (cluster) WHERE s.n > 1 GROUP BY 1)
+SELECT p.source, p.n_docs, p.n_kept,
+  p.n_docs - p.n_kept AS n_dropped,
+  CAST(coalesce(pw.n_clusters_won, 0) AS BIGINT) AS n_clusters_won,
+  CAST(coalesce(pw.n_policy_diff, 0) AS BIGINT) AS n_policy_diff
+FROM perdoc p LEFT JOIN perwin pw USING (source)
+ORDER BY p.source"""
 
   /** DuckDB cosine between two FLOAT[] columns — the sequential
     * list fold mirrors Spark's aggregate(zip_with(...)) order exactly,
@@ -4404,6 +4453,7 @@ ORDER BY method"""
     "doc_paraphrase_mining" -> docParaphraseMining,
     "doc_paraphrase_mining_ivf" -> docParaphraseMiningIvf,
     "doc_domain_clusters" -> docDomainClusters,
+    "doc_dedup_keep_best" -> docDedupKeepBest,
     "doc_paraphrase_ivf_recall" -> docParaphraseIvfRecall,
     "img_dataset_overlap" -> imgDatasetOverlap,
     "events_forecast_eval" -> eventsForecastEval,

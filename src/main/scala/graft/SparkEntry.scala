@@ -150,6 +150,7 @@ object SparkEntry {
     "doc_paraphrase_mining" -> (VectorOps.paraphraseCandidates(_, _)),
     "doc_paraphrase_mining_ivf" -> (VectorOps.paraphraseCandidatesIvf(_, _)),
     "doc_domain_clusters" -> (VectorOps.domainClusters(_, _)),
+    "doc_dedup_keep_best" -> (DedupOps.dedupKeepBest(_, _)),
     "doc_paraphrase_ivf_recall" -> (VectorOps.paraphraseRecall(_, _)),
     "emb_pq_distortion" -> (VectorOps.pqDistortion(_, _)),
     "emb_dim_stats" -> (VectorOps.dimStats(_, _)),

@@ -64,6 +64,60 @@ object DedupOps {
       .filter(col("n") > 1)
       .orderBy("h")
 
+  /** Quality-aware dedup collapse — the keep-BEST policy a production
+    * pipeline applies to near-dup CLUSTERS instead of keep-first
+    * (practical curation keeps the longest/highest-quality member, so
+    * a truncated or boilerplate-wrapped near-copy loses to the full
+    * document): over the same connected components as
+    * [[dupClusters]], each cluster's survivor maximizes (token count,
+    * then smallest id). Per-source census: docs/kept/dropped, the
+    * clusters this source WINS, and — the policy's actual effect —
+    * how many wins differ from the keep-first (min-id) choice.
+    *
+    * Scale shape: the cluster labels come from the shared
+    * exact-collapse + LSH label propagation (digests and ids shuffle,
+    * never text); docs⋈labels and docs⋈winners ride the unique
+    * doc_id / cluster keys (corpus-scale both sides — whitelisted);
+    * both censuses are ≤|sources| and the winners census broadcasts.
+    */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = corpus(spark, dir)
+      .withColumn("t", trim(col("text")))
+      .select(col("doc_id"), col("source"),
+        when(length(col("t")) === 0, lit(0L)).otherwise(
+          (length(col("t")) - length(expr("replace(t, ' ', '')")) + 1)
+            .cast("bigint")).as("n_tokens"))
+    val labels = dupLabelsOf(corpus(spark, dir))
+    // singletons (no dup edge) are their own cluster; the propagated
+    // label is the cluster's MIN id, i.e. exactly the keep-first choice
+    val clustered = docs
+      .join(labels.select(col("id").as("doc_id"), col("lbl")),
+        Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("lbl"), col("doc_id")))
+    val winners = clustered.groupBy("cluster")
+      .agg(count(lit(1)).as("n"),
+        min(struct((-col("n_tokens")).as("neg"), col("doc_id"),
+          col("source"))).as("b"))
+      .select(col("cluster"), col("n"), col("b.doc_id").as("best_id"),
+        col("b.source").as("best_source"))
+    val perDoc = clustered.join(winners.select("cluster", "best_id"),
+        "cluster")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("doc_id") === col("best_id")).cast("long")).as("n_kept"))
+    val perWin = winners.filter(col("n") > 1)
+      .groupBy(col("best_source").as("source"))
+      .agg(count(lit(1)).as("n_clusters_won"),
+        sum((col("best_id") =!= col("cluster")).cast("long"))
+          .as("n_policy_diff"))
+    perDoc.join(broadcast(perWin), Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        (col("n_docs") - col("n_kept")).as("n_dropped"),
+        coalesce(col("n_clusters_won"), lit(0L)).as("n_clusters_won"),
+        coalesce(col("n_policy_diff"), lit(0L)).as("n_policy_diff"))
+      .orderBy("source")
+  }
+
   /** Distinct word-3-gram shingle set per doc (single-shingle fallback
     * for short docs). Single-pass custom expression — see
     * [[graft.functions.WordNGrams]] for why HOFs are the wrong tool.
@@ -283,7 +337,21 @@ object DedupOps {
   }
 
   /** The cluster core over any (doc_id, text) set. */
-  def dupClustersOf(source: DataFrame): DataFrame = {
+  def dupClustersOf(source: DataFrame): DataFrame =
+    dupLabelsOf(source)
+      .groupBy("lbl")
+      .agg(count(lit(1)).as("n_members"),
+        min("id").as("min_doc"), max("id").as("max_doc"))
+      .select(col("lbl").as("cluster"), col("n_members"),
+        col("min_doc"), col("max_doc"))
+      .orderBy("cluster")
+
+  /** Converged per-doc cluster labels (id → min reachable id) over
+    * the exact-star + near-dup edge graph — the table [[dupClustersOf]]
+    * censuses and [[dedupKeepBest]] picks survivors from. Only
+    * edge-connected docs appear; singletons are implicit.
+    */
+  private[graft] def dupLabelsOf(source: DataFrame): DataFrame = {
     // exact-collapse FIRST (the dedupPipeline production order): the
     // digest aggregate yields both the star edges (member → keeper)
     // and the representative set; near-dup LSH then runs over
@@ -338,12 +406,7 @@ object DedupOps {
     // >64-diameter chain would otherwise split one component silently)
     require(converged,
       s"label propagation did not converge within $maxRounds rounds")
-    lbl.groupBy("lbl")
-      .agg(count(lit(1)).as("n_members"),
-        min("id").as("min_doc"), max("id").as("max_doc"))
-      .select(col("lbl").as("cluster"), col("n_members"),
-        col("min_doc"), col("max_doc"))
-      .orderBy("cluster")
+    lbl
   }
 
   /** 60-bit SimHash per doc (token-hash bit votes), near-dup pairs by

@@ -75,6 +75,11 @@ class PlanSweepSpec extends AnyFunSuite {
     "doc_domain_clusters", // cell assignment ⋈ documents on the unique
                            // vec_id/doc_id key: both sides corpus-scale
                            // by design — uniform shuffle join
+    "doc_dedup_keep_best", // docs ⋈ cluster labels on doc_id and
+                           // docs ⋈ cluster winners on the cluster key:
+                           // corpus-scale both sides (the dup_clusters
+                           // label table), unique keys — uniform
+                           // shuffle joins
     "emb_hard_negatives_ivf", // probe-path joins: anchors⋈probes on the
                            // unique aid and probes⋈assignment on the
                            // k-cardinality cell key — both sides
