@@ -3681,6 +3681,41 @@ FROM dd
 GROUP BY dim
 ORDER BY dim"""
 
+  /** Twin of [[graft.ops.VectorOps.dimCorr]]: the same DECIMAL-exact
+    * cross-moments via an el self-join, raw-|corr| top-20 cut,
+    * key-ordered output.
+    */
+  val embDimCorr: String = """
+WITH el AS (
+  SELECT vec_id, i.i - 1 AS i, CAST(embedding[i.i] AS DOUBLE) AS xd
+  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i),
+pairs AS (
+  SELECT a.i AS i, b.i AS j, count(*) AS n,
+    sum(CAST(a.xd * b.xd AS DECIMAL(20,10))) AS sxy
+  FROM el a JOIN el b ON a.vec_id = b.vec_id AND b.i >= a.i
+  GROUP BY 1, 2),
+firsts AS (
+  SELECT i, sum(CAST(xd AS DECIMAL(20,10))) AS sx FROM el GROUP BY i),
+corr AS (
+  SELECT p.i, p.j,
+    (CAST(p.sxy AS DOUBLE) / p.n
+      - (CAST(fi.sx AS DOUBLE) / p.n) * (CAST(fj.sx AS DOUBLE) / p.n))
+    / (sqrt(CAST(di.sxy AS DOUBLE) / p.n
+        - (CAST(fi.sx AS DOUBLE) / p.n) * (CAST(fi.sx AS DOUBLE) / p.n))
+      * sqrt(CAST(dj.sxy AS DOUBLE) / p.n
+        - (CAST(fj.sx AS DOUBLE) / p.n) * (CAST(fj.sx AS DOUBLE) / p.n)))
+      AS corr
+  FROM pairs p
+  JOIN firsts fi ON fi.i = p.i
+  JOIN firsts fj ON fj.i = p.j
+  JOIN pairs di ON di.i = p.i AND di.j = p.i
+  JOIN pairs dj ON dj.i = p.j AND dj.j = p.j
+  WHERE p.j > p.i)
+SELECT CAST(i AS BIGINT) AS dim_i, CAST(j AS BIGINT) AS dim_j,
+  CAST(round(corr, 6) AS DOUBLE) AS corr
+FROM (SELECT * FROM corr ORDER BY abs(corr) DESC, i, j LIMIT 20)
+ORDER BY dim_i, dim_j"""
+
   /** Unigram-LM twin of [[graft.ops.TextOps.unigramLogprob]]: ln cast
     * to DECIMAL(20,10) at the vocabulary level on both engines, sums
     * exact, threshold cross-multiplied.
@@ -4374,6 +4409,7 @@ ORDER BY method"""
     "doc_dsir_weights" -> docDsirWeights,
     "emb_pq_distortion" -> embPqDistortion,
     "emb_dim_stats" -> embDimStats,
+    "emb_dim_corr" -> embDimCorr,
     "events_paths" -> eventsPaths,
     "doc_mix_weights" -> docMixWeights,
     "emb_nprobe_curve" -> embNprobeCurve,

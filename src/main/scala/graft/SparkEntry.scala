@@ -154,6 +154,7 @@ object SparkEntry {
     "doc_paraphrase_ivf_recall" -> (VectorOps.paraphraseRecall(_, _)),
     "emb_pq_distortion" -> (VectorOps.pqDistortion(_, _)),
     "emb_dim_stats" -> (VectorOps.dimStats(_, _)),
+    "emb_dim_corr" -> (VectorOps.dimCorr(_, _)),
     "doc_mix_weights" -> (TextOps.mixWeights(_, _)),
     "emb_nprobe_curve" -> (VectorOps.nprobeCurve(_, _)),
     "doc_winnow_overlap" -> (TextOps.winnowOverlap(_, _)),

@@ -333,6 +333,70 @@ object VectorOps {
         min(col("xd")).as("min_v"), max(col("xd")).as("max_v"))
       .orderBy("dim")
 
+  /** Cross-dimension correlation audit — the whitening diagnostic
+    * [[dimStats]]'s per-dimension moments can't see: the 20 most
+    * |Pearson|-correlated dimension PAIRS. Strongly correlated dims
+    * mean redundant capacity (a whitening/PCA rotation reclaims it)
+    * and inflated cosine weight along the shared direction — the
+    * check run before shipping an embedding space.
+    *
+    * Scale shape: two fused generators stream every row's upper
+    * triangle (d·(d+1)/2 products) straight into a hash aggregate
+    * with d²/2 keys — the exchange carries the 2,080-key census per
+    * task, never the product rows; cross-moments accumulate in exact
+    * DECIMAL (order-independent); the d-key first-moment census
+    * broadcasts back twice. Ranking on raw |corr| doubles (identical
+    * arithmetic from DECIMAL-exact sums on both engines), rounding
+    * only the 20 survivors.
+    */
+  def dimCorr(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val el = e.select(col("vec_id"), col("embedding"),
+        posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("embedding"), col("i"),
+        col("x").cast("double").as("xd"))
+    val pairs = el
+      .select(col("i"), col("xd"),
+        posexplode(col("embedding")).as(Seq("j", "y")))
+      .filter(col("j") >= col("i"))
+      .select(col("i"), col("j"),
+        (col("xd") * col("y").cast("double"))
+          .cast("decimal(20,10)").as("xy"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n"), sum(col("xy")).as("sxy"))
+    val firsts = e
+      .select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("i"), col("x").cast("double")
+        .cast("decimal(20,10)").as("x1"))
+      .groupBy("i").agg(sum(col("x1")).as("sx"))
+    val diag = pairs.filter(col("i") === col("j"))
+      .select(col("i").as("d"), col("sxy").as("sxx"), col("n").as("dn"))
+    val withMoments = pairs.filter(col("j") > col("i"))
+      .join(broadcast(firsts.select(col("i"), col("sx").as("sx_i"))), "i")
+      .join(broadcast(firsts.select(col("i").as("j"),
+        col("sx").as("sx_j"))), "j")
+      .join(broadcast(diag.select(col("d").as("i"),
+        col("sxx").as("sxx_i"))), "i")
+      .join(broadcast(diag.select(col("d").as("j"),
+        col("sxx").as("sxx_j"))), "j")
+    val nD = col("n").cast("double")
+    def m(s: Column) = s.cast("double") / nD
+    val corr = withMoments.select(col("i"), col("j"),
+      ((m(col("sxy")) - m(col("sx_i")) * m(col("sx_j")))
+        / (sqrt(m(col("sxx_i")) - m(col("sx_i")) * m(col("sx_i")))
+          * sqrt(m(col("sxx_j")) - m(col("sx_j")) * m(col("sx_j")))))
+        .as("corr"))
+    corr.orderBy(abs(col("corr")).desc, col("i"), col("j"))
+      .limit(20)
+      .select(col("i").cast("bigint").as("dim_i"),
+        col("j").cast("bigint").as("dim_j"),
+        round(col("corr"), 6).as("corr"))
+      // the CUT ranks on the raw bit-identical doubles; the output
+      // re-orders on the key so post-round ties can't flip row order
+      // between engines
+      .orderBy("dim_i", "dim_j")
+  }
+
   /** Norm-outlier triage list: the 10 largest- and 10 smallest-norm
     * vectors — the embedding-QA report pulled when [[normStats]]
     * shows a label drifting (zero-norm rows are dead encoder outputs;
