@@ -295,8 +295,20 @@ object Bench {
       (dt, st._1, st._2)
     } finally {
       // drop the index and EVERY registry version (batchIds are in the
-      // table names; leaving any version leaks warehouse dirs)
-      val versions = (0 to 8).map(i => s"${reg}_v$i")
+      // table names; leaving any version leaks warehouse dirs) —
+      // enumerated from the warehouse, not a hardcoded range, so a
+      // run with more micro-batches than expected still cleans up
+      val versions = {
+        val wh = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"))
+        val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val prefix = s"${reg.toLowerCase}_v"
+        if (fs.exists(wh))
+          fs.listStatus(wh).toSeq.map(_.getPath.getName)
+            .filter(n => n.startsWith(prefix)
+              && n.drop(prefix.length).forall(_.isDigit))
+        else Seq.empty
+      }
       (table +: versions).foreach(t =>
         scala.util.Try(graft.sources.DocumentStore.clearStale(spark, t)))
       graft.streaming.VecStream.reset(reg)

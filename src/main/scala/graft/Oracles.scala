@@ -1268,7 +1268,8 @@ ORDER BY label"""
     * shared by the fixed-16 baseline and the k ∝ N twin; yields
     * (cell, v1, v2, sim) pre-annotation.
     */
-  private def docParaphrasePairsSql(centsWhere: String): String = s"""
+  private def docParaphrasePairsSql(centsWhere: String,
+      corpusWhere: String = "TRUE"): String = s"""
 WITH cents AS (
   SELECT vec_id AS cid, embedding AS cv FROM embeddings
   WHERE $centsWhere),
@@ -1277,7 +1278,8 @@ assigned AS (
     SELECT e.vec_id, e.embedding, c.cid AS cell,
       row_number() OVER (PARTITION BY e.vec_id
         ORDER BY -${duckCos("e.embedding", "c.cv")}, c.cid) AS crank
-    FROM embeddings e CROSS JOIN cents c)
+    FROM embeddings e CROSS JOIN cents c
+    WHERE $corpusWhere)
   WHERE crank <= 1),
 pairs AS (
   SELECT a.cell, a.vec_id AS v1, b.vec_id AS v2,
@@ -1353,12 +1355,19 @@ FROM pc JOIN dom d USING (cell) CROSS JOIN tot
 ORDER BY pc.cell"""
 
   /** Twin of [[graft.ops.VectorOps.paraphraseRecall]]: top-50 pair
-    * overlap of the baseline and the k ∝ N twin.
+    * overlap of the baseline and the k ∝ N twin, both mined over the
+    * 1-in-2 md5 audit sample of the corpus with the miners' own
+    * (full-corpus) centroids.
     */
+  private val paraphraseAuditWhere: String =
+    """('0x' || substr(md5(CAST(e.vec_id AS VARCHAR)), 1, 7))::BIGINT
+      % 2 = 0"""
+
   val docParaphraseIvfRecall: String = s"""
-WITH x AS (${docParaphrasePairsSql("vec_id < 16")}),
+WITH x AS (${docParaphrasePairsSql("vec_id < 16", paraphraseAuditWhere)}),
 y AS (${docParaphrasePairsSql(
-      s"vec_id < (${kCellsSql("embeddings", 64, 32)})")})
+      s"vec_id < (${kCellsSql("embeddings", 64, 32)})",
+      paraphraseAuditWhere)})
 SELECT CAST(count(*) AS BIGINT) AS n_exact,
   CAST(count(y.v1) AS BIGINT) AS n_common,
   CASE WHEN count(*) > 0
@@ -3462,22 +3471,24 @@ SELECT alabel AS label, CAST(count(*) AS BIGINT) AS n_anchors,
   CAST(round(CAST(min(margin) AS DOUBLE), 4) AS DOUBLE) AS min_margin
 FROM pm GROUP BY alabel ORDER BY label"""
 
-  /** The 1-in-8 md5 anchor sample shared by the mining audits and
-    * their IVF-probe twins ([[graft.ops.VectorOps]] anchorSample).
+  /** The 1-in-`every` md5 anchor sample shared by the mining audits
+    * and their IVF-probe twins ([[graft.ops.VectorOps]]
+    * anchorSample): miners at 1-in-8, the recall audits at the
+    * bounded 1-in-64 audit rate (VectorOps.AuditEvery).
     */
-  private val hnAnchorsSql: String = """
+  private def hnAnchorsSql(every: Int = 8): String = s"""
 SELECT vec_id AS aid, label AS alabel, embedding AS av
 FROM embeddings
 WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 7))::BIGINT
-  % 8 = 0"""
+  % $every = 0"""
 
   /** Exact anchor-candidate scores: (aid, alabel, vec_id, label,
     * sim) over the full corpus, self excluded.
     */
-  private val hnScoredExactSql: String = s"""
+  private def hnScoredExactSql(every: Int = 8): String = s"""
 SELECT aid, alabel, e.vec_id, e.label,
   ${duckCos("a.av", "e.embedding")} AS sim
-FROM embeddings e JOIN ($hnAnchorsSql) a ON e.vec_id <> a.aid"""
+FROM embeddings e JOIN (${hnAnchorsSql(every)}) a ON e.vec_id <> a.aid"""
 
   /** IVF-probed anchor-candidate scores — twin of
     * [[graft.ops.VectorOps]] probedScored: corpus routed to k ∝ N
@@ -3486,8 +3497,8 @@ FROM embeddings e JOIN ($hnAnchorsSql) a ON e.vec_id <> a.aid"""
     * ascending top-k's (cdist, cid) order), candidates restricted to
     * the probed cells.
     */
-  private val hnScoredProbeSql: String = s"""
-WITH a AS ($hnAnchorsSql),
+  private def hnScoredProbeSql(every: Int = 8): String = s"""
+WITH a AS (${hnAnchorsSql(every)}),
 cents AS (
   SELECT vec_id AS cid, embedding AS cv FROM embeddings
   WHERE vec_id < (${kCellsSql("embeddings", 128, 16)})),
@@ -3531,14 +3542,14 @@ FROM (${margin}) GROUP BY alabel ORDER BY label"""
 
   /** Twin of [[graft.ops.VectorOps.hardNegativesIvf]]. */
   val embHardNegativesIvf: String =
-    hnRollupSql(hnMarginSql(hnScoredProbeSql))
+    hnRollupSql(hnMarginSql(hnScoredProbeSql()))
 
   /** Twin of [[graft.ops.VectorOps.hardNegativesRecall]]: exact vs
     * probed per-anchor margins, left-joined on the anchor.
     */
   val embHnIvfRecall: String = s"""
-WITH x AS (${hnMarginSql(hnScoredExactSql)}),
-y AS (${hnMarginSql(hnScoredProbeSql)})
+WITH x AS (${hnMarginSql(hnScoredExactSql(64))}),
+y AS (${hnMarginSql(hnScoredProbeSql(64))})
 SELECT CAST(count(*) AS BIGINT) AS n_anchors,
   CAST(count(y.aid) AS BIGINT) AS n_probed,
   CAST(sum(CASE WHEN x.margin < 0 THEN 1 ELSE 0 END) AS BIGINT)
@@ -3601,14 +3612,14 @@ ORDER BY label"""
 
   /** Twin of [[graft.ops.VectorOps.knnClassifyIvf]]. */
   val embKnnClassifyIvf: String =
-    classifyReportSql(classifyPredSql(hnScoredProbeSql))
+    classifyReportSql(classifyPredSql(hnScoredProbeSql()))
 
   /** Twin of [[graft.ops.VectorOps.knnClassifyRecall]]: exact vs
     * probed per-anchor predictions, left-joined on the anchor.
     */
   val embClassifyIvfRecall: String = s"""
-WITH x AS (${classifyPredSql(hnScoredExactSql)}),
-y AS (${classifyPredSql(hnScoredProbeSql)})
+WITH x AS (${classifyPredSql(hnScoredExactSql(64))}),
+y AS (${classifyPredSql(hnScoredProbeSql(64))})
 SELECT CAST(count(*) AS BIGINT) AS n_anchors,
   CAST(count(y.aid) AS BIGINT) AS n_probed,
   CAST(sum(CASE WHEN x.pred = y.pred THEN 1 ELSE 0 END) AS BIGINT)
@@ -3710,7 +3721,11 @@ corr AS (
   JOIN firsts fj ON fj.i = p.j
   JOIN pairs di ON di.i = p.i AND di.j = p.i
   JOIN pairs dj ON dj.i = p.j AND dj.j = p.j
-  WHERE p.j > p.i)
+  WHERE p.j > p.i
+    AND CAST(di.sxy AS DOUBLE) / p.n
+      - (CAST(fi.sx AS DOUBLE) / p.n) * (CAST(fi.sx AS DOUBLE) / p.n) > 0
+    AND CAST(dj.sxy AS DOUBLE) / p.n
+      - (CAST(fj.sx AS DOUBLE) / p.n) * (CAST(fj.sx AS DOUBLE) / p.n) > 0)
 SELECT CAST(i AS BIGINT) AS dim_i, CAST(j AS BIGINT) AS dim_j,
   CAST(round(corr, 6) AS DOUBLE) AS corr
 FROM (SELECT * FROM corr ORDER BY abs(corr) DESC, i, j LIMIT 20)

@@ -2,8 +2,9 @@ package graft.imaging
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{MapType, StringType}
 
 /** The reference's user-facing call surface, parameterized — the API a
   * czbiohub/imagingDB user would call after switching engines. Each
@@ -36,6 +37,35 @@ object ImagingDb {
       description: Option[String] = None,
       metaContains: Option[(String, String)] = None)
 
+  /** The reference's single duck-typed `channels` kwarg
+    * (db_operations.py:385-395: a scalar or list of all-str channel
+    * names → filter channel_name, all-int indices → filter
+    * channel_idx, mixed → TypeError; the notebook passes
+    * `channels=1`). Construct with `Channels("Cy3", ...)` /
+    * `Channels(1, ...)`, or adapt an untyped value with
+    * [[Channels.of]].
+    */
+  sealed trait Channels
+  object Channels {
+    final case class ByName(names: Seq[String]) extends Channels
+    final case class ById(ids: Seq[Int]) extends Channels
+    def apply(name: String, more: String*): Channels = ByName(name +: more)
+    def apply(id: Int, more: Int*): Channels = ById(id +: more)
+    /** Dynamic adapter matching the reference's runtime type check:
+      * scalar str/int, or a Seq of all-str / all-int.
+      */
+    def of(value: Any): Channels = value match {
+      case s: String => ByName(Seq(s))
+      case i: Int    => ById(Seq(i))
+      case xs: Seq[_] if xs.nonEmpty && xs.forall(_.isInstanceOf[String]) =>
+        ByName(xs.collect { case s: String => s })
+      case xs: Seq[_] if xs.nonEmpty && xs.forall(_.isInstanceOf[Int]) =>
+        ById(xs.collect { case i: Int => i })
+      case other => throw new IllegalArgumentException(
+        s"Channels must be all str or all int, got: $other")
+    }
+  }
+
   /** Multi-criterion dataset search, ordered by serial. A
     * `metaContains` criterion joins through the dataset-cardinality
     * frames_global metadata (left-semi — datasets qualify, rows don't
@@ -57,21 +87,45 @@ object ImagingDb {
       ds = ds.filter(col("description").contains(d)))
     criteria.metaContains.foreach { case (k, v) =>
       val matching = framesGlobal(spark, dir)
-        .filter(get_json_object(col("metadata_json"), s"$$['$k']") === v)
+        .filter(metaContainsPredicate(col("metadata_json"), k, v))
         .select(col("dataset_id").as("meta_ds_id"))
       ds = ds.join(matching, col("id") === col("meta_ds_id"), "left_semi")
     }
     ds.orderBy("dataset_serial")
   }
 
+  /** The JSONB-containment predicate of a `metaContains` criterion.
+    * The key goes in as a map-lookup LITERAL, never interpolated into
+    * a JSON-path string: a key containing quotes/brackets matches its
+    * actual field instead of silently matching nothing (the old
+    * `get_json_object($$['key'])` form broke on such keys). Nested
+    * values parse to their raw JSON text, same as the JSON-path
+    * accessor; `try_element_at` → NULL (no match) on a missing key.
+    */
+  private[graft] def metaContainsPredicate(metaJson: Column,
+      key: String, value: String): Column =
+    try_element_at(
+      from_json(metaJson, MapType(StringType, StringType)), lit(key)) === value
+
   /** The reference's optional dimension IN-lists applied to a frames
     * slice (None = unconstrained) — shared by [[getFramesSubset]] and
     * [[getFilenames]] so the two APIs cannot drift apart.
     */
   private def applyFrameFilters(frames0: DataFrame,
-      channelNames: Option[Seq[String]], channelIds: Option[Seq[Int]],
+      channels: Option[Channels],
+      channelNames0: Option[Seq[String]], channelIds0: Option[Seq[Int]],
       sliceIds: Option[Seq[Int]], timeIds: Option[Seq[Int]],
       posIds: Option[Seq[Int]]): DataFrame = {
+    // the reference's assertion: a single channels criterion, not
+    // both the typed kwarg and a split name/id list at once
+    require(channels.isEmpty
+        || (channelNames0.isEmpty && channelIds0.isEmpty),
+      "specify channels OR channelNames/channelIds, not both")
+    val (channelNames, channelIds) = channels match {
+      case Some(Channels.ByName(ns)) => (Some(ns), None)
+      case Some(Channels.ById(is))   => (None, Some(is))
+      case None                      => (channelNames0, channelIds0)
+    }
     var f = frames0
     channelNames.foreach(cs => f = f.filter(col("channel_name").isin(cs: _*)))
     channelIds.foreach(cs => f = f.filter(col("channel_idx").isin(cs: _*)))
@@ -87,6 +141,7 @@ object ImagingDb {
     */
   def getFramesSubset(spark: SparkSession, dir: String,
       datasetSerial: String,
+      channels: Option[Channels] = None,
       channelNames: Option[Seq[String]] = None,
       channelIds: Option[Seq[Int]] = None,
       sliceIds: Option[Seq[Int]] = None,
@@ -98,7 +153,7 @@ object ImagingDb {
     val f = applyFrameFilters(
       frames(spark, dir)
         .join(broadcast(target), col("frames_global_id") === col("ds_id")),
-      channelNames, channelIds, sliceIds, timeIds, posIds)
+      channels, channelNames, channelIds, sliceIds, timeIds, posIds)
     f.select("dataset_serial", "channel_idx", "slice_idx", "time_idx",
         "pos_idx", "channel_name", "file_name", "sha256")
       .orderBy("file_name", "sha256")
@@ -117,6 +172,7 @@ object ImagingDb {
     */
   def getFramesMeta(spark: SparkSession, dir: String,
       datasetSerial: String,
+      channels: Option[Channels] = None,
       channelNames: Option[Seq[String]] = None,
       channelIds: Option[Seq[Int]] = None,
       sliceIds: Option[Seq[Int]] = None,
@@ -127,8 +183,8 @@ object ImagingDb {
       .select(col("id").as("ds_id"), col("dataset_serial"))
     val f0 = frames(spark, dir)
       .join(broadcast(target), col("frames_global_id") === col("ds_id"))
-    val f = applyFrameFilters(f0, channelNames, channelIds, sliceIds,
-      timeIds, posIds)
+    val f = applyFrameFilters(f0, channels, channelNames, channelIds,
+      sliceIds, timeIds, posIds)
     val g = f0.groupBy(col("frames_global_id").as("g_id"))
       .agg(count(lit(1)).as("nbr_frames"),
         countDistinct(col("slice_idx")).as("nbr_slices"),
@@ -162,6 +218,7 @@ object ImagingDb {
     */
   def getFilenames(spark: SparkSession, dir: String,
       datasetSerial: String,
+      channels: Option[Channels] = None,
       channelNames: Option[Seq[String]] = None,
       channelIds: Option[Seq[Int]] = None,
       sliceIds: Option[Seq[Int]] = None,
@@ -174,7 +231,7 @@ object ImagingDb {
     val f = applyFrameFilters(
       frames(spark, dir)
         .join(broadcast(target), col("frames_global_id") === col("ds_id")),
-      channelNames, channelIds, sliceIds, timeIds, posIds)
+      channels, channelNames, channelIds, sliceIds, timeIds, posIds)
     val frameFiles = f.select("dataset_serial", "storage_dir", "file_name")
     val wholeFiles = fileGlobal(spark, dir)
       .join(broadcast(target.drop("storage_dir")),

@@ -381,11 +381,16 @@ object VectorOps {
         col("sxx").as("sxx_j"))), "j")
     val nD = col("n").cast("double")
     def m(s: Column) = s.cast("double") / nD
-    val corr = withMoments.select(col("i"), col("j"),
-      ((m(col("sxy")) - m(col("sx_i")) * m(col("sx_j")))
-        / (sqrt(m(col("sxx_i")) - m(col("sx_i")) * m(col("sx_i")))
-          * sqrt(m(col("sxx_j")) - m(col("sx_j")) * m(col("sx_j")))))
-        .as("corr"))
+    val varI = m(col("sxx_i")) - m(col("sx_i")) * m(col("sx_i"))
+    val varJ = m(col("sxx_j")) - m(col("sx_j")) * m(col("sx_j"))
+    // zero-variance guard: a constant dimension has no defined
+    // correlation (0/0 → NaN, which ranks ABOVE every real |corr|
+    // and would flood the top-20); drop those pairs, mirrored in the
+    // oracle
+    val corr = withMoments.filter(varI > 0.0 && varJ > 0.0)
+      .select(col("i"), col("j"),
+        ((m(col("sxy")) - m(col("sx_i")) * m(col("sx_j")))
+          / (sqrt(varI) * sqrt(varJ))).as("corr"))
     corr.orderBy(abs(col("corr")).desc, col("i"), col("j"))
       .limit(20)
       .select(col("i").cast("bigint").as("dim_i"),
@@ -1117,16 +1122,26 @@ object VectorOps {
     math.max(floor.toLong,
       math.ceil(n.toDouble / targetCell).toLong).toInt
 
-  /** The deterministic 1-in-8 md5 anchor sample shared by the mining
-    * audits ([[hardNegatives]], [[knnClassify]]) and their IVF-probe
-    * twins — rate is the published knob on the anchor side.
+  /** The deterministic 1-in-`every` md5 anchor sample shared by the
+    * mining audits ([[hardNegatives]], [[knnClassify]]) and their
+    * IVF-probe twins — rate is the published knob on the anchor side.
+    * The miners run at 1-in-8; the recall AUDITS run at 1-in-64 (a
+    * subset of the miners' anchors, since 8 | 64) so their exact
+    * O(|A|·N) ground-truth side stays bounded at corpus scale while
+    * the probe side they grade is the full production plan.
     */
-  private def anchorSample(e: DataFrame): DataFrame =
+  private def anchorSample(e: DataFrame, every: Int = 8): DataFrame =
     e.filter(expr(
-        """cast(conv(substring(md5(cast(vec_id as string)), 1, 7), 16, 10)
-           as bigint) % 8 = 0"""))
+        s"""cast(conv(substring(md5(cast(vec_id as string)), 1, 7), 16, 10)
+           as bigint) % $every = 0"""))
       .select(col("vec_id").as("aid"), col("label").as("alabel"),
         col("embedding").as("av"), norm(col("embedding")).as("anorm"))
+
+  /** The audit-rate knob of the three `*_recall` audits: 1-in-64
+    * anchors (vs the miners' 1-in-8), so the exact baseline costs
+    * |A|/8 of the mining run while grading the same probe geometry.
+    */
+  private[graft] val AuditEvery = 64
 
   /** Exact anchor-candidate scores — the |A|×N corpus scan both
     * mining audits rank over: anchors broadcast, norms precomputed
@@ -1134,10 +1149,10 @@ object VectorOps {
     * codegen'd dot fold per pair. Output: (aid, alabel, vec_id,
     * label, sim), self excluded.
     */
-  private def exactScored(e: DataFrame): DataFrame = {
+  private def exactScored(e: DataFrame, every: Int = 8): DataFrame = {
     val cand = e.select(col("vec_id"), col("label"), col("embedding"),
       norm(col("embedding")).as("cnorm"))
-    cand.join(broadcast(anchorSample(e)), col("aid") =!= col("vec_id"))
+    cand.join(broadcast(anchorSample(e, every)), col("aid") =!= col("vec_id"))
       .select(col("aid"), col("alabel"), col("vec_id"), col("label"),
         (dot(col("av"), col("embedding"))
           / (col("anorm") * col("cnorm"))).as("sim"))
@@ -1156,7 +1171,8 @@ object VectorOps {
     * the routing pass (constant per vec_id — the min-struct
     * tie-break (cdist, cid) is unaffected).
     */
-  private def probedScored(e: DataFrame, nprobe: Int = 4): DataFrame = {
+  private def probedScored(e: DataFrame, nprobe: Int = 4,
+      every: Int = 8): DataFrame = {
     val k = derivedK(e.count())
     // centroid norms folded once (k rows) and shipped inside the
     // broadcast; row norms folded once per vector and carried through
@@ -1166,7 +1182,7 @@ object VectorOps {
     val cents = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"),
         norm(col("embedding")).as("cnrm"))
-    val anchors = anchorSample(e)
+    val anchors = anchorSample(e, every)
     // skinny argmin + join-back, the assignCells discipline: the N×k
     // expansion carries three scalars, the vector/label/norm attach
     // on the unique vec_id key afterwards
@@ -1260,8 +1276,10 @@ object VectorOps {
       probedScored(Tables.embeddings(spark, dir))))
 
   /** Probe-quality audit for the hard-negative miner: per-anchor
-    * margins from the exact |A|×N scan joined (left) against the
-    * probe twin's — how many anchors the probe path still sees, how
+    * margins from the exact scan joined (left) against the probe
+    * twin's, both restricted to the 1-in-[[AuditEvery]] audit anchors
+    * (a subset of the miners' 1-in-8 sample) so the exact
+    * ground-truth side is |A|/8 of a mining run at any corpus scale — how many anchors the probe path still sees, how
     * many exact-hard anchors it also flags hard (the mining recall),
     * and the mean signed margin gap on the anchors both paths score.
     * One |A|-row join — the audit costs the two miners, nothing
@@ -1270,9 +1288,9 @@ object VectorOps {
     */
   def hardNegativesRecall(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val ex = marginPerAnchor(exactScored(e))
+    val ex = marginPerAnchor(exactScored(e, every = AuditEvery))
       .select(col("aid"), col("margin").as("margin_x"))
-    val pr = marginPerAnchor(probedScored(e))
+    val pr = marginPerAnchor(probedScored(e, every = AuditEvery))
       .select(col("aid").as("paid"), col("margin").as("margin_p"))
     ex.join(pr, col("aid") === col("paid"), "left")
       .agg(count(lit(1)).as("n_anchors"),
@@ -1384,14 +1402,17 @@ object VectorOps {
 
   /** Probe-quality audit for the k-NN classifier: per-anchor
     * predictions from the exact scan left-joined against the probe
-    * twin's — anchors seen by the probe path, prediction agreement,
+    * twin's, both at the bounded 1-in-[[AuditEvery]] audit rate —
+    * anchors seen by the probe path, prediction agreement,
     * and each path's own accuracy on the full anchor census. One
     * |A|-row join over two already-audited classifiers.
     */
   def knnClassifyRecall(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val ex = classifyPred(exactScored(e), e, broadcastTop = true)
-    val pr = classifyPred(probedScored(e), e, broadcastTop = false)
+    val ex = classifyPred(exactScored(e, every = AuditEvery), e,
+      broadcastTop = true)
+    val pr = classifyPred(probedScored(e, every = AuditEvery), e,
+      broadcastTop = false)
       .select(col("aid").as("paid"), col("pred").as("pred_p"))
     ex.join(pr, col("aid") === col("paid"), "left")
       .agg(count(lit(1)).as("n_anchors"),
@@ -1537,13 +1558,23 @@ object VectorOps {
   /** Probe-quality audit for paraphrase mining: overlap of the
     * baseline's and the k ∝ N twin's top-50 pair sets — the mining
     * recall of the finer codebook. Joins two 50-row sets.
+    *
+    * Both sides mine over a deterministic 1-in-2 md5 AUDIT SAMPLE of
+    * the corpus while keeping the miners' production centroids
+    * (full-corpus 16-cell / k ∝ N codebooks), so the overlap still
+    * measures exactly the codebook-split loss but the baseline's
+    * quadratic-in-cell pair work is bounded at (N/2)²/cells instead
+    * of N²/cells at any corpus scale.
     */
   def paraphraseRecall(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-    val k = derivedK(e.count(), targetCell = 64, floor = 32)
-    val ex = paraphrasePairs(e, coarseCentroids(e))
+    val e0 = Tables.embeddings(spark, dir)
+    val k = derivedK(e0.count(), targetCell = 64, floor = 32)
+    val e = e0.filter(expr(
+      """cast(conv(substring(md5(cast(vec_id as string)), 1, 7), 16, 10)
+         as bigint) % 2 = 0"""))
+    val ex = paraphrasePairs(e, coarseCentroids(e0))
       .select(col("v1"), col("v2"))
-    val pr = paraphrasePairs(e, e.filter(col("vec_id") < k)
+    val pr = paraphrasePairs(e, e0.filter(col("vec_id") < k)
         .select(col("vec_id").as("cid"), col("embedding").as("cv")))
       .select(col("v1").as("w1"), col("v2").as("w2"))
     ex.join(pr, col("v1") === col("w1") && col("v2") === col("w2"),

@@ -378,6 +378,33 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("dim corr: a planted constant dimension cannot flood the top-20") {
+    // a zero-variance dimension has no defined correlation (0/0 →
+    // NaN, which sorts ABOVE every real |corr|); the guard must drop
+    // its pairs entirely rather than rank them
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_dimcorr").toString
+    val rnd = new scala.util.Random(7)
+    (0L until 40L).map { id =>
+      val v = Array.tabulate(6)(d =>
+        if (d == 3) 2.5f else rnd.nextFloat())
+      (id, v, (id % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val rows = VectorOps.dimCorr(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) != 3L && r.getLong(1) != 3L,
+        s"constant dim 3 must not appear: $r")
+      assert(!r.getDouble(2).isNaN, s"NaN corr leaked: $r")
+    }
+    // 6 dims minus the constant one → C(5,2)=10 pairs survive
+    assert(rows.length === 10)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir))
+  }
+
   test("conversion lag: buckets in range, shares sum to 100") {
     val rows = graft.ops.EventOps.eventsConversionLag(spark, sfDir)
       .collect()

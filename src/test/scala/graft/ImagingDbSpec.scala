@@ -123,6 +123,64 @@ class ImagingDbSpec extends AnyFunSuite {
     assert(narrower.count() <= sliced.count())
   }
 
+  test("metaContains survives hostile keys (quotes/brackets/dots)") {
+    import ImagingDb.metaContainsPredicate
+    import spark.implicits._
+    // keys that would break a string-interpolated JSON path must
+    // still match their actual field — and a missing hostile key
+    // must match NOTHING (null-safe), never throw or match everything
+    val hostile = Seq("pro'tein", "a]b[c", "do.t", "q\"uote")
+    val df = hostile.zipWithIndex.map { case (k, i) =>
+      val kj = k.replace("\\", "\\\\").replace("\"", "\\\"")
+      (i, s"""{"$kj": "v$i", "plain": "p$i"}""")
+    }.toDF("id", "metadata_json")
+    hostile.zipWithIndex.foreach { case (k, i) =>
+      val hits = df.filter(metaContainsPredicate(col("metadata_json"), k, s"v$i"))
+      assert(hits.count() === 1, s"hostile key $k did not match")
+      assert(hits.head().getInt(0) === i)
+      assert(df.filter(
+        metaContainsPredicate(col("metadata_json"), k, "WRONG")).count() === 0)
+    }
+    // missing key → no rows, and getDatasets end-to-end stays sane
+    assert(df.filter(
+      metaContainsPredicate(col("metadata_json"), "absent']x", "v")).count() === 0)
+    assert(ImagingDb.getDatasets(spark, sfDir,
+      SearchCriteria(metaContains = Some(("protein']name", "TOPOR"))))
+      .count() === 0)
+  }
+
+  test("channels kwarg: scalar int, name list, and the type check") {
+    import ImagingDb.Channels
+    // notebook shape get_frames_meta(channels=1): all-int → channel_idx
+    val byId = ImagingDb.getFramesSubset(spark, sfDir, someSerial,
+      channels = Some(Channels.of(1)))
+    assert(byId.count() > 0)
+    assert(byId.filter(col("channel_idx") =!= 1).count() === 0)
+    assert(byId.collect().toSeq ===
+      ImagingDb.getFramesSubset(spark, sfDir, someSerial,
+        channelIds = Some(Seq(1))).collect().toSeq)
+    // all-str list → channel_name, same rows as the split kwarg
+    val byName = ImagingDb.getFramesMeta(spark, sfDir, someSerial,
+      channels = Some(Channels.of(Seq("DAPI", "GFP"))))
+    assert(byName.count() > 0)
+    assert(byName.collect().toSeq ===
+      ImagingDb.getFramesMeta(spark, sfDir, someSerial,
+        channelNames = Some(Seq("DAPI", "GFP"))).collect().toSeq)
+    // getFilenames takes the kwarg too
+    assert(ImagingDb.getFilenames(spark, sfDir, someSerial,
+        channels = Some(Channels("DAPI"))).collect().toSeq ===
+      ImagingDb.getFilenames(spark, sfDir, someSerial,
+        channelNames = Some(Seq("DAPI"))).collect().toSeq)
+    // mixed list → the reference's TypeError
+    intercept[IllegalArgumentException] { Channels.of(Seq("Cy3", 1)) }
+    // both the kwarg and a split list at once → the reference's assert
+    intercept[IllegalArgumentException] {
+      ImagingDb.getFramesSubset(spark, sfDir, someSerial,
+        channels = Some(Channels(1)), channelNames = Some(Seq("DAPI")))
+        .count()
+    }
+  }
+
   test("export writes frames_meta.csv and a valid global_metadata.json") {
     import graft.imaging.DataExport
     val out = java.nio.file.Files
