@@ -832,6 +832,25 @@ ORDER BY e.event_id"""
 )
 """
 
+  /** Twin of [[graft.ops.DedupOps.ngramJaccardCensus]]: the same
+    * (source, lang, lenband) block sizes, dropped-block roll-up at
+    * the test-scale maxBlock = 5.
+    */
+  val docNgramBlockCensus: String = corpusCte + """
+SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+  CAST(sum(CASE WHEN bn > 5 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dropped_blocks,
+  CAST(sum(CASE WHEN bn > 5 THEN bn ELSE 0 END) AS BIGINT)
+    AS n_dropped_docs,
+  CAST(coalesce(max(CASE WHEN bn > 5 THEN bn END), 0) AS BIGINT)
+    AS largest_dropped,
+  CAST(sum(CASE WHEN bn > 5 THEN bn * (bn - 1) // 2 ELSE 0 END)
+    AS BIGINT) AS pairs_avoided
+FROM (
+  SELECT source, lang, CAST(floor(length(text) / 64.0) AS INT)
+    AS lenband, count(*) AS bn
+  FROM corpus GROUP BY 1, 2, 3)"""
+
   val docNgramJaccard: String = corpusCte + """
 SELECT doc1, doc2, jaccard FROM (
   SELECT x.doc_id AS doc1, y.doc_id AS doc2,
@@ -4544,6 +4563,7 @@ ORDER BY method"""
     "img_lineage_depth" -> imgLineageDepth,
     "img_storage_rollup" -> imgStorageRollup,
     "doc_ngram_jaccard" -> docNgramJaccard,
+    "doc_ngram_block_census" -> docNgramBlockCensus,
     "emb_knn_brute" -> embKnnBrute,
     "events_asof" -> eventsAsof,
     "q6_forecast" -> q6Forecast,

@@ -72,6 +72,7 @@ object SparkEntry {
     "doc_minhash_lsh" -> (DedupOps.minhashLsh(_, _)),
     "doc_simhash" -> (DedupOps.simhash(_, _)),
     "doc_ngram_jaccard" -> (DedupOps.ngramJaccard(_, _)),
+    "doc_ngram_block_census" -> (DedupOps.ngramJaccardCensus(_, _)),
     "doc_text_stats" -> (TextOps.textStats(_, _)),
     "doc_lang_id" -> (TextOps.langId(_, _)),
     "doc_fingerprint" -> (TextOps.fingerprint(_, _)),

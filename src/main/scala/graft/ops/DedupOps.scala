@@ -715,22 +715,64 @@ object DedupOps {
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     ngramJaccardOf(corpus(spark, dir))
 
+  /** The (source, lang, length-band) blocking key shared by
+    * [[ngramJaccardOf]] and [[ngramBlockCensus]]: candidates must be
+    * near-equal length to reach high Jaccard, so the band predicate
+    * prunes the quadratic pair space without losing top-k.
+    */
+  private def ngramBlocked(source: DataFrame): DataFrame =
+    source.withColumn("lenband", (length(col("text")) / 64).cast("int"))
+
+  /** One row per block key with its size — the tiny census both the
+    * size guard's semi-join and the dropped-block report read.
+    */
+  private def ngramBlockSizes(keyed: DataFrame): DataFrame =
+    keyed.groupBy("source", "lang", "lenband")
+      .agg(count(lit(1)).as("bn"))
+
+  /** Dropped-block census for [[ngramJaccardOf]]'s size guard — the
+    * "no silent caps" companion (the [[lshHealth]] discipline applied
+    * to the exact baseline): one row reporting how many blocks the
+    * guard removed, the docs they carried, the largest one, and the
+    * quadratic pair load the drop avoided. A top-100 Jaccard list
+    * that excluded the densest blocks must never read as complete —
+    * a run checks this census first.
+    */
+  def ngramBlockCensus(source: DataFrame,
+      maxBlock: Int = 10000): DataFrame = {
+    val dropped = col("bn") > maxBlock
+    ngramBlockSizes(ngramBlocked(source))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(dropped, 1L).otherwise(0L)).as("n_dropped_blocks"),
+        sum(when(dropped, col("bn")).otherwise(0L)).as("n_dropped_docs"),
+        coalesce(max(when(dropped, col("bn"))), lit(0L))
+          .as("largest_dropped"),
+        // `div`, not `/`: Spark's `/` on bigints returns DOUBLE
+        sum(when(dropped, expr("bn * (bn - 1) div 2")).otherwise(0L))
+          .as("pairs_avoided"))
+  }
+
+  /** Driver-checked census entry: the guard exercised for real at
+    * test scale (maxBlock 5 — the natural blocks run up to ~8 docs),
+    * so the report path that matters at 100 TB is the one the oracle
+    * hashes, not a degenerate all-zeros row.
+    */
+  def ngramJaccardCensus(spark: SparkSession, dir: String): DataFrame =
+    ngramBlockCensus(corpus(spark, dir), maxBlock = 5)
+
   /** The exact blocked-Jaccard core with a per-block size guard:
     * block sizes grow linearly with the corpus, so in-block pairs grow
     * quadratically — acceptable as a correctness baseline (the scale
     * path IS [[minhashPairsOf]]), but without a cap an accidental run
     * at full scale detonates. Blocks past `maxBlock` docs are dropped
     * via a tiny block-census semi-join (one row per block key), so the
-    * worst case is bounded at maxBlock²/2 pairs per block.
+    * worst case is bounded at maxBlock²/2 pairs per block — and the
+    * drop is REPORTED, not silent: [[ngramBlockCensus]] publishes the
+    * dropped-block count/size census for the same key space.
     */
   def ngramJaccardOf(source: DataFrame, maxBlock: Int = 10000): DataFrame = {
-    // block on (source, lang, length band): candidates must be
-    // near-equal length to reach high Jaccard, so the extra band
-    // predicate prunes the quadratic pair space without losing top-k
-    val keyed = source
-      .withColumn("lenband", (length(col("text")) / 64).cast("int"))
-    val okBlocks = keyed.groupBy("source", "lang", "lenband")
-      .agg(count(lit(1)).as("bn"))
+    val keyed = ngramBlocked(source)
+    val okBlocks = ngramBlockSizes(keyed)
       .filter(col("bn") <= maxBlock)
       .select("source", "lang", "lenband")
     // guard BEFORE shingling: dropped blocks never pay the n-gram cost

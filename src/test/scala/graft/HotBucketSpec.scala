@@ -48,6 +48,33 @@ class HotBucketSpec extends AnyFunSuite {
     assert(raised === 50L * 49 / 2 + 10)
   }
 
+  test("ngram jaccard reports a dropped oversized block, never silently") {
+    // a planted block past maxBlock must (a) vanish from the pair
+    // list — the quadratic guard — and (b) show up in the census with
+    // its size and avoided pair load: dropped, not silent
+    val hot = (0 until 50).map(i =>
+      (i.toLong, "alpha beta gamma delta epsilon zeta eta theta",
+        "web", "en"))
+    val ctl = (100 until 105).map(i =>
+      (i.toLong, "quick brown foxes jump over many lazy dogs today",
+        "wiki", "en"))
+    val docs = (hot ++ ctl).toDF("doc_id", "text", "source", "lang")
+    val capped = DedupOps.ngramJaccardOf(docs, maxBlock = 20).collect()
+    assert(capped.forall(_.getLong(0) >= 100L),
+      "a dropped-block doc leaked into the pair list")
+    assert(capped.length === 10)
+    val census = DedupOps.ngramBlockCensus(docs, maxBlock = 20).head()
+    assert(census.getLong(0) === 2L, "two blocks total")
+    assert(census.getLong(1) === 1L, "one block dropped")
+    assert(census.getLong(2) === 50L, "dropped docs counted")
+    assert(census.getLong(3) === 50L, "largest dropped block reported")
+    assert(census.getLong(4) === 50L * 49 / 2, "avoided pair load")
+    // raising the cap re-admits the block AND zeroes the census
+    val raised = DedupOps.ngramBlockCensus(docs, maxBlock = 100).head()
+    assert(raised.getLong(1) === 0L && raised.getLong(3) === 0L)
+    assert(DedupOps.ngramJaccardOf(docs, maxBlock = 100).count() === 100)
+  }
+
   test("dedup rep selection survives a hot digest with no window") {
     import org.apache.spark.sql.functions._
     // one digest duplicated 12,000× (the boilerplate-page shape) plus a
