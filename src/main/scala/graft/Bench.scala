@@ -367,6 +367,25 @@ object Bench {
     * scan over the bucket → per-partition PNG decode → pixel-stat
     * aggregate. On a real deployment the same code reads s3a:// keys.
     */
+  /** The decode-once FrameStats build, end to end (full-corpus gray +
+    * RGB PNG round trips into the bucketed stats table) — written to a
+    * run-unique name so the timed build never collides with the warmed
+    * store the `*_stored` read entries measure against.
+    */
+  private def frameStatsBuildBench(spark: SparkSession,
+      sfDir: String): Double = {
+    val run = java.lang.Long.toHexString(System.nanoTime())
+    val table = s"graft_bench_framestats_$run"
+    try {
+      val t0 = System.nanoTime()
+      graft.sources.FrameStats.write(spark, sfDir, table)
+      (System.nanoTime() - t0) / 1e9
+    } finally {
+      scala.util.Try(graft.sources.DocumentStore.clearStale(spark, table))
+      ()
+    }
+  }
+
   private def s3FramesBench(spark: SparkSession, sfDir: String): Double = {
     import org.apache.spark.sql.functions.xxhash64
     val base = sfDir.reverse.takeWhile(_ != '/').reverse
@@ -453,6 +472,7 @@ object Bench {
     // bucket layout amortizes across every later query)
     graft.sources.DocumentStore.ensureBuilt(spark, sfDir)
     graft.sources.VectorIndex.ensureBuilt(spark, sfDir)
+    graft.sources.FrameStats.ensureBuilt(spark, sfDir)
     // min of two runs per query: the first run pays JIT/codegen
     // compilation, the second is the steady-state number a long-running
     // cluster job sees. Load canary: on a contended box the two runs
@@ -539,6 +559,18 @@ object Bench {
       for (p <- prior.get(k) if p > 0 && v > p * 2 && v > 0.5)
         regressed += ((k, p, v))
     }
+    // the decode-once build itself, timed explicitly: the number that
+    // amortizes the QC family's former 8 full-corpus decode passes
+    val frameStatsTime =
+      if (!only.forall(_.contains("frame_stats_build"))) None
+      else scala.util.Try(
+        Seq(frameStatsBuildBench(spark, sfDir),
+          frameStatsBuildBench(spark, sfDir)).min).toOption
+    frameStatsTime.foreach { v =>
+      for (p <- prior.get("frame_stats_build") if p > 0 && v > p * 2
+          && v > 0.5)
+        regressed += (("frame_stats_build", p, v))
+    }
     val s3Time =
       if (!only.forall(_.contains("s3_frames_read"))) None
       else scala.util.Try(
@@ -549,7 +581,8 @@ object Bench {
         regressed += (("s3_frames_read", p, v))
     }
     val all = results ++ streams.map { case (k, v) => k -> v._1 } ++
-      s3Time.map("s3_frames_read" -> _)
+      s3Time.map("s3_frames_read" -> _) ++
+      frameStatsTime.map("frame_stats_build" -> _)
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // bounded-state evidence per stream entry: total state rows and

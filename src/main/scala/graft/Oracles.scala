@@ -4458,6 +4458,15 @@ ORDER BY method"""
     // store twins: result-identical to their inline operators by
     // construction, so they share the oracle SQL verbatim
     "doc_exact_dedup_bucketed" -> docExactDedup,
+    "img_payload_stats_stored" -> imgPayloadStats,
+    "img_intensity_drift_stored" -> imgIntensityDrift,
+    "img_focus_rank_stored" -> imgFocusRank,
+    "img_channel_crosstalk_stored" -> imgChannelCrosstalk,
+    "img_payload_stats_rgb_stored" -> imgPayloadStatsRgb,
+    "img_pixel_histogram_stored" -> imgPixelHistogram,
+    "img_saturation_stored" -> imgSaturation,
+    "img_z_profile_stored" -> imgZProfile,
+    "vid_scene_cuts_stored" -> vidSceneCuts,
     "emb_knn_ivfpq_indexed" -> embKnnIvfPq,
     "emb_gram_power" -> embGramPower,
     "doc_source_unique" -> docSourceUnique,

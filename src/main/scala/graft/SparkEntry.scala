@@ -210,6 +210,26 @@ object SparkEntry {
       (graft.sources.DocumentStore.dupGroupsFor(_, _)),
     "emb_knn_ivfpq_indexed" ->
       (graft.sources.VectorIndex.searchFor(_, _)),
+    // decode-once FrameStats twins: the 9 imaging-QC queries off ONE
+    // persisted decode pass instead of a full-corpus PNG decode each
+    "img_payload_stats_stored" ->
+      (graft.sources.FrameStats.payloadStatsStored(_, _)),
+    "img_intensity_drift_stored" ->
+      (graft.sources.FrameStats.intensityDriftStored(_, _)),
+    "img_focus_rank_stored" ->
+      (graft.sources.FrameStats.focusRankStored(_, _)),
+    "img_channel_crosstalk_stored" ->
+      (graft.sources.FrameStats.channelCrosstalkStored(_, _)),
+    "img_payload_stats_rgb_stored" ->
+      (graft.sources.FrameStats.payloadStatsRgbStored(_, _)),
+    "img_pixel_histogram_stored" ->
+      (graft.sources.FrameStats.pixelHistogramStored(_, _)),
+    "img_saturation_stored" ->
+      (graft.sources.FrameStats.saturationQcStored(_, _)),
+    "img_z_profile_stored" ->
+      (graft.sources.FrameStats.zProfileStored(_, _)),
+    "vid_scene_cuts_stored" ->
+      (graft.sources.FrameStats.sceneCutsStored(_, _)),
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the

@@ -71,7 +71,11 @@ object BinaryFrames {
     * sums and fails the oracle — identical channels would hash-match
     * through an R↔G swap.
     */
-  private val encodeRgbPng = udf { (sha: String) =>
+  /** The planted RGB sample block (shared with
+    * [[graft.sources.FrameStats]]'s one-pass builder so the stored
+    * stats decode EXACTLY the payloads the inline operators decode).
+    */
+  private[graft] def rgbSamplesOf(sha: String): Array[Byte] = {
     val b = ImageCodec.hexBytes(sha)
     val out = new Array[Byte](192) // 8×8 px × 3 channels
     var i = 0
@@ -82,7 +86,11 @@ object BinaryFrames {
       out(3 * i + 2) = ((3 * v + 7) % 256).toByte
       i += 1
     }
-    ImageCodec.encodeRgb8(out, 8, 8)
+    out
+  }
+
+  private val encodeRgbPng = udf { (sha: String) =>
+    ImageCodec.encodeRgb8(rgbSamplesOf(sha), 8, 8)
   }
 
   /** Frames with a REAL RGB payload (same row-spreading rationale as
@@ -149,18 +157,28 @@ object BinaryFrames {
     * the serial join. Drift divides two ROUNDED means, so the output
     * is engine-exact (hex-arithmetic oracle, no PNG bytes).
     */
-  def intensityDrift(spark: SparkSession, dir: String): DataFrame = {
-    val feats = decodeFrames(spark, withPayload(spark, dir)).toDF()
-      .withColumn("dataset_id", expr("frame_id div 10"))
-      .withColumn("time_idx", expr("cast(frame_id % 10 - 1 as int)"))
+  def intensityDrift(spark: SparkSession, dir: String): DataFrame =
+    intensityDriftTail(spark, dir,
+      decodeFrames(spark, withPayload(spark, dir)).toDF()
+        .withColumn("dataset_id", expr("frame_id div 10"))
+        .withColumn("time_idx", expr("cast(frame_id % 10 - 1 as int)")))
+
+  /** Drift roll-up over any per-frame stats source (inline decode or
+    * the persisted [[graft.sources.FrameStats]] table). Aggregates on
+    * the LONG dataset key first — the stored table's bucket layout
+    * satisfies that clustering with zero exchange — and broadcasts
+    * the dimension serial onto the census afterwards.
+    */
+  private[graft] def intensityDriftTail(spark: SparkSession, dir: String,
+      feats: DataFrame): DataFrame = {
     val byTime = feats
-      .join(broadcast(ImagingModel.dataSet(spark, dir)
-        .select(col("id").as("ds_id"), col("dataset_serial"))),
-        col("dataset_id") === col("ds_id"))
-      .groupBy("dataset_serial", "time_idx")
+      .groupBy("dataset_id", "time_idx")
       .agg(count(lit(1)).as("n_frames"),
         sum(col("sum_px")).as("spx"),
         sum(col("n_px").cast("bigint")).as("npx"))
+      .join(broadcast(ImagingModel.dataSet(spark, dir)
+        .select(col("id").as("ds_id"), col("dataset_serial"))),
+        col("dataset_id") === col("ds_id"))
       .select(col("dataset_serial"), col("time_idx"), col("n_frames"),
         round(col("spx").cast("double") / col("npx"), 6).as("mean_px"))
     val t0 = byTime.filter(col("time_idx") === 0)
@@ -182,41 +200,49 @@ object BinaryFrames {
     * exact integer moments (Σpx, Σpx²) and rounds BEFORE ranking, so
     * the order is engine-identical.
     */
-  def focusRank(spark: SparkSession, dir: String): DataFrame = {
-    val feats = decodeFrames(spark, withPayload(spark, dir)).toDF()
-      .withColumn("dataset_id", expr("frame_id div 10"))
+  def focusRank(spark: SparkSession, dir: String): DataFrame =
+    focusRankTail(spark, dir,
+      decodeFrames(spark, withPayload(spark, dir)).toDF()
+        .withColumn("dataset_id", expr("frame_id div 10")))
+
+  private[graft] def focusRankTail(spark: SparkSession, dir: String,
+      feats: DataFrame): DataFrame =
+    feats
       .withColumn("variance", round(
         col("sum_sq").cast("double") / col("n_px")
           - (col("sum_px").cast("double") / col("n_px"))
           * (col("sum_px").cast("double") / col("n_px")), 6))
-    feats
+      .groupBy("dataset_id")
+      .agg(graft.functions.TopKByScore
+        .topkAsc(col("variance"), col("frame_id"), 5).as("top"))
       .join(broadcast(ImagingModel.dataSet(spark, dir)
         .select(col("id").as("ds_id"), col("dataset_serial"))),
         col("dataset_id") === col("ds_id"))
-      .groupBy("dataset_serial")
-      .agg(graft.functions.TopKByScore
-        .topkAsc(col("variance"), col("frame_id"), 5).as("top"))
       .select(col("dataset_serial"), posexplode(col("top")).as(Seq("p", "t")))
       .select(col("dataset_serial"),
         (col("p") + 1).cast("bigint").as("rank"),
         col("t.id").as("frame_id"), col("t.score").as("variance"))
       .orderBy("dataset_serial", "rank")
-  }
 
-  def payloadStats(spark: SparkSession, dir: String): DataFrame = {
-    val feats = decodeFrames(spark, withPayload(spark, dir)).toDF()
-      .withColumn("dataset_id", expr("frame_id div 10"))
+  def payloadStats(spark: SparkSession, dir: String): DataFrame =
+    payloadStatsTail(spark, dir,
+      decodeFrames(spark, withPayload(spark, dir)).toDF()
+        .withColumn("dataset_id", expr("frame_id div 10")))
+
+  private[graft] def payloadStatsTail(spark: SparkSession, dir: String,
+      feats: DataFrame): DataFrame =
     feats
-      .join(broadcast(ImagingModel.dataSet(spark, dir)
-        .select(col("id").as("ds_id"), col("dataset_serial"))),
-        col("dataset_id") === col("ds_id"))
-      .groupBy("dataset_serial")
+      .groupBy("dataset_id")
       .agg(count(lit(1)).as("n_frames"),
         sum(col("n_px").cast("bigint")).as("total_px"),
         sum(col("sum_px")).as("sum_px_values"),
         max(col("max_px")).as("max_px"))
+      .join(broadcast(ImagingModel.dataSet(spark, dir)
+        .select(col("id").as("ds_id"), col("dataset_serial"))),
+        col("dataset_id") === col("ds_id"))
+      .select(col("dataset_serial"), col("n_frames"), col("total_px"),
+        col("sum_px_values"), col("max_px"))
       .orderBy("dataset_serial")
-  }
 
   /** The RGB twin of [[decodeFrames]]: one decode per row through
     * [[ImageCodec.decodeRgb]], per-CHANNEL sums and maxima off the
@@ -258,14 +284,15 @@ object BinaryFrames {
     * channel's transform of the planted sha bytes without touching a
     * PNG byte (PNG losslessness makes the two bit-equal).
     */
-  def payloadStatsRgb(spark: SparkSession, dir: String): DataFrame = {
-    val feats = decodeFramesRgb(spark, withPayloadRgb(spark, dir)).toDF()
-      .withColumn("dataset_id", expr("frame_id div 10"))
+  def payloadStatsRgb(spark: SparkSession, dir: String): DataFrame =
+    payloadStatsRgbTail(spark, dir,
+      decodeFramesRgb(spark, withPayloadRgb(spark, dir)).toDF()
+        .withColumn("dataset_id", expr("frame_id div 10")))
+
+  private[graft] def payloadStatsRgbTail(spark: SparkSession, dir: String,
+      feats: DataFrame): DataFrame =
     feats
-      .join(broadcast(ImagingModel.dataSet(spark, dir)
-        .select(col("id").as("ds_id"), col("dataset_serial"))),
-        col("dataset_id") === col("ds_id"))
-      .groupBy("dataset_serial")
+      .groupBy("dataset_id")
       .agg(count(lit(1)).as("n_frames"),
         sum(col("n_px").cast("bigint")).as("total_px"),
         sum(col("sum_r")).as("sum_r_values"),
@@ -274,8 +301,13 @@ object BinaryFrames {
         max(col("max_r")).as("max_r"),
         max(col("max_g")).as("max_g"),
         max(col("max_b")).as("max_b"))
+      .join(broadcast(ImagingModel.dataSet(spark, dir)
+        .select(col("id").as("ds_id"), col("dataset_serial"))),
+        col("dataset_id") === col("ds_id"))
+      .select(col("dataset_serial"), col("n_frames"), col("total_px"),
+        col("sum_r_values"), col("sum_g_values"), col("sum_b_values"),
+        col("max_r"), col("max_g"), col("max_b"))
       .orderBy("dataset_serial")
-  }
 
   /** Channel cross-talk audit — the spectral bleed-through QC a
     * multi-channel acquisition is validated against: per dataset, the
@@ -289,19 +321,20 @@ object BinaryFrames {
     * appear once in the final correlation formula, rounded — so the
     * hex-arithmetic oracle matches bit for bit without seeing a PNG.
     */
-  def channelCrosstalk(spark: SparkSession, dir: String): DataFrame = {
-    val feats = decodeFramesRgb(spark, withPayloadRgb(spark, dir)).toDF()
-      .withColumn("dataset_id", expr("frame_id div 10"))
+  def channelCrosstalk(spark: SparkSession, dir: String): DataFrame =
+    channelCrosstalkTail(spark, dir,
+      decodeFramesRgb(spark, withPayloadRgb(spark, dir)).toDF()
+        .withColumn("dataset_id", expr("frame_id div 10")))
+
+  private[graft] def channelCrosstalkTail(spark: SparkSession, dir: String,
+      feats: DataFrame): DataFrame = {
     def corr(sx: Column, sy: Column, sxx: Column, syy: Column,
         sxy: Column, n: Column): Column =
       round((n * sxy - sx * sy).cast("double") /
         (sqrt((n * sxx - sx * sx).cast("double"))
           * sqrt((n * syy - sy * sy).cast("double"))), 6)
     feats
-      .join(broadcast(ImagingModel.dataSet(spark, dir)
-        .select(col("id").as("ds_id"), col("dataset_serial"))),
-        col("dataset_id") === col("ds_id"))
-      .groupBy("dataset_serial")
+      .groupBy("dataset_id")
       .agg(count(lit(1)).as("n_frames"),
         sum(col("n_px").cast("bigint")).as("n"),
         sum(col("sum_r")).as("sr"), sum(col("sum_g")).as("sg"),
@@ -310,6 +343,9 @@ object BinaryFrames {
         sum(col("sum_bb")).as("sbb"),
         sum(col("sum_rg")).as("srg"), sum(col("sum_gb")).as("sgb"),
         sum(col("sum_rb")).as("srb"))
+      .join(broadcast(ImagingModel.dataSet(spark, dir)
+        .select(col("id").as("ds_id"), col("dataset_serial"))),
+        col("dataset_id") === col("ds_id"))
       .select(col("dataset_serial"), col("n_frames"),
         corr(col("sr"), col("sg"), col("srr"), col("sgg"), col("srg"),
           col("n")).as("corr_rg"),
@@ -360,10 +396,14 @@ object BinaryFrames {
     * rows. Bins with zero pixels are absent (identically in the
     * hex-arithmetic oracle).
     */
-  def pixelHistogram(spark: SparkSession, dir: String): DataFrame = {
+  def pixelHistogram(spark: SparkSession, dir: String): DataFrame =
+    pixelHistogramTail(spark, dir,
+      decodeHist16(spark, withPayload(spark, dir)).toDF()
+        .withColumn("dataset_id", expr("frame_id div 10")))
+
+  private[graft] def pixelHistogramTail(spark: SparkSession, dir: String,
+      feats: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val feats = decodeHist16(spark, withPayload(spark, dir)).toDF()
-      .withColumn("dataset_id", expr("frame_id div 10"))
     // aggregate on the long (dataset, bin) key FIRST — the explode's
     // 16× row churn collapses map-side to the census before any join
     // or string serial exists; the broadcast dimension join then runs
@@ -401,7 +441,6 @@ object BinaryFrames {
     */
   def zProfile(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val framed = withPayload(spark, dir)
       .select(col("frame_id"),
         expr("cast(substring(split_part(file_name, '_', 3), 2, 3) as int)")
@@ -418,8 +457,14 @@ object BinaryFrames {
         }
       }
       .toDF("frame_id", "slice_idx", "n_px", "sum_px")
-    val byZ = feats
       .withColumn("dataset_id", expr("frame_id div 10"))
+    zProfileTail(spark, dir, feats)
+  }
+
+  private[graft] def zProfileTail(spark: SparkSession, dir: String,
+      feats: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byZ = feats
       .groupBy("dataset_id", "slice_idx")
       .agg(count(lit(1)).as("n_frames"),
         sum(col("sum_px")).as("spx"),
@@ -450,18 +495,22 @@ object BinaryFrames {
     * doubles appear once in the rounded fractions, so the
     * hex-arithmetic oracle is bit-exact.
     */
-  def saturationQc(spark: SparkSession, dir: String): DataFrame = {
-    val feats = decodeHist16(spark, withPayload(spark, dir)).toDF()
-      .withColumn("dataset_id", expr("frame_id div 10"))
+  def saturationQc(spark: SparkSession, dir: String): DataFrame =
+    saturationQcTail(spark, dir,
+      decodeHist16(spark, withPayload(spark, dir)).toDF()
+        .withColumn("dataset_id", expr("frame_id div 10")))
+
+  private[graft] def saturationQcTail(spark: SparkSession, dir: String,
+      feats: DataFrame): DataFrame =
     feats
-      .join(broadcast(ImagingModel.dataSet(spark, dir)
-        .select(col("id").as("ds_id"), col("dataset_serial"))),
-        col("dataset_id") === col("ds_id"))
-      .groupBy("dataset_serial")
+      .groupBy("dataset_id")
       .agg(count(lit(1)).as("n_frames"),
         sum(col("n_px").cast("bigint")).as("total_px"),
         sum(col("bins").getItem(15)).as("n_sat"),
         sum(col("bins").getItem(0)).as("n_dark"))
+      .join(broadcast(ImagingModel.dataSet(spark, dir)
+        .select(col("id").as("ds_id"), col("dataset_serial"))),
+        col("dataset_id") === col("ds_id"))
       .select(col("dataset_serial"), col("n_frames"), col("total_px"),
         col("n_sat"), col("n_dark"),
         round(col("n_sat").cast("double") / col("total_px"), 6)
@@ -469,7 +518,6 @@ object BinaryFrames {
         round(col("n_dark").cast("double") / col("total_px"), 6)
           .as("dark_pct"))
       .orderBy("dataset_serial")
-  }
 
   /** Temporal-discontinuity detection — the scene-cut / lamp-event
     * audit of a time-series acquisition, the video-shaped operator
@@ -489,7 +537,6 @@ object BinaryFrames {
     */
   def sceneCuts(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val framed = ImagingModel.frames(spark, dir)
       .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
       .select(col("id"), col("channel_idx"), col("slice_idx"),
@@ -507,6 +554,12 @@ object BinaryFrames {
       }
       .toDF("frame_id", "c", "z", "t", "p", "mean_px")
       .withColumn("dataset_id", expr("frame_id div 10"))
+    sceneCutsTail(spark, dir, feats)
+  }
+
+  private[graft] def sceneCutsTail(spark: SparkSession, dir: String,
+      feats: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val series = Window.partitionBy("dataset_id", "c", "z", "p")
       .orderBy(col("t"), col("frame_id"), col("mean_px"))
     feats

@@ -1,0 +1,177 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.imaging.ImagingModel
+import graft.multimodal.{BinaryFrames, ImageCodec}
+
+/** Persisted decode-once frame statistics — the [[DocumentStore]] /
+  * [[VectorIndex]] build/read discipline applied to the imaging-QC
+  * family: the reference's QC queries (intensity drift, focus triage,
+  * exposure histogram, clipping, z-profile, crosstalk, scene cuts)
+  * each re-decoded the WHOLE frame corpus per run — at 100 TB the
+  * decode is the dominant cost and it was paid eight times for the
+  * same bytes. Here ONE typed mapPartitions pass decodes every
+  * frame's gray AND RGB payloads (real PNG round trips — the same
+  * payload bytes the inline operators decode, via the shared
+  * [[BinaryFrames.rgbSamplesOf]] transform) and persists the
+  * sufficient statistics every QC operator needs:
+  *
+  *  - grid indices (channel/slice/time/pos) for the series queries,
+  *  - exact integer gray moments (n, Σpx, Σpx², max),
+  *  - the 16-bin intensity histogram (bin width = 1/16 of the frame's
+  *    own depth range, the [[BinaryFrames.decodeHist16]] rule),
+  *  - exact per-channel RGB sums/maxima and cross-moments.
+  *
+  * The table is bucketed by the long dataset key, so every per-dataset
+  * roll-up (and the per-(dataset, secondary) ones — hash clustering on
+  * a subset key satisfies them) reads with ZERO exchanges; the
+  * `*_stored` query twins reuse the inline operators' tail code
+  * verbatim and hash-match the same DuckDB oracles.
+  */
+object FrameStats {
+
+  val DefaultBuckets = 32
+
+  /** One frame's persisted sufficient statistics (gray + RGB). */
+  case class FrameStatRow(frame_id: Long, dataset_id: Long,
+    channel_idx: Int, slice_idx: Int, time_idx: Int, pos_idx: Int,
+    n_px: Int, sum_px: Long, sum_sq: Long, max_px: Int,
+    bins: Array[Long],
+    sum_r: Long, sum_g: Long, sum_b: Long,
+    max_r: Int, max_g: Int, max_b: Int,
+    sum_rr: Long, sum_gg: Long, sum_bb: Long,
+    sum_rg: Long, sum_gb: Long, sum_rb: Long)
+
+  /** Build-once guard, session-scoped like [[DocumentStore]]'s: a
+    * stale table from a previous JVM must be rebuilt, never trusted.
+    */
+  private val built = scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  def ensureBuilt(spark: SparkSession, dir: String): String = {
+    val table = DocumentStore.tableName("graft_framestats", dir)
+    built.synchronized {
+      if (!built.contains(table)) {
+        DocumentStore.clearStale(spark, table)
+        write(spark, dir, table)
+        built.put(table, ())
+      }
+    }
+    table
+  }
+
+  /** The one decode pass: every frame's gray and RGB payloads encoded
+    * from the planted sha bytes (generation) and decoded back through
+    * the REAL PNG codec (the work this table amortizes), emitting the
+    * per-frame sufficient statistics. Same row-spreading repartition
+    * rationale as [[BinaryFrames.withPayload]]: metadata rows are
+    * byte-small, the codec work is not.
+    */
+  def decodeOnce(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ImagingModel.frames(spark, dir)
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
+      .select(col("id"), col("channel_idx"), col("slice_idx"),
+        col("time_idx"), col("pos_idx"), col("sha256"))
+      .as[(Long, Int, Int, Int, Int, String)]
+      .mapPartitions { rows =>
+        // codec/session init would happen once per partition here
+        rows.map { case (id, c, z, t, p, sha) =>
+          val b = ImageCodec.hexBytes(sha)
+          // gray round trip + moments + 16-bin histogram
+          val d = ImageCodec.decodeImage(
+            ImageCodec.encodeGray8(b ++ b, 8, 8))
+          val px = d.samples
+          val shift = d.bitDepth - 4
+          val bins = new Array[Long](16)
+          var sum = 0L; var sumSq = 0L; var max = 0
+          var i = 0
+          while (i < px.length) {
+            sum += px(i)
+            sumSq += px(i).toLong * px(i)
+            if (px(i) > max) max = px(i)
+            bins(px(i) >> shift) += 1L
+            i += 1
+          }
+          // RGB round trip + per-channel sums/maxima + cross-moments
+          val (_, _, s) = ImageCodec.decodeRgb(
+            ImageCodec.encodeRgb8(BinaryFrames.rgbSamplesOf(sha), 8, 8))
+          val sums = new Array[Long](3)
+          val maxs = new Array[Int](3)
+          var rr, gg, bb, rg, gb, rb = 0L
+          i = 0
+          while (i < s.length) {
+            val ch = i % 3
+            sums(ch) += s(i)
+            if (s(i) > maxs(ch)) maxs(ch) = s(i)
+            if (ch == 2) {
+              val r = s(i - 2).toLong; val g = s(i - 1).toLong
+              val bl = s(i).toLong
+              rr += r * r; gg += g * g; bb += bl * bl
+              rg += r * g; gb += g * bl; rb += r * bl
+            }
+            i += 1
+          }
+          FrameStatRow(id, id / 10, c, z, t, p,
+            px.length, sum, sumSq, max, bins,
+            sums(0), sums(1), sums(2), maxs(0), maxs(1), maxs(2),
+            rr, gg, bb, rg, gb, rb)
+        }
+      }
+      .toDF()
+  }
+
+  def write(spark: SparkSession, dir: String, table: String,
+      nBuckets: Int = DefaultBuckets): Unit =
+    decodeOnce(spark, dir)
+      .write.bucketBy(nBuckets, "dataset_id").sortBy("dataset_id")
+      .mode("overwrite").saveAsTable(table)
+
+  def read(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+
+  def statsFor(spark: SparkSession, dir: String): DataFrame =
+    read(spark, ensureBuilt(spark, dir))
+
+  // ---- stored query twins --------------------------------------------
+  //
+  // Each reuses the inline operator's tail verbatim over the persisted
+  // stats (column pruning trims the wide row to what the tail reads),
+  // so results — and oracle SQL — are identical by construction; what
+  // changes is the cost: no decode, and the dataset-key aggregate
+  // rides the bucket layout with zero exchange.
+
+  def payloadStatsStored(spark: SparkSession, dir: String): DataFrame =
+    BinaryFrames.payloadStatsTail(spark, dir, statsFor(spark, dir))
+
+  def intensityDriftStored(spark: SparkSession, dir: String): DataFrame =
+    BinaryFrames.intensityDriftTail(spark, dir, statsFor(spark, dir))
+
+  def focusRankStored(spark: SparkSession, dir: String): DataFrame =
+    BinaryFrames.focusRankTail(spark, dir, statsFor(spark, dir))
+
+  def pixelHistogramStored(spark: SparkSession, dir: String): DataFrame =
+    BinaryFrames.pixelHistogramTail(spark, dir, statsFor(spark, dir))
+
+  def saturationQcStored(spark: SparkSession, dir: String): DataFrame =
+    BinaryFrames.saturationQcTail(spark, dir, statsFor(spark, dir))
+
+  def zProfileStored(spark: SparkSession, dir: String): DataFrame =
+    BinaryFrames.zProfileTail(spark, dir, statsFor(spark, dir))
+
+  def payloadStatsRgbStored(spark: SparkSession, dir: String): DataFrame =
+    BinaryFrames.payloadStatsRgbTail(spark, dir, statsFor(spark, dir))
+
+  def channelCrosstalkStored(spark: SparkSession, dir: String): DataFrame =
+    BinaryFrames.channelCrosstalkTail(spark, dir, statsFor(spark, dir))
+
+  def sceneCutsStored(spark: SparkSession, dir: String): DataFrame =
+    BinaryFrames.sceneCutsTail(spark, dir, statsFor(spark, dir)
+      .select(col("frame_id"), col("dataset_id"),
+        col("channel_idx").as("c"), col("slice_idx").as("z"),
+        col("time_idx").as("t"), col("pos_idx").as("p"),
+        // n_px is 64 (a power of two), so the mean is EXACT in double
+        // — bit-identical to the inline decode's sum/length
+        (col("sum_px").cast("double") / col("n_px")).as("mean_px")))
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.FrameStats
+
+/** The decode-once FrameStats table: the imaging-QC family must read
+  * persisted per-frame statistics (one PNG decode pass, amortized)
+  * with results byte-identical to the inline decode operators, and
+  * the dataset-key aggregates must ride the bucket layout without a
+  * frame-level exchange.
+  */
+class FrameStatsSpec extends AnyFunSuite {
+  import TestSpark.{sfDir, spark}
+
+  test("the table carries one row per frame with exact gray moments") {
+    val stats = FrameStats.statsFor(spark, sfDir)
+    val nFrames = graft.imaging.ImagingModel.frames(spark, sfDir).count()
+    assert(stats.count() === nFrames)
+    // per-frame invariants of the 8x8 uint8 payloads: 64 pixels, a
+    // 16-bin histogram summing to the pixel count, moments consistent
+    val bad = stats.filter(col("n_px") =!= 64
+      || size(col("bins")) =!= 16
+      || expr("aggregate(bins, 0L, (a, x) -> a + x)") =!= col("n_px")
+      || col("max_px") > 255 || col("max_px") < 0
+      || col("sum_px") > col("n_px") * 255L
+      || col("sum_sq") < col("sum_px"))
+    assert(bad.count() === 0)
+  }
+
+  test("stored twins equal their inline decode operators") {
+    for ((name, stored, inline) <- Seq(
+        ("payload_stats",
+          FrameStats.payloadStatsStored(spark, sfDir),
+          graft.multimodal.BinaryFrames.payloadStats(spark, sfDir)),
+        ("saturation",
+          FrameStats.saturationQcStored(spark, sfDir),
+          graft.multimodal.BinaryFrames.saturationQc(spark, sfDir)),
+        ("scene_cuts",
+          FrameStats.sceneCutsStored(spark, sfDir),
+          graft.multimodal.BinaryFrames.sceneCuts(spark, sfDir)))) {
+      assert(stored.columns.toSeq === inline.columns.toSeq, name)
+      assert(stored.collect().toSeq === inline.collect().toSeq,
+        s"$name stored != inline")
+    }
+  }
+
+  test("dataset-key aggregates ride the bucket layout, frames never shuffle") {
+    // the per-dataset roll-up must show NO exchange below the final
+    // order: the bucketed scan's hash distribution on dataset_id
+    // satisfies the aggregate (and the subset-key ones) directly
+    // the only exchange allowed is the final orderBy's range
+    // partitioning — no hash exchange (= no re-shuffle of frame or
+    // census rows on the dataset key) anywhere
+    for ((name, df) <- Seq(
+        "payload_stats" -> FrameStats.payloadStatsStored(spark, sfDir),
+        "saturation" -> FrameStats.saturationQcStored(spark, sfDir),
+        "crosstalk" -> FrameStats.channelCrosstalkStored(spark, sfDir))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"$name must ride the bucket layout, not hash-shuffle:\n$plan")
+    }
+    // histogram: the (dataset_id, bin) aggregate is clustered by the
+    // dataset_id bucket subset — no frame-level exchange below it (the
+    // pct window over the per-(dataset, bin) census may shuffle: it is
+    // census-sized)
+    val hist = FrameStats.pixelHistogramStored(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!hist.contains("Exchange hashpartitioning(dataset_id#"),
+      s"(dataset_id, bin) aggregate must ride the buckets:\n$hist")
+    // and the build is once per JVM
+    val t = FrameStats.ensureBuilt(spark, sfDir)
+    assert(FrameStats.ensureBuilt(spark, sfDir) === t)
+  }
+}
