@@ -3750,6 +3750,134 @@ SELECT CAST(i AS BIGINT) AS dim_i, CAST(j AS BIGINT) AS dim_j,
 FROM (SELECT * FROM corr ORDER BY abs(corr) DESC, i, j LIMIT 20)
 ORDER BY dim_i, dim_j"""
 
+  /** The OPQ-lite rotation CTE shared by [[embOpqRotations]] and
+    * [[embOpqDistortion]] — mirror of
+    * [[graft.ops.VectorOps.opqRotationsRaw]]: the dimCorr moment
+    * census, mutual-best |corr| partner selection (row_number ↔ the
+    * lexicographic max-struct), and the sqrt-only Jacobi (c, s). The
+    * moment→double divisions and the τ/t/c/s chain copy the Spark
+    * expression shapes operation for operation (a/b vs a·(1/b)
+    * differ in IEEE — s must be t·c, not t/sqrt).
+    */
+  private val opqRotCte: String = s"""
+WITH el AS (
+  SELECT vec_id, i.i - 1 AS i, CAST(embedding[i.i] AS DOUBLE) AS xd
+  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i),
+pairs AS (
+  SELECT a.i AS i, b.i AS j, count(*) AS n,
+    sum(CAST(a.xd * b.xd AS DECIMAL(20,10))) AS sxy
+  FROM el a JOIN el b ON a.vec_id = b.vec_id AND b.i >= a.i
+  GROUP BY 1, 2),
+firsts AS (
+  SELECT i, sum(CAST(xd AS DECIMAL(20,10))) AS sx FROM el GROUP BY i),
+mom AS (
+  SELECT p.i, p.j,
+    CAST(p.sxy AS DOUBLE) / p.n AS mxy,
+    CAST(fi.sx AS DOUBLE) / p.n AS mx_i,
+    CAST(fj.sx AS DOUBLE) / p.n AS mx_j,
+    CAST(di.sxy AS DOUBLE) / p.n AS mxx_i,
+    CAST(dj.sxy AS DOUBLE) / p.n AS mxx_j
+  FROM pairs p
+  JOIN firsts fi ON fi.i = p.i
+  JOIN firsts fj ON fj.i = p.j
+  JOIN pairs di ON di.i = p.i AND di.j = p.i
+  JOIN pairs dj ON dj.i = p.j AND dj.j = p.j
+  WHERE p.j > p.i),
+base AS (
+  SELECT i, j,
+    mxy - mx_i * mx_j AS cov,
+    mxx_i - mx_i * mx_i AS var_i,
+    mxx_j - mx_j * mx_j AS var_j,
+    (mxy - mx_i * mx_j)
+      / (sqrt(mxx_i - mx_i * mx_i) * sqrt(mxx_j - mx_j * mx_j)) AS corr
+  FROM mom
+  WHERE mxx_i - mx_i * mx_i > 0 AND mxx_j - mx_j * mx_j > 0
+    AND mxy - mx_i * mx_j <> 0),
+sym AS (
+  SELECT i AS a, j AS b, corr FROM base
+  UNION ALL
+  SELECT j AS a, i AS b, corr FROM base),
+best AS (
+  SELECT a, b AS p FROM (
+    SELECT a, b,
+      row_number() OVER (PARTITION BY a ORDER BY abs(corr) DESC, b) AS rn
+    FROM sym) WHERE rn = 1),
+mutual AS (
+  SELECT x.a AS i, x.p AS j FROM best x
+  JOIN best y ON x.p = y.a AND y.p = x.a AND x.a < x.p),
+rot AS (
+  SELECT i, j, cov, var_i, var_j, corr, c, t * c AS s FROM (
+    SELECT *, 1.0 / sqrt(1.0 + t * t) AS c FROM (
+      SELECT *,
+        CASE WHEN tau >= 0
+          THEN 1.0 / (tau + sqrt(1.0 + tau * tau))
+          ELSE 1.0 / (tau - sqrt(1.0 + tau * tau)) END AS t
+      FROM (
+        SELECT b2.*, (var_j - var_i) / (2.0 * cov) AS tau
+        FROM base b2 JOIN mutual USING (i, j)))))
+"""
+
+  /** Twin of [[graft.ops.VectorOps.opqRotations]]. */
+  val embOpqRotations: String = opqRotCte + """
+SELECT CAST(i AS BIGINT) AS dim_i, CAST(j AS BIGINT) AS dim_j,
+  CAST(round(corr, 6) AS DOUBLE) AS corr,
+  CAST(round(c, 6) AS DOUBLE) AS c,
+  CAST(round(s, 6) AS DOUBLE) AS s
+FROM rot ORDER BY dim_i"""
+
+  /** Twin of [[graft.ops.VectorOps.opqDistortion]]: the rotation plan
+    * (identity default, pair dims override), rotated element lists in
+    * dim order, then the [[embPqDistortion]] body verbatim over the
+    * rotated vectors.
+    */
+  val embOpqDistortion: String = opqRotCte + """,
+plan AS (
+  SELECT k.k AS k,
+    coalesce(r.oth, k.k) AS oth,
+    coalesce(r.wself, 1.0) AS wself,
+    coalesce(r.wother, 0.0) AS wother
+  FROM (SELECT unnest(range(64)) AS k) k
+  LEFT JOIN (
+    SELECT i AS k, j AS oth, c AS wself, -s AS wother FROM rot
+    UNION ALL
+    SELECT j AS k, i AS oth, c AS wself, s AS wother FROM rot) r
+  ON r.k = k.k),
+rel AS (
+  SELECT e.vec_id, p.k,
+    p.wself * CAST(e.embedding[p.k + 1] AS DOUBLE)
+      + p.wother * CAST(e.embedding[p.oth + 1] AS DOUBLE) AS x
+  FROM embeddings e CROSS JOIN plan p),
+rvec AS (
+  SELECT vec_id, list(x ORDER BY k) AS rvec FROM rel GROUP BY vec_id),
+subq AS (
+  SELECT vec_id, m.m AS m,
+    rvec[m.m * 8 + 1 : m.m * 8 + 8] AS sub
+  FROM rvec CROSS JOIN (SELECT unnest(range(8)) AS m) m),
+subc AS (
+  SELECT vec_id AS cid, m.m AS m,
+    rvec[m.m * 8 + 1 : m.m * 8 + 8] AS csub
+  FROM rvec CROSS JOIN (SELECT unnest(range(8)) AS m) m
+  WHERE vec_id < 16),
+scored AS (
+  SELECT q.vec_id, q.m, c.cid,
+    list_sum(list_transform(list_zip(q.sub, c.csub),
+      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS dist
+  FROM subq q JOIN subc c ON q.m = c.m),
+assigned AS (
+  SELECT m, CAST(dist AS DECIMAL(20,10)) AS d, cid FROM (
+    SELECT vec_id, m, cid, dist,
+      row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rk
+    FROM scored)
+  WHERE rk = 1)
+SELECT m AS subspace, CAST(count(*) AS BIGINT) AS n_vecs,
+  round(CAST(sum(d) AS DOUBLE) / count(*), 6) AS mse,
+  round(CAST(max(d) AS DOUBLE), 6) AS max_sq_err,
+  CAST(bit_count(bit_or(1::BIGINT << cid)) AS BIGINT) AS codes_used
+FROM assigned
+GROUP BY m
+ORDER BY subspace"""
+
   /** Unigram-LM twin of [[graft.ops.TextOps.unigramLogprob]]: ln cast
     * to DECIMAL(20,10) at the vocabulary level on both engines, sums
     * exact, threshold cross-multiplied.
@@ -4444,6 +4572,8 @@ ORDER BY method"""
     "emb_pq_distortion" -> embPqDistortion,
     "emb_dim_stats" -> embDimStats,
     "emb_dim_corr" -> embDimCorr,
+    "emb_opq_rotation" -> embOpqRotations,
+    "emb_opq_distortion" -> embOpqDistortion,
     "events_paths" -> eventsPaths,
     "doc_mix_weights" -> docMixWeights,
     "emb_nprobe_curve" -> embNprobeCurve,

@@ -156,6 +156,8 @@ object SparkEntry {
     "emb_pq_distortion" -> (VectorOps.pqDistortion(_, _)),
     "emb_dim_stats" -> (VectorOps.dimStats(_, _)),
     "emb_dim_corr" -> (VectorOps.dimCorr(_, _)),
+    "emb_opq_rotation" -> (VectorOps.opqRotations(_, _)),
+    "emb_opq_distortion" -> (VectorOps.opqDistortion(_, _)),
     "doc_mix_weights" -> (TextOps.mixWeights(_, _)),
     "emb_nprobe_curve" -> (VectorOps.nprobeCurve(_, _)),
     "doc_winnow_overlap" -> (TextOps.winnowOverlap(_, _)),

@@ -350,35 +350,7 @@ object VectorOps {
     * only the 20 survivors.
     */
   def dimCorr(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-    val el = e.select(col("vec_id"), col("embedding"),
-        posexplode(col("embedding")).as(Seq("i", "x")))
-      .select(col("vec_id"), col("embedding"), col("i"),
-        col("x").cast("double").as("xd"))
-    val pairs = el
-      .select(col("i"), col("xd"),
-        posexplode(col("embedding")).as(Seq("j", "y")))
-      .filter(col("j") >= col("i"))
-      .select(col("i"), col("j"),
-        (col("xd") * col("y").cast("double"))
-          .cast("decimal(20,10)").as("xy"))
-      .groupBy("i", "j")
-      .agg(count(lit(1)).as("n"), sum(col("xy")).as("sxy"))
-    val firsts = e
-      .select(posexplode(col("embedding")).as(Seq("i", "x")))
-      .select(col("i"), col("x").cast("double")
-        .cast("decimal(20,10)").as("x1"))
-      .groupBy("i").agg(sum(col("x1")).as("sx"))
-    val diag = pairs.filter(col("i") === col("j"))
-      .select(col("i").as("d"), col("sxy").as("sxx"), col("n").as("dn"))
-    val withMoments = pairs.filter(col("j") > col("i"))
-      .join(broadcast(firsts.select(col("i"), col("sx").as("sx_i"))), "i")
-      .join(broadcast(firsts.select(col("i").as("j"),
-        col("sx").as("sx_j"))), "j")
-      .join(broadcast(diag.select(col("d").as("i"),
-        col("sxx").as("sxx_i"))), "i")
-      .join(broadcast(diag.select(col("d").as("j"),
-        col("sxx").as("sxx_j"))), "j")
+    val withMoments = dimMoments(Tables.embeddings(spark, dir))
     val nD = col("n").cast("double")
     def m(s: Column) = s.cast("double") / nD
     val varI = m(col("sxx_i")) - m(col("sx_i")) * m(col("sx_i"))
@@ -400,6 +372,172 @@ object VectorOps {
       // re-orders on the key so post-round ties can't flip row order
       // between engines
       .orderBy("dim_i", "dim_j")
+  }
+
+  /** The exact-DECIMAL centered second-moment census over every dim
+    * pair j > i — the machinery behind [[dimCorr]] and the OPQ-lite
+    * rotation selection ([[opqRotations]]): per pair, the exact
+    * cross-sum and each side's first/second moments. One (i, j, n,
+    * sxy, sx_i, sx_j, sxx_i, sxx_j) row per pair.
+    */
+  private def dimMoments(e: DataFrame): DataFrame = {
+    val el = e.select(col("vec_id"), col("embedding"),
+        posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("embedding"), col("i"),
+        col("x").cast("double").as("xd"))
+    val pairs = el
+      .select(col("i"), col("xd"),
+        posexplode(col("embedding")).as(Seq("j", "y")))
+      .filter(col("j") >= col("i"))
+      .select(col("i"), col("j"),
+        (col("xd") * col("y").cast("double"))
+          .cast("decimal(20,10)").as("xy"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n"), sum(col("xy")).as("sxy"))
+    val firsts = e
+      .select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("i"), col("x").cast("double")
+        .cast("decimal(20,10)").as("x1"))
+      .groupBy("i").agg(sum(col("x1")).as("sx"))
+    val diag = pairs.filter(col("i") === col("j"))
+      .select(col("i").as("d"), col("sxy").as("sxx"), col("n").as("dn"))
+    pairs.filter(col("j") > col("i"))
+      .join(broadcast(firsts.select(col("i"), col("sx").as("sx_i"))), "i")
+      .join(broadcast(firsts.select(col("i").as("j"),
+        col("sx").as("sx_j"))), "j")
+      .join(broadcast(diag.select(col("d").as("i"),
+        col("sxx").as("sxx_i"))), "i")
+      .join(broadcast(diag.select(col("d").as("j"),
+        col("sxx").as("sxx_j"))), "j")
+  }
+
+  /** OPQ-lite rotation selection — the operator that CONSUMES
+    * [[dimCorr]]'s census (OPQ, Ge et al. 2013, learns a rotation
+    * that decorrelates dims before the PQ subspace split; this is the
+    * bounded, engine-exact step of that idea): every dimension picks
+    * its strongest-|corr| partner (rank on the raw doubles derived
+    * from the DECIMAL-exact moments, partner-asc tie-break); the
+    * pairs that pick EACH OTHER — mutual bests, disjoint by
+    * construction — get the Jacobi(2×2) rotation that zeroes their
+    * covariance. τ/t/c/s use +,−,×,÷,sqrt ONLY (the classic Jacobi
+    * form, no transcendentals), so DuckDB derives bit-identical
+    * rotation weights from the same moments.
+    *
+    * Output: (i, j, cov, var_i, var_j, corr, c, s) — one row per
+    * rotated pair, raw doubles (callers round at the edge).
+    */
+  private[graft] def opqRotationsRaw(e: DataFrame): DataFrame = {
+    val nD = col("n").cast("double")
+    def m(s: Column) = s.cast("double") / nD
+    val varI = m(col("sxx_i")) - m(col("sx_i")) * m(col("sx_i"))
+    val varJ = m(col("sxx_j")) - m(col("sx_j")) * m(col("sx_j"))
+    val cov = m(col("sxy")) - m(col("sx_i")) * m(col("sx_j"))
+    val base = dimMoments(e)
+      .filter(varI > 0.0 && varJ > 0.0)
+      .select(col("i"), col("j"), cov.as("cov"),
+        varI.as("var_i"), varJ.as("var_j"),
+        (cov / (sqrt(varI) * sqrt(varJ))).as("corr"))
+      // a zero-covariance pair has nothing to rotate (t would be 0/0)
+      .filter(col("cov") =!= 0.0)
+    val sym = base.select(col("i").as("a"), col("j").as("b"), col("corr"))
+      .unionByName(
+        base.select(col("j").as("a"), col("i").as("b"), col("corr")))
+    val best = sym.groupBy("a")
+      .agg(max(struct(abs(col("corr")).as("ac"),
+        (-col("b")).as("nb"), col("b"))).as("mx"))
+      .select(col("a"), col("mx.b").as("p"))
+    val mutual = best
+      .join(broadcast(best.select(col("a").as("a2"), col("p").as("p2"))),
+        col("p") === col("a2") && col("p2") === col("a")
+          && col("a") < col("p"))
+      .select(col("a").as("i"), col("p").as("j"))
+    val tau = (col("var_j") - col("var_i")) / (lit(2.0) * col("cov"))
+    base.join(broadcast(mutual), Seq("i", "j"))
+      .withColumn("tau", tau)
+      .withColumn("t",
+        when(col("tau") >= 0.0,
+          lit(1.0) / (col("tau") + sqrt(lit(1.0) + col("tau") * col("tau"))))
+          .otherwise(
+            lit(1.0) / (col("tau") - sqrt(lit(1.0) + col("tau") * col("tau")))))
+      .withColumn("c", lit(1.0) / sqrt(lit(1.0) + col("t") * col("t")))
+      .withColumn("s", col("t") * col("c"))
+      .select("i", "j", "cov", "var_i", "var_j", "corr", "c", "s")
+  }
+
+  /** Driver-checked rotation census: which dim pairs rotate, by how
+    * much — the audit read before shipping the rotated codebook.
+    */
+  def opqRotations(spark: SparkSession, dir: String): DataFrame =
+    opqRotationsRaw(Tables.embeddings(spark, dir))
+      .select(col("i").cast("bigint").as("dim_i"),
+        col("j").cast("bigint").as("dim_j"),
+        round(col("corr"), 6).as("corr"),
+        round(col("c"), 6).as("c"),
+        round(col("s"), 6).as("s"))
+      .orderBy("dim_i")
+
+  /** Embeddings under the OPQ-lite rotation, as array<double>: the
+    * mutual-best pairs rotate (x'ᵢ = c·xᵢ − s·xⱼ, x'ⱼ = s·xᵢ + c·xⱼ),
+    * every other dim passes through. The per-dim rotation plan
+    * compiles to THREE 64-long arrays in a one-row census broadcast
+    * onto the corpus scan (the declared one-row cross join), so the
+    * rotation itself is a single codegen'd transform per row — no
+    * per-element join, no shuffle.
+    */
+  private[graft] def rotatedEmbeddings(spark: SparkSession,
+      e: DataFrame): DataFrame = {
+    val rot = opqRotationsRaw(e)
+    val perDim = rot.select(col("i").as("k"), col("j").as("oth"),
+        col("c").as("wself"), (-col("s")).as("wother"))
+      .unionByName(rot.select(col("j").as("k"), col("i").as("oth"),
+        col("c").as("wself"), col("s").as("wother")))
+    val plan = spark.range(64).select(col("id").cast("int").as("k"))
+      .join(broadcast(perDim), Seq("k"), "left")
+      .select(col("k"), coalesce(col("oth"), col("k")).as("oth"),
+        coalesce(col("wself"), lit(1.0)).as("wself"),
+        coalesce(col("wother"), lit(0.0)).as("wother"))
+      .agg(sort_array(collect_list(struct(col("k"), col("oth"),
+        col("wself"), col("wother")))).as("arr"))
+      .select(expr("transform(arr, x -> x.oth)").as("oth"),
+        expr("transform(arr, x -> x.wself)").as("wself"),
+        expr("transform(arr, x -> x.wother)").as("wother"))
+    e.join(broadcast(plan), lit(true))
+      .select(col("vec_id"), expr(
+        """transform(sequence(0, 63), k ->
+             element_at(wself, k + 1)
+               * cast(element_at(embedding, k + 1) as double)
+             + element_at(wother, k + 1)
+               * cast(element_at(embedding, element_at(oth, k + 1) + 1)
+                   as double))""").as("rvec"))
+  }
+
+  /** PQ distortion at 8 bytes/vector AFTER the OPQ-lite rotation —
+    * the measurement [[opqRotations]] exists for, same semantics and
+    * schema as [[pqDistortion]] (codebook = the first 16 vectors,
+    * ROTATED like the corpus; rotation is orthogonal, so mse is
+    * directly comparable between the two reports).
+    */
+  def opqDistortion(spark: SparkSession, dir: String): DataFrame = {
+    val rotated = rotatedEmbeddings(spark,
+      Tables.embeddings(spark, dir))
+    val cents = subspaces(rotated.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("rvec").as("cv")), "cv")
+      .select(col("cid"), col("m"), col("sub").as("csub"))
+    subspaces(rotated.select(col("vec_id"), col("rvec")), "rvec")
+      .join(broadcast(cents), Seq("m"))
+      .withColumn("dist", subL2)
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("dist"), col("cid"))).as("mn"))
+      .select(col("m"),
+        col("mn.dist").cast("decimal(20,10)").as("d"),
+        col("mn.cid").as("cid"))
+      .groupBy(col("m").as("subspace"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("d")).cast("double") / count(lit(1)), 6).as("mse"),
+        round(max(col("d")).cast("double"), 6).as("max_sq_err"),
+        expr("cast(bit_count(bit_or(shiftleft(1L, cid))) as bigint)")
+          .as("codes_used"))
+      .orderBy("subspace")
   }
 
   /** Norm-outlier triage list: the 10 largest- and 10 smallest-norm

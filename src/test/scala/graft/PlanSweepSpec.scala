@@ -161,8 +161,11 @@ class PlanSweepSpec extends AnyFunSuite {
     "doc_paraphrase_mining_ivf", // k ∝ N centroid assignment cross join
     "doc_paraphrase_ivf_recall", // composes both miners, inherits the
                                  // assignment cross joins
-    "doc_domain_clusters"  // k ∝ N centroid assignment cross join +
+    "doc_domain_clusters", // k ∝ N centroid assignment cross join +
                            // one-row corpus-total census cross join
+    "emb_opq_distortion"   // one-row rotation-plan census cross join
+                           // (three 64-long arrays broadcast onto the
+                           // corpus scan)
   )
 
   test("doc_zipf ranks via distributed top-k, not a global window sort") {
