@@ -1156,7 +1156,10 @@ ORDER BY qid, rank"""
     * ±1 hyperplane literals ([[graft.functions.Hyperplanes]]) are
     * inlined, and the per-plane vote is the same sequential list fold.
     */
-  val embNearDup: String = {
+  /** The 64-hyperplane fingerprint expression over an `embedding`
+    * column — shared by [[embNearDup]] and the multi-probe twins.
+    */
+  private lazy val hyperplaneFpExpr: String = {
     import graft.functions.Hyperplanes.signs
     def vote(j: Int): String =
       s"""list_sum(list_transform(
@@ -1167,9 +1170,13 @@ ORDER BY qid, rank"""
     def bitLit(j: Int): String =
       if (j == 63) "(-9223372036854775807 - 1)::BIGINT"
       else s"1::BIGINT << $j"
-    val fpExpr = (0 until 64)
+    (0 until 64)
       .map(j => s"(CASE WHEN ${vote(j)} > 0 THEN ${bitLit(j)} ELSE 0::BIGINT END)")
       .mkString("\n    | ")
+  }
+
+  val embNearDup: String = {
+    val fpExpr = hyperplaneFpExpr
     s"""WITH corpus AS (
   SELECT vec_id, embedding FROM embeddings
   UNION ALL
@@ -1191,6 +1198,78 @@ SELECT v1, v2, cos FROM (
   JOIN corpus b ON cand.v2 = b.vec_id)
 WHERE cos >= 0.9
 ORDER BY v1, v2"""
+  }
+
+  /** The multi-probe near-dup CTE set for a given flip list — mirror
+    * of [[graft.ops.VectorOps.multiProbePairs]] over the
+    * near-boundary planted corpus (every 25th vector duplicated with
+    * dimension vec_id % 64 negated).
+    */
+  private def multiProbeCte(flips: Seq[Long]): String = s"""
+corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+    list_transform(range(64), k ->
+      CASE WHEN k = vec_id % 64 THEN -embedding[k + 1]
+           ELSE embedding[k + 1] END) AS embedding
+  FROM embeddings WHERE vec_id % 25 = 0
+), fp AS (
+  SELECT vec_id, embedding, $hyperplaneFpExpr AS fp FROM corpus
+), bands AS (
+  SELECT vec_id, (fp >> (16 * b.band)) & 65535 AS bh, b.band
+  FROM fp CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b
+), sizes AS (
+  SELECT band, bh, count(*) AS n FROM bands GROUP BY 1, 2
+), bucket AS (
+  SELECT b.vec_id, b.band, b.bh FROM bands b
+  JOIN sizes s ON b.band = s.band AND b.bh = s.bh AND s.n <= 1000
+), probes AS (
+  SELECT vec_id AS pv, band, xor(bh, f.f) AS pbh
+  FROM bands CROSS JOIN (SELECT unnest([${flips.mkString(", ")}]) AS f) f
+), cand AS (
+  SELECT DISTINCT p.pv AS v1, b.vec_id AS v2
+  FROM probes p JOIN bucket b
+    ON p.band = b.band AND p.pbh = b.bh AND p.pv < b.vec_id
+)"""
+
+  private def probeFlips(flipBits: Int): Seq[Long] =
+    0L +: (0 until flipBits).map(b => 1L << b)
+
+  /** Twin of [[graft.ops.VectorOps.embNearDupMultiProbe]]. */
+  val embNearDupMultiProbe: String = s"""
+WITH ${multiProbeCte(probeFlips(16))}
+SELECT v1, v2, cos FROM (
+  SELECT v1, v2,
+    CAST(round(${duckCos("a.embedding", "b.embedding")}, 6) AS DOUBLE) AS cos
+  FROM cand JOIN corpus a ON cand.v1 = a.vec_id
+  JOIN corpus b ON cand.v2 = b.vec_id)
+WHERE cos >= 0.9
+ORDER BY v1, v2"""
+
+  /** Twin of [[graft.ops.VectorOps.embNearDupProbeCurve]]: one block
+    * per probe level, unioned.
+    */
+  val embNearDupProbeCurve: String = {
+    def level(fb: Int): String = s"""
+SELECT $fb AS probe_bits,
+  (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+  CAST(count(*) AS BIGINT) AS n_pairs,
+  CAST(sum(CASE WHEN v2 = v1 + 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_planted_found,
+  round(sum(CASE WHEN v2 = v1 + 1000000 THEN 1 ELSE 0 END) * 100.0
+    / CAST((SELECT count(*) FROM embeddings WHERE vec_id % 25 = 0)
+        AS DOUBLE), 2) AS planted_recall_pct
+FROM (
+  SELECT v1, v2 FROM (
+    SELECT v1, v2,
+      round(${duckCos("a.embedding", "b.embedding")}, 6) AS cos
+    FROM cand JOIN corpus a ON cand.v1 = a.vec_id
+    JOIN corpus b ON cand.v2 = b.vec_id)
+  WHERE cos >= 0.9)"""
+    Seq(0, 4, 16).map(fb =>
+      s"SELECT * FROM (WITH ${multiProbeCte(probeFlips(fb))}${level(fb)})")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY probe_bits")
   }
 
   /** SemDeDup twin of [[graft.ops.VectorOps.semDedup]]: the same
@@ -1372,6 +1451,69 @@ SELECT pc.cell, pc.n_docs,
   round(CAST(pc.sum_tokens AS DOUBLE) / pc.n_docs, 4) AS avg_tokens
 FROM pc JOIN dom d USING (cell) CROSS JOIN tot
 ORDER BY pc.cell"""
+
+  /** The pruning-manifest CTE shared by [[docPruningManifest]] and
+    * [[docPruningCensus]] — mirror of
+    * [[graft.ops.VectorOps.pruningManifestRaw]]: the k ∝ N assignment
+    * (docDomainClusters' crank tie-break), per-cell doc counts, the
+    * 4×-uniform drop rule and the clipped inverse-propensity weight,
+    * all on the raw pct double.
+    */
+  private val pruningCte: String = s"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+  WHERE vec_id < (${kCellsSql("embeddings", 128, 16)})),
+kk AS (
+  SELECT CAST((${kCellsSql("embeddings", 128, 16)}) AS DOUBLE) AS k),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cid AS cell,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY -${duckCos("e.embedding", "c.cv")}, c.cid) AS crank
+    FROM embeddings e CROSS JOIN cents c)
+  WHERE crank <= 1),
+docs AS (SELECT doc_id AS vec_id, source FROM documents),
+percell AS (
+  SELECT cell, count(*) AS n_docs
+  FROM assigned JOIN docs USING (vec_id) GROUP BY 1),
+tot AS (SELECT sum(n_docs) AS total_docs FROM percell),
+manifest AS (
+  SELECT cell, n_docs, pct_raw,
+    CASE WHEN pct_raw > (100.0 / k) * 4.0 THEN 'drop'
+         ELSE 'keep' END AS action,
+    CASE WHEN pct_raw > (100.0 / k) * 4.0 THEN 0.0
+         ELSE least(2.0, greatest(0.5, (100.0 / k) / pct_raw))
+    END AS weight_raw
+  FROM (
+    SELECT cell, n_docs, n_docs * 100.0 / tot.total_docs AS pct_raw, kk.k
+    FROM percell CROSS JOIN tot CROSS JOIN kk))
+"""
+
+  /** Twin of [[graft.ops.VectorOps.pruningManifest]]. */
+  val docPruningManifest: String = pruningCte + """
+SELECT cell, CAST(n_docs AS BIGINT) AS n_docs,
+  round(pct_raw, 4) AS pct, action,
+  round(weight_raw, 6) AS weight
+FROM manifest ORDER BY cell"""
+
+  /** Twin of [[graft.ops.VectorOps.pruningCensus]]: per-source
+    * kept/dropped split, weights summed in DECIMAL.
+    */
+  val docPruningCensus: String = pruningCte + """
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN m.action = 'drop' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dropped,
+  CAST(sum(CASE WHEN m.action <> 'drop' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_kept,
+  round(CAST(sum(CASE WHEN m.action <> 'drop'
+      THEN CAST(m.weight_raw AS DECIMAL(20,10))
+      ELSE CAST(0.0 AS DECIMAL(20,10)) END) AS DOUBLE), 6)
+    AS kept_weight_sum
+FROM docs d
+JOIN assigned a USING (vec_id)
+JOIN manifest m USING (cell)
+GROUP BY d.source
+ORDER BY d.source"""
 
   /** Twin of [[graft.ops.VectorOps.paraphraseRecall]]: top-50 pair
     * overlap of the baseline and the k ∝ N twin, both mined over the
@@ -4573,6 +4715,8 @@ ORDER BY method"""
     "emb_dim_stats" -> embDimStats,
     "emb_dim_corr" -> embDimCorr,
     "emb_opq_rotation" -> embOpqRotations,
+    "doc_pruning_manifest" -> docPruningManifest,
+    "doc_pruning_census" -> docPruningCensus,
     "emb_opq_distortion" -> embOpqDistortion,
     "events_paths" -> eventsPaths,
     "doc_mix_weights" -> docMixWeights,
@@ -4692,6 +4836,8 @@ ORDER BY method"""
     "doc_minhash_recall" -> docMinhashRecall,
     "emb_knn_ivf" -> embKnnIvf,
     "emb_near_dup" -> embNearDup,
+    "emb_near_dup_multiprobe" -> embNearDupMultiProbe,
+    "emb_near_dup_probe_curve" -> embNearDupProbeCurve,
     "emb_pq_codes" -> embPqCodes,
     "emb_knn_pq" -> embKnnPq,
     "q_percentiles" -> qPercentiles,

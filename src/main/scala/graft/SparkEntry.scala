@@ -86,6 +86,8 @@ object SparkEntry {
     "events_asof" -> (EventOps.eventsAsof(_, _)),
     "doc_token_regex" -> (TextOps.tokenRegex(_, _)),
     "emb_near_dup" -> (VectorOps.embNearDup(_, _)),
+    "emb_near_dup_multiprobe" -> (VectorOps.embNearDupMultiProbe(_, _)),
+    "emb_near_dup_probe_curve" -> (VectorOps.embNearDupProbeCurve(_, _)),
     "emb_pq_codes" -> (VectorOps.pqCodes(_, _)),
     "emb_knn_pq" -> (VectorOps.knnPq(_, _)),
     "events_funnel" -> (EventOps.eventsFunnel(_, _)),
@@ -157,6 +159,8 @@ object SparkEntry {
     "emb_dim_stats" -> (VectorOps.dimStats(_, _)),
     "emb_dim_corr" -> (VectorOps.dimCorr(_, _)),
     "emb_opq_rotation" -> (VectorOps.opqRotations(_, _)),
+    "doc_pruning_manifest" -> (VectorOps.pruningManifest(_, _)),
+    "doc_pruning_census" -> (VectorOps.pruningCensus(_, _)),
     "emb_opq_distortion" -> (VectorOps.opqDistortion(_, _)),
     "doc_mix_weights" -> (TextOps.mixWeights(_, _)),
     "emb_nprobe_curve" -> (VectorOps.nprobeCurve(_, _)),

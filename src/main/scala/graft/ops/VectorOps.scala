@@ -172,6 +172,115 @@ object VectorOps {
     * pairs shuffle; full vectors join back for the bounded candidate
     * set alone.
     */
+  /** Corpus with NEAR-BOUNDARY planted copies for the multi-probe
+    * audits: every 25th vector duplicated with dimension
+    * (vec_id % 64) NEGATED — cosine ≈ 1 − 2xₖ²/‖x‖² ≈ 0.97 (still a
+    * near-dup at the 0.9 confirm threshold), but the flipped
+    * coordinate flips hyperplane votes, so some copies land one band
+    * bit away from their original: exactly the pairs single-probe
+    * banding structurally misses and a 1-bit probe recovers.
+    */
+  private def nearDupProbeCorpus(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("embedding")).unionByName(
+      e.filter(col("vec_id") % 25 === 0)
+        .withColumn("pdim", (col("vec_id") % 64).cast("int"))
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          expr("transform(embedding, (x, k) -> if(k = pdim, -x, x))")
+            .as("embedding")))
+
+  /** Banded fingerprints (vec_id, band, bh) shared by the exact and
+    * multi-probe near-dup paths: 64 hyperplane bits → 4 bands of 16.
+    */
+  private def nearDupBands(corpus: DataFrame): DataFrame =
+    corpus
+      .select(col("vec_id"),
+        graft.functions.HyperplaneBits.bits(col("embedding")).as("fp"))
+      .select(col("vec_id"),
+        explode(array((0 until 4).map(j => struct(lit(j).as("band"),
+          shiftright(col("fp"), 16 * j).bitwiseAND(0xFFFFL).as("bh"))): _*))
+          .as("b"))
+      .select(col("vec_id"), col("b.band").as("band"),
+        col("b.bh").as("bh"))
+
+  /** Multi-probe candidate pairs: every vector probes its own band
+    * bucket PLUS the buckets one flipped bit away (the multi-probe
+    * LSH trick — Lv et al. 2007 probe the neighboring hash cells
+    * instead of paying more tables). `flipBits` is the operating
+    * point: 0 = single-probe (the [[embNearDupOf]] geometry), 16 =
+    * every 1-bit neighbor of the 16-bit band. The bucket side keeps
+    * the hot-bucket cap; probing is symmetric, so the v1 < v2 cut
+    * still sees every unordered pair exactly once.
+    */
+  private def multiProbePairs(corpus: DataFrame, flipBits: Int,
+      maxBucket: Int): DataFrame = {
+    val bands = nearDupBands(corpus)
+    val okBuckets = bands.groupBy("band", "bh")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxBucket)
+      .select("band", "bh")
+    val bucketSide = bands.join(okBuckets, Seq("band", "bh"), "left_semi")
+    val flips = lit(0L) +: (0 until flipBits).map(b => lit(1L << b))
+    val probeSide = bands.select(col("vec_id").as("pv"), col("band"),
+      explode(array(flips.map(f => col("bh").bitwiseXOR(f)): _*))
+        .as("pbh"))
+    probeSide.join(bucketSide,
+        probeSide("band") === bucketSide("band")
+          && col("pbh") === col("bh"))
+      .filter(col("pv") < col("vec_id"))
+      .select(col("pv").as("v1"), col("vec_id").as("v2"))
+      .distinct()
+  }
+
+  /** Multi-probe near-dup mining on the near-boundary planted corpus:
+    * candidate pairs from the full 1-bit probe set, cosine-confirmed
+    * at 0.9 — the operating point that recovers the copies
+    * single-probe banding misses ([[embNearDupProbeCurve]] publishes
+    * the recall-vs-candidate-load sweep behind this choice).
+    */
+  def embNearDupMultiProbe(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = nearDupProbeCorpus(Tables.embeddings(spark, dir))
+    multiProbePairs(corpus, flipBits = 16, maxBucket = 1000)
+      .join(corpus.select(col("vec_id").as("v1"),
+        col("embedding").as("e1")), "v1")
+      .join(corpus.select(col("vec_id").as("v2"),
+        col("embedding").as("e2")), "v2")
+      .withColumn("cos", round(cosine(col("e1"), col("e2")), 6))
+      .filter(col("cos") >= 0.9)
+      .select("v1", "v2", "cos")
+      .orderBy("v1", "v2")
+  }
+
+  /** The recall-vs-probe-count sweep ([[nprobeCurve]]'s shape on the
+    * embedding-LSH side): per probe level (0 = single-probe, 4, 16
+    * flip bits), the candidate load, confirmed pairs, and the share
+    * of the planted near-boundary copies recovered. The knob a
+    * production dedup service tunes: more probes = more candidates =
+    * more recall, no extra hash tables.
+    */
+  def embNearDupProbeCurve(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val corpus = nearDupProbeCorpus(e)
+    val plantedTotal = e.filter(col("vec_id") % 25 === 0).count()
+    val levels = Seq(0, 4, 16).map { fb =>
+      val cand = multiProbePairs(corpus, fb, maxBucket = 1000)
+      val confirmed = cand
+        .join(corpus.select(col("vec_id").as("v1"),
+          col("embedding").as("e1")), "v1")
+        .join(corpus.select(col("vec_id").as("v2"),
+          col("embedding").as("e2")), "v2")
+        .filter(round(cosine(col("e1"), col("e2")), 6) >= 0.9)
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(confirmed.agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("v2") === col("v1") + 1000000L, 1L).otherwise(0L))
+            .as("n_planted_found")))
+        .select(lit(fb).as("probe_bits"), col("n_candidates"),
+          col("n_pairs"), col("n_planted_found"),
+          round(col("n_planted_found") * 100.0 / lit(plantedTotal.toDouble),
+            2).as("planted_recall_pct"))
+    }
+    levels.reduce(_ unionByName _).orderBy("probe_bits")
+  }
+
   def embNearDupOf(corpus: DataFrame, maxBucket: Int = 1000): DataFrame = {
     val fp = corpus
       .select(col("vec_id"),
@@ -1660,7 +1769,23 @@ object VectorOps {
     * collapse in one ≤(k·sources)-key partial agg; the corpus total
     * is a one-row broadcast cross join.
     */
-  def domainClusters(spark: SparkSession, dir: String): DataFrame = {
+  def domainClusters(spark: SparkSession, dir: String): DataFrame =
+    domainCellCensus(spark, dir)._1
+      .select(col("cell"), col("n_docs"),
+        round(col("pct_raw"), 4).as("pct"),
+        col("n_sources"), col("dominant_source"),
+        round(col("sum_tokens").cast("double") / col("n_docs"), 4)
+          .as("avg_tokens"))
+      .orderBy("cell")
+
+  /** The per-cell census behind [[domainClusters]] AND the pruning
+    * manifest: (cell, n_docs, n_sources, dominant_source, sum_tokens,
+    * total_docs, pct_raw) with pct UNROUNDED (thresholds and weights
+    * derive from the raw double; outputs round at the edge), plus the
+    * (vec_id, cell) assignment and k.
+    */
+  private def domainCellCensus(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame, Int) = {
     val e = Tables.embeddings(spark, dir)
     val k = derivedK(e.count())
     val cents = e.filter(col("vec_id") < k)
@@ -1684,13 +1809,89 @@ object VectorOps {
           col("source"))).as("dominant_source"),
         sum(col("tok")).as("sum_tokens"))
     val total = perCell.agg(sum(col("n_docs")).as("total_docs"))
-    perCell.join(broadcast(total), col("total_docs").isNotNull)
+    val census = perCell
+      .join(broadcast(total), col("total_docs").isNotNull)
+      .withColumn("pct_raw", col("n_docs") * 100.0 / col("total_docs"))
+    (census, assigned, k)
+  }
+
+  /** Per-cluster pruning decisions off the [[domainClusters]] census —
+    * the step the SemDeDup/DoReMi loop was missing: a cell whose
+    * corpus share exceeds 4× the uniform share is DROPPED (an
+    * over-dense semantic region — the boilerplate/duplication smell
+    * SemDeDup prunes); every kept cell gets the DoReMi-style
+    * inverse-propensity weight toward uniform, u/pct clipped to
+    * [0.5, 2]. Thresholds and weights compute on the raw pct double
+    * (identical on both engines); the published weight rounds at the
+    * edge. k rows — corpus/targetCell, never corpus-sized.
+    */
+  private[graft] def pruningManifestRaw(spark: SparkSession,
+      dir: String, dropAbove: Double = 4.0): DataFrame = {
+    val (census, _, k) = domainCellCensus(spark, dir)
+    val u = lit(100.0) / lit(k.toDouble)
+    census.select(col("cell"), col("n_docs"), col("pct_raw"),
+      when(col("pct_raw") > u * dropAbove, lit("drop"))
+        .otherwise(lit("keep")).as("action"),
+      when(col("pct_raw") > u * dropAbove, lit(0.0))
+        .otherwise(least(lit(2.0), greatest(lit(0.5), u / col("pct_raw"))))
+        .as("weight_raw"))
+  }
+
+  /** Driver-checked manifest: (cell, n_docs, pct, action, weight). */
+  def pruningManifest(spark: SparkSession, dir: String): DataFrame =
+    pruningManifestRaw(spark, dir)
       .select(col("cell"), col("n_docs"),
-        round(col("n_docs") * 100.0 / col("total_docs"), 4).as("pct"),
-        col("n_sources"), col("dominant_source"),
-        round(col("sum_tokens").cast("double") / col("n_docs"), 4)
-          .as("avg_tokens"))
+        round(col("pct_raw"), 4).as("pct"), col("action"),
+        round(col("weight_raw"), 6).as("weight"))
       .orderBy("cell")
+
+  /** Kept/dropped-per-source census — the audit a curation pass reads
+    * before committing the pruned export: per source, document count,
+    * kept/dropped split under the manifest, and the exact sum of kept
+    * weights (weights cast to DECIMAL before the sum, so the roll-up
+    * is order-independent like every hash-compared aggregate here).
+    */
+  def pruningCensus(spark: SparkSession, dir: String): DataFrame = {
+    val (_, assigned, _) = domainCellCensus(spark, dir)
+    val manifest = pruningManifestRaw(spark, dir)
+      .select(col("cell"), col("action"), col("weight_raw"))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id").as("vec_id"), col("source"))
+    docs.join(assigned, "vec_id")
+      .join(manifest, "cell")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("action") === "drop", 1L).otherwise(0L))
+          .as("n_dropped"),
+        sum(when(col("action") =!= "drop", 1L).otherwise(0L))
+          .as("n_kept"),
+        sum(when(col("action") =!= "drop",
+          col("weight_raw").cast("decimal(20,10)"))
+          .otherwise(lit(0.0).cast("decimal(20,10)"))).as("wsum"))
+      .select(col("source"), col("n_docs"), col("n_dropped"),
+        col("n_kept"),
+        round(col("wsum").cast("double"), 6).as("kept_weight_sum"))
+      .orderBy("source")
+  }
+
+  /** The corpus under the manifest, export-ready: dropped cells'
+    * documents excluded, every surviving row carrying its cluster and
+    * training weight — the frame [[graft.sources.TrainingExport]]
+    * ships (TrainingExportSpec proves the exported layout matches the
+    * manifest, drop for drop and weight for weight).
+    */
+  def prunedCorpus(spark: SparkSession, dir: String,
+      dropAbove: Double = 4.0): DataFrame = {
+    val (_, assigned, _) = domainCellCensus(spark, dir)
+    val manifest = pruningManifestRaw(spark, dir, dropAbove)
+      .select(col("cell"), col("action"),
+        round(col("weight_raw"), 6).as("weight"))
+    Tables.documents(spark, dir)
+      .join(assigned.select(col("vec_id").as("doc_id"), col("cell")),
+        "doc_id")
+      .join(manifest, "cell")
+      .filter(col("action") =!= "drop")
+      .drop("action")
   }
 
   /** Probe-quality audit for paraphrase mining: overlap of the

@@ -75,6 +75,8 @@ class PlanSweepSpec extends AnyFunSuite {
     "doc_domain_clusters", // cell assignment ⋈ documents on the unique
                            // vec_id/doc_id key: both sides corpus-scale
                            // by design — uniform shuffle join
+    "doc_pruning_census",  // the same assignment ⋈ documents shuffle
+                           // join (shares doc_domain_clusters' census)
     "doc_dedup_keep_best", // docs ⋈ cluster labels on doc_id and
                            // docs ⋈ cluster winners on the cluster key:
                            // corpus-scale both sides (the dup_clusters
@@ -163,9 +165,16 @@ class PlanSweepSpec extends AnyFunSuite {
                                  // assignment cross joins
     "doc_domain_clusters", // k ∝ N centroid assignment cross join +
                            // one-row corpus-total census cross join
-    "emb_opq_distortion"   // one-row rotation-plan census cross join
+    "emb_opq_distortion",  // one-row rotation-plan census cross join
                            // (three 64-long arrays broadcast onto the
                            // corpus scan)
+    "doc_pruning_manifest", // k ∝ N centroid assignment cross join +
+                           // one-row corpus-total census cross join
+                           // (the doc_domain_clusters shape)
+    "doc_pruning_census",  // same shapes via the shared census
+    "emb_near_dup_probe_curve" // one-row candidate/confirm census
+                           // cross joins per probe level (the sweep
+                           // composes three one-row aggregates)
   )
 
   test("doc_zipf ranks via distributed top-k, not a global window sort") {

@@ -11,6 +11,50 @@ import graft.sources.TrainingExport
 class TrainingExportSpec extends AnyFunSuite {
   import TestSpark.{sfDir, spark}
 
+  test("pruning manifest drives the export: drops excluded, weights " +
+      "attached, deleteDocs clears the dropped set") {
+    import graft.ops.VectorOps
+    // dropAbove = 0.9 exercises the DROP branch on the natural corpus
+    // (the production 4x-uniform default fires only on real skew)
+    val manifest = VectorOps.pruningManifestRaw(spark, sfDir, 0.9)
+    val dropped = manifest.filter(col("action") === "drop")
+    assert(dropped.count() > 0, "planted threshold must drop cells")
+    val pruned = VectorOps.prunedCorpus(spark, sfDir, 0.9)
+    val docs = graft.tables.Tables.documents(spark, sfDir)
+    // the pruned corpus is exactly total minus the dropped cells' docs
+    val expectKept = docs.count() -
+      dropped.agg(sum("n_docs")).head().getLong(0)
+    assert(pruned.count() === expectKept)
+    // every surviving row carries its cell's manifest weight
+    val wrongW = pruned.join(
+        manifest.select(col("cell"),
+          round(col("weight_raw"), 6).as("mw")), "cell")
+      .filter(col("weight") =!= col("mw")).count()
+    assert(wrongW === 0, "exported weight != manifest weight")
+    assert(pruned.filter(col("weight") <= 0.0).count() === 0)
+
+    // export the pruned frame; the shipped corpus matches the manifest
+    val out = Files.createTempDirectory("graft_pruned").toString
+    TrainingExport.exportCorpus(spark, pruned, out, nShards = 8)
+    val shipped = spark.read.parquet(out)
+    assert(shipped.count() === expectKept)
+    assert(shipped.columns.contains("weight"))
+    assert(shipped.select("doc_id").except(pruned.select("doc_id"))
+      .count() === 0)
+
+    // takedown path: export EVERYTHING, then deleteDocs the dropped
+    // ids — the final layout equals the manifest's kept set
+    val out2 = Files.createTempDirectory("graft_pruned2").toString
+    TrainingExport.exportCorpus(spark, docs, out2, nShards = 8)
+    val droppedIds = docs.select("doc_id")
+      .except(pruned.select("doc_id"))
+    TrainingExport.deleteDocs(spark, out2, droppedIds, nShards = 8)
+    val after = spark.read.parquet(out2)
+    assert(after.count() === expectKept)
+    assert(after.select("doc_id").except(pruned.select("doc_id"))
+      .count() === 0)
+  }
+
   test("export round-trips, matches the shardStats census, and is " +
       "deterministic") {
     val out = Files.createTempDirectory("graft_export").toString
