@@ -16,7 +16,16 @@ intersection across runs (an entry flagged in every independent run is
 a real signal, one flagged in a single run was that run's contention);
 `stream_state` and `sf` come from the first run; `merged_from` records
 the per-run totals for the audit trail.
+
+Minima are DATE-STAMPED (`stamps`): a query's stamp is today when its
+min came from one of today's run files, else it carries forward from
+the existing artifact being folded. Bench's cross-run canary reads the
+stamps and RELAXES the 2x regression threshold to 3x for minima older
+than 14 days — a historical best the current box can't reproduce
+(cross-round minimum ratchet, SURVEY §6) ages into a softer bar
+instead of generating a phantom `regressed` flag every round.
 """
+import datetime
 import json
 import sys
 
@@ -30,10 +39,16 @@ def main():
     if len(sfs) != 1:
         sys.exit(f"refusing to merge different scales: {sfs}")
     merged = {}
+    stamps = {}
+    today = datetime.date.today().isoformat()
     for r in runs:
+        # an input with its own stamps is a previously-merged artifact:
+        # its minima keep their original dates; a raw run stamps today
+        r_stamps = r.get("stamps", {})
         for q, v in r.get("queries", {}).items():
             if q not in merged or v < merged[q]:
                 merged[q] = v
+                stamps[q] = r_stamps.get(q, today)
     noisy = set(runs[0].get("noisy", []))
     regressed_keys = set(runs[0].get("regressed", {}))
     for r in runs[1:]:
@@ -44,6 +59,7 @@ def main():
         "value": sum(merged.values()),
         "unit": "sec",
         "queries": merged,
+        "stamps": stamps,
         # union across runs, first-found wins: an entry added to the
         # bench surface mid-round only exists in later runs and must
         # not lose its bounded-state evidence to run order

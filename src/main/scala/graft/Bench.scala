@@ -443,9 +443,30 @@ object Bench {
       if (base(priorSf) != base(sfDir)) return Map.empty
       val qs = root.get("queries")
       if (qs == null) return Map.empty
+      // minima aging (the cross-round ratchet fix): minmerge stamps
+      // each minimum with the date its value was last REPRODUCED; a
+      // stamp older than 14 days (or an unstamped pre-policy
+      // artifact entry) is a historical best today's box may simply
+      // not reach, so its canary bar relaxes from 2x to 3x — encoded
+      // here by inflating the prior by 1.5 (callers keep the 2x
+      // comparison). A fresh minimum keeps the strict bar.
+      val stamps = Option(root.get("stamps"))
+      val staleBefore = java.time.LocalDate.now().minusDays(14)
+      def ageFactor(q: String): Double = {
+        val stamp = stamps.flatMap(s => Option(s.get(q))).map(_.asText(""))
+        stamp.filter(_.nonEmpty)
+          .flatMap(d => scala.util.Try(java.time.LocalDate.parse(d)).toOption)
+          match {
+            case Some(d) if !d.isBefore(staleBefore) => 1.0
+            case _ => 1.5
+          }
+      }
       val it = qs.fields()
       val b = Map.newBuilder[String, Double]
-      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
+      while (it.hasNext) {
+        val e = it.next()
+        b += e.getKey -> e.getValue.asDouble() * ageFactor(e.getKey)
+      }
       b.result()
     } catch { case _: Exception => Map.empty }
   }
