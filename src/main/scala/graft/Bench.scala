@@ -317,6 +317,45 @@ object Bench {
     }
   }
 
+  /** Streaming decode-once stats ingest throughput: the frame corpus
+    * drained through [[graft.streaming.ImgStream.ingestStats]] in
+    * four micro-batches — each frame pays its PNG decode exactly once
+    * at arrival and lands as [[graft.sources.FrameStats]] sufficient
+    * statistics in batch-scoped parquet (every later QC read is
+    * decode-free). foreachBatch sink → stateless by construction.
+    * Source-file layout is setup, not timed.
+    */
+  private def streamFrameStatsBench(spark: SparkSession,
+      sfDir: String): (Double, Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("graft_bench_fsi")
+    try {
+      val src = base.resolve("src").toString
+      val ckpt = base.resolve("ckpt").toString
+      val store = base.resolve("st").toString
+      val f = graft.imaging.ImagingModel.frames(spark, sfDir)
+      val n = f.count()
+      (0 until 4).foreach(i => f.filter(col("id") % 4 === i)
+        .coalesce(1).write.parquet(s"$src/f$i.parquet"))
+      val t0 = System.nanoTime()
+      val source = spark.readStream.schema(f.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*.parquet")
+      val q = graft.streaming.ImgStream
+        .ingestStats(spark, source, store, ckpt)
+      if (!q.awaitTermination(300000L)) { q.stop(); sys.error("stream timeout") }
+      val dt = (System.nanoTime() - t0) / 1e9
+      require(
+        graft.streaming.ImgStream.readStats(spark, store).count() == n,
+        "streamed stats dropped rows")
+      val st = stateMetrics(q)
+      (dt, st._1, st._2)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+      ()
+    }
+  }
+
   /** Streaming training-export sink throughput: the whole documents
     * table drained through [[graft.streaming.DocsStream.ingestExport]]
     * into a fresh batch-scoped sharded layout — times the
@@ -562,6 +601,8 @@ object Bench {
       minOk((1 to 2).map(_ => () => streamTopkBench(spark, sfDir))) }
     val vecIngestTime = ifOn("stream_vec_ingest") {
       minOk((1 to 2).map(_ => () => streamVecIngestBench(spark, sfDir))) }
+    val fsIngestTime = ifOn("stream_framestats_ingest") {
+      minOk((1 to 2).map(_ => () => streamFrameStatsBench(spark, sfDir))) }
     val streams = Seq(
       "stream_events_window" -> streamTime,
       "stream_sliding" -> slidingTime,
@@ -572,7 +613,8 @@ object Bench {
       "stream_tws_sessions" -> twsTime,
       "stream_journey_digest" -> digestTime,
       "stream_doc_export" -> docExportTime,
-      "stream_vec_ingest" -> vecIngestTime)
+      "stream_vec_ingest" -> vecIngestTime,
+      "stream_framestats_ingest" -> fsIngestTime)
       .collect { case (k, Some(v)) => k -> v }
     // stream entries already take min-of-2 full drains (expensive); the
     // cross-run canary flags them without extra re-runs

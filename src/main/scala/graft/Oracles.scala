@@ -967,7 +967,8 @@ ORDER BY doc1, doc2"""
     * planted-dup query, the cluster oracle and the exact-first
     * pipeline all share one definition.
     */
-  private def minhashChain(shCte: String): String = s""", shx AS (
+  private def minhashChain(shCte: String,
+      minJaccard: Double = 0.7): String = s""", shx AS (
   SELECT doc_id, unnest(shset) AS s FROM $shCte
 ), base AS (
   SELECT doc_id, ('0x' || substr(md5(s), 1, 7))::BIGINT AS base FROM shx
@@ -998,7 +999,7 @@ ORDER BY doc1, doc2"""
         / len(list_distinct(a.shset || b.shset)), 4) AS DOUBLE) AS jaccard
     FROM cand JOIN $shCte a ON cand.doc1 = a.doc_id
     JOIN $shCte b ON cand.doc2 = b.doc_id)
-  WHERE jaccard >= 0.7
+  WHERE jaccard >= $minJaccard
 )
 """
 
@@ -1022,6 +1023,41 @@ FROM found"""
   val docMinhashLsh: String = minhashPairsCte + """
 SELECT doc1, doc2, jaccard FROM pairs
 ORDER BY doc1, doc2"""
+
+  /** Twin of [[graft.ops.DedupOps.ngramJaccardBanded]]: the minhash
+    * chain with the confirmation threshold dropped to 0, top-100 by
+    * (jaccard desc, doc1, doc2).
+    */
+  val docNgramBanded: String = corpusCte + minhashChain("sh", 0.0) + """
+SELECT doc1, doc2, jaccard FROM pairs
+ORDER BY jaccard DESC, doc1, doc2
+LIMIT 100"""
+
+  /** Twin of [[graft.ops.DedupOps.ngramBandedProbe]]: the blocked
+    * exact top-100 probed against the LSH candidate set, recall split
+    * at the 0.7 operating point.
+    */
+  val docNgramProbe: String = corpusCte + minhashChain("sh") + """
+, exact100 AS (
+  SELECT doc1, doc2, jaccard FROM (
+    SELECT x.doc_id AS doc1, y.doc_id AS doc2,
+      CAST(round(CAST(len(list_intersect(x.shset, y.shset)) AS DOUBLE)
+        / len(list_distinct(x.shset || y.shset)), 4) AS DOUBLE) AS jaccard
+    FROM sh x JOIN sh y
+      ON x.source = y.source AND x.lang = y.lang
+      AND x.lenband = y.lenband AND x.doc_id < y.doc_id)
+  ORDER BY jaccard DESC, doc1, doc2
+  LIMIT 100
+), probed AS (
+  SELECT CAST(CASE WHEN e.jaccard >= 0.7 THEN 1 ELSE 0 END AS BIGINT)
+      AS high_band,
+    CASE WHEN EXISTS (SELECT 1 FROM cand c
+      WHERE c.doc1 = e.doc1 AND c.doc2 = e.doc2) THEN 1 ELSE 0 END AS hit
+  FROM exact100 e)
+SELECT high_band, CAST(count(*) AS BIGINT) AS n_exact,
+  CAST(sum(hit) AS BIGINT) AS n_recovered,
+  CAST(round(sum(hit) * 100.0 / count(*), 2) AS DOUBLE) AS recall_pct
+FROM probed GROUP BY high_band ORDER BY high_band"""
 
   /** The shared recursive-CTE chain to the converged per-doc cluster
     * label (`final(id, lbl)` — min reachable id per node): the oracle
@@ -4020,6 +4056,114 @@ FROM assigned
 GROUP BY m
 ORDER BY subspace"""
 
+  /** One full OPQ-lite chain (moment census → pair base → mutual-best
+    * → Jacobi rot) over `$src`, every CTE suffixed `$sfx` so two
+    * rounds coexist in one query — [[opqRotCte]]'s clauses,
+    * generated, for [[embOpqSweep]].
+    */
+  private def opqChainCtes(src: String, sfx: String): String = s"""
+el$sfx AS (
+  SELECT vec_id, i.i - 1 AS i, CAST(embedding[i.i] AS DOUBLE) AS xd
+  FROM $src CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i),
+pairs$sfx AS (
+  SELECT a.i AS i, b.i AS j, count(*) AS n,
+    sum(CAST(a.xd * b.xd AS DECIMAL(20,10))) AS sxy
+  FROM el$sfx a JOIN el$sfx b ON a.vec_id = b.vec_id AND b.i >= a.i
+  GROUP BY 1, 2),
+firsts$sfx AS (
+  SELECT i, sum(CAST(xd AS DECIMAL(20,10))) AS sx FROM el$sfx GROUP BY i),
+mom$sfx AS (
+  SELECT p.i, p.j,
+    CAST(p.sxy AS DOUBLE) / p.n AS mxy,
+    CAST(fi.sx AS DOUBLE) / p.n AS mx_i,
+    CAST(fj.sx AS DOUBLE) / p.n AS mx_j,
+    CAST(di.sxy AS DOUBLE) / p.n AS mxx_i,
+    CAST(dj.sxy AS DOUBLE) / p.n AS mxx_j
+  FROM pairs$sfx p
+  JOIN firsts$sfx fi ON fi.i = p.i
+  JOIN firsts$sfx fj ON fj.i = p.j
+  JOIN pairs$sfx di ON di.i = p.i AND di.j = p.i
+  JOIN pairs$sfx dj ON dj.i = p.j AND dj.j = p.j
+  WHERE p.j > p.i),
+base$sfx AS (
+  SELECT i, j,
+    mxy - mx_i * mx_j AS cov,
+    mxx_i - mx_i * mx_i AS var_i,
+    mxx_j - mx_j * mx_j AS var_j,
+    (mxy - mx_i * mx_j)
+      / (sqrt(mxx_i - mx_i * mx_i) * sqrt(mxx_j - mx_j * mx_j)) AS corr
+  FROM mom$sfx
+  WHERE mxx_i - mx_i * mx_i > 0 AND mxx_j - mx_j * mx_j > 0
+    AND mxy - mx_i * mx_j <> 0),
+sym$sfx AS (
+  SELECT i AS a, j AS b, corr FROM base$sfx
+  UNION ALL
+  SELECT j AS a, i AS b, corr FROM base$sfx),
+best$sfx AS (
+  SELECT a, b AS p FROM (
+    SELECT a, b,
+      row_number() OVER (PARTITION BY a ORDER BY abs(corr) DESC, b) AS rn
+    FROM sym$sfx) WHERE rn = 1),
+mutual$sfx AS (
+  SELECT x.a AS i, x.p AS j FROM best$sfx x
+  JOIN best$sfx y ON x.p = y.a AND y.p = x.a AND x.a < x.p),
+rot$sfx AS (
+  SELECT i, j, cov, var_i, var_j, corr, c, t * c AS s FROM (
+    SELECT *, 1.0 / sqrt(1.0 + t * t) AS c FROM (
+      SELECT *,
+        CASE WHEN tau >= 0
+          THEN 1.0 / (tau + sqrt(1.0 + tau * tau))
+          ELSE 1.0 / (tau - sqrt(1.0 + tau * tau)) END AS t
+      FROM (
+        SELECT b2.*, (var_j - var_i) / (2.0 * cov) AS tau
+        FROM base$sfx b2 JOIN mutual$sfx USING (i, j)))))"""
+
+  /** Rotation application CTEs (identity default, pair dims override)
+    * from `rot$sfx` onto `$src` — [[embOpqDistortion]]'s plan/rel/rvec
+    * clauses, generated and suffixed.
+    */
+  private def opqApplyCtes(src: String, sfx: String): String = s"""
+plan$sfx AS (
+  SELECT k.k AS k,
+    coalesce(r.oth, k.k) AS oth,
+    coalesce(r.wself, 1.0) AS wself,
+    coalesce(r.wother, 0.0) AS wother
+  FROM (SELECT unnest(range(64)) AS k) k
+  LEFT JOIN (
+    SELECT i AS k, j AS oth, c AS wself, -s AS wother FROM rot$sfx
+    UNION ALL
+    SELECT j AS k, i AS oth, c AS wself, s AS wother FROM rot$sfx) r
+  ON r.k = k.k),
+rel$sfx AS (
+  SELECT e.vec_id, p.k,
+    p.wself * CAST(e.embedding[p.k + 1] AS DOUBLE)
+      + p.wother * CAST(e.embedding[p.oth + 1] AS DOUBLE) AS x
+  FROM $src e CROSS JOIN plan$sfx p),
+rvec$sfx AS (
+  SELECT vec_id, list(x ORDER BY k) AS rvec FROM rel$sfx GROUP BY vec_id)"""
+
+  /** Twin of [[graft.ops.VectorOps.opqSweep]]: round 1's chain over
+    * the raw embeddings, round 1's rotation applied, round 2's chain
+    * over the rotated vectors, one stats row per round.
+    */
+  val embOpqSweep: String = {
+    def statsRow(rnd: Int, sfx: String): String = s"""
+  SELECT CAST($rnd AS BIGINT) AS round,
+    CAST(count(*) AS BIGINT) AS n_pairs,
+    (SELECT CAST(count(*) AS BIGINT) FROM rot$sfx) AS n_rotated,
+    CAST(round(max(abs(corr)), 6) AS DOUBLE) AS max_abs_corr,
+    CAST(round(CAST(sum(CAST(abs(corr) AS DECIMAL(20,10))) AS DOUBLE),
+      6) AS DOUBLE) AS sum_abs_corr
+  FROM base$sfx"""
+    "WITH " + opqChainCtes("embeddings", "1") + "," +
+      opqApplyCtes("embeddings", "1") + """,
+r2 AS (SELECT vec_id, rvec AS embedding FROM rvec1),
+""" + opqChainCtes("r2", "2") + """,
+s1 AS (""" + statsRow(1, "1") + """),
+s2 AS (""" + statsRow(2, "2") + """)
+SELECT * FROM s1 UNION ALL SELECT * FROM s2 ORDER BY round"""
+  }
+
   /** Unigram-LM twin of [[graft.ops.TextOps.unigramLogprob]]: ln cast
     * to DECIMAL(20,10) at the vocabulary level on both engines, sums
     * exact, threshold cross-multiplied.
@@ -4718,6 +4862,7 @@ ORDER BY method"""
     "doc_pruning_manifest" -> docPruningManifest,
     "doc_pruning_census" -> docPruningCensus,
     "emb_opq_distortion" -> embOpqDistortion,
+    "emb_opq_sweep" -> embOpqSweep,
     "events_paths" -> eventsPaths,
     "doc_mix_weights" -> docMixWeights,
     "emb_nprobe_curve" -> embNprobeCurve,
@@ -4849,6 +4994,8 @@ ORDER BY method"""
     "img_storage_rollup" -> imgStorageRollup,
     "doc_ngram_jaccard" -> docNgramJaccard,
     "doc_ngram_block_census" -> docNgramBlockCensus,
+    "doc_ngram_banded" -> docNgramBanded,
+    "doc_ngram_probe" -> docNgramProbe,
     "emb_knn_brute" -> embKnnBrute,
     "events_asof" -> eventsAsof,
     "q6_forecast" -> q6Forecast,

@@ -73,6 +73,8 @@ object SparkEntry {
     "doc_simhash" -> (DedupOps.simhash(_, _)),
     "doc_ngram_jaccard" -> (DedupOps.ngramJaccard(_, _)),
     "doc_ngram_block_census" -> (DedupOps.ngramJaccardCensus(_, _)),
+    "doc_ngram_banded" -> (DedupOps.ngramJaccardBanded(_, _)),
+    "doc_ngram_probe" -> (DedupOps.ngramBandedProbe(_, _)),
     "doc_text_stats" -> (TextOps.textStats(_, _)),
     "doc_lang_id" -> (TextOps.langId(_, _)),
     "doc_fingerprint" -> (TextOps.fingerprint(_, _)),
@@ -162,6 +164,7 @@ object SparkEntry {
     "doc_pruning_manifest" -> (VectorOps.pruningManifest(_, _)),
     "doc_pruning_census" -> (VectorOps.pruningCensus(_, _)),
     "emb_opq_distortion" -> (VectorOps.opqDistortion(_, _)),
+    "emb_opq_sweep" -> (VectorOps.opqSweep(_, _)),
     "doc_mix_weights" -> (TextOps.mixWeights(_, _)),
     "emb_nprobe_curve" -> (VectorOps.nprobeCurve(_, _)),
     "doc_winnow_overlap" -> (TextOps.winnowOverlap(_, _)),

@@ -191,19 +191,25 @@ object DedupOps {
   private def minhashBuckets(source: DataFrame): DataFrame =
     bandKeys(minhashSignatures(source), BandRows)
 
-  def minhashPairsOf(source: DataFrame, jaccardMin: Double = 0.7,
-      maxBucket: Int = 1000): DataFrame = {
-    val buckets = minhashBuckets(source)
-    // one pass over the buckets: group → in-bucket pair expansion —
-    // avoids a self-join that would run the signature pipeline twice.
-    // Buckets are capped (skew guard): a degenerate bucket of B docs
-    // would otherwise emit B² pairs.
-    val cand = buckets.groupBy("band", "bh")
+  /** The distinct LSH candidate pairs (bucket-capped) — the banded
+    * front half shared by [[minhashPairsOf]] and the
+    * [[ngramBandedProbe]] recall probe: one pass over the buckets
+    * (group → in-bucket pair expansion — avoids a self-join that
+    * would run the signature pipeline twice), capped (skew guard): a
+    * degenerate bucket of B docs would otherwise emit B² pairs.
+    */
+  private[graft] def minhashCandidates(source: DataFrame,
+      maxBucket: Int = 1000): DataFrame =
+    minhashBuckets(source).groupBy("band", "bh")
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
       .select(bucketPairs("ids").as("p"))
       .select(col("p.a").as("doc1"), col("p.b").as("doc2"))
       .distinct()
+
+  def minhashPairsOf(source: DataFrame, jaccardMin: Double = 0.7,
+      maxBucket: Int = 1000): DataFrame = {
+    val cand = minhashCandidates(source, maxBucket)
     // verification re-derives shingles for the tiny candidate set from
     // raw text instead of shuffling every doc's shingle array through
     // two joins — at 100 TB the full shset join would dominate the job
@@ -792,6 +798,50 @@ object DedupOps {
           .as("jaccard"))
       .orderBy(col("jaccard").desc, col("doc1"), col("doc2"))
       .limit(100)
+  }
+
+  /** Scalable banded twin of [[ngramJaccard]] — the probe path
+    * beyond thresholded LSH dedup: the SAME exact word-3-gram Jaccard
+    * verification, but over LSH candidate pairs instead of the
+    * blocked quadratic, ranked top-100. The blocked-exact baseline is
+    * size-guarded at scale (its densest blocks drop, reported by
+    * [[ngramBlockCensus]]); this twin's pair load is bucket-cap
+    * bounded regardless of block shape — candidate generation linear
+    * in the corpus, verification linear in candidates — so it IS the
+    * "most similar pairs" report that still runs at 100 TB. The
+    * top-100 cut compiles to a distributed TakeOrdered, never a
+    * global sort.
+    */
+  def ngramJaccardBanded(spark: SparkSession, dir: String): DataFrame =
+    minhashPairsOf(corpus(spark, dir), jaccardMin = 0.0)
+      .orderBy(col("jaccard").desc, col("doc1"), col("doc2"))
+      .limit(100)
+
+  /** Banded-vs-exact probe: of the exact blocked top-100 (the
+    * [[ngramJaccard]] report), how many pairs the LSH candidate stage
+    * recovers — split at the 0.7 operating point the 16×4 bands are
+    * tuned for. High-band recall must hold ≈100% (those are the pairs
+    * the dedup path acts on); low-band recall is EXPECTED to decay
+    * with the S-curve — the probe quantifies the cliff instead of
+    * leaving it to folklore. The exact top-100 is 100 rows →
+    * broadcast; the candidate set is bucket-cap bounded and
+    * semi-joined down to ≤100 rows before the final left join, so
+    * nothing corpus-proportional shuffles past candidate generation.
+    */
+  def ngramBandedProbe(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val exact = ngramJaccardOf(c)
+    val hits = minhashCandidates(c)
+      .join(broadcast(exact.select("doc1", "doc2")),
+        Seq("doc1", "doc2"), "left_semi")
+      .withColumn("hit", lit(1L))
+    exact.join(broadcast(hits), Seq("doc1", "doc2"), "left")
+      .groupBy((col("jaccard") >= 0.7).cast("long").as("high_band"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_recovered"),
+        round(sum(coalesce(col("hit"), lit(0L))) * 100.0
+          / count(lit(1)), 2).as("recall_pct"))
+      .orderBy("high_band")
   }
 
   /** LSH index health — the observability query a production dedup

@@ -535,19 +535,30 @@ object VectorOps {
     * Output: (i, j, cov, var_i, var_j, corr, c, s) — one row per
     * rotated pair, raw doubles (callers round at the edge).
     */
-  private[graft] def opqRotationsRaw(e: DataFrame): DataFrame = {
+  private[graft] def opqRotationsRaw(e: DataFrame): DataFrame =
+    opqRotationsFromBase(opqBase(e))
+
+  /** The per-pair (cov, var, corr) census behind the rotation
+    * selection — every j > i pair with positive variances and nonzero
+    * covariance (a zero-covariance pair has nothing to rotate — t
+    * would be 0/0). Shared by [[opqRotationsFromBase]] and the
+    * [[opqSweep]] convergence report.
+    */
+  private def opqBase(e: DataFrame): DataFrame = {
     val nD = col("n").cast("double")
     def m(s: Column) = s.cast("double") / nD
     val varI = m(col("sxx_i")) - m(col("sx_i")) * m(col("sx_i"))
     val varJ = m(col("sxx_j")) - m(col("sx_j")) * m(col("sx_j"))
     val cov = m(col("sxy")) - m(col("sx_i")) * m(col("sx_j"))
-    val base = dimMoments(e)
+    dimMoments(e)
       .filter(varI > 0.0 && varJ > 0.0)
       .select(col("i"), col("j"), cov.as("cov"),
         varI.as("var_i"), varJ.as("var_j"),
         (cov / (sqrt(varI) * sqrt(varJ))).as("corr"))
-      // a zero-covariance pair has nothing to rotate (t would be 0/0)
       .filter(col("cov") =!= 0.0)
+  }
+
+  private def opqRotationsFromBase(base: DataFrame): DataFrame = {
     val sym = base.select(col("i").as("a"), col("j").as("b"), col("corr"))
       .unionByName(
         base.select(col("j").as("a"), col("i").as("b"), col("corr")))
@@ -594,8 +605,15 @@ object VectorOps {
     * per-element join, no shuffle.
     */
   private[graft] def rotatedEmbeddings(spark: SparkSession,
-      e: DataFrame): DataFrame = {
-    val rot = opqRotationsRaw(e)
+      e: DataFrame): DataFrame =
+    rotatedWith(spark, e, opqRotationsRaw(e))
+
+  /** [[rotatedEmbeddings]] with the rotation frame precomputed — the
+    * sweep passes a materialized census so the moment aggregation
+    * behind it runs once, not once per consumer.
+    */
+  private def rotatedWith(spark: SparkSession, e: DataFrame,
+      rot: DataFrame): DataFrame = {
     val perDim = rot.select(col("i").as("k"), col("j").as("oth"),
         col("c").as("wself"), (-col("s")).as("wother"))
       .unionByName(rot.select(col("j").as("k"), col("i").as("oth"),
@@ -647,6 +665,47 @@ object VectorOps {
         expr("cast(bit_count(bit_or(shiftleft(1L, cid))) as bigint)")
           .as("codes_used"))
       .orderBy("subspace")
+  }
+
+  /** Two-round Jacobi convergence report for the OPQ-lite rotation —
+    * the iteration [[opqRotations]] stops short of: round 1 is the
+    * raw-corpus pair census ([[opqBase]]); round 2 recomputes the
+    * SAME census after applying round 1's mutual-best rotations
+    * ([[rotatedEmbeddings]]). Per round: how many var>0/cov≠0 pairs
+    * exist, how many pairs the mutual-best selection would rotate,
+    * the strongest remaining |corr| and the exact-DECIMAL |corr| mass
+    * — convergence shows as round 2's max/sum dropping (each Jacobi
+    * 2×2 zeroes its pair's covariance exactly; off-pair terms shift,
+    * classic cyclic-Jacobi). All round-2 inputs are derived from
+    * DECIMAL-exact moments through +,−,×,÷,sqrt only, so the oracle
+    * reproduces both rounds bit-identically.
+    */
+  def opqSweep(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    // each round's pair census is ≤ d²/2 rows (dimension-bounded, NOT
+    // corpus-bounded) but costs a full N×d² moment aggregation —
+    // materialize it once per round (the DedupOps.dupLabels
+    // localCheckpoint discipline) so the three downstream consumers
+    // (stats row, mutual-best count, round-2 rotation plan) never
+    // recompute the census
+    val base1 = opqBase(e).localCheckpoint(true)
+    val r2src = rotatedWith(spark, e, opqRotationsFromBase(base1))
+      .select(col("vec_id"), col("rvec").as("embedding"))
+    val base2 = opqBase(r2src).localCheckpoint(true)
+    def roundRow(rnd: Int, base: DataFrame): DataFrame = {
+      val stats = base.agg(
+        count(lit(1)).as("n_pairs"),
+        round(max(abs(col("corr"))), 6).as("max_abs_corr"),
+        round(sum(abs(col("corr")).cast("decimal(20,10)"))
+          .cast("double"), 6).as("sum_abs_corr"))
+      val nrot = opqRotationsFromBase(base)
+        .agg(count(lit(1)).as("n_rotated"))
+      // one-row × one-row census cross join — declared, broadcast
+      stats.join(broadcast(nrot), lit(true))
+        .select(lit(rnd.toLong).as("round"), col("n_pairs"),
+          col("n_rotated"), col("max_abs_corr"), col("sum_abs_corr"))
+    }
+    roundRow(1, base1).unionByName(roundRow(2, base2)).orderBy("round")
   }
 
   /** Norm-outlier triage list: the 10 largest- and 10 smallest-norm

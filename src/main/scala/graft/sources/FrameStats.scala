@@ -68,10 +68,18 @@ object FrameStats {
     * rationale as [[BinaryFrames.withPayload]]: metadata rows are
     * byte-small, the codec work is not.
     */
-  def decodeOnce(spark: SparkSession, dir: String): DataFrame = {
+  def decodeOnce(spark: SparkSession, dir: String): DataFrame =
+    decodeFrames(spark, ImagingModel.frames(spark, dir)
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt))
+
+  /** The decode kernel over any frame-row set (`id`, grid indices,
+    * `sha256`) — shared by the batch build above and the streaming
+    * decode-on-arrival path ([[graft.streaming.ImgStream.landStats]]),
+    * so "one decode per frame, ever" has exactly one implementation.
+    */
+  def decodeFrames(spark: SparkSession, frames: DataFrame): DataFrame = {
     import spark.implicits._
-    ImagingModel.frames(spark, dir)
-      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    frames
       .select(col("id"), col("channel_idx"), col("slice_idx"),
         col("time_idx"), col("pos_idx"), col("sha256"))
       .as[(Long, Int, Int, Int, Int, String)]

@@ -63,6 +63,62 @@ object ImgStream {
       project: String): DataFrame =
     readStreamed(spark, store).filter(col("project") === project)
 
+  /** Decode-once ON ARRIVAL: land one micro-batch of frame rows as
+    * persisted [[graft.sources.FrameStats]] sufficient statistics —
+    * the streaming counterpart of the batch `FrameStats` build. Each
+    * frame pays its PNG decode exactly once, at ingest time; every
+    * later QC read (the `*_stored` tails) is decode-free from day
+    * one instead of waiting for a full-corpus build. Idempotency is
+    * the same batch-scoped-overwrite discipline as [[landBatch]]: a
+    * foreachBatch replay overwrites `batches/batch=<id>` with
+    * identical content — no registry, no settlement.
+    */
+  def landStats(spark: SparkSession, batch: DataFrame,
+      statsStore: String, batchId: Long): Unit =
+    graft.sources.FrameStats.decodeFrames(spark,
+      // row-spreading repartition, the decodeOnce rationale: frame
+      // rows are byte-small but the codec work is not — a micro-batch
+      // arriving as one source file must not decode on one thread
+      batch.repartition(
+        spark.conf.get("spark.sql.shuffle.partitions").toInt))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$statsStore/batches/batch=$batchId")
+
+  /** Start the decode-once stats ingest loop over a streaming
+    * `source` of frame rows (`id`, grid indices, `sha256`).
+    */
+  def ingestStats(spark: SparkSession, source: DataFrame,
+      statsStore: String, checkpoint: String): StreamingQuery =
+    source.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        landStats(spark, batch, statsStore, batchId)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Every stats row landed so far (the `batch` partition column from
+    * the directory layout is dropped — readers see the
+    * [[graft.sources.FrameStats]] schema).
+    */
+  def readStats(spark: SparkSession, statsStore: String): DataFrame =
+    spark.read.parquet(s"$statsStore/batches").drop("batch")
+
+  /** Fold the streamed stats batches into the canonical
+    * dataset-bucketed [[graft.sources.FrameStats]] table layout —
+    * after this, per-dataset QC roll-ups read with zero exchanges,
+    * exactly like the batch-built table (the small-files settlement
+    * an append-per-acquisition stats store needs).
+    */
+  def compactStats(spark: SparkSession, statsStore: String,
+      table: String,
+      nBuckets: Int = graft.sources.FrameStats.DefaultBuckets): Unit = {
+    graft.sources.DocumentStore.clearStale(spark, table)
+    readStats(spark, statsStore)
+      .write.bucketBy(nBuckets, "dataset_id").sortBy("dataset_id")
+      .mode(SaveMode.Overwrite).saveAsTable(table)
+  }
+
   /** Fold the batch directories into one canonical
     * project-partitioned layout at `dest` (must differ from `store`;
     * batch dirs survive until the caller deletes them, so a crash

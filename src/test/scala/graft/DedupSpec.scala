@@ -571,6 +571,43 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("banded ngram twin: distributed top-k plan, planted pairs on " +
+      "top, probe census consistent") {
+    // the scale path must cut its top-100 with a distributed
+    // TakeOrdered, never a global sort of the candidate set
+    val banded = DedupOps.ngramJaccardBanded(spark, sfDir)
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"banded top-100 must be a distributed TakeOrdered:\n$plan")
+    val top = banded.collect()
+    assert(top.length > 0 && top.head.getDouble(2) === 1.0,
+      "planted duplicates (jaccard 1.0) must rank on top")
+    // probe: partitions the exact top-100, recovered ≤ exact, and the
+    // ≥0.7 stratum (the bands' operating point) recovers most pairs
+    val probe = DedupOps.ngramBandedProbe(spark, sfDir).collect()
+    assert(probe.map(_.getLong(1)).sum === 100L)
+    probe.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), s"recovered > exact: $r")
+    }
+    val high = probe.find(_.getLong(0) === 1L)
+    assert(high.exists(_.getDouble(3) >= 80.0),
+      s"high-band recall collapsed: ${probe.mkString(";")}")
+  }
+
+  test("opq sweep: two rounds, round 2 strictly less correlated mass") {
+    val rows = VectorOps.opqSweep(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0 && r.getLong(2) >= 0
+        && r.getLong(2) * 2 <= 64, s"implausible sweep row: $r")
+    }
+    // each round-1 Jacobi zeroes its pair's covariance exactly — the
+    // rotated pairs leave the census (cov ≠ 0 filter) or re-enter
+    // with fp-noise corr, so round 2's strongest |corr| must drop
+    assert(rows(1).getDouble(3) <= rows(0).getDouble(3) + 1e-9,
+      s"max |corr| did not shrink: ${rows.mkString(";")}")
+  }
+
   test("nprobe curve: recall monotone in nprobe, full truth coverage") {
     val rows = VectorOps.nprobeCurve(spark, sfDir).collect()
     assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 4L, 8L))

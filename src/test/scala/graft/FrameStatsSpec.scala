@@ -73,4 +73,50 @@ class FrameStatsSpec extends AnyFunSuite {
     val t = FrameStats.ensureBuilt(spark, sfDir)
     assert(FrameStats.ensureBuilt(spark, sfDir) === t)
   }
+
+  test("streaming decode-once stats ingest matches the batch build, " +
+      "replays idempotently, and compacts into the bucket layout") {
+    val src = java.nio.file.Files.createTempDirectory("graft_fssrc").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_fsck").toString
+    val store =
+      java.nio.file.Files.createTempDirectory("graft_fsstr").toString + "/st"
+    val frames = graft.imaging.ImagingModel.frames(spark, sfDir)
+    frames.filter(col("id") % 2 === 0).coalesce(1)
+      .write.parquet(src + "/f1.parquet")
+    frames.filter(col("id") % 2 === 1).coalesce(1)
+      .write.parquet(src + "/f2.parquet")
+    val source = spark.readStream.schema(frames.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src + "/*.parquet")
+    graft.streaming.ImgStream
+      .ingestStats(spark, source, store, ckpt).awaitTermination()
+
+    // decoded-on-arrival stats across batches == the batch build
+    val streamed = graft.streaming.ImgStream.readStats(spark, store)
+    val built = FrameStats.decodeOnce(spark, sfDir)
+    assert(streamed.count() === built.count())
+    assert(streamed.exceptAll(built).isEmpty
+      && built.exceptAll(streamed).isEmpty)
+
+    // a foreachBatch replay overwrites batch 0 with identical content
+    val before = streamed.count()
+    val b0even = spark.read.parquet(store + "/batches")
+      .filter(col("batch") === 0)
+      .select((col("frame_id") % 2 === 0).as("e")).head().getBoolean(0)
+    graft.streaming.ImgStream.landStats(spark,
+      frames.filter(col("id") % 2 === (if (b0even) 0 else 1)), store, 0L)
+    assert(graft.streaming.ImgStream.readStats(spark, store).count()
+      === before)
+
+    // compaction: canonical bucketed table, dataset roll-up rides it
+    val table = "graft_fs_stream_compact"
+    graft.streaming.ImgStream.compactStats(spark, store, table)
+    val tbl = spark.table(table)
+    assert(tbl.count() === built.count())
+    val plan = tbl.groupBy("dataset_id").agg(sum(col("sum_px")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"compacted stats roll-up must ride the buckets:\n$plan")
+    graft.sources.DocumentStore.clearStale(spark, table)
+  }
 }

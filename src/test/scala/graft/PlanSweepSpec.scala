@@ -172,9 +172,13 @@ class PlanSweepSpec extends AnyFunSuite {
                            // one-row corpus-total census cross join
                            // (the doc_domain_clusters shape)
     "doc_pruning_census",  // same shapes via the shared census
-    "emb_near_dup_probe_curve" // one-row candidate/confirm census
+    "emb_near_dup_probe_curve", // one-row candidate/confirm census
                            // cross joins per probe level (the sweep
                            // composes three one-row aggregates)
+    "emb_opq_sweep"        // the emb_opq_distortion rotation-plan
+                           // census cross join, twice (round 2 rotates
+                           // through round 1's plan), + one-row
+                           // stats × n_rotated census cross joins
   )
 
   test("doc_zipf ranks via distributed top-k, not a global window sort") {
