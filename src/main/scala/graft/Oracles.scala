@@ -1551,6 +1551,40 @@ JOIN manifest m USING (cell)
 GROUP BY d.source
 ORDER BY d.source"""
 
+  /** Twin of [[graft.ops.VectorOps.pruningQuality]]: the pruning CTE's
+    * assignment joined with the per-doc quality gate
+    * ([[docQualityGate]]'s flag arithmetic, integer cross-multiplied),
+    * density rule first, then the qk*2 < n low-quality rule, kept
+    * weights scaled by the exact-rational keep-rate.
+    */
+  val docPruningQuality: String = pruningCte.replace(
+    "docs AS (SELECT doc_id AS vec_id, source FROM documents),",
+    """docs AS (
+  SELECT doc_id AS vec_id,
+    CASE WHEN n_chars >= 100
+      AND len(list_filter(string_split(lower(text), ' '),
+        x -> x <> '')) >= 20
+      AND len(list_filter(string_split(lower(text), ' '),
+        x -> x = 'the' OR x = 'a')) * 2
+        <= len(list_filter(string_split(lower(text), ' '),
+          x -> x <> ''))
+    THEN 1 ELSE 0 END AS keep
+  FROM documents),
+qcell AS (
+  SELECT cell, CAST(sum(keep) AS BIGINT) AS qk
+  FROM assigned JOIN docs USING (vec_id) GROUP BY 1),""") + """
+SELECT m.cell, CAST(m.n_docs AS BIGINT) AS n_docs,
+  q.qk AS n_quality_keep,
+  round(m.pct_raw, 4) AS pct,
+  CASE WHEN m.action = 'drop' THEN 'drop_dense'
+       WHEN q.qk * 2 < m.n_docs THEN 'drop_lowq'
+       ELSE 'keep' END AS action,
+  round(CASE WHEN m.action = 'drop' OR q.qk * 2 < m.n_docs THEN 0.0
+    ELSE m.weight_raw * (CAST(q.qk AS DOUBLE) / m.n_docs) END, 6)
+    AS weight
+FROM manifest m JOIN qcell q USING (cell)
+ORDER BY m.cell"""
+
   /** Twin of [[graft.ops.VectorOps.paraphraseRecall]]: top-50 pair
     * overlap of the baseline and the k ∝ N twin, both mined over the
     * 1-in-2 md5 audit sample of the corpus with the miners' own
@@ -4003,6 +4037,70 @@ SELECT CAST(i AS BIGINT) AS dim_i, CAST(j AS BIGINT) AS dim_j,
   CAST(round(s, 6) AS DOUBLE) AS s
 FROM rot ORDER BY dim_i"""
 
+  /** The rotation-application clauses (identity default, pair dims
+    * override, rotated element lists in dim order) shared by
+    * [[embOpqDistortion]] and [[embKnnOpq]].
+    */
+  private val opqApplyCte: String = """,
+plan AS (
+  SELECT k.k AS k,
+    coalesce(r.oth, k.k) AS oth,
+    coalesce(r.wself, 1.0) AS wself,
+    coalesce(r.wother, 0.0) AS wother
+  FROM (SELECT unnest(range(64)) AS k) k
+  LEFT JOIN (
+    SELECT i AS k, j AS oth, c AS wself, -s AS wother FROM rot
+    UNION ALL
+    SELECT j AS k, i AS oth, c AS wself, s AS wother FROM rot) r
+  ON r.k = k.k),
+rel AS (
+  SELECT e.vec_id, p.k,
+    p.wself * CAST(e.embedding[p.k + 1] AS DOUBLE)
+      + p.wother * CAST(e.embedding[p.oth + 1] AS DOUBLE) AS x
+  FROM embeddings e CROSS JOIN plan p),
+rvec AS (
+  SELECT vec_id, list(x ORDER BY k) AS rvec FROM rel GROUP BY vec_id)"""
+
+  /** Twin of [[graft.ops.VectorOps.knnOpq]]: the rotation chain, then
+    * [[embKnnPq]]'s ADC body verbatim over the rotated vectors.
+    */
+  val embKnnOpq: String = opqRotCte + opqApplyCte + """,
+subq AS (
+  SELECT vec_id, m.m AS m, rvec[m.m * 8 + 1 : m.m * 8 + 8] AS sub
+  FROM rvec CROSS JOIN (SELECT unnest(range(8)) AS m) m),
+subc AS (
+  SELECT vec_id AS cid, m.m AS m,
+    rvec[m.m * 8 + 1 : m.m * 8 + 8] AS csub
+  FROM rvec CROSS JOIN (SELECT unnest(range(8)) AS m) m
+  WHERE vec_id < 16),
+assigned AS (
+  SELECT vec_id, m, cid FROM (
+    SELECT q.vec_id, q.m, c.cid,
+      row_number() OVER (PARTITION BY q.vec_id, q.m ORDER BY
+        list_sum(list_transform(list_zip(q.sub, c.csub),
+          p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS rk
+    FROM subq q JOIN subc c ON q.m = c.m)
+  WHERE rk = 1),
+dtab AS (
+  SELECT q.vec_id AS qid, q.m, c.cid,
+    list_sum(list_transform(list_zip(q.sub, c.csub),
+      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+  FROM subq q JOIN subc c ON q.m = c.m
+  WHERE q.vec_id < 10),
+adc AS (
+  SELECT d.qid, a.vec_id,
+    CAST(round(sum(d.dist), 6) AS DOUBLE) AS adc_dist
+  FROM assigned a JOIN dtab d ON a.m = d.m AND a.cid = d.cid
+  WHERE d.qid <> a.vec_id
+  GROUP BY d.qid, a.vec_id)
+SELECT qid, vec_id AS neighbor, adc_dist, rank FROM (
+  SELECT qid, vec_id, adc_dist,
+    CAST(row_number() OVER (
+      PARTITION BY qid ORDER BY adc_dist, vec_id) AS BIGINT) AS rank
+  FROM adc)
+WHERE rank <= 5
+ORDER BY qid, rank"""
+
   /** Twin of [[graft.ops.VectorOps.opqDistortion]]: the rotation plan
     * (identity default, pair dims override), rotated element lists in
     * dim order, then the [[embPqDistortion]] body verbatim over the
@@ -4861,8 +4959,10 @@ ORDER BY method"""
     "emb_opq_rotation" -> embOpqRotations,
     "doc_pruning_manifest" -> docPruningManifest,
     "doc_pruning_census" -> docPruningCensus,
+    "doc_pruning_quality" -> docPruningQuality,
     "emb_opq_distortion" -> embOpqDistortion,
     "emb_opq_sweep" -> embOpqSweep,
+    "emb_knn_opq" -> embKnnOpq,
     "events_paths" -> eventsPaths,
     "doc_mix_weights" -> docMixWeights,
     "emb_nprobe_curve" -> embNprobeCurve,

@@ -163,8 +163,10 @@ object SparkEntry {
     "emb_opq_rotation" -> (VectorOps.opqRotations(_, _)),
     "doc_pruning_manifest" -> (VectorOps.pruningManifest(_, _)),
     "doc_pruning_census" -> (VectorOps.pruningCensus(_, _)),
+    "doc_pruning_quality" -> (VectorOps.pruningQuality(_, _)),
     "emb_opq_distortion" -> (VectorOps.opqDistortion(_, _)),
     "emb_opq_sweep" -> (VectorOps.opqSweep(_, _)),
+    "emb_knn_opq" -> (VectorOps.knnOpq(_, _)),
     "doc_mix_weights" -> (TextOps.mixWeights(_, _)),
     "emb_nprobe_curve" -> (VectorOps.nprobeCurve(_, _)),
     "doc_winnow_overlap" -> (TextOps.winnowOverlap(_, _)),

@@ -335,13 +335,15 @@ object TextOps {
       .orderBy("rank")
   }
 
-  /** Quality gate — the filtering stage of a training-data pipeline:
-    * per-doc keep/drop with reason flags (too short, too few tokens,
-    * stopword-heavy), rolled up per source. Ratio thresholds compare
-    * via integer cross-multiplication (stop_n*2 > n_tokens), so the
-    * gate is exact and engine-portable — no float boundary cases.
+  /** Per-doc quality flags — [[qualityGate]]'s gate decomposed to one
+    * row per document, shared with the joint pruning policy
+    * ([[graft.ops.VectorOps.pruningQuality]]): identical flag
+    * arithmetic (ratio thresholds compare via integer
+    * cross-multiplication, stop_n*2 > n_tokens, so the gate is exact
+    * and engine-portable — no float boundary cases).
     */
-  def qualityGate(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def qualityFlags(spark: SparkSession,
+      dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("n_tokens",
         expr("size(filter(split(lower(text), ' '), x -> x <> ''))")
@@ -356,6 +358,13 @@ object TextOps {
       .withColumn("keep",
         (col("flag_short") === 0 && col("flag_few") === 0
           && col("flag_stop") === 0).cast("int"))
+
+  /** Quality gate — the filtering stage of a training-data pipeline:
+    * per-doc keep/drop with reason flags (too short, too few tokens,
+    * stopword-heavy), rolled up per source.
+    */
+  def qualityGate(spark: SparkSession, dir: String): DataFrame =
+    qualityFlags(spark, dir)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("keep")).as("n_keep"),

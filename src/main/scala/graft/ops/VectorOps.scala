@@ -667,6 +667,41 @@ object VectorOps {
       .orderBy("subspace")
   }
 
+  /** PQ ANN search in the OPQ-rotated space — the search-side payoff
+    * of the rotation chain ([[opqRotations]] → [[opqDistortion]] →
+    * here): [[knnPq]]'s exact ADC shape (asymmetric distance, 8-byte
+    * codes, broadcast |Q|×8×16 distance table, bounded ascending
+    * top-k) with queries, database and codebook all rotated through
+    * the same orthogonal plan. Rotation preserves true L2, so any
+    * result drift vs [[knnPq]] is purely the quantization-error
+    * redistribution OPQ exists to buy — the rotated counterpart of
+    * the distortion drop `emb_opq_distortion` measures, now visible
+    * as ranked search output. Scale shape identical to [[knnPq]]:
+    * the rotation is the one-row plan-census broadcast applied in a
+    * codegen'd per-row transform; database vectors are read once to
+    * encode, searched as codes.
+    */
+  def knnOpq(spark: SparkSession, dir: String): DataFrame = {
+    val rot = rotatedEmbeddings(spark, Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("rvec").as("embedding"))
+    val cents = pqCents(rot)
+    val dtab = subspaces(rot.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv")), "qv")
+      .join(cents, Seq("m"))
+      .withColumn("dist", subL2)
+      .select("qid", "m", "cid", "dist")
+    val codes = subspaces(rot, "embedding")
+      .join(broadcast(cents), Seq("m"))
+      .withColumn("dist", subL2)
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("dist"), col("cid"))).as("mn"))
+      .select(col("vec_id"), col("m"), col("mn.cid").as("cid"))
+    adcTopK(codes.join(broadcast(dtab), Seq("m", "cid"))
+      .filter(col("qid") =!= col("vec_id"))
+      .groupBy("qid", "vec_id")
+      .agg(round(sum("dist"), 6).as("adc_dist")))
+  }
+
   /** Two-round Jacobi convergence report for the OPQ-lite rotation —
     * the iteration [[opqRotations]] stops short of: round 1 is the
     * raw-corpus pair census ([[opqBase]]); round 2 recomputes the
@@ -1933,6 +1968,49 @@ object VectorOps {
       .orderBy("source")
   }
 
+  /** Joint density × quality pruning policy — [[pruningManifest]]
+    * upgraded with the signal a real curation pass never ignores:
+    * the per-cell quality keep-rate from the SAME gate
+    * [[graft.ops.TextOps.qualityGate]] applies per source. Per cell:
+    * over-dense regions still drop (`drop_dense`, the SemDeDup rule);
+    * a cell whose quality keep-rate falls below 1/2 drops wholesale
+    * (`drop_lowq` — a semantic region that is mostly gated junk is
+    * cheaper to cut than to filter row-by-row at export); every kept
+    * cell's weight is the DoReMi inverse-propensity weight SCALED by
+    * its keep-rate, so a half-junk region trains at half weight.
+    *
+    * Determinism: the low-quality threshold cross-multiplies integers
+    * (qk*2 < n_docs — no float boundary); the weight multiplies the
+    * clipped u/pct double by the exact-rational qk/n division, both
+    * IEEE-identical on both engines, rounded at the edge. Scale
+    * shape: the per-doc flag frame joins the assignment on the unique
+    * id key (the [[pruningCensus]] discipline), collapses to a k-row
+    * census, and the final join is k-row × k-row on cell — nothing
+    * past the flag aggregation is corpus-sized.
+    */
+  def pruningQuality(spark: SparkSession, dir: String): DataFrame = {
+    val (census, assigned, k) = domainCellCensus(spark, dir)
+    val u = lit(100.0) / lit(k.toDouble)
+    val qk = graft.ops.TextOps.qualityFlags(spark, dir)
+      .select(col("doc_id").as("vec_id"), col("keep"))
+      .join(assigned, "vec_id")
+      .groupBy("cell")
+      .agg(sum(col("keep").cast("bigint")).as("n_quality_keep"))
+    val dense = col("pct_raw") > u * 4.0
+    val lowq = col("n_quality_keep") * 2 < col("n_docs")
+    census.join(qk, "cell")
+      .select(col("cell"), col("n_docs"), col("n_quality_keep"),
+        round(col("pct_raw"), 4).as("pct"),
+        when(dense, lit("drop_dense"))
+          .when(lowq, lit("drop_lowq"))
+          .otherwise(lit("keep")).as("action"),
+        round(when(dense || lowq, lit(0.0)).otherwise(
+          least(lit(2.0), greatest(lit(0.5), u / col("pct_raw")))
+            * (col("n_quality_keep").cast("double") / col("n_docs"))),
+          6).as("weight"))
+      .orderBy("cell")
+  }
+
   /** The corpus under the manifest, export-ready: dropped cells'
     * documents excluded, every surviving row carrying its cluster and
     * training weight — the frame [[graft.sources.TrainingExport]]
@@ -1950,6 +2028,25 @@ object VectorOps {
         "doc_id")
       .join(manifest, "cell")
       .filter(col("action") =!= "drop")
+      .drop("action")
+  }
+
+  /** The corpus under the JOINT density × quality manifest
+    * ([[pruningQuality]]) — [[prunedCorpus]]'s export shape with both
+    * drop classes excluded and the keep-rate-scaled weight attached:
+    * what a curation pass actually ships once quality enters the
+    * policy (TrainingExportSpec proves the exported layout matches
+    * the joint manifest action-for-action and weight-for-weight).
+    */
+  def prunedCorpusQuality(spark: SparkSession, dir: String): DataFrame = {
+    val (_, assigned, _) = domainCellCensus(spark, dir)
+    val manifest = pruningQuality(spark, dir)
+      .select(col("cell"), col("action"), col("weight"))
+    Tables.documents(spark, dir)
+      .join(assigned.select(col("vec_id").as("doc_id"), col("cell")),
+        "doc_id")
+      .join(manifest, "cell")
+      .filter(!col("action").startsWith("drop"))
       .drop("action")
   }
 

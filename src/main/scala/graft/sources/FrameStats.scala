@@ -136,6 +136,43 @@ object FrameStats {
       .write.bucketBy(nBuckets, "dataset_id").sortBy("dataset_id")
       .mode("overwrite").saveAsTable(table)
 
+  /** O(batch) incremental append — the [[DocumentStore.append]]
+    * discipline for the stats table: a new acquisition's frames decode
+    * ONCE (only the batch pays codec work, the table is never
+    * rescanned) and land as additional bucket files under the same
+    * spec, so every zero-exchange roll-up property survives the
+    * append unchanged (Spark enforces the matching bucket layout).
+    * Stats rows are deterministic per frame, so re-appending a frame
+    * is the caller's idempotency bug to avoid — use
+    * [[graft.streaming.ImgStream.ingestStats]] when replay safety
+    * must come from the pipeline.
+    */
+  def append(spark: SparkSession, table: String, newFrames: DataFrame,
+      nBuckets: Int = DefaultBuckets): Unit =
+    decodeFrames(spark, newFrames.repartition(
+        spark.conf.get("spark.sql.shuffle.partitions").toInt))
+      .write.bucketBy(nBuckets, "dataset_id").sortBy("dataset_id")
+      .mode("append").saveAsTable(table)
+
+  /** Bucket-granular duplicate settlement — the [[append]]
+    * discipline's repair path when an acquisition IS re-appended
+    * (crash between decode and the caller's ledger, a re-run
+    * splitter): stats rows are deterministic per frame, so a
+    * re-append lands bit-identical rows and the fix is
+    * [[DocumentStore.vacuumKeyed]]'s census-guided rewrite — only
+    * buckets whose row count disagrees with the distinct-frame census
+    * are rebuilt, the rest of the table is untouched.
+    */
+  def vacuum(spark: SparkSession, table: String,
+      nBuckets: Int = DefaultBuckets): Unit = {
+    val bucketOf = pmod(hash(col("dataset_id")), lit(nBuckets))
+    val expected = spark.table(table).dropDuplicates("frame_id")
+      .groupBy(bucketOf.as("b")).agg(count(lit(1)).as("census_n"))
+    DocumentStore.vacuumKeyed(spark, table, "dataset_id", expected,
+      nBuckets)
+    ()
+  }
+
   def read(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 

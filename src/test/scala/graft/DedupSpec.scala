@@ -608,6 +608,21 @@ class DedupSpec extends AnyFunSuite {
       s"max |corr| did not shrink: ${rows.mkString(";")}")
   }
 
+  test("opq knn: full top-5 per query, distances ranked, same query " +
+      "set as the unrotated rung") {
+    val opq = VectorOps.knnOpq(spark, sfDir).collect()
+    val byQ = opq.groupBy(_.getLong(0))
+    assert(byQ.size === 10 && byQ.values.forall(_.length == 5))
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getLong(3))
+      assert(sorted.map(_.getLong(3)).toSeq === (1L to 5L))
+      val d = sorted.map(_.getDouble(2))
+      assert(d.forall(_ >= 0.0)
+        && d.zip(d.tail).forall { case (a, b) => a <= b },
+        s"adc distances not ascending: ${d.mkString(",")}")
+    }
+  }
+
   test("nprobe curve: recall monotone in nprobe, full truth coverage") {
     val rows = VectorOps.nprobeCurve(spark, sfDir).collect()
     assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 4L, 8L))

@@ -74,6 +74,43 @@ class FrameStatsSpec extends AnyFunSuite {
     assert(FrameStats.ensureBuilt(spark, sfDir) === t)
   }
 
+  test("incremental append: batch-only decode lands under the bucket " +
+      "spec, appended table equals the full build") {
+    val frames = graft.imaging.ImagingModel.frames(spark, sfDir)
+    val table = "graft_fs_append_test"
+    graft.sources.DocumentStore.clearStale(spark, table)
+    // build on the first half, append the second half
+    FrameStats.decodeFrames(spark, frames.filter(col("id") % 2 === 0))
+      .write.bucketBy(FrameStats.DefaultBuckets, "dataset_id")
+      .sortBy("dataset_id").mode("overwrite").saveAsTable(table)
+    FrameStats.append(spark, table, frames.filter(col("id") % 2 === 1))
+    val appended = spark.table(table)
+    val full = FrameStats.decodeOnce(spark, sfDir)
+    assert(appended.count() === full.count())
+    assert(appended.exceptAll(full).isEmpty
+      && full.exceptAll(appended).isEmpty)
+    // the zero-exchange roll-up property survives the append
+    val plan = appended.groupBy("dataset_id").agg(sum(col("sum_px")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"appended stats roll-up must still ride the buckets:\n$plan")
+
+    // a re-appended acquisition lands bit-identical duplicate rows;
+    // the census-guided vacuum settles back to the full build
+    FrameStats.append(spark, table, frames.filter(col("id") % 2 === 1))
+    assert(spark.table(table).count() > full.count())
+    FrameStats.vacuum(spark, table)
+    val settled = spark.table(table)
+    assert(settled.count() === full.count())
+    assert(settled.exceptAll(full).isEmpty
+      && full.exceptAll(settled).isEmpty)
+    val plan2 = settled.groupBy("dataset_id").agg(sum(col("sum_px")))
+      .queryExecution.executedPlan.toString
+    assert(!plan2.contains("Exchange hashpartitioning"),
+      s"vacuumed stats roll-up must still ride the buckets:\n$plan2")
+    graft.sources.DocumentStore.clearStale(spark, table)
+  }
+
   test("streaming decode-once stats ingest matches the batch build, " +
       "replays idempotently, and compacts into the bucket layout") {
     val src = java.nio.file.Files.createTempDirectory("graft_fssrc").toString

@@ -77,6 +77,9 @@ class PlanSweepSpec extends AnyFunSuite {
                            // by design — uniform shuffle join
     "doc_pruning_census",  // the same assignment ⋈ documents shuffle
                            // join (shares doc_domain_clusters' census)
+    "doc_pruning_quality", // the same assignment ⋈ documents shuffle
+                           // join, twice (census + per-doc quality
+                           // flags); the policy join itself is k × k
     "doc_dedup_keep_best", // docs ⋈ cluster labels on doc_id and
                            // docs ⋈ cluster winners on the cluster key:
                            // corpus-scale both sides (the dup_clusters
@@ -172,13 +175,16 @@ class PlanSweepSpec extends AnyFunSuite {
                            // one-row corpus-total census cross join
                            // (the doc_domain_clusters shape)
     "doc_pruning_census",  // same shapes via the shared census
+    "doc_pruning_quality", // same shapes via the shared census
     "emb_near_dup_probe_curve", // one-row candidate/confirm census
                            // cross joins per probe level (the sweep
                            // composes three one-row aggregates)
-    "emb_opq_sweep"        // the emb_opq_distortion rotation-plan
+    "emb_opq_sweep",       // the emb_opq_distortion rotation-plan
                            // census cross join, twice (round 2 rotates
                            // through round 1's plan), + one-row
                            // stats × n_rotated census cross joins
+    "emb_knn_opq"          // the same one-row rotation-plan census
+                           // cross join ahead of the knn_pq ADC shape
   )
 
   test("doc_zipf ranks via distributed top-k, not a global window sort") {

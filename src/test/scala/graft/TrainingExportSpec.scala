@@ -55,6 +55,56 @@ class TrainingExportSpec extends AnyFunSuite {
       .count() === 0)
   }
 
+  test("quality-weighted pruning: consistent with its two parent " +
+      "policies, weights scaled by the exact keep-rate") {
+    import graft.ops.VectorOps
+    val joint = VectorOps.pruningQuality(spark, sfDir)
+    val base = VectorOps.pruningManifest(spark, sfDir)
+    // same cell partition, same density numbers as the density-only
+    // manifest; dense drops agree cell-for-cell
+    val j = joint.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4),
+        r.getDouble(5))).toMap
+    val b = base.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getDouble(2), r.getString(3),
+        r.getDouble(4))).toMap
+    assert(j.keySet === b.keySet)
+    j.foreach { case (cell, (n, qk, pct, action, w)) =>
+      val (bn, bpct, baction, bw) = b(cell)
+      assert(n === bn && pct === bpct, s"cell $cell density drifted")
+      assert(qk >= 0 && qk <= n, s"cell $cell keep count out of range")
+      assert((action == "drop_dense") === (baction == "drop"),
+        s"cell $cell density rule drifted")
+      if (action == "drop_lowq") assert(qk * 2 < n)
+      if (action.startsWith("drop")) assert(w === 0.0)
+      else {
+        // kept weight = density weight x exact keep-rate (both parents
+        // publish rounded; recompute within rounding slack)
+        assert(math.abs(w - bw * qk / n) < 2e-6,
+          s"cell $cell weight not keep-rate-scaled")
+        assert(qk * 2 >= n)
+      }
+    }
+    // the per-cell keep counts tie out to the per-source quality gate
+    val totalKeep = graft.ops.TextOps.qualityGate(spark, sfDir)
+      .agg(sum("n_keep")).head().getLong(0)
+    assert(j.values.map(_._2).sum === totalKeep,
+      "cell keep counts don't tie out to the quality gate")
+
+    // the joint export ships exactly the kept cells, with the
+    // keep-rate-scaled weights attached row-for-row
+    val exported = VectorOps.prunedCorpusQuality(spark, sfDir)
+    val expectKept = j.values.collect {
+      case (n, _, _, a, _) if a == "keep" => n
+    }.sum
+    assert(exported.count() === expectKept)
+    val wrongW = exported.join(
+        joint.select(col("cell"), col("weight").as("mw")), "cell")
+      .filter(col("weight") =!= col("mw")).count()
+    assert(wrongW === 0, "joint export weight != joint manifest weight")
+    assert(exported.filter(col("weight") <= 0.0).count() === 0)
+  }
+
   test("export round-trips, matches the shardStats census, and is " +
       "deterministic") {
     val out = Files.createTempDirectory("graft_export").toString
