@@ -532,6 +532,7 @@ object Bench {
     // bucket layout amortizes across every later query)
     graft.sources.DocumentStore.ensureBuilt(spark, sfDir)
     graft.sources.VectorIndex.ensureBuilt(spark, sfDir)
+    graft.sources.VectorIndex.ensureBuiltRotated(spark, sfDir)
     graft.sources.FrameStats.ensureBuilt(spark, sfDir)
     // min of two runs per query: the first run pays JIT/codegen
     // compilation, the second is the steady-state number a long-running

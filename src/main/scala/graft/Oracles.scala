@@ -4101,6 +4101,71 @@ SELECT qid, vec_id AS neighbor, adc_dist, rank FROM (
 WHERE rank <= 5
 ORDER BY qid, rank"""
 
+  /** Twin of [[graft.sources.VectorIndex.searchForRotated]]
+    * (`emb_knn_opq_indexed`): the rotation chain, then
+    * [[embKnnIvfPq]]'s body verbatim over the rotated vectors —
+    * coarse cells, 4-probe routing, PQ codes and the ADC tables all
+    * derived in the rotated space, exactly what the persisted
+    * OPQ+IVF+PQ index stores. The store itself is a materialization
+    * detail (VectorIndexSpec proves the frozen-plan contract); the
+    * SQL derives everything inline from the same frozen arithmetic.
+    */
+  val embKnnOpqIndexed: String = opqRotCte + opqApplyCte + s""",
+cents AS (
+  SELECT vec_id AS ccid, rvec AS ccv FROM rvec WHERE vec_id < 16),
+cellof AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.ccid AS cell,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY -${duckCos("e.rvec", "c.ccv")}, c.ccid) AS crank
+    FROM rvec e CROSS JOIN cents c)
+  WHERE crank <= 1),
+probes AS (
+  SELECT qid, cell FROM (
+    SELECT e.vec_id AS qid, c.ccid AS cell,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY -${duckCos("e.rvec", "c.ccv")}, c.ccid) AS crank
+    FROM rvec e CROSS JOIN cents c WHERE e.vec_id < 10)
+  WHERE crank <= 4),
+subq AS (
+  SELECT vec_id, m.m AS m, rvec[m.m * 8 + 1 : m.m * 8 + 8] AS sub
+  FROM rvec CROSS JOIN (SELECT unnest(range(8)) AS m) m),
+subc AS (
+  SELECT vec_id AS cid, m.m AS m,
+    rvec[m.m * 8 + 1 : m.m * 8 + 8] AS csub
+  FROM rvec CROSS JOIN (SELECT unnest(range(8)) AS m) m
+  WHERE vec_id < 16),
+codes AS (
+  SELECT vec_id, m, cid FROM (
+    SELECT q.vec_id, q.m, c.cid,
+      row_number() OVER (PARTITION BY q.vec_id, q.m ORDER BY
+        list_sum(list_transform(list_zip(q.sub, c.csub),
+          p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid) AS rk
+    FROM subq q JOIN subc c ON q.m = c.m)
+  WHERE rk = 1),
+dtab AS (
+  SELECT q.vec_id AS qid, q.m, c.cid,
+    list_sum(list_transform(list_zip(q.sub, c.csub),
+      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+  FROM subq q JOIN subc c ON q.m = c.m
+  WHERE q.vec_id < 10),
+adc AS (
+  SELECT d.qid, a.vec_id,
+    CAST(round(sum(d.dist), 6) AS DOUBLE) AS adc_dist
+  FROM codes a
+  JOIN cellof cf ON a.vec_id = cf.vec_id
+  JOIN probes p ON cf.cell = p.cell
+  JOIN dtab d ON a.m = d.m AND a.cid = d.cid AND d.qid = p.qid
+  WHERE d.qid <> a.vec_id
+  GROUP BY d.qid, a.vec_id)
+SELECT qid, vec_id AS neighbor, adc_dist, rank FROM (
+  SELECT qid, vec_id, adc_dist,
+    CAST(row_number() OVER (
+      PARTITION BY qid ORDER BY adc_dist, vec_id) AS BIGINT) AS rank
+  FROM adc)
+WHERE rank <= 5
+ORDER BY qid, rank"""
+
   /** Twin of [[graft.ops.VectorOps.opqDistortion]]: the rotation plan
     * (identity default, pair dims override), rotated element lists in
     * dim order, then the [[embPqDistortion]] body verbatim over the
@@ -4963,6 +5028,7 @@ ORDER BY method"""
     "emb_opq_distortion" -> embOpqDistortion,
     "emb_opq_sweep" -> embOpqSweep,
     "emb_knn_opq" -> embKnnOpq,
+    "emb_knn_opq_indexed" -> embKnnOpqIndexed,
     "events_paths" -> eventsPaths,
     "doc_mix_weights" -> docMixWeights,
     "emb_nprobe_curve" -> embNprobeCurve,

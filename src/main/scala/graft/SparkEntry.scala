@@ -167,6 +167,8 @@ object SparkEntry {
     "emb_opq_distortion" -> (VectorOps.opqDistortion(_, _)),
     "emb_opq_sweep" -> (VectorOps.opqSweep(_, _)),
     "emb_knn_opq" -> (VectorOps.knnOpq(_, _)),
+    "emb_knn_opq_indexed" ->
+      (graft.sources.VectorIndex.searchForRotated(_, _)),
     "doc_mix_weights" -> (TextOps.mixWeights(_, _)),
     "emb_nprobe_curve" -> (VectorOps.nprobeCurve(_, _)),
     "doc_winnow_overlap" -> (TextOps.winnowOverlap(_, _)),

@@ -610,9 +610,11 @@ object VectorOps {
 
   /** [[rotatedEmbeddings]] with the rotation frame precomputed — the
     * sweep passes a materialized census so the moment aggregation
-    * behind it runs once, not once per consumer.
+    * behind it runs once, not once per consumer, and
+    * [[graft.sources.VectorIndex]] passes its PERSISTED plan so every
+    * build/append/search pass rotates through the frozen weights.
     */
-  private def rotatedWith(spark: SparkSession, e: DataFrame,
+  private[graft] def rotatedWith(spark: SparkSession, e: DataFrame,
       rot: DataFrame): DataFrame = {
     val perDim = rot.select(col("i").as("k"), col("j").as("oth"),
         col("c").as("wself"), (-col("s")).as("wother"))
@@ -682,7 +684,13 @@ object VectorOps {
     * encode, searched as codes.
     */
   def knnOpq(spark: SparkSession, dir: String): DataFrame = {
-    val rot = rotatedEmbeddings(spark, Tables.embeddings(spark, dir))
+    val e = Tables.embeddings(spark, dir)
+    // the rotation plan costs a full N×d² moment aggregation but is
+    // ≤32 rows — materialize it once (the opqSweep localCheckpoint
+    // discipline) so the codebook/query/corpus consumers below don't
+    // each retrain it; the per-row rotation itself stays lazy
+    val rot = rotatedWith(spark, e,
+        opqRotationsRaw(e).localCheckpoint(true))
       .select(col("vec_id"), col("rvec").as("embedding"))
     val cents = pqCents(rot)
     val dtab = subspaces(rot.filter(col("vec_id") < 10)
@@ -1123,8 +1131,17 @@ object VectorOps {
     * (VectorIndexSpec asserts result parity and the plan shape).
     */
   def searchIndex(spark: SparkSession, dir: String,
+      index: DataFrame): DataFrame =
+    searchIndexOf(Tables.embeddings(spark, dir), index)
+
+  /** [[searchIndex]] with the query/codebook source passed explicitly
+    * — every consumer below filters it to vec_id < 10 (queries) or
+    * < 16 (coarse/PQ seeds), so [[graft.sources.VectorIndex]]'s
+    * rotated variant hands over just the 16 seed rows rotated through
+    * its frozen plan and the whole search runs in the rotated space.
+    */
+  private[graft] def searchIndexOf(e: DataFrame,
       index: DataFrame): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
     val adc = index
       .join(broadcast(probeCells(e)), Seq("cell"))
       .select(col("qid"), col("vec_id"), explode(col("codes")).as("c"))

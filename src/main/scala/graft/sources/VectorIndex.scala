@@ -83,6 +83,83 @@ object VectorIndex {
   def search(spark: SparkSession, dir: String, table: String): DataFrame =
     graft.ops.VectorOps.searchIndex(spark, dir, read(spark, table))
 
+  /** The companion table holding a rotated index's FROZEN OPQ plan
+    * (the raw [[graft.ops.VectorOps.opqRotationsRaw]] rows: one row
+    * per rotated dim pair with its Jacobi (c, s) weights, ≤32 rows).
+    * FAISS stores the OPQMatrix inside the index file for the same
+    * reason: the transform is part of the index's identity — every
+    * later add and every query must rotate through the weights the
+    * codes were built under, never a recomputed plan.
+    */
+  private def planTable(table: String): String = table + "_plan"
+
+  /** Build the OPQ-rotated IVF+PQ index — the FAISS
+    * OPQMatrix + IVFPQ composition: train the rotation on the corpus
+    * ([[graft.ops.VectorOps.opqRotationsRaw]], the mutual-best Jacobi
+    * pair census), PERSIST it as the index's plan table, then rotate
+    * the corpus through the stored plan (not the in-memory frame —
+    * the parquet round-trip is the authoritative copy) and run the
+    * standard build in rotated space: coarse-route, PQ-encode, one
+    * (vec_id, cell, codes) row per vector bucketed by cell. Rotation
+    * is orthogonal, so cells/codes are the rotated-space optimum the
+    * distortion drop `emb_opq_distortion` measures.
+    */
+  def buildRotated(spark: SparkSession, dir: String, table: String,
+      nBuckets: Int = DefaultBuckets): Unit = {
+    import graft.ops.VectorOps
+    val e = graft.tables.Tables.embeddings(spark, dir)
+    VectorOps.opqRotationsRaw(e)
+      .write.mode("overwrite").saveAsTable(planTable(table))
+    val rot = VectorOps
+      .rotatedWith(spark, e, spark.table(planTable(table)))
+      .select(col("vec_id"), col("rvec").as("embedding"),
+        lit(0).as("label"))
+    graft.ops.VectorOps.indexRowsOf(rot, rot)
+      .write.bucketBy(nBuckets, "cell").sortBy("cell")
+      .mode("overwrite").saveAsTable(table)
+  }
+
+  /** Incremental add to the rotated index: the batch rotates through
+    * the index's STORED plan — never a plan retrained on the batch
+    * (VectorIndexSpec plants a batch whose own rotation would differ
+    * and proves the stored plan wins) — then routes and encodes
+    * against the frozen rotated codebooks, exactly [[append]]'s
+    * contract lifted into the rotated space. O(batch) per call.
+    */
+  def appendRotated(spark: SparkSession, batch: DataFrame, table: String,
+      codebookDir: String, nBuckets: Int = DefaultBuckets): Unit = {
+    import graft.ops.VectorOps
+    val plan = spark.table(planTable(table))
+    def rotate(df: DataFrame): DataFrame =
+      VectorOps.rotatedWith(spark, df, plan)
+        .select(col("vec_id"), col("rvec").as("embedding"),
+          lit(0).as("label"))
+    val cb = rotate(graft.tables.Tables.embeddings(spark, codebookDir)
+      .filter(col("vec_id") < 16))
+    VectorOps.indexRowsOf(rotate(batch), cb)
+      .write.bucketBy(nBuckets, "cell").sortBy("cell")
+      .mode("append").saveAsTable(table)
+    spark.sql(s"REFRESH TABLE $table")
+  }
+
+  /** Search the rotated index: queries and the 16 coarse/PQ seeds
+    * rotate through the STORED plan (16 rows of codec work — the
+    * corpus is touched only as codes), then the identical probed ADC
+    * plan as [[search]]. Same-plan rotation on both sides preserves
+    * L2 exactly, so result drift vs the unrotated index is purely
+    * OPQ's quantization-error redistribution.
+    */
+  def searchRotated(spark: SparkSession, dir: String,
+      table: String): DataFrame = {
+    import graft.ops.VectorOps
+    val seeds = VectorOps.rotatedWith(spark,
+        graft.tables.Tables.embeddings(spark, dir)
+          .filter(col("vec_id") < 16),
+        spark.table(planTable(table)))
+      .select(col("vec_id"), col("rvec").as("embedding"))
+    VectorOps.searchIndexOf(seeds, read(spark, table))
+  }
+
   /** Per-JVM build-once guard — same contract as
     * [[DocumentStore.ensureBuilt]] (stale warehouse leftovers from a
     * previous JVM are cleared and rebuilt, never trusted).
@@ -112,4 +189,29 @@ object VectorIndex {
     */
   def searchFor(spark: SparkSession, dir: String): DataFrame =
     search(spark, dir, ensureBuilt(spark, dir))
+
+  /** [[ensureBuilt]] for the rotated index (plan table + index table
+    * cleared and rebuilt together — a stale plan under a fresh index,
+    * or vice versa, would silently change every search result).
+    */
+  def ensureBuiltRotated(spark: SparkSession, dir: String): String = {
+    val table = DocumentStore.tableName("graft_vecindex_opq", dir)
+    built.synchronized {
+      if (!built.contains(table)) {
+        DocumentStore.clearStale(spark, table)
+        DocumentStore.clearStale(spark, planTable(table))
+        buildRotated(spark, dir, table)
+        built.put(table, ())
+      }
+    }
+    table
+  }
+
+  /** The driver-checked twin `emb_knn_opq_indexed`: IVF+PQ search
+    * over the persisted OPQ-rotated index — the full FAISS
+    * OPQMatrix + IVFPQ serving path with the build (rotation training
+    * included) amortized at [[ensureBuiltRotated]].
+    */
+  def searchForRotated(spark: SparkSession, dir: String): DataFrame =
+    searchRotated(spark, dir, ensureBuiltRotated(spark, dir))
 }

@@ -183,8 +183,11 @@ class PlanSweepSpec extends AnyFunSuite {
                            // census cross join, twice (round 2 rotates
                            // through round 1's plan), + one-row
                            // stats × n_rotated census cross joins
-    "emb_knn_opq"          // the same one-row rotation-plan census
+    "emb_knn_opq",         // the same one-row rotation-plan census
                            // cross join ahead of the knn_pq ADC shape
+    "emb_knn_opq_indexed"  // the stored rotation plan's one-row census
+                           // cross join rotating the 16 seed rows; the
+                           // corpus side is the bucketed index scan
   )
 
   test("doc_zipf ranks via distributed top-k, not a global window sort") {
