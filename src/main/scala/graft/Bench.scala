@@ -534,6 +534,7 @@ object Bench {
     graft.sources.VectorIndex.ensureBuilt(spark, sfDir)
     graft.sources.VectorIndex.ensureBuiltRotated(spark, sfDir)
     graft.sources.FrameStats.ensureBuilt(spark, sfDir)
+    graft.streaming.ImgStream.ensureStreamedStats(spark, sfDir)
     // min of two runs per query: the first run pays JIT/codegen
     // compilation, the second is the steady-state number a long-running
     // cluster job sees. Load canary: on a contended box the two runs

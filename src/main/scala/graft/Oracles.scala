@@ -2520,6 +2520,50 @@ FROM smp JOIN data_set d ON smp.dataset_id = d.id
 GROUP BY d.dataset_serial
 ORDER BY d.dataset_serial"""
 
+  /** Twin of [[graft.streaming.ImgStream.statsDriftFor]]: the arrival
+    * waves are `batch = frame id % 3` by construction, each frame's
+    * 64 gray pixels are the 32 sha bytes used twice, so per-(dataset,
+    * batch) means and the cumulative prior-batch window are pure
+    * integer/window arithmetic over the hex string — identical
+    * round-at-the-edge discipline (means to 6 places first, drift to
+    * 4 from the rounded means). First batch of a dataset has no
+    * prior: drift and flag are NULL.
+    */
+  val imgStatsDrift: String = imagingCte + """
+, px AS (
+  SELECT frames_global_id AS dataset_id,
+    CAST(id % 3 AS BIGINT) AS batch,
+    2 * list_sum(list_transform(range(0, 32),
+      i -> (strpos('0123456789abcdef', substr(sha256, 2*i + 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(sha256, 2*i + 2, 1)) - 1)))
+      AS sum_px
+  FROM frames
+), pb AS (
+  SELECT dataset_id, batch,
+    CAST(count(*) AS BIGINT) AS n_frames,
+    CAST(sum(64) AS BIGINT) AS n_px,
+    sum(sum_px) AS s_px
+  FROM px GROUP BY 1, 2
+), wd AS (
+  SELECT dataset_id, batch, n_frames,
+    round(CAST(s_px AS DOUBLE) / n_px, 6) AS mean_px,
+    sum(n_px) OVER w AS prior_n,
+    sum(s_px) OVER w AS prior_s
+  FROM pb
+  WINDOW w AS (PARTITION BY dataset_id ORDER BY batch
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), wm AS (
+  SELECT dataset_id, batch, n_frames, mean_px,
+    round(CAST(prior_s AS DOUBLE) / prior_n, 6) AS prior_mean
+  FROM wd
+)
+SELECT dataset_id, batch, n_frames, mean_px, prior_mean,
+  round((mean_px - prior_mean) * 100.0 / prior_mean, 4) AS drift_pct,
+  CAST(abs(round((mean_px - prior_mean) * 100.0 / prior_mean, 4)) > 10.0
+    AS INT) AS flag_drift
+FROM wm
+ORDER BY dataset_id, batch"""
+
   /** Twin of [[graft.multimodal.BinaryFrames.sceneCuts]]: exact
     * means (integer sum / 64), identical series partition and
     * tie-broken lag order, same 25-unit cut threshold.
@@ -5052,6 +5096,7 @@ ORDER BY method"""
     "img_saturation_stored" -> imgSaturation,
     "img_z_profile_stored" -> imgZProfile,
     "vid_scene_cuts_stored" -> vidSceneCuts,
+    "img_stats_drift" -> imgStatsDrift,
     "emb_knn_ivfpq_indexed" -> embKnnIvfPq,
     "emb_gram_power" -> embGramPower,
     "doc_source_unique" -> docSourceUnique,

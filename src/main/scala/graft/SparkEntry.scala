@@ -243,6 +243,10 @@ object SparkEntry {
       (graft.sources.FrameStats.zProfileStored(_, _)),
     "vid_scene_cuts_stored" ->
       (graft.sources.FrameStats.sceneCutsStored(_, _)),
+    // the streamed stats store's monitoring read: per-(dataset, arrival
+    // batch) mean intensity vs the cumulative prior mean, decode-free
+    "img_stats_drift" ->
+      (graft.streaming.ImgStream.statsDriftFor(_, _)),
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the

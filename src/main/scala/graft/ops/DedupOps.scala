@@ -212,7 +212,13 @@ object DedupOps {
     val cand = minhashCandidates(source, maxBucket)
     // verification re-derives shingles for the tiny candidate set from
     // raw text instead of shuffling every doc's shingle array through
-    // two joins — at 100 TB the full shset join would dominate the job
+    // two joins — at 100 TB the full shset join would dominate the job.
+    // (Measured alternative, r10: shingling each candidate doc ONCE
+    // and joining the shset arrays back by id was 2× SLOWER at 10×
+    // and a wash at 30× — a distinct word-3-gram set serializes ~3×
+    // the raw text bytes, so the array exchange outweighs repeated
+    // in-place shingling; this family's 30× growth is candidate-pair
+    // count at a fixed banding operating point, not re-shingle work.)
     val texts = source.select("doc_id", "text")
     val candTexts = cand
       .join(texts.select(col("doc_id").as("doc1"), col("text").as("text1")), "doc1")

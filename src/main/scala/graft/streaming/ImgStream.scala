@@ -104,6 +104,83 @@ object ImgStream {
   def readStats(spark: SparkSession, statsStore: String): DataFrame =
     spark.read.parquet(s"$statsStore/batches").drop("batch")
 
+  /** Acquisition-drift report over the streamed stats store — the
+    * monitoring read an imaging facility runs after every ingest
+    * wave: per (dataset, arrival batch), the batch's exact mean
+    * intensity next to the cumulative mean of every PRIOR batch of
+    * the same dataset, with the relative drift flagged past
+    * `flagPct`. A microscope whose illumination or focus drifted
+    * between acquisition sessions shows up here on arrival — from
+    * the persisted sufficient statistics, no frame ever re-decoded.
+    *
+    * Determinism: batch sums accumulate exact (BIGINT pixel counts,
+    * DECIMAL Σpx), means divide once at the edge and round; the
+    * prior-batches window is rows-bounded per dataset. Scale shape:
+    * the per-(dataset, batch) census rides the stats scan as a
+    * map-side partial (≤ datasets × batches keys); the window sorts
+    * only census rows, never frames. First batch of a dataset has no
+    * prior — drift is null, never flagged.
+    */
+  def statsDrift(spark: SparkSession, statsStore: String,
+      flagPct: Double = 10.0): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("dataset_id").orderBy("batch")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    spark.read.parquet(s"$statsStore/batches")
+      .groupBy(col("dataset_id"), col("batch").cast("bigint").as("batch"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("n_px").cast("bigint")).as("n_px"),
+        sum(col("sum_px").cast("decimal(20,0)")).as("s_px"))
+      .withColumn("prior_n", sum(col("n_px")).over(w))
+      .withColumn("prior_s", sum(col("s_px")).over(w))
+      .withColumn("mean_px",
+        round(col("s_px").cast("double") / col("n_px"), 6))
+      .withColumn("prior_mean",
+        round(col("prior_s").cast("double") / col("prior_n"), 6))
+      .withColumn("drift_pct",
+        round((col("mean_px") - col("prior_mean")) * 100.0
+          / col("prior_mean"), 4))
+      .withColumn("flag_drift",
+        (abs(col("drift_pct")) > flagPct).cast("int"))
+      .select("dataset_id", "batch", "n_frames", "mean_px",
+        "prior_mean", "drift_pct", "flag_drift")
+      .orderBy("dataset_id", "batch")
+  }
+
+  /** Build-once guard for the deterministic streamed stats store the
+    * oracle-checked `img_stats_drift` entry reads: frames split into
+    * `nBatches` arrival waves by `id % nBatches`, each landed through
+    * [[landStats]] (so every frame pays its decode exactly once, on
+    * arrival — the real ingest path, not a test shortcut). Session
+    * -scoped like [[graft.sources.FrameStats.ensureBuilt]].
+    */
+  private val driftStores =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def ensureStreamedStats(spark: SparkSession, dir: String,
+      nBatches: Int = 3): String =
+    driftStores.synchronized {
+      driftStores.getOrElseUpdate(s"$dir|$nBatches", {
+        val store = java.nio.file.Files
+          .createTempDirectory("graft_imgdrift").toString + "/stats"
+        val frames = graft.imaging.ImagingModel.frames(spark, dir)
+        (0 until nBatches).foreach { b =>
+          landStats(spark, frames.filter(col("id") % nBatches === b),
+            store, b.toLong)
+        }
+        store
+      })
+    }
+
+  /** [[statsDrift]] over the session's deterministic streamed store —
+    * the `SparkEntry.queries` / DuckDB-oracle face of the drift
+    * monitor (batch = frame id mod 3, so the oracle recomputes the
+    * same arrival waves formulaically from the planted sha pixels).
+    */
+  def statsDriftFor(spark: SparkSession, dir: String): DataFrame =
+    statsDrift(spark, ensureStreamedStats(spark, dir))
+
   /** Fold the streamed stats batches into the canonical
     * dataset-bucketed [[graft.sources.FrameStats]] table layout —
     * after this, per-dataset QC roll-ups read with zero exchanges,

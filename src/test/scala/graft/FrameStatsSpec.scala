@@ -111,6 +111,51 @@ class FrameStatsSpec extends AnyFunSuite {
     graft.sources.DocumentStore.clearStale(spark, table)
   }
 
+  test("stats drift: planted arrival waves — exact cumulative prior, " +
+      "drifted batch flagged, first batch never flagged") {
+    val store =
+      java.nio.file.Files.createTempDirectory("graft_drift").toString + "/st"
+    import TestSpark.spark.implicits._
+    // dataset 1: batch 0 mean 100, batch 1 mean 120 (drift +20% — flag),
+    // batch 2 mean 101 (prior cum mean 106.666667, |drift| < 10 — clear);
+    // dataset 2 appears only in batch 1 (no prior — null, never flagged)
+    Seq((1L, 64, 6400L), (1L, 64, 6400L)).toDF("dataset_id", "n_px", "sum_px")
+      .write.parquet(store + "/batches/batch=0")
+    Seq((1L, 64, 7680L), (2L, 64, 640L)).toDF("dataset_id", "n_px", "sum_px")
+      .write.parquet(store + "/batches/batch=1")
+    Seq((1L, 64, 6464L)).toDF("dataset_id", "n_px", "sum_px")
+      .write.parquet(store + "/batches/batch=2")
+    val rows = graft.streaming.ImgStream.statsDrift(TestSpark.spark, store)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    assert(rows.size === 4)
+    val b0 = rows((1L, 0L))
+    assert(b0.getDouble(3) === 100.0 && b0.isNullAt(4) && b0.isNullAt(5)
+      && b0.isNullAt(6), "first batch must have null prior/drift/flag")
+    val b1 = rows((1L, 1L))
+    assert(b1.getDouble(3) === 120.0 && b1.getDouble(4) === 100.0
+      && b1.getDouble(5) === 20.0 && b1.getInt(6) === 1,
+      "planted +20% drift must be flagged against the exact prior mean")
+    val b2 = rows((1L, 2L))
+    assert(b2.getDouble(4) === 106.666667 && b2.getInt(6) === 0,
+      "prior mean must be cumulative over ALL prior batches")
+    val d2 = rows((2L, 1L))
+    assert(d2.isNullAt(4) && d2.isNullAt(6),
+      "a dataset's first appearance has no prior regardless of batch id")
+
+    // the deterministic store face: one stats row per frame, batches
+    // partition the corpus by id % 3
+    val dir = graft.streaming.ImgStream
+      .ensureStreamedStats(TestSpark.spark, sfDir)
+    val streamed = graft.streaming.ImgStream.readStats(TestSpark.spark, dir)
+    assert(streamed.count()
+      === graft.imaging.ImagingModel.frames(TestSpark.spark, sfDir).count())
+    // window census only: the drift plan must never shuffle frame rows —
+    // the per-(dataset, batch) aggregate rides the scan as a partial
+    val drift = graft.streaming.ImgStream.statsDrift(TestSpark.spark, dir)
+    assert(drift.filter(col("batch") === 0 && col("flag_drift").isNotNull)
+      .count() === 0)
+  }
+
   test("streaming decode-once stats ingest matches the batch build, " +
       "replays idempotently, and compacts into the bucket layout") {
     val src = java.nio.file.Files.createTempDirectory("graft_fssrc").toString
