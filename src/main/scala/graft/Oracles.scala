@@ -813,11 +813,13 @@ ASOF JOIN signups s ON e.user_id = s.s_user AND e.ts >= s.signup_ts
 ORDER BY e.event_id"""
 
   /** Shared corpus CTE for dedup oracles (documents + planted dups). */
-  private val corpusCte = """WITH corpus AS (
-  SELECT doc_id, text, source, lang FROM documents
+  private val plantedCorpusSql = """SELECT doc_id, text, source, lang FROM documents
   UNION ALL
   SELECT doc_id + 1000000, text, source, lang FROM documents
-  WHERE doc_id % 5 = 0
+  WHERE doc_id % 5 = 0"""
+
+  private def corpusCteOf(corpusSql: String) = s"""WITH corpus AS (
+  $corpusSql
 ), sh AS (
   SELECT doc_id, source, lang,
     CAST(floor(length(text) / 64.0) AS INT) AS lenband,
@@ -831,6 +833,18 @@ ORDER BY e.event_id"""
     FROM corpus)
 )
 """
+
+  private val corpusCte = corpusCteOf(plantedCorpusSql)
+
+  /** [[docNgramProbe]]'s corpus: the planted-mirror corpus under the
+    * probe's deterministic 1-in-4 md5 audit sample (the sample runs
+    * on the FINAL doc_id, mirrors included — identical to the Spark
+    * side's filter over the planted corpus).
+    */
+  private val probeCorpusCte = corpusCteOf(s"""SELECT * FROM (
+  $plantedCorpusSql)
+  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+    % 4 = 0""")
 
   /** Twin of [[graft.ops.DedupOps.ngramJaccardCensus]]: the same
     * (source, lang, lenband) block sizes, dropped-block roll-up at
@@ -1035,9 +1049,11 @@ LIMIT 100"""
 
   /** Twin of [[graft.ops.DedupOps.ngramBandedProbe]]: the blocked
     * exact top-100 probed against the LSH candidate set, recall split
-    * at the 0.7 operating point.
+    * at the 0.7 operating point — both sides over the 1-in-4 md5
+    * audit sample ([[probeCorpusCte]]), the bounded-exact-side
+    * discipline the IVF recall audits use.
     */
-  val docNgramProbe: String = corpusCte + minhashChain("sh") + """
+  val docNgramProbe: String = probeCorpusCte + minhashChain("sh") + """
 , exact100 AS (
   SELECT doc1, doc2, jaccard FROM (
     SELECT x.doc_id AS doc1, y.doc_id AS doc2,

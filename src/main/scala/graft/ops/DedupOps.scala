@@ -829,13 +829,24 @@ object DedupOps {
     * tuned for. High-band recall must hold ≈100% (those are the pairs
     * the dedup path acts on); low-band recall is EXPECTED to decay
     * with the S-curve — the probe quantifies the cliff instead of
-    * leaving it to folklore. The exact top-100 is 100 rows →
+    * leaving it to folklore.
+    *
+    * BOTH sides run over a deterministic 1-in-`auditMod` md5 corpus
+    * sample — the recall-audit discipline the IVF audits use: the
+    * exact side's quadratic block load shrinks auditMod² (the probe's
+    * ground truth would otherwise inherit [[ngramJaccardOf]]'s full
+    * blocked-pair cost, the dominant term at corpus scale), while the
+    * recall estimate stays unbiased — banding treats in-sample and
+    * out-of-sample docs identically. The exact top-100 is ≤100 rows →
     * broadcast; the candidate set is bucket-cap bounded and
     * semi-joined down to ≤100 rows before the final left join, so
     * nothing corpus-proportional shuffles past candidate generation.
     */
-  def ngramBandedProbe(spark: SparkSession, dir: String): DataFrame = {
-    val c = corpus(spark, dir)
+  def ngramBandedProbe(spark: SparkSession, dir: String,
+      auditMod: Int = 4): DataFrame = {
+    val c = corpus(spark, dir).filter(
+      expr("""cast(conv(substring(md5(cast(doc_id as string)), 1, 7),
+        16, 10) as bigint)""") % auditMod === 0)
     val exact = ngramJaccardOf(c)
     val hits = minhashCandidates(c)
       .join(broadcast(exact.select("doc1", "doc2")),

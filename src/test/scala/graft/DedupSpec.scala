@@ -582,10 +582,15 @@ class DedupSpec extends AnyFunSuite {
     val top = banded.collect()
     assert(top.length > 0 && top.head.getDouble(2) === 1.0,
       "planted duplicates (jaccard 1.0) must rank on top")
-    // probe: partitions the exact top-100, recovered ≤ exact, and the
-    // ≥0.7 stratum (the bands' operating point) recovers most pairs
+    // probe: partitions the exact top-100 OF THE 1-in-4 AUDIT SAMPLE
+    // (bounded ≤100, non-empty at test scale), recovered ≤ exact, and
+    // the ≥0.7 stratum (the bands' operating point) recovers most
+    // pairs; the unsampled probe still fills the full 100 cut
     val probe = DedupOps.ngramBandedProbe(spark, sfDir).collect()
-    assert(probe.map(_.getLong(1)).sum === 100L)
+    val nExact = probe.map(_.getLong(1)).sum
+    assert(nExact > 0L && nExact <= 100L, s"sampled pool size: $nExact")
+    assert(DedupOps.ngramBandedProbe(spark, sfDir, auditMod = 1)
+      .collect().map(_.getLong(1)).sum === 100L)
     probe.foreach { r =>
       assert(r.getLong(2) <= r.getLong(1), s"recovered > exact: $r")
     }
