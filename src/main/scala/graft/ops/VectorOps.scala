@@ -212,8 +212,15 @@ object VectorOps {
     * still sees every unordered pair exactly once.
     */
   private def multiProbePairs(corpus: DataFrame, flipBits: Int,
+      maxBucket: Int): DataFrame =
+    multiProbePairsOf(nearDupBands(corpus), flipBits, maxBucket)
+
+  /** [[multiProbePairs]] over precomputed band fingerprints — the
+    * sweep computes the hyperplane bits once and probes them at every
+    * level instead of re-fingerprinting the corpus per level.
+    */
+  private def multiProbePairsOf(bands: DataFrame, flipBits: Int,
       maxBucket: Int): DataFrame = {
-    val bands = nearDupBands(corpus)
     val okBuckets = bands.groupBy("band", "bh")
       .agg(count(lit(1)).as("n"))
       .filter(col("n") <= maxBucket)
@@ -261,18 +268,28 @@ object VectorOps {
     val e = Tables.embeddings(spark, dir)
     val corpus = nearDupProbeCorpus(e)
     val plantedTotal = e.filter(col("vec_id") % 25 === 0).count()
+    // fingerprint ONCE for the whole sweep (checkpointed: 4 skinny
+    // long rows per vector) — the three levels differ only in the
+    // probe explode, so re-hashing the corpus per level is pure waste
+    val bands = nearDupBands(corpus).localCheckpoint()
     val levels = Seq(0, 4, 16).map { fb =>
-      val cand = multiProbePairs(corpus, fb, maxBucket = 1000)
-      val confirmed = cand
+      // one scored pass per level: every candidate joins its two
+      // vectors once and carries a confirm flag, so candidate load and
+      // confirmed counts come out of a single aggregate (previously
+      // candidate generation ran twice per level — once to count,
+      // once to confirm)
+      multiProbePairsOf(bands, fb, maxBucket = 1000)
         .join(corpus.select(col("vec_id").as("v1"),
           col("embedding").as("e1")), "v1")
         .join(corpus.select(col("vec_id").as("v2"),
           col("embedding").as("e2")), "v2")
-        .filter(round(cosine(col("e1"), col("e2")), 6) >= 0.9)
-      cand.agg(count(lit(1)).as("n_candidates"))
-        .crossJoin(confirmed.agg(count(lit(1)).as("n_pairs"),
-          sum(when(col("v2") === col("v1") + 1000000L, 1L).otherwise(0L))
-            .as("n_planted_found")))
+        .withColumn("conf",
+          (round(cosine(col("e1"), col("e2")), 6) >= 0.9).cast("long"))
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(col("conf")).as("n_pairs"),
+          sum(when(col("conf") === 1L
+              && col("v2") === col("v1") + 1000000L, 1L).otherwise(0L))
+            .as("n_planted_found"))
         .select(lit(fb).as("probe_bits"), col("n_candidates"),
           col("n_pairs"), col("n_planted_found"),
           round(col("n_planted_found") * 100.0 / lit(plantedTotal.toDouble),
