@@ -758,6 +758,29 @@ FROM (
 GROUP BY event_type
 ORDER BY event_type"""
 
+  /** Twin of [[graft.ops.TextOps.fertility]]: identical regex runs
+    * and integer ⌈len/4⌉ piece fold per doc, census roll-up, one
+    * double division per ratio at the edge.
+    */
+  val docFertility: String = """
+SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(ws) AS BIGINT) AS ws_tokens,
+  CAST(sum(sub) AS BIGINT) AS subword_tokens,
+  CAST(sum(nb) AS BIGINT) AS n_bytes,
+  round(CAST(sum(sub) AS DOUBLE) / sum(ws), 4) AS fertility,
+  round(CAST(sum(nb) AS DOUBLE) / sum(sub), 4) AS bytes_per_subword
+FROM (
+  SELECT source, lang,
+    len(list_filter(string_split(text, ' '), t -> t <> '')) AS ws,
+    coalesce(list_sum(list_transform(
+      regexp_extract_all(lower(text), '[a-z]+'),
+      w -> (len(w) + 3) // 4)), 0)
+      + len(regexp_extract_all(text, '[0-9]+')) AS sub,
+    strlen(text) AS nb
+  FROM documents)
+GROUP BY source, lang
+ORDER BY source, lang"""
+
   val docTokenRegex: String = """
 SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+'))) AS BIGINT)
@@ -864,6 +887,68 @@ FROM (
   SELECT source, lang, CAST(floor(length(text) / 64.0) AS INT)
     AS lenband, count(*) AS bn
   FROM corpus GROUP BY 1, 2, 3)"""
+
+  /** [[graft.ops.DedupOps.containmentCorpus]]'s twin: the planted-dup
+    * corpus plus the truncated first-half-of-tokens copy of every 7th
+    * doc under ids +2e6 (the quote-and-expand fragment whose shingles
+    * are a strict subset of its original's).
+    */
+  private val containCorpusCte = corpusCteOf(s"""$plantedCorpusSql
+  UNION ALL
+  SELECT doc_id + 2000000,
+    array_to_string(list_slice(string_split(text, ' '), 1,
+      CAST(greatest(4, len(string_split(text, ' ')) // 2) AS INT)),
+      ' '),
+    source, lang
+  FROM documents WHERE doc_id % 7 = 0""")
+
+  /** Twin of [[graft.ops.DedupOps.containmentPairs]]: the same
+    * inverted-index candidates (shingle buckets of 2..64 docs), exact
+    * shingle-set containment/Jaccard per candidate pair, the same
+    * rounded ≥0.8 gate and (containment desc, doc1, doc2) top-100.
+    */
+  val docContainment: String = containCorpusCte + """,
+ev AS (SELECT doc_id, unnest(shset) AS shg FROM sh),
+idx AS (SELECT shg, count(*) AS n FROM ev GROUP BY shg),
+cand AS (
+  SELECT DISTINCT e1.doc_id AS doc1, e2.doc_id AS doc2
+  FROM ev e1 JOIN ev e2 ON e1.shg = e2.shg AND e1.doc_id < e2.doc_id
+  JOIN idx ON idx.shg = e1.shg AND idx.n BETWEEN 2 AND 64),
+scored AS (
+  SELECT c.doc1, c.doc2,
+    CAST(len(x.shset) AS BIGINT) AS n_sh1,
+    CAST(len(y.shset) AS BIGINT) AS n_sh2,
+    CAST(len(list_intersect(x.shset, y.shset)) AS BIGINT) AS n_shared
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc1
+  JOIN sh y ON y.doc_id = c.doc2)
+SELECT doc1, doc2, n_sh1, n_sh2, n_shared,
+  CAST(round(CAST(n_shared AS DOUBLE) / least(n_sh1, n_sh2), 4)
+    AS DOUBLE) AS containment,
+  CAST(round(CAST(n_shared AS DOUBLE) / (n_sh1 + n_sh2 - n_shared), 4)
+    AS DOUBLE) AS jaccard
+FROM scored
+WHERE round(CAST(n_shared AS DOUBLE) / least(n_sh1, n_sh2), 4) >= 0.8
+ORDER BY containment DESC, doc1, doc2
+LIMIT 100"""
+
+  /** Twin of [[graft.ops.DedupOps.containmentHealth]]: bucket-size
+    * census over the same inverted index at the same cap.
+    */
+  val docContainmentHealth: String = containCorpusCte + """,
+ev AS (SELECT doc_id, unnest(shset) AS shg FROM sh),
+bux AS (SELECT count(*) AS n FROM ev GROUP BY shg)
+SELECT CAST(count(*) AS BIGINT) AS n_shingles,
+  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_singleton,
+  CAST(sum(CASE WHEN n BETWEEN 2 AND 64 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_pairing,
+  CAST(sum(CASE WHEN n > 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_capped,
+  CAST(coalesce(max(CASE WHEN n > 64 THEN n END), 0) AS BIGINT)
+    AS largest_capped,
+  CAST(sum(CASE WHEN n BETWEEN 2 AND 64 THEN n * (n - 1) // 2
+    ELSE 0 END) AS BIGINT) AS n_cand_pairs
+FROM bux"""
 
   val docNgramJaccard: String = corpusCte + """
 SELECT doc1, doc2, jaccard FROM (
@@ -1798,6 +1883,49 @@ FROM (
 GROUP BY ROLLUP(project, microscope)
 ORDER BY project_g, microscope_g"""
 
+  /** Twin of [[graft.ops.EventOps.eventsMarkovStationary]]: the same
+    * lag-bigram matrix, P and v₀ cast from exact IEEE doubles to
+    * DECIMAL(18,12) (half-up, engine-identical), and the 12 power
+    * iterations UNROLLED as chained CTEs — each step's products and
+    * sums are exact decimal arithmetic rounded back to 12 dp, so the
+    * iterates match Spark's bit for bit.
+    */
+  val eventsMarkovStationary: String = {
+    val iters = (1 to 12).map { k =>
+      s"""v$k AS (
+  SELECT p.dst AS src,
+    CAST(round(sum(v.pi * p.p), 12) AS DECIMAL(18,12)) AS pi
+  FROM v${k - 1} v JOIN pmat p ON v.src = p.src
+  GROUP BY p.dst)"""
+    }.mkString(",\n")
+    s"""
+WITH seq AS (
+  SELECT event_type,
+    lag(event_type) OVER (
+      PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+      AS prev_type
+  FROM events),
+trans AS (
+  SELECT prev_type AS src, event_type AS dst, count(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+totals AS (SELECT src, sum(n) AS tot FROM trans GROUP BY src),
+pmat AS (
+  SELECT t.src, t.dst,
+    CAST(CAST(t.n AS DOUBLE) / tot AS DECIMAL(18,12)) AS p
+  FROM trans t JOIN totals USING (src)),
+nt AS (SELECT count(DISTINCT src) AS t FROM pmat),
+v0 AS (
+  SELECT DISTINCT src,
+    CAST(CAST(1.0 AS DOUBLE) / (SELECT t FROM nt) AS DECIMAL(18,12))
+      AS pi
+  FROM pmat),
+$iters
+SELECT v.src AS event_type, CAST(tot AS BIGINT) AS n_out,
+  round(CAST(v.pi AS DOUBLE), 10) AS pi
+FROM v12 v JOIN totals ON totals.src = v.src
+ORDER BY event_type"""
+  }
+
   val eventsTransitions: String = """
 SELECT prev_type, curr_type, CAST(count(*) AS BIGINT) AS n
 FROM (
@@ -2477,6 +2605,56 @@ SELECT dataset_serial, bin, n_px,
     / sum(n_px) OVER (PARTITION BY dataset_serial), 6) AS pct
 FROM bins
 ORDER BY dataset_serial, bin"""
+
+  /** Twin of [[graft.sources.FrameStats.datasetQcSummary]]: the same
+    * planted-pixel hex arithmetic as [[imgPayloadStats]] /
+    * [[imgSaturation]] / [[imgPixelHistogram]], rolled into the
+    * five-metric per-dataset summary — exact integer moments, one
+    * IEEE-double division per metric at the edge, entropy terms
+    * DECIMAL-cast per bin (order-independent exact sum).
+    */
+  val imgDatasetQcSummary: String = imagingCte + """
+, pb AS (
+  SELECT frames_global_id AS dataset_id,
+    list_transform(range(0, 32),
+      i -> (strpos('0123456789abcdef', substr(sha256, 2*i + 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(sha256, 2*i + 2, 1)) - 1))
+      AS px
+  FROM frames
+), ds AS (
+  SELECT dataset_id,
+    count(*) AS n_frames,
+    sum(64) AS tot,
+    sum(2 * list_sum(px)) AS s,
+    sum(2 * list_sum(list_transform(px, v -> v * v))) AS ss,
+    sum(2 * len(list_filter(px, v -> v >= 240))) AS nsat,
+    sum(2 * len(list_filter(px, v -> v < 16))) AS ndark
+  FROM pb GROUP BY dataset_id
+), bins AS (
+  SELECT dataset_id, v // 16 AS bin, 2 * count(*) AS nb
+  FROM (SELECT dataset_id, unnest(px) AS v FROM pb)
+  GROUP BY 1, 2
+), entt AS (
+  SELECT b.dataset_id,
+    sum(CAST((CAST(nb AS DOUBLE) / ds.tot)
+      * ln(CAST(nb AS DOUBLE) / ds.tot) AS DECIMAL(30,10))) AS esum
+  FROM bins b JOIN ds ON b.dataset_id = ds.dataset_id
+  GROUP BY b.dataset_id
+)
+SELECT d.dataset_serial,
+  CAST(ds.n_frames AS BIGINT) AS n_frames,
+  CAST(ds.tot AS BIGINT) AS total_px,
+  round(CAST(ds.s AS DOUBLE) / ds.tot, 6) AS mean_px,
+  round(CAST(ds.ss AS DOUBLE) / ds.tot
+    - (CAST(ds.s AS DOUBLE) / ds.tot)
+      * (CAST(ds.s AS DOUBLE) / ds.tot), 6) AS var_px,
+  round(CAST(ds.nsat AS DOUBLE) / ds.tot, 6) AS sat_pct,
+  round(CAST(ds.ndark AS DOUBLE) / ds.tot, 6) AS dark_pct,
+  round(CAST(-entt.esum AS DOUBLE), 6) AS entropy_nats
+FROM ds
+JOIN entt ON entt.dataset_id = ds.dataset_id
+JOIN data_set d ON ds.dataset_id = d.id
+ORDER BY d.dataset_serial"""
 
   /** Hex-arithmetic twin of
     * [[graft.multimodal.BinaryFrames.saturationQc]] — top decode bin
@@ -5032,11 +5210,22 @@ FROM per WHERE rk = 1 ORDER BY cell"""
     * the parentheses), truth joined per method — the ladder is
     * literally the composition of the four oracle-checked searches.
     */
-  val embRecallLadder: String = {
+  val embRecallLadder: String = ladderSqlOf(withOpq = false)
+
+  /** Five-rung twin of [[graft.ops.VectorOps.recallLadderOpq]]: the
+    * same composition plus the `opq8` rung nesting [[embKnnOpq]].
+    */
+  val embRecallLadderOpq: String = ladderSqlOf(withOpq = true)
+
+  private def ladderSqlOf(withOpq: Boolean): String = {
     def sub(q: String) = "(" + q + ") "
     def hit(m: String) =
       s"""CAST((SELECT count(*) FROM truth t JOIN ${sub(m)} m
         ON t.qid = m.qid AND t.neighbor = m.neighbor) AS BIGINT)"""
+    val opqRung = if (withOpq) s"""
+  UNION ALL
+  SELECT 'opq8', CAST(8 AS BIGINT), ${hit(embKnnOpq)},
+    (SELECT n FROM nt)""" else ""
     s"""WITH truth AS (SELECT qid, neighbor FROM ${sub(embKnnBrute)} tb),
 nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM truth)
 SELECT method, bytes_per_vec, n_hits, n_truth,
@@ -5052,7 +5241,7 @@ FROM (
     (SELECT n FROM nt)
   UNION ALL
   SELECT 'ivfpq', CAST(8 AS BIGINT), ${hit(embKnnIvfPq)},
-    (SELECT n FROM nt)
+    (SELECT n FROM nt)$opqRung
 )
 ORDER BY method"""
   }
@@ -5068,6 +5257,7 @@ ORDER BY method"""
     "img_focus_rank" -> imgFocusRank,
     "img_channel_crosstalk" -> imgChannelCrosstalk,
     "emb_recall_ladder" -> embRecallLadder,
+    "emb_recall_ladder_opq" -> embRecallLadderOpq,
     "doc_hash_collision_audit" -> docHashCollisionAudit,
     "emb_cell_purity" -> embCellPurity,
     "emb_norm_outliers" -> embNormOutliers,
@@ -5113,6 +5303,7 @@ ORDER BY method"""
     "img_z_profile_stored" -> imgZProfile,
     "vid_scene_cuts_stored" -> vidSceneCuts,
     "img_stats_drift" -> imgStatsDrift,
+    "img_dataset_qc_summary" -> imgDatasetQcSummary,
     "emb_knn_ivfpq_indexed" -> embKnnIvfPq,
     "emb_gram_power" -> embGramPower,
     "doc_source_unique" -> docSourceUnique,
@@ -5192,6 +5383,7 @@ ORDER BY method"""
     "events_resample" -> eventsResample,
     "events_dau_wau" -> eventsDauWau,
     "events_transitions" -> eventsTransitions,
+    "events_markov_stationary" -> eventsMarkovStationary,
     "doc_zipf" -> docZipf,
     "events_retention" -> eventsRetention,
     "events_dropoff" -> eventsDropoff,
@@ -5223,6 +5415,8 @@ ORDER BY method"""
     "doc_ngram_block_census" -> docNgramBlockCensus,
     "doc_ngram_banded" -> docNgramBanded,
     "doc_ngram_probe" -> docNgramProbe,
+    "doc_containment" -> docContainment,
+    "doc_containment_health" -> docContainmentHealth,
     "emb_knn_brute" -> embKnnBrute,
     "events_asof" -> eventsAsof,
     "q6_forecast" -> q6Forecast,
@@ -5232,6 +5426,7 @@ ORDER BY method"""
     "img_parse_ml_name" -> imgParseMlName,
     "events_props_json" -> eventsPropsJson,
     "doc_token_regex" -> docTokenRegex,
+    "doc_fertility" -> docFertility,
     "q1_pricing" -> q1Pricing,
     "q3_topk" -> q3Topk,
     "q5_region_join" -> q5RegionJoin,

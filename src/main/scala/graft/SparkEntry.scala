@@ -75,6 +75,8 @@ object SparkEntry {
     "doc_ngram_block_census" -> (DedupOps.ngramJaccardCensus(_, _)),
     "doc_ngram_banded" -> (DedupOps.ngramJaccardBanded(_, _)),
     "doc_ngram_probe" -> (DedupOps.ngramBandedProbe(_, _)),
+    "doc_containment" -> (DedupOps.containmentPairs(_, _)),
+    "doc_containment_health" -> (DedupOps.containmentHealth(_, _)),
     "doc_text_stats" -> (TextOps.textStats(_, _)),
     "doc_lang_id" -> (TextOps.langId(_, _)),
     "doc_fingerprint" -> (TextOps.fingerprint(_, _)),
@@ -87,6 +89,7 @@ object SparkEntry {
     "events_props_json" -> (EventOps.propsJson(_, _)),
     "events_asof" -> (EventOps.eventsAsof(_, _)),
     "doc_token_regex" -> (TextOps.tokenRegex(_, _)),
+    "doc_fertility" -> (TextOps.fertility(_, _)),
     "emb_near_dup" -> (VectorOps.embNearDup(_, _)),
     "emb_near_dup_multiprobe" -> (VectorOps.embNearDupMultiProbe(_, _)),
     "emb_near_dup_probe_curve" -> (VectorOps.embNearDupProbeCurve(_, _)),
@@ -97,6 +100,8 @@ object SparkEntry {
     "events_resample" -> (EventOps.eventsResample(_, _)),
     "events_dau_wau" -> (EventOps.eventsDauWau(_, _)),
     "events_transitions" -> (EventOps.eventsTransitions(_, _)),
+    "events_markov_stationary" ->
+      (EventOps.eventsMarkovStationary(_, _)),
     "doc_zipf" -> (TextOps.zipfTokens(_, _)),
     "events_retention" -> (EventOps.eventsRetention(_, _)),
     "events_dropoff" -> (EventOps.eventsDropoff(_, _)),
@@ -133,6 +138,7 @@ object SparkEntry {
     "emb_norm_outliers" -> (VectorOps.normOutliers(_, _)),
     "emb_ood_outliers" -> (VectorOps.oodOutliers(_, _)),
     "emb_recall_ladder" -> (VectorOps.recallLadder(_, _)),
+    "emb_recall_ladder_opq" -> (VectorOps.recallLadderOpq(_, _)),
     "doc_hash_collision_audit" -> (DedupOps.hashCollisionAudit(_, _)),
     "emb_cell_purity" -> (VectorOps.cellPurity(_, _)),
     "events_new_vs_returning" -> (EventOps.eventsNewVsReturning(_, _)),
@@ -243,6 +249,10 @@ object SparkEntry {
       (graft.sources.FrameStats.zProfileStored(_, _)),
     "vid_scene_cuts_stored" ->
       (graft.sources.FrameStats.sceneCutsStored(_, _)),
+    // the composite per-dataset QC report: five exposure metrics off
+    // ONE stored read (the decode-once table's clearest payoff)
+    "img_dataset_qc_summary" ->
+      (graft.sources.FrameStats.datasetQcSummary(_, _)),
     // the streamed stats store's monitoring read: per-(dataset, arrival
     // batch) mean intensity vs the cumulative prior mean, decode-free
     "img_stats_drift" ->

@@ -861,6 +861,118 @@ object DedupOps {
       .orderBy("high_band")
   }
 
+  /** The containment corpus: the planted-dup corpus plus a TRUNCATED
+    * copy (first half of the tokens, ≥4) of every 7th document under
+    * ids +2e6 — the quote-and-expand / truncation case real pipelines
+    * hit: the fragment's shingle set is a strict SUBSET of its
+    * original's, so containment is exactly 1.0 while Jaccard sits
+    * near 0.5 — below every near-dup threshold, structurally
+    * invisible to MinHash-over-Jaccard banding.
+    */
+  private[graft] def containmentCorpus(spark: SparkSession,
+      dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select("doc_id", "text", "source", "lang")
+    val frag = d.filter(col("doc_id") % 7 === 0)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("text", concat_ws(" ", expr(
+        "slice(toks, 1, int(greatest(4L, size(toks) div 2)))")))
+      .drop("toks")
+      .withColumn("doc_id", col("doc_id") + 2000000L)
+    corpus(spark, dir).unionByName(frag)
+  }
+
+  /** Hot shingles dropped by [[containmentPairs]]' inverted-index
+    * candidate stage (the boilerplate "stop-shingle" discipline). */
+  private val ContainMaxDocs = 64
+
+  /** Shingle → sorted distinct doc list, the inverted index both
+    * containment queries read: one row per distinct shingle with the
+    * docs that carry it.
+    */
+  private def containmentIndex(src: DataFrame): DataFrame =
+    withShingles(src)
+      .select(col("doc_id"), explode(col("shset")).as("sh"))
+      .groupBy("sh")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+
+  /** Asymmetric-containment near-dup detection — the duplicates
+    * Jaccard-threshold dedup structurally misses: a document quoted,
+    * truncated or wrapped inside a larger one has containment
+    * |A∩B|/min(|A|,|B|) ≈ 1 but Jaccard |A∩B|/|A∪B| ≈ |A|/|B|, far
+    * below any LSH operating point (MinHash estimates Jaccard, so no
+    * band setting recovers these pairs — a different candidate
+    * generator is required, not a tuning change). Candidates come
+    * from a shingle INVERTED INDEX: docs sharing any non-hot shingle
+    * pair up (buckets past [[ContainMaxDocs]] docs are boilerplate
+    * stop-shingles and drop — the LSH hot-bucket discipline, audited
+    * by [[containmentHealth]]); confirmation recomputes exact shingle
+    * sets from raw text for the candidate set only (the
+    * [[minhashPairsOf]] verification discipline). Reported: top-100
+    * pairs at containment ≥ 0.8 with both metrics — the planted
+    * fragments surface at containment 1.0 / Jaccard ≈ 0.5, exactly
+    * the band a Jaccard report never shows.
+    *
+    * 100 TB shape: the index pass shuffles (shingle, doc_id) pairs
+    * only (never text); per-shingle pair expansion is bounded at
+    * cap²/2; the candidate set joins text back on the unique doc_id
+    * key; the top-100 cut compiles to TakeOrderedAndProject.
+    */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
+    val src = containmentCorpus(spark, dir)
+    val cand = containmentIndex(src)
+      .filter(size(col("ids")).between(2, ContainMaxDocs))
+      .select(bucketPairs("ids").as("p"))
+      .select(col("p.a").as("doc1"), col("p.b").as("doc2"))
+      .distinct()
+    val texts = src.select("doc_id", "text")
+    val s1 = shingleExpr("text1")
+    val s2 = shingleExpr("text2")
+    cand
+      .join(texts.select(col("doc_id").as("doc1"),
+        col("text").as("text1")), "doc1")
+      .join(texts.select(col("doc_id").as("doc2"),
+        col("text").as("text2")), "doc2")
+      .withColumn("n_sh1", size(s1).cast("bigint"))
+      .withColumn("n_sh2", size(s2).cast("bigint"))
+      .withColumn("n_shared",
+        size(array_intersect(s1, s2)).cast("bigint"))
+      .withColumn("containment", round(col("n_shared").cast("double")
+        / least(col("n_sh1"), col("n_sh2")), 4))
+      .withColumn("jaccard", round(col("n_shared").cast("double")
+        / (col("n_sh1") + col("n_sh2") - col("n_shared")), 4))
+      .filter(col("containment") >= 0.8)
+      .select("doc1", "doc2", "n_sh1", "n_sh2", "n_shared",
+        "containment", "jaccard")
+      .orderBy(col("containment").desc, col("doc1"), col("doc2"))
+      .limit(100)
+  }
+
+  /** Stop-shingle census for [[containmentPairs]] — the "no silent
+    * caps" companion ([[lshHealth]] / [[ngramBlockCensus]]
+    * discipline): how many inverted-index buckets exist, how many are
+    * singletons (no pair signal), how many pair up, how many the
+    * hot-shingle cap DROPPED (with the largest), and the bounded
+    * candidate-pair load the surviving buckets imply. A containment
+    * report whose densest shingles were capped must never read as
+    * complete — a run checks this row first.
+    */
+  def containmentHealth(spark: SparkSession, dir: String): DataFrame = {
+    val dropped = col("n") > ContainMaxDocs
+    containmentIndex(containmentCorpus(spark, dir))
+      .select(size(col("ids")).cast("bigint").as("n"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_singleton"),
+        sum(when(col("n").between(2, ContainMaxDocs), 1L).otherwise(0L))
+          .as("n_pairing"),
+        sum(when(dropped, 1L).otherwise(0L)).as("n_capped"),
+        coalesce(max(when(dropped, col("n"))), lit(0L))
+          .as("largest_capped"),
+        // `div`, not `/`: Spark's `/` on bigints returns DOUBLE
+        sum(when(col("n").between(2, ContainMaxDocs),
+          expr("n * (n - 1) div 2")).otherwise(0L)).as("n_cand_pairs"))
+  }
+
   /** LSH index health — the observability query a production dedup
     * service watches (the dedup counterpart of [[graft.ops.VectorOps
     * .pqCodes]]' codebook-balance histogram): per band, how many

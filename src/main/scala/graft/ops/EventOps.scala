@@ -482,6 +482,71 @@ object EventOps {
       .orderBy("prev_type", "curr_type")
   }
 
+  /** Stationary distribution of the event-type Markov chain — the
+    * long-run visit share [[eventsTransitions]]' bigram matrix
+    * implies (where user attention settles if behavior keeps its
+    * current dynamics — the one-number-per-type summary read next to
+    * the raw transition census): 12 synchronous power-iteration steps
+    * v' = vᵀP from the uniform start over the row-stochastic matrix;
+    * types that never occur as a transition SOURCE have no row (and
+    * absorb no long-run mass by construction on both engines).
+    *
+    * Engine-exact by construction: P = count/total in exact IEEE
+    * double division cast straight to DECIMAL(18,12) (half-up ties,
+    * identical on both engines); each step multiplies two scale-12
+    * decimals — EXACT (37,24) products inside both engines' 38-digit
+    * width — sums them exactly (order-independent), and rounds back
+    * to 12 dp in exact decimal arithmetic, so both engines walk
+    * bit-identical iterates.
+    *
+    * 100 TB shape: the corpus is touched ONCE (the per-user lag
+    * bigram count — the same shuffle [[eventsTransitions]] pays);
+    * the matrix (≤T² rows) and the iterate (≤T rows) are census-sized
+    * and materialized per step (localCheckpoint — the dupLabels
+    * discipline), so the 12 steps cost 12 tiny census jobs, never a
+    * second fact scan.
+    */
+  def eventsMarkovStationary(spark: SparkSession,
+      dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val trans = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type").as("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("n"))
+      // the ONE corpus-touching job: everything below reads this ≤T²
+      // census leaf, never the fact again
+      .localCheckpoint(true)
+    val totals = trans.groupBy("src").agg(sum("n").as("tot"))
+    val pmat = trans.join(broadcast(totals), "src")
+      .select(col("src"), col("dst"),
+        (col("n").cast("double") / col("tot"))
+          .cast("decimal(18,12)").as("p"))
+      .localCheckpoint(true)
+    val nTypes = pmat.select("src").distinct()
+      .agg(count(lit(1)).as("t"))
+    // one-row census cross join — declared, broadcast
+    var v = pmat.select("src").distinct()
+      .join(broadcast(nTypes), lit(true))
+      .select(col("src"),
+        (lit(1.0) / col("t")).cast("decimal(18,12)").as("pi"))
+      .localCheckpoint(true)
+    for (_ <- 1 to 12) {
+      v = v.join(pmat, "src")
+        .groupBy(col("dst"))
+        .agg(sum(col("pi") * col("p")).as("s"))
+        .select(col("dst").as("src"),
+          round(col("s"), 12).cast("decimal(18,12)").as("pi"))
+        .localCheckpoint(true)
+    }
+    v.join(broadcast(totals), Seq("src"))
+      .select(col("src").as("event_type"), col("tot").as("n_out"),
+        round(col("pi").cast("double"), 10).as("pi"))
+      .orderBy("event_type")
+  }
+
   /** Top-20 three-step user paths (the "path analysis" report of a
     * product-analytics suite, one order up from [[eventsTransitions]]'
     * Markov bigrams): consecutive event-type trigrams per user in

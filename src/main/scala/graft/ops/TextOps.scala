@@ -91,6 +91,42 @@ object TextOps {
         sum(col("digit_toks")).as("sum_digit"))
       .orderBy("source", "lang")
 
+  /** Tokenizer-fertility census — the table a token-budget plan reads
+    * before committing a mixture (fertility = subword tokens per
+    * whitespace word; bytes/subword = how much raw corpus one training
+    * token buys, both per source × lang — the numbers that decide how
+    * many DOCUMENT bytes a fixed token budget consumes per domain).
+    * The subword count is a deterministic BPE-shaped proxy: every
+    * lowercase alpha run contributes ⌈len/4⌉ pieces (pure integer
+    * (len+3) div 4 — no float), every digit run one piece; both
+    * engines evaluate the identical regex + integer fold, so the
+    * census is hash-exact. One scan, one ≤(sources×langs) partial
+    * agg; the per-doc fold is scan-side codegen, nothing but the
+    * census shuffles.
+    */
+  def fertility(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), col("lang"),
+        expr("size(filter(split(text, ' '), t -> t <> ''))")
+          .cast("bigint").as("ws_toks"),
+        (expr("""aggregate(regexp_extract_all(lower(text), '[a-z]+', 0),
+             0L, (acc, w) -> acc + (length(w) + 3) div 4)""")
+          + regexp_count(col("text"), lit("[0-9]+")).cast("bigint"))
+          .as("sub_toks"),
+        octet_length(col("text")).cast("bigint").as("n_bytes"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws_toks")).as("ws_tokens"),
+        sum(col("sub_toks")).as("subword_tokens"),
+        sum(col("n_bytes")).as("n_bytes"))
+      .select(col("source"), col("lang"), col("n_docs"),
+        col("ws_tokens"), col("subword_tokens"), col("n_bytes"),
+        round(col("subword_tokens").cast("double") / col("ws_tokens"), 4)
+          .as("fertility"),
+        round(col("n_bytes").cast("double") / col("subword_tokens"), 4)
+          .as("bytes_per_subword"))
+      .orderBy("source", "lang")
+
   /** Rolling polynomial hash fingerprint over the characters of each
     * document (mod 2^31-1), computed as a codegen'd fold — no UDF, no
     * shuffle at all.

@@ -1039,7 +1039,21 @@ object VectorOps {
     * path, so the ladder can't drift from the individual operators.
     * Truth is |Q|·k rows; every per-method join touches only those.
     */
-  def recallLadder(spark: SparkSession, dir: String): DataFrame = {
+  def recallLadder(spark: SparkSession, dir: String): DataFrame =
+    ladderOf(spark, dir, withOpq = false)
+
+  /** The ladder extended with the r10 OPQ rung (`opq8`: [[knnOpq]]'s
+    * rotated-space PQ at the same 8 bytes/vector) — a SEPARATE key so
+    * the original four-rung table stays artifact-comparable across
+    * rounds while the shipping decision reads the five-rung version:
+    * whether the rotation's distortion drop survives to recall at
+    * equal byte cost.
+    */
+  def recallLadderOpq(spark: SparkSession, dir: String): DataFrame =
+    ladderOf(spark, dir, withOpq = true)
+
+  private def ladderOf(spark: SparkSession, dir: String,
+      withOpq: Boolean): DataFrame = {
     val truth = knnBrute(spark, dir).select("qid", "neighbor")
     def rung(method: String, bytes: Long, approx: DataFrame): DataFrame =
       truth.join(
@@ -1053,11 +1067,14 @@ object VectorOps {
           lit(bytes).as("bytes_per_vec"), col("n_hits"), col("n_truth"),
           round(col("n_hits").cast("double") / col("n_truth"), 4)
             .as("recall"))
-    rung("float32", 256L, knnBrute(spark, dir))
+    val base = rung("float32", 256L, knnBrute(spark, dir))
       .unionByName(rung("sq8", 64L, knnSq8(spark, dir)))
       .unionByName(rung("pq8", 8L, knnPq(spark, dir)))
       .unionByName(rung("ivfpq", 8L, knnIvfPq(spark, dir)))
-      .orderBy("method")
+    val all =
+      if (withOpq) base.unionByName(rung("opq8", 8L, knnOpq(spark, dir)))
+      else base
+    all.orderBy("method")
   }
 
   private def ivfCents(e: DataFrame): DataFrame =

@@ -219,4 +219,57 @@ object FrameStats {
         // n_px is 64 (a power of two), so the mean is EXACT in double
         // — bit-identical to the inline decode's sum/length
         (col("sum_px").cast("double") / col("n_px")).as("mean_px")))
+
+  /** The per-dataset composite QC report — the one-table acquisition
+    * summary a facility reads per dataset, and the clearest payoff of
+    * the decode-once table: FIVE exposure metrics (mean, pixel
+    * variance, clipping at both ends, 16-bin histogram entropy) from
+    * ONE stored read, where the inline QC family pays one full-corpus
+    * decode PER metric. All moments are exact integers off the store;
+    * each metric divides once at the edge in IEEE double
+    * (engine-identical), and the entropy terms are DECIMAL-cast per
+    * bin so the 16-term fold is order-independent — the
+    * token-entropy discipline on the pixel side.
+    *
+    * Scale shape: the one aggregate rides the dataset_id bucket
+    * layout (zero hash exchange); the serial dimension broadcasts
+    * onto the ≤|datasets| census after the roll-up.
+    */
+  def datasetQcSummary(spark: SparkSession, dir: String): DataFrame = {
+    val binSums = (0 until 16).map(i =>
+      sum(element_at(col("bins"), i + 1)).as(s"b$i"))
+    val aggCols = Seq(
+      count(lit(1)).as("n_frames"),
+      sum(col("n_px").cast("bigint")).as("tot"),
+      sum(col("sum_px")).as("s"),
+      sum(col("sum_sq")).as("ss")) ++ binSums
+    val ds = statsFor(spark, dir)
+      .groupBy("dataset_id")
+      .agg(aggCols.head, aggCols.tail: _*)
+      .withColumn("binsv",
+        array((0 until 16).map(i => col(s"b$i")): _*))
+    val meanD = col("s").cast("double") / col("tot")
+    ds
+      .withColumn("esum", expr(
+        """aggregate(filter(binsv, x -> x > 0L),
+             cast(0 as decimal(30,10)),
+             (acc, x) -> cast(acc + cast(
+               (cast(x as double) / tot) * ln(cast(x as double) / tot)
+               as decimal(30,10)) as decimal(30,10)))"""))
+      .join(broadcast(ImagingModel.dataSet(spark, dir)
+        .select(col("id").as("ds_id"), col("dataset_serial"))),
+        col("dataset_id") === col("ds_id"))
+      .select(col("dataset_serial"),
+        col("n_frames"),
+        col("tot").as("total_px"),
+        round(meanD, 6).as("mean_px"),
+        round(col("ss").cast("double") / col("tot") - meanD * meanD, 6)
+          .as("var_px"),
+        round(element_at(col("binsv"), 16).cast("double") / col("tot"), 6)
+          .as("sat_pct"),
+        round(element_at(col("binsv"), 1).cast("double") / col("tot"), 6)
+          .as("dark_pct"),
+        round((-col("esum")).cast("double"), 6).as("entropy_nats"))
+      .orderBy("dataset_serial")
+  }
 }

@@ -637,4 +637,64 @@ class DedupSpec extends AnyFunSuite {
       s"recall not monotone in nprobe: ${recalls.mkString(",")}")
     assert(recalls.last > 0.5, "probing half the cells should recall >0.5")
   }
+
+  test("containment surfaces the planted fragments the Jaccard LSH " +
+      "path structurally misses") {
+    val pairs = DedupOps.containmentPairs(spark, sfDir)
+    // every planted fragment (doc, doc+2e6) has a strict-subset
+    // shingle set: containment exactly 1.0 but Jaccard ≈ |A|/|B|
+    val frag = pairs.filter(col("doc2") === col("doc1") + 2000000L)
+      .collect()
+    assert(frag.nonEmpty, "no planted fragment pair surfaced")
+    frag.foreach { r =>
+      assert(r.getDouble(5) === 1.0, s"fragment containment != 1: $r")
+      assert(r.getDouble(6) < 0.7, s"fragment jaccard not low: $r")
+    }
+    // ...and the MinHash-over-Jaccard path must NOT see those pairs
+    // (they sit far below its 0.7 operating point) — if it ever does,
+    // the containment operator's reason to exist needs re-checking
+    val viaLsh = DedupOps.minhashPairs(spark, sfDir)
+      .filter(col("doc2") === col("doc1") + 2000000L).count()
+    assert(viaLsh === 0, s"LSH recovered $viaLsh fragment pairs")
+  }
+
+  test("containment health reports the hot-shingle cap census") {
+    val h = DedupOps.containmentHealth(spark, sfDir).collect()
+    assert(h.length === 1)
+    val r = h.head
+    val (nSh, single, pairing, capped) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nSh === single + pairing + capped,
+      s"bucket census does not partition: $r")
+    assert(pairing > 0 && r.getLong(5) > 0,
+      "planted dups must produce pairing buckets")
+  }
+
+  test("opq recall ladder: five rungs, the rotated rung at PQ's byte " +
+      "cost, recall in [0,1] with float32 exact") {
+    val rows = VectorOps.recallLadderOpq(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSeq ===
+      Seq("float32", "ivfpq", "opq8", "pq8", "sq8"))
+    val byM = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getDouble(4))).toMap
+    assert(byM("float32")._2 === 1.0)
+    assert(byM("opq8")._1 === 8L && byM("pq8")._1 === 8L,
+      "opq8 must cost exactly PQ's 8 bytes/vector")
+    rows.foreach(r =>
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0))
+  }
+
+  test("markov stationary: a probability vector over the source types") {
+    val rows = graft.ops.EventOps
+      .eventsMarkovStationary(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val mass = rows.map(_.getDouble(2)).sum
+    // 12 rounded iterations leak at most ~1e-9 of mass; a real break
+    // (dropped type, double-counted edge) moves this by whole percents
+    assert(math.abs(mass - 1.0) < 1e-6, s"stationary mass $mass")
+    rows.foreach { r =>
+      assert(r.getDouble(2) > 0.0 && r.getDouble(2) < 1.0)
+      assert(r.getLong(1) > 0)
+    }
+  }
 }

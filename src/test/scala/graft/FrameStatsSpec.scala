@@ -201,4 +201,28 @@ class FrameStatsSpec extends AnyFunSuite {
       s"compacted stats roll-up must ride the buckets:\n$plan")
     graft.sources.DocumentStore.clearStale(spark, table)
   }
+
+  test("dataset QC summary: five metrics off one zero-exchange read, " +
+      "all within their mathematical bounds") {
+    val qc = FrameStats.datasetQcSummary(spark, sfDir)
+    // the stored aggregate must ride the dataset_id bucket layout —
+    // the whole point of composing five metrics over one read
+    val plan = qc.queryExecution.executedPlan.toString
+    val firstAgg = plan.split("\n").indexWhere(_.contains("HashAggregate"))
+    assert(firstAgg >= 0)
+    val rows = qc.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tot, mean, vr) = (r.getLong(2), r.getDouble(3), r.getDouble(4))
+      val (sat, dark, ent) =
+        (r.getDouble(5), r.getDouble(6), r.getDouble(7))
+      assert(tot === r.getLong(1) * 64, s"64 px per frame: $r")
+      assert(mean >= 0 && mean <= 255, s"mean out of depth range: $r")
+      assert(vr >= -1e-6, s"negative pixel variance: $r")
+      assert(sat >= 0 && dark >= 0 && sat + dark <= 1 + 1e-9,
+        s"clipping fractions not a sub-partition: $r")
+      assert(ent >= -1e-9 && ent <= math.log(16.0) + 1e-9,
+        s"16-bin entropy outside [0, ln 16]: $r")
+    }
+  }
 }

@@ -36,6 +36,13 @@ class PlanSweepSpec extends AnyFunSuite {
                            // the ivfpq corpus-axis join
     "emb_recall_ladder",   // composes all four search rungs, inherits
                            // the ivfpq corpus-axis join
+    "emb_recall_ladder_opq", // the five-rung ladder: same inherited
+                           // ivfpq corpus-axis join
+    "doc_containment",     // inverted-index candidates ⋈ corpus text
+                           // on the unique doc1/doc2 keys: candidate
+                           // volume is cap-bounded but corpus-
+                           // proportional, text side is the corpus —
+                           // key-uniform shuffle join by design
     "q2_min_cost",         // pair-cost ⋈ per-part min join-back: both
                            // sides fact-derived aggregates keyed on
                            // partkey — co-partitioned shuffle join is
@@ -119,6 +126,9 @@ class PlanSweepSpec extends AnyFunSuite {
                              // the corpus side reads the bucketed index
     "emb_ann_recall", // composes knn_brute + knn_ivfpq, inherits both
     "emb_recall_ladder", // composes brute/sq8/pq/ivfpq, inherits all
+    "emb_recall_ladder_opq", // adds the opq rung: inherits all of the
+                      // above plus emb_knn_opq's one-row rotation-plan
+                      // census cross join
     "doc_source_overlap", // S-row sketch pairs, < condition (S = sources)
     "doc_source_unique",  // S-row sketch pairs, <> condition
     "q22_idle",       // one-row balance census cross join
