@@ -5092,6 +5092,61 @@ LEFT JOIN top tp
 GROUP BY t.np
 ORDER BY nprobe"""
 
+  /** nlist-sweep twin of [[graft.ops.VectorOps.ivfNlistSweep]]: per
+    * codebook size a full assignment/probe/search replica (the
+    * embKnnIvf shape parameterized by the `vec_id < k` seed prefix),
+    * occupancy census + recall against the shared brute truth.
+    */
+  val embIvfNlistSweep: String = {
+    def perK(k: Int) = s"""
+cents$k AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+  WHERE vec_id < $k),
+assigned$k AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cid AS cell,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY -${duckCos("e.embedding", "c.cv")}, c.cid) AS crank
+    FROM embeddings e CROSS JOIN cents$k c)
+  WHERE crank <= 1),
+occ$k AS (
+  SELECT count(*) AS used, max(n) AS maxc FROM (
+    SELECT cell, count(*) AS n FROM assigned$k GROUP BY cell)),
+probes$k AS (
+  SELECT qid, qv, cell FROM (
+    SELECT e.vec_id AS qid, e.embedding AS qv, c.cid AS cell,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY -${duckCos("e.embedding", "c.cv")}, c.cid) AS crank
+    FROM embeddings e CROSS JOIN cents$k c WHERE e.vec_id < 10)
+  WHERE crank <= 4),
+top$k AS (
+  SELECT qid, vec_id FROM (
+    SELECT s.qid, s.vec_id,
+      row_number() OVER (PARTITION BY s.qid
+        ORDER BY s.sim DESC, s.vec_id) AS rank
+    FROM (
+      SELECT p.qid, a.vec_id, ${duckCos("p.qv", "a.embedding")} AS sim
+      FROM probes$k p JOIN assigned$k a
+        ON p.cell = a.cell AND p.qid <> a.vec_id) s)
+  WHERE rank <= 5),
+hits$k AS (
+  SELECT count(*) AS h FROM truth t
+  JOIN top$k m ON t.qid = m.qid AND t.neighbor = m.vec_id)"""
+    def row(k: Int) = s"""
+  SELECT CAST($k AS BIGINT) AS nlist,
+    (SELECT CAST(used AS BIGINT) FROM occ$k) AS n_cells_used,
+    (SELECT CAST(maxc AS BIGINT) FROM occ$k) AS max_cell,
+    (SELECT CAST(h AS BIGINT) FROM hits$k) AS n_hits,
+    (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth"""
+    s"""WITH truth AS (SELECT qid, neighbor FROM ($embKnnBrute) tb),${
+      Seq(8, 16, 32).map(perK).mkString(",")}
+SELECT nlist, n_cells_used, max_cell, n_hits, n_truth,
+  round(CAST(n_hits AS DOUBLE) / n_truth, 4) AS recall
+FROM (${Seq(8, 16, 32).map(row).mkString("\n  UNION ALL")}
+)
+ORDER BY nlist"""
+  }
+
   /** Funnel twin of [[graft.ops.DedupOps.survivalFunnel]]: identical
     * stage predicates — digest keeper, the shared minhashChain pair
     * derivation over the exact-dedup representatives, the quality-gate
@@ -5282,6 +5337,7 @@ ORDER BY method"""
     "events_paths" -> eventsPaths,
     "doc_mix_weights" -> docMixWeights,
     "emb_nprobe_curve" -> embNprobeCurve,
+    "emb_ivf_nlist_sweep" -> embIvfNlistSweep,
     "doc_token_entropy" -> docTokenEntropy,
     "events_rfm" -> eventsRfm,
     "emb_knn_sq8" -> embKnnSq8,

@@ -177,6 +177,7 @@ object SparkEntry {
       (graft.sources.VectorIndex.searchForRotated(_, _)),
     "doc_mix_weights" -> (TextOps.mixWeights(_, _)),
     "emb_nprobe_curve" -> (VectorOps.nprobeCurve(_, _)),
+    "emb_ivf_nlist_sweep" -> (VectorOps.ivfNlistSweep(_, _)),
     "doc_winnow_overlap" -> (TextOps.winnowOverlap(_, _)),
     "emb_semdedup" -> (VectorOps.semDedup(_, _)),
     "events_sliding" -> (EventOps.eventsSliding(_, _)),

@@ -1443,6 +1443,100 @@ object VectorOps {
       .orderBy("nprobe")
   }
 
+  /** IVF codebook-size operating sweep — the nlist companion of
+    * [[nprobeCurve]] and the vector twin of the text side's
+    * doc_minhash_band_tune: for nlist ∈ {8, 16, 32} (seed codebooks =
+    * prefixes of the first 32 vectors), the occupancy shape the
+    * balance audit watches (cells used, hottest cell) next to the
+    * recall@5 of the standard 4-probe search against brute truth —
+    * the one table an IVF deployment reads before fixing nlist (too
+    * few cells scan too much per probe; too many split neighborhoods
+    * and recall falls at fixed nprobe).
+    *
+    * One-scan discipline: a SINGLE skinny N×32 expansion carries each
+    * vector's argmin for every PREFIX codebook as three conditional
+    * mins (cid<8 / cid<16 / all — [[nprobeCurve]]'s one-scan trick on
+    * the nlist axis), so the sweep routes the corpus once, not once
+    * per level; the probe side is |Q|×32 behind per-level windows;
+    * candidates join vectors back on the unique vec_id key and rank
+    * through the bounded top-k.
+    */
+  def ivfNlistSweep(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val levels = Seq(8, 16, 32)
+    val cents = e.filter(col("vec_id") < 32)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      .withColumn("cnrm", norm(col("cv")))
+    // assignCells discipline: per-side norms folded once, scalars only
+    // through the min structs
+    val expanded = e.select(col("vec_id"), col("embedding"))
+      .withColumn("enrm", norm(col("embedding")))
+      .join(broadcast(cents), col("cid") =!= lit(-1))
+      .select(col("vec_id"),
+        (-(dot(col("embedding"), col("cv"))
+          / (col("enrm") * col("cnrm")))).as("cdist"),
+        col("cid"))
+    val assigned = expanded.groupBy("vec_id").agg(
+        min(when(col("cid") < 8,
+          struct(col("cdist"), col("cid")))).as("m8"),
+        min(when(col("cid") < 16,
+          struct(col("cdist"), col("cid")))).as("m16"),
+        min(struct(col("cdist"), col("cid"))).as("m32"))
+      .select(col("vec_id"), explode(array(
+        struct(lit(8L).as("nlist"), col("m8.cid").as("cell")),
+        struct(lit(16L).as("nlist"), col("m16.cid").as("cell")),
+        struct(lit(32L).as("nlist"), col("m32.cid").as("cell"))))
+        .as("x"))
+      .select(col("vec_id"), col("x.nlist").as("nlist"),
+        col("x.cell").as("cell"))
+    val occ = assigned.groupBy("nlist", "cell")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("nlist")
+      .agg(count(lit(1)).as("n_cells_used"), max(col("n")).as("max_cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cdist"), col("cid"))
+    val qexp = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .withColumn("qnrm", norm(col("qv")))
+      .join(broadcast(cents), col("cid") =!= lit(-1))
+      .select(col("qid"), col("qv"),
+        (-(dot(col("qv"), col("cv"))
+          / (col("qnrm") * col("cnrm")))).as("cdist"),
+        col("cid"))
+    val probes = levels.map { n =>
+      qexp.filter(col("cid") < n)
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= 4)
+        .select(lit(n.toLong).as("nlist"), col("qid"), col("qv"),
+          col("cid").as("cell"))
+    }.reduce(_ unionByName _)
+    // probes is |Q|×4×levels rows behind windows (unknown size
+    // estimate) — hint the broadcast, same rationale as knnIvf
+    val top = broadcast(probes).join(assigned, Seq("nlist", "cell"))
+      .filter(col("qid") =!= col("vec_id"))
+      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("nlist"), col("qid"), col("vec_id"),
+        cosine(col("qv"), col("embedding")).as("sim"))
+      .groupBy("nlist", "qid")
+      .agg(graft.functions.TopKByScore
+        .topk(col("sim"), col("vec_id"), 5).as("top"))
+      .select(col("nlist"), col("qid"),
+        explode(expr("transform(top, t -> t.id)")).as("neighbor"),
+        lit(1).as("hit"))
+    val truth = knnBrute(spark, dir).select(col("qid"), col("neighbor"))
+      .crossJoin(spark.range(1).select(
+        explode(array(levels.map(n => lit(n.toLong)): _*)).as("nlist")))
+    truth.join(broadcast(top), Seq("nlist", "qid", "neighbor"), "left")
+      .groupBy("nlist")
+      .agg(count(col("hit")).as("n_hits"), count(lit(1)).as("n_truth"))
+      .join(broadcast(occ), Seq("nlist"))
+      .select(col("nlist"), col("n_cells_used"), col("max_cell"),
+        col("n_hits"), col("n_truth"),
+        round(col("n_hits").cast("double") / col("n_truth"), 4)
+          .as("recall"))
+      .orderBy("nlist")
+  }
+
   /** Scalar-quantized (SQ8) kNN — the memory-compression companion to
     * the PQ family: each float component maps to one byte via the
     * global per-dimension [min,max] range (the FAISS

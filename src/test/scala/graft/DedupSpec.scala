@@ -638,6 +638,23 @@ class DedupSpec extends AnyFunSuite {
     assert(recalls.last > 0.5, "probing half the cells should recall >0.5")
   }
 
+  test("nlist sweep: one row per codebook size, occupancy within " +
+      "bounds, full truth coverage") {
+    val rows = VectorOps.ivfNlistSweep(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(8L, 16L, 32L))
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(0),
+        s"more cells used than the codebook has: $r")
+      assert(r.getLong(2) >= 1, s"empty hottest cell: $r")
+      assert(r.getLong(4) === 50, s"truth must be 10×5: $r")
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+    }
+    // finer codebooks shard the corpus: the hottest cell must not grow
+    val maxes = rows.map(_.getLong(2))
+    assert(maxes.zip(maxes.tail).forall { case (a, b) => b <= a },
+      s"max cell grew with nlist: ${maxes.mkString(",")}")
+  }
+
   test("containment surfaces the planted fragments the Jaccard LSH " +
       "path structurally misses") {
     val pairs = DedupOps.containmentPairs(spark, sfDir)

@@ -38,6 +38,10 @@ class PlanSweepSpec extends AnyFunSuite {
                            // the ivfpq corpus-axis join
     "emb_recall_ladder_opq", // the five-rung ladder: same inherited
                            // ivfpq corpus-axis join
+    "emb_ivf_nlist_sweep", // per-level candidates join vectors back
+                           // on the unique vec_id key (corpus-scale
+                           // both sides — the assignCells join-back
+                           // discipline)
     "doc_containment",     // inverted-index candidates ⋈ corpus text
                            // on the unique doc1/doc2 keys: candidate
                            // volume is cap-bounded but corpus-
@@ -156,6 +160,8 @@ class PlanSweepSpec extends AnyFunSuite {
                           // shared assignment shape)
     "doc_perplexity_outliers", // vocabulary x one-row total cross join
                                // (the shared perDocLogprob shape)
+    "emb_ivf_nlist_sweep", // 32-seed routing cross joins (corpus and
+                      // probe sides) + the brute-truth composition
     "emb_nprobe_curve", // 16-centroid routing cross joins + brute-truth
                        // composition (inherits emb_knn_brute's shape)
     "doc_source_kl",   // one-row corpus-total census cross join
