@@ -888,19 +888,28 @@ FROM (
     AS lenband, count(*) AS bn
   FROM corpus GROUP BY 1, 2, 3)"""
 
-  /** [[graft.ops.DedupOps.containmentCorpus]]'s twin: the planted-dup
-    * corpus plus the truncated first-half-of-tokens copy of every 7th
-    * doc under ids +2e6 (the quote-and-expand fragment whose shingles
-    * are a strict subset of its original's).
+  /** [[graft.ops.DedupOps.containmentCorpus]]'s twin collapsed to its
+    * exact-dedup representatives (min doc_id per normalized digest —
+    * the production-order collapse the Spark side applies via
+    * dedupReps): the planted-dup corpus plus the truncated
+    * first-half-of-tokens copy of every 7th doc under ids +2e6 (the
+    * quote-and-expand fragment whose shingles are a strict subset of
+    * its original's).
     */
-  private val containCorpusCte = corpusCteOf(s"""$plantedCorpusSql
-  UNION ALL
-  SELECT doc_id + 2000000,
-    array_to_string(list_slice(string_split(text, ' '), 1,
-      CAST(greatest(4, len(string_split(text, ' ')) // 2) AS INT)),
-      ' '),
-    source, lang
-  FROM documents WHERE doc_id % 7 = 0""")
+  private val containCorpusCte = corpusCteOf(s"""SELECT doc_id, text, source, lang FROM (
+    SELECT doc_id, text, source, lang,
+      row_number() OVER (PARTITION BY md5(lower(trim(text)))
+        ORDER BY doc_id) AS rn
+    FROM (
+      $plantedCorpusSql
+      UNION ALL
+      SELECT doc_id + 2000000,
+        array_to_string(list_slice(string_split(text, ' '), 1,
+          CAST(greatest(4, len(string_split(text, ' ')) // 2) AS INT)),
+          ' '),
+        source, lang
+      FROM documents WHERE doc_id % 7 = 0))
+  WHERE rn = 1""")
 
   /** Twin of [[graft.ops.DedupOps.containmentPairs]]: the same
     * inverted-index candidates (shingle buckets of 2..64 docs), exact

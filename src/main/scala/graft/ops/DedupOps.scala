@@ -886,6 +886,18 @@ object DedupOps {
     * candidate stage (the boilerplate "stop-shingle" discipline). */
   private val ContainMaxDocs = 64
 
+  /** Exact-dedup representatives of the containment corpus — the
+    * [[dedupPipelineOf]] production order applied here too: identical
+    * copies collapse to their min-id keeper BEFORE the inverted index,
+    * so a d-fold duplicated corpus (the 30× stress replica is ~97%
+    * exact copies) never pays d² in-bucket pairs for content the
+    * exact pass already handles; what reaches the containment stage
+    * is exactly the residue only containment can catch.
+    */
+  private def containmentReps(spark: SparkSession,
+      dir: String): DataFrame =
+    dedupReps(containmentCorpus(spark, dir)).select("doc_id", "text")
+
   /** Shingle → sorted distinct doc list, the inverted index both
     * containment queries read: one row per distinct shingle with the
     * docs that carry it.
@@ -902,7 +914,10 @@ object DedupOps {
     * |A∩B|/min(|A|,|B|) ≈ 1 but Jaccard |A∩B|/|A∪B| ≈ |A|/|B|, far
     * below any LSH operating point (MinHash estimates Jaccard, so no
     * band setting recovers these pairs — a different candidate
-    * generator is required, not a tuning change). Candidates come
+    * generator is required, not a tuning change). Runs in production
+    * order over [[containmentReps]] — exact copies collapse first, so
+    * the pair stage sees only the residue exact dedup can't catch.
+    * Candidates come
     * from a shingle INVERTED INDEX: docs sharing any non-hot shingle
     * pair up (buckets past [[ContainMaxDocs]] docs are boilerplate
     * stop-shingles and drop — the LSH hot-bucket discipline, audited
@@ -919,7 +934,7 @@ object DedupOps {
     * key; the top-100 cut compiles to TakeOrderedAndProject.
     */
   def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
-    val src = containmentCorpus(spark, dir)
+    val src = containmentReps(spark, dir)
     val cand = containmentIndex(src)
       .filter(size(col("ids")).between(2, ContainMaxDocs))
       .select(bucketPairs("ids").as("p"))
@@ -959,7 +974,7 @@ object DedupOps {
     */
   def containmentHealth(spark: SparkSession, dir: String): DataFrame = {
     val dropped = col("n") > ContainMaxDocs
-    containmentIndex(containmentCorpus(spark, dir))
+    containmentIndex(containmentReps(spark, dir))
       .select(size(col("ids")).cast("bigint").as("n"))
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_singleton"),
