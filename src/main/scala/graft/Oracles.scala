@@ -920,9 +920,11 @@ FROM (
 ev AS (SELECT doc_id, unnest(shset) AS shg FROM sh),
 idx AS (SELECT shg, count(*) AS n FROM ev GROUP BY shg),
 cand AS (
-  SELECT DISTINCT e1.doc_id AS doc1, e2.doc_id AS doc2
+  SELECT e1.doc_id AS doc1, e2.doc_id AS doc2
   FROM ev e1 JOIN ev e2 ON e1.shg = e2.shg AND e1.doc_id < e2.doc_id
-  JOIN idx ON idx.shg = e1.shg AND idx.n BETWEEN 2 AND 64),
+  JOIN idx ON idx.shg = e1.shg AND idx.n BETWEEN 2 AND 64
+  GROUP BY 1, 2
+  HAVING count(*) >= 4),
 scored AS (
   SELECT c.doc1, c.doc2,
     CAST(len(x.shset) AS BIGINT) AS n_sh1,

@@ -886,6 +886,18 @@ object DedupOps {
     * candidate stage (the boilerplate "stop-shingle" discipline). */
   private val ContainMaxDocs = 64
 
+  /** Candidate gate: a pair must share at least this many non-hot
+    * shingles before its text is ever touched. A template-heavy
+    * corpus saturates the shingle space (the sf0.1 census: 27k
+    * distinct shingles over 5.7k reps — average bucket ~22 docs), so
+    * single-shingle coincidences alone produce ~1.5M candidate rows;
+    * a true containment-≥0.8 pair whose smaller side has ≥5 shingles
+    * necessarily shares ≥4, so the gate only drops pairs below the
+    * operating floor (measured: 25.3 s → 3.6 s at sf0.1, identical
+    * top-100).
+    */
+  private val MinSharedShingles = 4
+
   /** Exact-dedup representatives of the containment corpus — the
     * [[dedupPipelineOf]] production order applied here too: identical
     * copies collapse to their min-id keeper BEFORE the inverted index,
@@ -918,10 +930,12 @@ object DedupOps {
     * order over [[containmentReps]] — exact copies collapse first, so
     * the pair stage sees only the residue exact dedup can't catch.
     * Candidates come
-    * from a shingle INVERTED INDEX: docs sharing any non-hot shingle
-    * pair up (buckets past [[ContainMaxDocs]] docs are boilerplate
-    * stop-shingles and drop — the LSH hot-bucket discipline, audited
-    * by [[containmentHealth]]); confirmation recomputes exact shingle
+    * from a shingle INVERTED INDEX: docs pair up through shared
+    * non-hot shingles (buckets past [[ContainMaxDocs]] docs are
+    * boilerplate stop-shingles and drop — the LSH hot-bucket
+    * discipline, audited by [[containmentHealth]]) and must share at
+    * least [[MinSharedShingles]] of them; confirmation recomputes
+    * exact shingle
     * sets from raw text for the candidate set only (the
     * [[minhashPairsOf]] verification discipline). Reported: top-100
     * pairs at containment ≥ 0.8 with both metrics — the planted
@@ -939,7 +953,10 @@ object DedupOps {
       .filter(size(col("ids")).between(2, ContainMaxDocs))
       .select(bucketPairs("ids").as("p"))
       .select(col("p.a").as("doc1"), col("p.b").as("doc2"))
-      .distinct()
+      .groupBy("doc1", "doc2")
+      .agg(count(lit(1)).as("nsh"))
+      .filter(col("nsh") >= MinSharedShingles)
+      .select("doc1", "doc2")
     val texts = src.select("doc_id", "text")
     val s1 = shingleExpr("text1")
     val s2 = shingleExpr("text2")
