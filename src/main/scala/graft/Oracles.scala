@@ -3571,6 +3571,55 @@ FROM assigned ORDER BY cos_c, vec_id LIMIT 20"""
     * [[graft.ops.EventOps.eventsNewVsReturning]]: distinct
     * (user, week), first week per user, per-week new/returning split.
     */
+  /** Twin of [[graft.ops.EventOps.eventsUserLifecycle]]: the same
+    * distinct (user, week) base; states via a left self-join on
+    * week−1 (Spark classifies against the per-user week ARRAY — set
+    * semantics are identical), churn events at gap starts bounded by
+    * the global max week.
+    */
+  val eventsUserLifecycle: String = """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+    epoch_ns(ts) // 604800000000000 AS week
+  FROM events),
+fw AS (SELECT user_id, min(week) AS fw FROM uw GROUP BY user_id),
+mw AS (SELECT max(week) AS mw FROM uw),
+states AS (
+  SELECT u.week,
+    CASE WHEN u.week = f.fw THEN 'new'
+         WHEN p.user_id IS NOT NULL THEN 'retained'
+         ELSE 'resurrected' END AS state
+  FROM uw u
+  JOIN fw f USING (user_id)
+  LEFT JOIN uw p ON p.user_id = u.user_id AND p.week = u.week - 1),
+churned AS (
+  SELECT u.week + 1 AS week, 'churned' AS state
+  FROM uw u
+  LEFT JOIN uw nx ON nx.user_id = u.user_id AND nx.week = u.week + 1
+  CROSS JOIN mw
+  WHERE nx.user_id IS NULL AND u.week + 1 <= mw.mw),
+allst AS (
+  SELECT week, state FROM states
+  UNION ALL SELECT week, state FROM churned)
+SELECT CAST(week AS BIGINT) AS week,
+  CAST(sum(CASE WHEN state IN ('new', 'retained', 'resurrected')
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+  CAST(sum(CASE WHEN state = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_new,
+  CAST(sum(CASE WHEN state = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_retained,
+  CAST(sum(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_resurrected,
+  CAST(sum(CASE WHEN state = 'churned' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_churned,
+  CAST(sum(CASE WHEN state = 'new' THEN 1
+           WHEN state = 'resurrected' THEN 1
+           WHEN state = 'churned' THEN -1 ELSE 0 END) AS BIGINT)
+    AS net_growth
+FROM allst
+GROUP BY week
+ORDER BY week"""
+
   val eventsNewVsReturning: String = """
 WITH uw AS (
   SELECT DISTINCT user_id,
@@ -5328,6 +5377,7 @@ ORDER BY method"""
     "emb_cell_purity" -> embCellPurity,
     "emb_norm_outliers" -> embNormOutliers,
     "events_new_vs_returning" -> eventsNewVsReturning,
+    "events_user_lifecycle" -> eventsUserLifecycle,
     "events_power_law" -> eventsPowerLaw,
     "emb_centroid_shift" -> embCentroidShift,
     "doc_ngram_coverage" -> docNgramCoverage,

@@ -142,6 +142,7 @@ object SparkEntry {
     "doc_hash_collision_audit" -> (DedupOps.hashCollisionAudit(_, _)),
     "emb_cell_purity" -> (VectorOps.cellPurity(_, _)),
     "events_new_vs_returning" -> (EventOps.eventsNewVsReturning(_, _)),
+    "events_user_lifecycle" -> (EventOps.eventsUserLifecycle(_, _)),
     "events_power_law" -> (EventOps.eventsPowerLaw(_, _)),
     "emb_centroid_shift" -> (VectorOps.centroidShift(_, _)),
     "doc_ngram_coverage" -> (DedupOps.ngramCoverage(_, _)),

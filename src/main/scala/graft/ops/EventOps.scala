@@ -229,6 +229,76 @@ object EventOps {
       .orderBy("week")
   }
 
+  /** Weekly growth accounting — the user-lifecycle ledger one rung
+    * above [[eventsNewVsReturning]]'s new/returning split (the
+    * "growth accounting" table a product review opens first): per
+    * week, active users decomposed into NEW (first week ever),
+    * RETAINED (also active the week before) and RESURRECTED (active
+    * before, but not last week), plus CHURNED (active last week, not
+    * this one — a churn EVENT counted once at the gap's start, not in
+    * every silent week) and the identity-bearing net growth
+    * new + resurrected − churned = Δactive (spec-asserted).
+    *
+    * One per-user aggregate carries everything: first week + the
+    * sorted distinct week set — every state classifies against the
+    * user's OWN array (array_contains on week±1), so there is no
+    * (user, week) self-join anywhere; churn candidates explode from
+    * the same array. The only corpus-sized exchange is the distinct
+    * (user, week) pass; the global max week is a one-row census
+    * broadcast; output is ≤ weeks rows.
+    */
+  def eventsUserLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    val weekNs = 7L * 86400L * NanosPerSec
+    lifecycleOf(Tables.events(spark, dir)
+      .select(col("user_id"), expr(s"ts div $weekNs").as("week")))
+  }
+
+  /** The lifecycle ledger over any (user_id, week) activity frame —
+    * split out so the spec can plant a churn/resurrection pattern the
+    * dense synthetic corpus never produces (every user is active
+    * every week there).
+    */
+  private[graft] def lifecycleOf(activity: DataFrame): DataFrame = {
+    val perUser = activity
+      .select(col("user_id"), col("week"))
+      .distinct()
+      .groupBy("user_id")
+      .agg(min("week").as("fw"),
+        sort_array(collect_set("week")).as("weeks"))
+    val maxW = perUser.agg(max(expr("element_at(weeks, -1)")).as("mw"))
+    // one-row census cross join — declared, broadcast
+    val base = perUser.join(broadcast(maxW), lit(true))
+    val states = base
+      .select(col("fw"), col("weeks"), explode(col("weeks")).as("week"))
+      .select(col("week"),
+        when(col("week") === col("fw"), lit("new"))
+          .when(expr("array_contains(weeks, week - 1)"), lit("retained"))
+          .otherwise(lit("resurrected")).as("state"))
+    val churned = base
+      .select(col("weeks"), col("mw"), explode(col("weeks")).as("aw"))
+      .filter(!expr("array_contains(weeks, aw + 1)")
+        && col("aw") + 1 <= col("mw"))
+      .select((col("aw") + 1).as("week"), lit("churned").as("state"))
+    states.unionByName(churned)
+      .groupBy("week")
+      .agg(
+        sum(when(col("state") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("state") === "retained", 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("state") === "resurrected", 1L).otherwise(0L))
+          .as("n_resurrected"),
+        sum(when(col("state") === "churned", 1L).otherwise(0L))
+          .as("n_churned"))
+      .select(col("week"),
+        (col("n_new") + col("n_retained") + col("n_resurrected"))
+          .as("n_active"),
+        col("n_new"), col("n_retained"), col("n_resurrected"),
+        col("n_churned"),
+        (col("n_new") + col("n_resurrected") - col("n_churned"))
+          .as("net_growth"))
+      .orderBy("week")
+  }
+
   /** Pareto-tail power-law fit: the Hill estimator of the per-user
     * activity tail index over the top-100 users — the one-number
     * companion of [[eventsPareto]]'s concentration share (α near 1

@@ -701,6 +701,47 @@ class DedupSpec extends AnyFunSuite {
       assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0))
   }
 
+  test("user lifecycle: growth-accounting identity holds every week") {
+    val rows = graft.ops.EventOps
+      .eventsUserLifecycle(spark, sfDir).collect()
+    assert(rows.length >= 2)
+    rows.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2) + r.getLong(3) + r.getLong(4),
+        s"active must partition into new/retained/resurrected: $r")
+    }
+    // the ledger identity: Δactive = new + resurrected − churned
+    // (between consecutive weeks — a fully-silent week has no row)
+    rows.sliding(2).foreach {
+      case Array(prev, cur) if cur.getLong(0) == prev.getLong(0) + 1 =>
+        assert(cur.getLong(1) - prev.getLong(1) === cur.getLong(6),
+          s"net_growth != Δactive between $prev and $cur")
+      case _ => ()
+    }
+    // first week is all-new, nothing churned
+    assert(rows.head.getLong(2) === rows.head.getLong(1)
+      && rows.head.getLong(5) === 0L)
+  }
+
+  test("user lifecycle: planted gap pattern classifies churn and " +
+      "resurrection correctly") {
+    import spark.implicits._
+    // user 1 active weeks 1,2,4 (churns at 3, resurrects at 4);
+    // user 2 active week 2 only (churns at 3, never returns)
+    val planted = Seq((1L, 1L), (1L, 2L), (1L, 4L), (2L, 2L))
+      .toDF("user_id", "week")
+    val rows = graft.ops.EventOps.lifecycleOf(planted)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    // (n_active, n_new, n_retained, n_resurrected, n_churned)
+    assert(rows(1L) === ((1L, 1L, 0L, 0L, 0L)))
+    assert(rows(2L) === ((2L, 1L, 1L, 0L, 0L)))
+    assert(rows(3L) === ((0L, 0L, 0L, 0L, 2L)))
+    assert(rows(4L) === ((1L, 0L, 0L, 1L, 0L)))
+    // nothing churns past the horizon: no week-5 row
+    assert(!rows.contains(5L))
+  }
+
   test("markov stationary: a probability vector over the source types") {
     val rows = graft.ops.EventOps
       .eventsMarkovStationary(spark, sfDir).collect()

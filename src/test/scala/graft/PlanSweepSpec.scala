@@ -138,6 +138,7 @@ class PlanSweepSpec extends AnyFunSuite {
     "q22_idle",       // one-row balance census cross join
     "q11_important_value", // one-row value-total census cross join
     "events_pareto",  // one-row p99 sketch census cross join
+    "events_user_lifecycle", // one-row max-week census cross join
     "emb_ivf_balance", // 16-centroid assignment cross join + one-row
                       // total census cross join
     "emb_semdedup",   // 16-centroid assignment cross join (the shared
