@@ -859,6 +859,37 @@ ORDER BY e.event_id"""
 
   private val corpusCte = corpusCteOf(plantedCorpusSql)
 
+  /** Twin of [[graft.ops.TextOps.qualityVsDup]]: same keep rule over
+    * the planted-dup corpus, (digest, source, keep) census joined to
+    * the per-digest totals, per-(source, kept) dup share.
+    */
+  val docQualityVsDup: String = s"""
+WITH corpus AS (
+  $plantedCorpusSql),
+flagged AS (
+  SELECT source,
+    CASE WHEN length(text) >= 100
+      AND len(list_filter(string_split(lower(text), ' '),
+        x -> x <> '')) >= 20
+      AND NOT (2 * len(list_filter(string_split(lower(text), ' '),
+        x -> x = 'the' OR x = 'a'))
+        > len(list_filter(string_split(lower(text), ' '),
+          x -> x <> ''))) THEN 1 ELSE 0 END AS keep,
+    md5(lower(trim(text))) AS h
+  FROM corpus),
+lvl1 AS (
+  SELECT h, source, keep, count(*) AS nl FROM flagged GROUP BY 1, 2, 3),
+tot AS (SELECT h, sum(nl) AS nt FROM lvl1 GROUP BY h)
+SELECT l.source, CAST(l.keep AS BIGINT) AS kept,
+  CAST(sum(nl) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN nt > 1 THEN nl ELSE 0 END) AS BIGINT) AS n_dup,
+  round(sum(CASE WHEN nt > 1 THEN nl ELSE 0 END) * 100.0 / sum(nl), 4)
+    AS dup_pct
+FROM lvl1 l JOIN tot USING (h)
+GROUP BY 1, 2
+ORDER BY source, kept"""
+
+
   /** [[docNgramProbe]]'s corpus: the planted-mirror corpus under the
     * probe's deterministic 1-in-4 md5 audit sample (the sample runs
     * on the FINAL doc_id, mirrors included — identical to the Spark
@@ -5544,6 +5575,7 @@ ORDER BY method"""
     "events_props_json" -> eventsPropsJson,
     "doc_token_regex" -> docTokenRegex,
     "doc_fertility" -> docFertility,
+    "doc_quality_vs_dup" -> docQualityVsDup,
     "q1_pricing" -> q1Pricing,
     "q3_topk" -> q3Topk,
     "q5_region_join" -> q5RegionJoin,

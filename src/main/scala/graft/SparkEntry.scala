@@ -90,6 +90,7 @@ object SparkEntry {
     "events_asof" -> (EventOps.eventsAsof(_, _)),
     "doc_token_regex" -> (TextOps.tokenRegex(_, _)),
     "doc_fertility" -> (TextOps.fertility(_, _)),
+    "doc_quality_vs_dup" -> (TextOps.qualityVsDup(_, _)),
     "emb_near_dup" -> (VectorOps.embNearDup(_, _)),
     "emb_near_dup_multiprobe" -> (VectorOps.embNearDupMultiProbe(_, _)),
     "emb_near_dup_probe_curve" -> (VectorOps.embNearDupProbeCurve(_, _)),

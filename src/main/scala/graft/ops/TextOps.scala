@@ -409,6 +409,46 @@ object TextOps {
         sum(col("flag_stop")).as("n_stopword_heavy"))
       .orderBy("source")
 
+  /** Quality × duplication cross-census — the question a curation
+    * review asks after running both gates separately: are the docs
+    * the quality gate drops ALSO the duplicated ones (cheap junk gets
+    * copied), or is duplication orthogonal to quality (dedup and
+    * gating both earn their keep)? Per (source, kept): docs, docs
+    * whose normalized digest appears more than once in the planted
+    * corpus, and the dup share. Same keep rule as [[qualityGate]]
+    * (flag_short on char length, few-tokens, stopword-heavy).
+    *
+    * 100 TB shape: doc rows collapse map-side into a
+    * (digest, source, keep) census FIRST; the group-size lookup is a
+    * census⋈census join on the digest key (key-uniform — never a
+    * window over a hot digest, never a second doc scan); output is
+    * ≤ 2·sources rows.
+    */
+  def qualityVsDup(spark: SparkSession, dir: String): DataFrame = {
+    val toks = "filter(split(lower(text), ' '), x -> x <> '')"
+    val flagged = graft.ops.DedupOps.corpus(spark, dir)
+      .withColumn("n_tokens", expr(s"size($toks)").cast("bigint"))
+      .withColumn("stop_n",
+        expr("size(filter(split(lower(text), ' '), " +
+          "x -> x = 'the' or x = 'a'))").cast("bigint"))
+      .withColumn("keep",
+        (length(col("text")) >= 100 && col("n_tokens") >= 20
+          && !(col("stop_n") * 2 > col("n_tokens"))).cast("int"))
+      .select(col("source"), col("keep"),
+        md5(lower(trim(col("text")))).as("h"))
+    val lvl1 = flagged.groupBy("h", "source", "keep")
+      .agg(count(lit(1)).as("nl"))
+    val tot = lvl1.groupBy("h").agg(sum("nl").as("nt"))
+    lvl1.join(tot, "h")
+      .groupBy("source", "keep")
+      .agg(sum(col("nl")).as("n_docs"),
+        sum(when(col("nt") > 1, col("nl")).otherwise(0L)).as("n_dup"))
+      .select(col("source"), col("keep").cast("bigint").as("kept"),
+        col("n_docs"), col("n_dup"),
+        round(col("n_dup") * 100.0 / col("n_docs"), 4).as("dup_pct"))
+      .orderBy("source", "kept")
+  }
+
   /** Repetition filter (the Gopher-rules shape): per-doc duplicate
     * 3-gram fraction (1 − distinct/total) and top-token mass fraction,
     * thresholded and rolled up per source — the "remove degenerate

@@ -42,6 +42,9 @@ class PlanSweepSpec extends AnyFunSuite {
                            // on the unique vec_id key (corpus-scale
                            // both sides — the assignCells join-back
                            // discipline)
+    "doc_quality_vs_dup",  // (digest, source, keep) census ⋈ per-
+                           // digest totals on the digest key: both
+                           // sides corpus-scale censuses, key-uniform
     "doc_containment",     // inverted-index candidates ⋈ corpus text
                            // on the unique doc1/doc2 keys: candidate
                            // volume is cap-bounded but corpus-
