@@ -947,7 +947,20 @@ FROM (
     * shingle-set containment/Jaccard per candidate pair, the same
     * rounded ≥0.8 gate and (containment desc, doc1, doc2) top-100.
     */
-  val docContainment: String = containCorpusCte + """,
+  val docContainment: String = containSql(residue = false)
+
+  /** Twin of [[graft.ops.DedupOps.containmentResidue]]: the same
+    * confirmed pairs restricted to Jaccard < 0.7 — what neither the
+    * exact pass nor the LSH operating point can flag.
+    */
+  val docContainmentResidue: String = containSql(residue = true)
+
+  private def containSql(residue: Boolean): String = {
+    val extra = if (residue)
+      "\n  AND round(CAST(n_shared AS DOUBLE)" +
+        " / (n_sh1 + n_sh2 - n_shared), 4) < 0.7"
+    else ""
+    containCorpusCte + s""",
 ev AS (SELECT doc_id, unnest(shset) AS shg FROM sh),
 idx AS (SELECT shg, count(*) AS n FROM ev GROUP BY shg),
 cand AS (
@@ -970,9 +983,10 @@ SELECT doc1, doc2, n_sh1, n_sh2, n_shared,
   CAST(round(CAST(n_shared AS DOUBLE) / (n_sh1 + n_sh2 - n_shared), 4)
     AS DOUBLE) AS jaccard
 FROM scored
-WHERE round(CAST(n_shared AS DOUBLE) / least(n_sh1, n_sh2), 4) >= 0.8
+WHERE round(CAST(n_shared AS DOUBLE) / least(n_sh1, n_sh2), 4) >= 0.8$extra
 ORDER BY containment DESC, doc1, doc2
 LIMIT 100"""
+  }
 
   /** Twin of [[graft.ops.DedupOps.containmentHealth]]: bucket-size
     * census over the same inverted index at the same cap.
@@ -5564,6 +5578,7 @@ ORDER BY method"""
     "doc_ngram_banded" -> docNgramBanded,
     "doc_ngram_probe" -> docNgramProbe,
     "doc_containment" -> docContainment,
+    "doc_containment_residue" -> docContainmentResidue,
     "doc_containment_health" -> docContainmentHealth,
     "emb_knn_brute" -> embKnnBrute,
     "events_asof" -> eventsAsof,

@@ -947,7 +947,31 @@ object DedupOps {
     * cap²/2; the candidate set joins text back on the unique doc_id
     * key; the top-100 cut compiles to TakeOrderedAndProject.
     */
-  def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame =
+    containmentScored(spark, dir)
+      .orderBy(col("containment").desc, col("doc1"), col("doc2"))
+      .limit(100)
+
+  /** The pair list ONLY the containment stage catches — the
+    * actionable residue a pipeline's stage 3 acts on after exact
+    * collapse (stage 1) and Jaccard-LSH near-dup (stage 2): confirmed
+    * containment ≥ 0.8 pairs whose Jaccard sits BELOW the 0.7 LSH
+    * operating point, i.e. pairs neither earlier stage can flag.
+    * [[containmentPairs]] ranks everything the index surfaces (useful
+    * as the full report); this key is the work list stage 3 hands to
+    * a keep-best collapse.
+    */
+  def containmentResidue(spark: SparkSession, dir: String): DataFrame =
+    containmentScored(spark, dir)
+      .filter(col("jaccard") < 0.7)
+      .orderBy(col("containment").desc, col("doc1"), col("doc2"))
+      .limit(100)
+
+  /** Confirmed (containment ≥ 0.8) scored pairs shared by the full
+    * report and the stage-3 residue list.
+    */
+  private def containmentScored(spark: SparkSession,
+      dir: String): DataFrame = {
     val src = containmentReps(spark, dir)
     val cand = containmentIndex(src)
       .filter(size(col("ids")).between(2, ContainMaxDocs))
@@ -976,8 +1000,6 @@ object DedupOps {
       .filter(col("containment") >= 0.8)
       .select("doc1", "doc2", "n_sh1", "n_sh2", "n_shared",
         "containment", "jaccard")
-      .orderBy(col("containment").desc, col("doc1"), col("doc2"))
-      .limit(100)
   }
 
   /** Stop-shingle census for [[containmentPairs]] — the "no silent

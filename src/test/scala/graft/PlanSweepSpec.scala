@@ -50,6 +50,7 @@ class PlanSweepSpec extends AnyFunSuite {
                            // volume is cap-bounded but corpus-
                            // proportional, text side is the corpus —
                            // key-uniform shuffle join by design
+    "doc_containment_residue", // the same scored chain, stage-3 cut
     "q2_min_cost",         // pair-cost ⋈ per-part min join-back: both
                            // sides fact-derived aggregates keyed on
                            // partkey — co-partitioned shuffle join is
