@@ -675,6 +675,24 @@ class DedupSpec extends AnyFunSuite {
     assert(viaLsh === 0, s"LSH recovered $viaLsh fragment pairs")
   }
 
+  test("containment residue carries every planted fragment and " +
+      "nothing LSH could flag") {
+    val res = DedupOps.containmentResidue(spark, sfDir).collect()
+    assert(res.nonEmpty)
+    // stage-3 contract: everything here sits below the LSH operating
+    // point — a pair at jaccard >= 0.7 belongs to stage 2
+    res.foreach(r => assert(r.getDouble(6) < 0.7, s"stage-2 pair: $r"))
+    // every planted fragment pair in the full report must survive the
+    // residue cut (fragment jaccard ~ 0.5 is below the 0.7 point)
+    val fullFrags = DedupOps.containmentPairs(spark, sfDir)
+      .filter(col("doc2") === col("doc1") + 2000000L).count()
+    // the residue competes over a SUBSET of the full report's rows,
+    // so a fragment can only keep or improve its top-100 rank
+    val resFrags = res.count(r => r.getLong(1) == r.getLong(0) + 2000000L)
+    assert(resFrags >= fullFrags,
+      s"fragments lost at the residue cut: $resFrags < $fullFrags")
+  }
+
   test("containment health reports the hot-shingle cap census") {
     val h = DedupOps.containmentHealth(spark, sfDir).collect()
     assert(h.length === 1)
