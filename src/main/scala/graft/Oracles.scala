@@ -865,10 +865,13 @@ ORDER BY e.event_id"""
     */
   val docQualityVsDup: String = s"""
 WITH corpus AS (
-  $plantedCorpusSql),
+  SELECT doc_id, text, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, source, n_chars FROM documents
+  WHERE doc_id % 5 = 0),
 flagged AS (
   SELECT source,
-    CASE WHEN length(text) >= 100
+    CASE WHEN n_chars >= 100
       AND len(list_filter(string_split(lower(text), ' '),
         x -> x <> '')) >= 20
       AND NOT (2 * len(list_filter(string_split(lower(text), ' '),

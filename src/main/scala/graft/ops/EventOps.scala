@@ -540,17 +540,28 @@ object EventOps {
       .orderBy("window_id")
   }
 
-  def eventsTransitions(spark: SparkSession, dir: String): DataFrame = {
+  /** The per-user lag-bigram transition counts (src, dst, n) — ONE
+    * definition shared by the raw census [[eventsTransitions]] and
+    * the stationary-distribution summary [[eventsMarkovStationary]],
+    * so the matrix the latter iterates can never silently drift from
+    * the census it claims to summarize.
+    */
+  private def typeBigrams(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
     Tables.events(spark, dir)
       .select(col("user_id"), col("ts"), col("event_id"),
         col("event_type"))
       .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
       .filter(col("prev_type").isNotNull)
-      .groupBy(col("prev_type"), col("event_type").as("curr_type"))
+      .groupBy(col("prev_type").as("src"), col("event_type").as("dst"))
       .agg(count(lit(1)).as("n"))
-      .orderBy("prev_type", "curr_type")
   }
+
+  def eventsTransitions(spark: SparkSession, dir: String): DataFrame =
+    typeBigrams(spark, dir)
+      .select(col("src").as("prev_type"), col("dst").as("curr_type"),
+        col("n"))
+      .orderBy("prev_type", "curr_type")
 
   /** Stationary distribution of the event-type Markov chain — the
     * long-run visit share [[eventsTransitions]]' bigram matrix
@@ -578,17 +589,9 @@ object EventOps {
     */
   def eventsMarkovStationary(spark: SparkSession,
       dir: String): DataFrame = {
-    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val trans = Tables.events(spark, dir)
-      .select(col("user_id"), col("ts"), col("event_id"),
-        col("event_type"))
-      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
-      .filter(col("prev_type").isNotNull)
-      .groupBy(col("prev_type").as("src"), col("event_type").as("dst"))
-      .agg(count(lit(1)).as("n"))
-      // the ONE corpus-touching job: everything below reads this ≤T²
-      // census leaf, never the fact again
-      .localCheckpoint(true)
+    // the ONE corpus-touching job: everything below reads this ≤T²
+    // census leaf, never the fact again
+    val trans = typeBigrams(spark, dir).localCheckpoint(true)
     val totals = trans.groupBy("src").agg(sum("n").as("tot"))
     val pmat = trans.join(broadcast(totals), "src")
       .select(col("src"), col("dst"),

@@ -380,7 +380,14 @@ object TextOps {
     */
   private[graft] def qualityFlags(spark: SparkSession,
       dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    qualityFlagsOf(Tables.documents(spark, dir))
+
+  /** The keep rule over any frame carrying (text, n_chars) — ONE
+    * definition shared by [[qualityGate]] and [[qualityVsDup]] so the
+    * two reports can never gate by silently different rules.
+    */
+  private def qualityFlagsOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("n_tokens",
         expr("size(filter(split(lower(text), ' '), x -> x <> ''))")
           .cast("bigint"))
@@ -415,8 +422,9 @@ object TextOps {
     * copied), or is duplication orthogonal to quality (dedup and
     * gating both earn their keep)? Per (source, kept): docs, docs
     * whose normalized digest appears more than once in the planted
-    * corpus, and the dup share. Same keep rule as [[qualityGate]]
-    * (flag_short on char length, few-tokens, stopword-heavy).
+    * corpus, and the dup share. The keep rule IS [[qualityGate]]'s —
+    * both call the shared [[qualityFlagsOf]] over frames carrying the
+    * stored n_chars column.
     *
     * 100 TB shape: doc rows collapse map-side into a
     * (digest, source, keep) census FIRST; the group-size lookup is a
@@ -425,15 +433,14 @@ object TextOps {
     * ≤ 2·sources rows.
     */
   def qualityVsDup(spark: SparkSession, dir: String): DataFrame = {
-    val toks = "filter(split(lower(text), ' '), x -> x <> '')"
-    val flagged = graft.ops.DedupOps.corpus(spark, dir)
-      .withColumn("n_tokens", expr(s"size($toks)").cast("bigint"))
-      .withColumn("stop_n",
-        expr("size(filter(split(lower(text), ' '), " +
-          "x -> x = 'the' or x = 'a'))").cast("bigint"))
-      .withColumn("keep",
-        (length(col("text")) >= 100 && col("n_tokens") >= 20
-          && !(col("stop_n") * 2 > col("n_tokens"))).cast("int"))
+    // the planted-dup corpus WITH the stored n_chars column, so the
+    // shared keep rule gates exactly as qualityGate does
+    val d = Tables.documents(spark, dir)
+      .select("doc_id", "text", "source", "n_chars")
+    val planted = d.unionByName(
+      d.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    val flagged = qualityFlagsOf(planted)
       .select(col("source"), col("keep"),
         md5(lower(trim(col("text")))).as("h"))
     val lvl1 = flagged.groupBy("h", "source", "keep")

@@ -667,10 +667,12 @@ class DedupSpec extends AnyFunSuite {
       assert(r.getDouble(5) === 1.0, s"fragment containment != 1: $r")
       assert(r.getDouble(6) < 0.7, s"fragment jaccard not low: $r")
     }
-    // ...and the MinHash-over-Jaccard path must NOT see those pairs
-    // (they sit far below its 0.7 operating point) — if it ever does,
-    // the containment operator's reason to exist needs re-checking
-    val viaLsh = DedupOps.minhashPairs(spark, sfDir)
+    // ...and the MinHash-over-Jaccard path must NOT confirm those
+    // pairs (they sit far below its 0.7 operating point) — run it
+    // over the SAME fragment-bearing corpus, or the check is vacuous
+    val viaLsh = DedupOps.minhashPairsOf(
+        DedupOps.containmentCorpus(spark, sfDir)
+          .select("doc_id", "text"))
       .filter(col("doc2") === col("doc1") + 2000000L).count()
     assert(viaLsh === 0, s"LSH recovered $viaLsh fragment pairs")
   }

@@ -206,10 +206,12 @@ class FrameStatsSpec extends AnyFunSuite {
       "all within their mathematical bounds") {
     val qc = FrameStats.datasetQcSummary(spark, sfDir)
     // the stored aggregate must ride the dataset_id bucket layout —
-    // the whole point of composing five metrics over one read
+    // the whole point of composing five metrics over one read: no
+    // hash exchange anywhere (broadcast/range exchanges excepted)
     val plan = qc.queryExecution.executedPlan.toString
-    val firstAgg = plan.split("\n").indexWhere(_.contains("HashAggregate"))
-    assert(firstAgg >= 0)
+    assert(plan.contains("HashAggregate"))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"QC summary must ride the buckets, not reshuffle:\n$plan")
     val rows = qc.collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
