@@ -1502,6 +1502,36 @@ SELECT t.cell, CAST(t.n_vecs AS BIGINT) AS n_vecs,
 FROM tot t LEFT JOIN drp d USING (cell)
 ORDER BY t.cell"""
 
+  /** kNN-graph twin of [[graft.ops.VectorOps.knnGraph]]: the same
+    * k ∝ N assignment tie-break, per-vector argmax over the in-cell
+    * pairs as a row_number on (sim desc, nn asc), rounded at the
+    * edge.
+    */
+  val embKnnGraph: String = s"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+  WHERE vec_id < (SELECT greatest(16,
+    CAST(ceil(count(*) / 128.0) AS BIGINT)) FROM embeddings)
+), assigned AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cid AS cell,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY -${duckCos("e.embedding", "c.cv")}, c.cid) AS crank
+    FROM embeddings e CROSS JOIN cents c)
+  WHERE crank <= 1
+)
+SELECT cell, vec_id, nn_id, CAST(round(sim, 6) AS DOUBLE) AS sim
+FROM (
+  SELECT a.cell, a.vec_id, b.vec_id AS nn_id,
+    ${duckCos("a.embedding", "b.embedding")} AS sim,
+    row_number() OVER (PARTITION BY a.vec_id
+      ORDER BY ${duckCos("a.embedding", "b.embedding")} DESC, b.vec_id)
+      AS rk
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+WHERE rk = 1
+ORDER BY vec_id"""
+
   /** Twin of [[graft.ops.VectorOps.knnClassify]]: same anchor sample,
     * row_number top-5 matching the bounded aggregate's (sim desc, id)
     * order, majority/confusion tie-breaks (count desc, label asc).
@@ -5505,6 +5535,7 @@ ORDER BY method"""
     "doc_bloom_dedup" -> docBloomDedup,
     "doc_winnow_overlap" -> docWinnowOverlap,
     "emb_semdedup" -> embSemDedup,
+    "emb_knn_graph" -> embKnnGraph,
     "events_sliding" -> eventsSliding,
     "doc_shard_stats" -> docShardStats,
     "doc_pack_stats" -> docPackStats,

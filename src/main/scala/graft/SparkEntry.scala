@@ -183,6 +183,7 @@ object SparkEntry {
     "emb_ivf_nlist_sweep" -> (VectorOps.ivfNlistSweep(_, _)),
     "doc_winnow_overlap" -> (TextOps.winnowOverlap(_, _)),
     "emb_semdedup" -> (VectorOps.semDedup(_, _)),
+    "emb_knn_graph" -> (VectorOps.knnGraph(_, _)),
     "events_sliding" -> (EventOps.eventsSliding(_, _)),
     "doc_shard_stats" -> (TextOps.shardStats(_, _)),
     "doc_pack_stats" -> (TextOps.packStats(_, _)),

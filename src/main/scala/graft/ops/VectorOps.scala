@@ -379,6 +379,45 @@ object VectorOps {
       .orderBy("cell")
   }
 
+  /** In-cell nearest-neighbor graph — the kNN-graph primitive beneath
+    * SemDeDup-style clustering, label propagation and diversity
+    * sampling: EVERY corpus vector's single nearest neighbor within
+    * its k ∝ N IVF cell, as (cell, vec_id, nn_id, sim) edges. The
+    * bounded-cell restriction is the published scale trade (Abbas et
+    * al. build exactly this graph per cluster): pair work is
+    * N·targetCell, never N²; the per-vector argmax collapses map-side
+    * (the assignCells min-struct discipline — raw-double ranking,
+    * survivors-only rounding); singleton cells emit no edge (nothing
+    * in-cell to connect — visible as the row-count delta vs the
+    * corpus census). The cell-co-partitioned self-join can never
+    * broadcast at corpus scale (whitelisted intentional shuffle
+    * join, the [[semDedup]] shape).
+    */
+  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val corpus = e.select(col("vec_id"), col("embedding"))
+    val k = derivedK(corpus.count())
+    val cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val assigned = assignCells(corpus, cents)
+      .withColumn("nrm", norm(col("embedding")))
+    assigned
+      .select(col("cell"), col("vec_id").as("v1"),
+        col("embedding").as("e1"), col("nrm").as("n1"))
+      .join(assigned.select(col("cell"), col("vec_id").as("v2"),
+        col("embedding").as("e2"), col("nrm").as("n2")), "cell")
+      .filter(col("v1") =!= col("v2"))
+      .select(col("cell"), col("v1"),
+        (dot(col("e1"), col("e2")) / (col("n1") * col("n2"))).as("sim"),
+        col("v2"))
+      .groupBy("cell", "v1")
+      .agg(max(struct(col("sim"), (-col("v2")).as("nv"))).as("m"))
+      .select(col("cell"), col("v1").as("vec_id"),
+        (-col("m.nv")).as("nn_id"),
+        round(col("m.sim"), 6).as("sim"))
+      .orderBy("vec_id")
+  }
+
   /** Product-quantization code assignment — the compression that makes
     * 100 TB vector search feasible: the 64-dim space splits into 8
     * 8-dim subspaces, each vector's subvector snaps to its nearest of

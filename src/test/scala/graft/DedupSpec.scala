@@ -638,6 +638,21 @@ class DedupSpec extends AnyFunSuite {
     assert(recalls.last > 0.5, "probing half the cells should recall >0.5")
   }
 
+  test("knn graph: one in-cell edge per vector, no self loops, " +
+      "sims in range") {
+    val n = graft.tables.Tables.embeddings(spark, sfDir).count()
+    val g = VectorOps.knnGraph(spark, sfDir).collect()
+    // singleton cells emit no edge; everything else must be covered
+    assert(g.length <= n && g.length > n * 9 / 10,
+      s"graph covers ${g.length} of $n vectors")
+    assert(g.map(_.getLong(1)).distinct.length === g.length,
+      "a vector must have exactly one nearest-neighbor edge")
+    g.foreach { r =>
+      assert(r.getLong(1) !== r.getLong(2), s"self loop: $r")
+      assert(r.getDouble(3) >= -1.0001 && r.getDouble(3) <= 1.0001)
+    }
+  }
+
   test("nlist sweep: one row per codebook size, occupancy within " +
       "bounds, full truth coverage") {
     val rows = VectorOps.ivfNlistSweep(spark, sfDir).collect()

@@ -113,6 +113,8 @@ class PlanSweepSpec extends AnyFunSuite {
                            // inherits the probe-path joins
     "emb_classify_ivf_recall", // composes the exact + probed
                            // classifiers, inherits the probe-path joins
+    "emb_knn_graph",       // the same cell-co-partitioned self-join
+                           // shape as emb_semdedup (corpus both sides)
     "emb_semdedup"         // cell-co-partitioned self-join: both sides
                            // are the corpus-sized assignment — pair
                            // work is quadratic in CELL size only, and
@@ -145,6 +147,7 @@ class PlanSweepSpec extends AnyFunSuite {
     "events_user_lifecycle", // one-row max-week census cross join
     "emb_ivf_balance", // 16-centroid assignment cross join + one-row
                       // total census cross join
+    "emb_knn_graph",  // the same k ∝ N assignment cross join
     "emb_semdedup",   // 16-centroid assignment cross join (the shared
                       // assignCells coarse step)
     "events_rfm",     // one-row reference-date census cross join
