@@ -543,6 +543,12 @@ object Bench {
     // agree within 2x, and past 4 attempts mark the entry `noisy` in
     // the artifact instead of silently committing a corrupted min.
     val noisy = scala.collection.mutable.ArrayBuffer.empty[String]
+    // a query that THROWS must never commit its (fast) failure time as
+    // a min — a 50 ms crash would "improve" the artifact. Errored
+    // entries drop out of `queries`/totals/canaries entirely and
+    // surface under a visible "errors" field instead.
+    val errors =
+      scala.collection.mutable.LinkedHashMap.empty[String, String]
     // cross-run canary reference: the previous round's committed
     // artifact (same scale dir only). Contention only ever ADDS time,
     // so "this run is >2x the last committed run" is evidence the box
@@ -556,30 +562,41 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      def run(): Double = {
+      .flatMap { case (name, fn) =>
+      def run(): Option[Double] = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
-      var times = List(run(), run())
-      def best2 = times.sorted.take(2)
-      while (best2(1) > best2(0) * 2 && times.length < 4) times ::= run()
-      if (best2(1) > best2(0) * 2) noisy += name
-      // cross-run canary: an entry past 2x its previous committed value
-      // gets fresh attempts; a persistent delta is flagged `regressed`
-      // (real plan change or sustained contention — either way the
-      // number can't be silently trusted). Sub-half-second entries are
-      // noise-band at this granularity and exempt.
-      for (p <- prior.get(name) if p > 0) {
-        var extra = 0
-        while (times.min > p * 2 && times.min > 0.5 && extra < 2) {
-          times ::= run(); extra += 1
+        try {
+          fn(spark, sfDir).count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case t: Throwable =>
+          errors(name) = (t.getClass.getName + ": " +
+            String.valueOf(t.getMessage))
+            .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+          None
         }
-        if (times.min > p * 2 && times.min > 0.5)
-          regressed += ((name, p, times.min))
       }
-      name -> times.min
+      var times = List(run(), run()).flatten
+      if (times.isEmpty) None
+      else {
+        def best2 = times.sorted.take(2)
+        while (times.length >= 2 && best2(1) > best2(0) * 2 &&
+            times.length < 4) times = run().toList ::: times
+        if (times.length >= 2 && best2(1) > best2(0) * 2) noisy += name
+        // cross-run canary: an entry past 2x its previous committed
+        // value gets fresh attempts; a persistent delta is flagged
+        // `regressed` (real plan change or sustained contention —
+        // either way the number can't be silently trusted).
+        // Sub-half-second entries are noise-band and exempt.
+        for (p <- prior.get(name) if p > 0) {
+          var extra = 0
+          while (times.min > p * 2 && times.min > 0.5 && extra < 2) {
+            times = run().toList ::: times; extra += 1
+          }
+          if (times.min > p * 2 && times.min > 0.5)
+            regressed += ((name, p, times.min))
+        }
+        Some(name -> times.min)
+      }
     }
     def ifOn(name: String)(t: => Option[(Double, Long, Long)]) =
       if (only.forall(_.contains(name))) t else None
@@ -663,7 +680,10 @@ object Bench {
     val regJson = regressed.sortBy(_._1).map { case (k, p, v) =>
       s"\"" + k + "\":{\"prior\":" + p + ",\"now\":" + v + "}"
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stream_state":$st,"noisy":$noisyJson,"regressed":$regJson,"sf":"$sfDir"}""")
+    val errJson = errors.toSeq.sortBy(_._1).map { case (k, m) =>
+      s"\"" + k + "\":\"" + m + "\""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stream_state":$st,"noisy":$noisyJson,"regressed":$regJson,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -3645,10 +3645,6 @@ SELECT CAST(row_number() OVER (ORDER BY cos_c, vec_id) AS BIGINT)
   vec_id, label, cell, CAST(cos_c AS DOUBLE) AS cos_to_centroid
 FROM assigned ORDER BY cos_c, vec_id LIMIT 20"""
 
-  /** Growth-accounting twin of
-    * [[graft.ops.EventOps.eventsNewVsReturning]]: distinct
-    * (user, week), first week per user, per-week new/returning split.
-    */
   /** Twin of [[graft.ops.EventOps.eventsUserLifecycle]]: the same
     * distinct (user, week) base; states via a left self-join on
     * week−1 (Spark classifies against the per-user week ARRAY — set
@@ -3698,6 +3694,10 @@ FROM allst
 GROUP BY week
 ORDER BY week"""
 
+  /** Growth-accounting twin of
+    * [[graft.ops.EventOps.eventsNewVsReturning]]: distinct
+    * (user, week), first week per user, per-week new/returning split.
+    */
   val eventsNewVsReturning: String = """
 WITH uw AS (
   SELECT DISTINCT user_id,

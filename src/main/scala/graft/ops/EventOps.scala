@@ -592,6 +592,17 @@ object EventOps {
     // the ONE corpus-touching job: everything below reads this ≤T²
     // census leaf, never the fact again
     val trans = typeBigrams(spark, dir).localCheckpoint(true)
+    // a type that appears only as a destination (sink) would silently
+    // leak stationary mass at every power step below (v.join(pmat,
+    // "src") discards its row), turning the output into a
+    // non-distribution. No such type exists in an events corpus whose
+    // sessions continue past every type, but fail loudly with the
+    // offending names rather than emit quietly-wrong mass. Census-sized
+    // set difference on the checkpointed ≤T² leaf — never the fact.
+    val sinks = trans.select(col("dst")).except(trans.select(col("src")))
+      .limit(5).collect().map(_.getString(0))
+    require(sinks.isEmpty, "markov stationary requires every event type" +
+      s" to out-transition; sink-only types: ${sinks.mkString(",")}")
     val totals = trans.groupBy("src").agg(sum("n").as("tot"))
     val pmat = trans.join(broadcast(totals), "src")
       .select(col("src"), col("dst"),
