@@ -1532,6 +1532,148 @@ FROM (
 WHERE rk = 1
 ORDER BY vec_id"""
 
+  /** Boundary-probe twin of [[graft.ops.VectorOps.semDedupProbe]]:
+    * the same planted corpus and assignment tie-break, prober side at
+    * crank ≤ 2, stored side at crank = 1, keep-first drops over the
+    * unordered pair set, census keyed by the primary cell.
+    */
+  val embSemDedupProbe: String = s"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 50 = 0
+), cents AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+  WHERE vec_id < (SELECT greatest(16,
+    CAST(ceil(count(*) / 128.0) AS BIGINT)) FROM corpus)
+), ranked AS (
+  SELECT vec_id, embedding, cell, crank FROM (
+    SELECT e.vec_id, e.embedding, c.cid AS cell,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY -${duckCos("e.embedding", "c.cv")}, c.cid) AS crank
+    FROM corpus e CROSS JOIN cents c)
+  WHERE crank <= 2
+), prim AS (
+  SELECT vec_id, embedding, cell FROM ranked WHERE crank = 1
+), drops AS (
+  SELECT DISTINCT greatest(p.vec_id, s.vec_id) AS vec_id
+  FROM ranked p JOIN prim s ON p.cell = s.cell
+    AND p.vec_id <> s.vec_id
+  WHERE ${duckCos("p.embedding", "s.embedding")} >= 0.85
+)
+SELECT pr.cell, CAST(count(*) AS BIGINT) AS n_vecs,
+  CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dropped,
+  CAST(count(*) - sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_kept
+FROM prim pr LEFT JOIN drops d USING (vec_id)
+GROUP BY pr.cell
+ORDER BY pr.cell"""
+
+  /** Boundary-probe twin of [[graft.ops.VectorOps.knnGraphProbe]]:
+    * prober at crank ≤ 2, candidates at crank = 1, per-prober argmax
+    * as row_number on (sim desc, nn asc), edge keyed by the prober's
+    * primary cell.
+    */
+  val embKnnGraphProbe: String = s"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+  WHERE vec_id < (SELECT greatest(16,
+    CAST(ceil(count(*) / 128.0) AS BIGINT)) FROM embeddings)
+), ranked AS (
+  SELECT vec_id, embedding, cell, crank FROM (
+    SELECT e.vec_id, e.embedding, c.cid AS cell,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY -${duckCos("e.embedding", "c.cv")}, c.cid) AS crank
+    FROM embeddings e CROSS JOIN cents c)
+  WHERE crank <= 2
+), prim AS (
+  SELECT vec_id, embedding, cell FROM ranked WHERE crank = 1
+), edges AS (
+  SELECT p.vec_id AS v1, s.vec_id AS v2,
+    ${duckCos("p.embedding", "s.embedding")} AS sim
+  FROM ranked p JOIN prim s ON p.cell = s.cell AND p.vec_id <> s.vec_id
+)
+SELECT pr.cell, e.v1 AS vec_id, e.v2 AS nn_id,
+  CAST(round(e.sim, 6) AS DOUBLE) AS sim
+FROM (
+  SELECT v1, v2, sim,
+    row_number() OVER (PARTITION BY v1 ORDER BY sim DESC, v2) AS rk
+  FROM edges) e
+JOIN prim pr ON pr.vec_id = e.v1
+WHERE e.rk = 1
+ORDER BY vec_id"""
+
+  /** Twin of [[graft.ops.VectorOps.knnGraphRecall]]: 1-in-64 md5
+    * anchor sample, exact NN as the ground truth, cell-local and
+    * 2-probe graph edges via the same (sim desc, id) argmax, per-row
+    * DECIMAL(20,10) sim ratios so the mean is order-exact.
+    */
+  val embKnnGraphRecall: String = s"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+  WHERE vec_id < (SELECT greatest(16,
+    CAST(ceil(count(*) / 128.0) AS BIGINT)) FROM embeddings)
+), anchors AS (
+  SELECT vec_id AS aid, embedding AS av FROM embeddings
+  WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 7))::BIGINT
+    % 64 = 0
+), truth AS (
+  SELECT aid, vec_id AS true_nn, sim AS true_sim FROM (
+    SELECT a.aid, e.vec_id, ${duckCos("a.av", "e.embedding")} AS sim,
+      row_number() OVER (PARTITION BY a.aid
+        ORDER BY ${duckCos("a.av", "e.embedding")} DESC, e.vec_id) AS rk
+    FROM embeddings e JOIN anchors a ON e.vec_id <> a.aid)
+  WHERE rk = 1
+), ranked AS (
+  SELECT vec_id, embedding, cell, crank FROM (
+    SELECT e.vec_id, e.embedding, c.cid AS cell,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY -${duckCos("e.embedding", "c.cv")}, c.cid) AS crank
+    FROM embeddings e CROSS JOIN cents c)
+  WHERE crank <= 2
+), prim AS (
+  SELECT vec_id, embedding, cell FROM ranked WHERE crank = 1
+), edges AS (
+  SELECT p.vec_id AS v1, p.crank, s.vec_id AS v2,
+    ${duckCos("p.embedding", "s.embedding")} AS sim
+  FROM ranked p JOIN prim s ON p.cell = s.cell AND p.vec_id <> s.vec_id
+  WHERE p.vec_id IN (SELECT aid FROM anchors)
+), g1 AS (
+  SELECT v1 AS gaid, v2 AS graph_nn, sim AS graph_sim FROM (
+    SELECT v1, v2, sim,
+      row_number() OVER (PARTITION BY v1 ORDER BY sim DESC, v2) AS rk
+    FROM edges WHERE crank = 1) WHERE rk = 1
+), g2 AS (
+  SELECT v1 AS gaid, v2 AS graph_nn, sim AS graph_sim FROM (
+    SELECT v1, v2, sim,
+      row_number() OVER (PARTITION BY v1 ORDER BY sim DESC, v2) AS rk
+    FROM edges) WHERE rk = 1
+), r1 AS (
+  SELECT 'cell_local' AS method,
+    CAST(count(*) AS BIGINT) AS n_anchors,
+    CAST(count(g.graph_nn) AS BIGINT) AS n_edged,
+    CAST(sum(CASE WHEN g.graph_nn = t.true_nn THEN 1 ELSE 0 END)
+      AS BIGINT) AS n_nn_match,
+    round(CAST(sum(CASE WHEN g.graph_nn = t.true_nn THEN 1 ELSE 0 END)
+      AS DOUBLE) / count(*), 4) AS nn_recall,
+    round(CAST(sum(CAST(coalesce(g.graph_sim / t.true_sim, 0)
+      AS DECIMAL(20,10))) AS DOUBLE) / count(*), 6) AS mean_sim_ratio
+  FROM truth t LEFT JOIN g1 g ON g.gaid = t.aid
+), r2 AS (
+  SELECT 'probe2' AS method,
+    CAST(count(*) AS BIGINT) AS n_anchors,
+    CAST(count(g.graph_nn) AS BIGINT) AS n_edged,
+    CAST(sum(CASE WHEN g.graph_nn = t.true_nn THEN 1 ELSE 0 END)
+      AS BIGINT) AS n_nn_match,
+    round(CAST(sum(CASE WHEN g.graph_nn = t.true_nn THEN 1 ELSE 0 END)
+      AS DOUBLE) / count(*), 4) AS nn_recall,
+    round(CAST(sum(CAST(coalesce(g.graph_sim / t.true_sim, 0)
+      AS DECIMAL(20,10))) AS DOUBLE) / count(*), 6) AS mean_sim_ratio
+  FROM truth t LEFT JOIN g2 g ON g.gaid = t.aid
+)
+SELECT * FROM r1 UNION ALL SELECT * FROM r2 ORDER BY method"""
+
   /** Twin of [[graft.ops.VectorOps.knnClassify]]: same anchor sample,
     * row_number top-5 matching the bounded aggregate's (sim desc, id)
     * order, majority/confusion tie-breaks (count desc, label asc).
@@ -5536,6 +5678,9 @@ ORDER BY method"""
     "doc_winnow_overlap" -> docWinnowOverlap,
     "emb_semdedup" -> embSemDedup,
     "emb_knn_graph" -> embKnnGraph,
+    "emb_semdedup_probe" -> embSemDedupProbe,
+    "emb_knn_graph_probe" -> embKnnGraphProbe,
+    "emb_knn_graph_recall" -> embKnnGraphRecall,
     "events_sliding" -> eventsSliding,
     "doc_shard_stats" -> docShardStats,
     "doc_pack_stats" -> docPackStats,

@@ -184,6 +184,9 @@ object SparkEntry {
     "doc_winnow_overlap" -> (TextOps.winnowOverlap(_, _)),
     "emb_semdedup" -> (VectorOps.semDedup(_, _)),
     "emb_knn_graph" -> (VectorOps.knnGraph(_, _)),
+    "emb_semdedup_probe" -> (VectorOps.semDedupProbe(_, _)),
+    "emb_knn_graph_probe" -> (VectorOps.knnGraphProbe(_, _)),
+    "emb_knn_graph_recall" -> (VectorOps.knnGraphRecall(_, _)),
     "events_sliding" -> (EventOps.eventsSliding(_, _)),
     "doc_shard_stats" -> (TextOps.shardStats(_, _)),
     "doc_pack_stats" -> (TextOps.packStats(_, _)),

@@ -193,6 +193,67 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).sum === corpusSize)
   }
 
+  test("semdedup boundary probe: drops a superset of the cell-local " +
+      "pass, census arithmetic intact") {
+    val local = VectorOps.semDedup(spark, sfDir).collect()
+    val out = VectorOps.semDedupProbe(spark, sfDir)
+    val rows = out.collect()
+    // same census frame: primary cells partition the corpus
+    assert(rows.map(_.getLong(0)).toSeq === local.map(_.getLong(0)).toSeq)
+    assert(rows.map(_.getLong(1)).toSeq === local.map(_.getLong(1)).toSeq,
+      "probe census must stay keyed by the primary assignment")
+    assert(out.filter(col("n_kept") + col("n_dropped") =!= col("n_vecs"))
+      .count() === 0)
+    // the probed candidate set contains the cell-local one, so drops
+    // can only grow — the boundary gain is the delta
+    assert(rows.map(_.getLong(2)).sum >= local.map(_.getLong(2)).sum,
+      "2-probe pass dropped fewer vectors than the cell-local pass")
+    // planted exact copies still all drop (same cell, cosine 1)
+    val nPlanted = graft.tables.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 50 === 0).count()
+    assert(rows.map(_.getLong(2)).sum >= nPlanted)
+  }
+
+  test("knn graph probe: full coverage, edges never worse than the " +
+      "cell-local graph") {
+    val local = VectorOps.knnGraph(spark, sfDir).collect()
+      .map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    val g = VectorOps.knnGraphProbe(spark, sfDir).collect()
+    assert(g.map(_.getLong(1)).distinct.length === g.length)
+    g.foreach { r =>
+      assert(r.getLong(1) !== r.getLong(2), s"self loop: $r")
+      assert(r.getDouble(3) >= -1.0001 && r.getDouble(3) <= 1.0001)
+      // candidates(2-probe) ⊇ candidates(local): the argmax sim can
+      // only improve for any vector covered by both graphs
+      for (ls <- local.get(r.getLong(1)))
+        assert(r.getDouble(3) >= ls,
+          s"probe edge worse than local for ${r.getLong(1)}: $r vs $ls")
+    }
+    assert(g.length >= local.size,
+      "probing a second cell cannot un-cover a vector")
+  }
+
+  test("knn graph recall audit: probe2 dominates cell_local on every " +
+      "metric") {
+    val rows = VectorOps.knnGraphRecall(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("cell_local", "probe2"))
+    val Array(lo, pr) = rows
+    assert(lo.getLong(1) === pr.getLong(1), "same anchor set")
+    assert(lo.getLong(1) > 0, "anchor sample must be non-empty")
+    // superset candidates: edge coverage, NN hits, recall and the
+    // kept-similarity fraction are all monotone under the 2nd probe
+    assert(pr.getLong(2) >= lo.getLong(2))
+    assert(pr.getLong(3) >= lo.getLong(3))
+    assert(pr.getDouble(4) >= lo.getDouble(4))
+    assert(pr.getDouble(5) >= lo.getDouble(5))
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), "more NN hits than edges")
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+      assert(r.getDouble(5) <= 1.000001,
+        "an edge cannot beat the exact nearest neighbor")
+    }
+  }
+
   test("token entropy bounds: 0 ≤ H ≤ ln(n), 0 < TTR ≤ 1, full census") {
     val rows = TextOps.tokenEntropy(spark, sfDir).collect()
     assert(rows.nonEmpty)

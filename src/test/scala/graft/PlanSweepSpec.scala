@@ -115,12 +115,20 @@ class PlanSweepSpec extends AnyFunSuite {
                            // classifiers, inherits the probe-path joins
     "emb_knn_graph",       // the same cell-co-partitioned self-join
                            // shape as emb_semdedup (corpus both sides)
-    "emb_semdedup"         // cell-co-partitioned self-join: both sides
+    "emb_semdedup",        // cell-co-partitioned self-join: both sides
                            // are the corpus-sized assignment — pair
                            // work is quadratic in CELL size only, and
                            // the cluster count is the WIRED scale
                            // knob (k ∝ N via derivedK), so neither
                            // side ever broadcasts by design
+    "emb_semdedup_probe",  // same cell-co-partitioned self-join with
+                           // the prober side doubled (2-probe) — still
+                           // corpus-scale both sides
+    "emb_knn_graph_probe", // same shape, prober at 2 probes
+    "emb_knn_graph_recall" // anchor-side prober ⋈ primary assignment
+                           // on cell: anchor volume is
+                           // corpus-proportional (1-in-64), so it must
+                           // not broadcast at scale
   )
   // intended broadcast-nested-loop joins (non-equi or single-row sides)
   private val bnlAllowed = Set(
@@ -150,6 +158,12 @@ class PlanSweepSpec extends AnyFunSuite {
     "emb_knn_graph",  // the same k ∝ N assignment cross join
     "emb_semdedup",   // 16-centroid assignment cross join (the shared
                       // assignCells coarse step)
+    "emb_semdedup_probe",  // the probed-assignment cross join (the
+                      // assignCellsProbed coarse step)
+    "emb_knn_graph_probe", // same probed-assignment cross join
+    "emb_knn_graph_recall", // probed-assignment cross join + the
+                      // broadcast-anchor <> join of the exact
+                      // ground-truth side
     "events_rfm",     // one-row reference-date census cross join
     "emb_knn_sq8",    // one-row [min,max]-range census cross join +
                       // tiny quantized query side, <> condition
@@ -253,6 +267,30 @@ class PlanSweepSpec extends AnyFunSuite {
       s"ccnet sketched variant must not use the exact percentile:\n$s")
     assert(s.contains("quantile_sketch_agg"),
       s"KLL sketch aggregate missing from the plan:\n$s")
+  }
+
+  test("cell-co-partitioned self-joins run the corpus routing pass " +
+      "once (AQE ReusedExchange)") {
+    // the N×k argmin/topk routing pass feeds BOTH self-join sides
+    // (and the census) in the SemDeDup/kNN-graph family. The plans
+    // stay declarative — no eager localCheckpoint pinning corpus
+    // payload in executor storage — so the single-pass guarantee
+    // rests on AQE's exchange reuse. Assert it on the EXECUTED plan
+    // (reuse only materializes at runtime under AQE).
+    val fam = Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)](
+      "emb_semdedup" -> (graft.ops.VectorOps.semDedup(_, _)),
+      "emb_knn_graph" -> (graft.ops.VectorOps.knnGraph(_, _)),
+      "emb_semdedup_probe" -> (graft.ops.VectorOps.semDedupProbe(_, _)),
+      "emb_knn_graph_probe" -> (graft.ops.VectorOps.knnGraphProbe(_, _)))
+    for ((name, fn) <- fam) {
+      val df = fn(spark, sfDir)
+      df.collect()
+      val s = df.queryExecution.executedPlan.toString
+      assert(s.contains("ReusedExchange"),
+        s"$name: routing exchange not reused — the corpus-sized " +
+          s"assignment pass would run per join side:\n$s")
+    }
   }
 
   test("no query plan has an accidental join strategy") {
