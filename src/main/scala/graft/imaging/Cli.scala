@@ -263,11 +263,12 @@ object Cli {
       (r.getString(0), spark.read.text(r.getString(1))))
     import spark.implicits._
     val registered = Seq.empty[String].toDF("dataset_serial")
-    // dispatch to the declared splitter twin — each format's listing
-    // lines carry what that splitter reads (file names for sms_name,
-    // per-page MicroManagerMetadata JSON for ome_tiff); formats whose
-    // twins need richer file-level input than a line listing
-    // (tif_folder, tif_id) fail loudly rather than mis-parse
+    // dispatch to the declared splitter twin — each format's input
+    // shape follows the reference: a frame-name listing for sms_name,
+    // per-page MicroManagerMetadata JSON lines for ome_tiff, the
+    // multi-page tiff FILE itself for tif_id, the dataset FOLDER
+    // (single-page *.tif + metadata.txt) for tif_folder — all four of
+    // get_splitter_class's formats dispatch from config alone
     // the reference accepts spelling aliases per format
     // (aux_utils.py:31-60 get_splitter_class: ome_tif/tiff →
     // OmeTiffSplitter, tiff_id → TifIDSplitter, tiff_folder →
@@ -315,11 +316,43 @@ object Cli {
         }
         frames.drop("payload")
           .withColumn("already_registered", lit(false))
+      case "tif_folder" =>
+        // the csv's file_name IS the dataset folder
+        // (tiffolder_splitter.py:236-305 get_frames_and_metadata):
+        // single-page *.tif frames named SMS-style, frame info from
+        // the folder's metadata.txt Summary — real byte-level split;
+        // with --mount the re-encoded PNGs land in frame storage
+        // exactly like the tif_id terminal step
+        val folders = rows.map { r =>
+          val (serial, folder) = (r.getString(0), r.getString(1))
+          require(Files.isDirectory(Paths.get(folder)),
+            s"Folder doesn't exist: $folder")
+          val metaPath = Paths.get(folder, "metadata.txt")
+          require(Files.exists(metaPath),
+            s"File doesn't exist: $metaPath")
+          (serial, folder, Files.readString(metaPath))
+        }
+        val listing = folders.map { case (serial, folder, _) =>
+          spark.read.format("binaryFile").load(s"$folder/*.tif")
+            .select(lit(serial).as("dataset_serial"),
+              col("path").as("file_path"), col("content"))
+        }.reduce(_ unionByName _)
+        val summaries = folders.toSeq
+          .map { case (serial, _, meta) => (serial, meta) }
+          .toDF("dataset_serial", "summary_json")
+        val frames = SplitterIngest.splitFolder(spark, listing, summaries)
+        for (mount <- s.get("mount"); serial <- rows.map(_.getString(0))) {
+          val storage = new graft.sources.FrameStorage(mount,
+            s"raw_frames/$serial")
+          storage.uploadFrames(
+            frames.filter(col("dataset_serial") === serial)
+              .select("file_name", "payload"))
+        }
+        frames.drop("payload")
+          .withColumn("already_registered", lit(false))
       case other => throw new IllegalArgumentException(
-        s"frames_format '$other' is not wired into the CLI " +
-          "(supported: sms_name, ome_tiff, tif_id; tif_folder needs " +
-          "file-level metadata beyond a name listing — use " +
-          "SplitterIngest.parseFolder directly)")
+        s"frames_format '$other' is not a reference splitter format " +
+          "(supported: sms_name, ome_tiff, tif_id, tif_folder)")
     }
     parsed.write.mode("overwrite").parquet(s"$store/frames.parquet")
     SplitterIngest.globalMetaFromFrames(parsed)

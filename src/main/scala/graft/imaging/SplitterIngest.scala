@@ -287,6 +287,61 @@ object SplitterIngest {
       }
   }
 
+  /** BYTE-LEVEL TifFolder ingest — the part of tiffolder_splitter.py
+    * the metadata twin [[parseFolder]] could not cover: actually
+    * reading each single-page `*.tif` in the dataset folder
+    * (serialize_upload, tiffolder_splitter.py:107-160) and
+    * re-encoding its pixels as the PNG payload frame storage keeps.
+    * Metadata comes from [[parseFolder]] (SMS-style names + the
+    * folder's metadata.txt Summary); `sha256` is over the page's
+    * canonical big-endian sample bytes — the frames-table dedup hash,
+    * the [[splitTiff]] convention.
+    *
+    * Shape at 100 TB: one frame file = one row (binaryFile source),
+    * the codec loop is per-partition executor work, and the only
+    * shuffle is the (dataset, src_name)-keyed join of the metadata
+    * rows onto their payloads — both sides corpus-sized but uniformly
+    * keyed. `files`: (dataset_serial, file_path, content).
+    */
+  def splitFolder(spark: SparkSession, files: DataFrame,
+      summaries: DataFrame): DataFrame = {
+    import spark.implicits._
+    val parsed = parseFolder(
+      files.select("dataset_serial", "file_path"), summaries)
+    val payloads = files
+      .select(col("dataset_serial"),
+        expr("element_at(split(file_path, '/'), -1)").as("src_name"),
+        col("content"))
+      .as[(String, String, Array[Byte])]
+      .mapPartitions { it => it.map { case (serial, name, bytes) =>
+        val p = TiffCodec.readPages(bytes).head
+        val payload = (p.samplesPerPixel, p.bitsPerSample) match {
+          case (1, 8) =>
+            ImageCodec.encodeGray8(p.samples.map(_.toByte),
+              p.width, p.height)
+          case (1, 16) => ImageCodec.encodeGray16(p.samples,
+            p.width, p.height)
+          case (3, 8) =>
+            ImageCodec.encodeRgb8(p.samples.map(_.toByte),
+              p.width, p.height)
+          case (3, 16) => ImageCodec.encodeRgb16(p.samples,
+            p.width, p.height)
+        }
+        val canonical = new Array[Byte](p.samples.length * 2)
+        var j = 0
+        while (j < p.samples.length) {
+          canonical(2 * j) = ((p.samples(j) >>> 8) & 0xff).toByte
+          canonical(2 * j + 1) = (p.samples(j) & 0xff).toByte
+          j += 1
+        }
+        val sha = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(canonical).map(b => f"${b & 0xff}%02x").mkString
+        (serial, name, sha, payload)
+      }}
+      .toDF("dataset_serial", "src_name", "sha256", "payload")
+    parsed.join(payloads, Seq("dataset_serial", "src_name"))
+  }
+
   /** tif_id_splitter._get_params_from_str: newline-separated
     * `key=value` dims off the ImageJ ImageDescription, each defaulting
     * to 1 ("frames" = timepoints). Executor-side, no Spark types.

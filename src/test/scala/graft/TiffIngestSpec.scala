@@ -278,6 +278,64 @@ class TiffIngestSpec extends AnyFunSuite {
     }
   }
 
+  test("Cli upload tif_folder: folder of single-page tifs -> store " +
+      "parquet + storage PNGs") {
+    val dir = Files.createTempDirectory("graft_tiffolder")
+    val folder = dir.resolve("acq")
+    Files.createDirectory(folder)
+    // 2 channels × 2 slices, SMS-style names; DAPI sorts before phase
+    // so first-seen channel indexing must give DAPI 0, phase 1
+    def px(i: Int): Array[Int] =
+      Array.tabulate(6 * 5)(j => (i * 1001 + j * 7) % 65536)
+    val names = Seq("img_DAPI_t000_p000_z000.tif",
+      "img_DAPI_t000_p000_z001.tif",
+      "img_phase_t000_p000_z000.tif",
+      "img_phase_t000_p000_z001.tif")
+    for ((n, i) <- names.zipWithIndex)
+      Files.write(folder.resolve(n),
+        TiffCodec.write(Seq(TiffPage(6, 5, 16, 1, None, px(i)))))
+    Files.writeString(folder.resolve("metadata.txt"),
+      """{"Summary":{"PixelType":"GRAY16","BitDepth":16,"Width":6,"Height":5}}""")
+    val csv = dir.resolve("upload.csv")
+    Files.writeString(csv,
+      s"dataset_id,file_name,description\nFOLDER-2026-03,$folder,acq\n")
+    val cfg = dir.resolve("config.json")
+    // the reference's tiff_folder spelling alias must canonicalize
+    Files.writeString(cfg,
+      """{"upload_type": "frames", "frames_format": "tiff_folder"}""")
+    val store = dir.resolve("store").toString
+    val mount = Files.createTempDirectory("graft_foldermount").toString
+    assert(Cli.run(spark, Seq("upload", "--csv", csv.toString,
+      "--config", cfg.toString, "--store", store,
+      "--mount", mount)) === 0)
+    val frames = spark.read.parquet(s"$store/frames.parquet")
+    assert(frames.count() === 4)
+    assert(frames.columns.contains("sha256") &&
+      !frames.columns.contains("payload"))
+    // folder frame info + first-seen channel indexing
+    assert(frames.filter(col("bit_depth") =!= "uint16"
+      || col("im_width") =!= 6 || col("im_colors") =!= 1).count() === 0)
+    val chIdx = frames.select("channel_name", "channel_idx").distinct()
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(chIdx === Map("DAPI" -> 0, "phase" -> 1))
+    val meta = spark.read.parquet(s"$store/global_meta.parquet").head()
+    assert(meta.getAs[Long]("nbr_frames") === 4)
+    assert(meta.getAs[Long]("nbr_channels") === 2)
+    assert(meta.getAs[Long]("nbr_slices") === 2)
+    assert(meta.getAs[Long]("nbr_timepoints") === 1)
+    assert(meta.getAs[Long]("nbr_positions") === 1)
+    // storage holds the 4 real PNGs pixel-exact vs the planted frames
+    val stored = Paths.get(mount, "raw_frames/FOLDER-2026-03")
+    assert(Files.list(stored).count() === 4)
+    for ((c, z, i) <- Seq((0, 0, 0), (0, 1, 1), (1, 0, 2), (1, 1, 3))) {
+      val name = f"im_c$c%03d_z$z%03d_t000_p000.png"
+      val (w, h, got) = ImageCodec.decodeGray(
+        Files.readAllBytes(stored.resolve(name)))
+      assert(w === 6 && h === 5)
+      assert(got.toSeq === px(i).toSeq, s"stored frame $name")
+    }
+  }
+
   test("TIFF 32-bit float gray (SampleFormat 3) round-trips exactly") {
     // the ometif_splitter.py:68 quantitative-phase export shape
     val floats = Array.tabulate(19 * 11) { i =>
