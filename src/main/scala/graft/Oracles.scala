@@ -958,6 +958,115 @@ FROM (
     */
   val docContainmentResidue: String = containSql(residue = true)
 
+  /** Twin of [[graft.ops.DedupOps.containmentKeepBest]]: the full
+    * containment corpus, exact-star edges over it, the LSH minhash
+    * chain AND the capped containment index over the exact-collapse
+    * representatives, all three edge sets into one recursive
+    * reachability, keep-best survivor by (n_tokens desc, doc_id),
+    * fragment band (ids ≥ 2e6) censused explicitly.
+    */
+  val docContainmentKeepBest: String = s"""WITH RECURSIVE corpus AS (
+  $plantedCorpusSql
+  UNION ALL
+  SELECT doc_id + 2000000,
+    array_to_string(list_slice(string_split(text, ' '), 1,
+      CAST(greatest(4, len(string_split(text, ' ')) // 2) AS INT)),
+      ' '),
+    source, lang
+  FROM documents WHERE doc_id % 7 = 0
+), reps AS (
+  SELECT doc_id, text, source, lang FROM (
+    SELECT doc_id, text, source, lang,
+      row_number() OVER (PARTITION BY md5(lower(trim(text)))
+        ORDER BY doc_id) AS rn
+    FROM corpus)
+  WHERE rn = 1
+), sh AS (
+  SELECT doc_id, source, lang,
+    CAST(floor(length(text) / 64.0) AS INT) AS lenband,
+    list_distinct(CASE WHEN len(toks) >= 3 THEN
+      list_transform(range(1, len(toks) - 1),
+        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      ELSE [text] END) AS shset
+  FROM (
+    SELECT doc_id, text, source, lang,
+      list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+    FROM reps)
+)""" + minhashChain("sh") + """, ev AS (
+  SELECT doc_id, unnest(shset) AS shg FROM sh
+), idx AS (SELECT shg, count(*) AS n FROM ev GROUP BY shg),
+candc AS (
+  SELECT e1.doc_id AS doc1, e2.doc_id AS doc2
+  FROM ev e1 JOIN ev e2 ON e1.shg = e2.shg AND e1.doc_id < e2.doc_id
+  JOIN idx ON idx.shg = e1.shg AND idx.n BETWEEN 2 AND 64
+  GROUP BY 1, 2
+  HAVING count(*) >= 4
+), contedges AS (
+  SELECT doc1, doc2 FROM (
+    SELECT c.doc1, c.doc2,
+      CAST(len(list_intersect(x.shset, y.shset)) AS BIGINT) AS n_shared,
+      CAST(len(x.shset) AS BIGINT) AS n_sh1,
+      CAST(len(y.shset) AS BIGINT) AS n_sh2
+    FROM candc c
+    JOIN sh x ON x.doc_id = c.doc1
+    JOIN sh y ON y.doc_id = c.doc2)
+  WHERE round(CAST(n_shared AS DOUBLE) / least(n_sh1, n_sh2), 4) >= 0.8
+), exact_star AS (
+  SELECT g.keeper AS src, c.doc_id AS dst
+  FROM (
+    SELECT md5(lower(trim(text))) AS h, min(doc_id) AS keeper,
+      count(*) AS n
+    FROM corpus GROUP BY 1) g
+  JOIN (SELECT doc_id, md5(lower(trim(text))) AS h FROM corpus) c
+    ON g.h = c.h
+  WHERE g.n > 1 AND c.doc_id <> g.keeper
+), edges AS (
+  SELECT src, dst FROM exact_star
+  UNION
+  SELECT doc1, doc2 FROM pairs
+  UNION
+  SELECT doc1, doc2 FROM contedges
+), eb AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+), nodes AS (
+  SELECT DISTINCT src AS id FROM eb
+), reach AS (
+  SELECT id, id AS lbl FROM nodes
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN eb e ON e.src = r.id
+), final AS (
+  SELECT id, min(lbl) AS lbl FROM reach GROUP BY id
+), toks2 AS (
+  SELECT doc_id, source,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+      ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1
+    END AS n_tokens
+  FROM corpus
+), clustered AS (
+  SELECT t.doc_id, t.source, t.n_tokens,
+    coalesce(f.lbl, t.doc_id) AS cluster
+  FROM toks2 t LEFT JOIN final f ON t.doc_id = f.id
+), wbest AS (
+  SELECT cluster, doc_id AS best_id FROM (
+    SELECT cluster, doc_id,
+      row_number() OVER (PARTITION BY cluster
+        ORDER BY n_tokens DESC, doc_id) AS rn
+    FROM clustered) WHERE rn = 1
+)
+SELECT c.source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN c.doc_id = w.best_id THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_kept,
+  CAST(count(*) - sum(CASE WHEN c.doc_id = w.best_id THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_dropped,
+  CAST(sum(CASE WHEN c.doc_id >= 2000000 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_frag_docs,
+  CAST(sum(CASE WHEN c.doc_id >= 2000000 AND c.doc_id <> w.best_id
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_frag_dropped
+FROM clustered c JOIN wbest w USING (cluster)
+GROUP BY c.source
+ORDER BY c.source"""
+
   private def containSql(residue: Boolean): String = {
     val extra = if (residue)
       "\n  AND round(CAST(n_shared AS DOUBLE)" +
@@ -5758,6 +5867,7 @@ ORDER BY method"""
     "doc_ngram_probe" -> docNgramProbe,
     "doc_containment" -> docContainment,
     "doc_containment_residue" -> docContainmentResidue,
+    "doc_containment_keep_best" -> docContainmentKeepBest,
     "doc_containment_health" -> docContainmentHealth,
     "emb_knn_brute" -> embKnnBrute,
     "events_asof" -> eventsAsof,

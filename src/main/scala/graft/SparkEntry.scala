@@ -77,6 +77,7 @@ object SparkEntry {
     "doc_ngram_probe" -> (DedupOps.ngramBandedProbe(_, _)),
     "doc_containment" -> (DedupOps.containmentPairs(_, _)),
     "doc_containment_residue" -> (DedupOps.containmentResidue(_, _)),
+    "doc_containment_keep_best" -> (DedupOps.containmentKeepBest(_, _)),
     "doc_containment_health" -> (DedupOps.containmentHealth(_, _)),
     "doc_text_stats" -> (TextOps.textStats(_, _)),
     "doc_lang_id" -> (TextOps.langId(_, _)),

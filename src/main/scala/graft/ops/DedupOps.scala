@@ -363,7 +363,17 @@ object DedupOps {
     * censuses and [[dedupKeepBest]] picks survivors from. Only
     * edge-connected docs appear; singletons are implicit.
     */
-  private[graft] def dupLabelsOf(source: DataFrame): DataFrame = {
+  private[graft] def dupLabelsOf(source: DataFrame): DataFrame =
+    dupLabelsWith(source, None)
+
+  /** [[dupLabelsOf]] with an optional extra edge set folded into the
+    * graph BEFORE propagation — the hook [[containmentKeepBest]] uses
+    * to hand the stage-3 containment work list to the same connected
+    * components the exact/LSH stages feed. Extra edges must be
+    * (src, dst) doc-id pairs over the same id space.
+    */
+  private[graft] def dupLabelsWith(source: DataFrame,
+      extraEdges: Option[DataFrame]): DataFrame = {
     // exact-collapse FIRST (the dedupPipeline production order): the
     // digest aggregate yields both the star edges (member → keeper)
     // and the representative set; near-dup LSH then runs over
@@ -375,7 +385,8 @@ object DedupOps {
     val star = dedupStarEdges(source)
     val near = minhashPairsOf(dedupReps(source).select("doc_id", "text"))
       .select(col("doc1").as("src"), col("doc2").as("dst"))
-    val edges = star.unionByName(near).distinct()
+    val edges = extraEdges
+      .foldLeft(star.unionByName(near))(_ unionByName _).distinct()
     // undirected: propagate both ways; checkpoint once so the iterative
     // joins run over a materialized edge list, not the LSH pipeline
     val eb = edges.unionByName(
@@ -1025,6 +1036,56 @@ object DedupOps {
         // `div`, not `/`: Spark's `/` on bigints returns DOUBLE
         sum(when(col("n").between(2, ContainMaxDocs),
           expr("n * (n - 1) div 2")).otherwise(0L)).as("n_cand_pairs"))
+  }
+
+  /** Stage-3 collapse — the consumer [[containmentResidue]]'s work
+    * list previously lacked: the confirmed containment pairs join the
+    * exact-star ∪ LSH edge graph as first-class dup edges, so a
+    * truncated or quote-wrapped copy lands in its original's
+    * connected component and LOSES the keep-best vote (fewest tokens
+    * — exactly the asymmetry containment detects). Census per source
+    * with the fragment band (ids ≥ 2e6, the planted truncations)
+    * reported explicitly: without the containment edges those
+    * fragments are singletons (no exact digest match, Jaccard ≈ 0.5
+    * below every LSH operating point) and provably survive both
+    * earlier stages; here their drops are visible per source.
+    *
+    * 100 TB shape: inherits the [[dupLabelsOf]] propagation (ids
+    * only, census-sized label table) and [[containmentPairs]]'
+    * capped inverted index; the keep-best tail shuffles (id, tokens)
+    * pairs on the unique doc_id / cluster keys, never text.
+    */
+  def containmentKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val src = containmentCorpus(spark, dir)
+    val contEdges = containmentScored(spark, dir)
+      .select(col("doc1").as("src"), col("doc2").as("dst"))
+    val labels = dupLabelsWith(src, Some(contEdges))
+    val docs = src
+      .withColumn("t", trim(col("text")))
+      .select(col("doc_id"), col("source"),
+        when(length(col("t")) === 0, lit(0L)).otherwise(
+          (length(col("t")) - length(expr("replace(t, ' ', '')")) + 1)
+            .cast("bigint")).as("n_tokens"))
+    val clustered = docs
+      .join(labels.select(col("id").as("doc_id"), col("lbl")),
+        Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("lbl"), col("doc_id")))
+    val winners = clustered.groupBy("cluster")
+      .agg(min(struct((-col("n_tokens")).as("neg"), col("doc_id")))
+        .as("b"))
+      .select(col("cluster"), col("b.doc_id").as("best_id"))
+    clustered.join(winners, "cluster")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("doc_id") === col("best_id")).cast("long")).as("n_kept"),
+        sum((col("doc_id") >= 2000000L).cast("long")).as("n_frag_docs"),
+        sum((col("doc_id") >= 2000000L
+          && col("doc_id") =!= col("best_id")).cast("long"))
+          .as("n_frag_dropped"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        (col("n_docs") - col("n_kept")).as("n_dropped"),
+        col("n_frag_docs"), col("n_frag_dropped"))
+      .orderBy("source")
   }
 
   /** LSH index health — the observability query a production dedup

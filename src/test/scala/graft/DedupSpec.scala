@@ -193,6 +193,28 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).sum === corpusSize)
   }
 
+  test("containment keep-best collapses the planted fragments that " +
+      "survive exact + LSH") {
+    val rows = DedupOps.containmentKeepBest(spark, sfDir).collect()
+    rows.foreach(r => assert(r.getLong(1) === r.getLong(2) + r.getLong(3),
+      s"census arithmetic broken: $r"))
+    val frag = rows.map(_.getLong(4)).sum
+    val dropped = rows.map(_.getLong(5)).sum
+    assert(frag > 0, "no planted fragments in the corpus")
+    // stage 3 must collapse (nearly) all of them — the stragglers are
+    // short docs below the MinSharedShingles candidate gate
+    assert(dropped >= frag * 9 / 10,
+      s"only $dropped of $frag planted fragments collapsed")
+    // and WITHOUT the containment edges they are structurally
+    // invisible: no exact digest match, Jaccard ≈ 0.5 under every LSH
+    // operating point — the stage-1+2 graph connects almost none
+    val reachable = DedupOps.dupLabelsOf(
+        DedupOps.containmentCorpus(spark, sfDir))
+      .filter(col("id") >= 2000000L).count()
+    assert(reachable <= frag / 4,
+      s"$reachable of $frag fragments already connected without stage 3")
+  }
+
   test("semdedup boundary probe: drops a superset of the cell-local " +
       "pass, census arithmetic intact") {
     val local = VectorOps.semDedup(spark, sfDir).collect()

@@ -95,6 +95,10 @@ class PlanSweepSpec extends AnyFunSuite {
     "doc_pruning_quality", // the same assignment ⋈ documents shuffle
                            // join, twice (census + per-doc quality
                            // flags); the policy join itself is k × k
+    "doc_containment_keep_best", // the doc_dedup_keep_best joins plus
+                           // the capped containment-index pair stage
+                           // (the doc_containment shape) feeding the
+                           // same label propagation
     "doc_dedup_keep_best", // docs ⋈ cluster labels on doc_id and
                            // docs ⋈ cluster winners on the cluster key:
                            // corpus-scale both sides (the dup_clusters
