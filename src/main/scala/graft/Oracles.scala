@@ -5541,20 +5541,50 @@ ORDER BY nlist"""
     * derivation over the exact-dedup representatives, the quality-gate
     * flags on text length, and the eval-shingle semi-join.
     */
+  /** Twin of [[graft.ops.DedupOps.domainCensus]]: the identical
+    * deterministic domain derivation (base-id 37-bucket, tld by
+    * bucket, blocklist at bkt % 11 == 3) over the planted-dup corpus,
+    * digest partials then the per-domain census.
+    */
+  val docDomainCensus: String = """WITH corpus AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, source FROM documents WHERE doc_id % 5 = 0
+), dom AS (
+  SELECT source || '-' || CAST(bkt AS VARCHAR) ||
+      CASE bkt % 3 WHEN 0 THEN '.com' WHEN 1 THEN '.org' ELSE '.net' END
+      AS domain,
+    (bkt % 11 = 3) AS blocked,
+    md5(lower(trim(text))) AS h
+  FROM (SELECT doc_id, text, source,
+      CAST(doc_id % 1000000 % 37 AS INT) AS bkt FROM corpus)
+), dg AS (
+  SELECT domain, blocked, h, count(*) AS nh FROM dom GROUP BY 1, 2, 3)
+SELECT domain, blocked, CAST(sum(nh) AS BIGINT) AS n_docs,
+  CAST(count(*) AS BIGINT) AS n_unique,
+  round(CAST(sum(nh) AS DOUBLE) / count(*), 4) AS dup_ratio
+FROM dg GROUP BY domain, blocked
+ORDER BY domain"""
+
   val docSurvivalFunnel: String = """WITH stage0 AS (
-  SELECT doc_id, source, text FROM (
+  SELECT doc_id, source, text,
+    (CAST(doc_id % 1000000 % 37 AS INT) % 11 = 3) AS blocked
+  FROM (
     SELECT doc_id, source, text FROM documents
     UNION ALL
     SELECT doc_id + 1000000 AS doc_id, source, text FROM documents
     WHERE doc_id % 5 = 0)
   WHERE doc_id >= 10
 ), hashed AS (
-  SELECT doc_id, source, text, md5(lower(trim(text))) AS h FROM stage0
-), keep1 AS (SELECT h, min(doc_id) AS keeper FROM hashed GROUP BY h),
+  SELECT doc_id, source, text, NOT blocked AS surv0,
+    md5(lower(trim(text))) AS h FROM stage0
+), keep1 AS (
+  SELECT h, min(doc_id) AS keeper FROM hashed WHERE surv0 GROUP BY h),
 s1 AS (
-  SELECT hashed.doc_id, hashed.source, hashed.text,
-    (hashed.doc_id = keep1.keeper) AS surv1
-  FROM hashed JOIN keep1 ON hashed.h = keep1.h
+  SELECT hashed.doc_id, hashed.source, hashed.text, hashed.surv0,
+    (hashed.surv0 AND coalesce(hashed.doc_id = keep1.keeper, false))
+      AS surv1
+  FROM hashed LEFT JOIN keep1 ON hashed.h = keep1.h
 ), repdocs AS (SELECT doc_id, text FROM s1 WHERE surv1),
 sh AS (
   SELECT doc_id,
@@ -5593,7 +5623,7 @@ sh0 AS (
     SELECT doc_id, unnest(shset) AS s FROM sh0) x
   JOIN evalsh e ON x.s = e.s
 ), flags AS (
-  SELECT s1.source, s1.surv1,
+  SELECT s1.source, s1.surv0, s1.surv1,
     (s1.surv1 AND nd.doc_id IS NULL) AS surv2,
     (length(s1.text) >= 100
       AND len(list_filter(string_split(lower(s1.text), ' '),
@@ -5608,6 +5638,7 @@ sh0 AS (
   LEFT JOIN contam c ON s1.doc_id = c.doc_id)
 SELECT source,
   CAST(count(*) AS BIGINT) AS n_raw,
+  CAST(sum(CASE WHEN surv0 THEN 1 ELSE 0 END) AS BIGINT) AS n_domain,
   CAST(sum(CASE WHEN surv1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
   CAST(sum(CASE WHEN surv2 THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
   CAST(sum(CASE WHEN surv2 AND quality THEN 1 ELSE 0 END) AS BIGINT)
@@ -5692,6 +5723,7 @@ ORDER BY method"""
 
   def all: Map[String, String] = Map(
     "doc_survival_funnel" -> docSurvivalFunnel,
+    "doc_domain_census" -> docDomainCensus,
     "doc_zipf_slope" -> docZipfSlope,
     "events_conversion_lag" -> eventsConversionLag,
     "doc_dedup_inflation" -> docDedupInflation,

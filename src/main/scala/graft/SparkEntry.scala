@@ -133,6 +133,7 @@ object SparkEntry {
     "emb_knn_sq8" -> (VectorOps.knnSq8(_, _)),
     "events_paths" -> (EventOps.eventsPaths(_, _)),
     "doc_survival_funnel" -> (DedupOps.survivalFunnel(_, _)),
+    "doc_domain_census" -> (DedupOps.domainCensus(_, _)),
     "doc_zipf_slope" -> (TextOps.zipfSlope(_, _)),
     "events_conversion_lag" -> (EventOps.eventsConversionLag(_, _)),
     "doc_dedup_inflation" -> (DedupOps.dedupInflation(_, _)),

@@ -487,12 +487,60 @@ object DedupOps {
       .orderBy("doc1", "doc2")
   }
 
+  /** Deterministic domain column — the SURVEY §3 derivation
+    * discipline applied to the url field the synthetic corpus lacks:
+    * every doc maps to `<source>-<bkt>.<tld>` where bkt is the BASE
+    * id's 37-bucket (mod 1e6 first, so a planted duplicate shares its
+    * original's domain — a site hosting the same content twice, the
+    * realistic mirror case) and the tld follows the bucket. The
+    * blocklist rule (bkt % 11 == 3, ~11% of docs) is likewise
+    * deterministic — both engines derive the identical list, standing
+    * in for the external domain blocklist a CCNet/Dolma pipeline
+    * loads.
+    */
+  private def withDomain(df: DataFrame): DataFrame = df
+    .withColumn("bkt", (col("doc_id") % 1000000L % 37L).cast("int"))
+    .withColumn("domain", concat(col("source"), lit("-"),
+      col("bkt").cast("string"),
+      element_at(array(lit(".com"), lit(".org"), lit(".net")),
+        (col("bkt") % 3 + 1).cast("int"))))
+    .withColumn("blocked", col("bkt") % 11 === 3)
+
+  /** Domain-level curation census — the stage-0 report a URL-curated
+    * pipeline ships before any content pass: per derived domain, doc
+    * volume, exact-digest uniques and the dup ratio (a domain serving
+    * the same page under many ids is a crawl trap), plus the
+    * blocklist flag the survival funnel's stage 0 gates on.
+    *
+    * 100 TB shape: two-level aggregate — (domain, digest) partials
+    * collapse map-side, then the ≤|domains| census; only (domain,
+    * digest) pairs ever shuffle, never text, and no countDistinct
+    * Expand appears in the plan.
+    */
+  def domainCensus(spark: SparkSession, dir: String): DataFrame =
+    withDomain(corpus(spark, dir))
+      .select(col("domain"), col("blocked"),
+        md5(lower(trim(col("text")))).as("h"))
+      .groupBy("domain", "blocked", "h")
+      .agg(count(lit(1)).as("nh"))
+      .groupBy("domain", "blocked")
+      .agg(sum("nh").as("n_docs"), count(lit(1)).as("n_unique"))
+      .select(col("domain"), col("blocked"), col("n_docs"),
+        col("n_unique"),
+        round(col("n_docs").cast("double") / col("n_unique"), 4)
+          .as("dup_ratio"))
+      .orderBy("domain")
+
   /** Pipeline survival funnel — the headline data-funnel report of a
     * training-corpus build: how many documents per source survive
-    * each cleaning stage, CUMULATIVELY — raw → exact dedup (digest
-    * keeper) → near-dup dedup (LSH-confirmed pairs, keep-lower-id) →
-    * quality gate (length/token/stopword) → eval decontamination
-    * (shared 3-gram shingle with the held-out set). Eval originals
+    * each cleaning stage, CUMULATIVELY — raw → domain blocklist
+    * (stage 0, [[withDomain]]'s deterministic gate in the
+    * CCNet/Dolma position: URL-level curation before any content
+    * pass) → exact dedup (digest keeper, computed among stage-0
+    * survivors) → near-dup dedup (LSH-confirmed pairs,
+    * keep-lower-id) → quality gate (length/token/stopword) → eval
+    * decontamination (shared 3-gram shingle with the held-out set).
+    * Eval originals
     * (doc_id < 10) are excluded up front; their PLANTED copies stay
     * in — exact dedup cannot see them (the originals are gone) but
     * the decontamination stage catches the leaked text, which is
@@ -508,13 +556,21 @@ object DedupOps {
     */
   def survivalFunnel(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val stage0 = corpus(spark, dir).filter(col("doc_id") >= 10)
-      .select("doc_id", "source", "text")
-    val hashed = stage0.withColumn("h", md5(lower(trim(col("text")))))
-    val keepers = hashed.select("doc_id", "h").groupBy("h")
-      .agg(min("doc_id").as("keeper"))
-    val s1 = hashed.join(keepers, "h")
-      .withColumn("surv1", col("doc_id") === col("keeper"))
+    val stage0 = withDomain(corpus(spark, dir).filter(col("doc_id") >= 10))
+      .select("doc_id", "source", "text", "blocked")
+    // stage 0 — URL/domain curation BEFORE any content pass (the
+    // CCNet/Dolma production order): the deterministic domain
+    // blocklist gate. Blocked docs never reach the digest, LSH or
+    // quality stages, so the keeper set is computed among survivors
+    // only — exactly what a pipeline that gates at the crawl frontier
+    // produces.
+    val s0 = stage0.withColumn("surv0", !col("blocked"))
+    val hashed = s0.withColumn("h", md5(lower(trim(col("text")))))
+    val keepers = hashed.filter(col("surv0")).select("doc_id", "h")
+      .groupBy("h").agg(min("doc_id").as("keeper"))
+    val s1 = hashed.join(keepers, Seq("h"), "left")
+      .withColumn("surv1", col("surv0")
+        && coalesce(col("doc_id") === col("keeper"), lit(false)))
     val reps = s1.filter(col("surv1")).select("doc_id", "text")
     val nearDrop = minhashPairsOf(reps)
       .select(col("doc2").as("doc_id")).distinct()
@@ -542,6 +598,7 @@ object DedupOps {
       .withColumn("surv4", col("surv3") && col("contam").isNull)
       .groupBy("source")
       .agg(count(lit(1)).as("n_raw"),
+        sum(col("surv0").cast("long")).as("n_domain"),
         sum(col("surv1").cast("long")).as("n_exact"),
         sum(col("surv2").cast("long")).as("n_near"),
         sum(col("surv3").cast("long")).as("n_quality"),

@@ -347,23 +347,49 @@ class DedupSpec extends AnyFunSuite {
       "dups, leaked eval copies die at decontamination") {
     val rows = DedupOps.survivalFunnel(spark, sfDir).collect()
     val docs = graft.tables.Tables.documents(spark, sfDir)
-    // per source, every stage can only shrink the corpus
+    // per source, every stage (domain gate included) can only shrink
     rows.foreach { r =>
-      val chain = (1 to 5).map(r.getLong)
+      val chain = (1 to 6).map(r.getLong)
       assert(chain.zip(chain.tail).forall { case (a, b) => a >= b },
         s"non-monotone funnel for ${r.getString(0)}: $chain")
-      assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0)
+      assert(r.getDouble(7) >= 0.0 && r.getDouble(7) <= 1.0)
     }
-    // exact stage drops exactly the planted copies whose original is
-    // still in stage0 (doc_id % 5 == 0 AND >= 10)
-    val plantedWithOriginal =
-      docs.filter(col("doc_id") % 5 === 0 && col("doc_id") >= 10).count()
+    // stage 0 drops exactly the blocklisted-bucket docs
+    val blocked = expr("cast(doc_id % 1000000 % 37 as int) % 11 = 3")
+    val corpus0 = DedupOps.corpus(spark, sfDir)
+      .filter(col("doc_id") >= 10)
     assert(rows.map(r => r.getLong(1) - r.getLong(2)).sum
+      === corpus0.filter(blocked).count())
+    // exact stage drops exactly the planted copies whose original
+    // also survived stage 0 (same derived domain, so same verdict)
+    val plantedWithOriginal = docs
+      .filter(col("doc_id") % 5 === 0 && col("doc_id") >= 10 && !blocked)
+      .count()
+    assert(rows.map(r => r.getLong(2) - r.getLong(3)).sum
       === plantedWithOriginal)
     // the two leaked eval copies (planted ids 1000000/1000005) slip
     // past exact dedup (originals excluded) but must die by the
     // decontamination stage: clean strictly below quality overall
-    assert(rows.map(_.getLong(5)).sum < rows.map(_.getLong(4)).sum)
+    assert(rows.map(_.getLong(6)).sum < rows.map(_.getLong(5)).sum)
+  }
+
+  test("domain census: deterministic derivation, blocklist share " +
+      "near 4/37, dup ratios >= 1") {
+    val rows = DedupOps.domainCensus(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(0).matches(".+-\\d+\\.(com|org|net)"),
+        s"malformed domain: $r")
+      assert(r.getLong(2) >= r.getLong(3), s"more uniques than docs: $r")
+      assert(r.getDouble(4) >= 1.0)
+    }
+    // census conserves the corpus
+    val n = DedupOps.corpus(spark, sfDir).count()
+    assert(rows.map(_.getLong(2)).sum === n)
+    // the blocklist rule hits 4 of the 37 buckets — the blocked doc
+    // share must sit near 4/37 (exact share depends on id spacing)
+    val bShare = rows.filter(_.getBoolean(1)).map(_.getLong(2)).sum.toDouble / n
+    assert(bShare > 0.04 && bShare < 0.2, s"blocklist share $bShare")
   }
 
   test("path analysis: well-formed trigrams ranked by count") {
