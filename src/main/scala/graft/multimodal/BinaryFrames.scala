@@ -643,6 +643,50 @@ object BinaryFrames {
       .drop("im_height", "im_width", "im_colors")
   }
 
+  /** Shape-FORCED stack fill — data_storage.py:170-197
+    * (`get_stack_with_shape`), the partial/corrupt-metadata recovery
+    * path the grid-indexed [[assembleStacksOf]] cannot express: the
+    * caller supplies the stack's last-dimension slot count and the
+    * frames are assumed CONTIGUOUS in file-name order (no c/z/t/p
+    * indices consulted — exactly the reference's "frames in the list
+    * are contiguous" contract). Slots beyond the available frames
+    * stay ZERO-FILLED to the dataset's frame byte size (the
+    * reference's np.zeros pre-allocation); more frames than slots is
+    * its IndexError, surfaced batch-form as the `overflow` flag with
+    * the fill truncated at `slots` so one short dataset flags instead
+    * of killing a distributed job.
+    *
+    * `framesDf`: (dataset_id, file_name, payload); `geometry`:
+    * per-dataset (dataset_id, im_height, im_width, im_colors);
+    * `bytesPerSample` is the reference's bit_depth parameter. One
+    * shuffle on the dataset key; the slot expansion is per-group
+    * column work bounded by the caller's shape.
+    */
+  def assembleStacksWithShape(framesDf: DataFrame, geometry: DataFrame,
+      slots: Int, bytesPerSample: Int = 2): DataFrame = {
+    require(slots >= 1, s"stack needs at least one slot, got $slots")
+    framesDf
+      .select(col("dataset_id"),
+        struct(col("file_name"), col("payload")).as("fr"))
+      .groupBy("dataset_id")
+      .agg(sort_array(collect_list(col("fr"))).as("frs"),
+        count(lit(1)).as("n_frames"))
+      .join(broadcast(geometry), Seq("dataset_id"), "left")
+      .withColumn("zero", expr("cast(repeat(chr(0), " +
+        "coalesce(im_height, 1) * coalesce(im_width, 1) * " +
+        s"coalesce(im_colors, 1) * $bytesPerSample) as binary)"))
+      .withColumn("stack", expr(
+        s"""transform(sequence(0, ${slots - 1}), i -> named_struct(
+          'slot', i,
+          'file_name',
+            if(i < size(frs), frs[i].file_name, cast(null as string)),
+          'payload', if(i < size(frs), frs[i].payload, zero)))"""))
+      .select(col("dataset_id"), col("n_frames"),
+        lit(slots.toLong).as("n_slots"),
+        (col("n_frames") > slots).as("overflow"),
+        col("stack"))
+  }
+
   private val resizePng =
     udf((payload: Array[Byte], factor: Int) =>
       ImageCodec.resizeGray(payload, factor))

@@ -989,6 +989,45 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("shape-forced stack fill: short frame lists zero-pad, long " +
+      "ones flag overflow") {
+    import spark.implicits._
+    // data_storage.py:170-197 get_stack_with_shape: contiguous fill
+    // in file-name order into a caller-supplied slot count.
+    //  ds1: 2 frames into 4 slots → slots 2/3 zero-filled
+    //  ds2: 5 frames into 4 slots → the reference's IndexError,
+    //       batch-form overflow flag, fill truncated
+    val frames = (
+      Seq((1L, "im_b.png", Array[Byte](9, 9)),
+        (1L, "im_a.png", Array[Byte](7, 7))) ++
+      (0 until 5).map(i => (2L, f"im_$i%03d.png", Array[Byte](i.toByte))))
+      .toDF("dataset_id", "file_name", "payload")
+    val geometry = Seq((1L, 2, 3, 1), (2L, 1, 1, 1))
+      .toDF("dataset_id", "im_height", "im_width", "im_colors")
+    val out = BinaryFrames
+      .assembleStacksWithShape(frames, geometry, slots = 4)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val d1 = out(1L)
+    assert(d1.getLong(1) === 2 && d1.getLong(2) === 4)
+    assert(!d1.getBoolean(3))
+    val s1 = d1.getSeq[org.apache.spark.sql.Row](4)
+    assert(s1.length === 4)
+    // contiguity is FILE-NAME order, not insertion order
+    assert(s1(0).getString(1) === "im_a.png" &&
+      s1(0).getAs[Array[Byte]](2).toSeq === Seq[Byte](7, 7))
+    assert(s1(1).getString(1) === "im_b.png")
+    // empty slots: null name, np.zeros-style payload at the dataset's
+    // frame byte size (2×3×1 px × 2 bytes)
+    for (i <- 2 to 3) {
+      assert(s1(i).isNullAt(1), s"slot $i must have no file")
+      assert(s1(i).getAs[Array[Byte]](2).toSeq
+        === Seq.fill(12)(0.toByte), s"slot $i not zero-filled")
+    }
+    val d2 = out(2L)
+    assert(d2.getLong(1) === 5 && d2.getBoolean(3), "overflow must flag")
+    assert(d2.getSeq[org.apache.spark.sql.Row](4).length === 4)
+  }
+
   test("stack assembly orders each dataset's payloads by c/z/t/p") {
     val stacks = BinaryFrames.assembleStacks(spark, sfDir)
     val row = stacks.select(col("n_frames"), col("stack"))
