@@ -1679,6 +1679,79 @@ FROM prim pr LEFT JOIN drops d USING (vec_id)
 GROUP BY pr.cell
 ORDER BY pr.cell"""
 
+  /** Twin of [[graft.ops.VectorOps.semDedupRecall]]: the same planted
+    * corpus and probed assignment, 1-in-64 md5 anchors, exact
+    * tau-neighbor ground truth, cell-local and 2-probe caught sets
+    * via the same pair geometries.
+    */
+  val embSemDedupRecall: String = s"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 50 = 0
+), cents AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+  WHERE vec_id < (SELECT greatest(16,
+    CAST(ceil(count(*) / 128.0) AS BIGINT)) FROM corpus)
+), ranked AS (
+  SELECT vec_id, embedding, cell, crank FROM (
+    SELECT e.vec_id, e.embedding, c.cid AS cell,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY -${duckCos("e.embedding", "c.cv")}, c.cid) AS crank
+    FROM corpus e CROSS JOIN cents c)
+  WHERE crank <= 2
+), prim AS (
+  SELECT vec_id, embedding, cell FROM ranked WHERE crank = 1
+), anchors AS (
+  SELECT vec_id AS aid FROM corpus
+  WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 7))::BIGINT
+    % 64 = 0 OR vec_id >= 1000000
+), aprim AS (
+  SELECT a.aid, p.cell AS acell, p.embedding AS av
+  FROM anchors a JOIN prim p ON p.vec_id = a.aid
+), aprobes AS (
+  SELECT a.aid, r.cell AS acell, r.embedding AS av
+  FROM anchors a JOIN ranked r ON r.vec_id = a.aid
+), droppable AS (
+  SELECT DISTINCT a.aid FROM corpus u JOIN aprim a ON u.vec_id < a.aid
+  WHERE ${duckCos("u.embedding", "a.av")} >= 0.85
+), lcl AS (
+  SELECT DISTINCT a.aid FROM prim u JOIN aprim a
+    ON u.cell = a.acell AND u.vec_id < a.aid
+  WHERE ${duckCos("u.embedding", "a.av")} >= 0.85
+), pr2 AS (
+  SELECT DISTINCT aid FROM (
+    SELECT a.aid, u.embedding AS ue, a.av FROM prim u JOIN aprobes a
+      ON u.cell = a.acell AND u.vec_id < a.aid
+    UNION ALL
+    SELECT a.aid, u.embedding AS ue, a.av FROM ranked u JOIN aprim a
+      ON u.cell = a.acell AND u.vec_id < a.aid)
+  WHERE ${duckCos("ue", "av")} >= 0.85
+), r1 AS (
+  SELECT 'cell_local' AS method,
+    CAST(count(*) AS BIGINT) AS n_anchors,
+    CAST(count(d.aid) AS BIGINT) AS n_droppable,
+    CAST(count(l.aid) AS BIGINT) AS n_caught,
+    CASE WHEN count(d.aid) > 0 THEN
+      round(CAST(count(l.aid) AS DOUBLE) / count(d.aid), 4)
+    END AS drop_recall
+  FROM anchors a
+  LEFT JOIN droppable d ON d.aid = a.aid
+  LEFT JOIN lcl l ON l.aid = a.aid
+), r2 AS (
+  SELECT 'probe2' AS method,
+    CAST(count(*) AS BIGINT) AS n_anchors,
+    CAST(count(d.aid) AS BIGINT) AS n_droppable,
+    CAST(count(p.aid) AS BIGINT) AS n_caught,
+    CASE WHEN count(d.aid) > 0 THEN
+      round(CAST(count(p.aid) AS DOUBLE) / count(d.aid), 4)
+    END AS drop_recall
+  FROM anchors a
+  LEFT JOIN droppable d ON d.aid = a.aid
+  LEFT JOIN pr2 p ON p.aid = a.aid
+)
+SELECT * FROM r1 UNION ALL SELECT * FROM r2 ORDER BY method"""
+
   /** Boundary-probe twin of [[graft.ops.VectorOps.knnGraphProbe]]:
     * prober at crank ≤ 2, candidates at crank = 1, per-prober argmax
     * as row_number on (sim desc, nn asc), edge keyed by the prober's
@@ -5820,6 +5893,7 @@ ORDER BY method"""
     "emb_semdedup" -> embSemDedup,
     "emb_knn_graph" -> embKnnGraph,
     "emb_semdedup_probe" -> embSemDedupProbe,
+    "emb_semdedup_recall" -> embSemDedupRecall,
     "emb_knn_graph_probe" -> embKnnGraphProbe,
     "emb_knn_graph_recall" -> embKnnGraphRecall,
     "events_sliding" -> eventsSliding,

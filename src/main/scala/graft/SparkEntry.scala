@@ -187,6 +187,7 @@ object SparkEntry {
     "emb_semdedup" -> (VectorOps.semDedup(_, _)),
     "emb_knn_graph" -> (VectorOps.knnGraph(_, _)),
     "emb_semdedup_probe" -> (VectorOps.semDedupProbe(_, _)),
+    "emb_semdedup_recall" -> (VectorOps.semDedupRecall(_, _)),
     "emb_knn_graph_probe" -> (VectorOps.knnGraphProbe(_, _)),
     "emb_knn_graph_recall" -> (VectorOps.knnGraphRecall(_, _)),
     "events_sliding" -> (EventOps.eventsSliding(_, _)),

@@ -502,6 +502,91 @@ object VectorOps {
       .orderBy("cell")
   }
 
+  /** Drop-recall audit of the cell-bounded SemDeDup passes — the
+    * dedup-side companion of [[knnGraphRecall]] (the planted corpus
+    * cannot show the boundary loss: exact copies always share their
+    * original's cell, so this audit grades against the EXACT
+    * tau-neighbor ground truth instead). On the 1-in-[[AuditEvery]]
+    * anchor sample of the same planted corpus [[semDedup]] runs over:
+    * an anchor is DROPPABLE when some lower-id vector sits within tau
+    * anywhere in the corpus (the |A|·N exact side, bounded by the
+    * audit rate), and each method's CAUGHT set re-applies its own
+    * pair geometry with the anchor on one side — cell-local (both
+    * primary) vs 2-probe (either end probes the other's primary).
+    * Method pairs are subsets of the exact pairs by construction, so
+    * drop_recall = caught/droppable is a true recall and probe2
+    * dominates cell_local. The anchor set is the md5 sample UNION the
+    * planted copies (the doc_minhash_recall discipline: planted
+    * ground truth keeps the denominator non-empty at every scale —
+    * anchor volume stays ≤ N/50 + N/64, same order as the audit
+    * rate), so a routing regression that ever splits an exact-dup
+    * pair across cells reads as a recall drop here, not a silent
+    * under-dedup. Method sides cost |A|·targetCell·nprobe; the anchor
+    * frames broadcast (the exactScored audit discipline — bounded by
+    * the audit rate, never a production-path join).
+    */
+  def semDedupRecall(spark: SparkSession, dir: String,
+      tau: Double = 0.85): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val corpus = e.select(col("vec_id"), col("embedding")).unionByName(
+      e.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    val k = derivedK(corpus.count())
+    val cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val probed = assignCellsProbed(corpus, cents, 2)
+      .join(corpus, "vec_id")
+      .withColumn("nrm", norm(col("embedding")))
+    val prim = probed.filter(col("prank") === 0)
+    val anchorIds = corpus.filter(expr(
+        s"""cast(conv(substring(md5(cast(vec_id as string)), 1, 7), 16, 10)
+           as bigint) % $AuditEvery = 0""") || col("vec_id") >= 1000000L)
+      .select(col("vec_id").as("aid"))
+    val aPrim = prim.join(anchorIds, col("vec_id") === col("aid"))
+      .select(col("aid"), col("cell").as("acell"),
+        col("embedding").as("av"), col("nrm").as("anorm"))
+    val aProbes = probed.join(anchorIds, col("vec_id") === col("aid"))
+      .select(col("aid"), col("cell").as("acell"),
+        col("embedding").as("av"), col("nrm").as("anorm"))
+    def tauPairs(u: DataFrame, a: DataFrame,
+        onCell: Boolean): DataFrame = {
+      val cond =
+        if (onCell) col("cell") === col("acell") &&
+          col("vec_id") < col("aid")
+        else col("vec_id") < col("aid")
+      u.join(broadcast(a), cond)
+        .filter(dot(col("embedding"), col("av"))
+          / (col("nrm") * col("anorm")) >= tau)
+        .select("aid").distinct()
+    }
+    val uCorpus = corpus.withColumn("nrm", norm(col("embedding")))
+    val droppable = tauPairs(uCorpus, aPrim, onCell = false)
+    val local = tauPairs(
+      prim.select(col("cell"), col("vec_id"), col("embedding"),
+        col("nrm")), aPrim, onCell = true)
+    val probe2 = tauPairs(
+        prim.select(col("cell"), col("vec_id"), col("embedding"),
+          col("nrm")), aProbes, onCell = true)
+      .unionByName(tauPairs(
+        probed.select(col("cell"), col("vec_id"), col("embedding"),
+          col("nrm")), aPrim, onCell = true))
+      .distinct()
+    def rollup(method: String, caught: DataFrame): DataFrame =
+      anchorIds
+        .join(droppable.withColumn("dr", lit(1L)), Seq("aid"), "left")
+        .join(caught.withColumn("ct", lit(1L)), Seq("aid"), "left")
+        .agg(count(lit(1)).as("n_anchors"),
+          coalesce(sum(col("dr")), lit(0L)).as("n_droppable"),
+          coalesce(sum(col("ct")), lit(0L)).as("n_caught"))
+        .select(lit(method).as("method"), col("n_anchors"),
+          col("n_droppable"), col("n_caught"),
+          when(col("n_droppable") > 0,
+            round(col("n_caught").cast("double") / col("n_droppable"), 4))
+            .as("drop_recall"))
+    rollup("cell_local", local).unionByName(rollup("probe2", probe2))
+      .orderBy("method")
+  }
+
   /** Boundary-probed kNN graph — [[knnGraph]] with the prober side
     * probing its 2 nearest cells (candidates stay primary-assigned):
     * a vector whose true nearest neighbor lives just across the cell

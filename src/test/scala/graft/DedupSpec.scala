@@ -255,6 +255,28 @@ class DedupSpec extends AnyFunSuite {
       "probing a second cell cannot un-cover a vector")
   }
 
+  test("semdedup drop-recall audit: planted ground truth caught in " +
+      "full, probe2 dominates") {
+    val rows = VectorOps.semDedupRecall(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("cell_local", "probe2"))
+    val Array(lo, pr) = rows
+    val nPlanted = graft.tables.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 50 === 0).count()
+    // the planted copies anchor the denominator at every scale
+    assert(lo.getLong(2) >= nPlanted, s"droppable below planted: $lo")
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), "caught must be ⊆ droppable")
+      assert(r.getLong(2) <= r.getLong(1))
+    }
+    // an exact copy shares its original's cell by the deterministic
+    // tie-break — a recall below 1.0 on the planted set means the
+    // routing regressed into splitting dup pairs across cells
+    assert(lo.getDouble(4) === 1.0,
+      s"cell-local pass lost planted exact dups: $lo")
+    assert(pr.getLong(3) >= lo.getLong(3))
+    assert(pr.getDouble(4) >= lo.getDouble(4))
+  }
+
   test("knn graph recall audit: probe2 dominates cell_local on every " +
       "metric") {
     val rows = VectorOps.knnGraphRecall(spark, sfDir).collect()

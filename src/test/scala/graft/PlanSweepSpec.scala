@@ -128,6 +128,9 @@ class PlanSweepSpec extends AnyFunSuite {
     "emb_semdedup_probe",  // same cell-co-partitioned self-join with
                            // the prober side doubled (2-probe) — still
                            // corpus-scale both sides
+    "emb_semdedup_recall", // anchor-side pair geometries ⋈ primary /
+                           // probed assignment on cell — the
+                           // emb_knn_graph_recall audit shape
     "emb_knn_graph_probe", // same shape, prober at 2 probes
     "emb_knn_graph_recall" // anchor-side prober ⋈ primary assignment
                            // on cell: anchor volume is
@@ -168,6 +171,9 @@ class PlanSweepSpec extends AnyFunSuite {
     "emb_knn_graph_recall", // probed-assignment cross join + the
                       // broadcast-anchor <> join of the exact
                       // ground-truth side
+    "emb_semdedup_recall", // probed-assignment cross join + the
+                      // broadcast-anchor < join of the exact
+                      // droppable side
     "events_rfm",     // one-row reference-date census cross join
     "emb_knn_sq8",    // one-row [min,max]-range census cross join +
                       // tiny quantized query side, <> condition
