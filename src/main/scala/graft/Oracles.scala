@@ -1786,6 +1786,39 @@ JOIN prim pr ON pr.vec_id = e.v1
 WHERE e.rk = 1
 ORDER BY vec_id"""
 
+  /** Twin of [[graft.ops.VectorOps.knnGraphTopK]]: same probed
+    * geometry, per-prober top-5 as row_number on (sim desc, v2),
+    * edge keyed by the prober's primary cell.
+    */
+  val embKnnGraphTopk: String = s"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+  WHERE vec_id < (SELECT greatest(16,
+    CAST(ceil(count(*) / 128.0) AS BIGINT)) FROM embeddings)
+), ranked AS (
+  SELECT vec_id, embedding, cell, crank FROM (
+    SELECT e.vec_id, e.embedding, c.cid AS cell,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY -${duckCos("e.embedding", "c.cv")}, c.cid) AS crank
+    FROM embeddings e CROSS JOIN cents c)
+  WHERE crank <= 2
+), prim AS (
+  SELECT vec_id, embedding, cell FROM ranked WHERE crank = 1
+), edges AS (
+  SELECT p.vec_id AS v1, s.vec_id AS v2,
+    ${duckCos("p.embedding", "s.embedding")} AS sim
+  FROM ranked p JOIN prim s ON p.cell = s.cell AND p.vec_id <> s.vec_id
+)
+SELECT pr.cell, e.v1 AS vec_id, CAST(e.rk AS INT) AS rank,
+  e.v2 AS nn_id, CAST(round(e.sim, 6) AS DOUBLE) AS sim
+FROM (
+  SELECT v1, v2, sim,
+    row_number() OVER (PARTITION BY v1 ORDER BY sim DESC, v2) AS rk
+  FROM edges) e
+JOIN prim pr ON pr.vec_id = e.v1
+WHERE e.rk <= 5
+ORDER BY vec_id, rank"""
+
   /** Twin of [[graft.ops.VectorOps.knnGraphRecall]]: 1-in-64 md5
     * anchor sample, exact NN as the ground truth, cell-local and
     * 2-probe graph edges via the same (sim desc, id) argmax, per-row
@@ -5895,6 +5928,7 @@ ORDER BY method"""
     "emb_semdedup_probe" -> embSemDedupProbe,
     "emb_semdedup_recall" -> embSemDedupRecall,
     "emb_knn_graph_probe" -> embKnnGraphProbe,
+    "emb_knn_graph_topk" -> embKnnGraphTopk,
     "emb_knn_graph_recall" -> embKnnGraphRecall,
     "events_sliding" -> eventsSliding,
     "doc_shard_stats" -> docShardStats,

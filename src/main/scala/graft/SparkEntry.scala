@@ -189,6 +189,7 @@ object SparkEntry {
     "emb_semdedup_probe" -> (VectorOps.semDedupProbe(_, _)),
     "emb_semdedup_recall" -> (VectorOps.semDedupRecall(_, _)),
     "emb_knn_graph_probe" -> (VectorOps.knnGraphProbe(_, _)),
+    "emb_knn_graph_topk" -> (VectorOps.knnGraphTopK(_, _)),
     "emb_knn_graph_recall" -> (VectorOps.knnGraphRecall(_, _)),
     "events_sliding" -> (EventOps.eventsSliding(_, _)),
     "doc_shard_stats" -> (TextOps.shardStats(_, _)),

@@ -625,6 +625,50 @@ object VectorOps {
       .orderBy("vec_id")
   }
 
+  /** k-edge kNN graph over the boundary-probed geometry — the actual
+    * primitive beneath label propagation, SemDeDup clustering and
+    * diversity sampling (the published builds use k-NN graphs, not
+    * single-NN): each vector's top-k in-probe neighbors as
+    * (cell, vec_id, rank, nn_id, sim) edge rows. The per-vector
+    * selection is the bounded [[graft.functions.TopKByScore]]
+    * aggregate (k-row map-side partials — a row_number window here
+    * would shuffle every scored candidate pair), candidates are
+    * primary-assigned, the prober probes 2 cells, and rank 1 is
+    * bit-identical to [[knnGraphProbe]]'s single edge. Pair work
+    * 2·N·targetCell, edge volume k·N.
+    */
+  def knnGraphTopK(spark: SparkSession, dir: String,
+      k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val corpus = e.select(col("vec_id"), col("embedding"))
+    val kc = derivedK(corpus.count())
+    val cents = e.filter(col("vec_id") < kc)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val probed = assignCellsProbed(corpus, cents, 2)
+      .join(corpus, "vec_id")
+      .withColumn("nrm", norm(col("embedding")))
+    val prim = probed.filter(col("prank") === 0)
+    probed
+      .select(col("cell"), col("vec_id").as("v1"),
+        col("embedding").as("e1"), col("nrm").as("n1"))
+      .join(prim.select(col("cell"), col("vec_id").as("v2"),
+        col("embedding").as("e2"), col("nrm").as("n2")), "cell")
+      .filter(col("v1") =!= col("v2"))
+      .select(col("v1"),
+        (dot(col("e1"), col("e2")) / (col("n1") * col("n2"))).as("sim"),
+        col("v2"))
+      .groupBy("v1")
+      .agg(graft.functions.TopKByScore
+        .topk(col("sim"), col("v2"), k).as("top"))
+      .select(col("v1"), posexplode(col("top")).as(Seq("p", "t")))
+      .join(prim.select(col("vec_id").as("v1"), col("cell")), "v1")
+      .select(col("cell"), col("v1").as("vec_id"),
+        (col("p") + 1).cast("int").as("rank"),
+        col("t.id").as("nn_id"),
+        round(col("t.score"), 6).as("sim"))
+      .orderBy("vec_id", "rank")
+  }
+
   /** Recall audit of the cell-bounded kNN graphs against the exact
     * nearest neighbor — the [[annRecall]] discipline applied to the
     * graph family (the audit the judge-visible gap called for: the

@@ -277,6 +277,27 @@ class DedupSpec extends AnyFunSuite {
     assert(pr.getDouble(4) >= lo.getDouble(4))
   }
 
+  test("k-edge knn graph: contiguous ranks, sims non-increasing, " +
+      "rank-1 equals the single-edge graph") {
+    val g = VectorOps.knnGraphTopK(spark, sfDir).collect()
+    val single = VectorOps.knnGraphProbe(spark, sfDir).collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getDouble(3))).toMap
+    val byVec = g.groupBy(_.getLong(1))
+    assert(byVec.nonEmpty)
+    byVec.foreach { case (v, rows) =>
+      val sorted = rows.sortBy(_.getInt(2))
+      assert(sorted.map(_.getInt(2)).toSeq === (1 to rows.length),
+        s"ranks not contiguous for $v")
+      assert(rows.length <= 5)
+      val sims = sorted.map(_.getDouble(4))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b },
+        s"sims increase along ranks for $v")
+      // the k-edge graph's best edge IS the single-edge graph's edge
+      assert(single(v) === ((sorted.head.getLong(3),
+        sorted.head.getDouble(4))), s"rank-1 edge diverges for $v")
+    }
+  }
+
   test("knn graph recall audit: probe2 dominates cell_local on every " +
       "metric") {
     val rows = VectorOps.knnGraphRecall(spark, sfDir).collect()

@@ -132,6 +132,7 @@ class PlanSweepSpec extends AnyFunSuite {
                            // probed assignment on cell — the
                            // emb_knn_graph_recall audit shape
     "emb_knn_graph_probe", // same shape, prober at 2 probes
+    "emb_knn_graph_topk",  // same shape, bounded top-k edge select
     "emb_knn_graph_recall" // anchor-side prober ⋈ primary assignment
                            // on cell: anchor volume is
                            // corpus-proportional (1-in-64), so it must
@@ -168,6 +169,7 @@ class PlanSweepSpec extends AnyFunSuite {
     "emb_semdedup_probe",  // the probed-assignment cross join (the
                       // assignCellsProbed coarse step)
     "emb_knn_graph_probe", // same probed-assignment cross join
+    "emb_knn_graph_topk",  // same probed-assignment cross join
     "emb_knn_graph_recall", // probed-assignment cross join + the
                       // broadcast-anchor <> join of the exact
                       // ground-truth side
