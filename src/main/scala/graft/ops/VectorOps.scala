@@ -470,6 +470,33 @@ object VectorOps {
     * (asserted in PlanSweepSpec), so nothing pins corpus-sized
     * payload in executor storage the way an eager checkpoint would.
     */
+  /** The probed routing frame shared by the boundary-probe family:
+    * (vec_id, prank, cell, embedding, nrm), prank 0 = the primary
+    * assignment ([[assignCells]]-identical).
+    */
+  private def probedFrame(corpus: DataFrame,
+      cents: DataFrame): DataFrame =
+    assignCellsProbed(corpus, cents, 2)
+      .join(corpus, "vec_id")
+      .withColumn("nrm", norm(col("embedding")))
+
+  /** The family's scored pair stage: prober rows (any subset of the
+    * probed frame, both probe ranks) against primary-assigned
+    * candidates, cell-co-partitioned, one dot fold per pair. Output
+    * (v1, sim, v2); a (v1, v2) pair appears at most once because a
+    * candidate's single primary row matches at most one of the
+    * prober's distinct cells.
+    */
+  private def probeEdges(prober: DataFrame, prim: DataFrame): DataFrame =
+    prober.select(col("cell"), col("vec_id").as("v1"),
+        col("embedding").as("e1"), col("nrm").as("n1"))
+      .join(prim.select(col("cell"), col("vec_id").as("v2"),
+        col("embedding").as("e2"), col("nrm").as("n2")), "cell")
+      .filter(col("v1") =!= col("v2"))
+      .select(col("v1"),
+        (dot(col("e1"), col("e2")) / (col("n1") * col("n2"))).as("sim"),
+        col("v2"))
+
   def semDedupProbe(spark: SparkSession, dir: String,
       tau: Double = 0.85): DataFrame = {
     val e = Tables.embeddings(spark, dir)
@@ -479,17 +506,10 @@ object VectorOps {
     val k = derivedK(corpus.count())
     val cents = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-    val probed = assignCellsProbed(corpus, cents, 2)
-      .join(corpus, "vec_id")
-      .withColumn("nrm", norm(col("embedding")))
+    val probed = probedFrame(corpus, cents)
     val prim = probed.filter(col("prank") === 0)
-    val drops = probed
-      .select(col("cell"), col("vec_id").as("v1"),
-        col("embedding").as("e1"), col("nrm").as("n1"))
-      .join(prim.select(col("cell"), col("vec_id").as("v2"),
-        col("embedding").as("e2"), col("nrm").as("n2")), "cell")
-      .filter(col("v1") =!= col("v2"))
-      .filter(dot(col("e1"), col("e2")) / (col("n1") * col("n2")) >= tau)
+    val drops = probeEdges(probed, prim)
+      .filter(col("sim") >= tau)
       .select(greatest(col("v1"), col("v2")).as("vec_id"))
       .distinct()
     prim.select(col("cell"), col("vec_id"))
@@ -534,9 +554,7 @@ object VectorOps {
     val k = derivedK(corpus.count())
     val cents = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-    val probed = assignCellsProbed(corpus, cents, 2)
-      .join(corpus, "vec_id")
-      .withColumn("nrm", norm(col("embedding")))
+    val probed = probedFrame(corpus, cents)
     val prim = probed.filter(col("prank") === 0)
     val anchorIds = corpus.filter(expr(
         s"""cast(conv(substring(md5(cast(vec_id as string)), 1, 7), 16, 10)
@@ -603,19 +621,9 @@ object VectorOps {
     val k = derivedK(corpus.count())
     val cents = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-    val probed = assignCellsProbed(corpus, cents, 2)
-      .join(corpus, "vec_id")
-      .withColumn("nrm", norm(col("embedding")))
+    val probed = probedFrame(corpus, cents)
     val prim = probed.filter(col("prank") === 0)
-    probed
-      .select(col("cell"), col("vec_id").as("v1"),
-        col("embedding").as("e1"), col("nrm").as("n1"))
-      .join(prim.select(col("cell"), col("vec_id").as("v2"),
-        col("embedding").as("e2"), col("nrm").as("n2")), "cell")
-      .filter(col("v1") =!= col("v2"))
-      .select(col("v1"),
-        (dot(col("e1"), col("e2")) / (col("n1") * col("n2"))).as("sim"),
-        col("v2"))
+    probeEdges(probed, prim)
       .groupBy("v1")
       .agg(max(struct(col("sim"), (-col("v2")).as("nv"))).as("m"))
       .join(prim.select(col("vec_id").as("v1"), col("cell")), "v1")
@@ -644,19 +652,9 @@ object VectorOps {
     val kc = derivedK(corpus.count())
     val cents = e.filter(col("vec_id") < kc)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-    val probed = assignCellsProbed(corpus, cents, 2)
-      .join(corpus, "vec_id")
-      .withColumn("nrm", norm(col("embedding")))
+    val probed = probedFrame(corpus, cents)
     val prim = probed.filter(col("prank") === 0)
-    probed
-      .select(col("cell"), col("vec_id").as("v1"),
-        col("embedding").as("e1"), col("nrm").as("n1"))
-      .join(prim.select(col("cell"), col("vec_id").as("v2"),
-        col("embedding").as("e2"), col("nrm").as("n2")), "cell")
-      .filter(col("v1") =!= col("v2"))
-      .select(col("v1"),
-        (dot(col("e1"), col("e2")) / (col("n1") * col("n2"))).as("sim"),
-        col("v2"))
+    probeEdges(probed, prim)
       .groupBy("v1")
       .agg(graft.functions.TopKByScore
         .topk(col("sim"), col("v2"), k).as("top"))
@@ -707,28 +705,19 @@ object VectorOps {
       .agg(max(struct(col("sim"), (-col("vec_id")).as("nv"))).as("m"))
       .select(col("aid"), (-col("m.nv")).as("true_nn"),
         col("m.sim").as("true_sim"))
-    val probed = assignCellsProbed(corpus, cents, 2)
-      .join(corpus, "vec_id")
-      .withColumn("nrm", norm(col("embedding")))
+    val probed = probedFrame(corpus, cents)
     val prim = probed.filter(col("prank") === 0)
     // graph edges with the anchor set as the prober side: same
     // candidates and tie-break as the full graphs restricted to the
     // anchors (an anchor's edge depends only on its own probed cells)
-    def edgesOf(prober: DataFrame): DataFrame = prober
-      .join(broadcast(anchors.select(col("aid").as("v1"))), "v1")
-      .join(prim.select(col("cell"), col("vec_id").as("v2"),
-        col("embedding").as("e2"), col("nrm").as("n2")), "cell")
-      .filter(col("v1") =!= col("v2"))
-      .select(col("v1"),
-        (dot(col("e1"), col("e2")) / (col("n1") * col("n2"))).as("sim"),
-        col("v2"))
+    def edgesOf(prober: DataFrame): DataFrame = probeEdges(
+        prober.join(
+          broadcast(anchors.select(col("aid").as("vec_id"))), "vec_id"),
+        prim)
       .groupBy("v1")
       .agg(max(struct(col("sim"), (-col("v2")).as("nv"))).as("m"))
       .select(col("v1").as("gaid"), (-col("m.nv")).as("graph_nn"),
         col("m.sim").as("graph_sim"))
-    val proberCols = probed.select(col("prank"), col("cell"),
-      col("vec_id").as("v1"), col("embedding").as("e1"),
-      col("nrm").as("n1"))
     def rollup(method: String, edges: DataFrame): DataFrame =
       truth.join(edges, col("aid") === col("gaid"), "left")
         .select(col("aid"), col("graph_nn"),
@@ -746,8 +735,8 @@ object VectorOps {
           round(col("n_nn_match").cast("double") / col("n_anchors"), 4)
             .as("nn_recall"),
           col("mean_sim_ratio"))
-    rollup("cell_local", edgesOf(proberCols.filter(col("prank") === 0)))
-      .unionByName(rollup("probe2", edgesOf(proberCols)))
+    rollup("cell_local", edgesOf(prim))
+      .unionByName(rollup("probe2", edgesOf(probed)))
       .orderBy("method")
   }
 
