@@ -1889,6 +1889,63 @@ WITH cents AS (
 )
 SELECT * FROM r1 UNION ALL SELECT * FROM r2 ORDER BY method"""
 
+  /** Twin of [[graft.ops.VectorOps.knnGraphProbeCurve]]: the recall
+    * audit at probe depths 1/2/4 off one crank ≤ 4 ranking.
+    */
+  val embKnnGraphProbeCurve: String = {
+    def rollupAt(n: Int): String = s"""
+  SELECT $n AS nprobe,
+    CAST(count(*) AS BIGINT) AS n_anchors,
+    CAST(count(g.graph_nn) AS BIGINT) AS n_edged,
+    CAST(sum(CASE WHEN g.graph_nn = t.true_nn THEN 1 ELSE 0 END)
+      AS BIGINT) AS n_nn_match,
+    round(CAST(sum(CASE WHEN g.graph_nn = t.true_nn THEN 1 ELSE 0 END)
+      AS DOUBLE) / count(*), 4) AS nn_recall,
+    round(CAST(sum(CAST(coalesce(g.graph_sim / t.true_sim, 0)
+      AS DECIMAL(20,10))) AS DOUBLE) / count(*), 6) AS mean_sim_ratio
+  FROM truth t LEFT JOIN (
+    SELECT v1 AS gaid, v2 AS graph_nn, sim AS graph_sim FROM (
+      SELECT v1, v2, sim,
+        row_number() OVER (PARTITION BY v1 ORDER BY sim DESC, v2) AS rk
+      FROM edges WHERE crank <= $n) WHERE rk = 1
+  ) g ON g.gaid = t.aid"""
+    s"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+  WHERE vec_id < (SELECT greatest(16,
+    CAST(ceil(count(*) / 128.0) AS BIGINT)) FROM embeddings)
+), anchors AS (
+  SELECT vec_id AS aid, embedding AS av FROM embeddings
+  WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 7))::BIGINT
+    % 64 = 0
+), truth AS (
+  SELECT aid, vec_id AS true_nn, sim AS true_sim FROM (
+    SELECT a.aid, e.vec_id, ${duckCos("a.av", "e.embedding")} AS sim,
+      row_number() OVER (PARTITION BY a.aid
+        ORDER BY ${duckCos("a.av", "e.embedding")} DESC, e.vec_id) AS rk
+    FROM embeddings e JOIN anchors a ON e.vec_id <> a.aid)
+  WHERE rk = 1
+), ranked AS (
+  SELECT vec_id, embedding, cell, crank FROM (
+    SELECT e.vec_id, e.embedding, c.cid AS cell,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY -${duckCos("e.embedding", "c.cv")}, c.cid) AS crank
+    FROM embeddings e CROSS JOIN cents c)
+  WHERE crank <= 4
+), prim AS (
+  SELECT vec_id, embedding, cell FROM ranked WHERE crank = 1
+), edges AS (
+  SELECT p.vec_id AS v1, p.crank, s.vec_id AS v2,
+    ${duckCos("p.embedding", "s.embedding")} AS sim
+  FROM ranked p JOIN prim s ON p.cell = s.cell AND p.vec_id <> s.vec_id
+  WHERE p.vec_id IN (SELECT aid FROM anchors)
+)
+SELECT * FROM (${rollupAt(1)}
+UNION ALL${rollupAt(2)}
+UNION ALL${rollupAt(4)})
+ORDER BY nprobe"""
+  }
+
   /** Twin of [[graft.ops.VectorOps.knnClassify]]: same anchor sample,
     * row_number top-5 matching the bounded aggregate's (sim desc, id)
     * order, majority/confusion tie-breaks (count desc, label asc).
@@ -5930,6 +5987,7 @@ ORDER BY method"""
     "emb_knn_graph_probe" -> embKnnGraphProbe,
     "emb_knn_graph_topk" -> embKnnGraphTopk,
     "emb_knn_graph_recall" -> embKnnGraphRecall,
+    "emb_knn_graph_probe_curve" -> embKnnGraphProbeCurve,
     "events_sliding" -> eventsSliding,
     "doc_shard_stats" -> docShardStats,
     "doc_pack_stats" -> docPackStats,

@@ -191,6 +191,7 @@ object SparkEntry {
     "emb_knn_graph_probe" -> (VectorOps.knnGraphProbe(_, _)),
     "emb_knn_graph_topk" -> (VectorOps.knnGraphTopK(_, _)),
     "emb_knn_graph_recall" -> (VectorOps.knnGraphRecall(_, _)),
+    "emb_knn_graph_probe_curve" -> (VectorOps.knnGraphProbeCurve(_, _)),
     "events_sliding" -> (EventOps.eventsSliding(_, _)),
     "doc_shard_stats" -> (TextOps.shardStats(_, _)),
     "doc_pack_stats" -> (TextOps.packStats(_, _)),

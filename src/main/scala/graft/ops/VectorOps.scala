@@ -474,9 +474,9 @@ object VectorOps {
     * (vec_id, prank, cell, embedding, nrm), prank 0 = the primary
     * assignment ([[assignCells]]-identical).
     */
-  private def probedFrame(corpus: DataFrame,
-      cents: DataFrame): DataFrame =
-    assignCellsProbed(corpus, cents, 2)
+  private def probedFrame(corpus: DataFrame, cents: DataFrame,
+      nprobe: Int = 2): DataFrame =
+    assignCellsProbed(corpus, cents, nprobe)
       .join(corpus, "vec_id")
       .withColumn("nrm", norm(col("embedding")))
 
@@ -684,17 +684,14 @@ object VectorOps {
     * drag the metric, not vanish from it). DECIMAL per-row ratios so
     * the mean is exact in any aggregation order.
     */
-  def knnGraphRecall(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-    val corpus = e.select(col("vec_id"), col("embedding"))
-    val k = derivedK(corpus.count())
-    val cents = e.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-    val anchors = anchorSample(e, AuditEvery)
-      .select(col("aid"), col("av"), col("anorm"))
-    // exact ground truth: |A|·N scan, anchors broadcast, argmax
-    // collapsing map-side — (sim desc, vec_id asc) tie-break
-    val truth = corpus
+  /** Exact ground-truth NN per audit anchor: the |A|·N scan, anchors
+    * broadcast, argmax collapsing map-side — (sim desc, vec_id asc)
+    * tie-break. Shared by [[knnGraphRecall]] and
+    * [[knnGraphProbeCurve]].
+    */
+  private def graphTruth(corpus: DataFrame,
+      anchors: DataFrame): DataFrame =
+    corpus
       .withColumn("cnorm", norm(col("embedding")))
       .join(broadcast(anchors), col("aid") =!= col("vec_id"))
       .select(col("aid"),
@@ -705,39 +702,89 @@ object VectorOps {
       .agg(max(struct(col("sim"), (-col("vec_id")).as("nv"))).as("m"))
       .select(col("aid"), (-col("m.nv")).as("true_nn"),
         col("m.sim").as("true_sim"))
-    val probed = probedFrame(corpus, cents)
-    val prim = probed.filter(col("prank") === 0)
-    // graph edges with the anchor set as the prober side: same
-    // candidates and tie-break as the full graphs restricted to the
-    // anchors (an anchor's edge depends only on its own probed cells)
-    def edgesOf(prober: DataFrame): DataFrame = probeEdges(
-        prober.join(
-          broadcast(anchors.select(col("aid").as("vec_id"))), "vec_id"),
-        prim)
+
+  /** Anchor-restricted graph edges for the audits: the prober subset
+    * (any probe depth) against primary candidates, per-anchor argmax
+    * — identical candidates and tie-break to the full graphs (an
+    * anchor's edge depends only on its own probed cells).
+    */
+  private def anchorEdges(prober: DataFrame, prim: DataFrame,
+      anchorIds: DataFrame): DataFrame =
+    probeEdges(prober.join(broadcast(anchorIds), "vec_id"), prim)
       .groupBy("v1")
       .agg(max(struct(col("sim"), (-col("v2")).as("nv"))).as("m"))
       .select(col("v1").as("gaid"), (-col("m.nv")).as("graph_nn"),
         col("m.sim").as("graph_sim"))
-    def rollup(method: String, edges: DataFrame): DataFrame =
-      truth.join(edges, col("aid") === col("gaid"), "left")
-        .select(col("aid"), col("graph_nn"),
-          when(col("graph_nn") === col("true_nn"), 1L).otherwise(0L)
-            .as("hit"),
-          coalesce(col("graph_sim") / col("true_sim"), lit(0.0))
-            .cast("decimal(20,10)").as("ratio"))
-        .agg(count(lit(1)).as("n_anchors"),
-          count(col("graph_nn")).as("n_edged"),
-          sum(col("hit")).as("n_nn_match"),
-          round(sum(col("ratio")).cast("double") / count(lit(1)), 6)
-            .as("mean_sim_ratio"))
-        .select(lit(method).as("method"), col("n_anchors"),
-          col("n_edged"), col("n_nn_match"),
-          round(col("n_nn_match").cast("double") / col("n_anchors"), 4)
-            .as("nn_recall"),
-          col("mean_sim_ratio"))
-    rollup("cell_local", edgesOf(prim))
-      .unionByName(rollup("probe2", edgesOf(probed)))
+
+  /** One audit row: the tagged edge set graded against the exact
+    * truth — edge coverage, NN hits, recall and the order-exact
+    * DECIMAL mean kept-sim fraction (edge-less or missed anchors
+    * contribute 0 — a silent miss must drag the metric, not vanish).
+    */
+  private def graphAuditRow(truth: DataFrame, tag: Column,
+      tagName: String, edges: DataFrame): DataFrame =
+    truth.join(edges, col("aid") === col("gaid"), "left")
+      .select(col("aid"), col("graph_nn"),
+        when(col("graph_nn") === col("true_nn"), 1L).otherwise(0L)
+          .as("hit"),
+        coalesce(col("graph_sim") / col("true_sim"), lit(0.0))
+          .cast("decimal(20,10)").as("ratio"))
+      .agg(count(lit(1)).as("n_anchors"),
+        count(col("graph_nn")).as("n_edged"),
+        sum(col("hit")).as("n_nn_match"),
+        round(sum(col("ratio")).cast("double") / count(lit(1)), 6)
+          .as("mean_sim_ratio"))
+      .select(tag.as(tagName), col("n_anchors"),
+        col("n_edged"), col("n_nn_match"),
+        round(col("n_nn_match").cast("double") / col("n_anchors"), 4)
+          .as("nn_recall"),
+        col("mean_sim_ratio"))
+
+  def knnGraphRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val corpus = e.select(col("vec_id"), col("embedding"))
+    val k = derivedK(corpus.count())
+    val cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val anchors = anchorSample(e, AuditEvery)
+      .select(col("aid"), col("av"), col("anorm"))
+    val anchorIds = anchors.select(col("aid").as("vec_id"))
+    val truth = graphTruth(corpus, anchors)
+    val probed = probedFrame(corpus, cents)
+    val prim = probed.filter(col("prank") === 0)
+    graphAuditRow(truth, lit("cell_local"), "method",
+        anchorEdges(prim, prim, anchorIds))
+      .unionByName(graphAuditRow(truth, lit("probe2"), "method",
+        anchorEdges(probed, prim, anchorIds)))
       .orderBy("method")
+  }
+
+  /** Probe-depth operating curve for the kNN-graph family — the
+    * [[nprobeCurve]] discipline applied to the graph audits: the same
+    * anchor-bounded recall grade at nprobe ∈ {1, 2, 4}, all three
+    * depths reading ONE 4-probe routing pass (a depth-n prober is the
+    * prank < n prefix — the TopKByScore cell ranking is prefix-stable
+    * by construction). Rows at nprobe 1 and 2 are definitionally the
+    * cell_local / probe2 rows of [[knnGraphRecall]]; the curve is the
+    * tuning table a deployment reads to pick its probe depth.
+    */
+  def knnGraphProbeCurve(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val corpus = e.select(col("vec_id"), col("embedding"))
+    val k = derivedK(corpus.count())
+    val cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val anchors = anchorSample(e, AuditEvery)
+      .select(col("aid"), col("av"), col("anorm"))
+    val anchorIds = anchors.select(col("aid").as("vec_id"))
+    val truth = graphTruth(corpus, anchors)
+    val probed = probedFrame(corpus, cents, 4)
+    val prim = probed.filter(col("prank") === 0)
+    Seq(1, 2, 4)
+      .map(n => graphAuditRow(truth, lit(n).cast("int"), "nprobe",
+        anchorEdges(probed.filter(col("prank") < n), prim, anchorIds)))
+      .reduce(_ unionByName _)
+      .orderBy("nprobe")
   }
 
   /** Product-quantization code assignment — the compression that makes

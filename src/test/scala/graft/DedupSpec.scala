@@ -319,6 +319,28 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("graph probe curve: metrics monotone in depth, rows 1/2 equal " +
+      "the recall audit's") {
+    val curve = VectorOps.knnGraphProbeCurve(spark, sfDir).collect()
+    assert(curve.map(_.getInt(0)).toSeq === Seq(1, 2, 4))
+    // superset candidates at every deeper probe: all metrics monotone
+    for (Array(a, b) <- curve.sliding(2)) {
+      assert(b.getLong(2) >= a.getLong(2))
+      assert(b.getLong(3) >= a.getLong(3))
+      assert(b.getDouble(4) >= a.getDouble(4))
+      assert(b.getDouble(5) >= a.getDouble(5))
+    }
+    // depths 1 and 2 ARE the recall audit's cell_local/probe2 rows
+    val audit = VectorOps.knnGraphRecall(spark, sfDir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    val c12 = curve.take(2)
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(c12.toSeq === audit.toSeq,
+      "curve depths 1/2 diverge from the recall audit")
+  }
+
   test("token entropy bounds: 0 ≤ H ≤ ln(n), 0 < TTR ≤ 1, full census") {
     val rows = TextOps.tokenEntropy(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -133,10 +133,12 @@ class PlanSweepSpec extends AnyFunSuite {
                            // emb_knn_graph_recall audit shape
     "emb_knn_graph_probe", // same shape, prober at 2 probes
     "emb_knn_graph_topk",  // same shape, bounded top-k edge select
-    "emb_knn_graph_recall" // anchor-side prober ⋈ primary assignment
+    "emb_knn_graph_recall", // anchor-side prober ⋈ primary assignment
                            // on cell: anchor volume is
                            // corpus-proportional (1-in-64), so it must
                            // not broadcast at scale
+    "emb_knn_graph_probe_curve" // the same audit shape at three
+                           // probe depths off one 4-probe routing
   )
   // intended broadcast-nested-loop joins (non-equi or single-row sides)
   private val bnlAllowed = Set(
@@ -176,6 +178,8 @@ class PlanSweepSpec extends AnyFunSuite {
     "emb_semdedup_recall", // probed-assignment cross join + the
                       // broadcast-anchor < join of the exact
                       // droppable side
+    "emb_knn_graph_probe_curve", // probed-assignment cross join + the
+                      // broadcast-anchor <> exact-truth join
     "events_rfm",     // one-row reference-date census cross join
     "emb_knn_sq8",    // one-row [min,max]-range census cross join +
                       // tiny quantized query side, <> condition
