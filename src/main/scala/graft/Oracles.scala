@@ -1679,6 +1679,48 @@ FROM prim pr LEFT JOIN drops d USING (vec_id)
 GROUP BY pr.cell
 ORDER BY pr.cell"""
 
+  /** Twin of [[graft.ops.VectorOps.semDedupClusters]]: the probe2
+    * tau-pair set into a recursive min-reachable-id component census.
+    */
+  val embSemDedupClusters: String = s"""
+WITH RECURSIVE corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 50 = 0
+), cents AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+  WHERE vec_id < (SELECT greatest(16,
+    CAST(ceil(count(*) / 128.0) AS BIGINT)) FROM corpus)
+), ranked AS (
+  SELECT vec_id, embedding, cell, crank FROM (
+    SELECT e.vec_id, e.embedding, c.cid AS cell,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY -${duckCos("e.embedding", "c.cv")}, c.cid) AS crank
+    FROM corpus e CROSS JOIN cents c)
+  WHERE crank <= 2
+), prim AS (
+  SELECT vec_id, embedding, cell FROM ranked WHERE crank = 1
+), pairs AS (
+  SELECT DISTINCT least(p.vec_id, s.vec_id) AS src,
+    greatest(p.vec_id, s.vec_id) AS dst
+  FROM ranked p JOIN prim s ON p.cell = s.cell AND p.vec_id <> s.vec_id
+  WHERE ${duckCos("p.embedding", "s.embedding")} >= 0.85
+), eb AS (
+  SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+), nodes AS (
+  SELECT DISTINCT src AS id FROM eb
+), reach AS (
+  SELECT id, id AS lbl FROM nodes
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN eb e ON e.src = r.id
+), final AS (
+  SELECT id, min(lbl) AS lbl FROM reach GROUP BY id
+)
+SELECT lbl AS cluster, CAST(count(*) AS BIGINT) AS n_members,
+  min(id) AS min_vec, max(id) AS max_vec
+FROM final GROUP BY lbl
+ORDER BY cluster"""
+
   /** Twin of [[graft.ops.VectorOps.semDedupRecall]]: the same planted
     * corpus and probed assignment, 1-in-64 md5 anchors, exact
     * tau-neighbor ground truth, cell-local and 2-probe caught sets
@@ -5984,6 +6026,7 @@ ORDER BY method"""
     "emb_knn_graph" -> embKnnGraph,
     "emb_semdedup_probe" -> embSemDedupProbe,
     "emb_semdedup_recall" -> embSemDedupRecall,
+    "emb_semdedup_clusters" -> embSemDedupClusters,
     "emb_knn_graph_probe" -> embKnnGraphProbe,
     "emb_knn_graph_topk" -> embKnnGraphTopk,
     "emb_knn_graph_recall" -> embKnnGraphRecall,

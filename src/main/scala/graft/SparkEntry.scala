@@ -188,6 +188,7 @@ object SparkEntry {
     "emb_knn_graph" -> (VectorOps.knnGraph(_, _)),
     "emb_semdedup_probe" -> (VectorOps.semDedupProbe(_, _)),
     "emb_semdedup_recall" -> (VectorOps.semDedupRecall(_, _)),
+    "emb_semdedup_clusters" -> (VectorOps.semDedupClusters(_, _)),
     "emb_knn_graph_probe" -> (VectorOps.knnGraphProbe(_, _)),
     "emb_knn_graph_topk" -> (VectorOps.knnGraphTopK(_, _)),
     "emb_knn_graph_recall" -> (VectorOps.knnGraphRecall(_, _)),

@@ -387,49 +387,7 @@ object DedupOps {
       .select(col("doc1").as("src"), col("doc2").as("dst"))
     val edges = extraEdges
       .foldLeft(star.unionByName(near))(_ unionByName _).distinct()
-    // undirected: propagate both ways; checkpoint once so the iterative
-    // joins run over a materialized edge list, not the LSH pipeline
-    val eb = edges.unionByName(
-      edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint(true)
-    var lbl = eb.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id"))
-      .localCheckpoint(true)
-    // convergence via the label-sum invariant: min-propagation only
-    // ever decreases labels, so the sum strictly decreases until the
-    // fixpoint — one scalar aggregate per round instead of a
-    // prev-vs-next join. sum over an empty frame is null → 0 (an
-    // edge-free corpus must yield an empty cluster table, not an NPE).
-    def lblSum(df: org.apache.spark.sql.DataFrame): Long = {
-      val v = df.agg(sum("lbl")).head()
-      if (v.isNullAt(0)) 0L else v.getLong(0)
-    }
-    var prevSum = lblSum(lbl)
-    var converged = lbl.isEmpty
-    var round = 0
-    val maxRounds = 64
-    while (!converged && round < maxRounds) {
-      val prop = eb.join(lbl, col("src") === col("id"))
-        .select(col("dst").as("id"), col("lbl"))
-      val next = lbl.unionByName(prop)
-        .groupBy("id").agg(min("lbl").as("lbl"))
-        .localCheckpoint(true)
-      val nextSum = lblSum(next)
-      converged = nextSum == prevSum
-      prevSum = nextSum
-      // drop the superseded round's checkpoint blocks now — waiting for
-      // the ContextCleaner lets them pile up across bench iterations
-      lbl.unpersist(false)
-      lbl = next
-      round += 1
-    }
-    eb.unpersist(false)
-    // fail loudly rather than return partially-propagated labels (a
-    // >64-diameter chain would otherwise split one component silently)
-    require(converged,
-      s"label propagation did not converge within $maxRounds rounds")
-    lbl
+    GraphOps.propagateMinLabels(edges)
   }
 
   /** 60-bit SimHash per doc (token-hash bit votes), near-dup pairs by

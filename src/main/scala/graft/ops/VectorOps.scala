@@ -605,6 +605,43 @@ object VectorOps {
       .orderBy("method")
   }
 
+  /** SemDeDup component census over the boundary-probed tau-pair
+    * graph — the structure the drop censuses cannot show: near-dup
+    * pairs CHAIN (a≈b, b≈c with a, c themselves below tau), and a
+    * curation run that keeps one representative per CHAIN needs the
+    * connected components, not per-pair drops. Components via the
+    * shared [[GraphOps.propagateMinLabels]] min-label propagation
+    * (the doc_dup_clusters machinery applied to the vector side);
+    * edges are [[semDedupProbe]]'s probe2 pair set at the same tau,
+    * so edge volume inherits the bounded cell geometry. Output
+    * mirrors doc_dup_clusters: (cluster = component's min vec_id,
+    * n_members, min_vec, max_vec); singletons are implicit.
+    */
+  def semDedupClusters(spark: SparkSession, dir: String,
+      tau: Double = 0.85): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val corpus = e.select(col("vec_id"), col("embedding")).unionByName(
+      e.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    val k = derivedK(corpus.count())
+    val cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val probed = probedFrame(corpus, cents)
+    val prim = probed.filter(col("prank") === 0)
+    val pairs = probeEdges(probed, prim)
+      .filter(col("sim") >= tau)
+      .select(least(col("v1"), col("v2")).as("src"),
+        greatest(col("v1"), col("v2")).as("dst"))
+      .distinct()
+    GraphOps.propagateMinLabels(pairs)
+      .groupBy("lbl")
+      .agg(count(lit(1)).as("n_members"),
+        min("id").as("min_vec"), max("id").as("max_vec"))
+      .select(col("lbl").as("cluster"), col("n_members"),
+        col("min_vec"), col("max_vec"))
+      .orderBy("cluster")
+  }
+
   /** Boundary-probed kNN graph — [[knnGraph]] with the prober side
     * probing its 2 nearest cells (candidates stay primary-assigned):
     * a vector whose true nearest neighbor lives just across the cell

@@ -236,6 +236,33 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).sum >= nPlanted)
   }
 
+  test("semdedup clusters: component arithmetic brackets the " +
+      "pairwise drops, planted copies all co-cluster") {
+    val rows = VectorOps.semDedupClusters(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 2, s"singleton component emitted: $r")
+      assert(r.getLong(0) === r.getLong(2),
+        s"cluster label must be the component min: $r")
+      assert(r.getLong(2) < r.getLong(3))
+    }
+    // disjoint components: every planted (v, v+1e6) exact pair is
+    // edge-connected (cosine 1 in the shared cell), so total
+    // membership covers at least both ends of every planted pair
+    val nPlanted = graft.tables.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 50 === 0).count()
+    assert(rows.map(_.getLong(1)).sum >= 2 * nPlanted)
+    // bracket the pairwise drop census: each component drops at most
+    // size-1 (keep-first) and at least 1 (its max member always has a
+    // lower-id tau-neighbor)
+    val drops = VectorOps.semDedupProbe(spark, sfDir).collect()
+      .map(_.getLong(2)).sum
+    assert(drops <= rows.map(_.getLong(1) - 1).sum,
+      "more pairwise drops than non-min component members")
+    assert(drops >= rows.length,
+      "fewer drops than components — some component dropped nothing")
+  }
+
   test("knn graph probe: full coverage, edges never worse than the " +
       "cell-local graph") {
     val local = VectorOps.knnGraph(spark, sfDir).collect()

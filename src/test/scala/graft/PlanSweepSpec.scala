@@ -131,6 +131,9 @@ class PlanSweepSpec extends AnyFunSuite {
     "emb_semdedup_recall", // anchor-side pair geometries ⋈ primary /
                            // probed assignment on cell — the
                            // emb_knn_graph_recall audit shape
+    "emb_semdedup_clusters", // the probe2 pair stage feeding the
+                           // min-label propagation (the
+                           // doc_dup_clusters shape on vectors)
     "emb_knn_graph_probe", // same shape, prober at 2 probes
     "emb_knn_graph_topk",  // same shape, bounded top-k edge select
     "emb_knn_graph_recall", // anchor-side prober ⋈ primary assignment
@@ -180,6 +183,8 @@ class PlanSweepSpec extends AnyFunSuite {
                       // droppable side
     "emb_knn_graph_probe_curve", // probed-assignment cross join + the
                       // broadcast-anchor <> exact-truth join
+    "emb_semdedup_clusters", // the probed-assignment cross join (the
+                      // shared assignCellsProbed coarse step)
     "events_rfm",     // one-row reference-date census cross join
     "emb_knn_sq8",    // one-row [min,max]-range census cross join +
                       // tiny quantized query side, <> condition
