@@ -438,7 +438,7 @@ object VectorOps {
     * asc) because cdist is the exact IEEE negation of the cosine.
     * Output: (vec_id, prank, cell), prank 0-based.
     */
-  private def assignCellsProbed(e: DataFrame, cents: DataFrame,
+  private[graft] def assignCellsProbed(e: DataFrame, cents: DataFrame,
       nprobe: Int): DataFrame =
     e.select(col("vec_id"), col("embedding"))
       .withColumn("enrm", norm(col("embedding")))
@@ -474,7 +474,7 @@ object VectorOps {
     * (vec_id, prank, cell, embedding, nrm), prank 0 = the primary
     * assignment ([[assignCells]]-identical).
     */
-  private def probedFrame(corpus: DataFrame, cents: DataFrame,
+  private[graft] def probedFrame(corpus: DataFrame, cents: DataFrame,
       nprobe: Int = 2): DataFrame =
     assignCellsProbed(corpus, cents, nprobe)
       .join(corpus, "vec_id")
@@ -487,7 +487,7 @@ object VectorOps {
     * candidate's single primary row matches at most one of the
     * prober's distinct cells.
     */
-  private def probeEdges(prober: DataFrame, prim: DataFrame): DataFrame =
+  private[graft] def probeEdges(prober: DataFrame, prim: DataFrame): DataFrame =
     prober.select(col("cell"), col("vec_id").as("v1"),
         col("embedding").as("e1"), col("nrm").as("n1"))
       .join(prim.select(col("cell"), col("vec_id").as("v2"),

@@ -1,0 +1,121 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.VectorOps
+
+/** Cell-PARTITIONED full-precision vector store with incremental
+  * SemDeDup at ingest — the vector-side analog of [[DocumentStore]]'s
+  * incremental digest census: a growing corpus must not re-run
+  * semantic dedup over everything it already accepted, so the store
+  * keeps each accepted vector in its primary IVF cell's own partition
+  * directory and an arriving batch pays only
+  *
+  *  - one batch-sized routing pass against the FROZEN coarse
+  *    codebook (an index never retrains per add — the
+  *    [[VectorIndex.append]] discipline),
+  *  - a pair stage against ONLY the cells the batch probes: the
+  *    stored side is a partition-PRUNED read (`cell IN (...)` over
+  *    the ≤ 2·batch probed cells — spec-asserted to touch a strict
+  *    subset of the store's files), never a corpus rescan,
+  *  - one partition-granular append of the survivors.
+  *
+  * Drop policy is the production incremental rule: stored vectors
+  * always win (keep-STORED-first — an accepted vector is never
+  * retroactively evicted by a newcomer), and within the batch the
+  * usual keep-first (smaller vec_id) applies. Both checks run the
+  * same 2-probe boundary geometry as [[VectorOps.semDedupProbe]], so
+  * a near-dup pair straddling a cell boundary is caught whenever
+  * either end's primary cell is among the other's probes.
+  *
+  * 100 TB: per-batch cost is O(batch·targetCell) pair work +
+  * O(touched partitions) read + O(batch) write; the cell count knob
+  * is k ∝ N via the codebook corpus ([[VectorOps.derivedK]]), so the
+  * per-partition footprint stays flat as the corpus grows.
+  */
+object SemDedupStore {
+
+  /** Frozen coarse centroids from the codebook corpus — k derives
+    * from the codebook corpus count once; appends never retrain.
+    */
+  private def centsOf(spark: SparkSession,
+      codebookDir: String): DataFrame = {
+    val e = graft.tables.Tables.embeddings(spark, codebookDir)
+    val k = VectorOps.derivedK(e.count())
+    e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+  }
+
+  /** One-time build: the corpus routed to its primary cells and
+    * stored cell-partitioned (vec_id, embedding, nrm, cell).
+    */
+  def build(spark: SparkSession, dir: String, table: String): Unit = {
+    val corpus = graft.tables.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    VectorOps.probedFrame(corpus, centsOf(spark, dir))
+      .filter(col("prank") === 0)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+      .write.partitionBy("cell").mode("overwrite").saveAsTable(table)
+  }
+
+  def read(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+
+  /** Per-ingest report: batch size, drops against the stored state,
+    * in-batch keep-first drops (the two sets can overlap), survivors
+    * appended, and the partition-pruning evidence (cells touched vs
+    * the store's total).
+    */
+  final case class IngestStats(nBatch: Long, nDroppedVsStore: Long,
+    nDroppedInBatch: Long, nAppended: Long, nCellsTouched: Long)
+
+  /** Absorb one batch of (vec_id, embedding) rows: route against the
+    * frozen codebook, drop within-tau newcomers (stored-first, then
+    * in-batch keep-first), append the survivors to their primary
+    * cells' partitions.
+    */
+  def ingest(spark: SparkSession, batch: DataFrame, table: String,
+      codebookDir: String, tau: Double = 0.85): IngestStats = {
+    val cents = centsOf(spark, codebookDir)
+    // batch-sized — checkpointed because the routing feeds the cell
+    // list, both pair stages and the append
+    val probed = VectorOps.probedFrame(
+        batch.select(col("vec_id"), col("embedding")), cents)
+      .localCheckpoint(true)
+    // the bounded driver list that makes the stored read prunable:
+    // ≤ 2·batch distinct cells
+    val cells = probed.select("cell").distinct()
+      .collect().map(_.getLong(0))
+    val stored = read(spark, table)
+      .filter(col("cell").isin(cells: _*))
+      .select(col("cell"), col("vec_id"), col("embedding"), col("nrm"))
+    // stored-first: a newcomer within tau of ANY stored vector in its
+    // probed cells drops, whatever the ids say
+    val vsStore = VectorOps.probeEdges(probed, stored)
+      .filter(col("sim") >= tau)
+      .select(col("v1").as("vec_id")).distinct()
+    // in-batch keep-first: the larger id of every over-tau pair drops
+    // (independently of the store check — pairwise drop semantics,
+    // exactly [[VectorOps.semDedupProbe]]'s rule)
+    val prim = probed.filter(col("prank") === 0)
+    val inBatch = VectorOps.probeEdges(probed, prim)
+      .filter(col("sim") >= tau)
+      .select(greatest(col("v1"), col("v2")).as("vec_id")).distinct()
+    val drops = vsStore.unionByName(inBatch).distinct()
+      .localCheckpoint(true)
+    val keep = prim.join(drops, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+    val stats = IngestStats(
+      nBatch = probed.filter(col("prank") === 0).count(),
+      nDroppedVsStore = vsStore.count(),
+      nDroppedInBatch = inBatch.count(),
+      nAppended = keep.count(),
+      nCellsTouched = cells.length.toLong)
+    keep.write.partitionBy("cell").mode("append").saveAsTable(table)
+    // earlier reads cached the file listing; appended partitions are
+    // invisible through that cache until the table refreshes
+    spark.sql(s"REFRESH TABLE $table")
+    stats
+  }
+}

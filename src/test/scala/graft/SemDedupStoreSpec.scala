@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.VectorOps
+import graft.sources.SemDedupStore
+
+/** Incremental SemDeDup against the cell-partitioned store: stored
+  * vectors always win, in-batch keep-first applies, reads prune to
+  * the probed cells' partitions, and the accumulated store never
+  * holds a probe-geometry tau pair.
+  */
+class SemDedupStoreSpec extends AnyFunSuite {
+  import TestSpark.{sfDir, spark}
+
+  test("ingest drops stored-first + in-batch, prunes reads, and the " +
+      "store stays tau-pair free across batches") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_sdstore").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_sd LOCATION '$tmp'")
+    try {
+      SemDedupStore.build(spark, sfDir, "graft_sd.store")
+      val e = graft.tables.Tables.embeddings(spark, sfDir)
+      assert(spark.table("graft_sd.store").count() === e.count())
+
+      // batch 1: 6 exact copies of stored vectors (must drop
+      // stored-first), 4 genuinely-new vectors (negated embeddings —
+      // cosine −1 to their source, and the raw corpus has no ±tau
+      // pairs, so they must append), and one in-batch exact dup of a
+      // new vector (larger id — must drop keep-first)
+      val copies = e
+        .filter(col("vec_id") % 50 === 0 && col("vec_id") < 300)
+        .select((col("vec_id") + 5000000L).as("vec_id"),
+          col("embedding"))
+      val fresh = e.filter(col("vec_id").isin(1L, 2L, 3L, 4L))
+        .select((col("vec_id") + 6000000L).as("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding"))
+      val freshDup = fresh.filter(col("vec_id") === 6000001L)
+        .select((col("vec_id") + 100L).as("vec_id"), col("embedding"))
+      val batch1 = copies.unionByName(fresh).unionByName(freshDup)
+      val s1 = SemDedupStore.ingest(spark, batch1, "graft_sd.store",
+        sfDir)
+      assert(s1.nBatch === 11)
+      assert(s1.nDroppedVsStore === 6, s"copies must drop: $s1")
+      assert(s1.nDroppedInBatch === 1, s"in-batch dup must drop: $s1")
+      assert(s1.nAppended === 4, s"fresh vectors must survive: $s1")
+      assert(spark.table("graft_sd.store").count() === e.count() + 4)
+
+      // batch 2: a copy of a batch-1 SURVIVOR — the accumulated state
+      // must catch it (cross-batch dedup, the whole point)
+      val b2 = fresh.filter(col("vec_id") === 6000002L)
+        .select((col("vec_id") + 200L).as("vec_id"), col("embedding"))
+      val s2 = SemDedupStore.ingest(spark, b2, "graft_sd.store", sfDir)
+      assert(s2.nDroppedVsStore === 1 && s2.nAppended === 0,
+        s"batch-1 survivor's copy must drop against the store: $s2")
+      // a one-vector batch probes at most its 2 nearest cells
+      assert(s2.nCellsTouched <= 2)
+
+      // partition pruning is real: a cell-filtered read touches a
+      // strict subset of the store's files
+      val all = spark.table("graft_sd.store")
+      val oneCell = all.select("cell").head().getLong(0)
+      val pruned = all.filter(col("cell") === oneCell)
+      assert(pruned.inputFiles.length < all.inputFiles.length,
+        "cell filter did not prune partitions")
+
+      // the invariant the store exists for: NO probe-geometry tau
+      // pair among accepted vectors, across all batches (the raw
+      // corpus itself carries none — its only near-dups are the
+      // planted +1e6 copies, which build() does not include)
+      val store = all.select(col("vec_id"), col("embedding"))
+      val k = VectorOps.derivedK(e.count())
+      val cents = e.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val probedAll = VectorOps.probedFrame(store, cents)
+      val pairs = VectorOps
+        .probeEdges(probedAll, probedAll.filter(col("prank") === 0))
+        .filter(col("sim") >= 0.85)
+      assert(pairs.count() === 0,
+        "accepted vectors contain an undetected tau pair")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_sd.store")
+      spark.sql("DROP DATABASE IF EXISTS graft_sd")
+    }
+  }
+}
