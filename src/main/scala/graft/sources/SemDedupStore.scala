@@ -29,6 +29,15 @@ import graft.ops.VectorOps
   * a near-dup pair straddling a cell boundary is caught whenever
   * either end's primary cell is among the other's probes.
   *
+  * Crash discipline (the stream wrapper's foreachBatch is
+  * at-least-once): replay idempotency is ID-BASED, with no registry
+  * at all — vec_ids are unique by contract, a survivor's primary
+  * cell is always among its own probed cells, and the survivor
+  * append is job-atomic, so a re-delivered batch rediscovers its own
+  * earlier survivors in the pruned read and skips them; dropped rows
+  * re-drop by the same deterministic rules. Re-ingesting any batch
+  * is a stored-state no-op (spec-proved).
+  *
   * 100 TB: per-batch cost is O(batch·targetCell) pair work +
   * O(touched partitions) read + O(batch) write; the cell count knob
   * is k ∝ N via the codebook corpus ([[VectorOps.derivedK]]), so the
@@ -62,13 +71,14 @@ object SemDedupStore {
   def read(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 
-  /** Per-ingest report: batch size, drops against the stored state,
-    * in-batch keep-first drops (the two sets can overlap), survivors
-    * appended, and the partition-pruning evidence (cells touched vs
-    * the store's total).
+  /** Per-ingest report: batch size, replayed rows skipped by id,
+    * drops against the stored state, in-batch keep-first drops (the
+    * sets can overlap), survivors appended, and the
+    * partition-pruning evidence (cells touched).
     */
-  final case class IngestStats(nBatch: Long, nDroppedVsStore: Long,
-    nDroppedInBatch: Long, nAppended: Long, nCellsTouched: Long)
+  final case class IngestStats(nBatch: Long, nReplayed: Long,
+    nDroppedVsStore: Long, nDroppedInBatch: Long, nAppended: Long,
+    nCellsTouched: Long)
 
   /** Absorb one batch of (vec_id, embedding) rows: route against the
     * frozen codebook, drop within-tau newcomers (stored-first, then
@@ -90,10 +100,24 @@ object SemDedupStore {
     val stored = read(spark, table)
       .filter(col("cell").isin(cells: _*))
       .select(col("cell"), col("vec_id"), col("embedding"), col("nrm"))
+    // replay idempotency WITHOUT a registry: vec_ids are unique by
+    // contract and a survivor's primary cell is always among its own
+    // probed cells, so a replayed (at-least-once) batch finds its own
+    // earlier append in this same pruned read and skips it BY ID —
+    // the survivor append below is job-atomic (committer-staged), so
+    // a crashed write left nothing to double-count. This is the
+    // whole crash discipline: re-delivering any batch is a no-op on
+    // the stored state.
+    val replays = probed.filter(col("prank") === 0)
+      .join(stored.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .select("vec_id")
     // stored-first: a newcomer within tau of ANY stored vector in its
-    // probed cells drops, whatever the ids say
+    // probed cells drops, whatever the ids say (its own replayed row,
+    // if present, is id-excluded by the pair stage)
     val vsStore = VectorOps.probeEdges(probed, stored)
       .filter(col("sim") >= tau)
+      .join(replays.withColumnRenamed("vec_id", "v1"),
+        Seq("v1"), "left_anti")
       .select(col("v1").as("vec_id")).distinct()
     // in-batch keep-first: the larger id of every over-tau pair drops
     // (independently of the store check — pairwise drop semantics,
@@ -102,12 +126,14 @@ object SemDedupStore {
     val inBatch = VectorOps.probeEdges(probed, prim)
       .filter(col("sim") >= tau)
       .select(greatest(col("v1"), col("v2")).as("vec_id")).distinct()
-    val drops = vsStore.unionByName(inBatch).distinct()
+    val drops = vsStore.unionByName(inBatch).unionByName(replays)
+      .distinct()
       .localCheckpoint(true)
     val keep = prim.join(drops, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
     val stats = IngestStats(
-      nBatch = probed.filter(col("prank") === 0).count(),
+      nBatch = prim.count(),
+      nReplayed = replays.count(),
       nDroppedVsStore = vsStore.count(),
       nDroppedInBatch = inBatch.count(),
       nAppended = keep.count(),

@@ -76,6 +76,30 @@ object VecStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming SEMANTIC-dedup ingest over the cell-partitioned
+    * [[graft.sources.SemDedupStore]] — the vector twin of
+    * [[DocsStream.ingestDedup]]: each micro-batch routes against the
+    * frozen codebook, drops within-tau newcomers (stored-first, then
+    * in-batch keep-first) and appends survivors to their cells'
+    * partitions. Unlike the index path there is NO registry: the
+    * store's replay idempotency is id-based
+    * ([[graft.sources.SemDedupStore.ingest]]'s crash discipline), so
+    * a re-delivered micro-batch is a stored-state no-op by
+    * construction and this wrapper stays a plain foreachBatch loop.
+    */
+  def ingestDedup(spark: SparkSession, source: DataFrame,
+      storeTable: String, codebookDir: String,
+      checkpoint: String): StreamingQuery =
+    source.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.SemDedupStore.ingest(spark, batch, storeTable,
+          codebookDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   private def lastApplied(spark: SparkSession,
       base: String): Option[(Long, String)] =
     applied.get(base).orElse {

@@ -79,9 +79,67 @@ class SemDedupStoreSpec extends AnyFunSuite {
         .filter(col("sim") >= 0.85)
       assert(pairs.count() === 0,
         "accepted vectors contain an undetected tau pair")
+
+      // at-least-once replay: re-delivering batch 1 verbatim must be
+      // a stored-state no-op — survivors skip by id, drops re-drop
+      val s1r = SemDedupStore.ingest(spark, batch1, "graft_sd.store",
+        sfDir)
+      assert(s1r.nReplayed === 4 && s1r.nAppended === 0,
+        s"replayed batch not a no-op: $s1r")
+      assert(spark.table("graft_sd.store").count() === e.count() + 4)
     } finally {
       spark.sql("DROP TABLE IF EXISTS graft_sd.store")
       spark.sql("DROP DATABASE IF EXISTS graft_sd")
+    }
+  }
+
+  test("streamed semantic-dedup ingest: drops at ingest rate, and a " +
+      "full from-scratch replay is a stored-state no-op") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_sdstore2").toString
+    spark.sql(
+      s"CREATE DATABASE IF NOT EXISTS graft_sd2 LOCATION '$tmp'")
+    try {
+      SemDedupStore.build(spark, sfDir, "graft_sd2.store")
+      val e = graft.tables.Tables.embeddings(spark, sfDir)
+      val src = java.nio.file.Files
+        .createTempDirectory("graft_sdsrc").toString
+      // file 1: exact copies of stored vectors (must all drop);
+      // file 2: genuinely-new negated vectors (must all append)
+      val copies = e
+        .filter(col("vec_id") % 50 === 0 && col("vec_id") < 300)
+        .select((col("vec_id") + 5000000L).as("vec_id"),
+          col("embedding"))
+      val fresh = e.filter(col("vec_id").isin(1L, 2L, 3L, 4L))
+        .select((col("vec_id") + 6000000L).as("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding"))
+      copies.coalesce(1).write.parquet(src + "/f1.parquet")
+      fresh.coalesce(1).write.parquet(src + "/f2.parquet")
+      def source = spark.readStream.schema(copies.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*.parquet")
+      val ckpt1 = java.nio.file.Files
+        .createTempDirectory("graft_sdckpt1").toString
+      graft.streaming.VecStream
+        .ingestDedup(spark, source, "graft_sd2.store", sfDir, ckpt1)
+        .awaitTermination()
+      val after = spark.table("graft_sd2.store")
+      assert(after.count() === e.count() + 4)
+      assert(after.filter(col("vec_id") >= 5000000L
+        && col("vec_id") < 6000000L).count() === 0,
+        "a copy of a stored vector slipped into the store")
+      // from-scratch replay: a FRESH checkpoint re-delivers every
+      // micro-batch — the id-based crash discipline must make the
+      // whole rerun a stored-state no-op
+      val ckpt2 = java.nio.file.Files
+        .createTempDirectory("graft_sdckpt2").toString
+      graft.streaming.VecStream
+        .ingestDedup(spark, source, "graft_sd2.store", sfDir, ckpt2)
+        .awaitTermination()
+      assert(spark.table("graft_sd2.store").count() === e.count() + 4)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_sd2.store")
+      spark.sql("DROP DATABASE IF EXISTS graft_sd2")
     }
   }
 }
