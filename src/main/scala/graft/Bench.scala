@@ -262,6 +262,53 @@ object Bench {
     * foreachBatch sink → stateless by construction (null state in the
     * artifact). Source-file layout is setup, not timed.
     */
+  /** Streaming SEMANTIC-dedup ingest throughput: a pre-built
+    * cell-partitioned [[graft.sources.SemDedupStore]] absorbs four
+    * micro-batches in which every stored vector arrives again under a
+    * new id (even base ids — must drop against the store) or negated
+    * (odd — genuinely new, must append unless an in-batch replica
+    * twin collapses it first). Times the drain only; the store build
+    * is setup, like the other persisted-store entries.
+    */
+  private def streamSemDedupBench(spark: SparkSession,
+      sfDir: String): (Double, Long, Long) = {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_bench_sdd")
+    val run = java.lang.Long.toHexString(System.nanoTime())
+    val table = s"graft_bench_sdstore_$run"
+    try {
+      graft.sources.SemDedupStore.build(spark, sfDir, table)
+      val src = base.resolve("src").toString
+      val ckpt = base.resolve("ckpt").toString
+      val e = graft.tables.Tables.embeddings(spark, sfDir)
+      val n = e.count()
+      val batch = e.select(
+        (col("vec_id") + 5000000L).as("vec_id"),
+        when(col("vec_id") % 2 === 0, col("embedding"))
+          .otherwise(transform(col("embedding"), x => -x))
+          .as("embedding"))
+      (0 until 4).foreach(i => batch.filter(col("vec_id") % 4 === i)
+        .coalesce(1).write.parquet(s"$src/f$i.parquet"))
+      val t0 = System.nanoTime()
+      val source = spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*.parquet")
+      val q = graft.streaming.VecStream
+        .ingestDedup(spark, source, table, sfDir, ckpt)
+      if (!q.awaitTermination(300000L)) {
+        q.stop(); sys.error("stream timeout")
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      val total = spark.table(table).count()
+      require(total > n && total < 2 * n,
+        s"dedup ingest landed $total rows against a base of $n")
+      val st = stateMetrics(q)
+      (dt, st._1, st._2)
+    } finally {
+      graft.sources.DocumentStore.clearStale(spark, table)
+    }
+  }
+
   private def streamVecIngestBench(spark: SparkSession,
       sfDir: String): (Double, Long, Long) = {
     import org.apache.spark.sql.functions.col
@@ -620,6 +667,8 @@ object Bench {
       minOk((1 to 2).map(_ => () => streamTopkBench(spark, sfDir))) }
     val vecIngestTime = ifOn("stream_vec_ingest") {
       minOk((1 to 2).map(_ => () => streamVecIngestBench(spark, sfDir))) }
+    val semDedupIngestTime = ifOn("stream_semdedup_ingest") {
+      minOk((1 to 2).map(_ => () => streamSemDedupBench(spark, sfDir))) }
     val fsIngestTime = ifOn("stream_framestats_ingest") {
       minOk((1 to 2).map(_ => () => streamFrameStatsBench(spark, sfDir))) }
     val streams = Seq(
@@ -633,6 +682,7 @@ object Bench {
       "stream_journey_digest" -> digestTime,
       "stream_doc_export" -> docExportTime,
       "stream_vec_ingest" -> vecIngestTime,
+      "stream_semdedup_ingest" -> semDedupIngestTime,
       "stream_framestats_ingest" -> fsIngestTime)
       .collect { case (k, Some(v)) => k -> v }
     // stream entries already take min-of-2 full drains (expensive); the

@@ -65,6 +65,11 @@ object SemDedupStore {
     VectorOps.probedFrame(corpus, centsOf(spark, dir))
       .filter(col("prank") === 0)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+      // one task per cell before the partitioned write: without this
+      // every shuffle task writes a sliver into every cell directory
+      // (tasks×cells files) and the store's LISTING cost — paid by
+      // every later pruned read — grows super-linearly with appends
+      .repartition(col("cell"))
       .write.partitionBy("cell").mode("overwrite").saveAsTable(table)
   }
 
@@ -108,9 +113,14 @@ object SemDedupStore {
     // a crashed write left nothing to double-count. This is the
     // whole crash discipline: re-delivering any batch is a no-op on
     // the stored state.
+    // the id-frames below are batch-bounded and each feeds BOTH the
+    // stats counts and the survivor anti-join — localCheckpoint so
+    // the pair stages run exactly once per ingest, not once per
+    // consumer (measured 3x the drain cost at 30x otherwise)
     val replays = probed.filter(col("prank") === 0)
       .join(stored.select(col("vec_id")), Seq("vec_id"), "left_semi")
       .select("vec_id")
+      .localCheckpoint(true)
     // stored-first: a newcomer within tau of ANY stored vector in its
     // probed cells drops, whatever the ids say (its own replayed row,
     // if present, is id-excluded by the pair stage)
@@ -119,6 +129,7 @@ object SemDedupStore {
       .join(replays.withColumnRenamed("vec_id", "v1"),
         Seq("v1"), "left_anti")
       .select(col("v1").as("vec_id")).distinct()
+      .localCheckpoint(true)
     // in-batch keep-first: the larger id of every over-tau pair drops
     // (independently of the store check — pairwise drop semantics,
     // exactly [[VectorOps.semDedupProbe]]'s rule)
@@ -126,11 +137,12 @@ object SemDedupStore {
     val inBatch = VectorOps.probeEdges(probed, prim)
       .filter(col("sim") >= tau)
       .select(greatest(col("v1"), col("v2")).as("vec_id")).distinct()
+      .localCheckpoint(true)
     val drops = vsStore.unionByName(inBatch).unionByName(replays)
       .distinct()
-      .localCheckpoint(true)
     val keep = prim.join(drops, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+      .localCheckpoint(true)
     val stats = IngestStats(
       nBatch = prim.count(),
       nReplayed = replays.count(),
@@ -138,7 +150,11 @@ object SemDedupStore {
       nDroppedInBatch = inBatch.count(),
       nAppended = keep.count(),
       nCellsTouched = cells.length.toLong)
-    keep.write.partitionBy("cell").mode("append").saveAsTable(table)
+    // one file per touched cell per batch (the build's repartition
+    // discipline) — appends otherwise multiply the listing debt by
+    // the task count
+    keep.repartition(col("cell"))
+      .write.partitionBy("cell").mode("append").saveAsTable(table)
     // earlier reads cached the file listing; appended partitions are
     // invisible through that cache until the table refreshes
     spark.sql(s"REFRESH TABLE $table")
