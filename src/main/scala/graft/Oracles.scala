@@ -5926,7 +5926,149 @@ FROM (
 ORDER BY method"""
   }
 
+  /** BM25 twin of [[graft.ops.TextOps.bm25TopK]]: anchor queries are
+    * each doc_id < 8's top-3 tf-idf terms (the [[docTfidf]] ranking
+    * contract verbatim), scoring is Robertson BM25 at k1=1.2 b=0.75
+    * with per-term contributions cast to DECIMAL(28,10) before the
+    * sum (order-independent), rank ties (score DESC, doc_id).
+    */
+  val docBm25TopK: String = """
+WITH toks AS (
+  SELECT doc_id,
+    unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+      AS tok
+  FROM documents
+), tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, tok
+), df AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok
+), dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+  FROM toks GROUP BY doc_id
+), gstats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+), qscored AS (
+  SELECT tf.doc_id AS qid, tf.tok,
+    CAST(round(tf.tf * ln((g.n_docs + 1.0) / (df.df + 1.0)), 6)
+      AS DOUBLE) AS tfidf
+  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN gstats g
+  WHERE tf.doc_id < 8
+), qterms AS (
+  SELECT qid, tok FROM (
+    SELECT qid, tok,
+      row_number() OVER (PARTITION BY qid ORDER BY tfidf DESC, tok)
+        AS rnk
+    FROM qscored)
+  WHERE rnk <= 3
+), scored AS (
+  SELECT q.qid, tf.doc_id,
+    sum(CAST(
+      ln(1.0 + (g.n_docs - df.df + 0.5) / (df.df + 0.5))
+        * (tf.tf * 2.2)
+        / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / g.avgdl))
+      AS DECIMAL(28,10))) AS s
+  FROM tf JOIN qterms q ON tf.tok = q.tok AND tf.doc_id <> q.qid
+  JOIN df ON tf.tok = df.tok
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN gstats g
+  GROUP BY q.qid, tf.doc_id
+)
+SELECT qid, rank, doc_id,
+  CAST(round(CAST(s AS DOUBLE), 6) AS DOUBLE) AS score
+FROM (
+  SELECT qid, doc_id, s,
+    CAST(row_number() OVER (PARTITION BY qid ORDER BY s DESC, doc_id)
+      AS BIGINT) AS rank
+  FROM scored)
+WHERE rank <= 5
+ORDER BY qid, rank"""
+
+  /** BPE first-merge twin of [[graft.ops.TextOps.bpePairs]]: the same
+    * vocabulary-census-first expansion (pair work is vocab-sized),
+    * weighted pair counts, top-50 by (weight DESC, pair).
+    */
+  val docBpePairs: String = """
+WITH vocab AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT unnest(list_filter(string_split(lower(text), ' '),
+      x -> x <> '')) AS tok
+    FROM documents)
+  GROUP BY tok
+  HAVING length(tok) >= 2
+), expanded AS (
+  SELECT tok, n,
+    unnest(generate_series(1, length(tok) - 1)) AS i
+  FROM vocab
+), occ AS (
+  SELECT tok, substr(tok, i, 2) AS pair, any_value(n) AS n,
+    CAST(count(*) AS BIGINT) AS occ
+  FROM expanded GROUP BY tok, pair
+), top AS (
+  SELECT pair, CAST(sum(n * occ) AS BIGINT) AS n_weighted,
+    CAST(count(*) AS BIGINT) AS n_types
+  FROM occ GROUP BY pair
+  ORDER BY n_weighted DESC, pair LIMIT 50
+)
+SELECT
+  CAST(row_number() OVER (ORDER BY n_weighted DESC, pair) AS BIGINT)
+    AS rank,
+  pair, n_weighted, n_types
+FROM top
+ORDER BY rank"""
+
+  /** Prototype-pruning twin of
+    * [[graft.ops.VectorOps.prototypePrune]]: the [[embIvfBalance]]
+    * nearest-cell assignment, per-cell hardness rank (cosine ASC,
+    * vec_id), keep the hardest ceil(n/2), DECIMAL mean cosines.
+    */
+  val embPrototypePrune: String = s"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16
+), cellof AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cid AS cell,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY -${duckCos("e.embedding", "c.cv")}, c.cid) AS crank
+    FROM embeddings e CROSS JOIN cents c)
+  WHERE crank <= 1
+), h AS (
+  SELECT a.vec_id, a.cell,
+    ${duckCos("e.embedding", "c.cv")} AS hcos
+  FROM cellof a
+  JOIN embeddings e ON a.vec_id = e.vec_id
+  JOIN cents c ON a.cell = c.cid
+), r AS (
+  SELECT cell, hcos,
+    row_number() OVER (PARTITION BY cell ORDER BY hcos ASC, vec_id)
+      AS rnk,
+    count(*) OVER (PARTITION BY cell) AS nc
+  FROM h
+), k AS (
+  SELECT cell, hcos, (rnk <= (nc + 1) // 2) AS kept FROM r
+)
+SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(round(max(CASE WHEN kept THEN hcos END), 6) AS DOUBLE)
+    AS cut_cos,
+  CAST(round(
+    CAST(sum(CASE WHEN kept THEN CAST(hcos AS DECIMAL(28,12)) END)
+      AS DOUBLE)
+    / sum(CASE WHEN kept THEN 1 ELSE 0 END), 6) AS DOUBLE)
+    AS kept_mean_cos,
+  CAST(round(
+    CAST(sum(CASE WHEN NOT kept THEN CAST(hcos AS DECIMAL(28,12)) END)
+      AS DOUBLE)
+    / sum(CASE WHEN NOT kept THEN 1 ELSE 0 END), 6) AS DOUBLE)
+    AS drop_mean_cos
+FROM k GROUP BY cell ORDER BY cell"""
+
   def all: Map[String, String] = Map(
+    "doc_bm25_topk" -> docBm25TopK,
+    "doc_bpe_pairs" -> docBpePairs,
+    "emb_prototype_prune" -> embPrototypePrune,
     "doc_survival_funnel" -> docSurvivalFunnel,
     "doc_domain_census" -> docDomainCensus,
     "doc_zipf_slope" -> docZipfSlope,

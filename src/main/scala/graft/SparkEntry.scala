@@ -114,6 +114,8 @@ object SparkEntry {
     "doc_top_per_source" -> (TextOps.topPerSource(_, _)),
     "doc_quality_gate" -> (TextOps.qualityGate(_, _)),
     "doc_tfidf" -> (TextOps.tfidf(_, _)),
+    "doc_bm25_topk" -> (TextOps.bm25TopK(_, _)),
+    "doc_bpe_pairs" -> (TextOps.bpePairs(_, _)),
     "doc_dup_clusters" -> (DedupOps.dupClusters(_, _)),
     "doc_dedup_pipeline" -> (DedupOps.dedupPipeline(_, _)),
     "doc_minhash_recall" -> (DedupOps.minhashRecall(_, _)),
@@ -189,6 +191,7 @@ object SparkEntry {
     "emb_semdedup_probe" -> (VectorOps.semDedupProbe(_, _)),
     "emb_semdedup_recall" -> (VectorOps.semDedupRecall(_, _)),
     "emb_semdedup_clusters" -> (VectorOps.semDedupClusters(_, _)),
+    "emb_prototype_prune" -> (VectorOps.prototypePrune(_, _)),
     "emb_knn_graph_probe" -> (VectorOps.knnGraphProbe(_, _)),
     "emb_knn_graph_topk" -> (VectorOps.knnGraphTopK(_, _)),
     "emb_knn_graph_recall" -> (VectorOps.knnGraphRecall(_, _)),

@@ -1069,4 +1069,106 @@ object TextOps {
         col("vocab_src").as("vocab_size"), col("kl_vs_corpus"))
       .orderBy("source")
   }
+
+  /** BM25 top-5 retrieval for 8 anchor-doc queries — the ranked-
+    * retrieval shape [[tfidf]]'s per-doc keyword report lacks (the
+    * decontamination / RAG-audit primitive: "which corpus docs does
+    * this query pull?"). Each anchor's query is its own top-3 tf-idf
+    * terms; every doc holding any query term is scored with
+    * Robertson/Sparck-Jones BM25 (k1=1.2, b=0.75, the classic
+    * operating point). Scale shape: tf/df/dl are the one-scan linear
+    * censuses every text op here shares; the query-term set is ≤24
+    * rows and BROADCAST, so scoring is a semi-join-shaped scan of the
+    * tf census — no corpus-axis shuffle beyond the censuses
+    * themselves — and the top-5 rides a per-qid window over only the
+    * matched postings. Per-term contributions are computed in double
+    * and summed as exact DECIMAL, so the score is partition-order
+    * independent and rank ties (score, doc_id) match the oracle.
+    */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs
+      .select(col("doc_id"),
+        explode(expr("filter(split(lower(text), ' '), x -> x <> '')"))
+          .as("tok"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val glob = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    // anchor queries: top-3 tf-idf terms of doc_id < 8, ranked on the
+    // ROUNDED tf-idf (ties then break on tok) — the [[tfidf]] contract
+    val qw = Window.partitionBy("qid")
+      .orderBy(col("tfidf").desc, col("tok"))
+    val qterms = tf.filter(col("doc_id") < 8)
+      .join(df_, "tok").crossJoin(glob.select("n_docs"))
+      .select(col("doc_id").as("qid"), col("tok"),
+        round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)),
+          6).as("tfidf"))
+      .withColumn("rnk", row_number().over(qw))
+      .filter(col("rnk") <= 3)
+      .select("qid", "tok")
+    val k1 = 1.2
+    val b = 0.75
+    val contrib =
+      log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+        (col("tf") * (k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl")
+          / col("avgdl")))
+    val scored = tf.join(broadcast(qterms), "tok")
+      .filter(col("doc_id") =!= col("qid"))
+      .join(df_, "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(glob))
+      .select(col("qid"), col("doc_id"),
+        contrib.cast("decimal(28,10)").as("c"))
+      .groupBy("qid", "doc_id")
+      .agg(sum(col("c")).as("s"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("s").desc, col("doc_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("doc_id"),
+        round(col("s").cast("double"), 6).as("score"))
+      .orderBy("qid", "rank")
+  }
+
+  /** BPE first-merge census: the 50 most frequent within-token
+    * adjacent character pairs — iteration 0 of byte-pair-encoding
+    * tokenizer training, and the standard "is this corpus's character
+    * distribution sane" probe. The scale discipline IS the published
+    * BPE trick: collapse the corpus to its (token, count) vocabulary
+    * census FIRST, then expand character bigrams over the DISTINCT
+    * vocabulary only — pair work is vocabulary-sized (sub-linear in
+    * the corpus), never corpus-sized; occurrence weights multiply
+    * through. The top-50 goes through orderBy+limit
+    * (TakeOrderedAndProject: per-partition 50-row heaps, driver
+    * merge), never a global rank window over the pair vocabulary.
+    */
+  def bpePairs(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(
+        expr("filter(split(lower(text), ' '), x -> x <> '')")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .filter(length(col("tok")) >= 2)
+    // per (token, pair) occurrence census before the global roll-up:
+    // n_types is then a plain count(*), no countDistinct Expand
+    val occ = vocab
+      .select(col("tok"), col("n"),
+        explode(expr("sequence(1, length(tok) - 1)")).as("i"))
+      .select(col("tok"), col("n"),
+        expr("substring(tok, i, 2)").as("pair"))
+      .groupBy("tok", "pair")
+      .agg(first(col("n")).as("n"), count(lit(1)).as("occ"))
+    val top = occ.groupBy("pair")
+      .agg(sum(col("n") * col("occ")).as("n_weighted"),
+        count(lit(1)).as("n_types"))
+      .orderBy(col("n_weighted").desc, col("pair"))
+      .limit(50)
+    val w = Window.orderBy(col("n_weighted").desc, col("pair"))
+    top.withColumn("rank", row_number().over(w).cast("bigint"))
+      .select("rank", "pair", "n_weighted", "n_types")
+      .orderBy("rank")
+  }
 }

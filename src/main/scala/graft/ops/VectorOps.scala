@@ -2671,4 +2671,52 @@ object VectorOps {
           round(col("n_common") * 100.0 / col("n_exact"), 2))
           .as("common_pct"))
   }
+
+  /** Per-example prototype-distance pruning census — the data-pruning
+    * policy of Sorscher et al., "Beyond neural scaling laws" (NeurIPS
+    * 2022): when data is abundant, keep the HARD examples, where
+    * hardness is distance to the example's own cluster prototype. The
+    * cell-level manifests ([[pruningManifest]]) drop whole over-dense
+    * clusters; this is the orthogonal within-cell policy — per cell,
+    * rank members by cosine-to-own-centroid ascending (hardest first,
+    * vec_id tie-break) and keep the hardest ⌈n/2⌉. Output is the
+    * per-cell audit census: counts, the kept/dropped boundary cosine,
+    * and exact-DECIMAL mean cosines of both sides (kept mean < dropped
+    * mean by construction — the spec's invariant).
+    *
+    * Scale: one N×k routing argmin (the [[assignCells]] skinny-frame
+    * discipline), one N-row broadcast join back to the centroid, and a
+    * rank window PARTITIONED BY CELL — with the production k ∝ N
+    * codebook knob cells stay targetCell-bounded, so no task ever
+    * sorts more than a bounded cell (the fixed 16-cell geometry here
+    * is the oracle-simple demo codebook, as in [[ivfBalance]]).
+    */
+  def prototypePrune(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cents = coarseCentroids(e)
+    val assigned = assignCells(e, cents)
+      .join(broadcast(cents), col("cell") === col("cid"))
+      .select(col("vec_id"), col("cell"),
+        cosine(col("embedding"), col("cv")).as("hcos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cell").orderBy(col("hcos").asc, col("vec_id"))
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy("cell")
+    val dec = "decimal(28,12)"
+    assigned
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("nc", count(lit(1)).over(wc))
+      .withColumn("kept", expr("rnk <= (nc + 1) div 2"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("kept").cast("bigint")).as("n_kept"),
+        round(max(when(col("kept"), col("hcos"))), 6).as("cut_cos"),
+        round(sum(when(col("kept"), col("hcos").cast(dec)))
+          .cast("double") / sum(col("kept").cast("bigint")), 6)
+          .as("kept_mean_cos"),
+        round(sum(when(!col("kept"), col("hcos").cast(dec)))
+          .cast("double")
+          / sum((!col("kept")).cast("bigint")), 6)
+          .as("drop_mean_cos"))
+      .orderBy("cell")
+  }
 }

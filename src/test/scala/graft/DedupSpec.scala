@@ -528,6 +528,65 @@ class DedupSpec extends AnyFunSuite {
     assert(slope > -3, s"implausible slope $slope")
   }
 
+  test("bm25: 8 anchor queries, self-excluded, scores positive and " +
+      "non-increasing within each query") {
+    val rows = TextOps.bm25TopK(spark, sfDir).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet === (0L until 8L).toSet)
+    byQ.foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq ===
+        (1L to sorted.length).toSeq, s"ranks not contiguous for $qid")
+      assert(sorted.length <= 5)
+      sorted.foreach { r =>
+        assert(r.getLong(2) !== qid, "self-retrieval must be excluded")
+        assert(r.getDouble(3) > 0, s"BM25 score must be positive: $r")
+      }
+      val scores = sorted.map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"scores not non-increasing for $qid")
+    }
+  }
+
+  test("bpe pairs: 50 two-char pairs, weights non-increasing, " +
+      "every weight covers its type count") {
+    val rows = TextOps.bpePairs(spark, sfDir).collect()
+    assert(rows.length === 50)
+    assert(rows.map(_.getLong(0)).toSeq === (1L to 50L).toSeq)
+    val ws = rows.map(_.getLong(2))
+    assert(ws.zip(ws.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      assert(r.getString(1).length === 2, s"not a char pair: $r")
+      // each contributing token type occurs ≥1 time with count ≥1
+      assert(r.getLong(2) >= r.getLong(3), s"weight < type count: $r")
+      assert(r.getLong(3) >= 1)
+    }
+  }
+
+  test("prototype prune: keeps exactly the hardest ceil(n/2) per " +
+      "cell, kept strictly harder than dropped on average") {
+    val rows = VectorOps.prototypePrune(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSeq === (0L to 15L))
+    val n = graft.tables.Tables.embeddings(spark, sfDir).count()
+    assert(rows.map(_.getLong(1)).sum === n,
+      "cells must partition the corpus")
+    rows.foreach { r =>
+      val (nv, nk) = (r.getLong(1), r.getLong(2))
+      assert(nk === (nv + 1) / 2, s"keep quota violated: $r")
+      val cut = r.getDouble(3)
+      val keptMean = r.getDouble(4)
+      // kept side ranks cosine ASC (hardest first): its mean sits at
+      // or below the boundary cosine
+      assert(keptMean <= cut + 1e-6, s"kept mean above the cut: $r")
+      if (!r.isNullAt(5)) {
+        val dropMean = r.getDouble(5)
+        assert(dropMean >= cut - 1e-6, s"drop mean below the cut: $r")
+        assert(keptMean < dropMean,
+          s"kept must be harder (lower cos) than dropped: $r")
+      }
+    }
+  }
+
   test("bigram logprob: per-source averages bounded by the model") {
     val rows = TextOps.bigramLogprob(spark, sfDir).collect()
     val nSources = graft.tables.Tables.documents(spark, sfDir)

@@ -13,6 +13,10 @@ class PlanSweepSpec extends AnyFunSuite {
 
   // joins that are MEANT to be non-broadcast at scale
   private val smjAllowed = Set(
+    "doc_bm25_topk",       // tf ⋈ df on token, tf ⋈ dl on doc_id:
+                           // vocabulary/corpus-scale censuses both
+                           // sides (the dsir shape) — never broadcast;
+                           // the ≤24-row query-term side DOES broadcast
     "q5_region_join",      // orders x lineitem: genuinely large-large
     "q4_priority",         // orders semi lineitem keys: large-large
     "q7_volume",           // lineitem x orders, orders x customer
@@ -145,6 +149,9 @@ class PlanSweepSpec extends AnyFunSuite {
   )
   // intended broadcast-nested-loop joins (non-equi or single-row sides)
   private val bnlAllowed = Set(
+    "doc_bm25_topk",  // one-row (n_docs, avgdl) census cross joins
+    "emb_prototype_prune", // 16-centroid assignment cross join (the
+                      // shared assignCells coarse step)
     "doc_tfidf",      // corpus-size single row cross join
     "doc_unigram_logprob", // vocabulary x single-row total cross join
     "doc_ccnet_buckets",   // same, plus the single-row tercile cuts
