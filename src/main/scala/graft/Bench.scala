@@ -309,6 +309,52 @@ object Bench {
     }
   }
 
+  /** Streaming NEAR-dup ingest throughput (text side): a pre-built
+    * [[graft.sources.MinHashStore]] absorbs four micro-batches in
+    * which every stored document arrives again under a new id — even
+    * base ids verbatim (must drop against the band index + exact
+    * Jaccard), odd ids with token-unique fresh text (must append).
+    * Times the drain only; the store build is setup.
+    */
+  private def streamNearDedupBench(spark: SparkSession,
+      sfDir: String): (Double, Long, Long) = {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_bench_mhd")
+    val run = java.lang.Long.toHexString(System.nanoTime())
+    val table = s"graft_bench_mhstore_$run"
+    try {
+      graft.sources.MinHashStore.build(spark, sfDir, table)
+      val src = base.resolve("src").toString
+      val ckpt = base.resolve("ckpt").toString
+      val stored0 = spark.table(table).count()
+      val batch = spark.table(table).select(
+        (col("doc_id") + 5000000L).as("doc_id"),
+        when(col("doc_id") % 2 === 0, col("text"))
+          .otherwise(expr("""concat('qa', doc_id, ' qb', doc_id,
+            ' qc', doc_id, ' qd', doc_id, ' qe', doc_id)"""))
+          .as("text"))
+      (0 until 4).foreach(i => batch.filter(col("doc_id") % 4 === i)
+        .coalesce(1).write.parquet(s"$src/f$i.parquet"))
+      val t0 = System.nanoTime()
+      val source = spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*.parquet")
+      val q = graft.streaming.DocsStream
+        .ingestNearDedup(spark, source, table, ckpt)
+      if (!q.awaitTermination(300000L)) {
+        q.stop(); sys.error("stream timeout")
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      val total = spark.table(table).count()
+      require(total > stored0 && total < 2 * stored0,
+        s"near-dup ingest landed $total rows against a base of $stored0")
+      val st = stateMetrics(q)
+      (dt, st._1, st._2)
+    } finally {
+      graft.sources.MinHashStore.clear(spark, table)
+    }
+  }
+
   private def streamVecIngestBench(spark: SparkSession,
       sfDir: String): (Double, Long, Long) = {
     import org.apache.spark.sql.functions.col
@@ -669,6 +715,8 @@ object Bench {
       minOk((1 to 2).map(_ => () => streamVecIngestBench(spark, sfDir))) }
     val semDedupIngestTime = ifOn("stream_semdedup_ingest") {
       minOk((1 to 2).map(_ => () => streamSemDedupBench(spark, sfDir))) }
+    val nearDedupIngestTime = ifOn("stream_neardedup_ingest") {
+      minOk((1 to 2).map(_ => () => streamNearDedupBench(spark, sfDir))) }
     val fsIngestTime = ifOn("stream_framestats_ingest") {
       minOk((1 to 2).map(_ => () => streamFrameStatsBench(spark, sfDir))) }
     val streams = Seq(
@@ -683,6 +731,7 @@ object Bench {
       "stream_doc_export" -> docExportTime,
       "stream_vec_ingest" -> vecIngestTime,
       "stream_semdedup_ingest" -> semDedupIngestTime,
+      "stream_neardedup_ingest" -> nearDedupIngestTime,
       "stream_framestats_ingest" -> fsIngestTime)
       .collect { case (k, Some(v)) => k -> v }
     // stream entries already take min-of-2 full drains (expensive); the

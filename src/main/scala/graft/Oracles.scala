@@ -3259,6 +3259,50 @@ FROM smp JOIN data_set d ON smp.dataset_id = d.id
 GROUP BY d.dataset_serial
 ORDER BY d.dataset_serial"""
 
+  /** Twin of [[graft.multimodal.BinaryAudio.activityWindows]]: the
+    * same sha-derived sample expansion as [[audWaveformStats]], framed
+    * into 8×32-sample windows; quiet = window Σs²·8 strictly below the
+    * clip total (below-mean), per-clip dynamic range summed as exact
+    * DECIMAL before the dataset mean.
+    */
+  val audActivityWindows: String = imagingCte + """
+, pb AS (
+  SELECT frames_global_id AS dataset_id,
+    list_transform(range(0, 32),
+      i -> (strpos('0123456789abcdef', substr(sha256, 2*i + 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(sha256, 2*i + 2, 1)) - 1))
+      AS bv
+  FROM frames
+), smp AS (
+  SELECT dataset_id,
+    list_transform(range(0, 256),
+      i -> ((bv[(i % 32) + 1] * 257 + i * 131) % 65536) - 32768) AS s
+  FROM pb
+), win AS (
+  SELECT dataset_id,
+    list_transform(range(0, 8),
+      j -> list_sum(list_transform(range(0, 32),
+        i -> CAST(s[j*32 + i + 1] AS BIGINT) * s[j*32 + i + 1]))) AS w,
+    list_sum(list_transform(s, x -> CAST(x AS BIGINT))) AS sum_s
+  FROM smp
+), clip AS (
+  SELECT dataset_id, sum_s,
+    list_min(w) AS wmin, list_max(w) AS wmax,
+    len(list_filter(w, x -> x * 8 < list_sum(w))) AS n_quiet
+  FROM win
+)
+SELECT d.dataset_serial,
+  CAST(count(*) AS BIGINT) AS n_clips,
+  CAST(count(*) * 8 AS BIGINT) AS n_windows,
+  CAST(sum(n_quiet) AS BIGINT) AS n_quiet,
+  round(CAST(sum(n_quiet) AS DOUBLE) / (count(*) * 8), 6) AS quiet_pct,
+  round(CAST(sum(CAST(sqrt(CAST(wmax AS DOUBLE) / greatest(wmin, 1))
+    AS DECIMAL(28,12))) AS DOUBLE) / count(*), 4) AS avg_dyn_range,
+  round(CAST(sum(sum_s) AS DOUBLE) / (count(*) * 256), 4) AS dc_offset
+FROM clip JOIN data_set d ON clip.dataset_id = d.id
+GROUP BY d.dataset_serial
+ORDER BY d.dataset_serial"""
+
   /** Twin of [[graft.streaming.ImgStream.statsDriftFor]]: the arrival
     * waves are `batch = frame id % 3` by construction, each frame's
     * 64 gray pixels are the 32 sha bytes used twice, so per-(dataset,
@@ -6189,6 +6233,7 @@ FROM k GROUP BY cell ORDER BY cell"""
     "img_saturation" -> imgSaturation,
     "img_z_profile" -> imgZProfile,
     "aud_waveform_stats" -> audWaveformStats,
+    "aud_activity_windows" -> audActivityWindows,
     "vid_scene_cuts" -> vidSceneCuts,
     "emb_ood_outliers" -> embOodOutliers,
     "doc_source_kl" -> docSourceKl,

@@ -236,6 +236,8 @@ object SparkEntry {
       (graft.multimodal.BinaryFrames.zProfile(_, _)),
     "aud_waveform_stats" ->
       (graft.multimodal.BinaryAudio.waveformStats(_, _)),
+    "aud_activity_windows" ->
+      (graft.multimodal.BinaryAudio.activityWindows(_, _)),
     "vid_scene_cuts" ->
       (graft.multimodal.BinaryFrames.sceneCuts(_, _)),
     // persisted-store twins: identical results (and oracles) to their

@@ -105,4 +105,93 @@ object BinaryAudio {
           .as("clip_pct"))
       .orderBy("dataset_serial")
   }
+
+  case class WindowFeature(clip_id: Long, sum_s: Long, wmin: Long,
+    wmax: Long, n_quiet: Int)
+
+  /** Per-partition windowed decode: each clip's 256 samples frame
+    * into 8 non-overlapping 32-sample windows; one codec pass emits
+    * the integer window moments (Σs per clip, min/max window Σs²,
+    * below-clip-mean window count). Five numbers per clip reach the
+    * exchange — the [[decodeClips]] discipline at window granularity.
+    */
+  def decodeWindows(spark: SparkSession,
+      clips: DataFrame): Dataset[WindowFeature] = {
+    import spark.implicits._
+    clips.select("clip_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val (_, s) = AudioCodec.decodePcm16(payload)
+          val nw = s.length / 32
+          val w = new Array[Long](nw)
+          var sumS = 0L
+          var j = 0
+          while (j < nw) {
+            var ssq = 0L
+            var i = 0
+            while (i < 32) {
+              val v = s(j * 32 + i).toInt
+              ssq += v.toLong * v
+              sumS += v
+              i += 1
+            }
+            w(j) = ssq
+            j += 1
+          }
+          val tot = w.sum
+          var quiet = 0
+          var wmin = Long.MaxValue
+          var wmax = Long.MinValue
+          j = 0
+          while (j < nw) {
+            if (w(j) * nw < tot) quiet += 1
+            if (w(j) < wmin) wmin = w(j)
+            if (w(j) > wmax) wmax = w(j)
+            j += 1
+          }
+          WindowFeature(id, sumS, wmin, wmax, quiet)
+        }
+      }
+  }
+
+  /** Windowed activity QC per dataset — the silence/dynamics report a
+    * speech-data pipeline reads before transcription: fraction of
+    * below-clip-mean energy windows (the relative quiet measure — an
+    * absolute dBFS gate would be a constant on synthetic audio), mean
+    * per-clip dynamic range √(max window Σs² / min window Σs²), and
+    * DC offset (a miswired recording chain's signature). Integer
+    * window moments come off one decode pass; per-clip dynamic range
+    * is summed as exact DECIMAL so the dataset mean is
+    * partition-order independent. Same hex-arithmetic oracle
+    * discipline as [[waveformStats]]: the planted samples are
+    * recomputed from the sha string without touching a WAV byte.
+    */
+  def activityWindows(spark: SparkSession, dir: String): DataFrame = {
+    val feats = decodeWindows(spark, withAudioPayload(spark, dir)).toDF()
+      .withColumn("dataset_id", expr("clip_id div 10"))
+      .withColumn("dyn",
+        sqrt(col("wmax").cast("double") / greatest(col("wmin"), lit(1L)))
+          .cast("decimal(28,12)"))
+    feats
+      .join(broadcast(ImagingModel.dataSet(spark, dir)
+        .select(col("id").as("ds_id"), col("dataset_serial"))),
+        col("dataset_id") === col("ds_id"))
+      .groupBy("dataset_serial")
+      .agg(count(lit(1)).as("n_clips"),
+        (count(lit(1)) * (ClipSamples / 32)).as("n_windows"),
+        sum(col("n_quiet").cast("bigint")).as("n_quiet"),
+        sum(col("dyn")).as("dsum"),
+        sum(col("sum_s")).as("ssum"),
+        (count(lit(1)) * ClipSamples).as("ns"))
+      .select(col("dataset_serial"), col("n_clips"), col("n_windows"),
+        col("n_quiet"),
+        round(col("n_quiet").cast("double") / col("n_windows"), 6)
+          .as("quiet_pct"),
+        round(col("dsum").cast("double") / col("n_clips"), 4)
+          .as("avg_dyn_range"),
+        round(col("ssum").cast("double") / col("ns"), 4)
+          .as("dc_offset"))
+      .orderBy("dataset_serial")
+  }
 }

@@ -34,7 +34,7 @@ object DedupOps {
     * bucket array is size-capped upstream, so the expansion is bounded
     * at cap²/2 pairs per bucket — never corpus-quadratic.
     */
-  private[ops] def bucketPairs(arr: String): Column =
+  private[graft] def bucketPairs(arr: String): Column =
     explode(expr(
       s"""flatten(transform(sequence(1, size($arr) - 1),
             i -> transform(sequence(0, i - 1),
@@ -188,7 +188,7 @@ object DedupOps {
       .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
   }
 
-  private def minhashBuckets(source: DataFrame): DataFrame =
+  private[graft] def minhashBuckets(source: DataFrame): DataFrame =
     bandKeys(minhashSignatures(source), BandRows)
 
   /** The distinct LSH candidate pairs (bucket-capped) — the banded
@@ -234,7 +234,7 @@ object DedupOps {
   }
 
   /** Distinct word-3-gram shingles of a text column, as one expression. */
-  private def shingleExpr(textCol: String): Column =
+  private[graft] def shingleExpr(textCol: String): Column =
     graft.functions.TextExpressions.wordNGrams(col(textCol), 3)
 
   /** The dedup pipeline in production order: exact-dedup to one

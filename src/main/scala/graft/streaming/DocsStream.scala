@@ -126,6 +126,26 @@ object DocsStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming NEAR-dup ingest: each micro-batch flows through
+    * [[graft.sources.MinHashStore.ingest]] — signature pass, band-
+    * index probe, exact-Jaccard confirmation, survivor append.
+    * Idempotency under foreachBatch's at-least-once delivery is the
+    * store's id-based replay discipline (no registry, and a crash
+    * between the doc and band appends heals on redelivery via the
+    * store's band-repair anti-join), so this wrapper is just the
+    * drain loop.
+    */
+  def ingestNearDedup(spark: SparkSession, source: DataFrame,
+      storeTable: String, checkpoint: String): StreamingQuery =
+    source.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.MinHashStore.ingest(spark, batch, storeTable)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** The registry entry for a base: the in-memory cache, else the
     * durable warehouse scan (cached on hit). Call under the base's
     * lock.

@@ -780,6 +780,27 @@ class StreamingSpec extends AnyFunSuite {
       .count() === 0)
   }
 
+  test("audio activity windows: quota arithmetic, below-mean quiet " +
+      "fraction strictly inside (0,1), dynamic range >= 1") {
+    val rows = graft.multimodal.BinaryAudio
+      .activityWindows(spark, sfDir).collect()
+    val base = graft.multimodal.BinaryAudio
+      .waveformStats(spark, sfDir).collect()
+    assert(rows.length === base.length,
+      "activity and loudness reports must cover the same datasets")
+    rows.foreach { r =>
+      val (nClips, nWin, nQuiet) =
+        (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nWin === nClips * 8, s"window quota violated: $r")
+      // a clip's windows can't ALL sit below the clip mean, and the
+      // sha-derived samples are never flat, so some always do
+      assert(nQuiet > 0 && nQuiet < nWin, s"degenerate quiet count: $r")
+      assert(r.getDouble(4) > 0 && r.getDouble(4) < 1)
+      assert(r.getDouble(5) >= 1.0, s"dyn range below 1: $r")
+      assert(math.abs(r.getDouble(6)) < 32768, s"dc offset bounds: $r")
+    }
+  }
+
   test("codec round-trip: decode(encode(im)) == im at uint8 and uint16") {
     import graft.multimodal.ImageCodec
     // planted uint8 frame (the payload shape withPayload generates)
