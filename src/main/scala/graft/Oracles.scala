@@ -5976,7 +5976,15 @@ ORDER BY method"""
     * with per-term contributions cast to DECIMAL(28,10) before the
     * sum (order-independent), rank ties (score DESC, doc_id).
     */
-  val docBm25TopK: String = """
+  private def bm25SqlOf(cap: Option[Int]): String = {
+    val postings = cap.fold("SELECT tok, doc_id, tf FROM tf")(m => s"""
+  SELECT tok, doc_id, tf FROM (
+    SELECT tok, doc_id, tf,
+      row_number() OVER (PARTITION BY tok ORDER BY tf DESC, doc_id)
+        AS prnk
+    FROM tf)
+  WHERE prnk <= $m""")
+    s"""
 WITH toks AS (
   SELECT doc_id,
     unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
@@ -6007,18 +6015,19 @@ WITH toks AS (
         AS rnk
     FROM qscored)
   WHERE rnk <= 3
+), postings AS ($postings
 ), scored AS (
-  SELECT q.qid, tf.doc_id,
+  SELECT q.qid, p.doc_id,
     sum(CAST(
       ln(1.0 + (g.n_docs - df.df + 0.5) / (df.df + 0.5))
-        * (tf.tf * 2.2)
-        / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / g.avgdl))
+        * (p.tf * 2.2)
+        / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / g.avgdl))
       AS DECIMAL(28,10))) AS s
-  FROM tf JOIN qterms q ON tf.tok = q.tok AND tf.doc_id <> q.qid
-  JOIN df ON tf.tok = df.tok
-  JOIN dl ON tf.doc_id = dl.doc_id
+  FROM postings p JOIN qterms q ON p.tok = q.tok AND p.doc_id <> q.qid
+  JOIN df ON p.tok = df.tok
+  JOIN dl ON p.doc_id = dl.doc_id
   CROSS JOIN gstats g
-  GROUP BY q.qid, tf.doc_id
+  GROUP BY q.qid, p.doc_id
 )
 SELECT qid, rank, doc_id,
   CAST(round(CAST(s AS DOUBLE), 6) AS DOUBLE) AS score
@@ -6029,6 +6038,30 @@ FROM (
   FROM scored)
 WHERE rank <= 5
 ORDER BY qid, rank"""
+  }
+
+  val docBm25TopK: String = bm25SqlOf(None)
+
+  /** Impact-capped twin of [[graft.ops.TextOps.bm25Pruned]]: postings
+    * per term capped at the top-64 by (tf DESC, doc_id); global
+    * statistics exact.
+    */
+  val docBm25Pruned: String = bm25SqlOf(Some(64))
+
+  /** Recall twin of [[graft.ops.TextOps.bm25Recall]]: composes the
+    * full and impact-capped oracles and counts the per-query overlap.
+    */
+  val docBm25Recall: String = s"""
+WITH base AS (SELECT qid, doc_id FROM (${bm25SqlOf(None)}) b),
+pr AS (SELECT qid, doc_id FROM (${bm25SqlOf(Some(64))}) p)
+SELECT base.qid,
+  CAST(count(pr.doc_id) AS BIGINT) AS n_hits,
+  CAST(count(*) AS BIGINT) AS k,
+  round(CAST(count(pr.doc_id) AS DOUBLE) / count(*), 4) AS recall
+FROM base
+LEFT JOIN pr ON base.qid = pr.qid AND base.doc_id = pr.doc_id
+GROUP BY base.qid
+ORDER BY base.qid"""
 
   /** BPE first-merge twin of [[graft.ops.TextOps.bpePairs]]: the same
     * vocabulary-census-first expansion (pair work is vocab-sized),
@@ -6111,6 +6144,8 @@ FROM k GROUP BY cell ORDER BY cell"""
 
   def all: Map[String, String] = Map(
     "doc_bm25_topk" -> docBm25TopK,
+    "doc_bm25_pruned" -> docBm25Pruned,
+    "doc_bm25_recall" -> docBm25Recall,
     "doc_bpe_pairs" -> docBpePairs,
     "emb_prototype_prune" -> embPrototypePrune,
     "doc_survival_funnel" -> docSurvivalFunnel,

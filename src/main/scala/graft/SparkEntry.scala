@@ -115,6 +115,8 @@ object SparkEntry {
     "doc_quality_gate" -> (TextOps.qualityGate(_, _)),
     "doc_tfidf" -> (TextOps.tfidf(_, _)),
     "doc_bm25_topk" -> (TextOps.bm25TopK(_, _)),
+    "doc_bm25_pruned" -> (TextOps.bm25Pruned(_, _)),
+    "doc_bm25_recall" -> (TextOps.bm25Recall(_, _)),
     "doc_bpe_pairs" -> (TextOps.bpePairs(_, _)),
     "doc_dup_clusters" -> (DedupOps.dupClusters(_, _)),
     "doc_dedup_pipeline" -> (DedupOps.dedupPipeline(_, _)),

@@ -1085,7 +1085,45 @@ object TextOps {
     * and summed as exact DECIMAL, so the score is partition-order
     * independent and rank ties (score, doc_id) match the oracle.
     */
-  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame =
+    bm25Of(spark, dir, cap = None)
+
+  /** Impact-ordered-index BM25 — the retrieval SCALE path: candidate
+    * enumeration reads only each term's top-[[Bm25M]] postings by
+    * (tf DESC, doc_id), the classic impact-sorted-list pruning
+    * (Anh & Moffat, SIGIR 2006 family) that bounds per-term scoring
+    * work regardless of how hot the term is. The cap rides the
+    * bounded TopKByScore aggregate (k-row map-side partials), never a
+    * per-term rank window — a stopword's corpus-sized posting list is
+    * exactly the partition such a window could not split. Global
+    * statistics (df, dl, avgdl, N) stay EXACT — pruning changes which
+    * documents are scored, never how. [[bm25Recall]] grades the loss.
+    */
+  def bm25Pruned(spark: SparkSession, dir: String): DataFrame =
+    bm25Of(spark, dir, cap = Some(Bm25M))
+
+  /** Recall audit of the impact-capped index vs full BM25: per query,
+    * how many of the true top-5 the pruned index reproduces — the
+    * emb_ann_recall discipline applied to text retrieval.
+    */
+  def bm25Recall(spark: SparkSession, dir: String): DataFrame = {
+    val full = bm25TopK(spark, dir).select(col("qid"), col("doc_id"))
+    val pruned = bm25Pruned(spark, dir)
+      .select(col("qid").as("pqid"), col("doc_id").as("pdoc"))
+    full.join(pruned,
+        col("qid") === col("pqid") && col("doc_id") === col("pdoc"),
+        "left")
+      .groupBy("qid")
+      .agg(count(col("pdoc")).as("n_hits"), count(lit(1)).as("k"))
+      .select(col("qid"), col("n_hits"), col("k"),
+        round(col("n_hits").cast("double") / col("k"), 4).as("recall"))
+      .orderBy("qid")
+  }
+
+  private val Bm25M = 64
+
+  private def bm25Of(spark: SparkSession, dir: String,
+      cap: Option[Int]): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val toks = docs
       .select(col("doc_id"),
@@ -1108,6 +1146,13 @@ object TextOps {
       .withColumn("rnk", row_number().over(qw))
       .filter(col("rnk") <= 3)
       .select("qid", "tok")
+    // counts round-trip the aggregate's double score exactly (< 2^53)
+    val postings = cap.fold(tf)(m => tf.groupBy("tok")
+      .agg(graft.functions.TopKByScore
+        .topk(col("tf").cast("double"), col("doc_id"), m).as("top"))
+      .select(col("tok"), explode(col("top")).as("t"))
+      .select(col("tok"), col("t.id").as("doc_id"),
+        col("t.score").cast("bigint").as("tf")))
     val k1 = 1.2
     val b = 0.75
     val contrib =
@@ -1115,7 +1160,7 @@ object TextOps {
         (col("tf") * (k1 + 1.0)) /
         (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl")
           / col("avgdl")))
-    val scored = tf.join(broadcast(qterms), "tok")
+    val scored = postings.join(broadcast(qterms), "tok")
       .filter(col("doc_id") =!= col("qid"))
       .join(df_, "tok")
       .join(dl, "doc_id")

@@ -548,6 +548,28 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25 impact cap: pruned scores never exceed full scores on " +
+      "shared pairs, recall audit well-formed") {
+    val full = TextOps.bm25TopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val pruned = TextOps.bm25Pruned(spark, sfDir).collect()
+    pruned.foreach { r =>
+      full.get((r.getLong(0), r.getLong(2))).foreach { fs =>
+        // a doc surviving the cap on every matched term scores
+        // identically; a partially-capped doc can only score LOWER
+        assert(r.getDouble(3) <= fs + 1e-9,
+          s"pruned score above full for $r (full $fs)")
+      }
+    }
+    val rec = TextOps.bm25Recall(spark, sfDir).collect()
+    assert(rec.map(_.getLong(0)).toSet === (0L until 8L).toSet)
+    rec.foreach { r =>
+      val (hits, k) = (r.getLong(1), r.getLong(2))
+      assert(k === 5 && hits >= 0 && hits <= k)
+      assert(r.getDouble(3) === math.rint(hits * 10000.0 / k) / 10000.0)
+    }
+  }
+
   test("bpe pairs: 50 two-char pairs, weights non-increasing, " +
       "every weight covers its type count") {
     val rows = TextOps.bpePairs(spark, sfDir).collect()

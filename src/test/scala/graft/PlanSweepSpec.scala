@@ -17,6 +17,9 @@ class PlanSweepSpec extends AnyFunSuite {
                            // vocabulary/corpus-scale censuses both
                            // sides (the dsir shape) — never broadcast;
                            // the ≤24-row query-term side DOES broadcast
+    "doc_bm25_pruned",     // same censuses over the impact-capped
+                           // posting lists
+    "doc_bm25_recall",     // composes full + pruned, inherits both
     "q5_region_join",      // orders x lineitem: genuinely large-large
     "q4_priority",         // orders semi lineitem keys: large-large
     "q7_volume",           // lineitem x orders, orders x customer
@@ -150,6 +153,8 @@ class PlanSweepSpec extends AnyFunSuite {
   // intended broadcast-nested-loop joins (non-equi or single-row sides)
   private val bnlAllowed = Set(
     "doc_bm25_topk",  // one-row (n_docs, avgdl) census cross joins
+    "doc_bm25_pruned", // same one-row census cross joins
+    "doc_bm25_recall", // composes full + pruned, inherits both
     "emb_prototype_prune", // 16-centroid assignment cross join (the
                       // shared assignCells coarse step)
     "doc_tfidf",      // corpus-size single row cross join
