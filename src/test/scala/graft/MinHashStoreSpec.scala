@@ -90,6 +90,31 @@ class MinHashStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("both store tables ride their bucket layouts: kb / doc_id " +
+      "aggregations run with zero exchanges") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_mhstore0").toString
+    spark.sql(
+      s"CREATE DATABASE IF NOT EXISTS graft_mh0 LOCATION '$tmp'")
+    val t = "graft_mh0.store"
+    try {
+      MinHashStore.build(spark, sfDir, t)
+      for ((name, df) <- Seq(
+          "band-key census" -> spark.table(t + "_bands")
+            .groupBy("kb").agg(count(lit(1)).as("n")),
+          "doc-id lookup census" -> spark.table(t)
+            .groupBy("doc_id").agg(count(lit(1)).as("n")))) {
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"),
+          s"$name must ride the bucket layout, not shuffle:\n$plan")
+      }
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_bands")
+      spark.sql("DROP DATABASE IF EXISTS graft_mh0")
+    }
+  }
+
   test("band index heals the doc-append/band-append crash window on " +
       "redelivery") {
     val tmp = java.nio.file.Files
