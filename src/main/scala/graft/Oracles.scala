@@ -6097,13 +6097,16 @@ FROM top
 ORDER BY rank"""
 
   /** Prototype-pruning twin of
-    * [[graft.ops.VectorOps.prototypePrune]]: the [[embIvfBalance]]
-    * nearest-cell assignment, per-cell hardness rank (cosine ASC,
-    * vec_id), keep the hardest ceil(n/2), DECIMAL mean cosines.
+    * [[graft.ops.VectorOps.prototypePrune]]: the k ∝ N nearest-cell
+    * assignment (the [[embKnnGraph]] codebook expression), per-cell
+    * hardness rank (cosine ASC, vec_id), keep the hardest ceil(n/2),
+    * DECIMAL mean cosines.
     */
   val embPrototypePrune: String = s"""
 WITH cents AS (
-  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+  WHERE vec_id < (SELECT greatest(16,
+    CAST(ceil(count(*) / 128.0) AS BIGINT)) FROM embeddings)
 ), cellof AS (
   SELECT vec_id, cell FROM (
     SELECT e.vec_id, c.cid AS cell,

@@ -2686,14 +2686,16 @@ object VectorOps {
     *
     * Scale: one N×k routing argmin (the [[assignCells]] skinny-frame
     * discipline), one N-row broadcast join back to the centroid, and a
-    * rank window PARTITIONED BY CELL — with the production k ∝ N
-    * codebook knob cells stay targetCell-bounded, so no task ever
-    * sorts more than a bounded cell (the fixed 16-cell geometry here
-    * is the oracle-simple demo codebook, as in [[ivfBalance]]).
+    * rank window PARTITIONED BY CELL over the production k ∝ N
+    * codebook ([[derivedK]], targetCell 128) — cells stay bounded as
+    * the corpus grows, so no task ever sorts more than one
+    * targetCell-sized cell.
     */
   def prototypePrune(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val cents = coarseCentroids(e)
+    val k = derivedK(e.count())
+    val cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
     val assigned = assignCells(e, cents)
       .join(broadcast(cents), col("cell") === col("cid"))
       .select(col("vec_id"), col("cell"),
