@@ -3259,6 +3259,55 @@ FROM smp JOIN data_set d ON smp.dataset_id = d.id
 GROUP BY d.dataset_serial
 ORDER BY d.dataset_serial"""
 
+  /** Twin of [[graft.multimodal.BinaryFrames.keyframes]]: the
+    * [[vidSceneCuts]] series window and jump rule, a running cut
+    * count as the segment id, per-segment sharpest frame by
+    * (rounded variance DESC, id) — [[imgFocusRank]]'s variance
+    * expression verbatim.
+    */
+  val vidKeyframes: String = imagingCte + """
+, pb AS (
+  SELECT id, frames_global_id AS dataset_id, channel_idx AS c,
+    slice_idx AS z, time_idx AS t, pos_idx AS p,
+    CAST(2 * list_sum(px) AS DOUBLE) / 64 AS mean_px,
+    round(CAST(2 * list_sum(list_transform(px, x -> x * x)) AS DOUBLE)
+        / 64
+      - (CAST(2 * list_sum(px) AS DOUBLE) / 64)
+      * (CAST(2 * list_sum(px) AS DOUBLE) / 64), 6) AS variance
+  FROM (
+    SELECT id, frames_global_id, channel_idx, slice_idx, time_idx,
+      pos_idx,
+      list_transform(range(0, 32),
+        i -> (strpos('0123456789abcdef', substr(sha256, 2*i + 1, 1)) - 1)
+           * 16
+           + (strpos('0123456789abcdef', substr(sha256, 2*i + 2, 1)) - 1))
+        AS px
+    FROM frames)
+), lagged AS (
+  SELECT *, lag(mean_px) OVER (PARTITION BY dataset_id, c, z, p
+    ORDER BY t, id, mean_px) AS prev
+  FROM pb
+), segd AS (
+  SELECT *, sum(CASE WHEN prev IS NOT NULL
+      AND abs(mean_px - prev) > 25.0 THEN 1 ELSE 0 END)
+    OVER (PARTITION BY dataset_id, c, z, p ORDER BY t, id, mean_px
+      ROWS UNBOUNDED PRECEDING) AS seg
+  FROM lagged
+), ranked AS (
+  SELECT dataset_id, c, z, p, seg, id, variance,
+    CAST(count(*) OVER w AS BIGINT) AS n_frames,
+    row_number() OVER (PARTITION BY dataset_id, c, z, p, seg
+      ORDER BY variance DESC, id) AS rk
+  FROM segd
+  WINDOW w AS (PARTITION BY dataset_id, c, z, p, seg)
+)
+SELECT d.dataset_serial, c, z, p, CAST(seg AS BIGINT) AS seg,
+  n_frames, ranked.id AS keyframe_id,
+  CAST(variance AS DOUBLE) AS variance
+FROM ranked JOIN data_set d ON ranked.dataset_id = d.id
+WHERE rk = 1
+ORDER BY d.dataset_serial, c, z, p, seg"""
+
   /** Twin of [[graft.multimodal.BinaryAudio.activityWindows]]: the
     * same sha-derived sample expansion as [[audWaveformStats]], framed
     * into 8×32-sample windows; quiet = window Σs²·8 strictly below the
@@ -6272,6 +6321,7 @@ FROM k GROUP BY cell ORDER BY cell"""
     "img_z_profile" -> imgZProfile,
     "aud_waveform_stats" -> audWaveformStats,
     "aud_activity_windows" -> audActivityWindows,
+    "vid_keyframes" -> vidKeyframes,
     "vid_scene_cuts" -> vidSceneCuts,
     "emb_ood_outliers" -> embOodOutliers,
     "doc_source_kl" -> docSourceKl,

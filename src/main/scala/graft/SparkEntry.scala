@@ -242,6 +242,8 @@ object SparkEntry {
       (graft.multimodal.BinaryAudio.activityWindows(_, _)),
     "vid_scene_cuts" ->
       (graft.multimodal.BinaryFrames.sceneCuts(_, _)),
+    "vid_keyframes" ->
+      (graft.multimodal.BinaryFrames.keyframes(_, _)),
     // persisted-store twins: identical results (and oracles) to their
     // inline operators, but the corpus side reads a bucketed table —
     // the timing evidence behind the zero-exchange plan claims. Builds

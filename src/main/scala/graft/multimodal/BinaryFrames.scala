@@ -578,6 +578,72 @@ object BinaryFrames {
       .orderBy("dataset_serial")
   }
 
+  /** Keyframe extraction — the video-shaped selection op a
+    * vision-language training pipeline runs after cut detection:
+    * within each (dataset, channel, slice, position) series ordered
+    * by time, frames split into SEGMENTS at the [[sceneCuts]]
+    * boundaries (jump > 25 uint8 units), and each segment elects the
+    * SHARPEST frame (max pixel variance — the [[focusRank]] proxy,
+    * rounded before ranking, smaller frame_id on ties) as its
+    * keyframe. One decode pass emits both integer moments; the
+    * segment id is a running cut count over the same bounded series
+    * window as sceneCuts, and the per-segment argmax is a min-struct
+    * aggregate (map-side partials), never a per-segment sort.
+    */
+  def keyframes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val framed = ImagingModel.frames(spark, dir)
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
+      .select(col("id"), col("channel_idx"), col("slice_idx"),
+        col("time_idx"), col("pos_idx"),
+        encodePng(col("sha256")).as("payload"))
+    val feats = framed
+      .as[(Long, Int, Int, Int, Int, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, c, z, t, p, payload) =>
+          val (_, _, px) = ImageCodec.decodeGray(payload)
+          var sum = 0L
+          var ssq = 0L
+          var i = 0
+          while (i < px.length) {
+            val v = px(i)
+            sum += v; ssq += v.toLong * v; i += 1
+          }
+          (id, c, z, t, p, px.length, sum, ssq)
+        }
+      }
+      .toDF("frame_id", "c", "z", "t", "p", "n_px", "sum_px", "sum_sq")
+      .withColumn("dataset_id", expr("frame_id div 10"))
+      .withColumn("mean_px",
+        col("sum_px").cast("double") / col("n_px"))
+      .withColumn("variance", round(
+        col("sum_sq").cast("double") / col("n_px")
+          - col("mean_px") * col("mean_px"), 6))
+    val series = Window.partitionBy("dataset_id", "c", "z", "p")
+      .orderBy(col("t"), col("frame_id"), col("mean_px"))
+    val segw = series
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    feats
+      .withColumn("prev", lag(col("mean_px"), 1).over(series))
+      .withColumn("seg", sum(
+        (col("prev").isNotNull
+          && abs(col("mean_px") - col("prev")) > 25.0).cast("long"))
+        .over(segw))
+      .groupBy("dataset_id", "c", "z", "p", "seg")
+      .agg(count(lit(1)).as("n_frames"),
+        min(struct((-col("variance")).as("nv"),
+          col("frame_id").as("fid"))).as("m"))
+      .join(broadcast(ImagingModel.dataSet(spark, dir)
+        .select(col("id").as("ds_id"), col("dataset_serial"))),
+        col("dataset_id") === col("ds_id"))
+      .select(col("dataset_serial"), col("c"), col("z"), col("p"),
+        col("seg"), col("n_frames"),
+        col("m.fid").as("keyframe_id"),
+        (-col("m.nv")).as("variance"))
+      .orderBy("dataset_serial", "c", "z", "p", "seg")
+  }
+
   /** Stack reassembly — the download path of the reference
     * (data_storage.py make_stack_from_meta): collect each dataset's
     * frame payloads into one array ordered by (channel, slice, time,

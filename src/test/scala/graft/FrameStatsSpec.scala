@@ -29,6 +29,29 @@ class FrameStatsSpec extends AnyFunSuite {
     assert(bad.count() === 0)
   }
 
+  test("keyframes: exactly one keyframe per segment, and per dataset " +
+      "n_segments == n_series + n_cuts") {
+    val kf = graft.multimodal.BinaryFrames.keyframes(spark, sfDir)
+    kf.collect().foreach { r =>
+      assert(r.getLong(5) >= 1, s"empty segment: $r")
+      assert(r.getDouble(7) >= 0, s"negative variance: $r")
+    }
+    // a cut STARTS a new segment, so each series has cuts+1 segments:
+    // the keyframe census must tie out against the scene-cut report
+    val segs = kf.groupBy("dataset_serial")
+      .agg(count(lit(1)).as("n_segments"))
+    val cuts = graft.multimodal.BinaryFrames.sceneCuts(spark, sfDir)
+      .select(col("dataset_serial").as("ds"), col("n_series"),
+        col("n_cuts"))
+    val joined = segs.join(cuts, col("dataset_serial") === col("ds"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getLong(1) === r.getLong(3) + r.getLong(4),
+        s"segment arithmetic broken: $r")
+    }
+  }
+
   test("stored twins equal their inline decode operators") {
     for ((name, stored, inline) <- Seq(
         ("payload_stats",
