@@ -6258,6 +6258,7 @@ FROM k GROUP BY cell ORDER BY cell"""
     "img_saturation_stored" -> imgSaturation,
     "img_z_profile_stored" -> imgZProfile,
     "vid_scene_cuts_stored" -> vidSceneCuts,
+    "vid_keyframes_stored" -> vidKeyframes,
     "img_stats_drift" -> imgStatsDrift,
     "img_dataset_qc_summary" -> imgDatasetQcSummary,
     "emb_knn_ivfpq_indexed" -> embKnnIvfPq,

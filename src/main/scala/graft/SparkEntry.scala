@@ -272,6 +272,8 @@ object SparkEntry {
       (graft.sources.FrameStats.zProfileStored(_, _)),
     "vid_scene_cuts_stored" ->
       (graft.sources.FrameStats.sceneCutsStored(_, _)),
+    "vid_keyframes_stored" ->
+      (graft.sources.FrameStats.keyframesStored(_, _)),
     // the composite per-dataset QC report: five exposure metrics off
     // ONE stored read (the decode-once table's clearest payoff)
     "img_dataset_qc_summary" ->

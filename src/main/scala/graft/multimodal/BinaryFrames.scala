@@ -615,6 +615,18 @@ object BinaryFrames {
       }
       .toDF("frame_id", "c", "z", "t", "p", "n_px", "sum_px", "sum_sq")
       .withColumn("dataset_id", expr("frame_id div 10"))
+    keyframesTail(spark, dir, feats)
+  }
+
+  /** Keyframe election over any per-frame moment source (inline
+    * decode or the persisted [[graft.sources.FrameStats]] table) —
+    * `feats` carries (frame_id, dataset_id, c, z, t, p, n_px, sum_px,
+    * sum_sq).
+    */
+  private[graft] def keyframesTail(spark: SparkSession, dir: String,
+      feats0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val feats = feats0
       .withColumn("mean_px",
         col("sum_px").cast("double") / col("n_px"))
       .withColumn("variance", round(

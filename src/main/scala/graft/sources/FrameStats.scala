@@ -211,6 +211,13 @@ object FrameStats {
   def channelCrosstalkStored(spark: SparkSession, dir: String): DataFrame =
     BinaryFrames.channelCrosstalkTail(spark, dir, statsFor(spark, dir))
 
+  def keyframesStored(spark: SparkSession, dir: String): DataFrame =
+    BinaryFrames.keyframesTail(spark, dir, statsFor(spark, dir)
+      .select(col("frame_id"), col("dataset_id"),
+        col("channel_idx").as("c"), col("slice_idx").as("z"),
+        col("time_idx").as("t"), col("pos_idx").as("p"),
+        col("n_px"), col("sum_px"), col("sum_sq")))
+
   def sceneCutsStored(spark: SparkSession, dir: String): DataFrame =
     BinaryFrames.sceneCutsTail(spark, dir, statsFor(spark, dir)
       .select(col("frame_id"), col("dataset_id"),
