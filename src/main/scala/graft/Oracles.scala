@@ -6145,6 +6145,62 @@ SELECT
 FROM top
 ORDER BY rank"""
 
+  /** BPE-iteration-2 twin of [[graft.ops.TextOps.bpeMergeStep]]: the
+    * same winner selection (weight DESC, pair), leftmost-greedy
+    * `replace` into the chr(1) sentinel, and pair census over the
+    * symbol stream with the merged symbol displayed as `[xy]`.
+    */
+  val docBpeMergeStep: String = """
+WITH vocab AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT unnest(list_filter(string_split(lower(text), ' '),
+      x -> x <> '')) AS tok
+    FROM documents)
+  GROUP BY tok
+  HAVING length(tok) >= 2
+), occ1 AS (
+  SELECT tok, substr(tok, i, 2) AS pair, any_value(n) AS n,
+    CAST(count(*) AS BIGINT) AS occ
+  FROM (
+    SELECT tok, n, unnest(generate_series(1, length(tok) - 1)) AS i
+    FROM vocab)
+  GROUP BY tok, pair
+), winner AS (
+  SELECT pair AS mp FROM (
+    SELECT pair, sum(n * occ) AS w FROM occ1 GROUP BY pair
+    ORDER BY w DESC, pair LIMIT 1)
+), merged AS (
+  SELECT n, mp, replace(tok, mp, chr(1)) AS sym
+  FROM vocab CROSS JOIN winner
+  WHERE length(replace(tok, mp, chr(1))) >= 2
+), expanded AS (
+  SELECT sym, n, mp,
+    unnest(generate_series(1, length(sym) - 1)) AS i
+  FROM merged
+), occ2 AS (
+  SELECT sym,
+    concat(
+      CASE WHEN substr(sym, i, 1) = chr(1)
+        THEN concat('[', mp, ']') ELSE substr(sym, i, 1) END,
+      '+',
+      CASE WHEN substr(sym, i + 1, 1) = chr(1)
+        THEN concat('[', mp, ']') ELSE substr(sym, i + 1, 1) END)
+      AS pair,
+    any_value(n) AS n, CAST(count(*) AS BIGINT) AS occ
+  FROM expanded GROUP BY sym, pair
+), top AS (
+  SELECT pair, CAST(sum(n * occ) AS BIGINT) AS n_weighted,
+    CAST(count(*) AS BIGINT) AS n_types
+  FROM occ2 GROUP BY pair
+  ORDER BY n_weighted DESC, pair LIMIT 20
+)
+SELECT
+  CAST(row_number() OVER (ORDER BY n_weighted DESC, pair) AS BIGINT)
+    AS rank,
+  pair, n_weighted, n_types
+FROM top
+ORDER BY rank"""
+
   /** Prototype-pruning twin of
     * [[graft.ops.VectorOps.prototypePrune]]: the k ∝ N nearest-cell
     * assignment (the [[embKnnGraph]] codebook expression), per-cell
@@ -6199,6 +6255,7 @@ FROM k GROUP BY cell ORDER BY cell"""
     "doc_bm25_pruned" -> docBm25Pruned,
     "doc_bm25_recall" -> docBm25Recall,
     "doc_bpe_pairs" -> docBpePairs,
+    "doc_bpe_merge_step" -> docBpeMergeStep,
     "emb_prototype_prune" -> embPrototypePrune,
     "doc_survival_funnel" -> docSurvivalFunnel,
     "doc_domain_census" -> docDomainCensus,

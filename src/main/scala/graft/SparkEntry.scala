@@ -118,6 +118,7 @@ object SparkEntry {
     "doc_bm25_pruned" -> (TextOps.bm25Pruned(_, _)),
     "doc_bm25_recall" -> (TextOps.bm25Recall(_, _)),
     "doc_bpe_pairs" -> (TextOps.bpePairs(_, _)),
+    "doc_bpe_merge_step" -> (TextOps.bpeMergeStep(_, _)),
     "doc_dup_clusters" -> (DedupOps.dupClusters(_, _)),
     "doc_dedup_pipeline" -> (DedupOps.dedupPipeline(_, _)),
     "doc_minhash_recall" -> (DedupOps.minhashRecall(_, _)),

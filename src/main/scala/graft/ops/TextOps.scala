@@ -1179,6 +1179,61 @@ object TextOps {
       .orderBy("qid", "rank")
   }
 
+  /** BPE iteration 2 — the census AFTER applying the first merge,
+    * proving the training loop (merge → re-census) is expressible as
+    * a plan, not a driver loop: the winning pair from [[bpePairs]]
+    * (weight DESC, pair tie-break) is merged into one symbol via
+    * leftmost-greedy non-overlapping `replace` (exactly BPE's merge
+    * order; a control sentinel stands in for the merged symbol — the
+    * corpus alphabet is printable), and the pair census re-runs over
+    * the SYMBOL stream, so pairs straddling the merged symbol (e.g.
+    * `e+[th]`) now exist and pairs consumed by it lose their mass.
+    * Same vocabulary-census-first discipline: both passes are
+    * vocab-sized, the winning pair is a one-row broadcast.
+    */
+  def bpeMergeStep(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(
+        expr("filter(split(lower(text), ' '), x -> x <> '')")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .filter(length(col("tok")) >= 2)
+    val occ1 = vocab
+      .select(col("tok"), col("n"),
+        explode(expr("sequence(1, length(tok) - 1)")).as("i"))
+      .select(col("tok"), col("n"),
+        expr("substring(tok, i, 2)").as("pair"))
+      .groupBy("tok", "pair")
+      .agg(first(col("n")).as("n"), count(lit(1)).as("occ"))
+    val winner = occ1.groupBy("pair")
+      .agg(sum(col("n") * col("occ")).as("w"))
+      .orderBy(col("w").desc, col("pair")).limit(1)
+      .select(col("pair").as("mp"))
+    val merged = vocab.crossJoin(broadcast(winner))
+      .select(col("n"), col("mp"),
+        expr("replace(tok, mp, chr(1))").as("sym"))
+      .filter(length(col("sym")) >= 2)
+    val sub = (c: String) =>
+      expr(s"""CASE WHEN $c = chr(1) THEN concat('[', mp, ']')
+               ELSE $c END""")
+    val occ2 = merged
+      .select(col("sym"), col("n"), col("mp"),
+        explode(expr("sequence(1, length(sym) - 1)")).as("i"))
+      .select(col("sym"), col("n"),
+        concat(sub("substring(sym, i, 1)"), lit("+"),
+          sub("substring(sym, i + 1, 1)")).as("pair"))
+      .groupBy("sym", "pair")
+      .agg(first(col("n")).as("n"), count(lit(1)).as("occ"))
+    val top = occ2.groupBy("pair")
+      .agg(sum(col("n") * col("occ")).as("n_weighted"),
+        count(lit(1)).as("n_types"))
+      .orderBy(col("n_weighted").desc, col("pair"))
+      .limit(20)
+    val w = Window.orderBy(col("n_weighted").desc, col("pair"))
+    top.withColumn("rank", row_number().over(w).cast("bigint"))
+      .select("rank", "pair", "n_weighted", "n_types")
+      .orderBy("rank")
+  }
+
   /** BPE first-merge census: the 50 most frequent within-token
     * adjacent character pairs — iteration 0 of byte-pair-encoding
     * tokenizer training, and the standard "is this corpus's character

@@ -585,6 +585,25 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe merge step: the winning pair is fully consumed and " +
+      "merged-symbol pairs appear") {
+    val first = TextOps.bpePairs(spark, sfDir).collect()
+    val winner = first.head.getString(1) // rank 1 = (weight desc, pair)
+    val second = TextOps.bpeMergeStep(spark, sfDir).collect()
+    assert(second.length === 20)
+    assert(second.map(_.getLong(0)).toSeq === (1L to 20L).toSeq)
+    val pairs = second.map(_.getString(1))
+    // replace() removes every non-overlapping occurrence and the
+    // sentinel can't spell the pair by juxtaposition, so the winner
+    // must be gone as a plain character pair
+    assert(!pairs.contains(s"${winner(0)}+${winner(1)}"),
+      s"winner $winner survived its own merge")
+    assert(pairs.exists(_.contains(s"[$winner]")),
+      "no pair involves the merged symbol")
+    val ws = second.map(_.getLong(2))
+    assert(ws.zip(ws.tail).forall { case (a, b) => a >= b })
+  }
+
   test("prototype prune: keeps exactly the hardest ceil(n/2) per " +
       "cell, kept strictly harder than dropped on average") {
     val rows = VectorOps.prototypePrune(spark, sfDir).collect()
