@@ -154,6 +154,37 @@ class MinHashStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("hot band keys are skipped loudly, never silently: a " +
+      "zero-cap ingest reports every probed key and drops nothing " +
+      "against the store") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_mhstore4").toString
+    spark.sql(
+      s"CREATE DATABASE IF NOT EXISTS graft_mh4 LOCATION '$tmp'")
+    val t = "graft_mh4.store"
+    try {
+      MinHashStore.build(spark, sfDir, t)
+      val copy = spark.table(t).filter(col("doc_id") === 0L)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+      // cap 0: every stored band key the batch probes is "hot" — the
+      // copy slips through the store check (and the stats say so)
+      val s = MinHashStore.ingest(spark, copy, t, maxBucket = 0)
+      assert(s.nHotKeysSkipped >= 16,
+        s"all 16 probed keys must be reported as skipped: $s")
+      assert(s.nDroppedVsStore === 0 && s.nAppended === 1,
+        s"a fully-capped probe can't drop: $s")
+      // the default cap catches the same copy (planted under a new id)
+      val s2 = MinHashStore.ingest(spark, copy
+        .select((col("doc_id") + 1L).as("doc_id"), col("text")), t)
+      assert(s2.nHotKeysSkipped === 0 && s2.nDroppedVsStore === 1,
+        s"default cap must catch the copy: $s2")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_bands")
+      spark.sql("DROP DATABASE IF EXISTS graft_mh4")
+    }
+  }
+
   test("streamed near-dup ingest: drops at ingest rate, and a full " +
       "from-scratch replay is a stored-state no-op") {
     val tmp = java.nio.file.Files
