@@ -3678,7 +3678,11 @@ ORDER BY cell"""
     * cosine routing of embKnnIvf composed with embKnnPq's
     * code-assignment + ADC tables, ADC restricted to probed cells.
     */
-  val embKnnIvfPq: String = s"""
+  /** The IVF+PQ ADC CTE chain (routing, probes, PQ codes, distance
+    * tables, per-candidate ADC sums) — shared by [[embKnnIvfPq]] and
+    * the refined-search twin [[embKnnRefine]].
+    */
+  private lazy val ivfPqAdcCte: String = s"""
 WITH cents AS (
   SELECT vec_id AS ccid, embedding AS ccv FROM embeddings WHERE vec_id < 16
 ), cellof AS (
@@ -3730,6 +3734,9 @@ WITH cents AS (
   WHERE d.qid <> a.vec_id
   GROUP BY d.qid, a.vec_id
 )
+"""
+
+  val embKnnIvfPq: String = s"""$ivfPqAdcCte
 SELECT qid, vec_id AS neighbor, adc_dist, rank FROM (
   SELECT qid, vec_id, adc_dist,
     CAST(row_number() OVER (
@@ -3737,6 +3744,51 @@ SELECT qid, vec_id AS neighbor, adc_dist, rank FROM (
   FROM adc)
 WHERE rank <= 5
 ORDER BY qid, rank"""
+
+  /** Refined-search twin of [[graft.ops.VectorOps.knnRefine]]: the
+    * same ADC chain over-fetches top-20 candidates, exact cosine over
+    * the full vectors re-ranks the final top-5 (unrounded ordering,
+    * rounded output — the [[embKnnIvf]] discipline).
+    */
+  val embKnnRefine: String = s"""$ivfPqAdcCte, cand AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+      row_number() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id)
+        AS rk
+    FROM adc)
+  WHERE rk <= 20
+), rescored AS (
+  SELECT c.qid, c.vec_id,
+    ${duckCos("q.embedding", "e.embedding")} AS sim
+  FROM cand c
+  JOIN embeddings q ON c.qid = q.vec_id
+  JOIN embeddings e ON c.vec_id = e.vec_id
+)
+SELECT qid, vec_id AS neighbor, CAST(round(sim, 6) AS DOUBLE) AS sim,
+  rank
+FROM (
+  SELECT qid, vec_id, sim,
+    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id)
+      AS BIGINT) AS rank
+  FROM rescored)
+WHERE rank <= 5
+ORDER BY qid, rank"""
+
+  /** Recall twin of [[graft.ops.VectorOps.refineRecall]]: composes
+    * the brute-force and refined oracles, counts per-query overlap.
+    */
+  val embRefineRecall: String = s"""
+WITH brute AS (SELECT * FROM ($embKnnBrute) b),
+refined AS (SELECT * FROM ($embKnnRefine) a)
+SELECT brute.qid,
+  CAST(count(refined.neighbor) AS BIGINT) AS n_hits,
+  CAST(count(*) AS BIGINT) AS k,
+  round(CAST(count(refined.neighbor) AS DOUBLE) / count(*), 4) AS recall
+FROM brute
+LEFT JOIN refined
+  ON brute.qid = refined.qid AND brute.neighbor = refined.neighbor
+GROUP BY brute.qid
+ORDER BY brute.qid"""
 
   /** Recall twin of [[graft.ops.VectorOps.annRecall]]: composes the
     * brute-force and IVF+PQ oracles (already hash-verified on their
@@ -6327,6 +6379,8 @@ FROM k GROUP BY cell ORDER BY cell"""
     "q_sketch_quantile" -> qSketchQuantile,
     "doc_unigram_logprob" -> docUnigramLogprob,
     "emb_knn_ivfpq" -> embKnnIvfPq,
+    "emb_knn_refine" -> embKnnRefine,
+    "emb_refine_recall" -> embRefineRecall,
     "emb_ivf_balance" -> embIvfBalance,
     "emb_ann_recall" -> embAnnRecall,
     "doc_source_overlap" -> docSourceOverlap,

@@ -205,6 +205,8 @@ object SparkEntry {
     "emb_kmeans_step" -> (VectorOps.kmeansStep(_, _)),
     "emb_knn_ivfpq" -> (VectorOps.knnIvfPq(_, _)),
     "emb_ann_recall" -> (VectorOps.annRecall(_, _)),
+    "emb_knn_refine" -> (VectorOps.knnRefine(_, _)),
+    "emb_refine_recall" -> (VectorOps.refineRecall(_, _)),
     "emb_gram_power" -> (VectorOps.gramPower(_, _)),
     "events_anomaly" -> (EventOps.eventsAnomaly(_, _)),
     "events_inter_arrival" -> (EventOps.eventsInterArrival(_, _)),

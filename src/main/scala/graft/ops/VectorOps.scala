@@ -1407,18 +1407,72 @@ object VectorOps {
     * sum collapses map-side per (query, vector); final top-5 via the
     * bounded ascending top-k aggregate.
     */
-  def knnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+  def knnIvfPq(spark: SparkSession, dir: String): DataFrame =
+    adcTopK(ivfPqAdc(spark, dir))
+
+  /** The IVF+PQ ADC distance frame (qid, vec_id, adc_dist) — shared
+    * by the ranked search and the refine stage.
+    */
+  private def ivfPqAdc(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     // codes gain their cell (the "index read"), probes cut them to the
     // probed fraction BEFORE any distance work, then the ADC lookup
-    val adc = pqAssign(spark, dir)
+    pqAssign(spark, dir)
       .join(coarseCells(e), Seq("vec_id"))
       .join(broadcast(probeCells(e)), Seq("cell"))
       .join(broadcast(queryDtab(e)), Seq("qid", "m", "cid"))
       .filter(col("qid") =!= col("vec_id"))
       .groupBy("qid", "vec_id")
       .agg(round(sum("dist"), 6).as("adc_dist"))
-    adcTopK(adc)
+  }
+
+  /** Two-stage refined search — the FAISS `IndexRefineFlat` pattern:
+    * the IVF+PQ index retrieves a 4× over-fetched candidate set
+    * (top-20 by ADC), then EXACT cosine over only those 20 full
+    * vectors re-ranks the final top-5. This is the standard
+    * production answer to PQ quantization error: the expensive exact
+    * math touches |Q|×20 vectors regardless of corpus size, and any
+    * true neighbor the code-level distances mis-ranked inside the
+    * candidate set is recovered (per-query refined recall ≥ raw
+    * IVF+PQ recall, PROVABLY — a true top-5 neighbor among the
+    * candidates can be displaced only by a globally-nearer vector;
+    * the spec asserts the dominance, [[refineRecall]] measures it).
+    */
+  def knnRefine(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cand = ivfPqAdc(spark, dir)
+      .groupBy("qid")
+      .agg(graft.functions.TopKByScore
+        .topkAsc(col("adc_dist"), col("vec_id"), 20).as("top"))
+      .select(col("qid"), explode(expr("transform(top, t -> t.id)"))
+        .as("vec_id"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val scored = e.join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine(col("qv"), col("embedding")).as("sim"))
+    topK(scored, 5)
+  }
+
+  /** Recall audit of the refined search vs the brute-force truth —
+    * the [[annRecall]] shape over [[knnRefine]]; read next to
+    * `emb_ann_recall` it prices exactly what the 20-candidate exact
+    * re-rank buys back from PQ quantization error.
+    */
+  def refineRecall(spark: SparkSession, dir: String): DataFrame = {
+    val brute = knnBrute(spark, dir).select("qid", "neighbor")
+    val refined = knnRefine(spark, dir)
+      .select(col("qid").as("aqid"), col("neighbor").as("aneighbor"))
+    brute.join(refined,
+        col("qid") === col("aqid")
+          && col("neighbor") === col("aneighbor"),
+        "left")
+      .groupBy("qid")
+      .agg(count(col("aneighbor")).as("n_hits"), count(lit(1)).as("k"))
+      .select(col("qid"), col("n_hits"), col("k"),
+        round(col("n_hits").cast("double") / col("k"), 4).as("recall"))
+      .orderBy("qid")
   }
 
   /** ANN quality audit — recall@5 of the IVF+PQ search against the

@@ -604,6 +604,25 @@ class DedupSpec extends AnyFunSuite {
     assert(ws.zip(ws.tail).forall { case (a, b) => a >= b })
   }
 
+  test("refined search dominates raw IVF+PQ recall on every query") {
+    val raw = VectorOps.annRecall(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ref = VectorOps.refineRecall(spark, sfDir).collect()
+    assert(ref.length === raw.size)
+    ref.foreach { r =>
+      // a true top-5 neighbor inside the 20-candidate set can only be
+      // displaced by a globally-nearer vector, so per-query refined
+      // hits >= raw hits is an invariant, not a tendency
+      assert(r.getLong(1) >= raw(r.getLong(0)),
+        s"refine lost a hit ivfpq had: $r vs raw ${raw(r.getLong(0))}")
+    }
+    // the refined top-5 comes from the candidate set with exact
+    // cosine, so its rows carry sims in [-1, 1]
+    VectorOps.knnRefine(spark, sfDir).collect().foreach { r =>
+      assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9, s"bad sim: $r")
+    }
+  }
+
   test("prototype prune: keeps exactly the hardest ceil(n/2) per " +
       "cell, kept strictly harder than dropped on average") {
     val rows = VectorOps.prototypePrune(spark, sfDir).collect()

@@ -41,6 +41,9 @@ class PlanSweepSpec extends AnyFunSuite {
                            // → uniform shuffle)
     "emb_ann_recall",      // composes knn_brute + knn_ivfpq, inherits
                            // the ivfpq corpus-axis join
+    "emb_knn_refine",      // the ivfpq candidate stage, same inherited
+                           // corpus-axis join
+    "emb_refine_recall",   // composes brute + refine, inherits both
     "emb_recall_ladder",   // composes all four search rungs, inherits
                            // the ivfpq corpus-axis join
     "emb_recall_ladder_opq", // the five-rung ladder: same inherited
@@ -169,6 +172,9 @@ class PlanSweepSpec extends AnyFunSuite {
     "emb_knn_ivfpq_indexed", // same probe-side routing cross joins —
                              // the corpus side reads the bucketed index
     "emb_ann_recall", // composes knn_brute + knn_ivfpq, inherits both
+    "emb_knn_refine", // the ivfpq routing cross joins + the tiny
+                      // candidate/query broadcast joins
+    "emb_refine_recall", // composes brute + refine, inherits both
     "emb_recall_ladder", // composes brute/sq8/pq/ivfpq, inherits all
     "emb_recall_ladder_opq", // adds the opq rung: inherits all of the
                       // above plus emb_knn_opq's one-row rotation-plan
