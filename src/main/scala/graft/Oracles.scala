@@ -3774,6 +3774,46 @@ FROM (
 WHERE rank <= 5
 ORDER BY qid, rank"""
 
+  /** Depth-curve twin of
+    * [[graft.ops.VectorOps.refineDepthCurve]]: one top-40 candidate
+    * prefix off the shared ADC chain, exact-cosine rescoring, depth-d
+    * refinement as the rk ≤ d prefix re-ranked, recall vs the brute
+    * truth per depth.
+    */
+  val embRefineDepthCurve: String = s"""$ivfPqAdcCte, cand AS (
+  SELECT qid, vec_id, rk FROM (
+    SELECT qid, vec_id,
+      row_number() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id)
+        AS rk
+    FROM adc)
+  WHERE rk <= 40
+), rescored AS (
+  SELECT c.qid, c.vec_id, c.rk,
+    ${duckCos("q.embedding", "e.embedding")} AS sim
+  FROM cand c
+  JOIN embeddings q ON c.qid = q.vec_id
+  JOIN embeddings e ON c.vec_id = e.vec_id
+), truth AS (SELECT qid, neighbor FROM ($embKnnBrute) tb),
+nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM truth),
+pick AS (
+  SELECT depth, qid, vec_id FROM (
+    SELECT d.depth, r.qid, r.vec_id,
+      row_number() OVER (PARTITION BY d.depth, r.qid
+        ORDER BY r.sim DESC, r.vec_id) AS prk
+    FROM (SELECT unnest([5, 10, 20, 40]) AS depth) d
+    JOIN rescored r ON r.rk <= d.depth)
+  WHERE prk <= 5
+)
+SELECT CAST(depth AS BIGINT) AS depth,
+  CAST(count(t.neighbor) AS BIGINT) AS n_hits,
+  (SELECT n FROM nt) AS n_truth,
+  round(CAST(count(t.neighbor) AS DOUBLE) / (SELECT n FROM nt), 4)
+    AS recall
+FROM pick p
+LEFT JOIN truth t ON p.qid = t.qid AND p.vec_id = t.neighbor
+GROUP BY depth
+ORDER BY depth"""
+
   /** Recall twin of [[graft.ops.VectorOps.refineRecall]]: composes
     * the brute-force and refined oracles, counts per-query overlap.
     */
@@ -6381,6 +6421,7 @@ FROM k GROUP BY cell ORDER BY cell"""
     "emb_knn_ivfpq" -> embKnnIvfPq,
     "emb_knn_refine" -> embKnnRefine,
     "emb_refine_recall" -> embRefineRecall,
+    "emb_refine_depth_curve" -> embRefineDepthCurve,
     "emb_ivf_balance" -> embIvfBalance,
     "emb_ann_recall" -> embAnnRecall,
     "doc_source_overlap" -> docSourceOverlap,

@@ -207,6 +207,7 @@ object SparkEntry {
     "emb_ann_recall" -> (VectorOps.annRecall(_, _)),
     "emb_knn_refine" -> (VectorOps.knnRefine(_, _)),
     "emb_refine_recall" -> (VectorOps.refineRecall(_, _)),
+    "emb_refine_depth_curve" -> (VectorOps.refineDepthCurve(_, _)),
     "emb_gram_power" -> (VectorOps.gramPower(_, _)),
     "events_anomaly" -> (EventOps.eventsAnomaly(_, _)),
     "events_inter_arrival" -> (EventOps.eventsInterArrival(_, _)),

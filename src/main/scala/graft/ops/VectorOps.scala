@@ -1455,6 +1455,54 @@ object VectorOps {
     topK(scored, 5)
   }
 
+  /** The refine-depth operating curve — recall@5 vs the brute truth
+    * at candidate depth ∈ {5, 10, 20, 40}, ALL depths off ONE ADC
+    * pass (the emb_nprobe_curve discipline): the top-40 candidate
+    * prefix is rescored exactly once and materialized (|Q|×40 rows),
+    * and a depth-d refinement is the crank ≤ d prefix re-ranked —
+    * TopKByScore ranking is prefix-stable, so no depth re-touches the
+    * index. Depth 5 is raw-IVFPQ-shaped (re-ranking 5 of 5 can still
+    * reorder but not change the set); recall is non-decreasing in
+    * depth — the curve prices the refine knob.
+    */
+  def refineDepthCurve(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cand = ivfPqAdc(spark, dir)
+      .groupBy("qid")
+      .agg(graft.functions.TopKByScore
+        .topkAsc(col("adc_dist"), col("vec_id"), 40).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("p", "t")))
+      .select(col("qid"), col("t.id").as("vec_id"),
+        (col("p") + 1).as("crank"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val rescored = e.join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("vec_id"), col("crank"),
+        cosine(col("qv"), col("embedding")).as("sim"))
+      .localCheckpoint(true)
+    val truth = knnBrute(spark, dir).select("qid", "neighbor")
+      .localCheckpoint(true)
+    val nTruth = truth.count()
+    val picks = Seq(5, 10, 20, 40).map { d =>
+      rescored.filter(col("crank") <= d)
+        .groupBy("qid")
+        .agg(graft.functions.TopKByScore
+          .topk(col("sim"), col("vec_id"), 5).as("top"))
+        .select(lit(d.toLong).as("depth"), col("qid"),
+          explode(expr("transform(top, t -> t.id)")).as("vec_id"))
+    }.reduce(_ unionByName _)
+    picks.join(broadcast(truth),
+        picks("qid") === truth("qid")
+          && col("vec_id") === col("neighbor"), "left")
+      .groupBy("depth")
+      .agg(count(col("neighbor")).as("n_hits"))
+      .select(col("depth"), col("n_hits"),
+        lit(nTruth).as("n_truth"),
+        round(col("n_hits").cast("double") / nTruth, 4).as("recall"))
+      .orderBy("depth")
+  }
+
   /** Recall audit of the refined search vs the brute-force truth —
     * the [[annRecall]] shape over [[knnRefine]]; read next to
     * `emb_ann_recall` it prices exactly what the 20-candidate exact

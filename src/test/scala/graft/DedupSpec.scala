@@ -621,6 +621,15 @@ class DedupSpec extends AnyFunSuite {
     VectorOps.knnRefine(spark, sfDir).collect().foreach { r =>
       assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9, s"bad sim: $r")
     }
+    // the depth curve: recall non-decreasing in depth, depth-20 row
+    // equals the refine audit's total by construction
+    val curve = VectorOps.refineDepthCurve(spark, sfDir).collect()
+    assert(curve.map(_.getLong(0)).toSeq === Seq(5L, 10L, 20L, 40L))
+    val recalls = curve.map(_.getDouble(3))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall must be monotone in depth: ${recalls.toSeq}")
+    assert(curve(2).getLong(1) === ref.map(_.getLong(1)).sum,
+      "depth-20 hits must equal the refine audit's total")
   }
 
   test("prototype prune: keeps exactly the hardest ceil(n/2) per " +

@@ -44,6 +44,8 @@ class PlanSweepSpec extends AnyFunSuite {
     "emb_knn_refine",      // the ivfpq candidate stage, same inherited
                            // corpus-axis join
     "emb_refine_recall",   // composes brute + refine, inherits both
+    "emb_refine_depth_curve", // same composed shape at four depths
+                           // off one rescored candidate prefix
     "emb_recall_ladder",   // composes all four search rungs, inherits
                            // the ivfpq corpus-axis join
     "emb_recall_ladder_opq", // the five-rung ladder: same inherited
@@ -175,6 +177,8 @@ class PlanSweepSpec extends AnyFunSuite {
     "emb_knn_refine", // the ivfpq routing cross joins + the tiny
                       // candidate/query broadcast joins
     "emb_refine_recall", // composes brute + refine, inherits both
+    "emb_refine_depth_curve", // same composed shape, four depths off
+                      // one rescored prefix
     "emb_recall_ladder", // composes brute/sq8/pq/ivfpq, inherits all
     "emb_recall_ladder_opq", // adds the opq rung: inherits all of the
                       // above plus emb_knn_opq's one-row rotation-plan
