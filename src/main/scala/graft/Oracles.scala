@@ -6342,7 +6342,126 @@ SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
     AS drop_mean_cos
 FROM k GROUP BY cell ORDER BY cell"""
 
+  /** Shared CTE prefix for the Naive-Bayes family — the same
+    * tokenization, per-doc term frequencies, class-conditional count
+    * model, and per-class Laplace constants as
+    * [[graft.ops.TextOps.nbParts]], with every log cast to
+    * DECIMAL(20,10) per term before summation (order-independent
+    * exact decimal adds on both engines).
+    */
+  private val nbCtes: String = """
+toks AS (
+  SELECT doc_id, lang,
+    unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+      AS tok
+  FROM documents),
+tf AS (
+  SELECT doc_id, lang, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, lang, tok),
+model AS (
+  SELECT tok, lang AS c, CAST(count(*) AS BIGINT) AS cnt
+  FROM toks GROUP BY tok, lang),
+gstats AS (
+  SELECT count(DISTINCT tok) AS v, count(*) AS tot FROM toks),
+classes AS (
+  SELECT lang AS c,
+    CAST(ln(CAST(count(DISTINCT doc_id) AS DOUBLE)
+      / (SELECT count(*) FROM documents)) AS DECIMAL(20,10)) AS prior,
+    ln(CAST(count(*) + (SELECT v FROM gstats) AS DOUBLE)) AS lnzd
+  FROM toks GROUP BY lang),
+evidence AS (
+  SELECT doc_id, c,
+    sum(CAST(ln(CAST(cnt + 1 AS DOUBLE)) * tf AS DECIMAL(28,10)))
+      AS ev
+  FROM tf JOIN model USING (tok)
+  GROUP BY doc_id, c),
+perdoc AS (
+  SELECT doc_id, lang, sum(tf) AS n_toks FROM tf
+  GROUP BY doc_id, lang),
+scores AS (
+  SELECT p.doc_id, p.lang, cl.c,
+    cl.prior + coalesce(e.ev, CAST(0 AS DECIMAL(28,10)))
+      - CAST(p.n_toks * cl.lnzd AS DECIMAL(28,10)) AS score
+  FROM perdoc p CROSS JOIN classes cl
+  LEFT JOIN evidence e ON e.doc_id = p.doc_id AND e.c = cl.c),
+ranked AS (
+  SELECT doc_id, lang, c, score,
+    row_number() OVER (PARTITION BY doc_id
+      ORDER BY score DESC, c) AS rnk
+  FROM scores)"""
+
+  /** Confusion-matrix twin of [[graft.ops.TextOps.nbLang]]: the
+    * Laplace-smoothed multinomial NB argmax per doc (score DESC,
+    * class ASC tie-break) rolled up to (true, predicted) counts.
+    */
+  val docNbLang: String = s"""
+WITH $nbCtes
+SELECT lang, c AS predicted, CAST(count(*) AS BIGINT) AS n_docs
+FROM ranked WHERE rnk = 1
+GROUP BY lang, c
+ORDER BY lang, predicted"""
+
+  /** Accuracy/margin twin of [[graft.ops.TextOps.nbMargin]]: per true
+    * class, argmax accuracy and the mean winner-minus-runner-up
+    * decision margin.
+    */
+  val docNbMargin: String = s"""
+WITH $nbCtes,
+top2 AS (
+  SELECT doc_id, lang,
+    max(CASE WHEN rnk = 1 THEN c END) AS predicted,
+    max(CASE WHEN rnk = 1 THEN score END)
+      - max(CASE WHEN rnk = 2 THEN score END) AS margin
+  FROM ranked WHERE rnk <= 2
+  GROUP BY doc_id, lang)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN predicted = lang THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_correct,
+  round(CAST(sum(CASE WHEN predicted = lang THEN 1 ELSE 0 END)
+    AS DOUBLE) / count(*), 4) AS accuracy,
+  round(avg(CAST(margin AS DOUBLE)), 4) AS avg_margin
+FROM top2
+GROUP BY lang
+ORDER BY lang"""
+
+  /** Feature-dump twin of [[graft.ops.TextOps.nbFeatures]]: top-5
+    * tokens per class by smoothed log-odds, ranked on the ROUNDED
+    * odds with a token tie-break.
+    */
+  val docNbFeatures: String = """
+WITH toks AS (
+  SELECT lang,
+    unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+      AS tok
+  FROM documents),
+model AS (
+  SELECT tok, lang AS c, CAST(count(*) AS BIGINT) AS cnt
+  FROM toks GROUP BY tok, lang),
+toktot AS (SELECT tok, sum(cnt) AS tot FROM model GROUP BY tok),
+ctoks AS (SELECT c, sum(cnt) AS ctoks FROM model GROUP BY c),
+gstats AS (
+  SELECT count(DISTINCT tok) AS v, sum(cnt) AS alltoks FROM model),
+odds AS (
+  SELECT k.c, s.tok, CAST(coalesce(m.cnt, 0) AS BIGINT) AS cnt,
+    round(ln(CAST(coalesce(m.cnt, 0) + 1 AS DOUBLE)
+        / (k.ctoks + g.v))
+      - ln(CAST(s.tot - coalesce(m.cnt, 0) + 1 AS DOUBLE)
+        / (g.alltoks - k.ctoks + g.v)), 6) AS log_odds
+  FROM toktot s CROSS JOIN ctoks k CROSS JOIN gstats g
+  LEFT JOIN model m ON m.tok = s.tok AND m.c = k.c),
+r AS (
+  SELECT c, tok, cnt, log_odds,
+    CAST(row_number() OVER (PARTITION BY c
+      ORDER BY log_odds DESC, tok) AS BIGINT) AS rank
+  FROM odds)
+SELECT c, rank, tok, cnt, log_odds
+FROM r WHERE rank <= 5
+ORDER BY c, rank"""
+
   def all: Map[String, String] = Map(
+    "doc_nb_lang" -> docNbLang,
+    "doc_nb_margin" -> docNbMargin,
+    "doc_nb_features" -> docNbFeatures,
     "doc_bm25_topk" -> docBm25TopK,
     "doc_bm25_pruned" -> docBm25Pruned,
     "doc_bm25_recall" -> docBm25Recall,

@@ -114,6 +114,9 @@ object SparkEntry {
     "doc_top_per_source" -> (TextOps.topPerSource(_, _)),
     "doc_quality_gate" -> (TextOps.qualityGate(_, _)),
     "doc_tfidf" -> (TextOps.tfidf(_, _)),
+    "doc_nb_lang" -> (TextOps.nbLang(_, _)),
+    "doc_nb_margin" -> (TextOps.nbMargin(_, _)),
+    "doc_nb_features" -> (TextOps.nbFeatures(_, _)),
     "doc_bm25_topk" -> (TextOps.bm25TopK(_, _)),
     "doc_bm25_pruned" -> (TextOps.bm25Pruned(_, _)),
     "doc_bm25_recall" -> (TextOps.bm25Recall(_, _)),

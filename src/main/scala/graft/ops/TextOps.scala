@@ -1271,4 +1271,163 @@ object TextOps {
       .select("rank", "pair", "n_weighted", "n_types")
       .orderBy("rank")
   }
+
+  /** Shared training pass for the multinomial Naive-Bayes language
+    * classifier — the pipeline's trainable quality/routing classifier
+    * stage (fastText-style supervised filtering, e.g. CCNet's LM
+    * filter or the GPT-3 WebText quality classifier), expressed as
+    * pure counting plans: the "model" is a vocabulary-sized census,
+    * training is one groupBy, and nothing corpus-sized ever
+    * broadcasts or collects.
+    *
+    * Returns (tf, model, classes) where
+    *  - `tf`      = (doc_id, lang, tok, tf) per-doc term frequencies;
+    *  - `model`   = (tok, c, cnt) class-conditional token counts over
+    *    the (tok x class) census — absent pairs count 0 and,
+    *    because score terms are ln(cnt+1), contribute EXACTLY 0 to a
+    *    sum, so the scoring join below can stay INNER on the census;
+    *  - `classes` = (c, prior, lnzd) per-class constants: ln prior
+    *    (decimal) and ln(class token total + |V|), the Laplace
+    *    denominator, kept as a raw double — its per-doc product is
+    *    rounded once to decimal at score time.
+    * Every summed term is a double rounded ONCE to an exact decimal
+    * before aggregation, so both engines add the same exact decimals
+    * in any order.
+    */
+  private def nbParts(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val dec = LpDec
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(expr("filter(split(lower(text), ' '), x -> x <> '')"))
+          .as("tok"))
+    val tf = toks.groupBy("doc_id", "lang", "tok")
+      .agg(count(lit(1)).as("tf"))
+    val model = toks.groupBy(col("tok"), col("lang").as("c"))
+      .agg(count(lit(1)).as("cnt"))
+    val vsize = toks.agg(countDistinct(col("tok")).as("v"),
+      count(lit(1)).as("tot"))
+    val classes = toks.groupBy(col("lang").as("c"))
+      .agg(count(lit(1)).as("ctoks"),
+        countDistinct(col("doc_id")).as("cdocs"))
+      .crossJoin(broadcast(vsize))
+      .crossJoin(broadcast(Tables.documents(spark, dir)
+        .agg(count(lit(1)).as("ndocs"))))
+      .select(col("c"),
+        log(col("cdocs").cast("double") / col("ndocs")).cast(dec)
+          .as("prior"),
+        log((col("ctoks") + col("v")).cast("double")).as("lnzd"))
+    (tf, model, classes)
+  }
+
+  /** Per-doc NB scores against every candidate class: the (doc x
+    * class) spine (a 5-row broadcast against per-doc stats) left-joins
+    * the class-conditional evidence sums, so a class sharing no token
+    * with a doc still scores (its evidence is 0, the ln(0+1) limit).
+    * score(d,c) = ln P(c) + sum_tok tf * ln(cnt+1) - n_toks * ln(Z_c),
+    * the standard Laplace-smoothed multinomial NB decision function
+    * with the per-class constants factored out of the join.
+    */
+  private def nbScores(spark: SparkSession, dir: String): DataFrame = {
+    val (tf, model, classes) = nbParts(spark, dir)
+    val dec = "decimal(28,10)"
+    // vocabulary-keyed shuffle join (never a corpus broadcast): each
+    // evidence term tf * ln(cnt+1) is a double product rounded once
+    // to an exact decimal, so the sum is order-independent
+    val evidence = tf.join(model, "tok")
+      .groupBy("doc_id", "c")
+      .agg(sum((log((col("cnt") + 1).cast("double")) * col("tf"))
+        .cast(dec)).as("ev"))
+    val perDoc = tf.groupBy("doc_id", "lang")
+      .agg(sum(col("tf")).as("n_toks"))
+    perDoc.crossJoin(broadcast(classes))
+      .join(evidence, Seq("doc_id", "c"), "left")
+      .select(col("doc_id"), col("lang"), col("c"),
+        (col("prior") + coalesce(col("ev"), lit(0).cast(dec))
+          - (col("n_toks") * col("lnzd")).cast(dec)).as("score"))
+  }
+
+  /** Naive-Bayes language confusion matrix: train on the labeled
+    * `lang` column, score every doc, argmax per doc (score DESC, class
+    * ASC — a deterministic tie-break both engines share), and roll up
+    * (true, predicted) counts. The supervised twin of the marker
+    * heuristic [[langId]]: same output shape, learned evidence instead
+    * of hand-picked markers. Scale: train is one vocab-sized census;
+    * scoring is one vocabulary-keyed join plus a per-doc reduce —
+    * linear, two shuffles, nothing corpus-sized on the driver.
+    */
+  def nbLang(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("c"))
+    nbScores(spark, dir)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .groupBy(col("lang"), col("c").as("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "predicted")
+  }
+
+  /** Per-class accuracy + decision margin for the NB classifier: the
+    * calibration readout a filtering deployment actually tunes on —
+    * how often the argmax matches the label, and how far the winner
+    * sits above the runner-up (avg over the class's docs). Margins
+    * near 0 mean the class is not separable at this feature set.
+    */
+  def nbMargin(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("c"))
+    val ranked = nbScores(spark, dir)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 2)
+    ranked.groupBy("doc_id", "lang")
+      .agg(max(when(col("rnk") === 1, col("c"))).as("predicted"),
+        (max(when(col("rnk") === 1, col("score")))
+          - max(when(col("rnk") === 2, col("score")))).as("margin"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("predicted") === col("lang"), 1L).otherwise(0L))
+          .as("n_correct"),
+        round(avg(col("margin").cast("double")), 4).as("avg_margin"))
+      .select(col("lang"), col("n_docs"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n_docs"), 4)
+          .as("accuracy"),
+        col("avg_margin"))
+      .orderBy("lang")
+  }
+
+  /** Top-5 NB features per class by smoothed log-odds
+    * ln((cnt_c+1)/Z_c) - ln((rest+1)/Z_rest) — the interpretable
+    * model dump (which tokens make the classifier call a doc `de`).
+    * Ranked on the ROUNDED log-odds with a token tie-break so both
+    * engines agree at equal evidence. Census-sized end to end: the
+    * corpus is touched once for the counts, the odds math runs over
+    * the (tok x class) census only.
+    */
+  def nbFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val (_, model, _) = nbParts(spark, dir)
+    // (tok x class) spine so zero counts participate in the rest side
+    val toktot = model.groupBy("tok").agg(sum(col("cnt")).as("tot"))
+    val ctoks = model.groupBy("c").agg(sum(col("cnt")).as("ctoks"))
+    val glob = model.agg(countDistinct(col("tok")).as("v"),
+      sum(col("cnt")).as("alltoks"))
+    val spine = toktot.crossJoin(broadcast(ctoks))
+      .crossJoin(broadcast(glob))
+    val odds = spine
+      .join(model, Seq("tok", "c"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .select(col("c"), col("tok"), col("cnt"),
+        round(
+          log((col("cnt") + 1).cast("double")
+            / (col("ctoks") + col("v")))
+            - log((col("tot") - col("cnt") + 1).cast("double")
+              / (col("alltoks") - col("ctoks") + col("v"))),
+          6).as("log_odds"))
+    val w = Window.partitionBy("c")
+      .orderBy(col("log_odds").desc, col("tok"))
+    odds.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= 5)
+      .select(col("c"), col("rank"), col("tok"), col("cnt"),
+        col("log_odds"))
+      .orderBy("c", "rank")
+  }
 }

@@ -1125,4 +1125,46 @@ class DedupSpec extends AnyFunSuite {
       assert(r.getLong(1) > 0)
     }
   }
+
+  test("naive bayes: confusion matrix ties out with the margin report") {
+    val docs = graft.tables.Tables.documents(spark, sfDir)
+    val langCounts = docs
+      .filter(expr("length(trim(text)) > 0"))
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val conf = graft.ops.TextOps.nbLang(spark, sfDir).collect()
+    // every doc with at least one token is classified exactly once
+    val rowSums = conf.groupBy(_.getString(0))
+      .map { case (l, rs) => l -> rs.map(_.getLong(2)).sum }
+    assert(rowSums === langCounts)
+    // labels stay inside the label set (the classifier can't invent a
+    // class: the spine is the trained class census)
+    val langs = langCounts.keySet
+    conf.foreach(r => assert(langs.contains(r.getString(1))))
+    // the margin report's n_correct IS the confusion diagonal
+    val diag = conf.filter(r => r.getString(0) == r.getString(1))
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val margin = graft.ops.TextOps.nbMargin(spark, sfDir).collect()
+    margin.foreach { r =>
+      val l = r.getString(0)
+      assert(r.getLong(2) === diag.getOrElse(l, 0L), s"diag $l")
+      val acc = r.getDouble(3)
+      assert(acc >= 0.0 && acc <= 1.0)
+      // winner minus runner-up is non-negative by construction
+      assert(r.getDouble(4) >= 0.0, s"negative margin for $l")
+    }
+  }
+
+  test("naive bayes: feature dump is 5 ranked log-odds rows per class") {
+    val rows = graft.ops.TextOps.nbFeatures(spark, sfDir).collect()
+    val byClass = rows.groupBy(_.getString(0))
+    assert(byClass.nonEmpty)
+    byClass.foreach { case (c, rs) =>
+      assert(rs.length === 5, s"class $c")
+      assert(rs.map(_.getLong(1)).sorted.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+      // ranked on the rounded odds: non-increasing down the rank
+      val odds = rs.sortBy(_.getLong(1)).map(_.getDouble(4))
+      odds.sliding(2).foreach(p => assert(p(0) >= p(1), s"order in $c"))
+    }
+  }
 }

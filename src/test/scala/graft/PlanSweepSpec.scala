@@ -20,6 +20,11 @@ class PlanSweepSpec extends AnyFunSuite {
     "doc_bm25_pruned",     // same censuses over the impact-capped
                            // posting lists
     "doc_bm25_recall",     // composes full + pruned, inherits both
+    "doc_nb_lang",         // tf ⋈ model on token (vocabulary-keyed
+                           // censuses both sides, the bm25/dsir shape)
+                           // and spine ⋈ evidence on (doc_id, class):
+                           // both corpus-scale, unique keys → uniform
+    "doc_nb_margin",       // same shared NB scoring chain
     "q5_region_join",      // orders x lineitem: genuinely large-large
     "q4_priority",         // orders semi lineitem keys: large-large
     "q7_volume",           // lineitem x orders, orders x customer
@@ -163,6 +168,11 @@ class PlanSweepSpec extends AnyFunSuite {
     "doc_bm25_recall", // composes full + pruned, inherits both
     "emb_prototype_prune", // 16-centroid assignment cross join (the
                       // shared assignCells coarse step)
+    "doc_nb_lang",    // class-census (5-row) + one-row vocab-total
+                      // cross joins in the NB constants
+    "doc_nb_margin",  // same NB constants cross joins
+    "doc_nb_features", // (tok x class) spine: vocab census x 5-row
+                      // class census x one-row global census
     "doc_tfidf",      // corpus-size single row cross join
     "doc_unigram_logprob", // vocabulary x single-row total cross join
     "doc_ccnet_buckets",   // same, plus the single-row tercile cuts
