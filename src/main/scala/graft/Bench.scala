@@ -355,6 +355,52 @@ object Bench {
     }
   }
 
+  /** Streaming BM25-index ingest drain: build the inverted index on
+    * the corpus, then absorb a 4-micro-batch stream of NEW documents
+    * (fresh ids, mixed repeated/novel vocabulary) through
+    * [[graft.streaming.DocsStream.ingestTermIndex]] — tokenize is
+    * batch-sized, appends ride both bucket layouts.
+    */
+  private def streamTermIndexBench(spark: SparkSession,
+      sfDir: String): (Double, Long, Long) = {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_bench_tix")
+    val run = java.lang.Long.toHexString(System.nanoTime())
+    val table = s"graft_bench_tistore_$run"
+    try {
+      graft.sources.TermIndexStore.build(spark, sfDir, table)
+      val src = base.resolve("src").toString
+      val ckpt = base.resolve("ckpt").toString
+      val docs0 = graft.sources.TermIndexStore.docLens(spark, table)
+        .count()
+      val batch = graft.tables.Tables.documents(spark, sfDir).select(
+        (col("doc_id") + 5000000L).as("doc_id"),
+        when(col("doc_id") % 2 === 0, col("text"))
+          .otherwise(expr("""concat(text, ' xq', doc_id % 97)"""))
+          .as("text"))
+      (0 until 4).foreach(i => batch.filter(col("doc_id") % 4 === i)
+        .coalesce(1).write.parquet(s"$src/f$i.parquet"))
+      val t0 = System.nanoTime()
+      val source = spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*.parquet")
+      val q = graft.streaming.DocsStream
+        .ingestTermIndex(spark, source, table, ckpt)
+      if (!q.awaitTermination(300000L)) {
+        q.stop(); sys.error("stream timeout")
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      val total = graft.sources.TermIndexStore.docLens(spark, table)
+        .count()
+      require(total == 2 * docs0,
+        s"index ingest landed $total member docs against a base of $docs0")
+      val st = stateMetrics(q)
+      (dt, st._1, st._2)
+    } finally {
+      graft.sources.TermIndexStore.clear(spark, table)
+    }
+  }
+
   private def streamVecIngestBench(spark: SparkSession,
       sfDir: String): (Double, Long, Long) = {
     import org.apache.spark.sql.functions.col
@@ -627,6 +673,7 @@ object Bench {
     graft.sources.VectorIndex.ensureBuilt(spark, sfDir)
     graft.sources.VectorIndex.ensureBuiltRotated(spark, sfDir)
     graft.sources.FrameStats.ensureBuilt(spark, sfDir)
+    graft.sources.TermIndexStore.ensureBuilt(spark, sfDir)
     graft.streaming.ImgStream.ensureStreamedStats(spark, sfDir)
     // min of two runs per query: the first run pays JIT/codegen
     // compilation, the second is the steady-state number a long-running
@@ -717,6 +764,8 @@ object Bench {
       minOk((1 to 2).map(_ => () => streamSemDedupBench(spark, sfDir))) }
     val nearDedupIngestTime = ifOn("stream_neardedup_ingest") {
       minOk((1 to 2).map(_ => () => streamNearDedupBench(spark, sfDir))) }
+    val termIndexIngestTime = ifOn("stream_bm25_ingest") {
+      minOk((1 to 2).map(_ => () => streamTermIndexBench(spark, sfDir))) }
     val fsIngestTime = ifOn("stream_framestats_ingest") {
       minOk((1 to 2).map(_ => () => streamFrameStatsBench(spark, sfDir))) }
     val streams = Seq(
@@ -732,6 +781,7 @@ object Bench {
       "stream_vec_ingest" -> vecIngestTime,
       "stream_semdedup_ingest" -> semDedupIngestTime,
       "stream_neardedup_ingest" -> nearDedupIngestTime,
+      "stream_bm25_ingest" -> termIndexIngestTime,
       "stream_framestats_ingest" -> fsIngestTime)
       .collect { case (k, Some(v)) => k -> v }
     // stream entries already take min-of-2 full drains (expensive); the

@@ -6517,6 +6517,7 @@ ORDER BY c, rank"""
     // store twins: result-identical to their inline operators by
     // construction, so they share the oracle SQL verbatim
     "doc_exact_dedup_bucketed" -> docExactDedup,
+    "doc_bm25_topk_stored" -> docBm25TopK,
     "img_payload_stats_stored" -> imgPayloadStats,
     "img_intensity_drift_stored" -> imgIntensityDrift,
     "img_focus_rank_stored" -> imgFocusRank,

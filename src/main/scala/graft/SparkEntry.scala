@@ -257,6 +257,8 @@ object SparkEntry {
     // are amortized once per JVM (Bench warms them before timing).
     "doc_exact_dedup_bucketed" ->
       (graft.sources.DocumentStore.dupGroupsFor(_, _)),
+    "doc_bm25_topk_stored" ->
+      (graft.sources.TermIndexStore.searchFor(_, _)),
     "emb_knn_ivfpq_indexed" ->
       (graft.sources.VectorIndex.searchFor(_, _)),
     // decode-once FrameStats twins: the 9 imaging-QC queries off ONE

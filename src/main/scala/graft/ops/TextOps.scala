@@ -1132,6 +1132,22 @@ object TextOps {
     val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     val df_ = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    bm25From(tf, df_, dl, cap)
+  }
+
+  /** The BM25 scoring tail over already-materialized index parts —
+    * shared verbatim by the inline operators above (which derive the
+    * parts by re-tokenizing the corpus) and the persisted
+    * [[graft.sources.TermIndexStore]] twin (which reads them off the
+    * bucketed inverted index), so "same math, different source table"
+    * has exactly one implementation.
+    *
+    * @param tf  (doc_id, tok, tf) term frequencies (= the postings)
+    * @param df_ (tok, df) document frequencies
+    * @param dl  (doc_id, dl) document lengths
+    */
+  private[graft] def bm25From(tf: DataFrame, df_ : DataFrame,
+      dl: DataFrame, cap: Option[Int]): DataFrame = {
     val glob = dl.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     // anchor queries: top-3 tf-idf terms of doc_id < 8, ranked on the

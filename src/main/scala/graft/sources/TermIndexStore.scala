@@ -1,0 +1,180 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/** Persisted BM25 inverted index — the tokenize-once twin of the
+  * retrieval family, completing the store ladder ([[DocumentStore]] /
+  * [[VectorIndex]] / [[FrameStats]] / [[SemDedupStore]] /
+  * [[MinHashStore]]) on the text-retrieval side: the inline
+  * `doc_bm25_*` operators re-tokenize the WHOLE corpus per query — at
+  * 100 TB the tokenize+tf shuffle is the dominant cost and a serving
+  * system pays it once at indexing time, never per query. The store
+  * keeps exactly two tables:
+  *
+  *  - `<table>` — the postings (tok, doc_id, tf), bucketed AND sorted
+  *    by `tok`: per-term aggregations (document frequency, impact
+  *    caps) and the query-term probe ride the bucket layout with zero
+  *    exchanges;
+  *  - `<table>_doclen` — (doc_id, dl) document lengths, bucketed by
+  *    `doc_id`: the per-doc normalization join side, and the
+  *    AUTHORITATIVE membership list (a doc is indexed iff its length
+  *    row committed).
+  *
+  * Document frequency is NOT a third table: df(tok) is a bucket-local
+  * `groupBy(tok).count` over the skinny (tok, doc_id) projection of
+  * the postings — zero-exchange under the bucket layout — and a
+  * separately-maintained census would re-introduce the unkeyed
+  * increment-append crash window ([[MinHashStore]]'s band rows heal by
+  * (doc_id, kb) anti-join; a bare (tok, +n) row has no key to heal
+  * by).
+  *
+  * Crash discipline (the stream wrapper's foreachBatch is
+  * at-least-once): replay idempotency is id-based against the doclen
+  * table. The doclen append commits FIRST, so a crash between the two
+  * appends leaves a member doc with missing postings — the replay
+  * re-derives the doc's postings and anti-joins the postings table
+  * itself by (doc_id, tok), exactly the [[MinHashStore]] band-repair
+  * rule; when a batch carries no replays the repair scan is skipped.
+  * A fresh doc cannot double-append postings because fresh is defined
+  * by doclen absence and doclen commits before its postings do.
+  */
+object TermIndexStore {
+
+  private def doclenTable(table: String): String = table + "_doclen"
+
+  /** (doc_id, tok, tf) postings of a (doc_id, text) frame — the same
+    * tokenization as the inline BM25 operators (lowercase,
+    * split-on-space, empty tokens dropped).
+    */
+  private[graft] def tfOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(expr("filter(split(lower(text), ' '), x -> x <> '')"))
+          .as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+
+  /** One-time build: tokenize the corpus ONCE, persist both bucket
+    * layouts. The doclen write goes first (membership commits before
+    * postings, the same order [[ingest]] relies on).
+    */
+  def build(spark: SparkSession, dir: String, table: String): Unit = {
+    val tf = tfOf(Tables.documents(spark, dir).select("doc_id", "text"))
+      .localCheckpoint(true)
+    tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+      .write.bucketBy(DocumentStore.DefaultBuckets, "doc_id")
+      .sortBy("doc_id").mode("overwrite").saveAsTable(doclenTable(table))
+    tf.write.bucketBy(DocumentStore.DefaultBuckets, "tok")
+      .sortBy("tok").mode("overwrite").saveAsTable(table)
+  }
+
+  def postings(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+
+  def docLens(spark: SparkSession, table: String): DataFrame =
+    spark.table(doclenTable(table))
+
+  /** df census derived on read: a zero-exchange bucket-local count
+    * over the (tok, doc_id) projection of the postings.
+    */
+  def dfCensus(spark: SparkSession, table: String): DataFrame =
+    postings(spark, table).groupBy("tok").agg(count(lit(1)).as("df"))
+
+  def clear(spark: SparkSession, table: String): Unit = {
+    DocumentStore.clearStale(spark, table)
+    DocumentStore.clearStale(spark, doclenTable(table))
+  }
+
+  /** Per-ingest report: batch size, replayed ids (skipped or healed),
+    * docs and postings appended, and postings repaired into replayed
+    * members (non-zero only after a doclen/postings crash window).
+    */
+  final case class IngestStats(nBatch: Long, nReplayed: Long,
+    nDocsAppended: Long, nPostingsAppended: Long, nRepaired: Long)
+
+  /** Absorb one batch of (doc_id, text) rows: tokenize the BATCH only,
+    * skip replayed members, append doclen then postings in bucket
+    * layout, and heal any replayed member whose postings went missing
+    * in a crash window.
+    */
+  def ingest(spark: SparkSession, batch: DataFrame,
+      table: String): IngestStats = {
+    val docs = batch.select("doc_id", "text").localCheckpoint(true)
+    val replays = docs.select("doc_id")
+      .join(docLens(spark, table).select("doc_id"), Seq("doc_id"),
+        "left_semi")
+      .localCheckpoint(true)
+    val nReplayed = replays.count()
+    val fresh = docs.join(replays, Seq("doc_id"), "left_anti")
+    val tfFresh = tfOf(fresh).localCheckpoint(true)
+    // membership first: doclen is the commit marker
+    tfFresh.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+      .write.bucketBy(DocumentStore.DefaultBuckets, "doc_id")
+      .sortBy("doc_id").mode("append").saveAsTable(doclenTable(table))
+    // postings repair rides replay only: a second postings scan is
+    // the price of healing, skipped on the no-replay fast path
+    val repaired =
+      if (nReplayed == 0) 0L
+      else {
+        val repair = tfOf(docs.join(replays, Seq("doc_id"), "left_semi"))
+          .join(postings(spark, table), Seq("doc_id", "tok"),
+            "left_anti")
+          .localCheckpoint(true)
+        val n = repair.count()
+        if (n > 0)
+          repair.write.bucketBy(DocumentStore.DefaultBuckets, "tok")
+            .sortBy("tok").mode("append").saveAsTable(table)
+        n
+      }
+    tfFresh.write.bucketBy(DocumentStore.DefaultBuckets, "tok")
+      .sortBy("tok").mode("append").saveAsTable(table)
+    spark.sql(s"REFRESH TABLE $table")
+    spark.sql(s"REFRESH TABLE ${doclenTable(table)}")
+    IngestStats(
+      nBatch = docs.count(),
+      nReplayed = nReplayed,
+      nDocsAppended = docs.count() - nReplayed,
+      nPostingsAppended = tfFresh.count(),
+      nRepaired = repaired)
+  }
+
+  /** BM25 top-5 off the stored index: the exact
+    * [[graft.ops.TextOps.bm25From]] scoring tail — same anchor-query
+    * derivation, same math, hash-matching the inline oracle — with tf
+    * / df / dl read from the bucketed index instead of re-tokenizing
+    * the corpus.
+    */
+  def search(spark: SparkSession, table: String,
+      cap: Option[Int] = None): DataFrame =
+    graft.ops.TextOps.bm25From(
+      postings(spark, table).select("doc_id", "tok", "tf"),
+      dfCensus(spark, table),
+      docLens(spark, table),
+      cap)
+
+  /** Build-once guard, session-scoped like [[FrameStats]]'s: a stale
+    * table from a previous JVM is rebuilt, never trusted.
+    */
+  private val built = scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  def ensureBuilt(spark: SparkSession, dir: String): String = {
+    val table = DocumentStore.tableName("graft_termidx", dir)
+    built.synchronized {
+      if (!built.contains(table)) {
+        clear(spark, table)
+        build(spark, dir, table)
+        built.put(table, ())
+      }
+    }
+    table
+  }
+
+  /** The `doc_bm25_topk_stored` query twin: identical results (and
+    * oracle) to the inline `doc_bm25_topk`, corpus side off the
+    * persisted index.
+    */
+  def searchFor(spark: SparkSession, dir: String): DataFrame =
+    search(spark, ensureBuilt(spark, dir))
+}

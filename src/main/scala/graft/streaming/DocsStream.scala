@@ -146,6 +146,24 @@ object DocsStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming retrieval-index ingest: each micro-batch flows through
+    * [[graft.sources.TermIndexStore.ingest]] — batch-sized tokenize,
+    * doclen-then-postings bucket-layout appends. Idempotency under
+    * foreachBatch's at-least-once delivery is the store's id-based
+    * replay skip (plus its postings-repair anti-join for the append
+    * crash window), so this wrapper is just the drain loop.
+    */
+  def ingestTermIndex(spark: SparkSession, source: DataFrame,
+      storeTable: String, checkpoint: String): StreamingQuery =
+    source.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.TermIndexStore.ingest(spark, batch, storeTable)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** The registry entry for a base: the in-memory cache, else the
     * durable warehouse scan (cached on hit). Call under the base's
     * lock.

@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.TextOps
+import graft.sources.TermIndexStore
+
+/** Persisted BM25 inverted index: stored search is bit-identical to
+  * the inline operator, both tables ride their bucket layouts, ingest
+  * is id-idempotent, and the doclen/postings append crash window
+  * heals on redelivery.
+  */
+class TermIndexStoreSpec extends AnyFunSuite {
+  import TestSpark.{sfDir, spark}
+
+  private def freshDocs = {
+    import spark.implicits._
+    Seq(
+      (7000001L, "retrieval index probe alpha beta"),
+      (7000002L, "retrieval index probe gamma delta"),
+      (7000003L, "wholly novel terms zeta eta theta")
+    ).toDF("doc_id", "text")
+  }
+
+  test("stored search reproduces the inline BM25 exactly, and the " +
+      "index layouts aggregate with zero exchanges") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_tistore0").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_ti0 LOCATION '$tmp'")
+    val t = "graft_ti0.idx"
+    try {
+      TermIndexStore.build(spark, sfDir, t)
+      val inline = TextOps.bm25TopK(spark, sfDir).collect().toSeq
+      val stored = TermIndexStore.search(spark, t).collect().toSeq
+      assert(stored === inline)
+      // df census and doc-length lookups must ride the bucket layouts
+      for ((name, df) <- Seq(
+          "df census" -> TermIndexStore.dfCensus(spark, t),
+          "doclen lookup" -> TermIndexStore.docLens(spark, t)
+            .groupBy("doc_id").agg(sum(col("dl")).as("s")))) {
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"),
+          s"$name must ride the bucket layout, not shuffle:\n$plan")
+      }
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_doclen")
+      spark.sql("DROP DATABASE IF EXISTS graft_ti0")
+    }
+  }
+
+  test("ingest appends fresh docs once: replay is an id-based no-op " +
+      "and search sees the new postings") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_tistore1").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_ti1 LOCATION '$tmp'")
+    val t = "graft_ti1.idx"
+    try {
+      TermIndexStore.build(spark, sfDir, t)
+      val docs0 = TermIndexStore.docLens(spark, t).count()
+      val post0 = spark.table(t).count()
+      val s1 = TermIndexStore.ingest(spark, freshDocs, t)
+      assert(s1.nBatch === 3 && s1.nReplayed === 0
+        && s1.nDocsAppended === 3 && s1.nRepaired === 0, s"$s1")
+      assert(TermIndexStore.docLens(spark, t).count() === docs0 + 3)
+      assert(spark.table(t).count() === post0 + s1.nPostingsAppended)
+      // the ingested terms are now retrievable state: df sees them
+      val df = TermIndexStore.dfCensus(spark, t)
+        .filter(col("tok") === "retrieval").collect()
+      assert(df.length === 1 && df(0).getLong(1) === 2L)
+      // redelivery of the same batch: nothing moves
+      val s2 = TermIndexStore.ingest(spark, freshDocs, t)
+      assert(s2.nReplayed === 3 && s2.nDocsAppended === 0
+        && s2.nPostingsAppended === 0 && s2.nRepaired === 0, s"$s2")
+      assert(TermIndexStore.docLens(spark, t).count() === docs0 + 3)
+      assert(spark.table(t).count() === post0 + s1.nPostingsAppended)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_doclen")
+      spark.sql("DROP DATABASE IF EXISTS graft_ti1")
+    }
+  }
+
+  test("postings heal the doclen/postings crash window on redelivery") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_tistore2").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_ti2 LOCATION '$tmp'")
+    val t = "graft_ti2.idx"
+    try {
+      TermIndexStore.build(spark, sfDir, t)
+      // simulate the crash: the doclen append committed, the postings
+      // append did not — a member doc with NO postings
+      val one = freshDocs.filter(col("doc_id") === 7000003L)
+      TermIndexStore.tfOf(one)
+        .groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+        .write.bucketBy(32, "doc_id").sortBy("doc_id")
+        .mode("append").saveAsTable(t + "_doclen")
+      spark.sql(s"REFRESH TABLE ${t}_doclen")
+      assert(spark.table(t).filter(col("doc_id") === 7000003L)
+        .count() === 0)
+      // redelivery: id-replay skips the doclen append, the postings
+      // repair anti-join restores the missing rows
+      val s = TermIndexStore.ingest(spark, one, t)
+      assert(s.nReplayed === 1 && s.nDocsAppended === 0, s"$s")
+      assert(s.nRepaired === 6, s"$s")
+      assert(spark.table(t).filter(col("doc_id") === 7000003L)
+        .count() === 6)
+      // and the heal is itself idempotent
+      val s2 = TermIndexStore.ingest(spark, one, t)
+      assert(s2.nRepaired === 0, s"$s2")
+      assert(spark.table(t).filter(col("doc_id") === 7000003L)
+        .count() === 6)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_doclen")
+      spark.sql("DROP DATABASE IF EXISTS graft_ti2")
+    }
+  }
+
+  test("streamed index ingest drains batch-at-a-time, and a " +
+      "from-scratch replay is a stored-state no-op") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_tistore3").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_ti3 LOCATION '$tmp'")
+    val t = "graft_ti3.idx"
+    try {
+      TermIndexStore.build(spark, sfDir, t)
+      val docs0 = TermIndexStore.docLens(spark, t).count()
+      val post0 = spark.table(t).count()
+      val src = java.nio.file.Files
+        .createTempDirectory("graft_tisrc").toString
+      freshDocs.filter(col("doc_id") < 7000003L)
+        .coalesce(1).write.parquet(src + "/f1.parquet")
+      freshDocs.filter(col("doc_id") === 7000003L)
+        .coalesce(1).write.parquet(src + "/f2.parquet")
+      def source = spark.readStream.schema(freshDocs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*.parquet")
+      val ckpt1 = java.nio.file.Files
+        .createTempDirectory("graft_tickpt1").toString
+      graft.streaming.DocsStream
+        .ingestTermIndex(spark, source, t, ckpt1)
+        .awaitTermination()
+      val postAfter = spark.table(t).count()
+      assert(TermIndexStore.docLens(spark, t).count() === docs0 + 3)
+      assert(postAfter > post0)
+      // from-scratch replay: a FRESH checkpoint re-delivers every
+      // micro-batch — the id-based discipline makes it a no-op
+      val ckpt2 = java.nio.file.Files
+        .createTempDirectory("graft_tickpt2").toString
+      graft.streaming.DocsStream
+        .ingestTermIndex(spark, source, t, ckpt2)
+        .awaitTermination()
+      assert(TermIndexStore.docLens(spark, t).count() === docs0 + 3)
+      assert(spark.table(t).count() === postAfter)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_doclen")
+      spark.sql("DROP DATABASE IF EXISTS graft_ti3")
+    }
+  }
+}
