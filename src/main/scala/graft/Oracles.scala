@@ -6342,6 +6342,77 @@ SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
     AS drop_mean_cos
 FROM k GROUP BY cell ORDER BY cell"""
 
+  /** One Lloyd-iteration CTE block for [[embKmeansTrain]]: score
+    * against `prevCents` (cid, cv list) with the same sequential-fold
+    * squared-L2 as [[embKmeansStep]], assign by (dist, cid), reduce to
+    * DECIMAL moments, round components to 6 decimals, reassemble the
+    * centroid lists in dim order.
+    */
+  private def kmIterCtes(i: Int, prevCents: String): String = s"""
+scored$i AS (
+  SELECT e.vec_id, c.cid, e.embedding,
+    list_sum(list_transform(list_zip(e.embedding, c.cv),
+      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS dist
+  FROM embeddings e CROSS JOIN $prevCents c),
+assigned$i AS (
+  SELECT cid, embedding FROM (
+    SELECT cid, embedding,
+      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+    FROM scored$i)
+  WHERE rk = 1),
+mom$i AS (
+  SELECT cid, CAST(dim AS INT) AS dim,
+    CAST(count(*) AS BIGINT) AS n_members,
+    round(CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(20,10)))
+      AS DOUBLE) / count(*), 6) AS cval
+  FROM (SELECT cid, unnest(range(len(embedding))) AS dim,
+          unnest(embedding) AS v
+        FROM assigned$i)
+  GROUP BY cid, dim),
+cents$i AS (
+  SELECT cid, list(cval ORDER BY dim) AS cv FROM mom$i GROUP BY cid)"""
+
+  /** Per-cell centroid movement of iteration `i` against the previous
+    * components `prevMom` (cid, dim, cval): DECIMAL per-dim squared
+    * deltas, exact sums, rounded sqrt.
+    */
+  private def kmShiftCte(i: Int, prevMom: String): String = s"""
+shift$i AS (
+  SELECT CAST($i AS INT) AS iter, m.cid,
+    max(m.n_members) AS n_members,
+    round(sqrt(CAST(sum(CAST((m.cval - p.cval) * (m.cval - p.cval)
+      AS DECIMAL(20,10))) AS DOUBLE)), 6) AS shift
+  FROM mom$i m JOIN $prevMom p ON m.cid = p.cid AND m.dim = p.dim
+  GROUP BY m.cid)"""
+
+  /** Training-loop twin of [[graft.ops.VectorOps.kmeansTrain]]: three
+    * chained Lloyd iterations with 6-decimal component rounding at
+    * every boundary, emitting the per-iteration per-cell movement.
+    */
+  val embKmeansTrain: String = s"""
+WITH seedmom AS (
+  SELECT vec_id AS cid, CAST(dim AS INT) AS dim,
+    CAST(v AS DOUBLE) AS cval
+  FROM (SELECT vec_id, unnest(range(len(embedding))) AS dim,
+          unnest(embedding) AS v
+        FROM embeddings WHERE vec_id < 16)),
+cents0 AS (
+  SELECT vec_id AS cid,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings WHERE vec_id < 16),
+${kmIterCtes(1, "cents0")},
+${kmIterCtes(2, "cents1")},
+${kmIterCtes(3, "cents2")},
+${kmShiftCte(1, "seedmom")},
+${kmShiftCte(2, "mom1")},
+${kmShiftCte(3, "mom2")}
+SELECT iter, cid, n_members, shift FROM (
+  SELECT * FROM shift1
+  UNION ALL SELECT * FROM shift2
+  UNION ALL SELECT * FROM shift3)
+ORDER BY iter, cid"""
+
   /** Shared CTE prefix for the Naive-Bayes family — the same
     * tokenization, per-doc term frequencies, class-conditional count
     * model, and per-class Laplace constants as
@@ -6459,6 +6530,7 @@ FROM r WHERE rank <= 5
 ORDER BY c, rank"""
 
   def all: Map[String, String] = Map(
+    "emb_kmeans_train" -> embKmeansTrain,
     "doc_nb_lang" -> docNbLang,
     "doc_nb_margin" -> docNbMargin,
     "doc_nb_features" -> docNbFeatures,

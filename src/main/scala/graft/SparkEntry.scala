@@ -114,6 +114,7 @@ object SparkEntry {
     "doc_top_per_source" -> (TextOps.topPerSource(_, _)),
     "doc_quality_gate" -> (TextOps.qualityGate(_, _)),
     "doc_tfidf" -> (TextOps.tfidf(_, _)),
+    "emb_kmeans_train" -> (VectorOps.kmeansTrain(_, _)),
     "doc_nb_lang" -> (TextOps.nbLang(_, _)),
     "doc_nb_margin" -> (TextOps.nbMargin(_, _)),
     "doc_nb_features" -> (TextOps.nbFeatures(_, _)),

@@ -1822,6 +1822,88 @@ object VectorOps {
       .orderBy("cid")
   }
 
+  /** Three Lloyd iterations as ONE declarative plan — the k-means
+    * TRAINING LOOP (seed → assign → update, three times), not just the
+    * single step of [[kmeansStep]]: the per-iteration, per-cell
+    * centroid movement is the convergence curve a codebook-training
+    * job watches to decide the codebook has settled before freezing it
+    * into the IVF/PQ index ([[knnIvfPq]], [[graft.sources.VectorIndex]]).
+    *
+    * Loop-as-a-plan discipline (the [[graft.ops.TextOps.bpeMergeStep]]
+    * pattern): each iteration is one corpus pass — broadcast the
+    * (census-sized) centroids, assign by the codegen'd sequential-fold
+    * [[graft.functions.VecL2]] with the lexicographic-min aggregate
+    * (map-side collapse of the 16 candidates, the [[kmeansStep]]
+    * shape), and reduce to 16×d DECIMAL moments. Iteration boundaries
+    * round centroid components to 6 decimals (the [[kmeansStep]]
+    * output contract), which is also what makes three chained
+    * float-heavy passes hash-reproducible on both engines. The tiny
+    * moment censuses are eagerly materialized so each corpus pass
+    * provably runs once, not once per consumer.
+    *
+    * A cell that loses all members drops out of the codebook from the
+    * next iteration on (and from this report) — the standard
+    * dead-centroid outcome, visible as a missing (iter, cid) row.
+    */
+  def kmeansTrain(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val seedComps = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"),
+        posexplode(col("embedding")).as(Seq("dim", "sv")))
+      .select(col("cid"), col("dim").cast("int").as("dim"),
+        col("sv").cast("double").as("cval"))
+    val seedCents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"),
+        expr("transform(embedding, x -> cast(x as double))").as("cv"))
+    // one Lloyd pass: nearest rounded centroid -> per-(cell, dim)
+    // moments -> rounded new components
+    def iterate(cents: DataFrame): DataFrame = {
+      val assigned = e
+        .join(broadcast(cents), col("cid") =!= lit(-1))
+        .withColumn("dist",
+          graft.functions.VecL2.l2(col("embedding"), col("cv")))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist"), col("cid"), col("embedding")))
+          .as("m"))
+        .select(col("m.cid").as("cid"), col("m.embedding").as("embedding"))
+      assigned
+        .select(col("cid"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("cid", "dim")
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("v").cast("double").cast("decimal(20,10)")).as("s"))
+        .select(col("cid"), col("dim").cast("int").as("dim"),
+          col("n_members"),
+          round(col("s").cast("double") / col("n_members"), 6)
+            .as("cval"))
+        .localCheckpoint(true) // 16×d rows: pins one pass per iteration
+    }
+    def centsOf(mom: DataFrame): DataFrame =
+      mom.groupBy("cid")
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(dim, cval)))," +
+            " x -> x.cval)").as("cv"))
+    def shiftOf(iter: Int, mom: DataFrame, prev: DataFrame): DataFrame =
+      mom.join(broadcast(prev
+          .select(col("cid"), col("dim"), col("cval").as("pval"))),
+          Seq("cid", "dim"))
+        .select(col("cid"), col("n_members"),
+          ((col("cval") - col("pval")) * (col("cval") - col("pval")))
+            .cast("decimal(20,10)").as("d2"))
+        .groupBy("cid")
+        .agg(max(col("n_members")).as("n_members"),
+          round(sqrt(sum(col("d2")).cast("double")), 6).as("shift"))
+        .select(lit(iter).cast("int").as("iter"), col("cid"),
+          col("n_members"), col("shift"))
+    val mom1 = iterate(seedCents)
+    val mom2 = iterate(centsOf(mom1))
+    val mom3 = iterate(centsOf(mom2))
+    shiftOf(1, mom1, seedComps)
+      .unionByName(shiftOf(2, mom2, mom1))
+      .unionByName(shiftOf(3, mom3, mom2))
+      .orderBy("iter", "cid")
+  }
+
   /** One power-iteration step on the corpus Gram matrix — the
     * PCA-direction primitive of embedding-space analytics (drift
     * monitoring, whitening, spectral diagnostics): G = Σ x xᵀ

@@ -811,6 +811,40 @@ class DedupSpec extends AnyFunSuite {
       s"implausible shift: $r"))
   }
 
+  test("kmeans train: three iterations partition the corpus and " +
+      "iteration-1 movement matches the one-step census") {
+    val rows = VectorOps.kmeansTrain(spark, sfDir).collect()
+    val n = graft.tables.Tables.embeddings(spark, sfDir).count()
+    val byIter = rows.groupBy(_.getInt(0))
+    assert(byIter.keySet === Set(1, 2, 3))
+    byIter.foreach { case (it, rs) =>
+      assert(rs.map(_.getLong(2)).sum === n,
+        s"iteration $it members must partition the corpus")
+      rs.foreach(r => assert(r.getDouble(3) >= 0 && r.getDouble(3) < 10,
+        s"implausible shift: $r"))
+    }
+    // iteration 1 IS centroidShift's census (same seeds, same update):
+    // the training loop's first rung ties out with the one-step op.
+    // Memberships match exactly; shifts to 1e-5 (the loop rounds
+    // components at the iteration boundary, the one-step op doesn't)
+    val one = VectorOps.centroidShift(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val it1 = byIter(1)
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(it1.keySet === one.keySet)
+    it1.foreach { case (cid, (nm, sh)) =>
+      assert(nm === one(cid)._1, s"members diverge at cell $cid")
+      assert(math.abs(sh - one(cid)._2) <= 1e-5,
+        s"iteration-1 shift diverges from centroid_shift at cell $cid")
+    }
+    // Lloyd monotonicity on the total movement: the codebook settles
+    // (strictly looser per-cell, but the TOTAL moved mass must fall
+    // from the seed step to the settled third iteration)
+    val tot = (i: Int) => byIter(i).map(_.getDouble(3)).sum
+    assert(tot(3) < tot(1),
+      s"codebook must settle: ${tot(1)} -> ${tot(2)} -> ${tot(3)}")
+  }
+
   test("band tune: stricter banding costs fewer pairs, full recall") {
     val rows = DedupOps.minhashBandTune(spark, sfDir).collect()
     assert(rows.map(_.getLong(0)).toSeq === Seq(2L, 4L, 8L))
