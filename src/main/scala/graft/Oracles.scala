@@ -6416,9 +6416,10 @@ ORDER BY iter, cid"""
   /** Shared CTE prefix for the Naive-Bayes family — the same
     * tokenization, per-doc term frequencies, class-conditional count
     * model, and per-class Laplace constants as
-    * [[graft.ops.TextOps.nbParts]], with every log cast to
-    * DECIMAL(20,10) per term before summation (order-independent
-    * exact decimal adds on both engines).
+    * [[graft.ops.TextOps.nbParts]], with every summed term (the
+    * tf·ln(cnt+1) evidence products, the n_toks·lnZ normalizer)
+    * rounded once from double to an exact DECIMAL before aggregation
+    * (order-independent adds on both engines).
     */
   private val nbCtes: String = """
 toks AS (
@@ -6590,6 +6591,7 @@ ORDER BY c, rank"""
     // construction, so they share the oracle SQL verbatim
     "doc_exact_dedup_bucketed" -> docExactDedup,
     "doc_bm25_topk_stored" -> docBm25TopK,
+    "doc_bm25_pruned_stored" -> docBm25Pruned,
     "img_payload_stats_stored" -> imgPayloadStats,
     "img_intensity_drift_stored" -> imgIntensityDrift,
     "img_focus_rank_stored" -> imgFocusRank,

@@ -260,6 +260,8 @@ object SparkEntry {
       (graft.sources.DocumentStore.dupGroupsFor(_, _)),
     "doc_bm25_topk_stored" ->
       (graft.sources.TermIndexStore.searchFor(_, _)),
+    "doc_bm25_pruned_stored" ->
+      (graft.sources.TermIndexStore.searchPrunedFor(_, _)),
     "emb_knn_ivfpq_indexed" ->
       (graft.sources.VectorIndex.searchFor(_, _)),
     // decode-once FrameStats twins: the 9 imaging-QC queries off ONE

@@ -1120,7 +1120,7 @@ object TextOps {
       .orderBy("qid")
   }
 
-  private val Bm25M = 64
+  private[graft] val Bm25M = 64
 
   private def bm25Of(spark: SparkSession, dir: String,
       cap: Option[Int]): DataFrame = {

@@ -177,4 +177,15 @@ object TermIndexStore {
     */
   def searchFor(spark: SparkSession, dir: String): DataFrame =
     search(spark, ensureBuilt(spark, dir))
+
+  /** The `doc_bm25_pruned_stored` twin: the impact-ordered cap
+    * ([[graft.ops.TextOps.bm25Pruned]]'s top-64-postings-per-term
+    * enumeration) applied at READ time over the stored postings — at
+    * serving scale the capped lists would be materialized by a
+    * vacuum-style compaction, but the scoring semantics are exactly
+    * the inline operator's and hash-match its oracle.
+    */
+  def searchPrunedFor(spark: SparkSession, dir: String): DataFrame =
+    search(spark, ensureBuilt(spark, dir),
+      cap = Some(graft.ops.TextOps.Bm25M))
 }

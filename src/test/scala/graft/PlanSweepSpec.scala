@@ -23,6 +23,7 @@ class PlanSweepSpec extends AnyFunSuite {
     "doc_bm25_topk_stored", // same censuses off the bucketed index:
                            // the layout removes the exchanges, the
                            // join strategy still prints as SMJ
+    "doc_bm25_pruned_stored", // the impact-capped read, same layout
     "doc_nb_lang",         // tf ⋈ model on token (vocabulary-keyed
                            // censuses both sides, the bm25/dsir shape)
                            // and spine ⋈ evidence on (doc_id, class):
@@ -173,6 +174,7 @@ class PlanSweepSpec extends AnyFunSuite {
                       // shared assignCells coarse step)
     "doc_bm25_topk_stored", // inherits doc_bm25_topk's one-row
                       // (n_docs, avgdl) census cross joins
+    "doc_bm25_pruned_stored", // same inherited census cross joins
     "doc_nb_lang",    // class-census (5-row) + one-row vocab-total
                       // cross joins in the NB constants
     "doc_nb_margin",  // same NB constants cross joins
