@@ -6342,6 +6342,92 @@ SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
     AS drop_mean_cos
 FROM k GROUP BY cell ORDER BY cell"""
 
+  /** Matryoshka two-stage twin of
+    * [[graft.ops.VectorOps.knnTruncated]]: 16-dim prefix prefilter to
+    * 40 candidates (rank by truncated cosine, ties to vec_id), exact
+    * full-dimension rescore, top-5.
+    */
+  val embKnnTruncated: String = s"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv, embedding[1:16] AS qt
+  FROM embeddings WHERE vec_id < 10
+), cand AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, e.vec_id,
+      row_number() OVER (PARTITION BY q.qid
+        ORDER BY ${duckCos("q.qt", "e.embedding[1:16]")} DESC,
+          e.vec_id) AS rk
+    FROM embeddings e JOIN q ON e.vec_id <> q.qid)
+  WHERE rk <= 40
+), scored AS (
+  SELECT c.qid, c.vec_id, ${duckCos("q.qv", "e.embedding")} AS sim
+  FROM cand c
+  JOIN embeddings e ON c.vec_id = e.vec_id
+  JOIN q ON c.qid = q.qid
+)
+SELECT qid, vec_id AS neighbor, CAST(round(sim, 6) AS DOUBLE) AS sim,
+  rank
+FROM (
+  SELECT qid, vec_id, sim,
+    CAST(row_number() OVER (PARTITION BY qid
+      ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+  FROM scored)
+WHERE rank <= 5
+ORDER BY qid, rank"""
+
+  /** Truncation-curve twin of
+    * [[graft.ops.VectorOps.truncateCurve]]: per prefix length, the
+    * top-5 by truncated cosine vs the full-dimension brute truth.
+    */
+  val embTruncateCurve: String = {
+    val rung = (d: Int) => s"""
+  SELECT CAST($d AS BIGINT) AS dims, qid, vec_id FROM (
+    SELECT q.qid, e.vec_id,
+      row_number() OVER (PARTITION BY q.qid
+        ORDER BY ${duckCos(s"q.qv[1:$d]", s"e.embedding[1:$d]")} DESC,
+          e.vec_id) AS rk
+    FROM embeddings e JOIN q ON e.vec_id <> q.qid)
+  WHERE rk <= 5"""
+    s"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+  WHERE vec_id < 10
+), truth AS (
+  SELECT qid, vec_id AS neighbor FROM (
+    SELECT q.qid, e.vec_id,
+      row_number() OVER (PARTITION BY q.qid
+        ORDER BY ${duckCos("q.qv", "e.embedding")} DESC, e.vec_id)
+        AS rk
+    FROM embeddings e JOIN q ON e.vec_id <> q.qid)
+  WHERE rk <= 5
+), picks AS (${Seq(8, 16, 32, 64).map(rung).mkString("\n  UNION ALL")}
+), nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth)
+SELECT dims, CAST(count(t.neighbor) AS BIGINT) AS n_hits,
+  nt.n_truth,
+  round(CAST(count(t.neighbor) AS DOUBLE) / nt.n_truth, 4) AS recall
+FROM picks p
+LEFT JOIN truth t ON p.qid = t.qid AND p.vec_id = t.neighbor
+CROSS JOIN nt
+GROUP BY dims, nt.n_truth
+ORDER BY dims"""
+  }
+
+  /** Recall-audit twin of
+    * [[graft.ops.VectorOps.truncatedRecall]]: per query, overlap of
+    * the two-stage truncated search with the brute truth.
+    */
+  val embTruncatedRecall: String = s"""
+WITH base AS (SELECT qid, neighbor FROM ($embKnnBrute) b),
+ap AS (SELECT qid AS aqid, neighbor AS aneighbor
+  FROM ($embKnnTruncated) a)
+SELECT base.qid, CAST(count(ap.aneighbor) AS BIGINT) AS n_hits,
+  CAST(count(*) AS BIGINT) AS k,
+  round(CAST(count(ap.aneighbor) AS DOUBLE) / count(*), 4) AS recall
+FROM base
+LEFT JOIN ap ON base.qid = ap.aqid AND base.neighbor = ap.aneighbor
+GROUP BY base.qid
+ORDER BY base.qid"""
+
   /** One Lloyd-iteration CTE block for [[embKmeansTrain]]: score
     * against `prevCents` (cid, cv list) with the same sequential-fold
     * squared-L2 as [[embKmeansStep]], assign by (dist, cid), reduce to
@@ -6532,6 +6618,9 @@ ORDER BY c, rank"""
 
   def all: Map[String, String] = Map(
     "emb_kmeans_train" -> embKmeansTrain,
+    "emb_knn_truncated" -> embKnnTruncated,
+    "emb_truncate_curve" -> embTruncateCurve,
+    "emb_truncated_recall" -> embTruncatedRecall,
     "doc_nb_lang" -> docNbLang,
     "doc_nb_margin" -> docNbMargin,
     "doc_nb_features" -> docNbFeatures,

@@ -1503,6 +1503,100 @@ object VectorOps {
       .orderBy("depth")
   }
 
+  /** Prefix-truncated cosine scoring at `d` leading dimensions — the
+    * shared cheap stage of the Matryoshka-retrieval family below:
+    * score with only the embedding's first `d` components (at serving
+    * scale the prefix is a separately-stored skinny column, so the
+    * stage reads d/D of the bytes and spends d/D of the flops).
+    */
+  private def truncScored(e: DataFrame, d: Int): DataFrame = {
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"),
+        expr(s"slice(embedding, 1, $d)").as("qv"))
+    e.select(col("vec_id"), expr(s"slice(embedding, 1, $d)").as("ev"))
+      .join(broadcast(q), col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        cosine(col("qv"), col("ev")).as("sim"))
+  }
+
+  /** Matryoshka two-stage retrieval (Kusupati et al., NeurIPS 2022 —
+    * the adaptive-retrieval deployment pattern): stage 1 ranks the
+    * corpus on the FIRST 16 of 64 dimensions (a quarter of the flops
+    * and, with a prefix column, of the bytes) and keeps 40 candidates
+    * per query through the bounded [[graft.functions.TopKByScore]]
+    * aggregate; stage 2 rescores only those candidates at full
+    * dimension — the [[knnRefine]] shape with dimension truncation
+    * instead of PQ quantization as the cheap axis.
+    */
+  def knnTruncated(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cand = truncScored(e, 16)
+      .groupBy("qid")
+      .agg(graft.functions.TopKByScore
+        .topk(col("sim"), col("vec_id"), 40).as("top"))
+      .select(col("qid"), explode(expr("transform(top, t -> t.id)"))
+        .as("vec_id"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val scored = e.join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine(col("qv"), col("embedding")).as("sim"))
+    topK(scored, 5)
+  }
+
+  /** The dimension-truncation operating curve: recall@5 vs the
+    * full-dimension brute truth when search uses only the first
+    * d ∈ {8, 16, 32, 64} components — the measurement behind choosing
+    * the Matryoshka prefix ([[knnTruncated]]'s d=16). d=64 is the full
+    * embedding and must read recall 1.0 (the in-result sanity anchor);
+    * each rung is one broadcast-query scan with the bounded top-k
+    * aggregate, nothing corpus-sized shuffles.
+    */
+  def truncateCurve(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val truth = knnBrute(spark, dir).select("qid", "neighbor")
+      .localCheckpoint(true)
+    val nTruth = truth.count()
+    val picks = Seq(8, 16, 32, 64).map { d =>
+      truncScored(e, d)
+        .groupBy("qid")
+        .agg(graft.functions.TopKByScore
+          .topk(col("sim"), col("vec_id"), 5).as("top"))
+        .select(lit(d.toLong).as("dims"), col("qid"),
+          explode(expr("transform(top, t -> t.id)")).as("vec_id"))
+    }.reduce(_ unionByName _)
+    picks.join(broadcast(truth),
+        picks("qid") === truth("qid")
+          && col("vec_id") === col("neighbor"), "left")
+      .groupBy("dims")
+      .agg(count(col("neighbor")).as("n_hits"))
+      .select(col("dims"), col("n_hits"),
+        lit(nTruth).as("n_truth"),
+        round(col("n_hits").cast("double") / nTruth, 4).as("recall"))
+      .orderBy("dims")
+  }
+
+  /** Recall audit of the truncated-prefilter search vs the brute
+    * truth — the [[annRecall]] shape over [[knnTruncated]]: what the
+    * 40-candidate full-dimension re-rank buys back from the quarter-
+    * dimension stage-1 loss (read next to emb_truncate_curve's raw
+    * d=16 rung).
+    */
+  def truncatedRecall(spark: SparkSession, dir: String): DataFrame = {
+    val brute = knnBrute(spark, dir).select("qid", "neighbor")
+    val approx = broadcast(knnTruncated(spark, dir)
+      .select(col("qid").as("aqid"), col("neighbor").as("aneighbor")))
+    brute.join(approx,
+        col("qid") === col("aqid")
+          && col("neighbor") === col("aneighbor"), "left")
+      .groupBy("qid")
+      .agg(count(col("aneighbor")).as("n_hits"), count(lit(1)).as("k"))
+      .select(col("qid"), col("n_hits"), col("k"),
+        round(col("n_hits").cast("double") / col("k"), 4).as("recall"))
+      .orderBy("qid")
+  }
+
   /** Recall audit of the refined search vs the brute-force truth —
     * the [[annRecall]] shape over [[knnRefine]]; read next to
     * `emb_ann_recall` it prices exactly what the 20-candidate exact

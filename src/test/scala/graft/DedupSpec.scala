@@ -845,6 +845,34 @@ class DedupSpec extends AnyFunSuite {
       s"codebook must settle: ${tot(1)} -> ${tot(2)} -> ${tot(3)}")
   }
 
+  test("matryoshka truncation: full-prefix rung is exact, two-stage " +
+      "rescore is a valid ranked result") {
+    val curve = VectorOps.truncateCurve(spark, sfDir).collect()
+    assert(curve.map(_.getLong(0)).toSeq === Seq(8L, 16L, 32L, 64L))
+    curve.foreach { r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getLong(2) === 50L, "10 queries x 5 truth rows")
+    }
+    // THEOREM rung: the 64-dim prefix IS the full embedding, so its
+    // top-5 is the brute truth exactly (recall 1.0 by construction)
+    assert(curve.last.getDouble(3) === 1.0,
+      s"full-prefix rung must be exact: ${curve.last}")
+    // two-stage result: 5 ranked rows per query, sims non-increasing
+    val ts = VectorOps.knnTruncated(spark, sfDir).collect()
+    val byQ = ts.groupBy(_.getLong(0))
+    assert(byQ.size === 10)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length === 5, s"query $q")
+      val sims = rs.sortBy(_.getLong(3)).map(_.getDouble(2))
+      sims.sliding(2).foreach(p => assert(p(0) >= p(1), s"order in $q"))
+    }
+    // and the audit joins 5 truth rows per query
+    val rec = VectorOps.truncatedRecall(spark, sfDir).collect()
+    assert(rec.length === 10)
+    rec.foreach(r => assert(r.getLong(2) === 5L
+      && r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+  }
+
   test("band tune: stricter banding costs fewer pairs, full recall") {
     val rows = DedupOps.minhashBandTune(spark, sfDir).collect()
     assert(rows.map(_.getLong(0)).toSeq === Seq(2L, 4L, 8L))

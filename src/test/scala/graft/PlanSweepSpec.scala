@@ -185,6 +185,9 @@ class PlanSweepSpec extends AnyFunSuite {
     "doc_ccnet_buckets",   // same, plus the single-row tercile cuts
     "doc_ccnet_sketched",  // same shape, KLL cut row instead of exact
     "emb_knn_brute",  // tiny query side, <> condition
+    "emb_knn_truncated", // same tiny-query <> scan, prefix stage
+    "emb_truncate_curve", // four prefix rungs of the same scan shape
+    "emb_truncated_recall", // composes brute + truncated, inherits both
     "emb_knn_ivf",    // centroid cross joins + tiny probe side
     "emb_kmeans_step", // 16-centroid broadcast cross join (assignment)
     "emb_knn_ivfpq",  // 16-centroid routing cross joins (IVF coarse step)
