@@ -6342,6 +6342,66 @@ SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
     AS drop_mean_cos
 FROM k GROUP BY cell ORDER BY cell"""
 
+  /** One BPE round for [[docBpeTrain]]: pair census over the previous
+    * symbol table, (weight DESC, pair) winner, leftmost-greedy merge
+    * into chr(k), post-merge corpus symbol count. Every CTE is
+    * MATERIALIZED — each round references the previous round twice
+    * (census + merge), so DuckDB's default inlining would expand the
+    * 8-round chain exponentially (measured: minutes vs 0.2 s).
+    */
+  private def bpeRoundCtes(k: Int): String = s"""
+occ$k AS MATERIALIZED (
+  SELECT sym, substr(sym, i, 2) AS pair, any_value(n) AS n,
+    CAST(count(*) AS BIGINT) AS occ
+  FROM (SELECT sym, n,
+          unnest(generate_series(1, length(sym) - 1)) AS i
+        FROM v${k - 1} WHERE length(sym) >= 2)
+  GROUP BY sym, pair),
+w$k AS MATERIALIZED (
+  SELECT pair AS p$k, CAST(sum(n * occ) AS BIGINT) AS w$k
+  FROM occ$k GROUP BY pair
+  ORDER BY w$k DESC, p$k LIMIT 1),
+v$k AS MATERIALIZED (
+  SELECT replace(sym, (SELECT p$k FROM w$k), chr($k)) AS sym, n
+  FROM v${k - 1}),
+s$k AS MATERIALIZED (
+  SELECT CAST(sum(n * length(sym)) AS BIGINT) AS ts$k FROM v$k)"""
+
+  /** Eight-round training-chain twin of
+    * [[graft.ops.TextOps.bpeTrain]]: the [[docBpeMergeStep]] cycle
+    * run eight times, winners displayed with nested bracket
+    * expansion, per-round post-merge symbol totals.
+    */
+  val docBpeTrain: String = {
+    val rounds = 8
+    val joinAll = ((1 to rounds).map(k => s"w$k")
+      ++ (1 to rounds).map(k => s"s$k")).mkString(", ")
+    val dispCtes = (1 to rounds).map { k =>
+      val expanded = (1 until k).foldLeft(s"p$k") { (e, j) =>
+        s"replace($e, chr($j), d$j)"
+      }
+      s"dx$k AS (SELECT *, '[' || $expanded || ']' AS d$k FROM dx${k - 1})"
+    }.mkString(",\n")
+    val unions = (1 to rounds).map(k =>
+      s"  SELECT CAST($k AS BIGINT) AS round, d$k AS merge_display," +
+        s" w$k AS n_weighted, ts$k AS total_symbols FROM dx$rounds")
+      .mkString("\n  UNION ALL\n")
+    s"""
+WITH v0 AS MATERIALIZED (
+  SELECT tok AS sym, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT unnest(list_filter(string_split(lower(text), ' '),
+      x -> x <> '')) AS tok
+    FROM documents)
+  GROUP BY tok
+  HAVING length(tok) >= 2),
+${(1 to rounds).map(bpeRoundCtes).mkString(",\n")},
+dx0 AS (SELECT * FROM $joinAll),
+$dispCtes
+SELECT round, merge_display, n_weighted, total_symbols FROM (
+$unions)
+ORDER BY round"""
+  }
+
   /** Matryoshka two-stage twin of
     * [[graft.ops.VectorOps.knnTruncated]]: 16-dim prefix prefilter to
     * 40 candidates (rank by truncated cosine, ties to vec_id), exact
@@ -6618,6 +6678,7 @@ ORDER BY c, rank"""
 
   def all: Map[String, String] = Map(
     "emb_kmeans_train" -> embKmeansTrain,
+    "doc_bpe_train" -> docBpeTrain,
     "emb_knn_truncated" -> embKnnTruncated,
     "emb_truncate_curve" -> embTruncateCurve,
     "emb_truncated_recall" -> embTruncatedRecall,

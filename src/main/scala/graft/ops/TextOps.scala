@@ -1288,6 +1288,80 @@ object TextOps {
       .orderBy("rank")
   }
 
+  /** Eight BPE merges as ONE plan — the tokenizer training LOOP at
+    * depth (where [[bpePairs]] is iteration 0 and [[bpeMergeStep]]
+    * proves iteration 2 is expressible, this runs the merge →
+    * re-census cycle eight times): each round censuses adjacent
+    * symbol pairs over the (vocabulary-sized) symbol stream, picks
+    * the winner by (weight DESC, pair) and merges it leftmost-greedy
+    * non-overlapping into a fresh sentinel symbol chr(k). Per round
+    * it emits the winner (sentinels expanded to the nested bracket
+    * display, e.g. `[[th]e]`), its weighted occurrence census, and
+    * the corpus symbol count AFTER the merge — the compression curve
+    * a tokenizer build actually watches (total symbols strictly falls
+    * every round: the winner has at least one merged occurrence).
+    *
+    * Scale discipline unchanged from the single step: every census is
+    * vocabulary-sized, winners are one-row broadcasts, and each
+    * round's symbol table is eagerly pinned ([[graft.ops.VectorOps
+    * .kmeansTrain]]'s moment discipline) so the 8-deep chain plans
+    * flat instead of exponentially re-deriving round k-1.
+    */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    val rounds = 8
+    val v0 = Tables.documents(spark, dir)
+      .select(explode(
+        expr("filter(split(lower(text), ' '), x -> x <> '')")).as("sym"))
+      .groupBy("sym").agg(count(lit(1)).as("n"))
+      .filter(length(col("sym")) >= 2)
+      .localCheckpoint(true)
+    // per round: (winner 1-row frame, post-merge vocab, stats 1-row)
+    val perRound = (1 to rounds).scanLeft(
+        (v0, Option.empty[DataFrame], Option.empty[DataFrame])) {
+      case ((v, _, _), k) =>
+        val occ = v
+          .filter(length(col("sym")) >= 2)
+          .select(col("sym"), col("n"),
+            explode(expr("sequence(1, length(sym) - 1)")).as("i"))
+          .select(col("sym"), col("n"),
+            expr("substring(sym, i, 2)").as("pair"))
+          .groupBy("sym", "pair")
+          .agg(first(col("n")).as("n"), count(lit(1)).as("occ"))
+        val winner = occ.groupBy("pair")
+          .agg(sum(col("n") * col("occ")).as("w"))
+          .orderBy(col("w").desc, col("pair")).limit(1)
+          .select(col("pair").as(s"p$k"), col("w").as(s"w$k"))
+          .localCheckpoint(true)
+        val merged = v.crossJoin(broadcast(winner))
+          .select(col("n"),
+            expr(s"replace(sym, p$k, chr($k))").as("sym"))
+          .localCheckpoint(true)
+        val stats = merged
+          .agg(sum(col("n") * length(col("sym")))
+            .as(s"total_symbols$k"))
+        (merged, Some(winner), Some(stats))
+    }.drop(1)
+    // one row carrying every winner + census: the display expansion
+    // needs all earlier winners, so fold the 8 one-row frames together
+    val folded = perRound
+      .flatMap { case (_, w, s) => Seq(w.get, s.get) }
+      .reduce((a, b) => a.crossJoin(broadcast(b)))
+    // nested bracket display: expand sentinels in ascending round
+    // order, so d_k's expansion only ever meets already-expanded text
+    val withDisp = (1 to rounds).foldLeft(folded) { (df, k) =>
+      val expanded = (1 until k).foldLeft(s"p$k") { (e, j) =>
+        s"replace($e, chr($j), d$j)"
+      }
+      df.withColumn(s"d$k", expr(s"concat('[', $expanded, ']')"))
+    }
+    val stacked = (1 to rounds).map(k =>
+      s"${k}L, d$k, w$k, total_symbols$k").mkString(", ")
+    withDisp
+      .select(expr(s"stack($rounds, $stacked) " +
+        "as (round, merge_display, n_weighted, total_symbols)"))
+      .orderBy("round")
+  }
+
   /** Shared training pass for the multinomial Naive-Bayes language
     * classifier — the pipeline's trainable quality/routing classifier
     * stage (fastText-style supervised filtering, e.g. CCNet's LM

@@ -845,6 +845,25 @@ class DedupSpec extends AnyFunSuite {
       s"codebook must settle: ${tot(1)} -> ${tot(2)} -> ${tot(3)}")
   }
 
+  test("bpe train: eight rounds compress monotonically and round 1 " +
+      "is bpe_pairs' winner") {
+    val rows = graft.ops.TextOps.bpeTrain(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSeq === (1L to 8L))
+    // THEOREM: the winner merges at least one occurrence per round,
+    // so the corpus symbol count strictly falls every round
+    val totals = rows.map(_.getLong(3))
+    totals.sliding(2).foreach(p =>
+      assert(p(0) > p(1), s"no compression: ${totals.mkString(",")}"))
+    rows.foreach(r => assert(r.getLong(2) > 0, s"empty winner: $r"))
+    // round 1 ties out with the iteration-0 census' top pair
+    val first = graft.ops.TextOps.bpePairs(spark, sfDir).collect()
+      .minBy(_.getLong(0))
+    assert(rows.head.getString(1) === "[" + first.getString(1) + "]",
+      "round-1 merge must be the bpe_pairs winner")
+    assert(rows.head.getLong(2) === first.getLong(2),
+      "round-1 weight must match the census")
+  }
+
   test("matryoshka truncation: full-prefix rung is exact, two-stage " +
       "rescore is a valid ranked result") {
     val curve = VectorOps.truncateCurve(spark, sfDir).collect()

@@ -167,6 +167,7 @@ class PlanSweepSpec extends AnyFunSuite {
   // intended broadcast-nested-loop joins (non-equi or single-row sides)
   private val bnlAllowed = Set(
     "doc_bpe_merge_step", // one-row winning-pair census cross join
+    "doc_bpe_train",  // eight chained one-row winner cross joins
     "doc_bm25_topk",  // one-row (n_docs, avgdl) census cross joins
     "doc_bm25_pruned", // same one-row census cross joins
     "doc_bm25_recall", // composes full + pruned, inherits both
