@@ -6559,6 +6559,42 @@ SELECT iter, cid, n_members, shift FROM (
   UNION ALL SELECT * FROM shift3)
 ORDER BY iter, cid"""
 
+  /** Per-iteration inertia CTE for [[embKmeansInertia]]: the sum of
+    * rk=1 squared distances off iteration `i`'s scored frame, each
+    * rounded once to exact DECIMAL before the corpus sum.
+    */
+  private def kmInertiaCte(i: Int): String = s"""
+in$i AS (
+  SELECT CAST($i AS INT) AS iter, CAST(count(*) AS BIGINT) AS n_vecs,
+    round(CAST(sum(CAST(dist AS DECIMAL(28,10))) AS DOUBLE), 6)
+      AS inertia
+  FROM (SELECT vec_id, dist,
+          row_number() OVER (PARTITION BY vec_id
+            ORDER BY dist, cid) AS rk
+        FROM scored$i)
+  WHERE rk = 1)"""
+
+  /** Objective-curve twin of
+    * [[graft.ops.VectorOps.kmeansInertia]]: the same three chained
+    * Lloyd iterations, reporting the assignment-time inertia.
+    */
+  val embKmeansInertia: String = s"""
+WITH cents0 AS (
+  SELECT vec_id AS cid,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings WHERE vec_id < 16),
+${kmIterCtes(1, "cents0")},
+${kmIterCtes(2, "cents1")},
+${kmIterCtes(3, "cents2")},
+${kmInertiaCte(1)},
+${kmInertiaCte(2)},
+${kmInertiaCte(3)}
+SELECT iter, n_vecs, inertia FROM (
+  SELECT * FROM in1
+  UNION ALL SELECT * FROM in2
+  UNION ALL SELECT * FROM in3)
+ORDER BY iter"""
+
   /** Shared CTE prefix for the Naive-Bayes family — the same
     * tokenization, per-doc term frequencies, class-conditional count
     * model, and per-class Laplace constants as
@@ -6678,6 +6714,7 @@ ORDER BY c, rank"""
 
   def all: Map[String, String] = Map(
     "emb_kmeans_train" -> embKmeansTrain,
+    "emb_kmeans_inertia" -> embKmeansInertia,
     "doc_bpe_train" -> docBpeTrain,
     "emb_knn_truncated" -> embKnnTruncated,
     "emb_truncate_curve" -> embTruncateCurve,

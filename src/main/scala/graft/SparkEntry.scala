@@ -115,6 +115,7 @@ object SparkEntry {
     "doc_quality_gate" -> (TextOps.qualityGate(_, _)),
     "doc_tfidf" -> (TextOps.tfidf(_, _)),
     "emb_kmeans_train" -> (VectorOps.kmeansTrain(_, _)),
+    "emb_kmeans_inertia" -> (VectorOps.kmeansInertia(_, _)),
     "doc_bpe_train" -> (TextOps.bpeTrain(_, _)),
     "emb_knn_truncated" -> (VectorOps.knnTruncated(_, _)),
     "emb_truncate_curve" -> (VectorOps.truncateCurve(_, _)),

@@ -1503,6 +1503,65 @@ object VectorOps {
       .orderBy("depth")
   }
 
+  /** The k-means OBJECTIVE curve over [[kmeansTrain]]'s three
+    * iterations: per iteration, the corpus inertia (sum of each
+    * vector's squared L2 to its nearest centroid at assignment time)
+    * — the number Lloyd's algorithm provably does not increase (the
+    * assignment step picks the min, the update step is the per-cell
+    * mean), which the spec asserts with a rounding-slack epsilon
+    * (centroid components round to 6 decimals at iteration
+    * boundaries). Per-vector min distances are doubles from the
+    * sequential-fold [[graft.functions.VecL2]], rounded once to exact
+    * DECIMAL before the corpus sum — order-independent on both
+    * engines. Same shapes as the training loop: broadcast centroids,
+    * map-side min, one census-sized reduce per iteration.
+    */
+  def kmeansInertia(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val seedCents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"),
+        expr("transform(embedding, x -> cast(x as double))").as("cv"))
+    def assignedOf(cents: DataFrame): DataFrame = e
+      .join(broadcast(cents), col("cid") =!= lit(-1))
+      .withColumn("dist",
+        graft.functions.VecL2.l2(col("embedding"), col("cv")))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("cid"), col("embedding")))
+        .as("m"))
+    def inertiaOf(iter: Int, assigned: DataFrame): DataFrame = assigned
+      .select(col("m.dist").cast("decimal(28,10)").as("d"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("d")).cast("double"), 6).as("inertia"))
+      .select(lit(iter).cast("int").as("iter"), col("n_vecs"),
+        col("inertia"))
+    def momentsOf(assigned: DataFrame): DataFrame = assigned
+      .select(col("m.cid").as("cid"), col("m.embedding").as("embedding"))
+      .select(col("cid"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("cid", "dim")
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("v").cast("double").cast("decimal(20,10)")).as("s"))
+      .select(col("cid"), col("dim"),
+        round(col("s").cast("double") / col("n_members"), 6)
+          .as("cval"))
+      .localCheckpoint(true)
+    def centsOf(mom: DataFrame): DataFrame =
+      mom.groupBy("cid")
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(dim, cval)))," +
+            " x -> x.cval)").as("cv"))
+    // assignments are corpus-sized and deliberately NOT checkpointed
+    // (pinning corpus payload in executor storage is the semdedup
+    // anti-pattern); each feeds two aggregates off one shuffle, which
+    // AQE's ReuseExchange shares. The tiny moment censuses ARE pinned.
+    val a1 = assignedOf(seedCents)
+    val a2 = assignedOf(centsOf(momentsOf(a1)))
+    val a3 = assignedOf(centsOf(momentsOf(a2)))
+    inertiaOf(1, a1).unionByName(inertiaOf(2, a2))
+      .unionByName(inertiaOf(3, a3))
+      .orderBy("iter")
+  }
+
   /** Prefix-truncated cosine scoring at `d` leading dimensions — the
     * shared cheap stage of the Matryoshka-retrieval family below:
     * score with only the embedding's first `d` components (at serving

@@ -845,6 +845,23 @@ class DedupSpec extends AnyFunSuite {
       s"codebook must settle: ${tot(1)} -> ${tot(2)} -> ${tot(3)}")
   }
 
+  test("kmeans inertia: the Lloyd objective never increases across " +
+      "iterations") {
+    val rows = VectorOps.kmeansInertia(spark, sfDir).collect()
+    assert(rows.map(_.getInt(0)).toSeq === Seq(1, 2, 3))
+    val n = graft.tables.Tables.embeddings(spark, sfDir).count()
+    rows.foreach(r => assert(r.getLong(1) === n,
+      "every vector is assigned every iteration"))
+    // Lloyd's monotonicity theorem, with slack for the 6-decimal
+    // centroid rounding at iteration boundaries (perturbs distances
+    // by ~1e-6 per dim; a real regression moves inertia by whole
+    // units on this corpus)
+    val in = rows.map(_.getDouble(2))
+    in.sliding(2).foreach(p => assert(p(1) <= p(0) + 1e-3,
+      s"objective rose: ${in.mkString(" -> ")}"))
+    assert(in.last < in.head, "three iterations must make progress")
+  }
+
   test("bpe train: eight rounds compress monotonically and round 1 " +
       "is bpe_pairs' winner") {
     val rows = graft.ops.TextOps.bpeTrain(spark, sfDir).collect()
