@@ -1544,16 +1544,17 @@ object VectorOps {
       .select(col("cid"), col("dim"),
         round(col("s").cast("double") / col("n_members"), 6)
           .as("cval"))
-      .localCheckpoint(true)
     def centsOf(mom: DataFrame): DataFrame =
       mom.groupBy("cid")
         .agg(expr(
           "transform(array_sort(collect_list(struct(dim, cval)))," +
             " x -> x.cval)").as("cv"))
-    // assignments are corpus-sized and deliberately NOT checkpointed
-    // (pinning corpus payload in executor storage is the semdedup
-    // anti-pattern); each feeds two aggregates off one shuffle, which
-    // AQE's ReuseExchange shares. The tiny moment censuses ARE pinned.
+    // fully declarative — nothing is checkpointed (pinning the
+    // corpus-sized assignments is the semdedup anti-pattern, and an
+    // eager census pin would split the iteration into two jobs that
+    // each re-run the assignment pass). Each iteration's assignment
+    // shuffle feeds BOTH its inertia aggregate and its moment census;
+    // AQE's ReuseExchange shares it (asserted in PlanSweepSpec).
     val a1 = assignedOf(seedCents)
     val a2 = assignedOf(centsOf(momentsOf(a1)))
     val a3 = assignedOf(centsOf(momentsOf(a2)))

@@ -349,7 +349,10 @@ class PlanSweepSpec extends AnyFunSuite {
       "emb_semdedup" -> (graft.ops.VectorOps.semDedup(_, _)),
       "emb_knn_graph" -> (graft.ops.VectorOps.knnGraph(_, _)),
       "emb_semdedup_probe" -> (graft.ops.VectorOps.semDedupProbe(_, _)),
-      "emb_knn_graph_probe" -> (graft.ops.VectorOps.knnGraphProbe(_, _)))
+      "emb_knn_graph_probe" -> (graft.ops.VectorOps.knnGraphProbe(_, _)),
+      // the Lloyd objective: each iteration's assignment shuffle
+      // feeds both the inertia and the moment aggregates
+      "emb_kmeans_inertia" -> (graft.ops.VectorOps.kmeansInertia(_, _)))
     for ((name, fn) <- fam) {
       val df = fn(spark, sfDir)
       df.collect()
