@@ -6559,6 +6559,100 @@ SELECT iter, cid, n_members, shift FROM (
   UNION ALL SELECT * FROM shift3)
 ORDER BY iter, cid"""
 
+  private def duckL2(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b),
+      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"""
+
+  /** L2-routed 4-probe IVF search blocks against the `cents` CTE —
+    * corpus routing (rk=1), query probes (rk<=4), cosine rescore of
+    * probed-cell members — shared by the seed/trained rungs of
+    * [[embCodebookRecall]] and by [[embKnnTrained]].
+    */
+  private def ivfL2SearchSql(cents: String, p: String): String = s"""
+${p}sr AS (
+  SELECT cid AS cell, vec_id, embedding FROM (
+    SELECT e.vec_id, c.cid, e.embedding,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY ${duckL2("e.embedding", "c.cv")}, c.cid) AS rk
+    FROM embeddings e CROSS JOIN $cents c)
+  WHERE rk = 1),
+${p}qp AS (
+  SELECT qid, qv, cell FROM (
+    SELECT q.vec_id AS qid, q.embedding AS qv, c.cid AS cell,
+      row_number() OVER (PARTITION BY q.vec_id
+        ORDER BY ${duckL2("q.embedding", "c.cv")}, c.cid) AS rk
+    FROM embeddings q CROSS JOIN $cents c WHERE q.vec_id < 10)
+  WHERE rk <= 4),
+${p}res AS (
+  SELECT qid, vec_id AS neighbor, CAST(round(sim, 6) AS DOUBLE) AS sim,
+    rank
+  FROM (
+    SELECT qid, vec_id, sim,
+      CAST(row_number() OVER (PARTITION BY qid
+        ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+    FROM (SELECT p.qid, s.vec_id,
+            ${duckCos("p.qv", "s.embedding")} AS sim
+          FROM ${p}sr s
+          JOIN ${p}qp p ON s.cell = p.cell AND s.vec_id <> p.qid))
+  WHERE rank <= 5)"""
+
+  /** Trained-codebook search twin of
+    * [[graft.ops.VectorOps.knnTrained]]: the three-iteration chain to
+    * cents3, then the L2-routed 4-probe search.
+    */
+  val embKnnTrained: String = s"""
+WITH cents0 AS (
+  SELECT vec_id AS cid,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings WHERE vec_id < 16),
+${kmIterCtes(1, "cents0")},
+${kmIterCtes(2, "cents1")},
+${kmIterCtes(3, "cents2")},
+${ivfL2SearchSql("cents3", "t")}
+SELECT qid, neighbor, sim, rank FROM tres
+ORDER BY qid, rank"""
+
+  /** Codebook-gain twin of
+    * [[graft.ops.VectorOps.codebookRecall]]: the same search under
+    * the seed and trained codebooks, each graded against the brute
+    * truth.
+    */
+  val embCodebookRecall: String = s"""
+WITH cents0 AS (
+  SELECT vec_id AS cid,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings WHERE vec_id < 16),
+${kmIterCtes(1, "cents0")},
+${kmIterCtes(2, "cents1")},
+${kmIterCtes(3, "cents2")},
+${ivfL2SearchSql("cents0", "s")},
+${ivfL2SearchSql("cents3", "t")},
+truth AS (
+  SELECT qid, vec_id AS neighbor FROM (
+    SELECT q.vec_id AS qid, e.vec_id,
+      row_number() OVER (PARTITION BY q.vec_id
+        ORDER BY ${duckCos("q.embedding", "e.embedding")} DESC,
+          e.vec_id) AS rk
+    FROM embeddings e
+    JOIN embeddings q ON q.vec_id < 10 AND e.vec_id <> q.vec_id)
+  WHERE rk <= 5),
+nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+hits AS (
+  SELECT 'seed' AS codebook,
+    CAST(count(tr.neighbor) AS BIGINT) AS n_hits
+  FROM sres p
+  LEFT JOIN truth tr ON p.qid = tr.qid AND p.neighbor = tr.neighbor
+  UNION ALL
+  SELECT 'trained' AS codebook,
+    CAST(count(tr.neighbor) AS BIGINT) AS n_hits
+  FROM tres p
+  LEFT JOIN truth tr ON p.qid = tr.qid AND p.neighbor = tr.neighbor)
+SELECT codebook, n_hits, nt.n_truth,
+  round(CAST(n_hits AS DOUBLE) / nt.n_truth, 4) AS recall
+FROM hits, nt
+ORDER BY codebook"""
+
   /** Per-iteration inertia CTE for [[embKmeansInertia]]: the sum of
     * rk=1 squared distances off iteration `i`'s scored frame, each
     * rounded once to exact DECIMAL before the corpus sum.
@@ -6715,6 +6809,8 @@ ORDER BY c, rank"""
   def all: Map[String, String] = Map(
     "emb_kmeans_train" -> embKmeansTrain,
     "emb_kmeans_inertia" -> embKmeansInertia,
+    "emb_knn_trained" -> embKnnTrained,
+    "emb_codebook_recall" -> embCodebookRecall,
     "doc_bpe_train" -> docBpeTrain,
     "emb_knn_truncated" -> embKnnTruncated,
     "emb_truncate_curve" -> embTruncateCurve,

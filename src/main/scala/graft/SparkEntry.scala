@@ -116,6 +116,8 @@ object SparkEntry {
     "doc_tfidf" -> (TextOps.tfidf(_, _)),
     "emb_kmeans_train" -> (VectorOps.kmeansTrain(_, _)),
     "emb_kmeans_inertia" -> (VectorOps.kmeansInertia(_, _)),
+    "emb_knn_trained" -> (VectorOps.knnTrained(_, _)),
+    "emb_codebook_recall" -> (VectorOps.codebookRecall(_, _)),
     "doc_bpe_train" -> (TextOps.bpeTrain(_, _)),
     "emb_knn_truncated" -> (VectorOps.knnTruncated(_, _)),
     "emb_truncate_curve" -> (VectorOps.truncateCurve(_, _)),

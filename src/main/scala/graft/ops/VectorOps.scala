@@ -1503,6 +1503,122 @@ object VectorOps {
       .orderBy("depth")
   }
 
+  /** The trained codebook: [[kmeansTrain]]'s three Lloyd updates
+    * folded to (cid, cv) centroid arrays (components rounded 6 at
+    * every boundary — the loop's parity contract). Census-sized; the
+    * per-iteration moment pins keep the chain one corpus pass per
+    * iteration.
+    */
+  private def trainedCents(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    def centsOf(mom: DataFrame): DataFrame =
+      mom.groupBy("cid")
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(dim, cval)))," +
+            " x -> x.cval)").as("cv"))
+    def iterate(cents: DataFrame): DataFrame = e
+      .join(broadcast(cents), col("cid") =!= lit(-1))
+      .withColumn("dist",
+        graft.functions.VecL2.l2(col("embedding"), col("cv")))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("cid"), col("embedding")))
+        .as("m"))
+      .select(col("m.cid").as("cid"), col("m.embedding").as("embedding"))
+      .select(col("cid"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("cid", "dim")
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("v").cast("double").cast("decimal(20,10)")).as("s"))
+      .select(col("cid"), col("dim"),
+        round(col("s").cast("double") / col("n_members"), 6)
+          .as("cval"))
+      .localCheckpoint(true)
+    val seedCents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"),
+        expr("transform(embedding, x -> cast(x as double))").as("cv"))
+    centsOf(iterate(centsOf(iterate(centsOf(iterate(seedCents))))))
+  }
+
+  /** IVF search against an arbitrary (cid, cv) codebook with L2
+    * routing (the training loop's metric) and exact-cosine scoring
+    * within the probed cells: corpus rows route to their nearest
+    * centroid, each query probes its 4 nearest cells, candidates are
+    * the probed cells' members — the [[knnIvf]] architecture
+    * parameterized by codebook, shared by the seed/trained rungs of
+    * [[codebookRecall]].
+    */
+  private def ivfL2Search(e: DataFrame, cents: DataFrame): DataFrame = {
+    val l2 = graft.functions.VecL2.l2(col("embedding"), col("cv"))
+    val assigned = e
+      .join(broadcast(cents), col("cid") =!= lit(-1))
+      .withColumn("dist", l2)
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("cid"), col("embedding")))
+        .as("m"))
+      .select(col("m.cid").as("cell"), col("vec_id"),
+        col("m.embedding").as("embedding"))
+    val qprobe = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .join(broadcast(cents), col("cid") =!= lit(-1))
+      .withColumn("dist",
+        graft.functions.VecL2.l2(col("qv"), col("cv")))
+      .groupBy("qid")
+      .agg(first(col("qv")).as("qv"),
+        graft.functions.TopKByScore
+          .topkAsc(col("dist"), col("cid"), 4).as("top"))
+      .select(col("qid"), col("qv"),
+        explode(expr("transform(top, t -> t.id)")).as("cell"))
+    val scored = assigned.join(broadcast(qprobe), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine(col("qv"), col("embedding")).as("sim"))
+    topK(scored, 5)
+  }
+
+  /** IVF search served off the TRAINED codebook — the consumption of
+    * [[kmeansTrain]]'s output that closes the train → serve loop: the
+    * same routing/probe/rescore architecture as the seed-codebook
+    * search, with the three-times-updated centroids doing the
+    * routing.
+    */
+  def knnTrained(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    ivfL2Search(e, trainedCents(spark, dir))
+  }
+
+  /** Does codebook training buy routing recall? recall@5 vs the brute
+    * truth for the SAME L2-routed 4-probe search under the seed
+    * codebook vs the trained one — the measured answer to "was
+    * [[kmeansTrain]] worth it" at this operating point (on isotropic
+    * synthetic data the gain may be small; the audit exists to price
+    * it, the emb_ann_recall discipline).
+    */
+  def codebookRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val seedCents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"),
+        expr("transform(embedding, x -> cast(x as double))").as("cv"))
+    val truth = knnBrute(spark, dir).select("qid", "neighbor")
+      .localCheckpoint(true)
+    val nTruth = truth.count()
+    val rungs = Seq(
+      "seed" -> ivfL2Search(e, seedCents),
+      "trained" -> ivfL2Search(e, trainedCents(spark, dir)))
+    val tref = broadcast(truth
+      .select(col("qid").as("tqid"), col("neighbor").as("tn")))
+    rungs.map { case (name, res) =>
+      res.select(col("qid"), col("neighbor"))
+        .join(tref,
+          col("qid") === col("tqid") && col("neighbor") === col("tn"),
+          "left")
+        .agg(count(col("tn")).as("n_hits"))
+        .select(lit(name).as("codebook"), col("n_hits"),
+          lit(nTruth).as("n_truth"),
+          round(col("n_hits").cast("double") / nTruth, 4).as("recall"))
+    }.reduce(_ unionByName _)
+      .orderBy("codebook")
+  }
+
   /** The k-means OBJECTIVE curve over [[kmeansTrain]]'s three
     * iterations: per iteration, the corpus inertia (sum of each
     * vector's squared L2 to its nearest centroid at assignment time)

@@ -845,6 +845,28 @@ class DedupSpec extends AnyFunSuite {
       s"codebook must settle: ${tot(1)} -> ${tot(2)} -> ${tot(3)}")
   }
 
+  test("codebook recall: both rungs grade the same truth and the " +
+      "trained search is a valid ranked result") {
+    val rows = VectorOps.codebookRecall(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("seed", "trained"))
+    rows.foreach { r =>
+      assert(r.getLong(2) === 50L, "10 queries x 5 truth rows")
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= 50)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // no direction assertion: on isotropic data Lloyd BALANCES cells,
+    // which can shrink the corpus fraction 4 probes reach — the audit
+    // measures the tradeoff, it doesn't presume a winner
+    val ts = VectorOps.knnTrained(spark, sfDir).collect()
+    val byQ = ts.groupBy(_.getLong(0))
+    assert(byQ.size === 10)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length === 5, s"query $q")
+      val sims = rs.sortBy(_.getLong(3)).map(_.getDouble(2))
+      sims.sliding(2).foreach(p => assert(p(0) >= p(1), s"order in $q"))
+    }
+  }
+
   test("kmeans inertia: the Lloyd objective never increases across " +
       "iterations") {
     val rows = VectorOps.kmeansInertia(spark, sfDir).collect()

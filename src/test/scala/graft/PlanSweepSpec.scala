@@ -193,6 +193,8 @@ class PlanSweepSpec extends AnyFunSuite {
     "emb_kmeans_step", // 16-centroid broadcast cross join (assignment)
     "emb_kmeans_train", // three chained centroid-broadcast cross joins
     "emb_kmeans_inertia", // same chained assignment cross joins
+    "emb_knn_trained", // trained-codebook routing cross joins
+    "emb_codebook_recall", // composes both searches + brute, inherits
     "emb_knn_ivfpq",  // 16-centroid routing cross joins (IVF coarse step)
     "emb_knn_ivfpq_indexed", // same probe-side routing cross joins —
                              // the corpus side reads the bucketed index
