@@ -380,6 +380,11 @@ object Bench {
           .as("text"))
       (0 until 4).foreach(i => batch.filter(col("doc_id") % 4 === i)
         .coalesce(1).write.parquet(s"$src/f$i.parquet"))
+      // expected membership growth = the batch's TOKENIZED distinct
+      // ids (a whitespace-only doc never lands a doclen row), not a
+      // bare 2x assumption on the corpus shape
+      val expected = docs0 + graft.sources.TermIndexStore.tfOf(batch)
+        .select("doc_id").distinct().count()
       val t0 = System.nanoTime()
       val source = spark.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", "1")
@@ -392,8 +397,8 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       val total = graft.sources.TermIndexStore.docLens(spark, table)
         .count()
-      require(total == 2 * docs0,
-        s"index ingest landed $total member docs against a base of $docs0")
+      require(total == expected,
+        s"index ingest landed $total member docs, expected $expected")
       val st = stateMetrics(q)
       (dt, st._1, st._2)
     } finally {

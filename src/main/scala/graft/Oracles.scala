@@ -6767,7 +6767,7 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
     AS n_correct,
   round(CAST(sum(CASE WHEN predicted = lang THEN 1 ELSE 0 END)
     AS DOUBLE) / count(*), 4) AS accuracy,
-  round(avg(CAST(margin AS DOUBLE)), 4) AS avg_margin
+  round(CAST(sum(margin) AS DOUBLE) / count(*), 4) AS avg_margin
 FROM top2
 GROUP BY lang
 ORDER BY lang"""

@@ -1477,7 +1477,11 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("predicted") === col("lang"), 1L).otherwise(0L))
           .as("n_correct"),
-        round(avg(col("margin").cast("double")), 4).as("avg_margin"))
+        // sum the EXACT decimal margins, divide once — an avg over
+        // doubles would add in partition order (the parity discipline
+        // of every hash-compared mean in this repo)
+        round(sum(col("margin")).cast("double") / count(lit(1)), 4)
+          .as("avg_margin"))
       .select(col("lang"), col("n_docs"), col("n_correct"),
         round(col("n_correct").cast("double") / col("n_docs"), 4)
           .as("accuracy"),

@@ -1503,40 +1503,62 @@ object VectorOps {
       .orderBy("depth")
   }
 
+  /** One Lloyd assignment against codebook `cents` (cid, cv double
+    * arrays): broadcast centroids, per-row sequential-fold L2, and
+    * the lexicographic-min aggregate (ties to the smaller cid) that
+    * collapses each row's candidates map-side — THE shared update
+    * kernel behind [[kmeansTrain]], [[kmeansInertia]],
+    * [[knnTrained]] and [[codebookRecall]]: the training loop's
+    * parity contract (6-decimal boundary rounding, DECIMAL moments)
+    * lives in exactly one implementation.
+    */
+  private def lloydAssign(e: DataFrame, cents: DataFrame): DataFrame = e
+    .join(broadcast(cents), col("cid") =!= lit(-1))
+    .withColumn("dist",
+      graft.functions.VecL2.l2(col("embedding"), col("cv")))
+    .groupBy("vec_id")
+    .agg(min(struct(col("dist"), col("cid"), col("embedding")))
+      .as("m"))
+
+  /** Member-mean moments of an assignment: exact DECIMAL component
+    * sums, means rounded to 6 decimals (the iteration-boundary
+    * contract that keeps chained float passes hash-reproducible).
+    */
+  private def lloydMomentsOf(assigned: DataFrame): DataFrame = assigned
+    .select(col("m.cid").as("cid"), col("m.embedding").as("embedding"))
+    .select(col("cid"),
+      posexplode(col("embedding")).as(Seq("dim", "v")))
+    .groupBy("cid", "dim")
+    .agg(count(lit(1)).as("n_members"),
+      sum(col("v").cast("double").cast("decimal(20,10)")).as("s"))
+    .select(col("cid"), col("dim").cast("int").as("dim"),
+      col("n_members"),
+      round(col("s").cast("double") / col("n_members"), 6).as("cval"))
+
+  /** Centroid arrays from a moment census, components in dim order. */
+  private def lloydCentsOf(mom: DataFrame): DataFrame =
+    mom.groupBy("cid")
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(dim, cval)))," +
+          " x -> x.cval)").as("cv"))
+
+  /** The seed codebook (vec_id < 16) as double arrays. */
+  private def lloydSeeds(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"),
+        expr("transform(embedding, x -> cast(x as double))").as("cv"))
+
   /** The trained codebook: [[kmeansTrain]]'s three Lloyd updates
-    * folded to (cid, cv) centroid arrays (components rounded 6 at
-    * every boundary — the loop's parity contract). Census-sized; the
+    * folded to (cid, cv) centroid arrays. Census-sized; the
     * per-iteration moment pins keep the chain one corpus pass per
     * iteration.
     */
   private def trainedCents(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
-    def centsOf(mom: DataFrame): DataFrame =
-      mom.groupBy("cid")
-        .agg(expr(
-          "transform(array_sort(collect_list(struct(dim, cval)))," +
-            " x -> x.cval)").as("cv"))
-    def iterate(cents: DataFrame): DataFrame = e
-      .join(broadcast(cents), col("cid") =!= lit(-1))
-      .withColumn("dist",
-        graft.functions.VecL2.l2(col("embedding"), col("cv")))
-      .groupBy("vec_id")
-      .agg(min(struct(col("dist"), col("cid"), col("embedding")))
-        .as("m"))
-      .select(col("m.cid").as("cid"), col("m.embedding").as("embedding"))
-      .select(col("cid"),
-        posexplode(col("embedding")).as(Seq("dim", "v")))
-      .groupBy("cid", "dim")
-      .agg(count(lit(1)).as("n_members"),
-        sum(col("v").cast("double").cast("decimal(20,10)")).as("s"))
-      .select(col("cid"), col("dim"),
-        round(col("s").cast("double") / col("n_members"), 6)
-          .as("cval"))
-      .localCheckpoint(true)
-    val seedCents = e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"),
-        expr("transform(embedding, x -> cast(x as double))").as("cv"))
-    centsOf(iterate(centsOf(iterate(centsOf(iterate(seedCents))))))
+    def iterate(cents: DataFrame): DataFrame =
+      lloydMomentsOf(lloydAssign(e, cents)).localCheckpoint(true)
+    lloydCentsOf(iterate(lloydCentsOf(iterate(
+      lloydCentsOf(iterate(lloydSeeds(e)))))))
   }
 
   /** IVF search against an arbitrary (cid, cv) codebook with L2
@@ -1548,13 +1570,7 @@ object VectorOps {
     * [[codebookRecall]].
     */
   private def ivfL2Search(e: DataFrame, cents: DataFrame): DataFrame = {
-    val l2 = graft.functions.VecL2.l2(col("embedding"), col("cv"))
-    val assigned = e
-      .join(broadcast(cents), col("cid") =!= lit(-1))
-      .withColumn("dist", l2)
-      .groupBy("vec_id")
-      .agg(min(struct(col("dist"), col("cid"), col("embedding")))
-        .as("m"))
+    val assigned = lloydAssign(e, cents)
       .select(col("m.cid").as("cell"), col("vec_id"),
         col("m.embedding").as("embedding"))
     val qprobe = e.filter(col("vec_id") < 10)
@@ -1595,14 +1611,11 @@ object VectorOps {
     */
   def codebookRecall(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
-    val seedCents = e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"),
-        expr("transform(embedding, x -> cast(x as double))").as("cv"))
     val truth = knnBrute(spark, dir).select("qid", "neighbor")
       .localCheckpoint(true)
     val nTruth = truth.count()
     val rungs = Seq(
-      "seed" -> ivfL2Search(e, seedCents),
+      "seed" -> ivfL2Search(e, lloydSeeds(e)),
       "trained" -> ivfL2Search(e, trainedCents(spark, dir)))
     val tref = broadcast(truth
       .select(col("qid").as("tqid"), col("neighbor").as("tn")))
@@ -1634,46 +1647,21 @@ object VectorOps {
     */
   def kmeansInertia(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
-    val seedCents = e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"),
-        expr("transform(embedding, x -> cast(x as double))").as("cv"))
-    def assignedOf(cents: DataFrame): DataFrame = e
-      .join(broadcast(cents), col("cid") =!= lit(-1))
-      .withColumn("dist",
-        graft.functions.VecL2.l2(col("embedding"), col("cv")))
-      .groupBy("vec_id")
-      .agg(min(struct(col("dist"), col("cid"), col("embedding")))
-        .as("m"))
     def inertiaOf(iter: Int, assigned: DataFrame): DataFrame = assigned
       .select(col("m.dist").cast("decimal(28,10)").as("d"))
       .agg(count(lit(1)).as("n_vecs"),
         round(sum(col("d")).cast("double"), 6).as("inertia"))
       .select(lit(iter).cast("int").as("iter"), col("n_vecs"),
         col("inertia"))
-    def momentsOf(assigned: DataFrame): DataFrame = assigned
-      .select(col("m.cid").as("cid"), col("m.embedding").as("embedding"))
-      .select(col("cid"),
-        posexplode(col("embedding")).as(Seq("dim", "v")))
-      .groupBy("cid", "dim")
-      .agg(count(lit(1)).as("n_members"),
-        sum(col("v").cast("double").cast("decimal(20,10)")).as("s"))
-      .select(col("cid"), col("dim"),
-        round(col("s").cast("double") / col("n_members"), 6)
-          .as("cval"))
-    def centsOf(mom: DataFrame): DataFrame =
-      mom.groupBy("cid")
-        .agg(expr(
-          "transform(array_sort(collect_list(struct(dim, cval)))," +
-            " x -> x.cval)").as("cv"))
     // fully declarative — nothing is checkpointed (pinning the
     // corpus-sized assignments is the semdedup anti-pattern, and an
     // eager census pin would split the iteration into two jobs that
     // each re-run the assignment pass). Each iteration's assignment
     // shuffle feeds BOTH its inertia aggregate and its moment census;
     // AQE's ReuseExchange shares it (asserted in PlanSweepSpec).
-    val a1 = assignedOf(seedCents)
-    val a2 = assignedOf(centsOf(momentsOf(a1)))
-    val a3 = assignedOf(centsOf(momentsOf(a2)))
+    val a1 = lloydAssign(e, lloydSeeds(e))
+    val a2 = lloydAssign(e, lloydCentsOf(lloydMomentsOf(a1)))
+    val a3 = lloydAssign(e, lloydCentsOf(lloydMomentsOf(a2)))
     inertiaOf(1, a1).unionByName(inertiaOf(2, a2))
       .unionByName(inertiaOf(3, a3))
       .orderBy("iter")
@@ -2122,37 +2110,10 @@ object VectorOps {
         posexplode(col("embedding")).as(Seq("dim", "sv")))
       .select(col("cid"), col("dim").cast("int").as("dim"),
         col("sv").cast("double").as("cval"))
-    val seedCents = e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"),
-        expr("transform(embedding, x -> cast(x as double))").as("cv"))
-    // one Lloyd pass: nearest rounded centroid -> per-(cell, dim)
-    // moments -> rounded new components
-    def iterate(cents: DataFrame): DataFrame = {
-      val assigned = e
-        .join(broadcast(cents), col("cid") =!= lit(-1))
-        .withColumn("dist",
-          graft.functions.VecL2.l2(col("embedding"), col("cv")))
-        .groupBy("vec_id")
-        .agg(min(struct(col("dist"), col("cid"), col("embedding")))
-          .as("m"))
-        .select(col("m.cid").as("cid"), col("m.embedding").as("embedding"))
-      assigned
-        .select(col("cid"),
-          posexplode(col("embedding")).as(Seq("dim", "v")))
-        .groupBy("cid", "dim")
-        .agg(count(lit(1)).as("n_members"),
-          sum(col("v").cast("double").cast("decimal(20,10)")).as("s"))
-        .select(col("cid"), col("dim").cast("int").as("dim"),
-          col("n_members"),
-          round(col("s").cast("double") / col("n_members"), 6)
-            .as("cval"))
-        .localCheckpoint(true) // 16×d rows: pins one pass per iteration
-    }
-    def centsOf(mom: DataFrame): DataFrame =
-      mom.groupBy("cid")
-        .agg(expr(
-          "transform(array_sort(collect_list(struct(dim, cval)))," +
-            " x -> x.cval)").as("cv"))
+    // one Lloyd pass ([[lloydAssign]]/[[lloydMomentsOf]] kernel);
+    // the 16×d moment pin keeps it one corpus pass per iteration
+    def iterate(cents: DataFrame): DataFrame =
+      lloydMomentsOf(lloydAssign(e, cents)).localCheckpoint(true)
     def shiftOf(iter: Int, mom: DataFrame, prev: DataFrame): DataFrame =
       mom.join(broadcast(prev
           .select(col("cid"), col("dim"), col("cval").as("pval"))),
@@ -2165,9 +2126,9 @@ object VectorOps {
           round(sqrt(sum(col("d2")).cast("double")), 6).as("shift"))
         .select(lit(iter).cast("int").as("iter"), col("cid"),
           col("n_members"), col("shift"))
-    val mom1 = iterate(seedCents)
-    val mom2 = iterate(centsOf(mom1))
-    val mom3 = iterate(centsOf(mom2))
+    val mom1 = iterate(lloydSeeds(e))
+    val mom2 = iterate(lloydCentsOf(mom1))
+    val mom3 = iterate(lloydCentsOf(mom2))
     shiftOf(1, mom1, seedComps)
       .unionByName(shiftOf(2, mom2, mom1))
       .unionByName(shiftOf(3, mom3, mom2))

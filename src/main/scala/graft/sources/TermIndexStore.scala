@@ -88,27 +88,39 @@ object TermIndexStore {
   }
 
   /** Per-ingest report: batch size, replayed ids (skipped or healed),
-    * docs and postings appended, and postings repaired into replayed
-    * members (non-zero only after a doclen/postings crash window).
+    * docs and postings appended, postings repaired into replayed
+    * members (non-zero only after a doclen/postings crash window),
+    * and zero-token docs skipped — they have no doclen row (the
+    * inline operators' universe is tokenized docs) so they must be
+    * reported, never silently re-counted as "appended" on replay.
     */
   final case class IngestStats(nBatch: Long, nReplayed: Long,
-    nDocsAppended: Long, nPostingsAppended: Long, nRepaired: Long)
+    nDocsAppended: Long, nPostingsAppended: Long, nRepaired: Long,
+    nEmptySkipped: Long)
 
-  /** Absorb one batch of (doc_id, text) rows: tokenize the BATCH only,
-    * skip replayed members, append doclen then postings in bucket
+  /** Absorb one batch of (doc_id, text) rows: tokenize the BATCH
+    * once, skip replayed members (classified among TOKENIZED docs —
+    * a zero-token doc can never become a member, so it is reported
+    * in `nEmptySkipped` instead of re-"appending" forever under
+    * at-least-once delivery), append doclen then postings in bucket
     * layout, and heal any replayed member whose postings went missing
     * in a crash window.
     */
   def ingest(spark: SparkSession, batch: DataFrame,
       table: String): IngestStats = {
     val docs = batch.select("doc_id", "text").localCheckpoint(true)
-    val replays = docs.select("doc_id")
+    val nBatch = docs.count()
+    // one batch tokenize feeds membership, the append AND the repair
+    val tfBatch = tfOf(docs).localCheckpoint(true)
+    val tokenized = tfBatch.select("doc_id").distinct()
+    val nTokenized = tokenized.count()
+    val replays = tokenized
       .join(docLens(spark, table).select("doc_id"), Seq("doc_id"),
         "left_semi")
       .localCheckpoint(true)
     val nReplayed = replays.count()
-    val fresh = docs.join(replays, Seq("doc_id"), "left_anti")
-    val tfFresh = tfOf(fresh).localCheckpoint(true)
+    val tfFresh = tfBatch.join(replays, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
     // membership first: doclen is the commit marker
     tfFresh.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
       .write.bucketBy(DocumentStore.DefaultBuckets, "doc_id")
@@ -118,7 +130,7 @@ object TermIndexStore {
     val repaired =
       if (nReplayed == 0) 0L
       else {
-        val repair = tfOf(docs.join(replays, Seq("doc_id"), "left_semi"))
+        val repair = tfBatch.join(replays, Seq("doc_id"), "left_semi")
           .join(postings(spark, table), Seq("doc_id", "tok"),
             "left_anti")
           .localCheckpoint(true)
@@ -133,11 +145,12 @@ object TermIndexStore {
     spark.sql(s"REFRESH TABLE $table")
     spark.sql(s"REFRESH TABLE ${doclenTable(table)}")
     IngestStats(
-      nBatch = docs.count(),
+      nBatch = nBatch,
       nReplayed = nReplayed,
-      nDocsAppended = docs.count() - nReplayed,
+      nDocsAppended = nTokenized - nReplayed,
       nPostingsAppended = tfFresh.count(),
-      nRepaired = repaired)
+      nRepaired = repaired,
+      nEmptySkipped = nBatch - nTokenized)
   }
 
   /** BM25 top-5 off the stored index: the exact

@@ -62,7 +62,8 @@ class TermIndexStoreSpec extends AnyFunSuite {
       val post0 = spark.table(t).count()
       val s1 = TermIndexStore.ingest(spark, freshDocs, t)
       assert(s1.nBatch === 3 && s1.nReplayed === 0
-        && s1.nDocsAppended === 3 && s1.nRepaired === 0, s"$s1")
+        && s1.nDocsAppended === 3 && s1.nRepaired === 0
+        && s1.nEmptySkipped === 0, s"$s1")
       assert(TermIndexStore.docLens(spark, t).count() === docs0 + 3)
       assert(spark.table(t).count() === post0 + s1.nPostingsAppended)
       // the ingested terms are now retrievable state: df sees them
@@ -75,6 +76,16 @@ class TermIndexStoreSpec extends AnyFunSuite {
         && s2.nPostingsAppended === 0 && s2.nRepaired === 0, s"$s2")
       assert(TermIndexStore.docLens(spark, t).count() === docs0 + 3)
       assert(spark.table(t).count() === post0 + s1.nPostingsAppended)
+      // a zero-token doc can never become a member: it is reported
+      // (never silently re-"appended") and redelivery says the same
+      import spark.implicits._
+      val blank = Seq((7000009L, "   ")).toDF("doc_id", "text")
+      (1 to 2).foreach { _ =>
+        val sb = TermIndexStore.ingest(spark, blank, t)
+        assert(sb.nEmptySkipped === 1 && sb.nDocsAppended === 0
+          && sb.nReplayed === 0, s"$sb")
+        assert(TermIndexStore.docLens(spark, t).count() === docs0 + 3)
+      }
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $t")
       spark.sql(s"DROP TABLE IF EXISTS ${t}_doclen")
@@ -94,7 +105,9 @@ class TermIndexStoreSpec extends AnyFunSuite {
       val one = freshDocs.filter(col("doc_id") === 7000003L)
       TermIndexStore.tfOf(one)
         .groupBy("doc_id").agg(sum(col("tf")).as("dl"))
-        .write.bucketBy(32, "doc_id").sortBy("doc_id")
+        .write
+        .bucketBy(graft.sources.DocumentStore.DefaultBuckets, "doc_id")
+        .sortBy("doc_id")
         .mode("append").saveAsTable(t + "_doclen")
       spark.sql(s"REFRESH TABLE ${t}_doclen")
       assert(spark.table(t).filter(col("doc_id") === 7000003L)
