@@ -403,6 +403,7 @@ object Bench {
       (dt, st._1, st._2)
     } finally {
       graft.sources.TermIndexStore.clear(spark, table)
+      org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
     }
   }
 

@@ -6204,6 +6204,34 @@ LEFT JOIN pr ON base.qid = pr.qid AND base.doc_id = pr.doc_id
 GROUP BY base.qid
 ORDER BY base.qid"""
 
+  /** Recall-curve twin of [[graft.ops.TextOps.bm25RecallCurve]]:
+    * the capped oracle evaluated at each M ∈ {16, 64, 256} (the
+    * row_number cap with the same (tf DESC, doc_id) ordering is
+    * exactly the engine's top-256 prefix at each M), graded against
+    * the full top-5 per query.
+    */
+  val docBm25RecallCurve: String = s"""
+WITH base AS (SELECT qid, doc_id FROM (${bm25SqlOf(None)}) b),
+levels AS (SELECT CAST(unnest([16, 64, 256]) AS BIGINT) AS m),
+pr AS (
+  SELECT CAST(16 AS BIGINT) AS m, qid, doc_id
+    FROM (${bm25SqlOf(Some(16))}) a
+  UNION ALL
+  SELECT CAST(64 AS BIGINT) AS m, qid, doc_id
+    FROM (${bm25SqlOf(Some(64))}) c
+  UNION ALL
+  SELECT CAST(256 AS BIGINT) AS m, qid, doc_id
+    FROM (${bm25SqlOf(Some(256))}) d)
+SELECT base.qid, l.m,
+  CAST(count(pr.doc_id) AS BIGINT) AS n_hits,
+  CAST(count(*) AS BIGINT) AS k,
+  round(CAST(count(pr.doc_id) AS DOUBLE) / count(*), 4) AS recall
+FROM base CROSS JOIN levels l
+LEFT JOIN pr ON pr.m = l.m AND base.qid = pr.qid
+  AND base.doc_id = pr.doc_id
+GROUP BY base.qid, l.m
+ORDER BY base.qid, l.m"""
+
   /** BPE first-merge twin of [[graft.ops.TextOps.bpePairs]]: the same
     * vocabulary-census-first expansion (pair work is vocab-sized),
     * weighted pair counts, top-50 by (weight DESC, pair).
@@ -6400,6 +6428,52 @@ $dispCtes
 SELECT round, merge_display, n_weighted, total_symbols FROM (
 $unions)
 ORDER BY round"""
+  }
+
+  /** Trained-fertility twin of
+    * [[graft.ops.TextOps.fertilityTrained]]: replays the SAME
+    * eight-round merge chain ([[bpeRoundCtes]]), then applies the
+    * winners in training order (leftmost-greedy `replace` into
+    * chr(k)) over the (source × lang × token) vocabulary census and
+    * aggregates real-subword fertility per stratum.
+    */
+  val docFertilityTrained: String = {
+    val rounds = 8
+    val joinAll = (1 to rounds).map(k => s"w$k").mkString(", ")
+    val applied = (1 to rounds).foldLeft("tok") { (e, k) =>
+      s"replace($e, p$k, chr($k))"
+    }
+    s"""
+WITH v0 AS MATERIALIZED (
+  SELECT tok AS sym, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT unnest(list_filter(string_split(lower(text), ' '),
+      x -> x <> '')) AS tok
+    FROM documents)
+  GROUP BY tok
+  HAVING length(tok) >= 2),
+${(1 to rounds).map(bpeRoundCtes).mkString(",\n")},
+merges AS (SELECT * FROM $joinAll),
+census AS MATERIALIZED (
+  SELECT source, lang, tok, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT source, lang,
+      unnest(list_filter(string_split(lower(text), ' '),
+        x -> x <> '')) AS tok
+    FROM documents)
+  GROUP BY source, lang, tok),
+applied AS (
+  SELECT source, lang, n,
+    CAST(length(tok) AS BIGINT) AS len0,
+    CAST(length($applied) AS BIGINT) AS len1
+  FROM census CROSS JOIN merges)
+SELECT source, lang,
+  CAST(sum(n) AS BIGINT) AS ws_tokens,
+  CAST(sum(n * len1) AS BIGINT) AS subword_tokens,
+  CAST(sum(n * (len0 - len1)) AS BIGINT) AS merged_occurrences,
+  CAST(round(CAST(sum(n * len1) AS DOUBLE) / sum(n), 4) AS DOUBLE)
+    AS fertility
+FROM applied
+GROUP BY source, lang
+ORDER BY source, lang"""
   }
 
   /** Matryoshka two-stage twin of
@@ -6812,6 +6886,7 @@ ORDER BY c, rank"""
     "emb_knn_trained" -> embKnnTrained,
     "emb_codebook_recall" -> embCodebookRecall,
     "doc_bpe_train" -> docBpeTrain,
+    "doc_fertility_trained" -> docFertilityTrained,
     "emb_knn_truncated" -> embKnnTruncated,
     "emb_truncate_curve" -> embTruncateCurve,
     "emb_truncated_recall" -> embTruncatedRecall,
@@ -6821,6 +6896,7 @@ ORDER BY c, rank"""
     "doc_bm25_topk" -> docBm25TopK,
     "doc_bm25_pruned" -> docBm25Pruned,
     "doc_bm25_recall" -> docBm25Recall,
+    "doc_bm25_recall_curve" -> docBm25RecallCurve,
     "doc_bpe_pairs" -> docBpePairs,
     "doc_bpe_merge_step" -> docBpeMergeStep,
     "emb_prototype_prune" -> embPrototypePrune,

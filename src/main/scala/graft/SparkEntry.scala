@@ -119,6 +119,7 @@ object SparkEntry {
     "emb_knn_trained" -> (VectorOps.knnTrained(_, _)),
     "emb_codebook_recall" -> (VectorOps.codebookRecall(_, _)),
     "doc_bpe_train" -> (TextOps.bpeTrain(_, _)),
+    "doc_fertility_trained" -> (TextOps.fertilityTrained(_, _)),
     "emb_knn_truncated" -> (VectorOps.knnTruncated(_, _)),
     "emb_truncate_curve" -> (VectorOps.truncateCurve(_, _)),
     "emb_truncated_recall" -> (VectorOps.truncatedRecall(_, _)),
@@ -128,6 +129,7 @@ object SparkEntry {
     "doc_bm25_topk" -> (TextOps.bm25TopK(_, _)),
     "doc_bm25_pruned" -> (TextOps.bm25Pruned(_, _)),
     "doc_bm25_recall" -> (TextOps.bm25Recall(_, _)),
+    "doc_bm25_recall_curve" -> (TextOps.bm25RecallCurve(_, _)),
     "doc_bpe_pairs" -> (TextOps.bpePairs(_, _)),
     "doc_bpe_merge_step" -> (TextOps.bpeMergeStep(_, _)),
     "doc_dup_clusters" -> (DedupOps.dupClusters(_, _)),

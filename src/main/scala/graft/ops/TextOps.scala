@@ -1120,10 +1120,76 @@ object TextOps {
       .orderBy("qid")
   }
 
+  /** Recall OPERATING CURVE of the impact-capped index over
+    * M ∈ {16, 64, 256} — the emb_nprobe_curve discipline applied to
+    * text retrieval, so the single-point recall number becomes a
+    * curve a deployment can pick M from. ONE bounded postings pass
+    * feeds all three caps: [[graft.functions.TopKByScore]] keeps its
+    * buffer best-first sorted, so the top-M posting list at a coarser
+    * cap is exactly the length-M PREFIX of the top-256 array
+    * (`slice`, no re-aggregation) — prefix-stable by construction,
+    * the way a real impact-sorted index serves any cap from one
+    * materialized ordering. Each cap's top-5 is then graded against
+    * the exact top-5 per query.
+    */
+  def bm25RecallCurve(spark: SparkSession, dir: String): DataFrame = {
+    val (tf, df_, dl) = bm25Parts(spark, dir)
+    val glob = bm25Glob(dl)
+    val qterms = bm25QTerms(tf, df_, glob)
+    val levels = Seq(16, 64, 256)
+    val topMax = tf.groupBy("tok")
+      .agg(graft.functions.TopKByScore
+        .topk(col("tf").cast("double"), col("doc_id"), levels.max)
+        .as("top"))
+    val pruned = levels.map { m =>
+      topMax.select(lit(m.toLong).as("m"), col("tok"),
+          explode(expr(s"slice(top, 1, $m)")).as("t"))
+        .select(col("m"), col("tok"), col("t.id").as("doc_id"),
+          col("t.score").cast("bigint").as("tf"))
+    }.reduce(_ unionByName _)
+    val prunedTop5 = bm25ScoredFrom(pruned, qterms, df_, dl, glob,
+        Seq("m", "qid", "doc_id"))
+      .groupBy("m", "qid")
+      .agg(graft.functions.TopKByScore
+        .topk(col("s").cast("double"), col("doc_id"), 5).as("top"))
+      .select(col("m"), col("qid"),
+        explode(expr("transform(top, t -> t.id)")).as("pdoc"))
+    val full5 = bm25ScoredFrom(tf, qterms, df_, dl, glob,
+        Seq("qid", "doc_id"))
+      .groupBy("qid")
+      .agg(graft.functions.TopKByScore
+        .topk(col("s").cast("double"), col("doc_id"), 5).as("top"))
+      .select(col("qid"),
+        explode(expr("transform(top, t -> t.id)")).as("doc_id"))
+    // truth × levels is |Q|×5×3 rows; the graded side is |Q|×5×3 —
+    // both tiny, the join broadcasts
+    val expanded = full5.select(col("qid"), col("doc_id"),
+      explode(array(levels.map(m => lit(m.toLong)): _*)).as("m"))
+    expanded.as("f")
+      .join(broadcast(prunedTop5).as("p"),
+        col("f.m") === col("p.m") && col("f.qid") === col("p.qid")
+          && col("f.doc_id") === col("p.pdoc"), "left")
+      .groupBy(col("f.qid"), col("f.m"))
+      .agg(count(col("p.pdoc")).as("n_hits"), count(lit(1)).as("k"))
+      .select(col("qid"), col("m"), col("n_hits"), col("k"),
+        round(col("n_hits").cast("double") / col("k"), 4).as("recall"))
+      .orderBy("qid", "m")
+  }
+
   private[graft] val Bm25M = 64
 
   private def bm25Of(spark: SparkSession, dir: String,
       cap: Option[Int]): DataFrame = {
+    val (tf, df_, dl) = bm25Parts(spark, dir)
+    bm25From(tf, df_, dl, cap)
+  }
+
+  /** The three index parts every BM25 rung derives from one corpus
+    * tokenize: (doc_id, tok, tf) postings, (tok, df) document
+    * frequencies, (doc_id, dl) lengths.
+    */
+  private def bm25Parts(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame, DataFrame) = {
     val docs = Tables.documents(spark, dir)
     val toks = docs
       .select(col("doc_id"),
@@ -1132,7 +1198,7 @@ object TextOps {
     val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     val df_ = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    bm25From(tf, df_, dl, cap)
+    (tf, df_, dl)
   }
 
   /** The BM25 scoring tail over already-materialized index parts —
@@ -1146,15 +1212,18 @@ object TextOps {
     * @param df_ (tok, df) document frequencies
     * @param dl  (doc_id, dl) document lengths
     */
-  private[graft] def bm25From(tf: DataFrame, df_ : DataFrame,
-      dl: DataFrame, cap: Option[Int]): DataFrame = {
-    val glob = dl.agg(count(lit(1)).as("n_docs"),
+  private def bm25Glob(dl: DataFrame): DataFrame =
+    dl.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    // anchor queries: top-3 tf-idf terms of doc_id < 8, ranked on the
-    // ROUNDED tf-idf (ties then break on tok) — the [[tfidf]] contract
+
+  /** Anchor queries: top-3 tf-idf terms of doc_id < 8, ranked on the
+    * ROUNDED tf-idf (ties then break on tok) — the [[tfidf]] contract.
+    */
+  private def bm25QTerms(tf: DataFrame, df_ : DataFrame,
+      glob: DataFrame): DataFrame = {
     val qw = Window.partitionBy("qid")
       .orderBy(col("tfidf").desc, col("tok"))
-    val qterms = tf.filter(col("doc_id") < 8)
+    tf.filter(col("doc_id") < 8)
       .join(df_, "tok").crossJoin(glob.select("n_docs"))
       .select(col("doc_id").as("qid"), col("tok"),
         round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)),
@@ -1162,6 +1231,40 @@ object TextOps {
       .withColumn("rnk", row_number().over(qw))
       .filter(col("rnk") <= 3)
       .select("qid", "tok")
+  }
+
+  /** The Okapi BM25 per-posting contribution (k1 = 1.2, b = 0.75)
+    * over columns (tf, df, dl, n_docs, avgdl) — ONE definition for
+    * every rung of the family.
+    */
+  private def bm25ContribCol: Column = {
+    val k1 = 1.2
+    val b = 0.75
+    log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+      (col("tf") * (k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl")
+        / col("avgdl")))
+  }
+
+  /** Score a postings set against the anchor queries: each posting's
+    * DECIMAL-exact contribution summed per `keys` (qid, doc_id — plus
+    * a leading sweep column for the recall curve).
+    */
+  private def bm25ScoredFrom(postings: DataFrame, qterms: DataFrame,
+      df_ : DataFrame, dl: DataFrame, glob: DataFrame,
+      keys: Seq[String]): DataFrame =
+    postings.join(broadcast(qterms), "tok")
+      .filter(col("doc_id") =!= col("qid"))
+      .join(df_, "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(glob))
+      .select(keys.map(col) :+
+        bm25ContribCol.cast("decimal(28,10)").as("c"): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("c")).as("s"))
+
+  private[graft] def bm25From(tf: DataFrame, df_ : DataFrame,
+      dl: DataFrame, cap: Option[Int]): DataFrame = {
     // counts round-trip the aggregate's double score exactly (< 2^53)
     val postings = cap.fold(tf)(m => tf.groupBy("tok")
       .agg(graft.functions.TopKByScore
@@ -1169,29 +1272,40 @@ object TextOps {
       .select(col("tok"), explode(col("top")).as("t"))
       .select(col("tok"), col("t.id").as("doc_id"),
         col("t.score").cast("bigint").as("tf")))
-    val k1 = 1.2
-    val b = 0.75
-    val contrib =
-      log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
-        (col("tf") * (k1 + 1.0)) /
-        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl")
-          / col("avgdl")))
-    val scored = postings.join(broadcast(qterms), "tok")
-      .filter(col("doc_id") =!= col("qid"))
-      .join(df_, "tok")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(glob))
-      .select(col("qid"), col("doc_id"),
-        contrib.cast("decimal(28,10)").as("c"))
-      .groupBy("qid", "doc_id")
-      .agg(sum(col("c")).as("s"))
-    val w = Window.partitionBy("qid")
-      .orderBy(col("s").desc, col("doc_id"))
+    bm25Serve(tf, postings, df_, dl)
+  }
+
+  /** The serving tail split from the cap: anchor queries derive from
+    * `tfAnchors` (the FULL postings — the oracle's anchor definition)
+    * while scoring enumerates `postings`, which may be an already-
+    * MATERIALIZED impact-capped list (the stored index's companion
+    * table) instead of a cap applied on read. Global stats (df, dl,
+    * avgdl, N) always come from the full index — pruning changes
+    * which documents are scored, never how.
+    */
+  private[graft] def bm25Serve(tfAnchors: DataFrame,
+      postings: DataFrame, df_ : DataFrame, dl: DataFrame): DataFrame = {
+    val glob = bm25Glob(dl)
+    val qterms = bm25QTerms(tfAnchors, df_, glob)
+    val scored = bm25ScoredFrom(postings, qterms, df_, dl, glob,
+      Seq("qid", "doc_id"))
+    // final ranking rides the bounded TopKByScore aggregate, NOT a
+    // per-qid rank window: with a corpus-hot query term one qid
+    // partition is corpus-sized — exactly the shape the aggregate's
+    // k-row map-side partials exist to split. Ordering is (s DESC,
+    // doc_id), identical to the oracle's row_number: the DECIMAL sum
+    // casts to double losslessly for ordering purposes here (score
+    // magnitudes are O(10) with >= 1e-10 separation, far above the
+    // ~4e-16 double spacing), and the emitted score is the same
+    // round(double, 6) either way.
     scored
-      .withColumn("rank", row_number().over(w).cast("bigint"))
-      .filter(col("rank") <= 5)
-      .select(col("qid"), col("rank"), col("doc_id"),
-        round(col("s").cast("double"), 6).as("score"))
+      .groupBy("qid")
+      .agg(graft.functions.TopKByScore
+        .topk(col("s").cast("double"), col("doc_id"), 5).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("p", "t")))
+      .select(col("qid"), (col("p") + 1).cast("bigint").as("rank"),
+        col("t.id").as("doc_id"),
+        round(col("t.score"), 6).as("score"))
       .orderBy("qid", "rank")
   }
 
@@ -1307,16 +1421,21 @@ object TextOps {
     * .kmeansTrain]]'s moment discipline) so the 8-deep chain plans
     * flat instead of exponentially re-deriving round k-1.
     */
-  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
-    val rounds = 8
+  /** The BPE merge → re-census cycle run `rounds` times over the
+    * corpus vocabulary — the shared training loop behind [[bpeTrain]]
+    * (which reports the chain) and [[bpeMerges]] (which exposes the
+    * learned merge table for the APPLY path). Per round: (post-merge
+    * vocab, winner 1-row frame (p_k, w_k), post-merge symbol total).
+    */
+  private def bpeRounds(spark: SparkSession, dir: String,
+      rounds: Int): Seq[(DataFrame, DataFrame, DataFrame)] = {
     val v0 = Tables.documents(spark, dir)
       .select(explode(
         expr("filter(split(lower(text), ' '), x -> x <> '')")).as("sym"))
       .groupBy("sym").agg(count(lit(1)).as("n"))
       .filter(length(col("sym")) >= 2)
       .localCheckpoint(true)
-    // per round: (winner 1-row frame, post-merge vocab, stats 1-row)
-    val perRound = (1 to rounds).scanLeft(
+    (1 to rounds).scanLeft(
         (v0, Option.empty[DataFrame], Option.empty[DataFrame])) {
       case ((v, _, _), k) =>
         val occ = v
@@ -1340,7 +1459,27 @@ object TextOps {
           .agg(sum(col("n") * length(col("sym")))
             .as(s"total_symbols$k"))
         (merged, Some(winner), Some(stats))
-    }.drop(1)
+    }.drop(1).map { case (v, w, s) => (v, w.get, s.get) }
+  }
+
+  /** The number of merges every trained-BPE rung in this file runs. */
+  private[graft] val BpeRounds = 8
+
+  /** The TRAINED MERGE TABLE: one row, columns (p1, w1, …, p8, w8) —
+    * round-k's winning pair (which may contain the sentinel symbols
+    * chr(1..k-1) of earlier merges) and its weighted occurrence count.
+    * This is the persistable model artifact the serve path consumes:
+    * write it anywhere (it is one row), read it back, and
+    * [[fertilityTrainedFrom]] tokenizes the corpus with it.
+    */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame =
+    bpeRounds(spark, dir, BpeRounds).map(_._2)
+      .reduce((a, b) => a.crossJoin(broadcast(b)))
+
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    val rounds = BpeRounds
+    val perRound = bpeRounds(spark, dir, rounds)
+      .map { case (v, w, s) => (v, Some(w), Some(s)) }
     // one row carrying every winner + census: the display expansion
     // needs all earlier winners, so fold the 8 one-row frames together
     val folded = perRound
@@ -1360,6 +1499,55 @@ object TextOps {
       .select(expr(s"stack($rounds, $stacked) " +
         "as (round, merge_display, n_weighted, total_symbols)"))
       .orderBy("round")
+  }
+
+  /** Train → SERVE closure for the BPE family (the kmeans
+    * `emb_knn_trained` precedent on text): tokenize the corpus with
+    * the LEARNED merge table and re-run the fertility census on REAL
+    * subwords instead of [[fertility]]'s ⌈len/4⌉ proxy. Apply
+    * semantics are exactly the training loop's own: for k in 1..8,
+    * leftmost-greedy non-overlapping `replace` of round-k's winning
+    * pair into the sentinel chr(k) — so a token's subword count is
+    * the length of its fully-merged symbol string, and
+    * `merged_occurrences` (len0 − len1, each merge removes exactly
+    * one symbol) counts how often the learned vocabulary fired per
+    * stratum. Scale discipline: the merges apply over the (source ×
+    * lang × token) VOCABULARY census, never per corpus token — the
+    * apply work is vocabulary-sized (sub-linear in the corpus), the
+    * one-row merge table broadcasts, and only the ≤(sources×langs)
+    * census shuffles.
+    */
+  def fertilityTrained(spark: SparkSession, dir: String): DataFrame =
+    fertilityTrainedFrom(spark, dir, bpeMerges(spark, dir))
+
+  /** The serve path off an already-TRAINED (possibly persisted and
+    * re-loaded) merge table — one row, columns p1..p8.
+    */
+  def fertilityTrainedFrom(spark: SparkSession, dir: String,
+      merges: DataFrame): DataFrame = {
+    val census = Tables.documents(spark, dir)
+      .select(col("source"), col("lang"),
+        explode(expr("filter(split(lower(text), ' '), x -> x <> '')"))
+          .as("tok"))
+      .groupBy("source", "lang", "tok")
+      .agg(count(lit(1)).as("n"))
+    val appliedExpr = (1 to BpeRounds).foldLeft("tok") { (e, k) =>
+      s"replace($e, p$k, chr($k))"
+    }
+    census.crossJoin(broadcast(merges))
+      .select(col("source"), col("lang"), col("n"),
+        length(col("tok")).cast("bigint").as("len0"),
+        expr(s"length($appliedExpr)").cast("bigint").as("len1"))
+      .groupBy("source", "lang")
+      .agg(sum(col("n")).as("ws_tokens"),
+        sum(col("n") * col("len1")).as("subword_tokens"),
+        sum(col("n") * (col("len0") - col("len1")))
+          .as("merged_occurrences"))
+      .select(col("source"), col("lang"), col("ws_tokens"),
+        col("subword_tokens"), col("merged_occurrences"),
+        round(col("subword_tokens").cast("double") / col("ws_tokens"), 4)
+          .as("fertility"))
+      .orderBy("source", "lang")
   }
 
   /** Shared training pass for the multinomial Naive-Bayes language

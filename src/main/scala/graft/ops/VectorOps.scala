@@ -1512,20 +1512,33 @@ object VectorOps {
     * parity contract (6-decimal boundary rounding, DECIMAL moments)
     * lives in exactly one implementation.
     */
-  private def lloydAssign(e: DataFrame, cents: DataFrame): DataFrame = e
-    .join(broadcast(cents), col("cid") =!= lit(-1))
-    .withColumn("dist",
-      graft.functions.VecL2.l2(col("embedding"), col("cv")))
-    .groupBy("vec_id")
-    .agg(min(struct(col("dist"), col("cid"), col("embedding")))
-      .as("m"))
+  private def lloydAssign(e: DataFrame, cents: DataFrame,
+      carryVec: Boolean = true): DataFrame = {
+    // the [[assignCells]] skinny-argmin discipline: the N×k candidate
+    // expansion carries (vec_id, dist, cid) SCALARS only — hauling
+    // the 256-byte embedding through the min-struct allocates a
+    // copied array per candidate row (the documented 2-8× 30× cost).
+    // cid is unique per candidate, so min(struct(dist, cid)) orders
+    // identically to the old min(struct(dist, cid, embedding)); the
+    // vector joins back on the unique vec_id AFTER the argmin, so
+    // sqrt/div orders and oracle hashes are unchanged.
+    val skinny = e
+      .join(broadcast(cents), col("cid") =!= lit(-1))
+      .withColumn("dist",
+        graft.functions.VecL2.l2(col("embedding"), col("cv")))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+    if (carryVec)
+      skinny.join(e.select(col("vec_id"), col("embedding")), "vec_id")
+    else skinny
+  }
 
   /** Member-mean moments of an assignment: exact DECIMAL component
     * sums, means rounded to 6 decimals (the iteration-boundary
     * contract that keeps chained float passes hash-reproducible).
     */
   private def lloydMomentsOf(assigned: DataFrame): DataFrame = assigned
-    .select(col("m.cid").as("cid"), col("m.embedding").as("embedding"))
+    .select(col("m.cid").as("cid"), col("embedding"))
     .select(col("cid"),
       posexplode(col("embedding")).as(Seq("dim", "v")))
     .groupBy("cid", "dim")
@@ -1571,8 +1584,7 @@ object VectorOps {
     */
   private def ivfL2Search(e: DataFrame, cents: DataFrame): DataFrame = {
     val assigned = lloydAssign(e, cents)
-      .select(col("m.cid").as("cell"), col("vec_id"),
-        col("m.embedding").as("embedding"))
+      .select(col("m.cid").as("cell"), col("vec_id"), col("embedding"))
     val qprobe = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       .join(broadcast(cents), col("cid") =!= lit(-1))
@@ -1661,7 +1673,10 @@ object VectorOps {
     // AQE's ReuseExchange shares it (asserted in PlanSweepSpec).
     val a1 = lloydAssign(e, lloydSeeds(e))
     val a2 = lloydAssign(e, lloydCentsOf(lloydMomentsOf(a1)))
-    val a3 = lloydAssign(e, lloydCentsOf(lloydMomentsOf(a2)))
+    // a3 feeds only the inertia aggregate (no moment pass follows),
+    // so it skips the embedding join entirely — dist scalars suffice
+    val a3 = lloydAssign(e, lloydCentsOf(lloydMomentsOf(a2)),
+      carryVec = false)
     inertiaOf(1, a1).unionByName(inertiaOf(2, a2))
       .unionByName(inertiaOf(3, a3))
       .orderBy("iter")

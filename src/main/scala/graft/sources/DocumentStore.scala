@@ -248,6 +248,74 @@ object DocumentStore {
     VacuumStats(affected.toSeq, affectedRows - stagedRows)
   }
 
+  /** The physical directory behind a (possibly db-qualified) managed
+    * table, resolved from the catalog.
+    */
+  private[graft] def tableDir(spark: SparkSession,
+      table: String): org.apache.hadoop.fs.Path = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(ident).location)
+  }
+
+  /** Whole-table small-file compaction for a bucketed-by-`keyCol`
+    * store: every ingest batch appends one-plus part files per bucket,
+    * so a long-running stream degrades every later read through
+    * file-listing and per-file open cost — the exact failure
+    * [[SemDedupStore]]'s cell-repartition fix measured at 30×. The
+    * settle pass rewrites the table's rows with ONE writer task per
+    * bucket (`repartition(n, key)` is the same Murmur3-pmod hash as
+    * `bucketBy`, so each task holds exactly one bucket and writes
+    * exactly one file — layout and in-bucket sort order preserved,
+    * zero-exchange reads survive), then swaps at file granularity in
+    * the [[vacuumKeyed]] retire-aside-then-move order: at no instant
+    * is the table's data absent from disk, and an interrupted pass
+    * leaves the retired copy recoverable.
+    */
+  private[graft] def compactBucketed(spark: SparkSession, table: String,
+      keyCol: String, nBuckets: Int = DefaultBuckets): Unit = {
+    val staging = table + "_compact_staging"
+    clearStale(spark, staging)
+    val n0 = spark.table(table).count()
+    // read the table's files RAW (schema pinned from the catalog):
+    // a bucketed-table scan reports HashPartitioning(key, n), so
+    // Catalyst elides the repartition below as already-satisfied and
+    // the writer inherits the fragmented per-file task layout — the
+    // very debt this pass exists to settle. The raw read has unknown
+    // partitioning, so the one-task-per-bucket exchange survives.
+    val raw = spark.read.schema(spark.table(table).schema)
+      .parquet(tableDir(spark, table).toString)
+    raw
+      .repartition(nBuckets, col(keyCol))
+      .write.bucketBy(nBuckets, keyCol).sortBy(keyCol)
+      .mode("overwrite").saveAsTable(staging)
+    val n1 = spark.table(staging).count()
+    require(n0 == n1,
+      s"compaction must preserve rows in $table: $n0 -> $n1")
+    val conf = spark.sparkContext.hadoopConfiguration
+    // resolve physical locations from the catalog — a table may live
+    // in a database with a custom LOCATION, not under warehouse/name
+    val storeDir = tableDir(spark, table)
+    val stagingDir = tableDir(spark, staging)
+    val retireDir = new org.apache.hadoop.fs.Path(
+      storeDir.getParent, storeDir.getName + "_compact_retired")
+    val fs = storeDir.getFileSystem(conf)
+    fs.mkdirs(retireDir)
+    for (st <- fs.listStatus(storeDir)
+         if st.getPath.getName.startsWith("part-"))
+      require(fs.rename(st.getPath,
+        new org.apache.hadoop.fs.Path(retireDir, st.getPath.getName)),
+        s"compact retire failed: ${st.getPath}")
+    for (st <- fs.listStatus(stagingDir)
+         if st.getPath.getName.startsWith("part-"))
+      require(fs.rename(st.getPath,
+        new org.apache.hadoop.fs.Path(storeDir, st.getPath.getName)),
+        s"compact swap failed: ${st.getPath}")
+    clearStale(spark, staging)
+    fs.delete(retireDir, true)
+    spark.sql(s"REFRESH TABLE $table")
+  }
+
   /** Incremental census update: stored census ⟗ batch census on the
     * digest. With both sides bucketed on `h` at the same count the
     * full-outer merge runs with ZERO exchanges (DocumentStoreSpec

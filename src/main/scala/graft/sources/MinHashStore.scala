@@ -88,6 +88,18 @@ object MinHashStore {
     DocumentStore.clearStale(spark, bandsTable(table))
   }
 
+  /** Small-file settlement for both index layouts: every ingest batch
+    * appends one-plus part files per bucket, so a long-running drain
+    * degrades the probe join's stored-side read through file listing
+    * and per-file opens. One writer per bucket rewrites each table in
+    * place ([[DocumentStore.compactBucketed]] — layout preserved, so
+    * the zero-exchange probe and text-lookup joins survive).
+    */
+  def compact(spark: SparkSession, table: String): Unit = {
+    DocumentStore.compactBucketed(spark, table, "doc_id")
+    DocumentStore.compactBucketed(spark, bandsTable(table), "kb")
+  }
+
   /** Per-ingest report: batch size, replayed ids skipped, drops
     * against the stored state, in-batch keep-first drops (the sets
     * can overlap), survivors appended, and the capped-probe evidence

@@ -76,6 +76,49 @@ object SemDedupStore {
   def read(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 
+  /** Small-file settlement: every ingest appends one file per touched
+    * cell per batch, so a long drain accrues per-cell file debt that
+    * every pruned read pays through listing and opens (the exact
+    * failure the build's `repartition(cell)` discipline bounds
+    * per-batch but cannot bound across batches). The settle pass
+    * rewrites the store with one writer task per cell (same
+    * `repartition(cell)` + `partitionBy(cell)` layout, so partition
+    * pruning survives), then swaps at cell-directory granularity in
+    * the retire-aside-then-move order — at no instant is a cell's
+    * data absent from disk.
+    */
+  def compact(spark: SparkSession, table: String): Unit = {
+    val staging = table + "_compact_staging"
+    graft.sources.DocumentStore.clearStale(spark, staging)
+    val n0 = spark.table(table).count()
+    spark.table(table)
+      .repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite").saveAsTable(staging)
+    val n1 = spark.table(staging).count()
+    require(n0 == n1,
+      s"compaction must preserve rows in $table: $n0 -> $n1")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val storeDir = graft.sources.DocumentStore.tableDir(spark, table)
+    val stagingDir = graft.sources.DocumentStore.tableDir(spark, staging)
+    val retireDir = new org.apache.hadoop.fs.Path(
+      storeDir.getParent, storeDir.getName + "_compact_retired")
+    val fs = storeDir.getFileSystem(conf)
+    fs.mkdirs(retireDir)
+    for (st <- fs.listStatus(storeDir)
+         if st.getPath.getName.startsWith("cell="))
+      require(fs.rename(st.getPath,
+        new org.apache.hadoop.fs.Path(retireDir, st.getPath.getName)),
+        s"compact retire failed: ${st.getPath}")
+    for (st <- fs.listStatus(stagingDir)
+         if st.getPath.getName.startsWith("cell="))
+      require(fs.rename(st.getPath,
+        new org.apache.hadoop.fs.Path(storeDir, st.getPath.getName)),
+        s"compact swap failed: ${st.getPath}")
+    graft.sources.DocumentStore.clearStale(spark, staging)
+    fs.delete(retireDir, true)
+    spark.sql(s"REFRESH TABLE $table")
+  }
+
   /** Per-ingest report: batch size, replayed rows skipped by id,
     * drops against the stored state, in-batch keep-first drops (the
     * sets can overlap), survivors appended, and the

@@ -44,6 +44,7 @@ import graft.tables.Tables
 object TermIndexStore {
 
   private def doclenTable(table: String): String = table + "_doclen"
+  private def cappedTable(table: String): String = table + "_capped"
 
   /** (doc_id, tok, tf) postings of a (doc_id, text) frame — the same
     * tokenization as the inline BM25 operators (lowercase,
@@ -68,6 +69,46 @@ object TermIndexStore {
       .sortBy("doc_id").mode("overwrite").saveAsTable(doclenTable(table))
     tf.write.bucketBy(DocumentStore.DefaultBuckets, "tok")
       .sortBy("tok").mode("overwrite").saveAsTable(table)
+    materializeCapped(spark, table)
+  }
+
+  /** Materialize the impact-capped posting lists — each term's
+    * top-[[graft.ops.TextOps.Bm25M]] postings by (tf DESC, doc_id) —
+    * as a companion table in the same tok-bucket layout: the pruned
+    * serving path reads M·|vocab| rows off this SKINNY table instead
+    * of re-capping the full postings per query (an impact-sorted
+    * index pays the ordering once, at indexing time). Derived at
+    * [[build]] and re-derived by [[compact]]; [[ingest]] DROPS it
+    * (postings appends invalidate the caps, and per-batch surgical
+    * cap maintenance would need per-term deletes the append-only
+    * layout can't express), so between an ingest and the next
+    * compaction the pruned search falls back to read-time capping —
+    * same results either way, the companion table is purely a cost
+    * optimization.
+    */
+  private def materializeCapped(spark: SparkSession,
+      table: String): Unit =
+    postings(spark, table)
+      .groupBy("tok")
+      .agg(graft.functions.TopKByScore
+        .topk(col("tf").cast("double"), col("doc_id"),
+          graft.ops.TextOps.Bm25M).as("top"))
+      .select(col("tok"), explode(col("top")).as("t"))
+      .select(col("tok"), col("t.id").as("doc_id"),
+        col("t.score").cast("bigint").as("tf"))
+      .write.bucketBy(DocumentStore.DefaultBuckets, "tok")
+      .sortBy("tok").mode("overwrite").saveAsTable(cappedTable(table))
+
+  /** Small-file settlement: one writer per bucket for both index
+    * layouts ([[DocumentStore.compactBucketed]]), then the capped
+    * companion re-materializes off the compacted postings — the
+    * vacuum-style pass that restores both the file counts an ingest
+    * loop degrades AND the pruned path's skinny serving table.
+    */
+  def compact(spark: SparkSession, table: String): Unit = {
+    DocumentStore.compactBucketed(spark, table, "tok")
+    DocumentStore.compactBucketed(spark, doclenTable(table), "doc_id")
+    materializeCapped(spark, table)
   }
 
   def postings(spark: SparkSession, table: String): DataFrame =
@@ -85,6 +126,7 @@ object TermIndexStore {
   def clear(spark: SparkSession, table: String): Unit = {
     DocumentStore.clearStale(spark, table)
     DocumentStore.clearStale(spark, doclenTable(table))
+    DocumentStore.clearStale(spark, cappedTable(table))
   }
 
   /** Per-ingest report: batch size, replayed ids (skipped or healed),
@@ -108,7 +150,13 @@ object TermIndexStore {
     */
   def ingest(spark: SparkSession, batch: DataFrame,
       table: String): IngestStats = {
-    val docs = batch.select("doc_id", "text").localCheckpoint(true)
+    // dedupe WITHIN the batch: a doc_id repeated in one micro-batch
+    // would otherwise be merged by tfOf's groupBy, doubling its tf
+    // and dl and silently corrupting the index relative to the
+    // inline operators (which see each doc once); `nBatch` counts
+    // distinct docs, matching the membership semantics downstream
+    val docs = batch.select("doc_id", "text")
+      .dropDuplicates("doc_id").localCheckpoint(true)
     val nBatch = docs.count()
     // one batch tokenize feeds membership, the append AND the repair
     val tfBatch = tfOf(docs).localCheckpoint(true)
@@ -142,6 +190,10 @@ object TermIndexStore {
       }
     tfFresh.write.bucketBy(DocumentStore.DefaultBuckets, "tok")
       .sortBy("tok").mode("append").saveAsTable(table)
+    // the appended postings invalidate the materialized caps: drop
+    // the companion table (pruned search falls back to read-time
+    // capping until the next [[compact]] re-materializes it)
+    DocumentStore.clearStale(spark, cappedTable(table))
     spark.sql(s"REFRESH TABLE $table")
     spark.sql(s"REFRESH TABLE ${doclenTable(table)}")
     IngestStats(
@@ -160,12 +212,24 @@ object TermIndexStore {
     * the corpus.
     */
   def search(spark: SparkSession, table: String,
-      cap: Option[Int] = None): DataFrame =
-    graft.ops.TextOps.bm25From(
-      postings(spark, table).select("doc_id", "tok", "tf"),
-      dfCensus(spark, table),
-      docLens(spark, table),
-      cap)
+      cap: Option[Int] = None): DataFrame = {
+    val full = postings(spark, table).select("doc_id", "tok", "tf")
+    val df_ = dfCensus(spark, table)
+    val dl = docLens(spark, table)
+    cap match {
+      case Some(m) if m == graft.ops.TextOps.Bm25M
+          && spark.catalog.tableExists(cappedTable(table)) =>
+        // serve off the MATERIALIZED impact-capped lists: the scoring
+        // side scans M·|vocab| rows from the skinny companion table;
+        // anchors and global stats still derive from the full index
+        // (same oracle, same hashes — only the read cost changes)
+        graft.ops.TextOps.bm25Serve(full,
+          spark.table(cappedTable(table)).select("doc_id", "tok", "tf"),
+          df_, dl)
+      case _ =>
+        graft.ops.TextOps.bm25From(full, df_, dl, cap)
+    }
+  }
 
   /** Build-once guard, session-scoped like [[FrameStats]]'s: a stale
     * table from a previous JVM is rebuilt, never trusted.
@@ -191,12 +255,13 @@ object TermIndexStore {
   def searchFor(spark: SparkSession, dir: String): DataFrame =
     search(spark, ensureBuilt(spark, dir))
 
-  /** The `doc_bm25_pruned_stored` twin: the impact-ordered cap
-    * ([[graft.ops.TextOps.bm25Pruned]]'s top-64-postings-per-term
-    * enumeration) applied at READ time over the stored postings — at
-    * serving scale the capped lists would be materialized by a
-    * vacuum-style compaction, but the scoring semantics are exactly
-    * the inline operator's and hash-match its oracle.
+  /** The `doc_bm25_pruned_stored` twin: served off the MATERIALIZED
+    * impact-capped companion table ([[build]]/[[compact]] write it),
+    * so the scoring side reads M·|vocab| skinny rows instead of the
+    * full postings; scoring semantics are exactly the inline
+    * operator's ([[graft.ops.TextOps.bm25Pruned]]) and hash-match its
+    * oracle. Falls back to read-time capping only between an ingest
+    * and the next compaction.
     */
   def searchPrunedFor(spark: SparkSession, dir: String): DataFrame =
     search(spark, ensureBuilt(spark, dir),

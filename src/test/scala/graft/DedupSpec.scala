@@ -837,11 +837,13 @@ class DedupSpec extends AnyFunSuite {
       assert(math.abs(sh - one(cid)._2) <= 1e-5,
         s"iteration-1 shift diverges from centroid_shift at cell $cid")
     }
-    // Lloyd monotonicity on the total movement: the codebook settles
-    // (strictly looser per-cell, but the TOTAL moved mass must fall
-    // from the seed step to the settled third iteration)
+    // Lloyd guarantees the OBJECTIVE is non-increasing (covered by
+    // the inertia test), not per-iteration movement mass — movement
+    // monotonicity is empirical on this corpus, so assert it loosely
+    // (<= + eps) rather than strictly, to survive a regenerated
+    // corpus or seed change with no code bug
     val tot = (i: Int) => byIter(i).map(_.getDouble(3)).sum
-    assert(tot(3) < tot(1),
+    assert(tot(3) <= tot(1) + 1e-9,
       s"codebook must settle: ${tot(1)} -> ${tot(2)} -> ${tot(3)}")
   }
 
@@ -901,6 +903,47 @@ class DedupSpec extends AnyFunSuite {
       "round-1 merge must be the bpe_pairs winner")
     assert(rows.head.getLong(2) === first.getLong(2),
       "round-1 weight must match the census")
+  }
+
+  test("bpe train -> serve: the persisted merge table reloads and " +
+      "tokenizes identically, and real subwords beat the proxy") {
+    import graft.ops.TextOps
+    // persist the trained model (one row) and serve off the RELOADED
+    // copy — the train-to-serve closure the kmeans family set
+    val merges = TextOps.bpeMerges(spark, sfDir)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_bpe_model").toString
+    merges.write.mode("overwrite").parquet(tmp)
+    val inline = TextOps.fertilityTrained(spark, sfDir).collect().toSeq
+    val served = TextOps.fertilityTrainedFrom(spark, sfDir,
+      spark.read.parquet(tmp)).collect().toSeq
+    assert(served === inline,
+      "serving off the persisted model must match inline training")
+    // the learned vocabulary actually fires: every stratum merged at
+    // least once, and subwords per token sit in (1, len) — strictly
+    // fewer symbols than characters, at least one per word
+    inline.foreach { r =>
+      assert(r.getLong(4) > 0, s"no merges fired in $r")
+      assert(r.getDouble(5) >= 1.0, s"fertility below 1: $r")
+    }
+    // conservation: subword_tokens + merged_occurrences = total
+    // characters (each merge removes exactly one symbol) — tie the
+    // served census out against a direct character count
+    val chars = graft.tables.Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.col("lang"),
+        org.apache.spark.sql.functions.expr(
+          "aggregate(filter(split(lower(text), ' '), x -> x <> '')," +
+            " 0L, (a, w) -> a + length(w))").as("nc"))
+      .groupBy("source", "lang")
+      .agg(org.apache.spark.sql.functions.sum("nc").as("nc"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    inline.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      assert(r.getLong(3) + r.getLong(4) === chars(key),
+        s"symbol conservation broken for $key")
+    }
   }
 
   test("matryoshka truncation: full-prefix rung is exact, two-stage " +
@@ -1115,14 +1158,17 @@ class DedupSpec extends AnyFunSuite {
       assert(r.getLong(4) === 50, s"truth must be 10×5: $r")
       assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
     }
-    // finer codebooks shard the corpus — but strict monotonicity is a
-    // property of the data, not an invariant: with prefix codebooks a
-    // new centroid can consolidate a dense region a coarser codebook
-    // split. Assert the bounded trend (finest max within 1.5x of the
-    // coarsest max) rather than per-step non-increase.
-    val maxes = rows.map(_.getLong(2))
-    assert(maxes.last <= math.ceil(maxes.head * 1.5).toLong,
-      s"finest max cell not bounded by coarsest: ${maxes.mkString(",")}")
+    // cross-codebook max_cell comparisons are a property of THIS
+    // corpus, not an invariant (prefix codebooks can consolidate a
+    // dense region a coarser book split) — assert only the
+    // theorem-backed pigeonhole bound: the hottest cell of an nlist
+    // codebook holds at least ceil(N / nlist) members
+    val n = graft.tables.Tables.embeddings(spark, sfDir).count()
+    rows.foreach { r =>
+      val lower = (n + r.getLong(0) - 1) / r.getLong(0)
+      assert(r.getLong(2) >= lower,
+        s"max_cell below the pigeonhole bound ceil($n/${r.getLong(0)}): $r")
+    }
   }
 
   test("containment surfaces the planted fragments the Jaccard LSH " +

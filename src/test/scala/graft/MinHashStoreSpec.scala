@@ -231,4 +231,52 @@ class MinHashStoreSpec extends AnyFunSuite {
       spark.sql("DROP DATABASE IF EXISTS graft_mh3")
     }
   }
+
+  test("compaction collapses the band-index file debt a drain accrues " +
+      "and preserves contents, layouts and further ingests") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_mhstore4").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_mh4 LOCATION '$tmp'")
+    val t = "graft_mh4.store"
+    def partFiles(table: String): Int = {
+      val dir = graft.sources.DocumentStore.tableDir(spark, table)
+      dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .listStatus(dir).count(_.getPath.getName.startsWith("part-"))
+    }
+    try {
+      import spark.implicits._
+      MinHashStore.build(spark, sfDir, t)
+      // accrue append debt: three fresh single-doc batches, each
+      // landing one-plus files per touched bucket in BOTH layouts
+      (1 to 3).foreach { i =>
+        MinHashStore.ingest(spark,
+          Seq((6100000L + i, s"qc${i}a qc${i}b qc${i}c qc${i}d qc${i}e"))
+            .toDF("doc_id", "text"), t)
+      }
+      val docs0 = spark.table(t).orderBy("doc_id").collect().toSeq
+      val bands0 = spark.table(t + "_bands")
+        .orderBy("doc_id", "kb").collect().toSeq
+      val before = partFiles(t + "_bands")
+      assert(before > graft.sources.DocumentStore.DefaultBuckets,
+        s"expected band-index append debt, got $before files")
+      MinHashStore.compact(spark, t)
+      assert(partFiles(t) <= graft.sources.DocumentStore.DefaultBuckets)
+      assert(partFiles(t + "_bands") <=
+        graft.sources.DocumentStore.DefaultBuckets)
+      // contents byte-identical, further ingests still behave: a copy
+      // of a compacted doc drops stored-first, a fresh doc appends
+      assert(spark.table(t).orderBy("doc_id").collect().toSeq === docs0)
+      assert(spark.table(t + "_bands")
+        .orderBy("doc_id", "kb").collect().toSeq === bands0)
+      val s = MinHashStore.ingest(spark, Seq(
+          (6200001L, "qc1a qc1b qc1c qc1d qc1e"),
+          (6200002L, "qw2a qw2b qw2c qw2d qw2e"))
+        .toDF("doc_id", "text"), t)
+      assert(s.nDroppedVsStore === 1 && s.nAppended === 1, s"$s")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_bands")
+      spark.sql("DROP DATABASE IF EXISTS graft_mh4")
+    }
+  }
 }

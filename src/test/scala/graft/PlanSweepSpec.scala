@@ -20,6 +20,8 @@ class PlanSweepSpec extends AnyFunSuite {
     "doc_bm25_pruned",     // same censuses over the impact-capped
                            // posting lists
     "doc_bm25_recall",     // composes full + pruned, inherits both
+    "doc_bm25_recall_curve", // composes full + three capped prefixes,
+                           // inherits the same census joins
     "doc_bm25_topk_stored", // same censuses off the bucketed index:
                            // the layout removes the exchanges, the
                            // join strategy still prints as SMJ
@@ -171,6 +173,8 @@ class PlanSweepSpec extends AnyFunSuite {
     "doc_bm25_topk",  // one-row (n_docs, avgdl) census cross joins
     "doc_bm25_pruned", // same one-row census cross joins
     "doc_bm25_recall", // composes full + pruned, inherits both
+    "doc_bm25_recall_curve", // the same one-row census cross joins
+                      // across the three prefix caps
     "emb_prototype_prune", // 16-centroid assignment cross join (the
                       // shared assignCells coarse step)
     "doc_bm25_topk_stored", // inherits doc_bm25_topk's one-row
@@ -324,6 +328,28 @@ class PlanSweepSpec extends AnyFunSuite {
       s"stratified sample must not own whole strata in window partitions:\n$s")
     assert(s.contains("topk_by_score"),
       s"bounded top-k aggregate missing from the plan:\n$s")
+  }
+
+  test("bm25 final ranking rides the bounded aggregate, not a " +
+      "corpus-partition window") {
+    // with a corpus-hot query term, a per-qid rank window owns a
+    // corpus-sized partition; the final top-5 must be the k-row
+    // map-side-partial TopKByScore aggregate. The ONE remaining
+    // window is the anchor-query term derivation, whose input is the
+    // pushed-down doc_id < 8 slice — never corpus-sized.
+    Seq("full" -> graft.ops.TextOps.bm25TopK(spark, sfDir),
+        "pruned" -> graft.ops.TextOps.bm25Pruned(spark, sfDir))
+      .foreach { case (name, df) =>
+        val s = df.queryExecution.executedPlan.toString
+        // "Window [" is the Window exec itself; the rank-limit
+        // pushdown nodes print as "WindowGroupLimit [" and don't match
+        val nWin = s.sliding("Window [".length).count(_ == "Window [")
+        assert(nWin == 1,
+          s"$name bm25 plan must keep only the anchor-term window, " +
+            s"found $nWin:\n$s")
+        assert(s.contains("topk_by_score"),
+          s"bounded top-k aggregate missing from the $name bm25 plan:\n$s")
+      }
   }
 
   test("doc_ccnet_sketched cuts via the KLL sketch, no exact percentile") {

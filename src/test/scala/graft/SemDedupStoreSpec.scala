@@ -142,4 +142,54 @@ class SemDedupStoreSpec extends AnyFunSuite {
       spark.sql("DROP DATABASE IF EXISTS graft_sd2")
     }
   }
+
+  test("compaction collapses per-cell file debt and preserves " +
+      "contents and partition-pruned reads") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_sdstore4").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_sd4 LOCATION '$tmp'")
+    val t = "graft_sd4.store"
+    try {
+      SemDedupStore.build(spark, sfDir, t)
+      val e = graft.tables.Tables.embeddings(spark, sfDir)
+      // accrue append debt: three single-vector batches of genuinely
+      // new vectors (negated — no ±tau pair in the corpus), each
+      // landing one file into its primary cell's directory
+      (1 to 3).foreach { i =>
+        val b = e.filter(col("vec_id") === i.toLong)
+          .select((col("vec_id") + 7000000L).as("vec_id"),
+            transform(col("embedding"), x => -x).as("embedding"))
+        SemDedupStore.ingest(spark, b, t, sfDir)
+      }
+      val rows0 = spark.table(t).select("vec_id", "cell")
+        .orderBy("vec_id").collect().toSeq
+      val dir = graft.sources.DocumentStore.tableDir(spark, t)
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def cellFiles(): Map[String, Int] =
+        fs.listStatus(dir).filter(_.getPath.getName.startsWith("cell="))
+          .map(d => d.getPath.getName ->
+            fs.listStatus(d.getPath)
+              .count(_.getPath.getName.startsWith("part-"))).toMap
+      val before = cellFiles()
+      assert(before.values.exists(_ > 1),
+        s"expected per-cell append debt, got $before")
+      SemDedupStore.compact(spark, t)
+      val after = cellFiles()
+      assert(after.keySet === before.keySet, "cells must survive")
+      assert(after.values.forall(_ === 1),
+        s"every cell must settle to one file, got $after")
+      // contents identical; the pruned read path still works (another
+      // ingest routes, prunes to its probed cells and drops a copy)
+      assert(spark.table(t).select("vec_id", "cell")
+        .orderBy("vec_id").collect().toSeq === rows0)
+      val copy = e.filter(col("vec_id") === 10L)
+        .select((col("vec_id") + 7100000L).as("vec_id"),
+          col("embedding"))
+      val s = SemDedupStore.ingest(spark, copy, t, sfDir)
+      assert(s.nDroppedVsStore === 1 && s.nAppended === 0, s"$s")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql("DROP DATABASE IF EXISTS graft_sd4")
+    }
+  }
 }

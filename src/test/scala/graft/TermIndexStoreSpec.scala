@@ -46,6 +46,7 @@ class TermIndexStoreSpec extends AnyFunSuite {
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $t")
       spark.sql(s"DROP TABLE IF EXISTS ${t}_doclen")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_capped")
       spark.sql("DROP DATABASE IF EXISTS graft_ti0")
     }
   }
@@ -89,6 +90,7 @@ class TermIndexStoreSpec extends AnyFunSuite {
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $t")
       spark.sql(s"DROP TABLE IF EXISTS ${t}_doclen")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_capped")
       spark.sql("DROP DATABASE IF EXISTS graft_ti1")
     }
   }
@@ -127,6 +129,7 @@ class TermIndexStoreSpec extends AnyFunSuite {
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $t")
       spark.sql(s"DROP TABLE IF EXISTS ${t}_doclen")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_capped")
       spark.sql("DROP DATABASE IF EXISTS graft_ti2")
     }
   }
@@ -170,7 +173,74 @@ class TermIndexStoreSpec extends AnyFunSuite {
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $t")
       spark.sql(s"DROP TABLE IF EXISTS ${t}_doclen")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_capped")
       spark.sql("DROP DATABASE IF EXISTS graft_ti3")
+    }
+  }
+
+  private def partFiles(table: String): Int = {
+    val dir = graft.sources.DocumentStore.tableDir(spark, table)
+    dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(dir).count(_.getPath.getName.startsWith("part-"))
+  }
+
+  test("compaction collapses per-bucket file debt, preserves results " +
+      "and layouts, and re-materializes the capped companion") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_tistore4").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_ti4 LOCATION '$tmp'")
+    val t = "graft_ti4.idx"
+    try {
+      import spark.implicits._
+      TermIndexStore.build(spark, sfDir, t)
+      // the capped companion exists after build and SERVES the pruned
+      // search: its scan appears in the plan, the full postings don't
+      // feed the scoring side twice
+      assert(spark.catalog.tableExists(s"${t}_capped"))
+      val prunedBuilt = TermIndexStore
+        .search(spark, t, cap = Some(TextOps.Bm25M))
+      assert(prunedBuilt.queryExecution.optimizedPlan.toString
+        .contains("idx_capped"),
+        "pruned search must read the materialized capped table")
+      val expect = TextOps.bm25Pruned(spark, sfDir).collect().toSeq
+      assert(prunedBuilt.collect().toSeq === expect)
+      // accrue append debt: three single-doc ingests, three files
+      // landing per touched bucket — and each ingest invalidates the
+      // materialized caps
+      (1 to 3).foreach { i =>
+        TermIndexStore.ingest(spark,
+          Seq((7100000L + i, s"compaction debt doc $i"))
+            .toDF("doc_id", "text"), t)
+      }
+      assert(!spark.catalog.tableExists(s"${t}_capped"),
+        "ingest must drop the stale capped companion")
+      // fallback path: read-time capping — still correct
+      val viaFallback = TermIndexStore
+        .search(spark, t, cap = Some(TextOps.Bm25M)).collect().toSeq
+      val before = partFiles(t)
+      assert(before > graft.sources.DocumentStore.DefaultBuckets,
+        s"expected append debt, got $before files")
+      TermIndexStore.compact(spark, t)
+      // file debt settles to at most one file per bucket (an empty
+      // bucket's writer task emits no file), both layouts
+      assert(partFiles(t) <= graft.sources.DocumentStore.DefaultBuckets)
+      assert(partFiles(t + "_doclen") <=
+        graft.sources.DocumentStore.DefaultBuckets)
+      // results unchanged, capped companion back, zero-exchange reads
+      // survive the rewrite
+      assert(spark.catalog.tableExists(s"${t}_capped"))
+      val afterCompact = TermIndexStore
+        .search(spark, t, cap = Some(TextOps.Bm25M))
+      assert(afterCompact.collect().toSeq === viaFallback)
+      val plan = TermIndexStore.dfCensus(spark, t)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"df census must still ride the bucket layout:\n$plan")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_doclen")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_capped")
+      spark.sql("DROP DATABASE IF EXISTS graft_ti4")
     }
   }
 }
