@@ -5957,12 +5957,13 @@ FROM dg GROUP BY domain, blocked
 ORDER BY domain"""
 
   val docSurvivalFunnel: String = """WITH stage0 AS (
-  SELECT doc_id, source, text,
+  SELECT doc_id, source, lang, text,
     (CAST(doc_id % 1000000 % 37 AS INT) % 11 = 3) AS blocked
   FROM (
-    SELECT doc_id, source, text FROM documents
+    SELECT doc_id, source, lang, text FROM documents
     UNION ALL
-    SELECT doc_id + 1000000 AS doc_id, source, text FROM documents
+    SELECT doc_id + 1000000 AS doc_id, source, lang, text
+    FROM documents
     WHERE doc_id % 5 = 0)
   WHERE doc_id >= 10
 ), hashed AS (
@@ -6012,6 +6013,52 @@ sh0 AS (
   SELECT DISTINCT x.doc_id FROM (
     SELECT doc_id, unnest(shset) AS s FROM sh0) x
   JOIN evalsh e ON x.s = e.s
+), nbtoks AS (
+  SELECT doc_id, lang,
+    unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+      AS tok
+  FROM documents
+), nbmodel AS (
+  SELECT tok, lang AS c, CAST(count(*) AS BIGINT) AS cnt
+  FROM nbtoks GROUP BY tok, lang
+), nbg AS (
+  SELECT count(DISTINCT tok) AS v FROM nbtoks
+), nbclasses AS (
+  SELECT lang AS c,
+    CAST(ln(CAST(count(DISTINCT doc_id) AS DOUBLE)
+      / (SELECT count(*) FROM documents)) AS DECIMAL(20,10)) AS prior,
+    ln(CAST(count(*) + (SELECT v FROM nbg) AS DOUBLE)) AS lnzd
+  FROM nbtoks GROUP BY lang
+), ftoks AS (
+  SELECT doc_id, lang,
+    unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+      AS tok
+  FROM stage0
+), ftf AS (
+  SELECT doc_id, lang, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM ftoks GROUP BY doc_id, lang, tok
+), fevidence AS (
+  SELECT doc_id, c,
+    sum(CAST(ln(CAST(cnt + 1 AS DOUBLE)) * tf AS DECIMAL(28,10)))
+      AS ev
+  FROM ftf JOIN nbmodel USING (tok)
+  GROUP BY doc_id, c
+), fperdoc AS (
+  SELECT doc_id, lang, sum(tf) AS n_toks FROM ftf
+  GROUP BY doc_id, lang
+), fscores AS (
+  SELECT p.doc_id, p.lang, cl.c,
+    cl.prior + coalesce(e.ev, CAST(0 AS DECIMAL(28,10)))
+      - CAST(p.n_toks * cl.lnzd AS DECIMAL(28,10)) AS score
+  FROM fperdoc p CROSS JOIN nbclasses cl
+  LEFT JOIN fevidence e ON e.doc_id = p.doc_id AND e.c = cl.c
+), fpred AS (
+  SELECT doc_id, (c = lang) AS lang_ok FROM (
+    SELECT doc_id, lang, c,
+      row_number() OVER (PARTITION BY doc_id
+        ORDER BY score DESC, c) AS rnk
+    FROM fscores)
+  WHERE rnk = 1
 ), flags AS (
   SELECT s1.source, s1.surv0, s1.surv1,
     (s1.surv1 AND nd.doc_id IS NULL) AS surv2,
@@ -6022,10 +6069,12 @@ sh0 AS (
         x -> x = 'the' OR x = 'a'))
         > len(list_filter(string_split(lower(s1.text), ' '),
           x -> x <> '')))) AS quality,
-    (c.doc_id IS NULL) AS clean
+    (c.doc_id IS NULL) AS clean,
+    coalesce(fp.lang_ok, false) AS lang_ok
   FROM s1
   LEFT JOIN neardrop nd ON s1.doc_id = nd.doc_id
-  LEFT JOIN contam c ON s1.doc_id = c.doc_id)
+  LEFT JOIN contam c ON s1.doc_id = c.doc_id
+  LEFT JOIN fpred fp ON s1.doc_id = fp.doc_id)
 SELECT source,
   CAST(count(*) AS BIGINT) AS n_raw,
   CAST(sum(CASE WHEN surv0 THEN 1 ELSE 0 END) AS BIGINT) AS n_domain,
@@ -6035,8 +6084,10 @@ SELECT source,
     AS n_quality,
   CAST(sum(CASE WHEN surv2 AND quality AND clean THEN 1 ELSE 0 END)
     AS BIGINT) AS n_clean,
-  round(CAST(sum(CASE WHEN surv2 AND quality AND clean THEN 1 ELSE 0 END)
-    AS DOUBLE) / count(*), 4) AS retention
+  CAST(sum(CASE WHEN surv2 AND quality AND clean AND lang_ok
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+  round(CAST(sum(CASE WHEN surv2 AND quality AND clean AND lang_ok
+    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS retention
 FROM flags
 GROUP BY source
 ORDER BY source"""

@@ -515,7 +515,7 @@ object DedupOps {
   def survivalFunnel(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val stage0 = withDomain(corpus(spark, dir).filter(col("doc_id") >= 10))
-      .select("doc_id", "source", "text", "blocked")
+      .select("doc_id", "source", "lang", "text", "blocked")
     // stage 0 — URL/domain curation BEFORE any content pass (the
     // CCNet/Dolma production order): the deterministic domain
     // blocklist gate. Blocked docs never reach the digest, LSH or
@@ -539,6 +539,16 @@ object DedupOps {
       .select(col("doc_id"), explode(col("shset")).as("sh"))
       .join(broadcast(evalSh), "sh")
       .select("doc_id").distinct().withColumn("contam", lit(1))
+    // stage 5 — the TRAINED classifier gate (CCNet's classifier-filter
+    // position): the corpus-trained multinomial NB routes every funnel
+    // doc, and only docs whose argmax class agrees with their label
+    // survive — the funnel stage that actually CONSUMES doc_nb_lang's
+    // model instead of merely auditing it. A zero-token doc has no
+    // prediction row and drops (the tokenized-docs universe rule).
+    val nbOk = graft.ops.TextOps
+      .nbPredictionsFor(spark, dir, stage0.select("doc_id", "lang", "text"))
+      .select(col("doc_id"),
+        (col("predicted") === col("lang")).as("lang_ok"))
     s1
       .withColumn("n_tokens",
         expr("size(filter(split(lower(text), ' '), x -> x <> ''))")
@@ -551,18 +561,22 @@ object DedupOps {
           !(col("stop_n") * 2 > col("n_tokens")))
       .join(broadcast(nearDrop), Seq("doc_id"), "left")
       .join(contaminated, Seq("doc_id"), "left")
+      .join(nbOk, Seq("doc_id"), "left")
       .withColumn("surv2", col("surv1") && col("near_dup").isNull)
       .withColumn("surv3", col("surv2") && col("quality"))
       .withColumn("surv4", col("surv3") && col("contam").isNull)
+      .withColumn("surv5", col("surv4")
+        && coalesce(col("lang_ok"), lit(false)))
       .groupBy("source")
       .agg(count(lit(1)).as("n_raw"),
         sum(col("surv0").cast("long")).as("n_domain"),
         sum(col("surv1").cast("long")).as("n_exact"),
         sum(col("surv2").cast("long")).as("n_near"),
         sum(col("surv3").cast("long")).as("n_quality"),
-        sum(col("surv4").cast("long")).as("n_clean"))
+        sum(col("surv4").cast("long")).as("n_clean"),
+        sum(col("surv5").cast("long")).as("n_lang"))
       .withColumn("retention",
-        round(col("n_clean").cast("double") / col("n_raw"), 4))
+        round(col("n_lang").cast("double") / col("n_raw"), 4))
       .orderBy("source")
   }
 

@@ -1608,6 +1608,16 @@ object TextOps {
     */
   private def nbScores(spark: SparkSession, dir: String): DataFrame = {
     val (tf, model, classes) = nbParts(spark, dir)
+    nbScoresOf(tf, model, classes)
+  }
+
+  /** The scoring join itself, over an arbitrary per-doc tf frame —
+    * shared by the corpus-self scoring above and the funnel's
+    * classifier gate (which scores the funnel's replica-bearing
+    * universe against the SAME corpus-trained model).
+    */
+  private def nbScoresOf(tf: DataFrame, model: DataFrame,
+      classes: DataFrame): DataFrame = {
     val dec = "decimal(28,10)"
     // vocabulary-keyed shuffle join (never a corpus broadcast): each
     // evidence term tf * ln(cnt+1) is a double product rounded once
@@ -1623,6 +1633,32 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("c"),
         (col("prior") + coalesce(col("ev"), lit(0).cast(dec))
           - (col("n_toks") * col("lnzd")).cast(dec)).as("score"))
+  }
+
+  /** NB argmax predictions for an arbitrary (doc_id, lang, text)
+    * frame against the CORPUS-trained model — the serve half the
+    * survival funnel's classifier gate consumes (the CCNet
+    * classifier-filter position: a model trained on the labeled
+    * corpus routes an arbitrary candidate universe). A doc with zero
+    * tokens has no prediction row — the caller's gate must treat
+    * absence as a drop, exactly the inline operators' tokenized-docs
+    * universe convention.
+    */
+  private[graft] def nbPredictionsFor(spark: SparkSession, dir: String,
+      docs: DataFrame): DataFrame = {
+    val (_, model, classes) = nbParts(spark, dir)
+    val tf = docs
+      .select(col("doc_id"), col("lang"),
+        explode(expr("filter(split(lower(text), ' '), x -> x <> '')"))
+          .as("tok"))
+      .groupBy("doc_id", "lang", "tok")
+      .agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("c"))
+    nbScoresOf(tf, model, classes)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("doc_id"), col("lang"), col("c").as("predicted"))
   }
 
   /** Naive-Bayes language confusion matrix: train on the labeled

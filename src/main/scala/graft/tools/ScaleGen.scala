@@ -44,7 +44,25 @@ object ScaleGen {
     replicate("lineitem", Map("l_orderkey" -> keySpan))
     replicate("events", Map("event_id" -> 10000000L, "user_id" -> 10000L))
     replicate("documents", Map("doc_id" -> 10000L))
-    replicate("embeddings", Map("vec_id" -> 10000L))
+    // embeddings replicate PERTURBED (copy 0 stays exact): an exact
+    // replica lands in its anchor's own cell by construction, which
+    // saturates the recall audits (emb_knn_graph_recall /
+    // emb_semdedup_recall read a vacuous 1.0 at 10x/30x) exactly
+    // where a routing regression would bite. A small deterministic
+    // per-copy sinusoid (±0.02 per component, ~2% of a unit vector's
+    // mass) keeps each replica a NEAR neighbor of its source — close
+    // enough to exercise dedup and search, far enough that boundary
+    // vectors can route to a different cell and the audits keep
+    // signal (<1.0) at scale.
+    val base = spark.read.parquet(s"$src/embeddings.parquet")
+    (0 until copies).map { i =>
+      val keyed = base.withColumn("vec_id", col("vec_id") + lit(i * 10000L))
+      if (i == 0) keyed
+      else keyed.withColumn("embedding",
+        expr("transform(embedding, (x, j) -> cast(x + 0.02 * " +
+          s"sin(vec_id * 0.618 + j * 2.399 + $i * 1.234) as float))"))
+    }.reduce(_ unionByName _)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
     println(s"scale-gen done: $copies x $src -> $out")
     spark.stop()
   }

@@ -439,12 +439,13 @@ class DedupSpec extends AnyFunSuite {
       "dups, leaked eval copies die at decontamination") {
     val rows = DedupOps.survivalFunnel(spark, sfDir).collect()
     val docs = graft.tables.Tables.documents(spark, sfDir)
-    // per source, every stage (domain gate included) can only shrink
+    // per source, every stage (domain gate and the r12 classifier
+    // gate included) can only shrink
     rows.foreach { r =>
-      val chain = (1 to 6).map(r.getLong)
+      val chain = (1 to 7).map(r.getLong)
       assert(chain.zip(chain.tail).forall { case (a, b) => a >= b },
         s"non-monotone funnel for ${r.getString(0)}: $chain")
-      assert(r.getDouble(7) >= 0.0 && r.getDouble(7) <= 1.0)
+      assert(r.getDouble(8) >= 0.0 && r.getDouble(8) <= 1.0)
     }
     // stage 0 drops exactly the blocklisted-bucket docs
     val blocked = expr("cast(doc_id % 1000000 % 37 as int) % 11 = 3")
@@ -463,6 +464,42 @@ class DedupSpec extends AnyFunSuite {
     // past exact dedup (originals excluded) but must die by the
     // decontamination stage: clean strictly below quality overall
     assert(rows.map(_.getLong(6)).sum < rows.map(_.getLong(5)).sum)
+  }
+
+  test("funnel classifier gate consumes doc_nb_lang's model: the " +
+      "gate's per-doc verdicts reproduce the confusion diagonal") {
+    import graft.ops.TextOps
+    val docs = graft.tables.Tables.documents(spark, sfDir)
+    // the SAME serve path the funnel's stage 5 calls, run over the
+    // classifier's own training corpus, must reproduce doc_nb_lang's
+    // confusion matrix cell for cell — proving the funnel gate and
+    // the audit share one model and one argmax rule
+    val viaGate = TextOps
+      .nbPredictionsFor(spark, sfDir,
+        docs.select("doc_id", "lang", "text"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "predicted")
+      .collect().toSeq
+    val confusion = TextOps.nbLang(spark, sfDir).collect().toSeq
+    assert(viaGate === confusion,
+      "funnel gate predictions diverge from the nb_lang confusion matrix")
+    // and the funnel's classifier stage is a real filter on this
+    // corpus: it keeps most of stage-4 but not all of it (the NB
+    // accuracy is < 1.0, so SOME surviving doc must be re-routed)
+    val rows = graft.ops.DedupOps.survivalFunnel(spark, sfDir).collect()
+    val clean = rows.map(_.getLong(6)).sum
+    val lang = rows.map(_.getLong(7)).sum
+    assert(lang <= clean, "gate must only shrink")
+    val diagAcc = {
+      val tot = confusion.map(_.getLong(2)).sum.toDouble
+      val diag = confusion.filter(r => r.getString(0) == r.getString(1))
+        .map(_.getLong(2)).sum.toDouble
+      diag / tot
+    }
+    if (diagAcc < 1.0)
+      assert(lang < clean,
+        s"NB accuracy is $diagAcc yet the funnel gate dropped nothing")
   }
 
   test("domain census: deterministic derivation, blocklist share " +

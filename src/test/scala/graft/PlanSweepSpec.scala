@@ -170,6 +170,8 @@ class PlanSweepSpec extends AnyFunSuite {
   private val bnlAllowed = Set(
     "doc_bpe_merge_step", // one-row winning-pair census cross join
     "doc_bpe_train",  // eight chained one-row winner cross joins
+    "doc_fertility_trained", // the same chained winner cross joins +
+                      // the one-row merge table against the census
     "doc_bm25_topk",  // one-row (n_docs, avgdl) census cross joins
     "doc_bm25_pruned", // same one-row census cross joins
     "doc_bm25_recall", // composes full + pruned, inherits both
@@ -182,6 +184,8 @@ class PlanSweepSpec extends AnyFunSuite {
     "doc_bm25_pruned_stored", // same inherited census cross joins
     "doc_nb_lang",    // class-census (5-row) + one-row vocab-total
                       // cross joins in the NB constants
+    "doc_survival_funnel", // the r12 classifier gate inherits
+                      // doc_nb_lang's NB-constants cross joins
     "doc_nb_margin",  // same NB constants cross joins
     "doc_nb_features", // (tok x class) spine: vocab census x 5-row
                       // class census x one-row global census
