@@ -5956,7 +5956,7 @@ SELECT domain, blocked, CAST(sum(nh) AS BIGINT) AS n_docs,
 FROM dg GROUP BY domain, blocked
 ORDER BY domain"""
 
-  val docSurvivalFunnel: String = """WITH stage0 AS (
+  private val funnelPrefix: String = """WITH stage0 AS (
   SELECT doc_id, source, lang, text,
     (CAST(doc_id % 1000000 % 37 AS INT) % 11 = 3) AS blocked
   FROM (
@@ -6070,11 +6070,15 @@ sh0 AS (
         > len(list_filter(string_split(lower(s1.text), ' '),
           x -> x <> '')))) AS quality,
     (c.doc_id IS NULL) AS clean,
-    coalesce(fp.lang_ok, false) AS lang_ok
+    coalesce(fp.lang_ok, false) AS lang_ok,
+    CAST(len(list_filter(string_split(lower(s1.text), ' '),
+      x -> x <> '')) AS BIGINT) AS n_tokens
   FROM s1
   LEFT JOIN neardrop nd ON s1.doc_id = nd.doc_id
   LEFT JOIN contam c ON s1.doc_id = c.doc_id
-  LEFT JOIN fpred fp ON s1.doc_id = fp.doc_id)
+  LEFT JOIN fpred fp ON s1.doc_id = fp.doc_id)"""
+
+  val docSurvivalFunnel: String = funnelPrefix + """
 SELECT source,
   CAST(count(*) AS BIGINT) AS n_raw,
   CAST(sum(CASE WHEN surv0 THEN 1 ELSE 0 END) AS BIGINT) AS n_domain,
@@ -6088,6 +6092,31 @@ SELECT source,
     THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
   round(CAST(sum(CASE WHEN surv2 AND quality AND clean AND lang_ok
     THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS retention
+FROM flags
+GROUP BY source
+ORDER BY source"""
+
+  /** Token-mass twin of [[graft.ops.DedupOps.funnelTokens]]: the same
+    * gate chain aggregated over per-doc whitespace token counts.
+    */
+  val docFunnelTokens: String = funnelPrefix + """
+SELECT source,
+  CAST(sum(n_tokens) AS BIGINT) AS t_raw,
+  CAST(sum(CASE WHEN surv0 THEN n_tokens ELSE 0 END) AS BIGINT)
+    AS t_domain,
+  CAST(sum(CASE WHEN surv1 THEN n_tokens ELSE 0 END) AS BIGINT)
+    AS t_exact,
+  CAST(sum(CASE WHEN surv2 THEN n_tokens ELSE 0 END) AS BIGINT)
+    AS t_near,
+  CAST(sum(CASE WHEN surv2 AND quality THEN n_tokens ELSE 0 END)
+    AS BIGINT) AS t_quality,
+  CAST(sum(CASE WHEN surv2 AND quality AND clean THEN n_tokens
+    ELSE 0 END) AS BIGINT) AS t_clean,
+  CAST(sum(CASE WHEN surv2 AND quality AND clean AND lang_ok
+    THEN n_tokens ELSE 0 END) AS BIGINT) AS t_lang,
+  round(CAST(sum(CASE WHEN surv2 AND quality AND clean AND lang_ok
+    THEN n_tokens ELSE 0 END) AS DOUBLE) / sum(n_tokens), 4)
+    AS token_retention
 FROM flags
 GROUP BY source
 ORDER BY source"""
@@ -6479,6 +6508,55 @@ $dispCtes
 SELECT round, merge_display, n_weighted, total_symbols FROM (
 $unions)
 ORDER BY round"""
+  }
+
+  /** Trained-vocabulary twin of [[graft.ops.TextOps.bpeVocab]]: the
+    * same eight-round chain, final symbol stream censused per symbol
+    * (vocab mass × within-token occurrences), top-50 by (mass DESC,
+    * raw symbol), sentinels displayed with the nested bracket
+    * expansion.
+    */
+  val docBpeVocab: String = {
+    val rounds = 8
+    val joinAll = (1 to rounds).map(k => s"w$k").mkString(", ")
+    val dispCtes = (1 to rounds).map { k =>
+      val expanded = (1 until k).foldLeft(s"p$k") { (e, j) =>
+        s"replace($e, chr($j), d$j)"
+      }
+      s"dx$k AS (SELECT *, '[' || $expanded || ']' AS d$k FROM dx${k - 1})"
+    }.mkString(",\n")
+    val dispCase = (1 to rounds)
+      .map(k => s"WHEN s = chr($k) THEN (SELECT d$k FROM dx$rounds)")
+      .mkString(" ")
+    s"""
+WITH v0 AS MATERIALIZED (
+  SELECT tok AS sym, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT unnest(list_filter(string_split(lower(text), ' '),
+      x -> x <> '')) AS tok
+    FROM documents)
+  GROUP BY tok
+  HAVING length(tok) >= 2),
+${(1 to rounds).map(bpeRoundCtes).mkString(",\n")},
+dx0 AS (SELECT * FROM $joinAll),
+$dispCtes,
+symb AS (
+  SELECT sym, substr(sym, i, 1) AS s, any_value(n) AS n,
+    CAST(count(*) AS BIGINT) AS occ
+  FROM (SELECT sym, n, unnest(generate_series(1, length(sym))) AS i
+        FROM v$rounds)
+  GROUP BY sym, s),
+top AS (
+  SELECT s, CAST(sum(n * occ) AS BIGINT) AS n_weighted,
+    CAST(count(*) AS BIGINT) AS n_types
+  FROM symb GROUP BY s
+  ORDER BY n_weighted DESC, s LIMIT 50)
+SELECT
+  CAST(row_number() OVER (ORDER BY n_weighted DESC, s) AS BIGINT)
+    AS rank,
+  CASE $dispCase ELSE s END AS symbol,
+  n_weighted, n_types
+FROM top
+ORDER BY rank"""
   }
 
   /** Trained-fertility twin of
@@ -6938,6 +7016,7 @@ ORDER BY c, rank"""
     "emb_codebook_recall" -> embCodebookRecall,
     "doc_bpe_train" -> docBpeTrain,
     "doc_fertility_trained" -> docFertilityTrained,
+    "doc_bpe_vocab" -> docBpeVocab,
     "emb_knn_truncated" -> embKnnTruncated,
     "emb_truncate_curve" -> embTruncateCurve,
     "emb_truncated_recall" -> embTruncatedRecall,
@@ -6952,6 +7031,7 @@ ORDER BY c, rank"""
     "doc_bpe_merge_step" -> docBpeMergeStep,
     "emb_prototype_prune" -> embPrototypePrune,
     "doc_survival_funnel" -> docSurvivalFunnel,
+    "doc_funnel_tokens" -> docFunnelTokens,
     "doc_domain_census" -> docDomainCensus,
     "doc_zipf_slope" -> docZipfSlope,
     "events_conversion_lag" -> eventsConversionLag,

@@ -120,6 +120,7 @@ object SparkEntry {
     "emb_codebook_recall" -> (VectorOps.codebookRecall(_, _)),
     "doc_bpe_train" -> (TextOps.bpeTrain(_, _)),
     "doc_fertility_trained" -> (TextOps.fertilityTrained(_, _)),
+    "doc_bpe_vocab" -> (TextOps.bpeVocab(_, _)),
     "emb_knn_truncated" -> (VectorOps.knnTruncated(_, _)),
     "emb_truncate_curve" -> (VectorOps.truncateCurve(_, _)),
     "emb_truncated_recall" -> (VectorOps.truncatedRecall(_, _)),
@@ -151,6 +152,7 @@ object SparkEntry {
     "emb_knn_sq8" -> (VectorOps.knnSq8(_, _)),
     "events_paths" -> (EventOps.eventsPaths(_, _)),
     "doc_survival_funnel" -> (DedupOps.survivalFunnel(_, _)),
+    "doc_funnel_tokens" -> (DedupOps.funnelTokens(_, _)),
     "doc_domain_census" -> (DedupOps.domainCensus(_, _)),
     "doc_zipf_slope" -> (TextOps.zipfSlope(_, _)),
     "events_conversion_lag" -> (EventOps.eventsConversionLag(_, _)),

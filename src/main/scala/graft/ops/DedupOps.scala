@@ -512,7 +512,55 @@ object DedupOps {
     * shingles broadcast by definition. No stage rescans text it
     * doesn't need.
     */
-  def survivalFunnel(spark: SparkSession, dir: String): DataFrame = {
+  def survivalFunnel(spark: SparkSession, dir: String): DataFrame =
+    funnelFlags(spark, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_raw"),
+        sum(col("surv0").cast("long")).as("n_domain"),
+        sum(col("surv1").cast("long")).as("n_exact"),
+        sum(col("surv2").cast("long")).as("n_near"),
+        sum(col("surv3").cast("long")).as("n_quality"),
+        sum(col("surv4").cast("long")).as("n_clean"),
+        sum(col("surv5").cast("long")).as("n_lang"))
+      .withColumn("retention",
+        round(col("n_lang").cast("double") / col("n_raw"), 4))
+      .orderBy("source")
+
+  /** TOKEN-mass funnel — the same six gates reported in the unit a
+    * training budget is actually written in: tokens, not documents.
+    * A stage that drops few docs can still drop a large token mass
+    * (near-dup clusters are long-doc-heavy; the quality gate kills
+    * short docs with little mass), so a token budget planned off the
+    * doc funnel misallocates — this is the table the mixture planner
+    * reads next to [[graft.ops.TextOps.mixWeights]]. Same per-doc
+    * flags frame as [[survivalFunnel]] (shared plan, one derivation),
+    * aggregated over each doc's whitespace token count.
+    */
+  def funnelTokens(spark: SparkSession, dir: String): DataFrame =
+    funnelFlags(spark, dir)
+      .groupBy("source")
+      .agg(sum(col("n_tokens")).as("t_raw"),
+        sum(when(col("surv0"), col("n_tokens")).otherwise(0L))
+          .as("t_domain"),
+        sum(when(col("surv1"), col("n_tokens")).otherwise(0L))
+          .as("t_exact"),
+        sum(when(col("surv2"), col("n_tokens")).otherwise(0L))
+          .as("t_near"),
+        sum(when(col("surv3"), col("n_tokens")).otherwise(0L))
+          .as("t_quality"),
+        sum(when(col("surv4"), col("n_tokens")).otherwise(0L))
+          .as("t_clean"),
+        sum(when(col("surv5"), col("n_tokens")).otherwise(0L))
+          .as("t_lang"))
+      .withColumn("token_retention",
+        round(col("t_lang").cast("double") / col("t_raw"), 4))
+      .orderBy("source")
+
+  /** The shared per-doc survival-flags frame behind both funnels:
+    * (doc_id, source, n_tokens, surv0..surv5) with every gate's
+    * cumulative verdict.
+    */
+  private def funnelFlags(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val stage0 = withDomain(corpus(spark, dir).filter(col("doc_id") >= 10))
       .select("doc_id", "source", "lang", "text", "blocked")
@@ -567,17 +615,6 @@ object DedupOps {
       .withColumn("surv4", col("surv3") && col("contam").isNull)
       .withColumn("surv5", col("surv4")
         && coalesce(col("lang_ok"), lit(false)))
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_raw"),
-        sum(col("surv0").cast("long")).as("n_domain"),
-        sum(col("surv1").cast("long")).as("n_exact"),
-        sum(col("surv2").cast("long")).as("n_near"),
-        sum(col("surv3").cast("long")).as("n_quality"),
-        sum(col("surv4").cast("long")).as("n_clean"),
-        sum(col("surv5").cast("long")).as("n_lang"))
-      .withColumn("retention",
-        round(col("n_lang").cast("double") / col("n_raw"), 4))
-      .orderBy("source")
   }
 
   /** Benchmark decontamination — the eval-set leakage scan every LLM

@@ -1501,6 +1501,54 @@ object TextOps {
       .orderBy("round")
   }
 
+  /** The trained SUBWORD VOCABULARY census — what the tokenizer
+    * actually ships after training: run the corpus vocabulary through
+    * all eight merges, census the resulting symbol stream (single
+    * characters plus the learned multi-character subwords), and rank
+    * the top 50 by total corpus mass. Each learned subword displays
+    * with the nested-bracket expansion (`[[th]e]`), so the table
+    * reads as the merge tree it is. n_weighted = corpus occurrences
+    * of the symbol (vocab count × within-token occurrences);
+    * n_types = distinct vocabulary tokens containing it. All passes
+    * are vocabulary-sized; the one-row winner frame broadcasts; the
+    * top-50 is orderBy+limit (TakeOrderedAndProject), never a global
+    * window.
+    */
+  def bpeVocab(spark: SparkSession, dir: String): DataFrame = {
+    val rounds = BpeRounds
+    val perRound = bpeRounds(spark, dir, rounds)
+    val vFinal = perRound.last._1
+    val folded = perRound.map(_._2)
+      .reduce((a, b) => a.crossJoin(broadcast(b)))
+    val withDisp = (1 to rounds).foldLeft(folded) { (df, k) =>
+      val expanded = (1 until k).foldLeft(s"p$k") { (e, j) =>
+        s"replace($e, chr($j), d$j)"
+      }
+      df.withColumn(s"d$k", expr(s"concat('[', $expanded, ']')"))
+    }
+    val dispCase = (1 to rounds)
+      .map(k => s"WHEN s = chr($k) THEN d$k").mkString(" ")
+    val top = vFinal
+      .select(col("n"),
+        explode(expr("sequence(1, length(sym))")).as("i"),
+        col("sym"))
+      .select(col("sym"), col("n"), expr("substring(sym, i, 1)").as("s"))
+      .groupBy("sym", "s")
+      .agg(first(col("n")).as("n"), count(lit(1)).as("occ"))
+      .groupBy("s")
+      .agg(sum(col("n") * col("occ")).as("n_weighted"),
+        count(lit(1)).as("n_types"))
+      .orderBy(col("n_weighted").desc, col("s"))
+      .limit(50)
+    val w = Window.orderBy(col("n_weighted").desc, col("s"))
+    top.withColumn("rank", row_number().over(w).cast("bigint"))
+      .crossJoin(broadcast(withDisp))
+      .select(col("rank"),
+        expr(s"CASE $dispCase ELSE s END").as("symbol"),
+        col("n_weighted"), col("n_types"))
+      .orderBy("rank")
+  }
+
   /** Train → SERVE closure for the BPE family (the kmeans
     * `emb_knn_trained` precedent on text): tokenize the corpus with
     * the LEARNED merge table and re-run the fertility census on REAL

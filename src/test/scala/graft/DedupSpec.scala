@@ -466,6 +466,51 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(6)).sum < rows.map(_.getLong(5)).sum)
   }
 
+  test("token funnel: same gates as the doc funnel, token mass " +
+      "conserved at the raw stage, stages monotone") {
+    val tok = DedupOps.funnelTokens(spark, sfDir).collect()
+    val doc = DedupOps.survivalFunnel(spark, sfDir).collect()
+    assert(tok.map(_.getString(0)).toSeq ===
+      doc.map(_.getString(0)).toSeq, "same source universe")
+    tok.foreach { r =>
+      val chain = (1 to 7).map(r.getLong)
+      assert(chain.zip(chain.tail).forall { case (a, b) => a >= b },
+        s"non-monotone token funnel for ${r.getString(0)}: $chain")
+      assert(r.getDouble(8) >= 0.0 && r.getDouble(8) <= 1.0)
+    }
+    // raw token mass ties out against a direct corpus census
+    val direct = DedupOps.corpus(spark, sfDir)
+      .filter(col("doc_id") >= 10)
+      .groupBy("source")
+      .agg(sum(expr(
+        "size(filter(split(lower(text), ' '), x -> x <> ''))")
+        .cast("bigint")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    tok.foreach(r => assert(r.getLong(1) === direct(r.getString(0)),
+      s"raw token mass diverges for ${r.getString(0)}"))
+  }
+
+  test("bpe vocab: full-census mass conserves bpe_train's final " +
+      "symbol total and the last winner ships as a symbol") {
+    import graft.ops.TextOps
+    val vocab = TextOps.bpeVocab(spark, sfDir).collect()
+    assert(vocab.map(_.getLong(0)).toSeq ===
+      (1L to vocab.length).toSeq, "ranks contiguous")
+    val train = TextOps.bpeTrain(spark, sfDir).collect()
+    // the round-8 sentinel cannot be consumed by a later merge, so
+    // the final winner's display must ship as a vocabulary symbol
+    val lastDisp = train.last.getString(1)
+    assert(vocab.exists(_.getString(1) === lastDisp),
+      s"final merge $lastDisp missing from the shipped vocabulary")
+    // when the symbol alphabet fits inside the top-50 the census is
+    // COMPLETE, and total mass must equal the training loop's
+    // post-merge symbol count (theorem: both count the same stream)
+    if (vocab.length < 50) {
+      assert(vocab.map(_.getLong(2)).sum === train.last.getLong(3),
+        "vocabulary mass must equal bpe_train's final total_symbols")
+    }
+  }
+
   test("funnel classifier gate consumes doc_nb_lang's model: the " +
       "gate's per-doc verdicts reproduce the confusion diagonal") {
     import graft.ops.TextOps

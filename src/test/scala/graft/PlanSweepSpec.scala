@@ -85,6 +85,7 @@ class PlanSweepSpec extends AnyFunSuite {
                            // flag join-back: both sides corpus-scale on
                            // UNIQUE keys (digest / doc_id) — uniform
                            // shuffles, the doc_dedup_pipeline shape
+    "doc_funnel_tokens",   // the same shared flags frame, token tail
     "doc_bigram_logprob",  // bigram occurrences ⋈ per-type score on the
                            // bigram key: both sides vocabulary/corpus
                            // scale by design (a web corpus's bigram
@@ -186,6 +187,9 @@ class PlanSweepSpec extends AnyFunSuite {
                       // cross joins in the NB constants
     "doc_survival_funnel", // the r12 classifier gate inherits
                       // doc_nb_lang's NB-constants cross joins
+    "doc_funnel_tokens", // same shared flags frame, token tail
+    "doc_bpe_vocab",  // chained one-row winner cross joins + the
+                      // one-row display frame against the top-50
     "doc_nb_margin",  // same NB constants cross joins
     "doc_nb_features", // (tok x class) spine: vocab census x 5-row
                       // class census x one-row global census
