@@ -1514,23 +1514,30 @@ object VectorOps {
     */
   private def lloydAssign(e: DataFrame, cents: DataFrame,
       carryVec: Boolean = true): DataFrame = {
-    // the [[assignCells]] skinny-argmin discipline: the N×k candidate
-    // expansion carries (vec_id, dist, cid) SCALARS only — hauling
-    // the 256-byte embedding through the min-struct allocates a
-    // copied array per candidate row (the documented 2-8× 30× cost).
-    // cid is unique per candidate, so min(struct(dist, cid)) orders
-    // identically to the old min(struct(dist, cid, embedding)); the
-    // vector joins back on the unique vec_id AFTER the argmin, so
-    // sqrt/div orders and oracle hashes are unchanged.
-    val skinny = e
+    // the skinny-argmin discipline, without the join-back: the
+    // MIN-STRUCT holds (dist, cid) SCALARS only — hauling the
+    // 256-byte embedding through it allocates a copied array per
+    // candidate comparison (the documented 2-8× 30× cost) — while the
+    // embedding rides ALONGSIDE as a `first` aggregate: every
+    // expansion row of a vec_id carries the identical array, so
+    // `first` is deterministic, copies once per partial buffer (not
+    // per candidate), and the assignment stays ONE exchange. The
+    // assignCells join-back shape was measured 2.4× slower on the
+    // three-iteration training chain at 10× (three extra corpus
+    // exchanges); this keeps its argmin semantics — cid unique per
+    // candidate, so min(struct(dist, cid)) orders identically to the
+    // old min(struct(dist, cid, embedding)) and hashes are unchanged.
+    val expanded = e
       .join(broadcast(cents), col("cid") =!= lit(-1))
       .withColumn("dist",
         graft.functions.VecL2.l2(col("embedding"), col("cv")))
-      .groupBy("vec_id")
-      .agg(min(struct(col("dist"), col("cid"))).as("m"))
     if (carryVec)
-      skinny.join(e.select(col("vec_id"), col("embedding")), "vec_id")
-    else skinny
+      expanded.groupBy("vec_id")
+        .agg(min(struct(col("dist"), col("cid"))).as("m"),
+          first(col("embedding")).as("embedding"))
+    else
+      expanded.groupBy("vec_id")
+        .agg(min(struct(col("dist"), col("cid"))).as("m"))
   }
 
   /** Member-mean moments of an assignment: exact DECIMAL component
