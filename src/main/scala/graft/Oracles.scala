@@ -6264,17 +6264,18 @@ ORDER BY qid, rank"""
   val docBm25TopK: String = bm25SqlOf(None)
 
   /** Impact-capped twin of [[graft.ops.TextOps.bm25Pruned]]: postings
-    * per term capped at the top-64 by (tf DESC, doc_id); global
-    * statistics exact.
+    * per term capped at the top-256 by (tf DESC, doc_id) — the
+    * operating point the measured recall curve picks on this corpus;
+    * global statistics exact.
     */
-  val docBm25Pruned: String = bm25SqlOf(Some(64))
+  val docBm25Pruned: String = bm25SqlOf(Some(256))
 
   /** Recall twin of [[graft.ops.TextOps.bm25Recall]]: composes the
     * full and impact-capped oracles and counts the per-query overlap.
     */
   val docBm25Recall: String = s"""
 WITH base AS (SELECT qid, doc_id FROM (${bm25SqlOf(None)}) b),
-pr AS (SELECT qid, doc_id FROM (${bm25SqlOf(Some(64))}) p)
+pr AS (SELECT qid, doc_id FROM (${bm25SqlOf(Some(256))}) p)
 SELECT base.qid,
   CAST(count(pr.doc_id) AS BIGINT) AS n_hits,
   CAST(count(*) AS BIGINT) AS k,

@@ -1176,7 +1176,15 @@ object TextOps {
       .orderBy("qid", "m")
   }
 
-  private[graft] val Bm25M = 64
+  /** The shipped impact-cap operating point, picked FROM the measured
+    * [[bm25RecallCurve]] on this corpus (M=256 reads 0.93 recall of
+    * the exact top-5; the former M=64 sat at 0.28 — machinery right,
+    * knob wrong). Persisted stores record their own M as a layout
+    * marker ([[graft.sources.TermIndexStore]]'s `_graft_m`), so this
+    * default moving never silently changes what an existing store
+    * serves.
+    */
+  private[graft] val Bm25M = 256
 
   private def bm25Of(spark: SparkSession, dir: String,
       cap: Option[Int]): DataFrame = {

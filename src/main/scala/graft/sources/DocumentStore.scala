@@ -274,6 +274,20 @@ object DocumentStore {
     */
   private[graft] def compactBucketed(spark: SparkSession, table: String,
       keyCol: String, nBuckets: Int = DefaultBuckets): Unit = {
+    // the staging rewrite below re-declares bucketBy(keyCol) +
+    // sortBy(keyCol); a table whose catalog entry declares a DIFFERENT
+    // spec (extra sort columns, another key, another count) would get
+    // files silently violating its own declared layout — fail loudly
+    // instead of compacting into a lie
+    val spec = spark.sessionState.catalog
+      .getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table))
+      .bucketSpec
+    require(spec.exists(s => s.bucketColumnNames == Seq(keyCol)
+        && s.sortColumnNames == Seq(keyCol)
+        && s.numBuckets == nBuckets),
+      s"compactBucketed($table, $keyCol, $nBuckets) must match the " +
+        s"table's declared bucket/sort spec, got $spec")
     val staging = table + "_compact_staging"
     clearStale(spark, staging)
     val n0 = spark.table(table).count()

@@ -46,6 +46,51 @@ object TermIndexStore {
   private def doclenTable(table: String): String = table + "_doclen"
   private def cappedTable(table: String): String = table + "_capped"
 
+  /** The impact cap M is a LAYOUT PROPERTY of a built store, recorded
+    * as a `_graft_m` marker file in the postings table's directory
+    * (the [[TrainingExport]] `_graft_nshards` discipline): a store
+    * built at one M must keep serving that M even if the compile-time
+    * default ([[graft.ops.TextOps.Bm25M]]) moves — otherwise the
+    * materialized caps silently stop being served (the cost
+    * optimization evaporates unannounced) or, worse, a differently-
+    * capped companion is trusted. The marker lives in the POSTINGS
+    * dir (not the capped table's, which [[ingest]] drops wholesale)
+    * and survives both appends and [[compact]]'s part-file swap.
+    */
+  private val MMarker = "_graft_m"
+
+  private def writeMMarker(spark: SparkSession, table: String,
+      m: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(
+      DocumentStore.tableDir(spark, table), MMarker)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(p, true)
+    try os.write(m.toString.getBytes("UTF-8")) finally os.close()
+  }
+
+  /** The impact cap this store's capped companion was materialized
+    * at, if recorded (pre-marker stores fall back to the compile-time
+    * default).
+    */
+  def recordedM(spark: SparkSession, table: String): Option[Int] = {
+    if (!spark.catalog.tableExists(table)) return None
+    val p = new org.apache.hadoop.fs.Path(
+      DocumentStore.tableDir(spark, table), MMarker)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](32)
+        val n = in.read(buf)
+        Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim.toInt)
+      } finally in.close()
+    }
+  }
+
+  private def layoutM(spark: SparkSession, table: String): Int =
+    recordedM(spark, table).getOrElse(graft.ops.TextOps.Bm25M)
+
   /** (doc_id, tok, tf) postings of a (doc_id, text) frame — the same
     * tokenization as the inline BM25 operators (lowercase,
     * split-on-space, empty tokens dropped).
@@ -61,7 +106,8 @@ object TermIndexStore {
     * layouts. The doclen write goes first (membership commits before
     * postings, the same order [[ingest]] relies on).
     */
-  def build(spark: SparkSession, dir: String, table: String): Unit = {
+  def build(spark: SparkSession, dir: String, table: String,
+      m: Int = graft.ops.TextOps.Bm25M): Unit = {
     val tf = tfOf(Tables.documents(spark, dir).select("doc_id", "text"))
       .localCheckpoint(true)
     tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
@@ -69,30 +115,30 @@ object TermIndexStore {
       .sortBy("doc_id").mode("overwrite").saveAsTable(doclenTable(table))
     tf.write.bucketBy(DocumentStore.DefaultBuckets, "tok")
       .sortBy("tok").mode("overwrite").saveAsTable(table)
-    materializeCapped(spark, table)
+    writeMMarker(spark, table, m)
+    materializeCapped(spark, table, m)
   }
 
-  /** Materialize the impact-capped posting lists — each term's
-    * top-[[graft.ops.TextOps.Bm25M]] postings by (tf DESC, doc_id) —
-    * as a companion table in the same tok-bucket layout: the pruned
-    * serving path reads M·|vocab| rows off this SKINNY table instead
-    * of re-capping the full postings per query (an impact-sorted
-    * index pays the ordering once, at indexing time). Derived at
-    * [[build]] and re-derived by [[compact]]; [[ingest]] DROPS it
-    * (postings appends invalidate the caps, and per-batch surgical
-    * cap maintenance would need per-term deletes the append-only
-    * layout can't express), so between an ingest and the next
-    * compaction the pruned search falls back to read-time capping —
-    * same results either way, the companion table is purely a cost
-    * optimization.
+  /** Materialize the impact-capped posting lists — each term's top-M
+    * postings by (tf DESC, doc_id), M from the store's recorded
+    * layout marker — as a companion table in the same tok-bucket
+    * layout: the pruned serving path reads M·|vocab| rows off this
+    * SKINNY table instead of re-capping the full postings per query
+    * (an impact-sorted index pays the ordering once, at indexing
+    * time). Derived at [[build]] and re-derived by [[compact]];
+    * [[ingest]] DROPS it (postings appends invalidate the caps, and
+    * per-batch surgical cap maintenance would need per-term deletes
+    * the append-only layout can't express), so between an ingest and
+    * the next compaction the pruned search falls back to read-time
+    * capping — same results either way, the companion table is purely
+    * a cost optimization.
     */
   private def materializeCapped(spark: SparkSession,
-      table: String): Unit =
+      table: String, m: Int): Unit =
     postings(spark, table)
       .groupBy("tok")
       .agg(graft.functions.TopKByScore
-        .topk(col("tf").cast("double"), col("doc_id"),
-          graft.ops.TextOps.Bm25M).as("top"))
+        .topk(col("tf").cast("double"), col("doc_id"), m).as("top"))
       .select(col("tok"), explode(col("top")).as("t"))
       .select(col("tok"), col("t.id").as("doc_id"),
         col("t.score").cast("bigint").as("tf"))
@@ -108,7 +154,9 @@ object TermIndexStore {
   def compact(spark: SparkSession, table: String): Unit = {
     DocumentStore.compactBucketed(spark, table, "tok")
     DocumentStore.compactBucketed(spark, doclenTable(table), "doc_id")
-    materializeCapped(spark, table)
+    // re-materialize at the store's OWN recorded M, never the
+    // compile-time default — a store built at one M keeps its layout
+    materializeCapped(spark, table, layoutM(spark, table))
   }
 
   def postings(spark: SparkSession, table: String): DataFrame =
@@ -150,13 +198,24 @@ object TermIndexStore {
     */
   def ingest(spark: SparkSession, batch: DataFrame,
       table: String): IngestStats = {
+    // the appends below invalidate the materialized impact caps, so
+    // the companion drops FIRST: a crash anywhere inside this ingest
+    // then leaves the read-time-capping fallback active for the whole
+    // vulnerable window — dropping it only after the appends would
+    // let a crash strand a stale capped table that search(cap=m)
+    // silently trusts, omitting the ingested docs from pruned results
+    DocumentStore.clearStale(spark, cappedTable(table))
     // dedupe WITHIN the batch: a doc_id repeated in one micro-batch
     // would otherwise be merged by tfOf's groupBy, doubling its tf
     // and dl and silently corrupting the index relative to the
     // inline operators (which see each doc once); `nBatch` counts
-    // distinct docs, matching the membership semantics downstream
+    // distinct docs, matching the membership semantics downstream.
+    // The winner is DETERMINISTIC (min text) — dropDuplicates keeps
+    // an arbitrary row, so a batch carrying two different texts for
+    // one doc_id would index a run-dependent text
     val docs = batch.select("doc_id", "text")
-      .dropDuplicates("doc_id").localCheckpoint(true)
+      .groupBy("doc_id").agg(min("text").as("text"))
+      .localCheckpoint(true)
     val nBatch = docs.count()
     // one batch tokenize feeds membership, the append AND the repair
     val tfBatch = tfOf(docs).localCheckpoint(true)
@@ -190,10 +249,6 @@ object TermIndexStore {
       }
     tfFresh.write.bucketBy(DocumentStore.DefaultBuckets, "tok")
       .sortBy("tok").mode("append").saveAsTable(table)
-    // the appended postings invalidate the materialized caps: drop
-    // the companion table (pruned search falls back to read-time
-    // capping until the next [[compact]] re-materializes it)
-    DocumentStore.clearStale(spark, cappedTable(table))
     spark.sql(s"REFRESH TABLE $table")
     spark.sql(s"REFRESH TABLE ${doclenTable(table)}")
     IngestStats(
@@ -217,12 +272,15 @@ object TermIndexStore {
     val df_ = dfCensus(spark, table)
     val dl = docLens(spark, table)
     cap match {
-      case Some(m) if m == graft.ops.TextOps.Bm25M
+      case Some(m) if recordedM(spark, table).contains(m)
           && spark.catalog.tableExists(cappedTable(table)) =>
         // serve off the MATERIALIZED impact-capped lists: the scoring
         // side scans M·|vocab| rows from the skinny companion table;
         // anchors and global stats still derive from the full index
-        // (same oracle, same hashes — only the read cost changes)
+        // (same oracle, same hashes — only the read cost changes).
+        // MARKER-gated: the companion is trusted only when it was
+        // materialized at exactly the requested cap — a moved default
+        // falls back to read-time capping, never a silently-wrong M
         graft.ops.TextOps.bm25Serve(full,
           spark.table(cappedTable(table)).select("doc_id", "tok", "tf"),
           df_, dl)
@@ -260,10 +318,13 @@ object TermIndexStore {
     * so the scoring side reads M·|vocab| skinny rows instead of the
     * full postings; scoring semantics are exactly the inline
     * operator's ([[graft.ops.TextOps.bm25Pruned]]) and hash-match its
-    * oracle. Falls back to read-time capping only between an ingest
-    * and the next compaction.
+    * oracle. M comes from the store's OWN recorded layout marker
+    * (the shipped default is the recall curve's operating point).
+    * Falls back to read-time capping only between an ingest and the
+    * next compaction.
     */
-  def searchPrunedFor(spark: SparkSession, dir: String): DataFrame =
-    search(spark, ensureBuilt(spark, dir),
-      cap = Some(graft.ops.TextOps.Bm25M))
+  def searchPrunedFor(spark: SparkSession, dir: String): DataFrame = {
+    val table = ensureBuilt(spark, dir)
+    search(spark, table, cap = Some(layoutM(spark, table)))
+  }
 }

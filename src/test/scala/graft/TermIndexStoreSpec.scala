@@ -243,4 +243,57 @@ class TermIndexStoreSpec extends AnyFunSuite {
       spark.sql("DROP DATABASE IF EXISTS graft_ti4")
     }
   }
+
+  test("the impact cap M is a recorded layout property: a store built " +
+      "at its own M keeps serving it when the compile-time default " +
+      "differs") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_tistore5").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_ti5 LOCATION '$tmp'")
+    val t = "graft_ti5.idx"
+    try {
+      // build at M=2 — deliberately NOT the shipped default, standing
+      // in for "the default moved after this store was built"
+      TermIndexStore.build(spark, sfDir, t, m = 2)
+      assert(TextOps.Bm25M !== 2)
+      assert(TermIndexStore.recordedM(spark, t) === Some(2))
+      // the marker drives serving: a cap equal to the RECORDED M is
+      // served off the materialized companion...
+      val atRecorded = TermIndexStore.search(spark, t, cap = Some(2))
+      assert(atRecorded.queryExecution.optimizedPlan.toString
+        .contains("idx_capped"),
+        "recorded-M search must read the materialized capped table")
+      // ...and matches read-time capping at the same M exactly (the
+      // companion holds each term's top-2 by (tf DESC, doc_id))
+      val readTime = graft.sources.TermIndexStore
+        .postings(spark, t).select("doc_id", "tok", "tf")
+      assert(atRecorded.collect().toSeq ===
+        graft.ops.TextOps.bm25From(readTime,
+          TermIndexStore.dfCensus(spark, t),
+          TermIndexStore.docLens(spark, t), Some(2)).collect().toSeq)
+      // the (different) compile-time default must NOT trust the
+      // companion — it silently holds the wrong M
+      val atDefault = TermIndexStore
+        .search(spark, t, cap = Some(TextOps.Bm25M))
+      assert(!atDefault.queryExecution.optimizedPlan.toString
+        .contains("idx_capped"),
+        "a cap differing from the recorded M must fall back to " +
+          "read-time capping")
+      // compact re-materializes at the RECORDED M, not the default:
+      // serving at 2 still reads the companion and is unchanged
+      val before = atRecorded.collect().toSeq
+      TermIndexStore.compact(spark, t)
+      assert(TermIndexStore.recordedM(spark, t) === Some(2),
+        "the layout marker must survive compaction's part-file swap")
+      val after = TermIndexStore.search(spark, t, cap = Some(2))
+      assert(after.queryExecution.optimizedPlan.toString
+        .contains("idx_capped"))
+      assert(after.collect().toSeq === before)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_doclen")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_capped")
+      spark.sql("DROP DATABASE IF EXISTS graft_ti5")
+    }
+  }
 }
