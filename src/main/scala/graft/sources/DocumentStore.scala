@@ -199,26 +199,51 @@ object DocumentStore {
         coalesce(col("census_n"), lit(0L)))
       .select("b").collect().map(_.getInt(0)).sorted
     if (affected.isEmpty) return VacuumStats(Nil, 0L)
-    val affectedSet = affected.toSet
+    val (before, after) = rewriteAffectedBuckets(spark, docTable,
+      keyCol, affected.toSeq,
+      spark.table(docTable)
+        .filter(bucketOf.isin(affected: _*))
+        .dropDuplicates(),
+      nBuckets)
+    VacuumStats(affected.toSeq, before - after)
+  }
 
-    val staging = docTable + "_vacuum_staging"
+  /** The bucket-granular retire-aside-then-swap core every surgical
+    * pass here shares ([[vacuumKeyed]]'s settlement, the takedown
+    * family's [[deleteByIdKeyed]]): replace the contents of exactly
+    * `affected` buckets of a bucketed-by-`keyCol` table with
+    * `replacement` (the new rows for those buckets ONLY — a staged
+    * part file landing outside them fails loudly), touching no other
+    * bucket's files. Staging writes first, live files rename ASIDE
+    * (never delete-before-replace), staged files move in, and only
+    * then is the retired copy dropped — at no instant is an affected
+    * bucket's data absent from disk, and an interrupted pass leaves
+    * the retired copy recoverable. Returns (rows before, rows after)
+    * over the affected buckets.
+    */
+  private[graft] def rewriteAffectedBuckets(spark: SparkSession,
+      table: String, keyCol: String, affected: Seq[Int],
+      replacement: DataFrame,
+      nBuckets: Int = DefaultBuckets): (Long, Long) = {
+    val affectedSet = affected.toSet
+    val bucketOf = pmod(hash(col(keyCol)), lit(nBuckets))
+    val staging = table + "_vacuum_staging"
     clearStale(spark, staging)
-    spark.table(docTable)
-      .filter(bucketOf.isin(affected: _*))
-      .dropDuplicates()
+    replacement
       .repartition(nBuckets, col(keyCol))
       .write.bucketBy(nBuckets, keyCol).sortBy(keyCol)
       .mode("overwrite").saveAsTable(staging)
-    val affectedRows = spark.table(docTable)
+    val affectedRows = spark.table(table)
       .filter(bucketOf.isin(affected: _*)).count()
     val stagedRows = spark.table(staging).count()
 
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
     val conf = spark.sparkContext.hadoopConfiguration
-    val storeDir = new org.apache.hadoop.fs.Path(wh, docTable.toLowerCase)
-    val stagingDir = new org.apache.hadoop.fs.Path(wh, staging.toLowerCase)
-    val retireDir = new org.apache.hadoop.fs.Path(wh,
-      docTable.toLowerCase + "_vacuum_retired")
+    // physical locations from the catalog — a db-qualified table may
+    // live under a custom database LOCATION, not warehouse/name
+    val storeDir = tableDir(spark, table)
+    val stagingDir = tableDir(spark, staging)
+    val retireDir = new org.apache.hadoop.fs.Path(
+      storeDir.getParent, storeDir.getName + "_vacuum_retired")
     val fs = storeDir.getFileSystem(conf)
     fs.mkdirs(retireDir)
     // the bucket id a bucketed writer stamps into its part-file name
@@ -237,15 +262,90 @@ object DocumentStore {
          if bucketIdOf(st.getPath.getName).exists(affectedSet.contains))
       require(fs.rename(st.getPath,
         new org.apache.hadoop.fs.Path(retireDir, st.getPath.getName)),
-        s"vacuum retire failed: ${st.getPath}")
+        s"bucket retire failed: ${st.getPath}")
     for (st <- staged)
       require(fs.rename(st.getPath,
         new org.apache.hadoop.fs.Path(storeDir, st.getPath.getName)),
-        s"vacuum swap failed: ${st.getPath}")
+        s"bucket swap failed: ${st.getPath}")
     clearStale(spark, staging)
     fs.delete(retireDir, true)
-    spark.sql(s"REFRESH TABLE $docTable")
-    VacuumStats(affected.toSeq, affectedRows - stagedRows)
+    spark.sql(s"REFRESH TABLE $table")
+    (affectedRows, stagedRows)
+  }
+
+  /** What a takedown pass did: which buckets rewrote, rows removed. */
+  final case class DeleteStats(affectedBuckets: Seq[Int],
+    removedRows: Long)
+
+  /** Targeted row deletion for any bucketed store — the takedown /
+    * right-to-be-forgotten pass the whole store family shares
+    * ([[graft.sources.TrainingExport.deleteDocs]] is the
+    * directory-partitioned precedent; this is its bucket-layout
+    * twin). `ids` carries the victim ids in `idCol`; `keyCol` is the
+    * table's bucket key, which need not be the id column:
+    *
+    *  - id IS the bucket key (MinHash doc table, the doclen table):
+    *    the locate step is a semi-join on the bucket column itself;
+    *  - id is NOT the bucket key (the digest-bucketed corpus, tok-
+    *    bucketed postings, cell-bucketed vector index): victims' rows
+    *    are FOUND by one column-pruned scan of the (idCol, keyCol)
+    *    projection — two skinny columns, never payload text/vectors —
+    *    which is the price of locating arbitrary ids in a layout
+    *    clustered on something else.
+    *
+    * Either way the REWRITE is O(affected buckets): survivors of only
+    * those buckets anti-join the victim ids and swap in through
+    * [[rewriteAffectedBuckets]]; untouched buckets' files are never
+    * opened (the spec asserts their listings survive byte-identical).
+    * The affected-bucket collect is bounded by nBuckets, a layout
+    * constant. Idempotent: re-running with the same ids finds no
+    * victim rows and is a no-op.
+    */
+  private[graft] def deleteByIdKeyed(spark: SparkSession, table: String,
+      keyCol: String, idCol: String, ids: DataFrame,
+      nBuckets: Int = DefaultBuckets): DeleteStats = {
+    val bucketOf = pmod(hash(col(keyCol)), lit(nBuckets))
+    val victims = ids.select(col(idCol))
+    val affected = spark.table(table).select(col(idCol), col(keyCol))
+      .join(victims, Seq(idCol), "left_semi")
+      .select(bucketOf.as("b")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (affected.isEmpty) return DeleteStats(Nil, 0L)
+    val survivors = spark.table(table)
+      .filter(bucketOf.isin(affected.toIndexedSeq: _*))
+      .join(victims, Seq(idCol), "left_anti")
+    val (before, after) = rewriteAffectedBuckets(spark, table, keyCol,
+      affected.toSeq, survivors, nBuckets)
+    DeleteStats(affected.toSeq, before - after)
+  }
+
+  /** Takedown for the document store (+ its census, when one is
+    * maintained): victims leave the digest-bucketed corpus through
+    * the O(affected-buckets) pass, then the census rows for exactly
+    * those buckets are RECOMPUTED from the post-delete store and
+    * swapped in — group sizes decrement, the keeper re-elects (min
+    * surviving doc_id), and a digest whose last copy left disappears
+    * from the census entirely. Census buckets are the same bucket ids
+    * as the store's (same key, same hash, same count), so the census
+    * rewrite is exactly as surgical as the corpus one.
+    */
+  def deleteDocs(spark: SparkSession, docTable: String,
+      ids: DataFrame, censusTable: Option[String] = None,
+      nBuckets: Int = DefaultBuckets): DeleteStats = {
+    val stats = deleteByIdKeyed(spark, docTable, "h", "doc_id", ids,
+      nBuckets)
+    censusTable.foreach { ct =>
+      if (stats.affectedBuckets.nonEmpty) {
+        val bucketOf = pmod(hash(col("h")), lit(nBuckets))
+        val recomputed = spark.table(docTable)
+          .filter(bucketOf.isin(stats.affectedBuckets: _*))
+          .groupBy("h")
+          .agg(count(lit(1)).as("n"), min("doc_id").as("keeper"))
+        rewriteAffectedBuckets(spark, ct, "h", stats.affectedBuckets,
+          recomputed, nBuckets)
+      }
+    }
+    stats
   }
 
   /** The physical directory behind a (possibly db-qualified) managed

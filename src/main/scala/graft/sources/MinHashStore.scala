@@ -100,6 +100,64 @@ object MinHashStore {
     DocumentStore.compactBucketed(spark, bandsTable(table), "kb")
   }
 
+  /** Takedown across both layouts — the right-to-be-forgotten pass
+    * for the near-dup store. The victims' BAND keys re-derive from
+    * their stored text BEFORE the doc rows leave (one id-semi-joined
+    * read of the doc table — the candidate-verification read shape),
+    * so the band-table pass knows exactly which kb buckets hold
+    * victim rows without scanning the index: affected band buckets
+    * come from the derived keys, affected doc buckets from the victim
+    * ids themselves (doc_id IS that table's bucket key). Both rewrite
+    * through [[DocumentStore.rewriteAffectedBuckets]] — untouched
+    * buckets' files are never opened.
+    *
+    * Semantics: the store holds near-dup SURVIVORS, so deleting a
+    * survivor yields exactly the from-scratch build of (stored minus
+    * victims) — the remaining docs were already mutually non-dup, and
+    * a document once dropped against a victim is gone from the store
+    * by construction (an ingest-time drop is not an index row). A
+    * crash between the two rewrites leaves victim band rows pointing
+    * at a removed doc; they are unreachable through [[ingest]]'s
+    * probe (candidates confirm against stored TEXT, which is gone)
+    * and a re-run of the same delete completes the cleanup — the pass
+    * is idempotent, though the band-side locate needs the derived
+    * keys, so the doc rows leave LAST.
+    */
+  final case class DeleteStats(docs: DocumentStore.DeleteStats,
+    bandBuckets: Seq[Int], bandRowsRemoved: Long)
+
+  def deleteDocs(spark: SparkSession, table: String,
+      ids: DataFrame): DeleteStats = {
+    val n = DocumentStore.DefaultBuckets
+    val victims = ids.select("doc_id")
+    val victimKeys = bandKeysOf(
+      read(spark, table).select("doc_id", "text")
+        .join(victims, Seq("doc_id"), "left_semi"))
+      .localCheckpoint(true)
+    val bt = bandsTable(table)
+    val bucketOfKb = pmod(hash(col("kb")), lit(n))
+    // ≤ nBuckets — the derived keys bound the band-side locate, no
+    // index scan (a superset is fine: a crash-window victim with
+    // missing band rows just yields an empty rewrite there)
+    val affectedKb = victimKeys.select(bucketOfKb.as("b")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val bandRemoved =
+      if (affectedKb.isEmpty) 0L
+      else {
+        val (b0, b1) = DocumentStore.rewriteAffectedBuckets(spark, bt,
+          "kb", affectedKb.toSeq,
+          spark.table(bt)
+            .filter(bucketOfKb.isin(affectedKb.toIndexedSeq: _*))
+            .join(victims, Seq("doc_id"), "left_anti"),
+          n)
+        b0 - b1
+      }
+    DeleteStats(
+      DocumentStore.deleteByIdKeyed(spark, table, "doc_id", "doc_id",
+        victims, n),
+      affectedKb.toSeq, bandRemoved)
+  }
+
   /** Per-ingest report: batch size, replayed ids skipped, drops
     * against the stored state, in-batch keep-first drops (the sets
     * can overlap), survivors appended, and the capped-probe evidence

@@ -119,6 +119,72 @@ object SemDedupStore {
     spark.sql(s"REFRESH TABLE $table")
   }
 
+  /** What a takedown pass did: cells rewritten, rows removed. */
+  final case class DeleteStats(affectedCells: Seq[Long],
+    removedRows: Long)
+
+  /** Takedown — the right-to-be-forgotten pass at cell-PARTITION
+    * granularity (this store's layout unit, where the bucketed stores
+    * swap bucket files): victims' cells come from one column-pruned
+    * (vec_id, cell) projection — cell is the partition column, so the
+    * scan reads ONE skinny data column — and only those `cell=N`
+    * directories are read (partition-pruned), anti-joined and
+    * rewritten, in the [[graft.sources.TrainingExport.deleteDocs]]
+    * retire-aside-then-swap order: the live directory renames ASIDE,
+    * the staged survivors move in, and only then is the retired copy
+    * dropped. A cell emptied by the delete stages nothing and its
+    * directory simply disappears — the pruned reads never ask for it
+    * again. The affected-cell collect is bounded by the victims'
+    * distinct primary cells (≤ min(|victims|, k)).
+    *
+    * Semantics match the from-scratch contract: the store holds
+    * accepted survivors, survivors are mutually over-tau-free, so the
+    * post-delete store IS the build of (stored minus victims); docs a
+    * victim once dropped at ingest were never store rows and stay
+    * gone — an accepted vector is never retroactively re-admitted.
+    */
+  def deleteVecs(spark: SparkSession, table: String,
+      ids: DataFrame): DeleteStats = {
+    val victims = ids.select("vec_id")
+    val cells = read(spark, table).select("vec_id", "cell")
+      .join(victims, Seq("vec_id"), "left_semi")
+      .select("cell").distinct()
+      .collect().map(_.getLong(0)).sorted
+    if (cells.isEmpty) return DeleteStats(Nil, 0L)
+    val staging = table + "_delete_staging"
+    graft.sources.DocumentStore.clearStale(spark, staging)
+    val before = read(spark, table)
+      .filter(col("cell").isin(cells.toIndexedSeq: _*)).count()
+    read(spark, table)
+      .filter(col("cell").isin(cells.toIndexedSeq: _*))
+      .join(victims, Seq("vec_id"), "left_anti")
+      .repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite").saveAsTable(staging)
+    val after = spark.table(staging).count()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val storeDir = graft.sources.DocumentStore.tableDir(spark, table)
+    val stagingDir = graft.sources.DocumentStore.tableDir(spark, staging)
+    val retireDir = new org.apache.hadoop.fs.Path(
+      storeDir.getParent, storeDir.getName + "_delete_retired")
+    val fs = storeDir.getFileSystem(conf)
+    fs.mkdirs(retireDir)
+    for (c <- cells) {
+      val live = new org.apache.hadoop.fs.Path(storeDir, s"cell=$c")
+      val staged = new org.apache.hadoop.fs.Path(stagingDir, s"cell=$c")
+      if (fs.exists(live))
+        require(fs.rename(live,
+          new org.apache.hadoop.fs.Path(retireDir, s"cell=$c")),
+          s"cell retire failed: $live")
+      // an emptied cell has no staged directory — it is simply gone
+      if (fs.exists(staged))
+        require(fs.rename(staged, live), s"cell swap failed: $staged")
+    }
+    graft.sources.DocumentStore.clearStale(spark, staging)
+    fs.delete(retireDir, true)
+    spark.sql(s"REFRESH TABLE $table")
+    DeleteStats(cells.toSeq, before - after)
+  }
+
   /** Per-ingest report: batch size, replayed rows skipped by id,
     * drops against the stored state, in-batch keep-first drops (the
     * sets can overlap), survivors appended, and the

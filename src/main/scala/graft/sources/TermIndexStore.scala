@@ -177,6 +177,41 @@ object TermIndexStore {
     DocumentStore.clearStale(spark, cappedTable(table))
   }
 
+  /** Takedown across all three layouts — the right-to-be-forgotten
+    * pass for the retrieval index. Order is serve-stops-first:
+    *
+    *  1. the capped companion DROPS (victim postings live in it and a
+    *     victim's removal must re-promote each term's M+1-th posting —
+    *     per-term surgery the append-only layout can't express; the
+    *     [[ingest]] discipline: read-time capping until [[compact]]
+    *     re-materializes, same results throughout);
+    *  2. the doclen rows leave (doc_id IS that table's bucket key, so
+    *     the locate is the victims' own hash) — membership is
+    *     authoritative, so from here the victim scores in NO search
+    *     (the per-doc normalization join is inner);
+    *  3. the postings rows leave through the generic locate-by-
+    *     projection pass (victims' tok buckets found by one
+    *     column-pruned (doc_id, tok) scan, rewrite O(affected
+    *     buckets)) — df is DERIVED from postings, so document
+    *     frequencies self-heal the moment this completes.
+    *
+    * A crash between 2 and 3 leaves orphaned postings that no search
+    * can score (no doclen row) but that still inflate the derived df
+    * until a re-run of the same delete — which is a no-op on the
+    * doclen side and completes the postings side — finishes the job.
+    */
+  final case class DeleteStats(doclen: DocumentStore.DeleteStats,
+    postings: DocumentStore.DeleteStats)
+
+  def deleteDocs(spark: SparkSession, table: String,
+      ids: DataFrame): DeleteStats = {
+    DocumentStore.clearStale(spark, cappedTable(table))
+    DeleteStats(
+      DocumentStore.deleteByIdKeyed(spark, doclenTable(table), "doc_id",
+        "doc_id", ids),
+      DocumentStore.deleteByIdKeyed(spark, table, "tok", "doc_id", ids))
+  }
+
   /** Per-ingest report: batch size, replayed ids (skipped or healed),
     * docs and postings appended, postings repaired into replayed
     * members (non-zero only after a doclen/postings crash window),

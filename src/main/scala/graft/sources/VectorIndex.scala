@@ -74,6 +74,22 @@ object VectorIndex {
     DocumentStore.vacuumKeyed(spark, table, "cell", expected, nBuckets)
   }
 
+  /** Takedown — the right-to-be-forgotten pass for the ANN index:
+    * victims' cell buckets are found by one column-pruned
+    * (vec_id, cell) scan (two skinny columns of the codes table —
+    * never the codes themselves), then only those buckets rewrite
+    * through the shared retire-aside-then-swap pass. Works unchanged
+    * for the rotated index (same table shape); the frozen codebooks /
+    * OPQ plan are corpus-level training artifacts and deliberately
+    * DON'T retrain on delete — the FAISS `remove_ids` contract: the
+    * index serves the kept set exactly as a fresh add-only build of
+    * it would, because search touches victims only as stored rows.
+    */
+  def deleteVecs(spark: SparkSession, table: String, ids: DataFrame,
+      nBuckets: Int = DefaultBuckets): DocumentStore.DeleteStats =
+    DocumentStore.deleteByIdKeyed(spark, table, "cell", "vec_id", ids,
+      nBuckets)
+
   /** Search the persisted index: identical semantics (and results —
     * VectorIndexSpec asserts row parity) to the inline
     * [[graft.ops.VectorOps.knnIvfPq]], but the corpus side is ONE
