@@ -679,6 +679,7 @@ object Bench {
     graft.sources.VectorIndex.ensureBuilt(spark, sfDir)
     graft.sources.VectorIndex.ensureBuiltRotated(spark, sfDir)
     graft.sources.FrameStats.ensureBuilt(spark, sfDir)
+    graft.sources.AudioStats.ensureBuilt(spark, sfDir)
     graft.sources.TermIndexStore.ensureBuilt(spark, sfDir)
     graft.streaming.ImgStream.ensureStreamedStats(spark, sfDir)
     // min of two runs per query: the first run pays JIT/codegen

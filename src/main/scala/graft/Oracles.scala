@@ -6313,6 +6313,36 @@ LEFT JOIN pr ON pr.m = l.m AND base.qid = pr.qid
 GROUP BY base.qid, l.m
 ORDER BY base.qid, l.m"""
 
+  /** Hybrid-retrieval twin of [[graft.ops.TextOps.hybridTopK]]:
+    * composes the two existing engine oracles as derived tables (the
+    * emb_recall_ladder precedent) and fuses on exact INTEGER
+    * reciprocal-rank arithmetic — lcm(61..65) = 495593280 divided by
+    * (60 + rank) is an exact BIGINT on both engines, so there is no
+    * float sum to disagree about.
+    */
+  val docHybridTopK: String = s"""
+WITH bm AS (SELECT qid, doc_id, rank AS br FROM (${bm25SqlOf(None)}) x),
+kn AS (
+  SELECT qid, neighbor AS doc_id, rank AS kr
+  FROM ($embKnnBrute) y WHERE qid < 8),
+fused AS (
+  SELECT COALESCE(bm.qid, kn.qid) AS qid,
+    COALESCE(bm.doc_id, kn.doc_id) AS doc_id,
+    COALESCE(495593280 // (60 + bm.br), 0)
+      + COALESCE(495593280 // (60 + kn.kr), 0) AS rrf,
+    bm.br, kn.kr
+  FROM bm FULL OUTER JOIN kn
+    ON bm.qid = kn.qid AND bm.doc_id = kn.doc_id)
+SELECT qid, rank, doc_id, CAST(rrf AS BIGINT) AS rrf_scaled,
+  br AS bm25_rank, kr AS knn_rank
+FROM (
+  SELECT qid, doc_id, rrf, br, kr,
+    CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id)
+      AS BIGINT) AS rank
+  FROM fused)
+WHERE rank <= 5
+ORDER BY qid, rank"""
+
   /** BPE first-merge twin of [[graft.ops.TextOps.bpePairs]]: the same
     * vocabulary-census-first expansion (pair work is vocab-sized),
     * weighted pair counts, top-50 by (weight DESC, pair).
@@ -7028,6 +7058,7 @@ ORDER BY c, rank"""
     "doc_bm25_pruned" -> docBm25Pruned,
     "doc_bm25_recall" -> docBm25Recall,
     "doc_bm25_recall_curve" -> docBm25RecallCurve,
+    "doc_hybrid_topk" -> docHybridTopK,
     "doc_bpe_pairs" -> docBpePairs,
     "doc_bpe_merge_step" -> docBpeMergeStep,
     "emb_prototype_prune" -> embPrototypePrune,
@@ -7159,6 +7190,10 @@ ORDER BY c, rank"""
     "img_z_profile" -> imgZProfile,
     "aud_waveform_stats" -> audWaveformStats,
     "aud_activity_windows" -> audActivityWindows,
+    // decode-once AudioStats twins: identical results (and oracles)
+    // to their inline operators, off the persisted integer moments
+    "aud_waveform_stats_stored" -> audWaveformStats,
+    "aud_activity_windows_stored" -> audActivityWindows,
     "vid_keyframes" -> vidKeyframes,
     "vid_scene_cuts" -> vidSceneCuts,
     "emb_ood_outliers" -> embOodOutliers,

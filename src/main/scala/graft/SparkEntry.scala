@@ -131,6 +131,7 @@ object SparkEntry {
     "doc_bm25_pruned" -> (TextOps.bm25Pruned(_, _)),
     "doc_bm25_recall" -> (TextOps.bm25Recall(_, _)),
     "doc_bm25_recall_curve" -> (TextOps.bm25RecallCurve(_, _)),
+    "doc_hybrid_topk" -> (TextOps.hybridTopK(_, _)),
     "doc_bpe_pairs" -> (TextOps.bpePairs(_, _)),
     "doc_bpe_merge_step" -> (TextOps.bpeMergeStep(_, _)),
     "doc_dup_clusters" -> (DedupOps.dupClusters(_, _)),
@@ -301,6 +302,12 @@ object SparkEntry {
     // ONE stored read (the decode-once table's clearest payoff)
     "img_dataset_qc_summary" ->
       (graft.sources.FrameStats.datasetQcSummary(_, _)),
+    // decode-once AudioStats twins: the two audio QCs off ONE
+    // persisted WAV-decode pass (FrameStats' mold on the audio side)
+    "aud_waveform_stats_stored" ->
+      (graft.sources.AudioStats.waveformStatsStored(_, _)),
+    "aud_activity_windows_stored" ->
+      (graft.sources.AudioStats.activityWindowsStored(_, _)),
     // the streamed stats store's monitoring read: per-(dataset, arrival
     // batch) mean intensity vs the cumulative prior mean, decode-free
     "img_stats_drift" ->

@@ -83,8 +83,21 @@ object BinaryAudio {
     * hex-arithmetic oracle recomputes the planted samples without
     * touching a WAV byte.
     */
-  def waveformStats(spark: SparkSession, dir: String): DataFrame = {
-    val feats = decodeClips(spark, withAudioPayload(spark, dir)).toDF()
+  def waveformStats(spark: SparkSession, dir: String): DataFrame =
+    waveformStatsTail(spark, dir,
+      decodeClips(spark, withAudioPayload(spark, dir)).toDF())
+
+  /** The aggregation tail of [[waveformStats]] over already-decoded
+    * clip moments — shared verbatim by the inline operator (which
+    * decodes per query) and the persisted
+    * [[graft.sources.AudioStats]] twin (which reads the moments off
+    * the decode-once table), so "same math, different source" has
+    * exactly one implementation — the [[BinaryFrames]] tail
+    * discipline on the audio side.
+    */
+  private[graft] def waveformStatsTail(spark: SparkSession, dir: String,
+      clipFeats: DataFrame): DataFrame = {
+    val feats = clipFeats
       .withColumn("dataset_id", expr("clip_id div 10"))
     feats
       .join(broadcast(ImagingModel.dataSet(spark, dir)
@@ -167,8 +180,19 @@ object BinaryAudio {
     * discipline as [[waveformStats]]: the planted samples are
     * recomputed from the sha string without touching a WAV byte.
     */
-  def activityWindows(spark: SparkSession, dir: String): DataFrame = {
-    val feats = decodeWindows(spark, withAudioPayload(spark, dir)).toDF()
+  def activityWindows(spark: SparkSession, dir: String): DataFrame =
+    activityWindowsTail(spark, dir,
+      decodeWindows(spark, withAudioPayload(spark, dir)).toDF())
+
+  /** The aggregation tail of [[activityWindows]] over already-decoded
+    * window moments — the [[waveformStatsTail]] contract for the
+    * windowed query (per-clip dynamic range re-derives from the
+    * stored integer min/max window energies, so the stored twin is
+    * bit-identical).
+    */
+  private[graft] def activityWindowsTail(spark: SparkSession,
+      dir: String, windowFeats: DataFrame): DataFrame = {
+    val feats = windowFeats
       .withColumn("dataset_id", expr("clip_id div 10"))
       .withColumn("dyn",
         sqrt(col("wmax").cast("double") / greatest(col("wmin"), lit(1L)))

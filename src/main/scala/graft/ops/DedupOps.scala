@@ -617,6 +617,30 @@ object DedupOps {
         && coalesce(col("lang_ok"), lit(false)))
   }
 
+  /** Export-ready curated corpus — the text funnel's terminal view,
+    * closing the loop the embedding side already closed
+    * ([[graft.ops.VectorOps.prunedCorpus]] ships the pruning
+    * manifest's survivors): one row per funnel document carrying its
+    * final keep verdict (stage-5 survival, exactly
+    * [[survivalFunnel]]'s `n_lang` universe), its token mass, and its
+    * source's sampling weight from the mixture plan
+    * ([[graft.ops.TextOps.mixWeights]]) — everything
+    * [[graft.sources.TrainingExport.exportCorpus]] needs to lay the
+    * curated corpus out for a trainer, and everything an auditor
+    * needs to tie the export back to the funnel row-for-row
+    * (FunnelExportSpec does exactly that). The weight join is a
+    * broadcast of the ≤|sources| mixture census; no stage is added to
+    * the funnel plan itself.
+    */
+  def funnelCorpus(spark: SparkSession, dir: String): DataFrame =
+    funnelFlags(spark, dir)
+      .join(broadcast(graft.ops.TextOps.mixWeights(spark, dir)
+        .select(col("source").as("src"), col("sampling_weight"))),
+        col("source") === col("src"))
+      .select(col("doc_id"), col("source"), col("lang"), col("text"),
+        col("n_tokens"), col("surv5").as("keep"),
+        col("sampling_weight"))
+
   /** Benchmark decontamination — the eval-set leakage scan every LLM
     * training corpus runs before release: which training docs share
     * any word-3-gram shingle with the held-out eval set (doc_id < 10

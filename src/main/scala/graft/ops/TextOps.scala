@@ -1176,6 +1176,53 @@ object TextOps {
       .orderBy("qid", "m")
   }
 
+  /** Hybrid retrieval — reciprocal-rank fusion (Cormack et al.'s RRF,
+    * the k=60 convention) of the two ranking engines this library
+    * already serves: lexical BM25 ([[bm25TopK]]) and embedding
+    * cosine kNN ([[VectorOps.knnBrute]]), over the shared anchor
+    * queries qid < 8 (the corpus's parallel id space: documents
+    * doc_id ≡ embeddings vec_id). This is the standard RAG-serving
+    * shape: neither engine's scores are comparable, so fusion runs on
+    * RANKS alone — each engine contributes 1/(60+rank) for the docs
+    * it returned, summed where both agree.
+    *
+    * Exactness: the fraction sum is carried as INTEGER arithmetic —
+    * both contributions scale by lcm(61..65) = 495593280, so
+    * 495593280 div (60+rank) is exact for every rank ≤ 5 and the
+    * fused score is a plain BIGINT both engines order identically
+    * (no float summation anywhere). Scale shape: inputs are the two
+    * engines' top-5 lists (≤ 2·5·|Q| rows by construction — the
+    * expensive work happened inside each engine, which is the point
+    * of fusion), so the full-outer merge and the final per-qid cut
+    * are driver-trivial at any corpus size.
+    */
+  def hybridTopK(spark: SparkSession, dir: String): DataFrame = {
+    val bm = bm25TopK(spark, dir)
+      .select(col("qid"), col("doc_id"), col("rank").as("br"))
+    val kn = VectorOps.knnBrute(spark, dir)
+      .filter(col("qid") < 8)
+      .select(col("qid"), col("neighbor").as("doc_id"),
+        col("rank").as("kr"))
+    val fused = bm.join(kn, Seq("qid", "doc_id"), "full_outer")
+      .select(col("qid"), col("doc_id"),
+        (coalesce(expr("495593280 div (60 + br)"), lit(0L))
+          + coalesce(expr("495593280 div (60 + kr)"), lit(0L)))
+          .as("rrf"),
+        col("br"), col("kr"))
+    // the candidate set is bounded (≤ 10 per qid) by construction, so
+    // a rank window here is partition-safe at any corpus scale — the
+    // corpus-sized ranking already happened inside each engine
+    val w = Window.partitionBy("qid")
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("doc_id"),
+        col("rrf").as("rrf_scaled"),
+        col("br").as("bm25_rank"), col("kr").as("knn_rank"))
+      .orderBy("qid", "rank")
+  }
+
   /** The shipped impact-cap operating point, picked FROM the measured
     * [[bm25RecallCurve]] on this corpus (M=256 reads 0.93 recall of
     * the exact top-5; the former M=64 sat at 0.28 — machinery right,

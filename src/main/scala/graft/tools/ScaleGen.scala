@@ -43,7 +43,30 @@ object ScaleGen {
     replicate("orders", Map("o_orderkey" -> keySpan))
     replicate("lineitem", Map("l_orderkey" -> keySpan))
     replicate("events", Map("event_id" -> 10000000L, "user_id" -> 10000L))
-    replicate("documents", Map("doc_id" -> 10000L))
+    // documents replicate PERTURBED (copy 0 stays exact) — the text
+    // twin of the embedding sinusoid below: an exact replica collapses
+    // into its source's digest group at the FIRST (exact-dedup) stage,
+    // so at 10x/30x the near-dup machinery (LSH bands, containment,
+    // MinHashStore probes) would measure a degenerate regime where the
+    // interesting near-but-not-exact load never grows with scale. A
+    // single token DROPPED at a per-(doc, copy) hashed position keeps
+    // each replica a NEAR duplicate of its source: distinct digest
+    // (exact dedup can't absorb it), 3-gram shingle Jaccard ~ (n-5)/n
+    // (over the LSH confirm threshold for long docs, naturally below
+    // it for short ones), so banding recall keeps sub-1.0 signal and
+    // candidate volume scales with the corpus.
+    val docBase = spark.read.parquet(s"$src/documents.parquet")
+    (0 until copies).map { i =>
+      val keyed = docBase.withColumn("doc_id", col("doc_id") + lit(i * 10000L))
+      if (i == 0) keyed
+      else keyed.withColumn("text", expr(
+        s"""array_join(
+              filter(split(text, ' '),
+                (x, j) -> j != pmod(doc_id * 2654435761 + $i * 40503,
+                                    greatest(size(split(text, ' ')), 1))),
+              ' ')"""))
+    }.reduce(_ unionByName _)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
     // embeddings replicate PERTURBED (copy 0 stays exact): an exact
     // replica lands in its anchor's own cell by construction, which
     // saturates the recall audits (emb_knn_graph_recall /

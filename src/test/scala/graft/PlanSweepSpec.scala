@@ -26,6 +26,11 @@ class PlanSweepSpec extends AnyFunSuite {
                            // the layout removes the exchanges, the
                            // join strategy still prints as SMJ
     "doc_bm25_pruned_stored", // the impact-capped read, same layout
+    "doc_hybrid_topk",     // inherits the bm25 census joins; the RRF
+                           // full-outer merge of the two ≤5·|Q|-row
+                           // engine outputs is also SMJ (full outer
+                           // cannot broadcast) — bounded by
+                           // construction, never corpus-sized
     "doc_nb_lang",         // tf ⋈ model on token (vocabulary-keyed
                            // censuses both sides, the bm25/dsir shape)
                            // and spine ⋈ evidence on (doc_id, class):
@@ -183,6 +188,10 @@ class PlanSweepSpec extends AnyFunSuite {
     "doc_bm25_topk_stored", // inherits doc_bm25_topk's one-row
                       // (n_docs, avgdl) census cross joins
     "doc_bm25_pruned_stored", // same inherited census cross joins
+    "doc_hybrid_topk", // inherits doc_bm25_topk's one-row census
+                      // cross joins and emb_knn_brute's tiny-query
+                      // <> scan — fusion adds no join of its own
+                      // beyond the bounded full-outer rank merge
     "doc_nb_lang",    // class-census (5-row) + one-row vocab-total
                       // cross joins in the NB constants
     "doc_survival_funnel", // the r12 classifier gate inherits
