@@ -570,6 +570,20 @@ object Bench {
     }
   }
 
+  private def audioStatsBuildBench(spark: SparkSession,
+      sfDir: String): Double = {
+    val run = java.lang.Long.toHexString(System.nanoTime())
+    val table = s"graft_bench_audiostats_$run"
+    try {
+      val t0 = System.nanoTime()
+      graft.sources.AudioStats.write(spark, sfDir, table)
+      (System.nanoTime() - t0) / 1e9
+    } finally {
+      scala.util.Try(graft.sources.DocumentStore.clearStale(spark, table))
+      ()
+    }
+  }
+
   private def s3FramesBench(spark: SparkSession, sfDir: String): Double = {
     import org.apache.spark.sql.functions.xxhash64
     val base = sfDir.reverse.takeWhile(_ != '/').reverse
@@ -809,6 +823,18 @@ object Bench {
           && v > 0.5)
         regressed += (("frame_stats_build", p, v))
     }
+    // the audio decode-once build, timed explicitly — the one fused
+    // decode the two aud_*_stored reads amortize
+    val audioStatsTime =
+      if (!only.forall(_.contains("audio_stats_build"))) None
+      else scala.util.Try(
+        Seq(audioStatsBuildBench(spark, sfDir),
+          audioStatsBuildBench(spark, sfDir)).min).toOption
+    audioStatsTime.foreach { v =>
+      for (p <- prior.get("audio_stats_build") if p > 0 && v > p * 2
+          && v > 0.5)
+        regressed += (("audio_stats_build", p, v))
+    }
     val s3Time =
       if (!only.forall(_.contains("s3_frames_read"))) None
       else scala.util.Try(
@@ -820,7 +846,8 @@ object Bench {
     }
     val all = results ++ streams.map { case (k, v) => k -> v._1 } ++
       s3Time.map("s3_frames_read" -> _) ++
-      frameStatsTime.map("frame_stats_build" -> _)
+      frameStatsTime.map("frame_stats_build" -> _) ++
+      audioStatsTime.map("audio_stats_build" -> _)
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // bounded-state evidence per stream entry: total state rows and
