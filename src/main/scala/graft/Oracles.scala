@@ -6320,11 +6320,11 @@ ORDER BY base.qid, l.m"""
     * (60 + rank) is an exact BIGINT on both engines, so there is no
     * float sum to disagree about.
     */
-  val docHybridTopK: String = s"""
-WITH bm AS (SELECT qid, doc_id, rank AS br FROM (${bm25SqlOf(None)}) x),
+  private def hybridSqlOf(bmSql: String, knSql: String): String = s"""
+WITH bm AS (SELECT qid, doc_id, rank AS br FROM ($bmSql) x),
 kn AS (
   SELECT qid, neighbor AS doc_id, rank AS kr
-  FROM ($embKnnBrute) y WHERE qid < 8),
+  FROM ($knSql) y WHERE qid < 8),
 fused AS (
   SELECT COALESCE(bm.qid, kn.qid) AS qid,
     COALESCE(bm.doc_id, kn.doc_id) AS doc_id,
@@ -6342,6 +6342,28 @@ FROM (
   FROM fused)
 WHERE rank <= 5
 ORDER BY qid, rank"""
+
+  val docHybridTopK: String = hybridSqlOf(bm25SqlOf(None), embKnnBrute)
+
+  /** The scale-path hybrid: both engine oracles swapped for their
+    * approximations (impact-capped BM25 at the recorded M=256, the
+    * 4-probe IVF kNN) under the identical fusion SQL.
+    */
+  val docHybridIvf: String =
+    hybridSqlOf(bm25SqlOf(Some(256)), embKnnIvf)
+
+  /** Fused-list recall twin of [[graft.ops.TextOps.hybridRecall]]. */
+  val docHybridRecall: String = s"""
+WITH base AS (SELECT qid, doc_id FROM ($docHybridTopK) b),
+pr AS (SELECT qid, doc_id FROM ($docHybridIvf) p)
+SELECT base.qid,
+  CAST(count(pr.doc_id) AS BIGINT) AS n_hits,
+  CAST(count(*) AS BIGINT) AS k,
+  round(CAST(count(pr.doc_id) AS DOUBLE) / count(*), 4) AS recall
+FROM base
+LEFT JOIN pr ON base.qid = pr.qid AND base.doc_id = pr.doc_id
+GROUP BY base.qid
+ORDER BY base.qid"""
 
   /** BPE first-merge twin of [[graft.ops.TextOps.bpePairs]]: the same
     * vocabulary-census-first expansion (pair work is vocab-sized),
@@ -7059,6 +7081,8 @@ ORDER BY c, rank"""
     "doc_bm25_recall" -> docBm25Recall,
     "doc_bm25_recall_curve" -> docBm25RecallCurve,
     "doc_hybrid_topk" -> docHybridTopK,
+    "doc_hybrid_ivf" -> docHybridIvf,
+    "doc_hybrid_recall" -> docHybridRecall,
     "doc_bpe_pairs" -> docBpePairs,
     "doc_bpe_merge_step" -> docBpeMergeStep,
     "emb_prototype_prune" -> embPrototypePrune,

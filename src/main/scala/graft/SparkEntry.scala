@@ -132,6 +132,8 @@ object SparkEntry {
     "doc_bm25_recall" -> (TextOps.bm25Recall(_, _)),
     "doc_bm25_recall_curve" -> (TextOps.bm25RecallCurve(_, _)),
     "doc_hybrid_topk" -> (TextOps.hybridTopK(_, _)),
+    "doc_hybrid_ivf" -> (TextOps.hybridTopKIvf(_, _)),
+    "doc_hybrid_recall" -> (TextOps.hybridRecall(_, _)),
     "doc_bpe_pairs" -> (TextOps.bpePairs(_, _)),
     "doc_bpe_merge_step" -> (TextOps.bpeMergeStep(_, _)),
     "doc_dup_clusters" -> (DedupOps.dupClusters(_, _)),

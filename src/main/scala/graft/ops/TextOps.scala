@@ -1196,22 +1196,68 @@ object TextOps {
     * of fusion), so the full-outer merge and the final per-qid cut
     * are driver-trivial at any corpus size.
     */
-  def hybridTopK(spark: SparkSession, dir: String): DataFrame = {
-    val bm = bm25TopK(spark, dir)
-      .select(col("qid"), col("doc_id"), col("rank").as("br"))
-    val kn = VectorOps.knnBrute(spark, dir)
-      .filter(col("qid") < 8)
-      .select(col("qid"), col("neighbor").as("doc_id"),
-        col("rank").as("kr"))
+  def hybridTopK(spark: SparkSession, dir: String): DataFrame =
+    rrfFuse(
+      bm25TopK(spark, dir)
+        .select(col("qid"), col("doc_id"), col("rank").as("br")),
+      VectorOps.knnBrute(spark, dir)
+        .filter(col("qid") < 8)
+        .select(col("qid"), col("neighbor").as("doc_id"),
+          col("rank").as("kr")))
+
+  /** The 100 TB SERVING twin of [[hybridTopK]] — both engines swapped
+    * for their committed scale paths: impact-capped BM25
+    * ([[bm25Pruned]], the M=256 operating point; in a deployment this
+    * side reads the [[graft.sources.TermIndexStore]] capped
+    * companion) and IVF-probed kNN ([[VectorOps.knnIvf]], 4-cell
+    * probe instead of the N-scan). Fusion itself is unchanged — RRF
+    * only sees ranks, which is exactly why swapping engines under it
+    * is safe; [[hybridRecall]] grades what the two approximations
+    * cost the FUSED list.
+    */
+  def hybridTopKIvf(spark: SparkSession, dir: String): DataFrame =
+    rrfFuse(
+      bm25Pruned(spark, dir)
+        .select(col("qid"), col("doc_id"), col("rank").as("br")),
+      VectorOps.knnIvf(spark, dir)
+        .filter(col("qid") < 8)
+        .select(col("qid"), col("neighbor").as("doc_id"),
+          col("rank").as("kr")))
+
+  /** Recall audit of the scale-path hybrid vs the exact hybrid per
+    * query — the emb_ann_recall / bm25_recall discipline applied to
+    * the FUSED list (the number a RAG deployment actually serves):
+    * of the exact top-5 fusion, how many the pruned+probed fusion
+    * reproduces.
+    */
+  def hybridRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = hybridTopK(spark, dir).select(col("qid"), col("doc_id"))
+    val approx = hybridTopKIvf(spark, dir)
+      .select(col("qid").as("pqid"), col("doc_id").as("pdoc"))
+    exact.join(approx,
+        col("qid") === col("pqid") && col("doc_id") === col("pdoc"),
+        "left")
+      .groupBy("qid")
+      .agg(count(col("pdoc")).as("n_hits"), count(lit(1)).as("k"))
+      .select(col("qid"), col("n_hits"), col("k"),
+        round(col("n_hits").cast("double") / col("k"), 4).as("recall"))
+      .orderBy("qid")
+  }
+
+  /** The RRF fusion tail shared by the exact and scale-path hybrids:
+    * full-outer merge of the two engines' (qid, doc_id, rank) lists,
+    * exact-integer 1/(60+rank) sum, top-5 by (rrf DESC, doc_id). The
+    * candidate set is bounded (≤ 10 per qid) by construction, so the
+    * rank window is partition-safe at any corpus scale — the
+    * corpus-sized ranking already happened inside each engine.
+    */
+  private def rrfFuse(bm: DataFrame, kn: DataFrame): DataFrame = {
     val fused = bm.join(kn, Seq("qid", "doc_id"), "full_outer")
       .select(col("qid"), col("doc_id"),
         (coalesce(expr("495593280 div (60 + br)"), lit(0L))
           + coalesce(expr("495593280 div (60 + kr)"), lit(0L)))
           .as("rrf"),
         col("br"), col("kr"))
-    // the candidate set is bounded (≤ 10 per qid) by construction, so
-    // a rank window here is partition-safe at any corpus scale — the
-    // corpus-sized ranking already happened inside each engine
     val w = Window.partitionBy("qid")
       .orderBy(col("rrf").desc, col("doc_id"))
     fused

@@ -31,6 +31,9 @@ class PlanSweepSpec extends AnyFunSuite {
                            // engine outputs is also SMJ (full outer
                            // cannot broadcast) — bounded by
                            // construction, never corpus-sized
+    "doc_hybrid_ivf",      // the scale-path hybrid inherits the same
+                           // pruned-bm25 censuses + bounded RRF merge
+    "doc_hybrid_recall",   // composes both hybrids, inherits both
     "doc_nb_lang",         // tf ⋈ model on token (vocabulary-keyed
                            // censuses both sides, the bm25/dsir shape)
                            // and spine ⋈ evidence on (doc_id, class):
@@ -192,6 +195,9 @@ class PlanSweepSpec extends AnyFunSuite {
                       // cross joins and emb_knn_brute's tiny-query
                       // <> scan — fusion adds no join of its own
                       // beyond the bounded full-outer rank merge
+    "doc_hybrid_ivf", // the scale-path twin inherits doc_bm25_pruned
+                      // + emb_knn_ivf's centroid cross joins
+    "doc_hybrid_recall", // composes both hybrids, inherits both
     "doc_nb_lang",    // class-census (5-row) + one-row vocab-total
                       // cross joins in the NB constants
     "doc_survival_funnel", // the r12 classifier gate inherits
