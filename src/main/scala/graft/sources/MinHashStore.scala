@@ -115,13 +115,21 @@ object MinHashStore {
     * survivor yields exactly the from-scratch build of (stored minus
     * victims) — the remaining docs were already mutually non-dup, and
     * a document once dropped against a victim is gone from the store
-    * by construction (an ingest-time drop is not an index row). A
-    * crash between the two rewrites leaves victim band rows pointing
-    * at a removed doc; they are unreachable through [[ingest]]'s
-    * probe (candidates confirm against stored TEXT, which is gone)
-    * and a re-run of the same delete completes the cleanup — the pass
-    * is idempotent, though the band-side locate needs the derived
-    * keys, so the doc rows leave LAST.
+    * by construction (an ingest-time drop is not an index row). Order:
+    * the BAND rows rewrite first and the doc rows leave LAST, because
+    * the band-side locate derives its keys from the victims' stored
+    * text — deleting the doc rows first would orphan band rows with no
+    * way to find them. A crash between the two rewrites therefore
+    * leaves victim DOC rows present with their band rows already gone:
+    * no search can return the victim's bands, but the victim also no
+    * longer GUARDS its text — an [[ingest]] batch carrying a near-dup
+    * of the victim in that window finds no band candidates and admits
+    * it as a fresh survivor beside the still-stored victim row, a
+    * state a from-scratch build of (stored minus victims) never
+    * produces. A re-run of the same delete completes the cleanup
+    * (the doc-side pass is idempotent); callers for whom the window
+    * matters should quiesce ingest across the delete, exactly as a
+    * FAISS deployment quiesces adds across remove_ids.
     */
   final case class DeleteStats(docs: DocumentStore.DeleteStats,
     bandBuckets: Seq[Int], bandRowsRemoved: Long)

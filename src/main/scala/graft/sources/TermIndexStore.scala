@@ -81,9 +81,29 @@ object TermIndexStore {
     else {
       val in = fs.open(p)
       try {
+        // read to EOF, never a single read(): InputStream.read may
+        // legally return a short read (e.g. "2" of "256"), which would
+        // misparse M and silently serve a wrong cap — the marker is
+        // <32 bytes, so loop until the stream is drained
         val buf = new Array[Byte](32)
-        val n = in.read(buf)
-        Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim.toInt)
+        var off = 0
+        var r = in.read(buf, off, buf.length - off)
+        while (r > 0 && off + r < buf.length) {
+          off += r
+          r = in.read(buf, off, buf.length - off)
+        }
+        if (r > 0) off += r
+        val text = new String(buf, 0, off, "UTF-8").trim
+        // a corrupt marker must fail LOUDLY, not throw a bare
+        // NumberFormatException three frames deep or fall back to a
+        // default that silently diverges from the materialized caps
+        scala.util.Try(text.toInt).toOption match {
+          case some @ Some(_) => some
+          case None => throw new IllegalStateException(
+            s"corrupt $MMarker marker for $table: '$text' is not an " +
+              "int — the capped companion's layout M is unknowable; " +
+              "rebuild the store or restore the marker")
+        }
       } finally in.close()
     }
   }

@@ -54,17 +54,24 @@ object ScaleGen {
     // (exact dedup can't absorb it), 3-gram shingle Jaccard ~ (n-5)/n
     // (over the LSH confirm threshold for long docs, naturally below
     // it for short ones), so banding recall keeps sub-1.0 signal and
-    // candidate volume scales with the corpus.
+    // candidate volume scales with the corpus. DEGENERATE docs (≤1
+    // token) can't drop a token without collapsing every copy to the
+    // empty string — identical digests across copies, exactly the
+    // exact-dup degeneracy the perturbation exists to avoid — so they
+    // APPEND a per-copy token instead: digest stays distinct per copy,
+    // the replica stays a near (not exact) duplicate of its source.
     val docBase = spark.read.parquet(s"$src/documents.parquet")
     (0 until copies).map { i =>
       val keyed = docBase.withColumn("doc_id", col("doc_id") + lit(i * 10000L))
       if (i == 0) keyed
       else keyed.withColumn("text", expr(
-        s"""array_join(
-              filter(split(text, ' '),
-                (x, j) -> j != pmod(doc_id * 2654435761 + $i * 40503,
-                                    greatest(size(split(text, ' ')), 1))),
-              ' ')"""))
+        s"""CASE WHEN size(split(text, ' ')) > 1 THEN
+              array_join(
+                filter(split(text, ' '),
+                  (x, j) -> j != pmod(doc_id * 2654435761 + $i * 40503,
+                                      size(split(text, ' ')))),
+                ' ')
+            ELSE concat(text, ' c$i') END"""))
     }.reduce(_ unionByName _)
       .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
     // embeddings replicate PERTURBED (copy 0 stays exact): an exact
