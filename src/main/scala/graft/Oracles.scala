@@ -6352,6 +6352,15 @@ ORDER BY qid, rank"""
   val docHybridIvf: String =
     hybridSqlOf(bm25SqlOf(Some(256)), embKnnIvf)
 
+  /** The stored-engine hybrid twin of
+    * [[graft.ops.TextOps.hybridTopKStored]]: the same fusion SQL over
+    * the two persisted engines' oracles — the capped BM25 at the
+    * recorded M=256 (what the TermIndexStore companion serves) and
+    * the IVF+PQ ADC search (what the VectorIndex codes table serves).
+    */
+  val docHybridStored: String =
+    hybridSqlOf(bm25SqlOf(Some(256)), embKnnIvfPq)
+
   /** Fused-list recall twin of [[graft.ops.TextOps.hybridRecall]]. */
   val docHybridRecall: String = s"""
 WITH base AS (SELECT qid, doc_id FROM ($docHybridTopK) b),
@@ -7082,6 +7091,7 @@ ORDER BY c, rank"""
     "doc_bm25_recall_curve" -> docBm25RecallCurve,
     "doc_hybrid_topk" -> docHybridTopK,
     "doc_hybrid_ivf" -> docHybridIvf,
+    "doc_hybrid_stored" -> docHybridStored,
     "doc_hybrid_recall" -> docHybridRecall,
     "doc_bpe_pairs" -> docBpePairs,
     "doc_bpe_merge_step" -> docBpeMergeStep,

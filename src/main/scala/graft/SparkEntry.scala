@@ -133,6 +133,7 @@ object SparkEntry {
     "doc_bm25_recall_curve" -> (TextOps.bm25RecallCurve(_, _)),
     "doc_hybrid_topk" -> (TextOps.hybridTopK(_, _)),
     "doc_hybrid_ivf" -> (TextOps.hybridTopKIvf(_, _)),
+    "doc_hybrid_stored" -> (TextOps.hybridTopKStored(_, _)),
     "doc_hybrid_recall" -> (TextOps.hybridRecall(_, _)),
     "doc_bpe_pairs" -> (TextOps.bpePairs(_, _)),
     "doc_bpe_merge_step" -> (TextOps.bpeMergeStep(_, _)),

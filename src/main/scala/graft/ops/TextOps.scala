@@ -1244,6 +1244,29 @@ object TextOps {
       .orderBy("qid")
   }
 
+  /** The DEPLOYMENT hybrid — [[hybridTopKIvf]]'s fusion served off
+    * the two PERSISTED engines: impact-capped BM25 read from the
+    * [[graft.sources.TermIndexStore]] capped companion (at the
+    * store's own recorded M) and IVF+PQ kNN read from the
+    * [[graft.sources.VectorIndex]] codes table. This is the path a
+    * RAG service actually runs — no query re-tokenizes the corpus, no
+    * query re-routes or re-encodes a vector; both engine reads are
+    * bucketed index scans and the corpus-sized work happened once, at
+    * build time. Fusion is the identical [[rrfFuse]] tail (exact
+    * integer RRF), so swapping the lexical engine's serving layout
+    * changes nothing about the fused semantics, and the vector side's
+    * PQ approximation is priced exactly where the per-engine audits
+    * (`emb_ann_recall`, `doc_bm25_recall`) already measure it.
+    */
+  def hybridTopKStored(spark: SparkSession, dir: String): DataFrame =
+    rrfFuse(
+      graft.sources.TermIndexStore.searchPrunedFor(spark, dir)
+        .select(col("qid"), col("doc_id"), col("rank").as("br")),
+      graft.sources.VectorIndex.searchFor(spark, dir)
+        .filter(col("qid") < 8)
+        .select(col("qid"), col("neighbor").as("doc_id"),
+          col("rank").as("kr")))
+
   /** The RRF fusion tail shared by the exact and scale-path hybrids:
     * full-outer merge of the two engines' (qid, doc_id, rank) lists,
     * exact-integer 1/(60+rank) sum, top-5 by (rrf DESC, doc_id). The

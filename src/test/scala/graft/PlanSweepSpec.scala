@@ -33,6 +33,9 @@ class PlanSweepSpec extends AnyFunSuite {
                            // construction, never corpus-sized
     "doc_hybrid_ivf",      // the scale-path hybrid inherits the same
                            // pruned-bm25 censuses + bounded RRF merge
+    "doc_hybrid_stored",   // the deployment hybrid: stored-bm25's
+                           // bucketed-layout censuses (SMJ strategy,
+                           // zero exchanges) + the bounded RRF merge
     "doc_hybrid_recall",   // composes both hybrids, inherits both
     "doc_nb_lang",         // tf ⋈ model on token (vocabulary-keyed
                            // censuses both sides, the bm25/dsir shape)
@@ -197,6 +200,9 @@ class PlanSweepSpec extends AnyFunSuite {
                       // beyond the bounded full-outer rank merge
     "doc_hybrid_ivf", // the scale-path twin inherits doc_bm25_pruned
                       // + emb_knn_ivf's centroid cross joins
+    "doc_hybrid_stored", // the deployment twin inherits the stored
+                      // bm25 census cross joins + the indexed-ivfpq
+                      // probe-side routing cross joins
     "doc_hybrid_recall", // composes both hybrids, inherits both
     "doc_nb_lang",    // class-census (5-row) + one-row vocab-total
                       // cross joins in the NB constants
