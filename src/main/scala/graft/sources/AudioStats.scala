@@ -129,6 +129,40 @@ object AudioStats {
       .write.bucketBy(nBuckets, "dataset_id").sortBy("dataset_id")
       .mode("append").saveAsTable(table)
 
+  /** Bucket-granular duplicate settlement — [[FrameStats.vacuum]]'s
+    * contract on the audio table: stats rows are deterministic per
+    * clip PAYLOAD, so a re-appended batch (crash between decode and
+    * the caller's ledger, a re-run ingest) lands bit-identical rows
+    * and the fix is [[DocumentStore.vacuumKeyed]]'s census-guided
+    * rewrite — only buckets whose row count disagrees with the
+    * FULL-ROW-distinct census are rebuilt. Full-row (not clip_id)
+    * distinct on purpose: the synthetic fact legitimately carries a
+    * clip id twice with DIFFERENT bytes (and so different moments) —
+    * those are two recordings and both survive; only the byte-
+    * identical replay debt settles.
+    */
+  def vacuum(spark: SparkSession, table: String,
+      nBuckets: Int = DefaultBuckets): Unit = {
+    val bucketOf = pmod(hash(col("dataset_id")), lit(nBuckets))
+    val expected = spark.table(table).dropDuplicates()
+      .groupBy(bucketOf.as("b")).agg(count(lit(1)).as("census_n"))
+    DocumentStore.vacuumKeyed(spark, table, "dataset_id", expected,
+      nBuckets)
+    ()
+  }
+
+  /** Dataset takedown — [[FrameStats.deleteDatasets]]' twin on the
+    * audio table (dataset_id IS the bucket key, so the locate is the
+    * victims' own hash and the rewrite is O(victim buckets)). The
+    * persisted moments reconstruct loudness/activity facts about the
+    * deleted clips, so a right-to-be-forgotten pass must remove them
+    * alongside the clip bytes themselves. Idempotent.
+    */
+  def deleteDatasets(spark: SparkSession, table: String, ids: DataFrame,
+      nBuckets: Int = DefaultBuckets): DocumentStore.DeleteStats =
+    DocumentStore.deleteByIdKeyed(spark, table, "dataset_id",
+      "dataset_id", ids.select("dataset_id"), nBuckets)
+
   def read(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 

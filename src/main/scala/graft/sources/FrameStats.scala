@@ -173,6 +173,21 @@ object FrameStats {
     ()
   }
 
+  /** Dataset takedown for the stats table — the EASY case of the
+    * [[DocumentStore.deleteByIdKeyed]] family: dataset_id IS the
+    * bucket key, so the locate step is the victims' own hash (no
+    * column-pruned projection scan needed) and the rewrite touches
+    * only the victims' buckets; untouched buckets' files are never
+    * opened. Stats rows are derived data, but a takedown must remove
+    * them too: the sufficient statistics reconstruct per-frame
+    * exposure/mean/histogram facts about the deleted dataset, which
+    * is exactly what a right-to-be-forgotten pass forgets. Idempotent.
+    */
+  def deleteDatasets(spark: SparkSession, table: String, ids: DataFrame,
+      nBuckets: Int = DefaultBuckets): DocumentStore.DeleteStats =
+    DocumentStore.deleteByIdKeyed(spark, table, "dataset_id",
+      "dataset_id", ids.select("dataset_id"), nBuckets)
+
   def read(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 

@@ -64,6 +64,14 @@ trait FrameStorageApi extends Serializable {
     */
   protected def checkVisible(): Unit
 
+  /** Executor-side delete primitive: remove the named object under
+    * the dataset base iff present; true when something was deleted
+    * (local: unlink the file; object store: DeleteObject on the key —
+    * both idempotent, a missing name is false, never an error).
+    */
+  protected def deleteObject(fileName: String): Boolean =
+    Files.deleteIfExists(Paths.get(getStoragePath(fileName)))
+
   /** Distributed frame upload (upload_frames, local_storage.py:85-106 /
     * s3_storage.py:72-104): every (file_name, payload) row lands as a
     * real object under the dataset base; existing names are skipped per
@@ -208,5 +216,70 @@ trait FrameStorageApi extends Serializable {
     Files.createDirectories(Paths.get(destDir))
     Files.copy(Paths.get(getStoragePath(fileName)),
       Paths.get(destDir, fileName), StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Stored frame NAMES as a DataFrame — the listing-only projection
+    * of [[readFrames]]: the binaryFile source prunes the `content`
+    * column when it isn't selected, so this is a distributed file
+    * LISTING, no payload bytes move. The delete path reads this, not
+    * [[readFrames]] — downloading a frame to delete it would be
+    * paying the takedown's dominant cost for nothing.
+    */
+  def listFrames(spark: SparkSession): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png")
+      .load(idStoragePath)
+      .select(element_at(split(col("path"), "/"), -1).as("file_name"))
+
+  /** Manifest-driven distributed blob delete — [[downloadManifest]]'s
+    * shape in reverse, and the piece a takedown legally targets: the
+    * stored PNG BYTES of the victim frames. The stored names semi-join
+    * the manifest on file_name and each match unlinks inside its
+    * partition — no driver-side file list, scaling to manifests a
+    * driver couldn't hold (a victim dataset's frame roster comes
+    * straight off the metadata store as a DataFrame). Idempotent:
+    * already-gone names count zero. Returns blobs deleted.
+    */
+  def deleteManifest(spark: SparkSession, manifest: DataFrame): Long = {
+    val self = this
+    import spark.implicits._
+    listFrames(spark)
+      .join(broadcast(manifest.select("file_name").distinct()),
+        Seq("file_name"), "left_semi")
+      .as[String]
+      .mapPartitions { rows =>
+        self.checkVisible()
+        rows.map(name => if (self.deleteObject(name)) 1L else 0L)
+      }
+      .toDF("n")
+      .agg(coalesce(sum("n"), lit(0L)))
+      .head().getLong(0)
+  }
+
+  /** Bulk dataset takedown: remove EVERY stored object under the
+    * dataset base — the whole-prefix delete a compliance pass runs
+    * when the dataset itself is the victim (local: remove the dataset
+    * directory, local_storage.py's unit of existence; object store:
+    * delete every key under the prefix, the batched DeleteObjects
+    * idiom). Driver-side walk on purpose: one dataset's blob roster
+    * is the unit of acquisition, and the surgical frame-level path
+    * ([[deleteManifest]]) is the distributed one. Returns objects
+    * removed; 0 when the dataset was never stored.
+    */
+  def deleteDatasetBlobs(): Long = {
+    val root = Paths.get(idStoragePath)
+    if (!Files.exists(root)) return 0L
+    var n = 0L
+    val stream = Files.walk(root)
+    try {
+      // children before parents (reverse path order), files counted,
+      // the emulation's materialized prefix directories just removed
+      stream.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach { p =>
+          if (Files.isRegularFile(p)) { Files.delete(p); n += 1 }
+          else Files.delete(p)
+        }
+    } finally stream.close()
+    n
   }
 }

@@ -36,6 +36,62 @@ object ImagingStore {
   def readProject(spark: SparkSession, store: String, project: String): DataFrame =
     spark.read.parquet(store).filter(col("project") === project)
 
+  /** Dataset takedown for the project-partitioned frame store — the
+    * right-to-be-forgotten pass on the reference's own unit of
+    * ownership (db_operations.py:145-166 `get_datasets`): a
+    * compliance delete names DATASETS, and a dataset lives inside
+    * exactly one project partition, so the pass is
+    * O(affected projects), never O(store):
+    *
+    *  1. locate: one column-pruned scan of (frames_global_id,
+    *     project) — two skinny columns, the payload-bearing frame
+    *     columns are never read — semi-joined with the victim ids;
+    *     the distinct-project collect is bounded by |projects|, a
+    *     facility-roster constant;
+    *  2. rewrite: survivors of ONLY the affected partitions anti-join
+    *     the victim ids and stage under `store + "_delete_staging"`
+    *     in the same partition layout and [[compact]] sort order;
+    *  3. swap: [[PartitionSwap.swap]]'s retire-aside-then-move — at
+    *     no instant is a partition's data absent from disk, an
+    *     interrupted pass recovers via the sweep that runs first,
+    *     and untouched projects' files are never opened (the spec
+    *     asserts their listings survive byte-identical).
+    *
+    * Idempotent: re-running with the same ids finds no victim rows
+    * and is a no-op. Returns frame rows removed. Blob bytes are a
+    * separate store — [[FrameStorageApi.deleteManifest]] /
+    * [[FrameStorageApi.deleteDatasetBlobs]] take the same victims to
+    * the stored PNGs themselves.
+    */
+  def deleteDatasets(spark: SparkSession, store: String,
+      ids: DataFrame): Long = {
+    val staging = store + "_delete_staging"
+    PartitionSwap.recover(spark, store, staging)
+    val victims = ids.select(col("dataset_id").as("frames_global_id"))
+    val affected = spark.read.parquet(store)
+      .select("frames_global_id", "project")
+      .join(victims, Seq("frames_global_id"), "left_semi")
+      .select("project").distinct()
+      .collect().map(_.getString(0)).sorted
+    if (affected.isEmpty) return 0L
+    val hit = spark.read.parquet(store)
+      .filter(col("project").isin(affected.toIndexedSeq: _*))
+    val before = hit.count()
+    val survivors = hit
+      .join(victims, Seq("frames_global_id"), "left_anti")
+    val after = survivors.count()
+    survivors
+      .repartition(col("project"))
+      .sortWithinPartitions("project", "frames_global_id", "channel_idx",
+        "slice_idx", "time_idx", "pos_idx")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("project")
+      .parquet(staging)
+    PartitionSwap.swap(spark, store, staging,
+      affected.toIndexedSeq.map(p => s"project=$p"))
+    before - after
+  }
+
   /** Compact a store in place-ish: rewrite each project partition into
     * ~`targetRows`-row files, sorted by (dataset, channel, slice, time,
     * pos) within each file so per-dataset reads touch few row groups

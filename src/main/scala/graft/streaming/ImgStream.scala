@@ -63,6 +63,57 @@ object ImgStream {
       project: String): DataFrame =
     readStreamed(spark, store).filter(col("project") === project)
 
+  /** Dataset takedown for the streamed LANDING dirs — the gap a
+    * compliance delete would otherwise fall through: a victim dataset
+    * deleted from the canonical [[graft.sources.ImagingStore]] layout
+    * still has rows under every `batches/batch=N/project=P` directory
+    * that landed it. Same shape as
+    * [[graft.sources.ImagingStore.deleteDatasets]] lifted to the
+    * two-level partition layout: locate the affected (batch, project)
+    * pairs by one column-pruned scan (bounded by batches × projects,
+    * both layout constants), stage survivors of ONLY those partition
+    * directories, swap through [[graft.sources.PartitionSwap]]
+    * (retire-aside-then-move, recover-first). Untouched batch/project
+    * dirs are never opened. Idempotent. Returns rows removed.
+    */
+  def deleteDatasets(spark: SparkSession, store: String,
+      ids: DataFrame): Long = {
+    val root = s"$store/batches"
+    val staging = s"$store/batches_delete_staging"
+    graft.sources.PartitionSwap.recover(spark, root, staging)
+    val victims = ids.select(col("dataset_id").as("frames_global_id"))
+    val affected = spark.read.parquet(root)
+      .select("frames_global_id", "batch", "project")
+      .join(victims, Seq("frames_global_id"), "left_semi")
+      .select(col("batch"), col("project"))
+      .distinct()
+      .collect().map(r => (r.get(0), r.getString(1)))
+      .sortBy { case (b, p) => (String.valueOf(b), p) }
+    if (affected.isEmpty) return 0L
+    // an OR of per-pair equalities on the RAW typed partition columns
+    // (bounded by batches × projects): plain equality on partition
+    // columns PRUNES — untouched partition directories never scan
+    val pairCond = affected.toIndexedSeq
+      .map { case (b, p) =>
+        col("batch") === lit(b) && col("project") === p }
+      .reduce(_ || _)
+    val hit = spark.read.parquet(root).filter(pairCond)
+    val before = hit.count()
+    val survivors = hit.join(victims, Seq("frames_global_id"), "left_anti")
+    val after = survivors.count()
+    survivors
+      .repartition(col("batch"), col("project"))
+      .sortWithinPartitions("batch", "project", "frames_global_id",
+        "channel_idx", "slice_idx", "time_idx", "pos_idx")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("batch", "project")
+      .parquet(staging)
+    graft.sources.PartitionSwap.swap(spark, root, staging,
+      affected.toIndexedSeq
+        .map { case (b, p) => s"batch=${String.valueOf(b)}/project=$p" })
+    before - after
+  }
+
   /** Decode-once ON ARRIVAL: land one micro-batch of frame rows as
     * persisted [[graft.sources.FrameStats]] sufficient statistics —
     * the streaming counterpart of the batch `FrameStats` build. Each
@@ -103,6 +154,43 @@ object ImgStream {
     */
   def readStats(spark: SparkSession, statsStore: String): DataFrame =
     spark.read.parquet(s"$statsStore/batches").drop("batch")
+
+  /** Dataset takedown for the streamed STATS dirs — the QC moments of
+    * a deleted dataset reconstruct per-frame exposure facts about it,
+    * so they leave with the frames. Layout here is one level
+    * (`batches/batch=N` holds stats rows directly), so the affected
+    * unit is the batch directory: locate by one column-pruned
+    * (dataset_id, batch) scan, stage survivors of only those batches,
+    * swap through [[graft.sources.PartitionSwap]]. Idempotent.
+    * Returns rows removed.
+    */
+  def deleteStatsDatasets(spark: SparkSession, statsStore: String,
+      ids: DataFrame): Long = {
+    val root = s"$statsStore/batches"
+    val staging = s"$statsStore/batches_delete_staging"
+    graft.sources.PartitionSwap.recover(spark, root, staging)
+    val victims = ids.select("dataset_id")
+    val affected = spark.read.parquet(root)
+      .select("dataset_id", "batch")
+      .join(victims, Seq("dataset_id"), "left_semi")
+      .select(col("batch")).distinct()
+      .collect().map(_.get(0)).sortBy(String.valueOf(_))
+    if (affected.isEmpty) return 0L
+    val hit = spark.read.parquet(root)
+      .filter(affected.toIndexedSeq.map(b => col("batch") === lit(b))
+        .reduce(_ || _))
+    val before = hit.count()
+    val survivors = hit.join(victims, Seq("dataset_id"), "left_anti")
+    val after = survivors.count()
+    survivors
+      .repartition(col("batch"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("batch")
+      .parquet(staging)
+    graft.sources.PartitionSwap.swap(spark, root, staging,
+      affected.toIndexedSeq.map(b => s"batch=${String.valueOf(b)}"))
+    before - after
+  }
 
   /** Acquisition-drift report over the streamed stats store — the
     * monitoring read an imaging facility runs after every ingest

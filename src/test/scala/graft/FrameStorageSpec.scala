@@ -134,6 +134,41 @@ abstract class FrameStorageContract extends AnyFunSuite {
     assert(st.downloadManifest(spark, manifest, dest2) === 2L)
     assert(Files.list(Paths.get(dest2)).count() === 2L)
   }
+
+  test(s"[$backend] takedown deletes exactly the manifest's blobs; " +
+      "the bulk pass empties the dataset prefix") {
+    val m = mount()
+    val (framed, dsId) = oneDataset()
+    val st = mkStorage(m, s"raw_frames/$dsId")
+    st.uploadFrames(framed)
+    val names = st.listFrames(spark).orderBy("file_name")
+      .collect().map(_.getString(0))
+    assert(names.length >= 6)
+    val (victims, kept) = names.splitAt(2)
+    // survivors' bytes snapshot BEFORE the delete
+    val keptBytes = kept.map(n =>
+      n -> Files.readAllBytes(Paths.get(st.getStoragePath(n))).toSeq)
+    import spark.implicits._
+    val manifest = victims.toSeq.toDF("file_name")
+    assert(st.deleteManifest(spark, manifest) === victims.length.toLong)
+    // the blob dir holds no victim frame — the compliance check
+    for (v <- victims)
+      assert(!Files.exists(Paths.get(st.getStoragePath(v))),
+        s"victim blob $v survived the takedown")
+    // survivors byte-identical, nothing else touched
+    for ((n, bytes) <- keptBytes)
+      assert(Files.readAllBytes(Paths.get(st.getStoragePath(n))).toSeq
+        === bytes, s"survivor blob $n changed")
+    assert(st.listFrames(spark).count() === kept.length.toLong)
+    // idempotent: the same manifest deletes nothing the second time
+    assert(st.deleteManifest(spark, manifest) === 0L)
+    // bulk dataset takedown: every remaining object under the prefix
+    // leaves, and the dataset id is free to re-acquire (the
+    // assertUniqueId guard passes again — forget-then-reaccept)
+    assert(st.deleteDatasetBlobs() === kept.length.toLong)
+    st.assertUniqueId()
+    assert(st.deleteDatasetBlobs() === 0L)
+  }
 }
 
 class FrameStorageSpec extends FrameStorageContract {
