@@ -462,6 +462,45 @@ object Bench {
     }
   }
 
+  /** Streaming decode-once AUDIO stats ingest throughput: the clip
+    * corpus drained through [[graft.streaming.AudStream.ingestStats]]
+    * in four micro-batches — each clip pays its ONE fused WAV decode
+    * at arrival and lands as [[graft.sources.AudioStats]] moments in
+    * batch-scoped parquet. Source files carry the encoded payloads
+    * (clips arrive as bytes from the recorder); encoding them is
+    * setup, not timed.
+    */
+  private def streamAudioStatsBench(spark: SparkSession,
+      sfDir: String): (Double, Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("graft_bench_aui")
+    try {
+      val src = base.resolve("src").toString
+      val ckpt = base.resolve("ckpt").toString
+      val store = base.resolve("st").toString
+      val c = graft.multimodal.BinaryAudio.withAudioPayload(spark, sfDir)
+      val n = c.count()
+      (0 until 4).foreach(i => c.filter(col("clip_id") % 4 === i)
+        .coalesce(1).write.parquet(s"$src/c$i.parquet"))
+      val t0 = System.nanoTime()
+      val source = spark.readStream.schema(c.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*.parquet")
+      val q = graft.streaming.AudStream
+        .ingestStats(spark, source, store, ckpt)
+      if (!q.awaitTermination(300000L)) { q.stop(); sys.error("stream timeout") }
+      val dt = (System.nanoTime() - t0) / 1e9
+      require(
+        graft.streaming.AudStream.readStats(spark, store).count() == n,
+        "streamed audio stats dropped rows")
+      val st = stateMetrics(q)
+      (dt, st._1, st._2)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+      ()
+    }
+  }
+
   /** Streaming decode-once stats ingest throughput: the frame corpus
     * drained through [[graft.streaming.ImgStream.ingestStats]] in
     * four micro-batches — each frame pays its PNG decode exactly once
@@ -789,6 +828,8 @@ object Bench {
       minOk((1 to 2).map(_ => () => streamTermIndexBench(spark, sfDir))) }
     val fsIngestTime = ifOn("stream_framestats_ingest") {
       minOk((1 to 2).map(_ => () => streamFrameStatsBench(spark, sfDir))) }
+    val auIngestTime = ifOn("stream_audiostats_ingest") {
+      minOk((1 to 2).map(_ => () => streamAudioStatsBench(spark, sfDir))) }
     val streams = Seq(
       "stream_events_window" -> streamTime,
       "stream_sliding" -> slidingTime,
@@ -803,7 +844,8 @@ object Bench {
       "stream_semdedup_ingest" -> semDedupIngestTime,
       "stream_neardedup_ingest" -> nearDedupIngestTime,
       "stream_bm25_ingest" -> termIndexIngestTime,
-      "stream_framestats_ingest" -> fsIngestTime)
+      "stream_framestats_ingest" -> fsIngestTime,
+      "stream_audiostats_ingest" -> auIngestTime)
       .collect { case (k, Some(v)) => k -> v }
     // stream entries already take min-of-2 full drains (expensive); the
     // cross-run canary flags them without extra re-runs
