@@ -1274,7 +1274,7 @@ object TextOps {
     * rank window is partition-safe at any corpus scale — the
     * corpus-sized ranking already happened inside each engine.
     */
-  private def rrfFuse(bm: DataFrame, kn: DataFrame): DataFrame = {
+  private[graft] def rrfFuse(bm: DataFrame, kn: DataFrame): DataFrame = {
     val fused = bm.join(kn, Seq("qid", "doc_id"), "full_outer")
       .select(col("qid"), col("doc_id"),
         (coalesce(expr("495593280 div (60 + br)"), lit(0L))
@@ -1387,17 +1387,23 @@ object TextOps {
       .groupBy(keys.map(col): _*)
       .agg(sum(col("c")).as("s"))
 
-  private[graft] def bm25From(tf: DataFrame, df_ : DataFrame,
-      dl: DataFrame, cap: Option[Int]): DataFrame = {
-    // counts round-trip the aggregate's double score exactly (< 2^53)
-    val postings = cap.fold(tf)(m => tf.groupBy("tok")
+  /** Read-time impact capping: each term's top-`m` postings by
+    * (tf DESC, doc_id) off the bounded top-k aggregate — the fallback
+    * the stored index uses between an ingest and the next compaction,
+    * and the cap [[bm25From]] applies inline. Counts round-trip the
+    * aggregate's double score exactly (< 2^53).
+    */
+  private[graft] def cappedPostings(tf: DataFrame, m: Int): DataFrame =
+    tf.groupBy("tok")
       .agg(graft.functions.TopKByScore
         .topk(col("tf").cast("double"), col("doc_id"), m).as("top"))
       .select(col("tok"), explode(col("top")).as("t"))
       .select(col("tok"), col("t.id").as("doc_id"),
-        col("t.score").cast("bigint").as("tf")))
-    bm25Serve(tf, postings, df_, dl)
-  }
+        col("t.score").cast("bigint").as("tf"))
+
+  private[graft] def bm25From(tf: DataFrame, df_ : DataFrame,
+      dl: DataFrame, cap: Option[Int]): DataFrame =
+    bm25Serve(tf, cap.fold(tf)(m => cappedPostings(tf, m)), df_, dl)
 
   /** The serving tail split from the cap: anchor queries derive from
     * `tfAnchors` (the FULL postings — the oracle's anchor definition)
@@ -1431,6 +1437,51 @@ object TextOps {
         col("t.id").as("doc_id"),
         round(col("t.score"), 6).as("score"))
       .orderBy("qid", "rank")
+  }
+
+  /** FREE-TEXT BM25 over already-materialized index parts — the
+    * scoring face of [[graft.sources.Retrieval]]: the query is an
+    * arbitrary string, tokenized with the store's OWN tokenizer
+    * (lowercase, split-on-space, empties dropped — parity with
+    * [[graft.sources.TermIndexStore.tfOf]] is what makes facade
+    * results comparable to the anchor-audited family), deduplicated
+    * into a broadcast (qid = -1, tok) frame, and scored through the
+    * shared [[bm25ScoredFrom]] chain (same Okapi contribution, same
+    * DECIMAL-exact sum). qid = -1 so the anchor path's self-exclusion
+    * can never fire — a free query has no corpus identity to exclude.
+    * Ranking rides the bounded top-k aggregate. An all-unknown (or
+    * empty) query returns zero rows, the inverted index's honest
+    * answer.
+    */
+  private[graft] def bm25SearchText(postings: DataFrame,
+      df_ : DataFrame, dl: DataFrame, queryText: String,
+      k: Int): DataFrame = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val toks = queryText.toLowerCase.split(' ').toSeq
+      .filter(_.nonEmpty).distinct
+    val qterms = toks.map(t => (-1L, t)).toDF("qid", "tok")
+    val glob = bm25Glob(dl)
+    val scored = bm25ScoredFrom(postings, qterms, df_, dl, glob,
+      Seq("qid", "doc_id"))
+    scored
+      .groupBy("qid")
+      .agg(graft.functions.TopKByScore
+        .topk(col("s").cast("double"), col("doc_id"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("p", "t")))
+      .select(col("qid"), (col("p") + 1).cast("bigint").as("rank"),
+        col("t.id").as("doc_id"), round(col("t.score"), 6).as("score"))
+      .orderBy("rank")
+  }
+
+  /** The anchor queries' term sets off the inline index parts —
+    * exposed for the facade spec, which proves [[bm25SearchText]] on
+    * an anchor's own terms reproduces the anchor-audited ranking.
+    */
+  private[graft] def bm25AnchorTerms(spark: SparkSession,
+      dir: String): DataFrame = {
+    val (tf, df_, dl) = bm25Parts(spark, dir)
+    bm25QTerms(tf, df_, bm25Glob(dl))
   }
 
   /** BPE iteration 2 — the census AFTER applying the first merge,

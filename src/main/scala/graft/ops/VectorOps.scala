@@ -1929,26 +1929,41 @@ object VectorOps {
       .select(col("vec_id"), col("mn.ccid").as("cell"))
 
   /** Probe side: 4 nearest cells per query — 10 queries, window fine. */
-  private def probeCells(e: DataFrame): DataFrame = {
+  /** Probed cells for an arbitrary (qid, qv) query frame against the
+    * given coarse centroids — the [[probeCells]] body parameterized
+    * so the free-query facade ([[graft.sources.Retrieval]]) probes
+    * the same 4 cells per query the anchor path does.
+    */
+  private def probeCellsOf(q: DataFrame, cents: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cdist"), col("ccid"))
-    e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      .join(broadcast(ivfCents(e)), col("ccid") =!= lit(-1))
+    q.join(broadcast(cents), col("ccid") =!= lit(-1))
       .withColumn("cdist", -cosine(col("qv"), col("ccv")))
       .withColumn("crank", row_number().over(w))
       .filter(col("crank") <= 4)
       .select(col("qid"), col("ccid").as("cell"))
   }
 
-  /** Query-to-sub-centroid ADC distance tables (|Q|×8×16 rows). */
-  private def queryDtab(e: DataFrame): DataFrame =
-    subspaces(
+  private def probeCells(e: DataFrame): DataFrame =
+    probeCellsOf(
       e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv")), "qv")
-      .join(pqCents(e), Seq("m"))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+      ivfCents(e))
+
+  /** Query-to-sub-centroid ADC distance tables (|Q|×8×16 rows) for an
+    * arbitrary (qid, qv) query frame.
+    */
+  private def queryDtabOf(q: DataFrame, cents: DataFrame): DataFrame =
+    subspaces(q, "qv")
+      .join(cents, Seq("m"))
       .withColumn("dist", subL2)
       .select("qid", "m", "cid", "dist")
+
+  private def queryDtab(e: DataFrame): DataFrame =
+    queryDtabOf(
+      e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+      pqCents(e))
 
   /** Smallest-ADC top-5 per query via the bounded ascending top-k. */
   private def adcTopK(adc: DataFrame): DataFrame =
@@ -2013,6 +2028,38 @@ object VectorOps {
       .groupBy("qid", "vec_id")
       .agg(round(sum("dist"), 6).as("adc_dist"))
     adcTopK(adc)
+  }
+
+  /** [[searchIndexOf]] for ARBITRARY query vectors — the free-query
+    * face of the persisted index ([[graft.sources.Retrieval]]'s
+    * vector engine): `queries` is any (qid, qv) frame (a RAG caller's
+    * embedded query, qid < 0 so the anchor self-exclusion can never
+    * fire), `cb` the frozen codebook source the index was built from.
+    * Identical plan shape to the anchor path: probes and distance
+    * tables broadcast (|Q|·4 and |Q|·8·16 rows), candidates are
+    * |Q|·nprobe·targetCell off the bucketed codes scan, ranking rides
+    * the bounded ascending top-k.
+    */
+  private[graft] def searchIndexQueries(queries: DataFrame,
+      cb: DataFrame, index: DataFrame, k: Int): DataFrame = {
+    val adc = index
+      .join(broadcast(probeCellsOf(queries, ivfCents(cb))), Seq("cell"))
+      .select(col("qid"), col("vec_id"), explode(col("codes")).as("c"))
+      .select(col("qid"), col("vec_id"),
+        col("c.m").as("m"), col("c.cid").as("cid"))
+      .join(broadcast(queryDtabOf(queries, pqCents(cb))),
+        Seq("qid", "m", "cid"))
+      .filter(col("qid") =!= col("vec_id"))
+      .groupBy("qid", "vec_id")
+      .agg(round(sum("dist"), 6).as("adc_dist"))
+    adc.groupBy("qid")
+      .agg(graft.functions.TopKByScore
+        .topkAsc(col("adc_dist"), col("vec_id"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("p", "t")))
+      .select(col("qid"), col("t.id").as("neighbor"),
+        col("t.score").as("adc_dist"),
+        (col("p") + 1).cast("bigint").as("rank"))
+      .orderBy("qid", "rank")
   }
 
   /** One Lloyd (k-means) iteration over the embedding corpus — the

@@ -344,6 +344,28 @@ object TermIndexStore {
     }
   }
 
+  /** FREE-TEXT search off the stored index — the parameterized face
+    * [[search]]'s anchor-audited path doesn't have: any query string,
+    * tokenized with the store's own tokenizer, scored at the store's
+    * recorded impact cap. Serving preference mirrors [[search]]:
+    * the MATERIALIZED capped companion when its marker matches the
+    * layout M, read-time capping as the post-ingest fallback — same
+    * results either way, global stats always from the full index.
+    */
+  def searchText(spark: SparkSession, table: String, queryText: String,
+      k: Int = 5): DataFrame = {
+    val full = postings(spark, table).select("doc_id", "tok", "tf")
+    val df_ = dfCensus(spark, table)
+    val dl = docLens(spark, table)
+    val m = layoutM(spark, table)
+    val capped =
+      if (recordedM(spark, table).contains(m)
+          && spark.catalog.tableExists(cappedTable(table)))
+        spark.table(cappedTable(table)).select("doc_id", "tok", "tf")
+      else graft.ops.TextOps.cappedPostings(full, m)
+    graft.ops.TextOps.bm25SearchText(capped, df_, dl, queryText, k)
+  }
+
   /** Build-once guard, session-scoped like [[FrameStats]]'s: a stale
     * table from a previous JVM is rebuilt, never trusted.
     */
