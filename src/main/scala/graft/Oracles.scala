@@ -1235,7 +1235,7 @@ ORDER BY doc1, doc2"""
     * pipeline all share one definition.
     */
   private def minhashChain(shCte: String,
-      minJaccard: Double = 0.7): String = s""", shx AS (
+      minJaccard: Double = 0.7, bandRows: Int = 4): String = s""", shx AS (
   SELECT doc_id, unnest(shset) AS s FROM $shCte
 ), base AS (
   SELECT doc_id, ('0x' || substr(md5(s), 1, 7))::BIGINT AS base FROM shx
@@ -1246,9 +1246,9 @@ ORDER BY doc1, doc2"""
   FROM base CROSS JOIN (SELECT unnest(range(64)) AS p) p
   GROUP BY doc_id, p.p
 ), bandkeys AS (
-  SELECT doc_id, p // 4 AS band,
+  SELECT doc_id, p // $bandRows AS band,
     string_agg(CAST(mh AS VARCHAR), ',' ORDER BY p) AS bh
-  FROM mins GROUP BY doc_id, p // 4
+  FROM mins GROUP BY doc_id, p // $bandRows
 ), bsz AS (
   SELECT band, bh, count(DISTINCT doc_id) AS n
   FROM bandkeys GROUP BY band, bh
@@ -1293,9 +1293,12 @@ ORDER BY doc1, doc2"""
 
   /** Twin of [[graft.ops.DedupOps.ngramJaccardBanded]]: the minhash
     * chain with the confirmation threshold dropped to 0, top-100 by
-    * (jaccard desc, doc1, doc2).
+    * (jaccard desc, doc1, doc2) — at the RANKER's recorded r=8
+    * operating point (DedupOps.RankerBandRows, the band-tune curve's
+    * answer; the ≥0.7 confirm-path oracles stay at r=4 with it).
     */
-  val docNgramBanded: String = corpusCte + minhashChain("sh", 0.0) + """
+  val docNgramBanded: String =
+    corpusCte + minhashChain("sh", 0.0, bandRows = 8) + """
 SELECT doc1, doc2, jaccard FROM pairs
 ORDER BY jaccard DESC, doc1, doc2
 LIMIT 100"""

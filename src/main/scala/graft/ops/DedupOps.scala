@@ -188,8 +188,9 @@ object DedupOps {
       .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
   }
 
-  private[graft] def minhashBuckets(source: DataFrame): DataFrame =
-    bandKeys(minhashSignatures(source), BandRows)
+  private[graft] def minhashBuckets(source: DataFrame,
+      bandRows: Int = BandRows): DataFrame =
+    bandKeys(minhashSignatures(source), bandRows)
 
   /** The distinct LSH candidate pairs (bucket-capped) — the banded
     * front half shared by [[minhashPairsOf]] and the
@@ -199,8 +200,8 @@ object DedupOps {
     * degenerate bucket of B docs would otherwise emit B² pairs.
     */
   private[graft] def minhashCandidates(source: DataFrame,
-      maxBucket: Int = 1000): DataFrame =
-    minhashBuckets(source).groupBy("band", "bh")
+      maxBucket: Int = 1000, bandRows: Int = BandRows): DataFrame =
+    minhashBuckets(source, bandRows).groupBy("band", "bh")
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
       .select(bucketPairs("ids").as("p"))
@@ -208,8 +209,8 @@ object DedupOps {
       .distinct()
 
   def minhashPairsOf(source: DataFrame, jaccardMin: Double = 0.7,
-      maxBucket: Int = 1000): DataFrame = {
-    val cand = minhashCandidates(source, maxBucket)
+      maxBucket: Int = 1000, bandRows: Int = BandRows): DataFrame = {
+    val cand = minhashCandidates(source, maxBucket, bandRows)
     // verification re-derives shingles for the tiny candidate set from
     // raw text instead of shuffling every doc's shingle array through
     // two joins — at 100 TB the full shset join would dominate the job.
@@ -907,6 +908,34 @@ object DedupOps {
       .limit(100)
   }
 
+  /** The banded RANKER's recorded operating point — (b, r, cap) =
+    * (8 bands, 8 rows/band, bucket cap 1000), picked FROM the
+    * measured [[minhashBandTune]] curve on the r14 perturbed 10×/30×
+    * replicas (the `_graft_m` discipline: the constant lives where
+    * the repo's own audit says, not where a default happened to be):
+    *
+    *  - candidate load at 30×: r=4 carries 31.13M candidate pairs,
+    *    r=8 carries 9.39M — 3.3× less verification work at the scale
+    *    where this family's growth was the repo's steepest (r13's
+    *    4.2× on 3× data was in-family d² pair growth at r=4);
+    *  - max bucket at 30×: 354 (r=8) vs 441 (r=4), both far under
+    *    the 1000 cap — the cap is a skew BACKSTOP at the measured
+    *    scale, not an active drop (zero dropped buckets);
+    *  - recall: the tune's planted-pair recall reads 100.0 at every
+    *    r (exact copies have identical signatures — they collide
+    *    under any banding), and jaccard-1.0 pairs are banding-
+    *    invariant generally, so the ranked list's head cannot move;
+    *    the top-100 agreement audit (RECALL_r14) measures the tail:
+    *    r=8's S-curve threshold 0.77 vs r=4's 0.50 only reorders
+    *    below-threshold tail pairs the 0.7-dedup path never acts on.
+    *
+    * The ≥0.7 CONFIRM path ([[minhashPairsOf]]'s default) stays at
+    * r=4: its operating point is recall at jaccard 0.7, where the
+    * 0.77-threshold S-curve genuinely loses pairs — load is bounded
+    * there by the confirm threshold instead.
+    */
+  private[graft] val RankerBandRows = 8
+
   /** Scalable banded twin of [[ngramJaccard]] — the probe path
     * beyond thresholded LSH dedup: the SAME exact word-3-gram Jaccard
     * verification, but over LSH candidate pairs instead of the
@@ -917,10 +946,12 @@ object DedupOps {
     * in the corpus, verification linear in candidates — so it IS the
     * "most similar pairs" report that still runs at 100 TB. The
     * top-100 cut compiles to a distributed TakeOrdered, never a
-    * global sort.
+    * global sort. Runs at the RANKER's recorded operating point
+    * ([[RankerBandRows]] — the measured curve's answer, see there).
     */
   def ngramJaccardBanded(spark: SparkSession, dir: String): DataFrame =
-    minhashPairsOf(corpus(spark, dir), jaccardMin = 0.0)
+    minhashPairsOf(corpus(spark, dir), jaccardMin = 0.0,
+        bandRows = RankerBandRows)
       .orderBy(col("jaccard").desc, col("doc1"), col("doc2"))
       .limit(100)
 
