@@ -6201,12 +6201,18 @@ ORDER BY method"""
     * sum (order-independent), rank ties (score DESC, doc_id).
     */
   private def bm25SqlOf(cap: Option[Int]): String = {
+    // impact capping orders by the per-posting BM25 contribution with
+    // the per-term idf factor dropped (constant within a term) — the
+    // r14 score-quantized ordering; every operand is forced DOUBLE so
+    // DuckDB's decimal-literal arithmetic cannot diverge from Spark's
     val postings = cap.fold("SELECT tok, doc_id, tf FROM tf")(m => s"""
   SELECT tok, doc_id, tf FROM (
-    SELECT tok, doc_id, tf,
-      row_number() OVER (PARTITION BY tok ORDER BY tf DESC, doc_id)
-        AS prnk
-    FROM tf)
+    SELECT t.tok, t.doc_id, t.tf,
+      row_number() OVER (PARTITION BY t.tok ORDER BY
+        CAST(t.tf AS DOUBLE) * 2.2 / (CAST(t.tf AS DOUBLE)
+          + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / g.avgdl))
+        DESC, t.doc_id) AS prnk
+    FROM tf t JOIN dl ON t.doc_id = dl.doc_id CROSS JOIN gstats g)
   WHERE prnk <= $m""")
     s"""
 WITH toks AS (
@@ -6267,9 +6273,9 @@ ORDER BY qid, rank"""
   val docBm25TopK: String = bm25SqlOf(None)
 
   /** Impact-capped twin of [[graft.ops.TextOps.bm25Pruned]]: postings
-    * per term capped at the top-256 by (tf DESC, doc_id) — the
-    * operating point the measured recall curve picks on this corpus;
-    * global statistics exact.
+    * per term capped at the top-256 by (per-posting BM25 impact DESC,
+    * doc_id) — the r14 score-quantized impact order; global
+    * statistics exact.
     */
   val docBm25Pruned: String = bm25SqlOf(Some(256))
 

@@ -1090,7 +1090,9 @@ object TextOps {
 
   /** Impact-ordered-index BM25 — the retrieval SCALE path: candidate
     * enumeration reads only each term's top-[[Bm25M]] postings by
-    * (tf DESC, doc_id), the classic impact-sorted-list pruning
+    * (per-posting BM25 impact DESC, doc_id) — see [[bm25ImpactCol]]
+    * for why the impact, not raw tf, is the ordering (the r14
+    * RECALL_r14 finding) — the classic impact-sorted-list pruning
     * (Anh & Moffat, SIGIR 2006 family) that bounds per-term scoring
     * work regardless of how hot the term is. The cap rides the
     * bounded TopKByScore aggregate (k-row map-side partials), never a
@@ -1137,15 +1139,17 @@ object TextOps {
     val glob = bm25Glob(dl)
     val qterms = bm25QTerms(tf, df_, glob)
     val levels = Seq(16, 64, 256)
-    val topMax = tf.groupBy("tok")
+    val topMax = tf.join(dl, "doc_id")
+      .crossJoin(broadcast(glob.select("avgdl")))
+      .groupBy("tok")
       .agg(graft.functions.TopKByScore
-        .topk(col("tf").cast("double"), col("doc_id"), levels.max)
+        .topkTagged(bm25ImpactCol, col("doc_id"), col("tf"), levels.max)
         .as("top"))
     val pruned = levels.map { m =>
       topMax.select(lit(m.toLong).as("m"), col("tok"),
           explode(expr(s"slice(top, 1, $m)")).as("t"))
         .select(col("m"), col("tok"), col("t.id").as("doc_id"),
-          col("t.score").cast("bigint").as("tf"))
+          col("t.tag").as("tf"))
     }.reduce(_ unionByName _)
     val prunedTop5 = bm25ScoredFrom(pruned, qterms, df_, dl, glob,
         Seq("m", "qid", "doc_id"))
@@ -1293,12 +1297,17 @@ object TextOps {
   }
 
   /** The shipped impact-cap operating point, picked FROM the measured
-    * [[bm25RecallCurve]] on this corpus (M=256 reads 0.93 recall of
-    * the exact top-5; the former M=64 sat at 0.28 — machinery right,
-    * knob wrong). Persisted stores record their own M as a layout
-    * marker ([[graft.sources.TermIndexStore]]'s `_graft_m`), so this
-    * default moving never silently changes what an existing store
-    * serves.
+    * [[bm25RecallCurve]] on this corpus (M=256 reads 0.95 recall of
+    * the exact top-5 under the r14 score-quantized impact order; the
+    * former M=64 sits at 0.475 — machinery right, knob wrong).
+    * Persisted stores record their own M as a layout marker
+    * ([[graft.sources.TermIndexStore]]'s `_graft_m`), so this default
+    * moving never silently changes what an existing store serves.
+    * The knob is SCALE-DEPENDENT (RECALL_r14): a fixed M over a
+    * growing near-uniform-tf corpus decays toward tie-noise — a
+    * deployment re-picks M from the curve measured at ITS corpus
+    * size (M ∝ N), which the recorded-marker discipline exists to
+    * make safe.
     */
   private[graft] val Bm25M = 256
 
@@ -1387,23 +1396,49 @@ object TextOps {
       .groupBy(keys.map(col): _*)
       .agg(sum(col("c")).as("s"))
 
-  /** Read-time impact capping: each term's top-`m` postings by
-    * (tf DESC, doc_id) off the bounded top-k aggregate — the fallback
-    * the stored index uses between an ingest and the next compaction,
-    * and the cap [[bm25From]] applies inline. Counts round-trip the
-    * aggregate's double score exactly (< 2^53).
+  /** The within-term ranking quantity of the impact order: each
+    * posting's own BM25 contribution with the per-term idf factor
+    * dropped (constant within a term, so it cannot change the order)
+    * — tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl)) over (tf, dl, avgdl).
+    *
+    * SCORE-quantized, not tf-quantized, on purpose (r14): ordering by
+    * raw tf is blind to document length, and the RECALL_r14
+    * measurement showed exactly that failure at scale — near-dup
+    * replica families tie on tf, the (tf DESC, doc_id) tie-break
+    * keeps arbitrary low ids, and the pruned recall read 0.1 with a
+    * FLAT M-curve (no cap size can fix an ordering that can't see
+    * dl). Ranking by the contribution itself is the Anh & Moffat
+    * impact discipline done right: the docs a query scores highest
+    * are, per term, exactly the top of this order.
     */
-  private[graft] def cappedPostings(tf: DataFrame, m: Int): DataFrame =
-    tf.groupBy("tok")
+  private def bm25ImpactCol: Column =
+    col("tf") * 2.2 / (col("tf")
+      + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+
+  /** Read-time impact capping: each term's top-`m` postings by
+    * (impact DESC, doc_id) off the bounded payload-tagged top-k
+    * aggregate (the raw tf rides as the tag — impact is not
+    * invertible without dl) — the fallback the stored index uses
+    * between an ingest and the next compaction, and the cap
+    * [[bm25From]] applies inline. The tf⋈dl join is corpus-axis but
+    * runs at INDEX BUILD time (or the post-ingest fallback), never
+    * per query.
+    */
+  private[graft] def cappedPostings(tf: DataFrame, dl: DataFrame,
+      m: Int): DataFrame =
+    tf.join(dl, "doc_id")
+      .crossJoin(broadcast(bm25Glob(dl).select("avgdl")))
+      .groupBy("tok")
       .agg(graft.functions.TopKByScore
-        .topk(col("tf").cast("double"), col("doc_id"), m).as("top"))
+        .topkTagged(bm25ImpactCol, col("doc_id"), col("tf"), m)
+        .as("top"))
       .select(col("tok"), explode(col("top")).as("t"))
       .select(col("tok"), col("t.id").as("doc_id"),
-        col("t.score").cast("bigint").as("tf"))
+        col("t.tag").as("tf"))
 
   private[graft] def bm25From(tf: DataFrame, df_ : DataFrame,
       dl: DataFrame, cap: Option[Int]): DataFrame =
-    bm25Serve(tf, cap.fold(tf)(m => cappedPostings(tf, m)), df_, dl)
+    bm25Serve(tf, cap.fold(tf)(m => cappedPostings(tf, dl, m)), df_, dl)
 
   /** The serving tail split from the cap: anchor queries derive from
     * `tfAnchors` (the FULL postings — the oracle's anchor definition)

@@ -140,7 +140,8 @@ object TermIndexStore {
   }
 
   /** Materialize the impact-capped posting lists — each term's top-M
-    * postings by (tf DESC, doc_id), M from the store's recorded
+    * postings by (per-posting BM25 impact DESC, doc_id) with the raw
+    * tf carried as the payload tag, M from the store's recorded
     * layout marker — as a companion table in the same tok-bucket
     * layout: the pruned serving path reads M·|vocab| rows off this
     * SKINNY table instead of re-capping the full postings per query
@@ -155,13 +156,10 @@ object TermIndexStore {
     */
   private def materializeCapped(spark: SparkSession,
       table: String, m: Int): Unit =
-    postings(spark, table)
-      .groupBy("tok")
-      .agg(graft.functions.TopKByScore
-        .topk(col("tf").cast("double"), col("doc_id"), m).as("top"))
-      .select(col("tok"), explode(col("top")).as("t"))
-      .select(col("tok"), col("t.id").as("doc_id"),
-        col("t.score").cast("bigint").as("tf"))
+    graft.ops.TextOps.cappedPostings(
+        postings(spark, table).select("doc_id", "tok", "tf"),
+        docLens(spark, table), m)
+      .select("tok", "doc_id", "tf")
       .write.bucketBy(DocumentStore.DefaultBuckets, "tok")
       .sortBy("tok").mode("overwrite").saveAsTable(cappedTable(table))
 
@@ -362,7 +360,7 @@ object TermIndexStore {
       if (recordedM(spark, table).contains(m)
           && spark.catalog.tableExists(cappedTable(table)))
         spark.table(cappedTable(table)).select("doc_id", "tok", "tf")
-      else graft.ops.TextOps.cappedPostings(full, m)
+      else graft.ops.TextOps.cappedPostings(full, dl, m)
     graft.ops.TextOps.bm25SearchText(capped, df_, dl, queryText, k)
   }
 
