@@ -56,9 +56,26 @@ object TrainingExport {
     else {
       val in = fs.open(p)
       try {
+        // drain to EOF, never a single read() — the same legal-short-
+        // read defect the r13 ADVICE flagged on TermIndexStore's M
+        // marker: "6" of "64" would silently route every append and
+        // takedown to the wrong shard directories
         val buf = new Array[Byte](32)
-        val n = in.read(buf)
-        Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim.toInt)
+        var off = 0
+        var r = in.read(buf, off, buf.length - off)
+        while (r > 0 && off + r < buf.length) {
+          off += r
+          r = in.read(buf, off, buf.length - off)
+        }
+        if (r > 0) off += r
+        val text = new String(buf, 0, off, "UTF-8").trim
+        scala.util.Try(text.toInt).toOption match {
+          case some @ Some(_) => some
+          case None => throw new IllegalStateException(
+            s"corrupt $Marker marker under $out: '$text' is not an " +
+              "int — the export's shard modulus is unknowable; " +
+              "restore the marker or re-export")
+        }
       } finally in.close()
     }
   }
@@ -316,6 +333,52 @@ object TrainingExport {
     val n = layoutShards(spark, out, nShards)
     exportCorpus(spark,
       readStreamed(spark, out).drop("batch", "shard", "ord"), dest, n)
+  }
+
+  /** Takedown for the streamed LANDING dirs — the export-side twin of
+    * [[graft.streaming.ImgStream.deleteStatsDatasets]], closing the
+    * same gap: [[deleteDocs]] covers the canonical `shard=N` layout,
+    * but a victim document that streamed in still has rows under
+    * every `batches/batch=<id>/shard=N` directory that landed it.
+    * Affected (batch, shard) pairs are located by one column-pruned
+    * (doc_id, batch, shard) scan (bounded by batches × shards, both
+    * layout constants); survivors of ONLY those partition directories
+    * stage in the packing order and swap through
+    * [[PartitionSwap]] (retire-aside-then-move, recover-first).
+    * Untouched batch/shard dirs are never opened. Idempotent.
+    * Returns rows removed.
+    */
+  def deleteStreamedDocs(spark: SparkSession, out: String,
+      ids: DataFrame): Long = {
+    val root = s"$out/batches"
+    val staging = s"$out/batches_delete_staging"
+    PartitionSwap.recover(spark, root, staging)
+    val victims = ids.select("doc_id")
+    val affected = spark.read.parquet(root)
+      .select("doc_id", "batch", "shard")
+      .join(victims, Seq("doc_id"), "left_semi")
+      .select(col("batch"), col("shard")).distinct()
+      .collect().map(r => (r.get(0), r.get(1)))
+      .sortBy { case (b, sh) => (String.valueOf(b), String.valueOf(sh)) }
+    if (affected.isEmpty) return 0L
+    val pairCond = affected.toIndexedSeq
+      .map { case (b, sh) =>
+        col("batch") === lit(b) && col("shard") === lit(sh) }
+      .reduce(_ || _)
+    val hit = spark.read.parquet(root).filter(pairCond)
+    val before = hit.count()
+    val survivors = hit.join(victims, Seq("doc_id"), "left_anti")
+    val after = survivors.count()
+    survivors
+      .repartition(col("batch"), col("shard"))
+      .sortWithinPartitions("batch", "shard", "ord", "doc_id")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("batch", "shard")
+      .parquet(staging)
+    PartitionSwap.swap(spark, root, staging,
+      affected.toIndexedSeq.map { case (b, sh) =>
+        s"batch=${String.valueOf(b)}/shard=${String.valueOf(sh)}" })
+    before - after
   }
 
   /** One JSONL shard parsed back to rows — partition-pruned like

@@ -358,4 +358,60 @@ class TrainingExportSpec extends AnyFunSuite {
     assert(got.nonEmpty && got === got.sorted,
       "shard rows must stream in md5 (packing) order")
   }
+
+  test("streamed-landing takedown rewrites only the victims' " +
+      "batch/shard dirs and leaves no trace") {
+    val out = Files.createTempDirectory("graft_exptkd").toString + "/ex"
+    val docs = graft.tables.Tables.documents(spark, TestSpark.sfDir)
+      .select("doc_id", "text", "source")
+    TrainingExport.exportBatch(spark,
+      docs.filter(col("doc_id") < 250), out, 0L)
+    TrainingExport.exportBatch(spark,
+      docs.filter(col("doc_id") >= 250), out, 1L)
+    val all = TrainingExport.readStreamed(spark, out)
+    val allCount = all.count()
+    // one victim per landed batch
+    val victims = Seq(3L, 400L)
+    val nVictimRows = all
+      .filter(col("doc_id").isin(victims: _*)).count()
+    assert(nVictimRows === 2)
+    val victimPairs = all.filter(col("doc_id").isin(victims: _*))
+      .select("batch", "shard").distinct().collect()
+      .map(r => s"batch=${r.get(0)}/shard=${r.get(1)}/").toSet
+    // recursive file snapshot before the pass
+    def snapshot(): Map[String, (Long, Long)] = {
+      val rootP = new org.apache.hadoop.fs.Path(s"$out/batches")
+      val fs = rootP.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(rootP, true)
+      val b = Map.newBuilder[String, (Long, Long)]
+      val base = rootP.toUri.getPath
+      while (it.hasNext) {
+        val st = it.next()
+        b += st.getPath.toUri.getPath.stripPrefix(base)
+          .stripPrefix("/") -> (st.getLen, st.getModificationTime)
+      }
+      b.result()
+    }
+    val before = snapshot()
+    import spark.implicits._
+    val removed = TrainingExport.deleteStreamedDocs(spark, out,
+      victims.toDF("doc_id"))
+    assert(removed === nVictimRows)
+    val after = snapshot()
+    for ((name, meta) <- before
+         if !victimPairs.exists(name.startsWith) && name.contains("shard="))
+      assert(after.get(name) === Some(meta),
+        s"untouched batch/shard file $name changed or vanished")
+    val kept = TrainingExport.readStreamed(spark, out)
+    assert(kept.filter(col("doc_id").isin(victims: _*)).count() === 0)
+    assert(kept.count() === allCount - nVictimRows)
+    // the fold to the canonical layout serves only survivors
+    val dest = Files.createTempDirectory("graft_exptkd2").toString + "/c"
+    TrainingExport.compactStreamed(spark, out, dest)
+    assert(spark.read.parquet(dest)
+      .filter(col("doc_id").isin(victims: _*)).count() === 0)
+    assert(TrainingExport.deleteStreamedDocs(spark, out,
+      victims.toDF("doc_id")) === 0L)
+  }
 }
