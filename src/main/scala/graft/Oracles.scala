@@ -7095,6 +7095,9 @@ ORDER BY c, rank"""
     "doc_nb_margin" -> docNbMargin,
     "doc_nb_features" -> docNbFeatures,
     "doc_bm25_topk" -> docBm25TopK,
+    // MaxScore prunes WORK, never the answer: its oracle IS the
+    // exact full-index top-5
+    "doc_bm25_maxscore" -> docBm25TopK,
     "doc_bm25_pruned" -> docBm25Pruned,
     "doc_bm25_recall" -> docBm25Recall,
     "doc_bm25_recall_curve" -> docBm25RecallCurve,

@@ -1466,6 +1466,82 @@ object TextOps {
       dl: DataFrame, cap: Option[Int]): DataFrame =
     bm25Serve(tf, cap.fold(tf)(m => cappedPostings(tf, dl, m)), df_, dl)
 
+  /** EXACT BM25 top-5 via MaxScore-style upper-bound pruning (Turtle
+    * & Flood's MaxScore family) — the per-QUERY answer to the
+    * RECALL_r14 fixed-M finding: a static per-term cap decays as the
+    * corpus grows, but upper-bound pruning is exact at ANY scale
+    * because the bound adapts to the query. Same oracle as
+    * [[bm25TopK]] — the output is the exact top-5 by construction:
+    *
+    *  1. per (query, term) upper bound: the max per-posting
+    *     contribution over that term's matched postings (a ≤|Q|·3-row
+    *     census — in a serving deployment this is a stored companion
+    *     next to the impact caps);
+    *  2. seed threshold θ: exact-score only the docs matching the
+    *     query's RAREST term (min df — the smallest posting list) and
+    *     take the 5th score; fewer than 5 seeds → θ = −∞;
+    *  3. prune: a doc's score is ≤ the sum of its matched terms'
+    *     bounds, so any doc with Σ UB(matched) < θ cannot enter the
+    *     top-5 — only the survivors pay the DECIMAL-exact scoring
+    *     pass (at real corpus scale the survivors are the handful of
+    *     docs matching the query's rare terms well, not every doc
+    *     sharing one stopword).
+    *
+    * Exactness argument: θ comes from a SUBSET of candidates, so the
+    * true 5th-best ≥ θ; every true-top-5 doc d has score(d) ≥ θ and
+    * Σ UB(matched(d)) ≥ score(d), so d always survives the filter;
+    * double casts of the exact DECIMAL sums are monotone, so the θ
+    * comparison cannot mis-exclude a tie. The matched frame is
+    * checkpointed once and feeds the bound census, the seed pass and
+    * the survivor pass — one tokenize, three bounded aggregates.
+    */
+  def bm25MaxScore(spark: SparkSession, dir: String): DataFrame = {
+    val (tf, df_, dl) = bm25Parts(spark, dir)
+    val glob = bm25Glob(dl)
+    val qterms = bm25QTerms(tf, df_, glob)
+    val matched = tf.join(broadcast(qterms), "tok")
+      .filter(col("doc_id") =!= col("qid"))
+      .join(df_, "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(glob))
+      .select(col("qid"), col("doc_id"), col("tok"),
+        bm25ContribCol.cast("decimal(28,10)").as("c"))
+      .localCheckpoint(true)
+    val bounds = matched.groupBy("qid", "tok").agg(max("c").as("ub"))
+    val rarest = qterms.join(df_, "tok")
+      .groupBy("qid")
+      .agg(min(struct(col("df"), col("tok"))).as("m"))
+      .select(col("qid"), col("m.tok").as("tok"))
+    val seedDocs = matched
+      .join(broadcast(rarest), Seq("qid", "tok"), "left_semi")
+      .select("qid", "doc_id").distinct()
+    val seedScores = matched
+      .join(seedDocs, Seq("qid", "doc_id"), "left_semi")
+      .groupBy("qid", "doc_id").agg(sum("c").as("s"))
+    val theta = seedScores.groupBy("qid")
+      .agg(graft.functions.TopKByScore
+        .topk(col("s").cast("double"), col("doc_id"), 5).as("top"))
+      .select(col("qid"),
+        when(size(col("top")) < 5, lit(Double.NegativeInfinity))
+          .otherwise(element_at(col("top"), 5).getField("score"))
+          .as("theta"))
+    val survivors = matched.join(broadcast(bounds), Seq("qid", "tok"))
+      .groupBy("qid", "doc_id").agg(sum("ub").as("ub_sum"))
+      .join(broadcast(theta), Seq("qid"))
+      .filter(col("ub_sum").cast("double") >= col("theta"))
+      .select("qid", "doc_id")
+    matched.join(survivors, Seq("qid", "doc_id"), "left_semi")
+      .groupBy("qid", "doc_id").agg(sum("c").as("s"))
+      .groupBy("qid")
+      .agg(graft.functions.TopKByScore
+        .topk(col("s").cast("double"), col("doc_id"), 5).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("p", "t")))
+      .select(col("qid"), (col("p") + 1).cast("bigint").as("rank"),
+        col("t.id").as("doc_id"),
+        round(col("t.score"), 6).as("score"))
+      .orderBy("qid", "rank")
+  }
+
   /** The serving tail split from the cap: anchor queries derive from
     * `tfAnchors` (the FULL postings — the oracle's anchor definition)
     * while scoring enumerates `postings`, which may be an already-

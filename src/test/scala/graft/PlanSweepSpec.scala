@@ -19,6 +19,9 @@ class PlanSweepSpec extends AnyFunSuite {
                            // the ≤24-row query-term side DOES broadcast
     "doc_bm25_pruned",     // same censuses over the impact-capped
                            // posting lists
+    "doc_bm25_maxscore",   // the same tf⋈df⋈dl census joins feeding
+                           // the matched frame; the seed/survivor
+                           // passes are bounded semi-joins on it
     "doc_bm25_recall",     // composes full + pruned, inherits both
     "doc_bm25_recall_curve", // composes full + three capped prefixes,
                            // inherits the same census joins
@@ -194,6 +197,8 @@ class PlanSweepSpec extends AnyFunSuite {
     "doc_bm25_topk_stored", // inherits doc_bm25_topk's one-row
                       // (n_docs, avgdl) census cross joins
     "doc_bm25_pruned_stored", // same inherited census cross joins
+    "doc_bm25_maxscore", // one-row (n_docs, avgdl) census cross join
+                      // in the matched frame, theta broadcast
     "doc_hybrid_topk", // inherits doc_bm25_topk's one-row census
                       // cross joins and emb_knn_brute's tiny-query
                       // <> scan — fusion adds no join of its own
