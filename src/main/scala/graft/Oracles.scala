@@ -7098,6 +7098,7 @@ ORDER BY c, rank"""
     // MaxScore prunes WORK, never the answer: its oracle IS the
     // exact full-index top-5
     "doc_bm25_maxscore" -> docBm25TopK,
+    "doc_bm25_maxscore_stored" -> docBm25TopK,
     "doc_bm25_pruned" -> docBm25Pruned,
     "doc_bm25_recall" -> docBm25Recall,
     "doc_bm25_recall_curve" -> docBm25RecallCurve,

@@ -129,6 +129,8 @@ object SparkEntry {
     "doc_nb_features" -> (TextOps.nbFeatures(_, _)),
     "doc_bm25_topk" -> (TextOps.bm25TopK(_, _)),
     "doc_bm25_maxscore" -> (TextOps.bm25MaxScore(_, _)),
+    "doc_bm25_maxscore_stored" ->
+      (graft.sources.TermIndexStore.searchMaxScoreFor(_, _)),
     "doc_bm25_pruned" -> (TextOps.bm25Pruned(_, _)),
     "doc_bm25_recall" -> (TextOps.bm25Recall(_, _)),
     "doc_bm25_recall_curve" -> (TextOps.bm25RecallCurve(_, _)),

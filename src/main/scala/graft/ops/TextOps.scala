@@ -1497,6 +1497,24 @@ object TextOps {
     */
   def bm25MaxScore(spark: SparkSession, dir: String): DataFrame = {
     val (tf, df_, dl) = bm25Parts(spark, dir)
+    bm25MaxScoreFrom(tf, df_, dl, None)
+  }
+
+  /** The MaxScore tail over already-materialized index parts (the
+    * [[bm25From]] discipline: one implementation, two sources).
+    *
+    * @param boundsSrc optional (doc_id, tok, tf) postings subset to
+    *   derive the per-term upper bounds from INSTEAD of the matched
+    *   frame — the persisted impact-capped companion qualifies
+    *   exactly: it keeps each term's top-M postings BY IMPACT, and
+    *   contribution = idf(term) · impact with idf constant within a
+    *   term, so the companion's max contribution IS the full list's
+    *   max. A bound from the companion skips the matched frame's
+    *   self-exclusion (qid ≠ doc_id), which only LOOSENS the bound —
+    *   exactness is preserved, pruning just gets (negligibly) weaker.
+    */
+  private[graft] def bm25MaxScoreFrom(tf: DataFrame, df_ : DataFrame,
+      dl: DataFrame, boundsSrc: Option[DataFrame]): DataFrame = {
     val glob = bm25Glob(dl)
     val qterms = bm25QTerms(tf, df_, glob)
     val matched = tf.join(broadcast(qterms), "tok")
@@ -1507,7 +1525,21 @@ object TextOps {
       .select(col("qid"), col("doc_id"), col("tok"),
         bm25ContribCol.cast("decimal(28,10)").as("c"))
       .localCheckpoint(true)
-    val bounds = matched.groupBy("qid", "tok").agg(max("c").as("ub"))
+    val bounds = boundsSrc match {
+      case None =>
+        matched.groupBy("qid", "tok").agg(max("c").as("ub"))
+      case Some(src) =>
+        // per-TERM bound off the companion's ≤M·|query terms| rows,
+        // expanded to (qid, tok) through the broadcast query frame
+        src.join(broadcast(qterms.select("tok").distinct()), "tok")
+          .join(df_, "tok")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(glob))
+          .groupBy("tok")
+          .agg(max(bm25ContribCol.cast("decimal(28,10)")).as("ub"))
+          .join(broadcast(qterms), "tok")
+          .select("qid", "tok", "ub")
+    }
     val rarest = qterms.join(df_, "tok")
       .groupBy("qid")
       .agg(min(struct(col("df"), col("tok"))).as("m"))

@@ -420,4 +420,30 @@ object TermIndexStore {
     val table = ensureBuilt(spark, dir)
     search(spark, table, cap = Some(layoutM(spark, table)))
   }
+
+  /** The `doc_bm25_maxscore_stored` twin: EXACT top-5 via MaxScore
+    * upper-bound pruning served off the persisted layouts — the
+    * scaladoc claim "in a serving deployment the bound is a stored
+    * companion next to the impact caps" made literal: the per-term
+    * upper bounds derive from the MATERIALIZED impact-capped
+    * companion (its top-M by impact necessarily contains each term's
+    * max-contribution posting, and idf is constant within a term), so
+    * the bound census reads ≤M·|query terms| skinny bucket-pruned
+    * rows; seeds and survivor scoring read the full postings (MaxScore
+    * is exact — pruning changes WORK, never the answer). Marker-gated
+    * like [[search]]: between an ingest and the next compaction the
+    * companion is absent and bounds fall back to the matched frame.
+    */
+  def searchMaxScoreFor(spark: SparkSession, dir: String): DataFrame = {
+    val table = ensureBuilt(spark, dir)
+    val boundsSrc =
+      if (recordedM(spark, table).contains(layoutM(spark, table))
+          && spark.catalog.tableExists(cappedTable(table)))
+        Some(spark.table(cappedTable(table))
+          .select("doc_id", "tok", "tf"))
+      else None
+    graft.ops.TextOps.bm25MaxScoreFrom(
+      postings(spark, table).select("doc_id", "tok", "tf"),
+      dfCensus(spark, table), docLens(spark, table), boundsSrc)
+  }
 }

@@ -22,6 +22,8 @@ class PlanSweepSpec extends AnyFunSuite {
     "doc_bm25_maxscore",   // the same tf⋈df⋈dl census joins feeding
                            // the matched frame; the seed/survivor
                            // passes are bounded semi-joins on it
+    "doc_bm25_maxscore_stored", // same shape off the bucketed index;
+                           // bounds census reads the capped companion
     "doc_bm25_recall",     // composes full + pruned, inherits both
     "doc_bm25_recall_curve", // composes full + three capped prefixes,
                            // inherits the same census joins
@@ -199,6 +201,8 @@ class PlanSweepSpec extends AnyFunSuite {
     "doc_bm25_pruned_stored", // same inherited census cross joins
     "doc_bm25_maxscore", // one-row (n_docs, avgdl) census cross join
                       // in the matched frame, theta broadcast
+    "doc_bm25_maxscore_stored", // same census cross joins off the
+                      // stored index + the bounds census's one
     "doc_hybrid_topk", // inherits doc_bm25_topk's one-row census
                       // cross joins and emb_knn_brute's tiny-query
                       // <> scan — fusion adds no join of its own
