@@ -1517,6 +1517,37 @@ object TextOps {
       dl: DataFrame, boundsSrc: Option[DataFrame]): DataFrame = {
     val glob = bm25Glob(dl)
     val qterms = bm25QTerms(tf, df_, glob)
+    bm25MaxScoreRanked(tf, qterms, df_, dl, glob, boundsSrc, 5)
+      .orderBy("qid", "rank")
+  }
+
+  /** FREE-TEXT MaxScore — the EXACT face of the retrieval facade
+    * ([[bm25SearchText]] serves the capped approximation at the
+    * store's recorded M; this serves the exact top-`k` at serving
+    * cost, the per-query pruning adapting where the fixed cap
+    * cannot). Same tokenizer, same qid = -1 no-self-exclusion
+    * contract, zero rows for an all-unknown query.
+    */
+  private[graft] def bm25MaxScoreText(tf: DataFrame, df_ : DataFrame,
+      dl: DataFrame, queryText: String, k: Int,
+      boundsSrc: Option[DataFrame]): DataFrame = {
+    val spark = tf.sparkSession
+    import spark.implicits._
+    val toks = queryText.toLowerCase.split(' ').toSeq
+      .filter(_.nonEmpty).distinct
+    val qterms = toks.map(t => (-1L, t)).toDF("qid", "tok")
+    bm25MaxScoreRanked(tf, qterms, df_, dl, bm25Glob(dl), boundsSrc, k)
+      .orderBy("rank")
+  }
+
+  /** The MaxScore core over an arbitrary (qid, tok) query frame:
+    * matched census → per-term bounds → rarest-term seed θ →
+    * survivor filter → exact scoring of survivors, emitting
+    * (qid, rank, doc_id, score) unordered (callers order).
+    */
+  private def bm25MaxScoreRanked(tf: DataFrame, qterms: DataFrame,
+      df_ : DataFrame, dl: DataFrame, glob: DataFrame,
+      boundsSrc: Option[DataFrame], k: Int): DataFrame = {
     val matched = tf.join(broadcast(qterms), "tok")
       .filter(col("doc_id") =!= col("qid"))
       .join(df_, "tok")
@@ -1552,10 +1583,10 @@ object TextOps {
       .groupBy("qid", "doc_id").agg(sum("c").as("s"))
     val theta = seedScores.groupBy("qid")
       .agg(graft.functions.TopKByScore
-        .topk(col("s").cast("double"), col("doc_id"), 5).as("top"))
+        .topk(col("s").cast("double"), col("doc_id"), k).as("top"))
       .select(col("qid"),
-        when(size(col("top")) < 5, lit(Double.NegativeInfinity))
-          .otherwise(element_at(col("top"), 5).getField("score"))
+        when(size(col("top")) < k, lit(Double.NegativeInfinity))
+          .otherwise(element_at(col("top"), k).getField("score"))
           .as("theta"))
     val survivors = matched.join(broadcast(bounds), Seq("qid", "tok"))
       .groupBy("qid", "doc_id").agg(sum("ub").as("ub_sum"))
@@ -1566,12 +1597,11 @@ object TextOps {
       .groupBy("qid", "doc_id").agg(sum("c").as("s"))
       .groupBy("qid")
       .agg(graft.functions.TopKByScore
-        .topk(col("s").cast("double"), col("doc_id"), 5).as("top"))
+        .topk(col("s").cast("double"), col("doc_id"), k).as("top"))
       .select(col("qid"), posexplode(col("top")).as(Seq("p", "t")))
       .select(col("qid"), (col("p") + 1).cast("bigint").as("rank"),
         col("t.id").as("doc_id"),
         round(col("t.score"), 6).as("score"))
-      .orderBy("qid", "rank")
   }
 
   /** The serving tail split from the cap: anchor queries derive from

@@ -43,6 +43,20 @@ object Retrieval {
       TermIndexStore.ensureBuilt(spark, dir), queryText, k)
       .select("rank", "doc_id", "score")
 
+  /** Free-text EXACT BM25 top-`k` — [[searchText]] serves the
+    * recorded-M capped approximation (cheapest read); this serves the
+    * exact ranking at any corpus scale via MaxScore upper-bound
+    * pruning over the same persisted layouts (bounds census off the
+    * capped companion, exact scoring only for the threshold
+    * survivors). The choice is the deployment's quality/cost knob —
+    * both faces answer arbitrary query strings.
+    */
+  def searchTextExact(spark: SparkSession, dir: String,
+      queryText: String, k: Int = 5): DataFrame =
+    TermIndexStore.searchTextExact(spark,
+      TermIndexStore.ensureBuilt(spark, dir), queryText, k)
+      .select("rank", "doc_id", "score")
+
   /** Embedded-query top-`k` nearest neighbors (neighbor, rank,
     * adc_dist) off the persisted IVF+PQ index. The query vector must
     * have the corpus dimensionality.

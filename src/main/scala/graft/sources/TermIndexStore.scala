@@ -436,14 +436,32 @@ object TermIndexStore {
     */
   def searchMaxScoreFor(spark: SparkSession, dir: String): DataFrame = {
     val table = ensureBuilt(spark, dir)
-    val boundsSrc =
-      if (recordedM(spark, table).contains(layoutM(spark, table))
-          && spark.catalog.tableExists(cappedTable(table)))
-        Some(spark.table(cappedTable(table))
-          .select("doc_id", "tok", "tf"))
-      else None
     graft.ops.TextOps.bm25MaxScoreFrom(
       postings(spark, table).select("doc_id", "tok", "tf"),
-      dfCensus(spark, table), docLens(spark, table), boundsSrc)
+      dfCensus(spark, table), docLens(spark, table),
+      companionBounds(spark, table))
   }
+
+  /** The marker-gated capped companion as a MaxScore bounds source
+    * (None between an ingest and the next compaction).
+    */
+  private def companionBounds(spark: SparkSession,
+      table: String): Option[DataFrame] =
+    if (recordedM(spark, table).contains(layoutM(spark, table))
+        && spark.catalog.tableExists(cappedTable(table)))
+      Some(spark.table(cappedTable(table))
+        .select("doc_id", "tok", "tf"))
+    else None
+
+  /** FREE-TEXT EXACT search — [[searchText]]'s capped ranking is the
+    * recorded-M approximation; this is the same query contract served
+    * EXACTLY via MaxScore upper-bound pruning (bounds off the capped
+    * companion, seeds + survivors off the full postings).
+    */
+  def searchTextExact(spark: SparkSession, table: String,
+      queryText: String, k: Int = 5): DataFrame =
+    graft.ops.TextOps.bm25MaxScoreText(
+      postings(spark, table).select("doc_id", "tok", "tf"),
+      dfCensus(spark, table), docLens(spark, table), queryText, k,
+      companionBounds(spark, table))
 }

@@ -39,6 +39,29 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("free-text EXACT search on an anchor's terms reproduces the " +
+      "exact stored ranking (MaxScore prunes work, never the answer)") {
+    val anchorTerms = TextOps.bm25AnchorTerms(spark, sfDir)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getString(1)).sorted.toSeq).toMap
+    // the EXACT engine's anchor rankings (full postings, no cap)
+    val expected = TermIndexStore.searchFor(spark, sfDir)
+      .collect().groupBy(_.getLong(0))
+    for (q <- Seq(0L, 5L)) {
+      val text = anchorTerms(q).mkString(" ")
+      val got = Retrieval.searchTextExact(spark, sfDir, text, 6)
+        .collect().filter(_.getLong(1) != q).take(5)
+        .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      val wantPairs = expected(q).sortBy(_.getLong(1))
+        .map(r => (r.getLong(2), r.getDouble(3))).toSeq
+      assert(wantPairs.nonEmpty)
+      assert(got === wantPairs, s"exact facade drifted for anchor $q")
+    }
+    // all-unknown query: the index's honest empty answer
+    assert(Retrieval.searchTextExact(spark, sfDir,
+      "zzzz-not-a-token").count() === 0)
+  }
+
   test("embedded-query ANN through the persisted index reproduces " +
       "the indexed ivfpq ranking; an unknown query returns its true " +
       "neighbors") {
