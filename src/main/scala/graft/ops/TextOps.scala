@@ -1548,6 +1548,47 @@ object TextOps {
   private def bm25MaxScoreRanked(tf: DataFrame, qterms: DataFrame,
       df_ : DataFrame, dl: DataFrame, glob: DataFrame,
       boundsSrc: Option[DataFrame], k: Int): DataFrame = {
+    val (matched, survivors) =
+      bm25MaxScoreCore(tf, qterms, df_, dl, glob, boundsSrc, k)
+    matched.join(survivors, Seq("qid", "doc_id"), "left_semi")
+      .groupBy("qid", "doc_id").agg(sum("c").as("s"))
+      .groupBy("qid")
+      .agg(graft.functions.TopKByScore
+        .topk(col("s").cast("double"), col("doc_id"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("p", "t")))
+      .select(col("qid"), (col("p") + 1).cast("bigint").as("rank"),
+        col("t.id").as("doc_id"),
+        round(col("t.score"), 6).as("score"))
+  }
+
+  /** Pruning-effectiveness diagnostic: per query, how many matched
+    * docs there were and how many survived the θ filter (= paid the
+    * exact scoring pass). The MaxScorePruningSpec's teeth: the oracle
+    * proves EXACTNESS, this proves the pruning actually PRUNES when
+    * the corpus is skewed (on near-uniform tf every bound ≈ θ and the
+    * filter keeps ~everything — the honest verify-corpus regime).
+    */
+  private[graft] def bm25MaxScorePruneStats(tf: DataFrame,
+      df_ : DataFrame, dl: DataFrame,
+      boundsSrc: Option[DataFrame]): DataFrame = {
+    val glob = bm25Glob(dl)
+    val qterms = bm25QTerms(tf, df_, glob)
+    val (matched, survivors) =
+      bm25MaxScoreCore(tf, qterms, df_, dl, glob, boundsSrc, 5)
+    matched.select("qid", "doc_id").distinct()
+      .groupBy("qid").agg(count(lit(1)).as("n_matched"))
+      .join(survivors.groupBy("qid").agg(count(lit(1)).as("n_survivors")),
+        Seq("qid"))
+      .orderBy("qid")
+  }
+
+  /** Builds the (matched-with-contribution, survivor) frame pair the
+    * ranked tail and the prune-stats diagnostic both read.
+    */
+  private def bm25MaxScoreCore(tf: DataFrame, qterms: DataFrame,
+      df_ : DataFrame, dl: DataFrame, glob: DataFrame,
+      boundsSrc: Option[DataFrame],
+      k: Int): (DataFrame, DataFrame) = {
     val matched = tf.join(broadcast(qterms), "tok")
       .filter(col("doc_id") =!= col("qid"))
       .join(df_, "tok")
@@ -1593,15 +1634,7 @@ object TextOps {
       .join(broadcast(theta), Seq("qid"))
       .filter(col("ub_sum").cast("double") >= col("theta"))
       .select("qid", "doc_id")
-    matched.join(survivors, Seq("qid", "doc_id"), "left_semi")
-      .groupBy("qid", "doc_id").agg(sum("c").as("s"))
-      .groupBy("qid")
-      .agg(graft.functions.TopKByScore
-        .topk(col("s").cast("double"), col("doc_id"), k).as("top"))
-      .select(col("qid"), posexplode(col("top")).as(Seq("p", "t")))
-      .select(col("qid"), (col("p") + 1).cast("bigint").as("rank"),
-        col("t.id").as("doc_id"),
-        round(col("t.score"), 6).as("score"))
+    (matched, survivors)
   }
 
   /** The serving tail split from the cap: anchor queries derive from

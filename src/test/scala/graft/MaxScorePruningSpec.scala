@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.TextOps
+import graft.sources.TermIndexStore
+
+/** The oracle proves MaxScore is EXACT; this spec proves it PRUNES.
+  * The verify corpus is word-soup (near-uniform tf), where every
+  * bound sits at the threshold and the survivor filter honestly keeps
+  * ~everything — so the pruning claim needs a corpus with the skew
+  * real deployments have. This one has it by construction: each
+  * anchor doc carries two rare terms (shared with a handful of buddy
+  * docs) plus a medium-frequency term shared with a large
+  * common-only population. The rare terms' seeds set a high θ, and
+  * the common-only docs — matched, but bounded below θ — must be
+  * pruned without ever being scored.
+  */
+class MaxScorePruningSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  // 8 anchors × (2 rare terms × 2 + common × 2 + filler), 7 buddies
+  // per anchor sharing both rare terms, 200 common-only docs. Anchor
+  // top-3 tf-idf is (rareA, rareB, common) by construction: the rares
+  // have df=8, common df=264, filler "the" df=264 with tf-idf ≈ 0.
+  private lazy val docs: DataFrame = {
+    val anchors = (0 until 8).map { i =>
+      (i.toLong,
+        s"r${i}a r${i}a r${i}b r${i}b common common the the the the")
+    }
+    val buddies = for {
+      i <- 0 until 8; j <- 0 until 7
+    } yield ((100 + i * 7 + j).toLong,
+      s"r${i}a r${i}b the the the the the")
+    val commons = (0 until 200).map { j =>
+      ((300 + j).toLong, "common the the the the the the the")
+    }
+    (anchors ++ buddies ++ commons).toDF("doc_id", "text")
+  }
+
+  private lazy val parts: (DataFrame, DataFrame, DataFrame) = {
+    val tf = TermIndexStore.tfOf(docs).cache()
+    val df_ = tf.groupBy("tok").agg(
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("df"))
+    val dl = tf.groupBy("doc_id").agg(
+      org.apache.spark.sql.functions.sum("tf").as("dl"))
+    (tf, df_, dl)
+  }
+
+  test("on a skewed corpus MaxScore's answer equals the exact full " +
+      "scoring, with and without companion-derived bounds") {
+    val (tf, df_, dl) = parts
+    val exact = TextOps.bm25From(tf, df_, dl, None)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(exact.nonEmpty)
+    val ms = TextOps.bm25MaxScoreFrom(tf, df_, dl, None)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(ms.toSeq === exact.toSeq, "matched-frame bounds drifted")
+    // companion bounds at a tiny M: the capped list's top-1 by impact
+    // is the term's global max contribution, so even M = 2 preserves
+    // exactness — the bound argument never depends on M being large
+    val msCapped = TextOps.bm25MaxScoreFrom(tf, df_, dl,
+        Some(TextOps.cappedPostings(tf, dl, 2)))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(msCapped.toSeq === exact.toSeq, "companion bounds drifted")
+  }
+
+  test("the θ filter prunes the common-only population: survivors " +
+      "are a small fraction of matched docs for every query") {
+    val (tf, df_, dl) = parts
+    val stats = TextOps.bm25MaxScorePruneStats(tf, df_, dl, None)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(stats.length === 8, "every anchor query must report")
+    for ((qid, nMatched, nSurvivors) <- stats) {
+      // matched = 7 buddies + 7 other anchors + 200 common-only docs
+      assert(nMatched >= 200L, s"qid $qid matched only $nMatched")
+      assert(nSurvivors < nMatched / 4,
+        s"qid $qid pruned nothing: $nSurvivors of $nMatched survived")
+      // exactness floor: at least the k survivors the answer needs
+      assert(nSurvivors >= 5L)
+    }
+  }
+
+  test("on the near-uniform verify corpus the same filter keeps a " +
+      "far larger fraction (the regime contrast the survey row " +
+      "documents)") {
+    val docs = graft.tables.Tables.documents(spark, TestSpark.sfDir)
+    val tf = TermIndexStore.tfOf(docs)
+    val df_ = tf.groupBy("tok").agg(
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("df"))
+    val dl = tf.groupBy("doc_id").agg(
+      org.apache.spark.sql.functions.sum("tf").as("dl"))
+    val stats = TextOps.bm25MaxScorePruneStats(tf, df_, dl, None)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(stats.nonEmpty)
+    val kept = stats.map(_._3).sum.toDouble / stats.map(_._2).sum
+    // measured 0.43 at sf0.001: near-uniform tf still blunts the
+    // bounds to ~half the pool (vs < 0.25 on the skewed corpus above)
+    // — enough survivors that the three-pass structure outweighs the
+    // saved scoring, which is why the benched maxscore reads ~2× the
+    // one-pass topk on THIS corpus while the skewed regime pays only
+    // for the handful that matter
+    assert(kept > 0.3 && kept < 0.9,
+      f"word-soup kept fraction moved (kept $kept%.2f) — re-measure " +
+        "and refresh the survey row's regime note")
+  }
+}
