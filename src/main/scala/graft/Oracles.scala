@@ -699,6 +699,16 @@ SELECT label, CAST(count(*) AS BIGINT) AS n,
     x -> CAST(x AS DOUBLE)))) / count(*), 6) AS DOUBLE) AS avg_sum
 FROM embeddings GROUP BY label ORDER BY label"""
 
+  val docVecIntegrity: String = """
+SELECT CASE WHEN d.doc_id IS NOT NULL AND e.vec_id IS NOT NULL
+            THEN 'matched'
+            WHEN e.vec_id IS NULL THEN 'doc_only'
+            ELSE 'vec_only' END AS status,
+       COALESCE(d.source, '(none)') AS source,
+       CAST(count(*) AS BIGINT) AS n
+FROM documents d FULL OUTER JOIN embeddings e ON d.doc_id = e.vec_id
+GROUP BY 1, 2 ORDER BY status, source"""
+
   val imgValidateId: String = imagingCte + """
 SELECT project, n_valid, n_invalid FROM (
   SELECT split_part(dataset_serial, '-', 1) AS project,
@@ -7326,6 +7336,7 @@ ORDER BY c, rank"""
     "doc_text_stats" -> docTextStats,
     "doc_fingerprint" -> docFingerprint,
     "emb_norm_stats" -> embNormStats,
+    "doc_vec_integrity" -> docVecIntegrity,
     "img_dataset_search" -> imgDatasetSearch,
     "img_serial_datetime" -> imgSerialDatetime,
     "img_frames_subset" -> imgFramesSubset,

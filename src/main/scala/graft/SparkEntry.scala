@@ -85,6 +85,7 @@ object SparkEntry {
     "emb_knn_brute" -> (VectorOps.knnBrute(_, _)),
     "emb_knn_ivf" -> (VectorOps.knnIvf(_, _)),
     "emb_norm_stats" -> (VectorOps.normStats(_, _)),
+    "doc_vec_integrity" -> (VectorOps.docVecIntegrity(_, _)),
     "img_validate_id" -> (ImagingOps.validateId(_, _)),
     "img_stack_positions" -> (ImagingOps.stackPositions(_, _)),
     "img_parse_ml_name" -> (ImagingOps.parseMlName(_, _)),

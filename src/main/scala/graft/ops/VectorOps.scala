@@ -2287,6 +2287,42 @@ object VectorOps {
         round(sum(col("sm")) / count(lit(1)), 6).as("avg_sum"))
       .orderBy("label")
 
+  /** Referential-integrity census of the PARALLEL ID SPACE the whole
+    * hybrid/retrieval family silently relies on (documents.doc_id ≡
+    * embeddings.vec_id — `doc_hybrid_topk`'s fusion, `doc_paraphrase_
+    * mining`'s text join-backs, `Retrieval.search`'s two engines all
+    * assume it): per (status, source), how many ids are matched,
+    * doc-only (text with no vector — unsearchable by the ANN side) or
+    * vec-only (a vector whose text is gone — exactly what a takedown
+    * that missed one store leaves behind, the state
+    * `DatasetTakedown` exists to prevent). The audit a production
+    * pipeline runs before serving and AFTER any partial delete.
+    *
+    * Plan: one full-outer join on the unique id axis (id-keyed
+    * shuffle, linear, bucketable at scale — both stores already
+    * bucket by id), one grouped census. Clean data reads a single
+    * 'matched' row per source; IntegritySpec plants orphans on both
+    * sides to prove detection.
+    */
+  def docVecIntegrity(spark: SparkSession, dir: String): DataFrame =
+    docVecIntegrityFrom(
+      Tables.documents(spark, dir).select("doc_id", "source"),
+      Tables.embeddings(spark, dir).select("vec_id"))
+
+  /** [[docVecIntegrity]] over explicit frames (the spec's entry). */
+  private[graft] def docVecIntegrityFrom(docs: DataFrame,
+      vecs: DataFrame): DataFrame =
+    docs.join(vecs, docs("doc_id") === vecs("vec_id"), "full_outer")
+      .select(
+        when(col("doc_id").isNotNull && col("vec_id").isNotNull,
+          "matched")
+          .when(col("vec_id").isNull, "doc_only")
+          .otherwise("vec_only").as("status"),
+        coalesce(col("source"), lit("(none)")).as("source"))
+      .groupBy("status", "source")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("status", "source")
+
   /** IVF cell-occupancy audit — the ANN counterpart of
     * [[graft.ops.DedupOps]]'s LSH health query: how evenly the
     * corpus spreads over the coarse cells. A hot cell means a

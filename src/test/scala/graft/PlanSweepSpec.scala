@@ -42,6 +42,9 @@ class PlanSweepSpec extends AnyFunSuite {
                            // bucketed-layout censuses (SMJ strategy,
                            // zero exchanges) + the bounded RRF merge
     "doc_hybrid_recall",   // composes both hybrids, inherits both
+    "doc_vec_integrity",   // full-outer on the unique id axis (a
+                           // full outer cannot broadcast): id-keyed
+                           // uniform shuffle, linear, bucketable
     "doc_nb_lang",         // tf ⋈ model on token (vocabulary-keyed
                            // censuses both sides, the bm25/dsir shape)
                            // and spine ⋈ evidence on (doc_id, class):
