@@ -6380,6 +6380,14 @@ ORDER BY qid, rank"""
   val docHybridStored: String =
     hybridSqlOf(bm25SqlOf(Some(256)), embKnnIvfPq)
 
+  /** The exact-lexical stored hybrid
+    * ([[graft.ops.TextOps.hybridTopKExactStored]]): MaxScore serves
+    * the EXACT BM25 ranking, so the lexical side is the uncapped
+    * oracle; the vector side stays the stored IVF+PQ oracle.
+    */
+  val docHybridExactStored: String =
+    hybridSqlOf(bm25SqlOf(None), embKnnIvfPq)
+
   /** Fused-list recall twin of [[graft.ops.TextOps.hybridRecall]]. */
   val docHybridRecall: String = s"""
 WITH base AS (SELECT qid, doc_id FROM ($docHybridTopK) b),
@@ -7115,6 +7123,7 @@ ORDER BY c, rank"""
     "doc_hybrid_topk" -> docHybridTopK,
     "doc_hybrid_ivf" -> docHybridIvf,
     "doc_hybrid_stored" -> docHybridStored,
+    "doc_hybrid_exact_stored" -> docHybridExactStored,
     "doc_hybrid_recall" -> docHybridRecall,
     "doc_bpe_pairs" -> docBpePairs,
     "doc_bpe_merge_step" -> docBpeMergeStep,

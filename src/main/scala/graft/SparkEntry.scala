@@ -138,6 +138,7 @@ object SparkEntry {
     "doc_hybrid_topk" -> (TextOps.hybridTopK(_, _)),
     "doc_hybrid_ivf" -> (TextOps.hybridTopKIvf(_, _)),
     "doc_hybrid_stored" -> (TextOps.hybridTopKStored(_, _)),
+    "doc_hybrid_exact_stored" -> (TextOps.hybridTopKExactStored(_, _)),
     "doc_hybrid_recall" -> (TextOps.hybridRecall(_, _)),
     "doc_bpe_pairs" -> (TextOps.bpePairs(_, _)),
     "doc_bpe_merge_step" -> (TextOps.bpeMergeStep(_, _)),

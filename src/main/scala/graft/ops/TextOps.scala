@@ -1271,6 +1271,31 @@ object TextOps {
         .select(col("qid"), col("neighbor").as("doc_id"),
           col("rank").as("kr")))
 
+  /** The serving matrix's fourth corner — EXACT-LEXICAL stored
+    * hybrid: [[hybridTopKStored]] with the lexical engine swapped
+    * from the capped companion to MaxScore
+    * ([[graft.sources.TermIndexStore.searchMaxScoreFor]] — exact at
+    * any scale, bounds census off the same companion), vector side
+    * unchanged (IVF+PQ off the [[graft.sources.VectorIndex]] codes).
+    * The point is RECALL_r14's own finding: the fused list's
+    * degradation at scale is ENTIRELY lexical (bm25-pruned recall
+    * 0.225/0.0 at 10×/30× while knn-IVF holds 1.0) — so a deployment
+    * that pays the MaxScore read on the lexical side recovers the
+    * fused recall the fixed-M companion loses, without touching the
+    * fusion or the vector engine. Same exact-integer [[rrfFuse]]
+    * tail; oracle composes the exact BM25 oracle with the stored
+    * IVF+PQ oracle.
+    */
+  def hybridTopKExactStored(spark: SparkSession,
+      dir: String): DataFrame =
+    rrfFuse(
+      graft.sources.TermIndexStore.searchMaxScoreFor(spark, dir)
+        .select(col("qid"), col("doc_id"), col("rank").as("br")),
+      graft.sources.VectorIndex.searchFor(spark, dir)
+        .filter(col("qid") < 8)
+        .select(col("qid"), col("neighbor").as("doc_id"),
+          col("rank").as("kr")))
+
   /** The RRF fusion tail shared by the exact and scale-path hybrids:
     * full-outer merge of the two engines' (qid, doc_id, rank) lists,
     * exact-integer 1/(60+rank) sum, top-5 by (rrf DESC, doc_id). The

@@ -82,11 +82,28 @@ object Retrieval {
     * bm25_rank, knn_rank).
     */
   def search(spark: SparkSession, dir: String, queryText: String,
-      queryVec: Array[Float], k: Int = 5): DataFrame = {
+      queryVec: Array[Float], k: Int = 5): DataFrame =
+    hybridOf(spark, dir, searchText(spark, dir, queryText, 5),
+      queryVec, k)
+
+  /** [[search]] with the lexical engine swapped to the EXACT face
+    * ([[searchTextExact]], MaxScore off the same persisted layouts) —
+    * the facade twin of the oracle-checked `doc_hybrid_exact_stored`
+    * corner: RECALL_r14 measured the fused list's degradation to be
+    * entirely lexical, so this is the knob a deployment turns when
+    * fused recall matters more than the capped read's cost.
+    */
+  def searchExact(spark: SparkSession, dir: String, queryText: String,
+      queryVec: Array[Float], k: Int = 5): DataFrame =
+    hybridOf(spark, dir, searchTextExact(spark, dir, queryText, 5),
+      queryVec, k)
+
+  private def hybridOf(spark: SparkSession, dir: String,
+      lexical: DataFrame, queryVec: Array[Float], k: Int): DataFrame = {
     require(k >= 1 && k <= 5,
       s"hybrid k must be in [1, 5] (exact-integer RRF covers ranks " +
         s"<= 5), got $k")
-    val lex = searchText(spark, dir, queryText, 5)
+    val lex = lexical
       .select(lit(-1L).as("qid"), col("doc_id"), col("rank").as("br"))
     val vec = searchVec(spark, dir, queryVec, 5)
       .select(lit(-1L).as("qid"), col("neighbor").as("doc_id"),

@@ -44,6 +44,31 @@ object RecallAudit {
     spark.sparkContext.setLogLevel("WARN")
 
     val hybrid = recallStats(graft.ops.TextOps.hybridRecall(spark, dir))
+    // the exact-lexical stored hybrid (MaxScore × IVF+PQ) vs the
+    // exact hybrid: RECALL_r14 showed the fused degradation is
+    // entirely lexical, so this corner should recover what the
+    // capped hybrid loses — leaving only the vector side's PQ cost
+    def fusedRecallOf(approx: DataFrame): (Long, Double, Double) = {
+      val base = graft.ops.TextOps.hybridTopK(spark, dir)
+        .select(col("qid"), col("doc_id"))
+      val hx = approx
+        .select(col("qid").as("pqid"), col("doc_id").as("pdoc"))
+      recallStats(base.join(hx,
+          col("qid") === col("pqid") && col("doc_id") === col("pdoc"),
+          "left")
+        .groupBy("qid")
+        .agg((count(col("pdoc")).cast("double") / count(lit(1)))
+          .as("recall")))
+    }
+    val hxExact = fusedRecallOf(
+      graft.ops.TextOps.hybridTopKExactStored(spark, dir))
+    // the stored capped hybrid under the SAME vector side (IVF+PQ) —
+    // the apples-to-apples baseline for the exact-lexical corner:
+    // the delta hxExact − hxStored is what lexical exactness buys
+    // with the vector engine held constant; what remains below 1.0
+    // is the PQ cost both stored corners pay
+    val hxStored = fusedRecallOf(
+      graft.ops.TextOps.hybridTopKStored(spark, dir))
     val bm25 = recallStats(graft.ops.TextOps.bm25Recall(spark, dir))
     // the impact-cap operating CURVE at this scale: mean recall per
     // M ∈ {16, 64, 256} — how the recorded M=256 point holds as the
@@ -60,6 +85,17 @@ object RecallAudit {
       .select(col("qid").as("aqid"), col("neighbor").as("aneighbor"))
     val knnIvf = recallStats(
       brute.join(ivf,
+          col("qid") === col("aqid")
+            && col("neighbor") === col("aneighbor"), "left")
+        .groupBy("qid")
+        .agg((count(col("aneighbor")).cast("double") / count(lit(1)))
+          .as("recall")))
+    // the STORED vector engine (IVF+PQ ADC) vs brute — attributes the
+    // stored hybrids' remaining loss to the PQ side explicitly
+    val ivfpq = graft.sources.VectorIndex.searchFor(spark, dir)
+      .select(col("qid").as("aqid"), col("neighbor").as("aneighbor"))
+    val knnIvfPq = recallStats(
+      brute.join(ivfpq,
           col("qid") === col("aqid")
             && col("neighbor") === col("aneighbor"), "left")
         .groupBy("qid")
@@ -84,6 +120,9 @@ object RecallAudit {
     def j(t: (Long, Double, Double)): String =
       s"""{"n_queries":${t._1},"mean_recall":${t._2},"min_recall":${t._3}}"""
     println(s"""{"sf":"$dir","hybrid":${j(hybrid)},""" +
+      s""""hybrid_exact_stored":${j(hxExact)},""" +
+      s""""hybrid_stored":${j(hxStored)},""" +
+      s""""knn_ivfpq":${j(knnIvfPq)},""" +
       s""""bm25":${j(bm25)},"bm25_curve":$curve,""" +
       s""""knn_ivf":${j(knnIvf)},""" +
       s""""banded_agreement":{"shared_of_100":$shared,""" +

@@ -41,6 +41,8 @@ class PlanSweepSpec extends AnyFunSuite {
     "doc_hybrid_stored",   // the deployment hybrid: stored-bm25's
                            // bucketed-layout censuses (SMJ strategy,
                            // zero exchanges) + the bounded RRF merge
+    "doc_hybrid_exact_stored", // same stored layouts with the
+                           // lexical side's MaxScore census joins
     "doc_hybrid_recall",   // composes both hybrids, inherits both
     "doc_vec_integrity",   // full-outer on the unique id axis (a
                            // full outer cannot broadcast): id-keyed
@@ -215,6 +217,9 @@ class PlanSweepSpec extends AnyFunSuite {
     "doc_hybrid_stored", // the deployment twin inherits the stored
                       // bm25 census cross joins + the indexed-ivfpq
                       // probe-side routing cross joins
+    "doc_hybrid_exact_stored", // the exact-lexical corner inherits
+                      // the stored maxscore census cross joins + the
+                      // indexed-ivfpq routing cross joins
     "doc_hybrid_recall", // composes both hybrids, inherits both
     "doc_nb_lang",    // class-census (5-row) + one-row vocab-total
                       // cross joins in the NB constants

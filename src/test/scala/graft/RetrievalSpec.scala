@@ -120,6 +120,22 @@ class RetrievalSpec extends AnyFunSuite {
         Option(r.get(4)).map(_.asInstanceOf[Long])))
     assert(got.toSeq === expected,
       "hybrid facade fusion drifted from the documented RRF arithmetic")
+    // the exact-lexical hybrid face: same fusion arithmetic over the
+    // searchTextExact list
+    val lexE = Retrieval.searchTextExact(spark, sfDir, text, 5)
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    val expectedE = (lexE.keySet ++ vec.keySet).toSeq
+      .map(d => (d, contrib(lexE.get(d)) + contrib(vec.get(d)),
+        lexE.get(d), vec.get(d)))
+      .sortBy { case (d, s, _, _) => (-s, d) }
+      .take(5).zipWithIndex
+      .map { case ((d, s, br, kr), i) => (i + 1L, d, s, br, kr) }
+    val gotE = Retrieval.searchExact(spark, sfDir, text, vec0, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long])))
+    assert(gotE.toSeq === expectedE,
+      "exact hybrid facade drifted from the documented RRF arithmetic")
     // k clamps and guards
     assert(Retrieval.search(spark, sfDir, text, vec0, 3).count() === 3)
     intercept[IllegalArgumentException] {
