@@ -6388,6 +6388,13 @@ ORDER BY qid, rank"""
   val docHybridExactStored: String =
     hybridSqlOf(bm25SqlOf(None), embKnnIvfPq)
 
+  /** The ceiling-lifted corner
+    * ([[graft.ops.TextOps.hybridTopKRefinedStored]]): exact BM25 ×
+    * the REFINED stored vector engine (over-fetch + exact rescore).
+    */
+  val docHybridRefinedStored: String =
+    hybridSqlOf(bm25SqlOf(None), embKnnRefine)
+
   /** Fused-list recall twin of [[graft.ops.TextOps.hybridRecall]]. */
   val docHybridRecall: String = s"""
 WITH base AS (SELECT qid, doc_id FROM ($docHybridTopK) b),
@@ -7124,6 +7131,7 @@ ORDER BY c, rank"""
     "doc_hybrid_ivf" -> docHybridIvf,
     "doc_hybrid_stored" -> docHybridStored,
     "doc_hybrid_exact_stored" -> docHybridExactStored,
+    "doc_hybrid_refined_stored" -> docHybridRefinedStored,
     "doc_hybrid_recall" -> docHybridRecall,
     "doc_bpe_pairs" -> docBpePairs,
     "doc_bpe_merge_step" -> docBpeMergeStep,
@@ -7202,6 +7210,9 @@ ORDER BY c, rank"""
     "doc_unigram_logprob" -> docUnigramLogprob,
     "emb_knn_ivfpq" -> embKnnIvfPq,
     "emb_knn_refine" -> embKnnRefine,
+    // the indexed refine is hash-identical to the inline refine (the
+    // indexed ADC already proves parity via emb_knn_ivfpq_indexed)
+    "emb_knn_refine_indexed" -> embKnnRefine,
     "emb_refine_recall" -> embRefineRecall,
     "emb_refine_depth_curve" -> embRefineDepthCurve,
     "emb_ivf_balance" -> embIvfBalance,

@@ -139,6 +139,8 @@ object SparkEntry {
     "doc_hybrid_ivf" -> (TextOps.hybridTopKIvf(_, _)),
     "doc_hybrid_stored" -> (TextOps.hybridTopKStored(_, _)),
     "doc_hybrid_exact_stored" -> (TextOps.hybridTopKExactStored(_, _)),
+    "doc_hybrid_refined_stored" ->
+      (TextOps.hybridTopKRefinedStored(_, _)),
     "doc_hybrid_recall" -> (TextOps.hybridRecall(_, _)),
     "doc_bpe_pairs" -> (TextOps.bpePairs(_, _)),
     "doc_bpe_merge_step" -> (TextOps.bpeMergeStep(_, _)),
@@ -230,6 +232,8 @@ object SparkEntry {
     "emb_knn_ivfpq" -> (VectorOps.knnIvfPq(_, _)),
     "emb_ann_recall" -> (VectorOps.annRecall(_, _)),
     "emb_knn_refine" -> (VectorOps.knnRefine(_, _)),
+    "emb_knn_refine_indexed" ->
+      (graft.sources.VectorIndex.searchRefineFor(_, _)),
     "emb_refine_recall" -> (VectorOps.refineRecall(_, _)),
     "emb_refine_depth_curve" -> (VectorOps.refineDepthCurve(_, _)),
     "emb_gram_power" -> (VectorOps.gramPower(_, _)),

@@ -1296,6 +1296,25 @@ object TextOps {
         .select(col("qid"), col("neighbor").as("doc_id"),
           col("rank").as("kr")))
 
+  /** The ceiling-lifted stored hybrid: [[hybridTopKExactStored]]'s
+    * exact lexical engine fused with the REFINED stored vector engine
+    * ([[graft.sources.VectorIndex.searchRefineFor]] — ADC over-fetch
+    * + exact-cosine rescore off the persisted codes). RECALL_r14's
+    * exact-lex measurement left the PQ quantization as the stored
+    * corners' binding recall constraint; this corner pays one bounded
+    * rescore join to remove it. Oracle: exact BM25 × the refined
+    * stored-vector oracle under the same fusion SQL.
+    */
+  def hybridTopKRefinedStored(spark: SparkSession,
+      dir: String): DataFrame =
+    rrfFuse(
+      graft.sources.TermIndexStore.searchMaxScoreFor(spark, dir)
+        .select(col("qid"), col("doc_id"), col("rank").as("br")),
+      graft.sources.VectorIndex.searchRefineFor(spark, dir)
+        .filter(col("qid") < 8)
+        .select(col("qid"), col("neighbor").as("doc_id"),
+          col("rank").as("kr")))
+
   /** The RRF fusion tail shared by the exact and scale-path hybrids:
     * full-outer merge of the two engines' (qid, doc_id, rank) lists,
     * exact-integer 1/(60+rank) sum, top-5 by (rrf DESC, doc_id). The

@@ -2017,8 +2017,16 @@ object VectorOps {
     * its frozen plan and the whole search runs in the rotated space.
     */
   private[graft] def searchIndexOf(e: DataFrame,
-      index: DataFrame): DataFrame = {
-    val adc = index
+      index: DataFrame): DataFrame =
+    adcTopK(indexAdcOf(e, index))
+
+  /** The persisted index's raw per-candidate ADC frame (pre-top-k) —
+    * shared by [[searchIndexOf]] and the stored two-stage refine
+    * [[knnRefineIndexed]], which over-fetches from it instead of
+    * recomputing codes inline.
+    */
+  private def indexAdcOf(e: DataFrame, index: DataFrame): DataFrame =
+    index
       .join(broadcast(probeCells(e)), Seq("cell"))
       .select(col("qid"), col("vec_id"), explode(col("codes")).as("c"))
       .select(col("qid"), col("vec_id"),
@@ -2027,7 +2035,34 @@ object VectorOps {
       .filter(col("qid") =!= col("vec_id"))
       .groupBy("qid", "vec_id")
       .agg(round(sum("dist"), 6).as("adc_dist"))
-    adcTopK(adc)
+
+  /** The stored two-stage refine — [[knnRefine]]'s over-fetch +
+    * exact-rescore served off the PERSISTED index: ADC top-20
+    * candidates come from the bucketed codes scan (no code or
+    * routing recompute), the exact-cosine rescore joins the full
+    * vectors for the ≤|Q|·20 candidates only. Same oracle as the
+    * inline refine by construction (the indexed ADC is hash-identical
+    * to the inline ADC — `emb_knn_ivfpq_indexed` already proves it).
+    * This is the rung that lifts the measured PQ ceiling of the
+    * stored serving corners (RECALL_r14 `findings_exact_lex_hybrid`)
+    * at the price of one bounded exact-rescore join.
+    */
+  def knnRefineIndexed(spark: SparkSession, dir: String,
+      index: DataFrame): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cand = indexAdcOf(e, index)
+      .groupBy("qid")
+      .agg(graft.functions.TopKByScore
+        .topkAsc(col("adc_dist"), col("vec_id"), 20).as("top"))
+      .select(col("qid"), explode(expr("transform(top, t -> t.id)"))
+        .as("vec_id"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val scored = e.join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine(col("qv"), col("embedding")).as("sim"))
+    topK(scored, 5)
   }
 
   /** [[searchIndexOf]] for ARBITRARY query vectors — the free-query

@@ -206,6 +206,15 @@ object VectorIndex {
   def searchFor(spark: SparkSession, dir: String): DataFrame =
     search(spark, dir, ensureBuilt(spark, dir))
 
+  /** The driver-checked twin `emb_knn_refine_indexed`: two-stage
+    * refine (ADC over-fetch + exact-cosine rescore) off the persisted
+    * codes — same oracle as the inline `emb_knn_refine`; the rung
+    * that lifts the stored corners' measured PQ ceiling.
+    */
+  def searchRefineFor(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.VectorOps.knnRefineIndexed(spark, dir,
+      read(spark, ensureBuilt(spark, dir)))
+
   /** [[ensureBuilt]] for the rotated index (plan table + index table
     * cleared and rebuilt together — a stale plan under a fresh index,
     * or vice versa, would silently change every search result).

@@ -69,6 +69,10 @@ object RecallAudit {
     // is the PQ cost both stored corners pay
     val hxStored = fusedRecallOf(
       graft.ops.TextOps.hybridTopKStored(spark, dir))
+    // the ceiling-lifted corner: exact lexical × REFINED stored
+    // vector (ADC over-fetch + exact rescore)
+    val hxRefined = fusedRecallOf(
+      graft.ops.TextOps.hybridTopKRefinedStored(spark, dir))
     val bm25 = recallStats(graft.ops.TextOps.bm25Recall(spark, dir))
     // the impact-cap operating CURVE at this scale: mean recall per
     // M ∈ {16, 64, 256} — how the recorded M=256 point holds as the
@@ -101,6 +105,16 @@ object RecallAudit {
         .groupBy("qid")
         .agg((count(col("aneighbor")).cast("double") / count(lit(1)))
           .as("recall")))
+    // the refined stored engine vs brute — what the rescore recovers
+    val refined = graft.sources.VectorIndex.searchRefineFor(spark, dir)
+      .select(col("qid").as("aqid"), col("neighbor").as("aneighbor"))
+    val knnRefined = recallStats(
+      brute.join(refined,
+          col("qid") === col("aqid")
+            && col("neighbor") === col("aneighbor"), "left")
+        .groupBy("qid")
+        .agg((count(col("aneighbor")).cast("double") / count(lit(1)))
+          .as("recall")))
 
     // banded-ranker agreement: r=8 (recorded) top-100 vs r=4 top-100
     def top100(r: Int): DataFrame =
@@ -122,7 +136,9 @@ object RecallAudit {
     println(s"""{"sf":"$dir","hybrid":${j(hybrid)},""" +
       s""""hybrid_exact_stored":${j(hxExact)},""" +
       s""""hybrid_stored":${j(hxStored)},""" +
+      s""""hybrid_refined_stored":${j(hxRefined)},""" +
       s""""knn_ivfpq":${j(knnIvfPq)},""" +
+      s""""knn_refine_indexed":${j(knnRefined)},""" +
       s""""bm25":${j(bm25)},"bm25_curve":$curve,""" +
       s""""knn_ivf":${j(knnIvf)},""" +
       s""""banded_agreement":{"shared_of_100":$shared,""" +

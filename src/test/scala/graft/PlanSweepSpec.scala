@@ -43,6 +43,8 @@ class PlanSweepSpec extends AnyFunSuite {
                            // zero exchanges) + the bounded RRF merge
     "doc_hybrid_exact_stored", // same stored layouts with the
                            // lexical side's MaxScore census joins
+    "doc_hybrid_refined_stored", // exact-lex stored + the indexed
+                           // refine's corpus-axis rescore join
     "doc_hybrid_recall",   // composes both hybrids, inherits both
     "doc_vec_integrity",   // full-outer on the unique id axis (a
                            // full outer cannot broadcast): id-keyed
@@ -75,6 +77,8 @@ class PlanSweepSpec extends AnyFunSuite {
                            // the ivfpq corpus-axis join
     "emb_knn_refine",      // the ivfpq candidate stage, same inherited
                            // corpus-axis join
+    "emb_knn_refine_indexed", // same refine tail; the candidate stage
+                           // reads the bucketed index instead
     "emb_refine_recall",   // composes brute + refine, inherits both
     "emb_refine_depth_curve", // same composed shape at four depths
                            // off one rescored candidate prefix
@@ -220,6 +224,8 @@ class PlanSweepSpec extends AnyFunSuite {
     "doc_hybrid_exact_stored", // the exact-lexical corner inherits
                       // the stored maxscore census cross joins + the
                       // indexed-ivfpq routing cross joins
+    "doc_hybrid_refined_stored", // same + the indexed refine's
+                      // routing cross joins
     "doc_hybrid_recall", // composes both hybrids, inherits both
     "doc_nb_lang",    // class-census (5-row) + one-row vocab-total
                       // cross joins in the NB constants
@@ -251,6 +257,8 @@ class PlanSweepSpec extends AnyFunSuite {
     "emb_ann_recall", // composes knn_brute + knn_ivfpq, inherits both
     "emb_knn_refine", // the ivfpq routing cross joins + the tiny
                       // candidate/query broadcast joins
+    "emb_knn_refine_indexed", // probe-side routing cross joins off
+                      // the stored index + the same refine tail
     "emb_refine_recall", // composes brute + refine, inherits both
     "emb_refine_depth_curve", // same composed shape, four depths off
                       // one rescored prefix
