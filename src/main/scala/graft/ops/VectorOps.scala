@@ -2036,6 +2036,23 @@ object VectorOps {
       .groupBy("qid", "vec_id")
       .agg(round(sum("dist"), 6).as("adc_dist"))
 
+  /** [[searchIndexQueries]] with the two-stage refine tail — the
+    * free-query face of [[knnRefineIndexed]]: ADC top-20 candidates
+    * off the persisted codes for ARBITRARY (qid, qv) queries, exact
+    * cosine over only those candidates re-ranks the final top-`k`.
+    */
+  private[graft] def searchIndexQueriesRefined(queries: DataFrame,
+      cb: DataFrame, index: DataFrame, k: Int): DataFrame = {
+    val cand = searchIndexQueries(queries, cb, index, 20)
+      .select(col("qid"), col("neighbor").as("vec_id"))
+    val scored = cb.select(col("vec_id"), col("embedding"))
+      .join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(queries), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine(col("qv"), col("embedding")).as("sim"))
+    topK(scored, k)
+  }
+
   /** The stored two-stage refine — [[knnRefine]]'s over-fetch +
     * exact-rescore served off the PERSISTED index: ADC top-20
     * candidates come from the bucketed codes scan (no code or

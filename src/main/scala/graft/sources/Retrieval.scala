@@ -73,6 +73,24 @@ object Retrieval {
       .select("rank", "neighbor", "adc_dist")
   }
 
+  /** [[searchVec]] with the two-stage refine tail — ADC top-20
+    * over-fetch off the persisted codes, exact-cosine rescore for
+    * those candidates only (the free-query face of
+    * `emb_knn_refine_indexed`, the rung RECALL_r14 measured lifting
+    * the stored engine's recall from 0.18/0.56/0.2 to 0.38/1.0/0.7).
+    */
+  def searchVecRefined(spark: SparkSession, dir: String,
+      queryVec: Array[Float], k: Int = 5): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val queries = Seq((-1L, queryVec.toSeq)).toDF("qid", "qv")
+      .select(col("qid"), col("qv").cast("array<float>").as("qv"))
+    VectorOps.searchIndexQueriesRefined(queries,
+        Tables.embeddings(spark, dir),
+        VectorIndex.read(spark, VectorIndex.ensureBuilt(spark, dir)), k)
+      .select("rank", "neighbor", "sim")
+  }
+
   /** Hybrid free-query search: BM25 over the stored term index ×
     * ANN over the stored vector index, fused with the exact-integer
     * RRF tail (rank ≤ 5 per engine — the lcm(61..65) scaling that
@@ -85,6 +103,16 @@ object Retrieval {
       queryVec: Array[Float], k: Int = 5): DataFrame =
     hybridOf(spark, dir, searchText(spark, dir, queryText, 5),
       queryVec, k)
+
+  /** The facade face of `doc_hybrid_refined_stored` — the measured
+    * ladder's top rung: exact lexical ([[searchTextExact]]) fused
+    * with the refined stored vector engine ([[searchVecRefined]]).
+    */
+  def searchRefined(spark: SparkSession, dir: String,
+      queryText: String, queryVec: Array[Float],
+      k: Int = 5): DataFrame =
+    hybridWith(searchTextExact(spark, dir, queryText, 5),
+      searchVecRefined(spark, dir, queryVec, 5), k)
 
   /** [[search]] with the lexical engine swapped to the EXACT face
     * ([[searchTextExact]], MaxScore off the same persisted layouts) —
@@ -99,13 +127,17 @@ object Retrieval {
       queryVec, k)
 
   private def hybridOf(spark: SparkSession, dir: String,
-      lexical: DataFrame, queryVec: Array[Float], k: Int): DataFrame = {
+      lexical: DataFrame, queryVec: Array[Float], k: Int): DataFrame =
+    hybridWith(lexical, searchVec(spark, dir, queryVec, 5), k)
+
+  private def hybridWith(lexical: DataFrame, vector: DataFrame,
+      k: Int): DataFrame = {
     require(k >= 1 && k <= 5,
       s"hybrid k must be in [1, 5] (exact-integer RRF covers ranks " +
         s"<= 5), got $k")
     val lex = lexical
       .select(lit(-1L).as("qid"), col("doc_id"), col("rank").as("br"))
-    val vec = searchVec(spark, dir, queryVec, 5)
+    val vec = vector
       .select(lit(-1L).as("qid"), col("neighbor").as("doc_id"),
         col("rank").as("kr"))
     TextOps.rrfFuse(lex, vec)

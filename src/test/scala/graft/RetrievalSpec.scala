@@ -90,6 +90,19 @@ class RetrievalSpec extends AnyFunSuite {
       .map(r => (r.getLong(1), r.getDouble(2))).toSeq
     val anchor0 = want.filter(_._1 == 0L).map(t => (t._2, t._3)).toSeq
     assert(free === anchor0, "free-vector facade drifted for anchor 0")
+
+    // the REFINED free-vector face: anchor 0's embedding through the
+    // over-fetch + exact-rescore path must reproduce the indexed
+    // refine's audited ranking once the self row is dropped
+    val freeR = Retrieval.searchVecRefined(spark, sfDir, vec0, 6)
+      .collect().filter(_.getLong(1) != 0L).take(5)
+      .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    val anchor0R = VectorIndex.searchRefineFor(spark, sfDir)
+      .filter(col("qid") === 0)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(anchor0R.nonEmpty)
+    assert(freeR === anchor0R,
+      "refined free-vector facade drifted for anchor 0")
   }
 
   test("the hybrid facade fuses its own two engine lists with the " +
@@ -136,6 +149,18 @@ class RetrievalSpec extends AnyFunSuite {
         Option(r.get(4)).map(_.asInstanceOf[Long])))
     assert(gotE.toSeq === expectedE,
       "exact hybrid facade drifted from the documented RRF arithmetic")
+    // the refined hybrid face: exact lexical × refined vector under
+    // the same arithmetic
+    val vecR = Retrieval.searchVecRefined(spark, sfDir, vec0, 5)
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    val expectedR = (lexE.keySet ++ vecR.keySet).toSeq
+      .map(d => (d, contrib(lexE.get(d)) + contrib(vecR.get(d))))
+      .sortBy { case (d, s) => (-s, d) }
+      .take(5).map(_._1)
+    val gotR = Retrieval.searchRefined(spark, sfDir, text, vec0, 5)
+      .collect().map(_.getLong(1))
+    assert(gotR.toSeq === expectedR,
+      "refined hybrid facade drifted from the documented RRF arithmetic")
     // k clamps and guards
     assert(Retrieval.search(spark, sfDir, text, vec0, 3).count() === 3)
     intercept[IllegalArgumentException] {
