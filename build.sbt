@@ -26,5 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // guide §5 sizing: local[32] runs 32 concurrent tasks inside this one
+  // JVM, and spark.memory.fraction carves execution memory out of -Xmx;
+  // 8g left ~150 MB execution memory per task slot and the bench spent
+  // a measured 3x its task CPU time in GC/alloc stalls (img_payload_stats
+  // stage: run=29.1s vs cpu=7.1s at 8g; 2.6s total at 24g vs 3.7s).
+  // Parameterized for smaller boxes; 24g default sized to the 128 GiB
+  // sandbox at ~0.75 GB per core like a production executor would be.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

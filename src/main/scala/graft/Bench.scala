@@ -723,7 +723,7 @@ object Bench {
     // parquet footers) so per-query numbers measure the queries.
     spark.range(1000).selectExpr("sum(id)").collect()
     graft.tables.Tables.names.foreach { t =>
-      spark.read.parquet(s"$sfDir/$t.parquet").schema
+      graft.tables.Tables.load(spark, sfDir, t).schema
     }
     // persisted-store entries measure the READ side: build the stores
     // here, outside any timed run (the build is the one shuffle the

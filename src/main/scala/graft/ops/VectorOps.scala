@@ -34,6 +34,22 @@ object VectorOps {
   private def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
+  /** Parallelism floor for per-row-heavy passes over the embeddings
+    * scan (guide §2.5 input skew, r14 measurement): the bench tables
+    * are single-file single-row-group parquet, so a scan is ONE task
+    * and every O(d²)-per-row pass downstream of it runs single-core
+    * (emb_dim_corr: 3.4 s of its 4.0 s total in one 1-task stage).
+    * One round-robin exchange of the skinny (id, 64-float) rows costs
+    * O(N·d) to buy O(N·d²/2) of parallel work — the §8 proxy-shuffle
+    * ratio. At 100 TB the scan itself is thousands of splits and this
+    * exchange is the one input-sized shuffle the census pass was
+    * already budgeted for; partition count follows the session's
+    * shuffle parallelism, never a constant.
+    */
+  private def spreadVecs(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt)
+
   /** Brute-force cosine top-5 for each query vector (vec_id < 10):
     * broadcast the query side, score every candidate, per-query top-k
     * via row_number with a deterministic tie-break.
@@ -921,7 +937,7 @@ object VectorOps {
     * only the 20 survivors.
     */
   def dimCorr(spark: SparkSession, dir: String): DataFrame = {
-    val withMoments = dimMoments(Tables.embeddings(spark, dir))
+    val withMoments = dimMoments(spreadVecs(Tables.embeddings(spark, dir)))
     val nD = col("n").cast("double")
     def m(s: Column) = s.cast("double") / nD
     val varI = m(col("sxx_i")) - m(col("sx_i")) * m(col("sx_i"))
@@ -952,19 +968,31 @@ object VectorOps {
     * sxy, sx_i, sx_j, sxx_i, sxx_j) row per pair.
     */
   private def dimMoments(e: DataFrame): DataFrame = {
-    val el = e.select(col("vec_id"), col("embedding"),
+    // r14: the inner generate enumerates only the SUFFIX j >= i via
+    // slice (j = i + pos), instead of all 64 positions plus a filter —
+    // half the generated rows, no filter, and the carried embedding
+    // array drops out of the outer generate's output. Product values,
+    // their decimal(20,10) casts and the per-pair counts are unchanged
+    // (sum over the same multiset; DECIMAL addition is exact, so
+    // summation order is immaterial) — oracle-identical by
+    // construction.
+    val el = e.select(col("embedding"),
         posexplode(col("embedding")).as(Seq("i", "x")))
-      .select(col("vec_id"), col("embedding"), col("i"),
-        col("x").cast("double").as("xd"))
+      .select(col("i"), col("x").cast("double").as("xd"),
+        expr("slice(embedding, i + 1, size(embedding))").as("suf"))
     val pairs = el
       .select(col("i"), col("xd"),
-        posexplode(col("embedding")).as(Seq("j", "y")))
-      .filter(col("j") >= col("i"))
-      .select(col("i"), col("j"),
+        posexplode(col("suf")).as(Seq("p", "y")))
+      .select(col("i"), (col("i") + col("p")).as("j"),
         (col("xd") * col("y").cast("double"))
           .cast("decimal(20,10)").as("xy"))
       .groupBy("i", "j")
       .agg(count(lit(1)).as("n"), sum(col("xy")).as("sxy"))
+      // d·(d+1)/2 rows, dimension-bounded: materialize once — the
+      // diag branch and the j > i branch below otherwise each re-run
+      // the full N×d²/2 product aggregate (two copies of the pass in
+      // the physical plan, measured as two 2.5-7.7 s CPU stages)
+      .localCheckpoint(true)
     val firsts = e
       .select(posexplode(col("embedding")).as(Seq("i", "x")))
       .select(col("i"), col("x").cast("double")
@@ -1050,7 +1078,7 @@ object VectorOps {
     * much — the audit read before shipping the rotated codebook.
     */
   def opqRotations(spark: SparkSession, dir: String): DataFrame =
-    opqRotationsRaw(Tables.embeddings(spark, dir))
+    opqRotationsRaw(spreadVecs(Tables.embeddings(spark, dir)))
       .select(col("i").cast("bigint").as("dim_i"),
         col("j").cast("bigint").as("dim_j"),
         round(col("corr"), 6).as("corr"),
@@ -1110,7 +1138,7 @@ object VectorOps {
     */
   def opqDistortion(spark: SparkSession, dir: String): DataFrame = {
     val rotated = rotatedEmbeddings(spark,
-      Tables.embeddings(spark, dir))
+      spreadVecs(Tables.embeddings(spark, dir)))
     val cents = subspaces(rotated.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cid"), col("rvec").as("cv")), "cv")
       .select(col("cid"), col("m"), col("sub").as("csub"))
@@ -1146,7 +1174,7 @@ object VectorOps {
     * encode, searched as codes.
     */
   def knnOpq(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    val e = spreadVecs(Tables.embeddings(spark, dir))
     // the rotation plan costs a full N×d² moment aggregation but is
     // ≤32 rows — materialize it once (the opqSweep localCheckpoint
     // discipline) so the codebook/query/corpus consumers below don't
@@ -1186,7 +1214,7 @@ object VectorOps {
     * reproduces both rounds bit-identically.
     */
   def opqSweep(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    val e = spreadVecs(Tables.embeddings(spark, dir))
     // each round's pair census is ≤ d²/2 rows (dimension-bounded, NOT
     // corpus-bounded) but costs a full N×d² moment aggregation —
     // materialize it once per round (the DedupOps.dupLabels

@@ -12,9 +12,46 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Per-session relation cache: (dir, table, file signature) → the
+    * lazily-loaded DataFrame. Every `spark.read.parquet` pays a
+    * driver-side file listing plus a schema-inference Spark job (a
+    * measured ~0.1-0.5 s of per-QUERY constant overhead at bench scale,
+    * times 2-4 loads per query); at 100 TB the same cost is the
+    * repeated directory listing guide §6 tells you to cache
+    * (`filesourcePartitionFileCacheSize` / manifest formats). The cache
+    * holds PLANS, never results — each action still computes from the
+    * parquet bytes. Staleness guard: the key carries the table file's
+    * (mtime, length), so a rewritten table re-infers (a local-FS
+    * directory layout bumps its mtime on any file add/remove);
+    * sessions are weak keys, so a stopped session's relations drop
+    * with it.
+    */
+  private val relationCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[(String, String, Long), DataFrame]]()
+
+  private def cacheFor(spark: SparkSession) =
+    relationCache.synchronized {
+      var m = relationCache.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap
+          .empty[(String, String, Long), DataFrame]
+        relationCache.put(spark, m)
+      }
+      m
+    }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     require(names.contains(name), s"unknown table: $name")
-    spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val sig = try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val st = fs.getFileStatus(p)
+      st.getModificationTime ^ java.lang.Long.rotateLeft(st.getLen, 32)
+    } catch { case _: Exception => -1L }
+    cacheFor(spark).getOrElseUpdate((dir, name, sig),
+      spark.read.parquet(path))
   }
 
   /** Physical-layout drift guard for timestamp-like columns (the r6
