@@ -1398,9 +1398,20 @@ object TextOps {
       .select(col("doc_id"),
         explode(expr("filter(split(lower(text), ' '), x -> x <> '')"))
           .as("tok"))
+    // r14: tokenize ONCE per query. tf/df/dl are three aggregates of
+    // the same token explode, and every BM25 consumer references all
+    // three — without materialization the corpus tokenize subtree
+    // recomputes once per reference (doc_bm25_maxscore's plan carried
+    // 5-6 copies, measured as repeated 0.8 s single-task stages). tf
+    // is the smallest frame that still derives the other two exactly:
+    // df = tf's per-token row count, dl = Σ tf per doc (identical to
+    // the token count by definition). At 100 TB "materialize the
+    // postings once" IS the TermIndexStore; the inline operator now
+    // does per-query what the store does per-corpus.
     val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val df_ = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     (tf, df_, dl)
   }
 
@@ -2078,14 +2089,22 @@ object TextOps {
       .select(col("doc_id"), col("lang"),
         explode(expr("filter(split(lower(text), ' '), x -> x <> '')"))
           .as("tok"))
+    // r14: tokenize ONCE (the bm25Parts discipline) — tf, the model
+    // census, the vocab size and the class census are four aggregates
+    // of the same token explode, and each reference re-ran the corpus
+    // tokenize (the nb_lang plan carried the 2 MB token exchange
+    // twice). tf is materialized and the other three derive from it
+    // exactly: cnt / tot / ctoks are Σtf by definition, v and cdocs
+    // are distinct counts unchanged by pre-grouping.
     val tf = toks.groupBy("doc_id", "lang", "tok")
       .agg(count(lit(1)).as("tf"))
-    val model = toks.groupBy(col("tok"), col("lang").as("c"))
-      .agg(count(lit(1)).as("cnt"))
-    val vsize = toks.agg(countDistinct(col("tok")).as("v"),
-      count(lit(1)).as("tot"))
-    val classes = toks.groupBy(col("lang").as("c"))
-      .agg(count(lit(1)).as("ctoks"),
+      .localCheckpoint(true)
+    val model = tf.groupBy(col("tok"), col("lang").as("c"))
+      .agg(sum(col("tf")).as("cnt"))
+    val vsize = tf.agg(countDistinct(col("tok")).as("v"),
+      sum(col("tf")).as("tot"))
+    val classes = tf.groupBy(col("lang").as("c"))
+      .agg(sum(col("tf")).as("ctoks"),
         countDistinct(col("doc_id")).as("cdocs"))
       .crossJoin(broadcast(vsize))
       .crossJoin(broadcast(Tables.documents(spark, dir)
