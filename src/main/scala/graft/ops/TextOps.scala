@@ -2089,22 +2089,14 @@ object TextOps {
       .select(col("doc_id"), col("lang"),
         explode(expr("filter(split(lower(text), ' '), x -> x <> '')"))
           .as("tok"))
-    // r14: tokenize ONCE (the bm25Parts discipline) — tf, the model
-    // census, the vocab size and the class census are four aggregates
-    // of the same token explode, and each reference re-ran the corpus
-    // tokenize (the nb_lang plan carried the 2 MB token exchange
-    // twice). tf is materialized and the other three derive from it
-    // exactly: cnt / tot / ctoks are Σtf by definition, v and cdocs
-    // are distinct counts unchanged by pre-grouping.
     val tf = toks.groupBy("doc_id", "lang", "tok")
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
-    val model = tf.groupBy(col("tok"), col("lang").as("c"))
-      .agg(sum(col("tf")).as("cnt"))
-    val vsize = tf.agg(countDistinct(col("tok")).as("v"),
-      sum(col("tf")).as("tot"))
-    val classes = tf.groupBy(col("lang").as("c"))
-      .agg(sum(col("tf")).as("ctoks"),
+    val model = toks.groupBy(col("tok"), col("lang").as("c"))
+      .agg(count(lit(1)).as("cnt"))
+    val vsize = toks.agg(countDistinct(col("tok")).as("v"),
+      count(lit(1)).as("tot"))
+    val classes = toks.groupBy(col("lang").as("c"))
+      .agg(count(lit(1)).as("ctoks"),
         countDistinct(col("doc_id")).as("cdocs"))
       .crossJoin(broadcast(vsize))
       .crossJoin(broadcast(Tables.documents(spark, dir)
