@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench contract is ONE parseable JSON line on stdout; sbt's default
+// LoggedOutput strategy prefixes every forked-run line with "[info] ",
+// which breaks json.loads for any consumer of `sbt "runMain graft.Bench"`.
+// StdoutOutput passes the forked process's stdout/stderr through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

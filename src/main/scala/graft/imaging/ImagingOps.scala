@@ -585,12 +585,12 @@ object ImagingOps {
     */
   def lineageDepth(spark: SparkSession, dir: String): DataFrame = {
     val base = dataSet(spark, dir).select("id", "parent_id")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var cur = base.select(col("id"),
       coalesce(col("parent_id"), col("id")).as("anc"),
       when(col("parent_id").isNull, lit(0L)).otherwise(lit(1L))
         .as("depth"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     def depthSum(df: DataFrame): Long = {
       val r = df.agg(sum("depth")).head()
       if (r.isNullAt(0)) 0L else r.getLong(0)
@@ -607,7 +607,7 @@ object ImagingOps {
           coalesce(col("gp"), col("anc")).as("anc"),
           (col("depth") + when(col("gp").isNotNull, 1L).otherwise(0L))
             .as("depth"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       cur.unpersist(false)
       cur = next
       sum0 = depthSum(cur)

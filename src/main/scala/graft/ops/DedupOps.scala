@@ -48,6 +48,13 @@ object DedupOps {
     */
   private[graft] def corpus(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).select("doc_id", "text", "source", "lang")
+    // r15 note: a §2.5 parallelism floor ([[Spread.floor]]) was tried
+    // here and REVERTED on measurement — tokenize/md5 per-row work is
+    // so small at bench scale that 32-way task-setup overhead swamped
+    // it (doc_nb_margin 1.9×, doc_dup_clusters 1.3× SLOWER; 14.6 s of
+    // task CPU where the 1-task stages paid ~1 s). The floor only pays
+    // when per-partition work is heavy, which is the vector census
+    // (spreadVecs), not the text pipelines.
     d.unionByName(
       d.filter(col("doc_id") % 5 === 0)
         .withColumn("doc_id", col("doc_id") + 1000000L))

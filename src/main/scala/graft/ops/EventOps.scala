@@ -591,7 +591,7 @@ object EventOps {
       dir: String): DataFrame = {
     // the ONE corpus-touching job: everything below reads this ≤T²
     // census leaf, never the fact again
-    val trans = typeBigrams(spark, dir).localCheckpoint(true)
+    val trans = typeBigrams(spark, dir).localCheckpoint(false)
     // a type that appears only as a destination (sink) would silently
     // leak stationary mass at every power step below (v.join(pmat,
     // "src") discards its row), turning the output into a
@@ -608,7 +608,7 @@ object EventOps {
       .select(col("src"), col("dst"),
         (col("n").cast("double") / col("tot"))
           .cast("decimal(18,12)").as("p"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val nTypes = pmat.select("src").distinct()
       .agg(count(lit(1)).as("t"))
     // one-row census cross join — declared, broadcast
@@ -616,14 +616,14 @@ object EventOps {
       .join(broadcast(nTypes), lit(true))
       .select(col("src"),
         (lit(1.0) / col("t")).cast("decimal(18,12)").as("pi"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     for (_ <- 1 to 12) {
       v = v.join(pmat, "src")
         .groupBy(col("dst"))
         .agg(sum(col("pi") * col("p")).as("s"))
         .select(col("dst").as("src"),
           round(col("s"), 12).cast("decimal(18,12)").as("pi"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     v.join(broadcast(totals), Seq("src"))
       .select(col("src").as("event_type"), col("tot").as("n_out"),

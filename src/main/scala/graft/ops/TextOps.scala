@@ -1408,8 +1408,13 @@ object TextOps {
     // the token count by definition). At 100 TB "materialize the
     // postings once" IS the TermIndexStore; the inline operator now
     // does per-query what the store does per-corpus.
+    // r15: LAZY checkpoint — the plan truncation (tokenize once, every
+    // consumer reads the materialized tf) is identical, but the
+    // materialization now rides the query's own first action instead
+    // of a separate up-front job (guide §1.2: per-query sequential
+    // actions are the bench-scale cost; one job fewer per BM25 rung)
     val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val df_ = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     (tf, df_, dl)
@@ -1517,6 +1522,24 @@ object TextOps {
       .select(col("tok"), col("t.id").as("doc_id"),
         col("t.tag").as("tf"))
 
+  /** Per-term MaxScore upper bounds (tok, ub) of a postings frame:
+    * each term's max per-posting BM25 contribution, in the same
+    * DECIMAL(28,10) the matched frame scores in. Over the impact-capped
+    * companion this equals the FULL list's bound (the companion keeps
+    * each term's top-M by impact; idf is constant within a term), so a
+    * store can materialize this census once at build/compaction time —
+    * the corpus-axis df/dl joins run at INDEX BUILD time, never per
+    * query ([[cappedPostings]]' own discipline applied to the bounds).
+    */
+  private[graft] def termBounds(postings: DataFrame, df_ : DataFrame,
+      dl: DataFrame): DataFrame =
+    postings
+      .join(df_, "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(bm25Glob(dl)))
+      .groupBy("tok")
+      .agg(max(bm25ContribCol.cast("decimal(28,10)")).as("ub"))
+
   private[graft] def bm25From(tf: DataFrame, df_ : DataFrame,
       dl: DataFrame, cap: Option[Int]): DataFrame =
     bm25Serve(tf, cap.fold(tf)(m => cappedPostings(tf, dl, m)), df_, dl)
@@ -1558,15 +1581,19 @@ object TextOps {
   /** The MaxScore tail over already-materialized index parts (the
     * [[bm25From]] discipline: one implementation, two sources).
     *
-    * @param boundsSrc optional (doc_id, tok, tf) postings subset to
-    *   derive the per-term upper bounds from INSTEAD of the matched
-    *   frame — the persisted impact-capped companion qualifies
-    *   exactly: it keeps each term's top-M postings BY IMPACT, and
-    *   contribution = idf(term) · impact with idf constant within a
-    *   term, so the companion's max contribution IS the full list's
-    *   max. A bound from the companion skips the matched frame's
-    *   self-exclusion (qid ≠ doc_id), which only LOOSENS the bound —
-    *   exactness is preserved, pruning just gets (negligibly) weaker.
+    * @param boundsSrc optional precomputed per-term upper bounds
+    *   (tok, ub) to use INSTEAD of deriving them from the matched
+    *   frame — [[termBounds]] over the persisted impact-capped
+    *   companion qualifies exactly: the companion keeps each term's
+    *   top-M postings BY IMPACT, and contribution = idf(term) · impact
+    *   with idf constant within a term, so the companion's max
+    *   contribution IS the full list's max. A bound source without the
+    *   matched frame's self-exclusion (qid ≠ doc_id) only LOOSENS the
+    *   bound — exactness is preserved, pruning just gets (negligibly)
+    *   weaker. r15: the bounds arrive as a census, not as postings, so
+    *   a store can materialize them ONCE at build/compaction and the
+    *   serving plan carries no corpus-axis aggregate for the bound —
+    *   the scaladoc's "stored companion" made literal.
     */
   private[graft] def bm25MaxScoreFrom(tf: DataFrame, df_ : DataFrame,
       dl: DataFrame, boundsSrc: Option[DataFrame]): DataFrame = {
@@ -1651,20 +1678,16 @@ object TextOps {
       .crossJoin(broadcast(glob))
       .select(col("qid"), col("doc_id"), col("tok"),
         bm25ContribCol.cast("decimal(28,10)").as("c"))
-      .localCheckpoint(true)
+      // lazy for the same reason as bm25Parts' tf: one shared
+      // materialization, no standalone up-front job
+      .localCheckpoint(false)
     val bounds = boundsSrc match {
       case None =>
         matched.groupBy("qid", "tok").agg(max("c").as("ub"))
       case Some(src) =>
-        // per-TERM bound off the companion's ≤M·|query terms| rows,
-        // expanded to (qid, tok) through the broadcast query frame
-        src.join(broadcast(qterms.select("tok").distinct()), "tok")
-          .join(df_, "tok")
-          .join(dl, "doc_id")
-          .crossJoin(broadcast(glob))
-          .groupBy("tok")
-          .agg(max(bm25ContribCol.cast("decimal(28,10)")).as("ub"))
-          .join(broadcast(qterms), "tok")
+        // (tok, ub) census expanded to (qid, tok) through the
+        // broadcast query frame — a bounded lookup, no corpus joins
+        src.join(broadcast(qterms), "tok")
           .select("qid", "tok", "ub")
     }
     val rarest = qterms.join(df_, "tok")
@@ -1896,7 +1919,7 @@ object TextOps {
         expr("filter(split(lower(text), ' '), x -> x <> '')")).as("sym"))
       .groupBy("sym").agg(count(lit(1)).as("n"))
       .filter(length(col("sym")) >= 2)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     (1 to rounds).scanLeft(
         (v0, Option.empty[DataFrame], Option.empty[DataFrame])) {
       case ((v, _, _), k) =>
@@ -1912,11 +1935,11 @@ object TextOps {
           .agg(sum(col("n") * col("occ")).as("w"))
           .orderBy(col("w").desc, col("pair")).limit(1)
           .select(col("pair").as(s"p$k"), col("w").as(s"w$k"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val merged = v.crossJoin(broadcast(winner))
           .select(col("n"),
             expr(s"replace(sym, p$k, chr($k))").as("sym"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val stats = merged
           .agg(sum(col("n") * length(col("sym")))
             .as(s"total_symbols$k"))

@@ -41,14 +41,13 @@ object VectorOps {
     * (emb_dim_corr: 3.4 s of its 4.0 s total in one 1-task stage).
     * One round-robin exchange of the skinny (id, 64-float) rows costs
     * O(N·d) to buy O(N·d²/2) of parallel work — the §8 proxy-shuffle
-    * ratio. At 100 TB the scan itself is thousands of splits and this
-    * exchange is the one input-sized shuffle the census pass was
-    * already budgeted for; partition count follows the session's
-    * shuffle parallelism, never a constant.
+    * ratio. r15: now a guarded FLOOR ([[Spread.floor]]) — at 100 TB
+    * the scan is thousands of splits and the exchange must not fire;
+    * partition count follows the session's shuffle parallelism, never
+    * a constant.
     */
   private def spreadVecs(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.conf
-      .get("spark.sql.shuffle.partitions").toInt)
+    Spread.floor(df)
 
   /** Brute-force cosine top-5 for each query vector (vec_id < 10):
     * broadcast the query side, score every candidate, per-query top-k
@@ -992,7 +991,7 @@ object VectorOps {
       // diag branch and the j > i branch below otherwise each re-run
       // the full N×d²/2 product aggregate (two copies of the pass in
       // the physical plan, measured as two 2.5-7.7 s CPU stages)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val firsts = e
       .select(posexplode(col("embedding")).as(Seq("i", "x")))
       .select(col("i"), col("x").cast("double")
@@ -1088,21 +1087,16 @@ object VectorOps {
 
   /** Embeddings under the OPQ-lite rotation, as array<double>: the
     * mutual-best pairs rotate (x'ᵢ = c·xᵢ − s·xⱼ, x'ⱼ = s·xᵢ + c·xⱼ),
-    * every other dim passes through. The per-dim rotation plan
-    * compiles to THREE 64-long arrays in a one-row census broadcast
-    * onto the corpus scan (the declared one-row cross join), so the
-    * rotation itself is a single codegen'd transform per row — no
-    * per-element join, no shuffle.
-    */
-  private[graft] def rotatedEmbeddings(spark: SparkSession,
-      e: DataFrame): DataFrame =
-    rotatedWith(spark, e, opqRotationsRaw(e))
-
-  /** [[rotatedEmbeddings]] with the rotation frame precomputed — the
-    * sweep passes a materialized census so the moment aggregation
-    * behind it runs once, not once per consumer, and
+    * every other dim passes through. The rotation frame arrives
+    * precomputed (every caller materializes the ≤32-row census once —
+    * the knnOpq/opqSweep discipline — so the N×d²/2 moment aggregation
+    * behind it never re-runs per consumer), and
     * [[graft.sources.VectorIndex]] passes its PERSISTED plan so every
-    * build/append/search pass rotates through the frozen weights.
+    * build/append/search pass rotates through the frozen weights. The
+    * per-dim rotation plan compiles to THREE 64-long arrays in a
+    * one-row census broadcast onto the corpus scan (the declared
+    * one-row cross join), so the rotation itself is a single codegen'd
+    * transform per row — no per-element join, no shuffle.
     */
   private[graft] def rotatedWith(spark: SparkSession, e: DataFrame,
       rot: DataFrame): DataFrame = {
@@ -1137,8 +1131,14 @@ object VectorOps {
     * directly comparable between the two reports).
     */
   def opqDistortion(spark: SparkSession, dir: String): DataFrame = {
-    val rotated = rotatedEmbeddings(spark,
-      spreadVecs(Tables.embeddings(spark, dir)))
+    val e = spreadVecs(Tables.embeddings(spark, dir))
+    // r15: materialize the ≤32-row rotation census once (the knnOpq /
+    // opqSweep discipline) — left lazy, the N×d²/2 moment aggregate
+    // behind it re-ran once per consumer of `rotated` below (the
+    // codebook branch and the corpus branch: two full census passes in
+    // one query, PlanAudit flagged embeddings×42 in this plan)
+    val rotated = rotatedWith(spark, e,
+      opqRotationsRaw(e).localCheckpoint(false))
     val cents = subspaces(rotated.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cid"), col("rvec").as("cv")), "cv")
       .select(col("cid"), col("m"), col("sub").as("csub"))
@@ -1180,7 +1180,7 @@ object VectorOps {
     // discipline) so the codebook/query/corpus consumers below don't
     // each retrain it; the per-row rotation itself stays lazy
     val rot = rotatedWith(spark, e,
-        opqRotationsRaw(e).localCheckpoint(true))
+        opqRotationsRaw(e).localCheckpoint(false))
       .select(col("vec_id"), col("rvec").as("embedding"))
     val cents = pqCents(rot)
     val dtab = subspaces(rot.filter(col("vec_id") < 10)
@@ -1204,7 +1204,7 @@ object VectorOps {
     * the iteration [[opqRotations]] stops short of: round 1 is the
     * raw-corpus pair census ([[opqBase]]); round 2 recomputes the
     * SAME census after applying round 1's mutual-best rotations
-    * ([[rotatedEmbeddings]]). Per round: how many var>0/cov≠0 pairs
+    * ([[rotatedWith]]). Per round: how many var>0/cov≠0 pairs
     * exist, how many pairs the mutual-best selection would rotate,
     * the strongest remaining |corr| and the exact-DECIMAL |corr| mass
     * — convergence shows as round 2's max/sum dropping (each Jacobi
@@ -1221,10 +1221,10 @@ object VectorOps {
     // localCheckpoint discipline) so the three downstream consumers
     // (stats row, mutual-best count, round-2 rotation plan) never
     // recompute the census
-    val base1 = opqBase(e).localCheckpoint(true)
+    val base1 = opqBase(e).localCheckpoint(false)
     val r2src = rotatedWith(spark, e, opqRotationsFromBase(base1))
       .select(col("vec_id"), col("rvec").as("embedding"))
-    val base2 = opqBase(r2src).localCheckpoint(true)
+    val base2 = opqBase(r2src).localCheckpoint(false)
     def roundRow(rnd: Int, base: DataFrame): DataFrame = {
       val stats = base.agg(
         count(lit(1)).as("n_pairs"),
@@ -1508,9 +1508,9 @@ object VectorOps {
       .join(broadcast(q), Seq("qid"))
       .select(col("qid"), col("vec_id"), col("crank"),
         cosine(col("qv"), col("embedding")).as("sim"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val truth = knnBrute(spark, dir).select("qid", "neighbor")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val nTruth = truth.count()
     val picks = Seq(5, 10, 20, 40).map { d =>
       rescored.filter(col("crank") <= d)
@@ -1604,7 +1604,7 @@ object VectorOps {
   private def trainedCents(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
     def iterate(cents: DataFrame): DataFrame =
-      lloydMomentsOf(lloydAssign(e, cents)).localCheckpoint(true)
+      lloydMomentsOf(lloydAssign(e, cents)).localCheckpoint(false)
     lloydCentsOf(iterate(lloydCentsOf(iterate(
       lloydCentsOf(iterate(lloydSeeds(e)))))))
   }
@@ -1659,7 +1659,7 @@ object VectorOps {
   def codebookRecall(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
     val truth = knnBrute(spark, dir).select("qid", "neighbor")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val nTruth = truth.count()
     val rungs = Seq(
       "seed" -> ivfL2Search(e, lloydSeeds(e)),
@@ -1770,7 +1770,7 @@ object VectorOps {
   def truncateCurve(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val truth = knnBrute(spark, dir).select("qid", "neighbor")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val nTruth = truth.count()
     val picks = Seq(8, 16, 32, 64).map { d =>
       truncScored(e, d)
@@ -2262,7 +2262,7 @@ object VectorOps {
     // one Lloyd pass ([[lloydAssign]]/[[lloydMomentsOf]] kernel);
     // the 16×d moment pin keeps it one corpus pass per iteration
     def iterate(cents: DataFrame): DataFrame =
-      lloydMomentsOf(lloydAssign(e, cents)).localCheckpoint(true)
+      lloydMomentsOf(lloydAssign(e, cents)).localCheckpoint(false)
     def shiftOf(iter: Int, mom: DataFrame, prev: DataFrame): DataFrame =
       mom.join(broadcast(prev
           .select(col("cid"), col("dim"), col("cval").as("pval"))),

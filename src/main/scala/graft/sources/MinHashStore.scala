@@ -253,12 +253,36 @@ object MinHashStore {
       .distinct()
     val keep = docs.join(drops, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
+    // r15 (guide §1.2, fewer sequential actions): the five stats were
+    // five separate ~20 ms count jobs over already-checkpointed frames
+    // — at 4+ micro-batches per drain that is pure per-batch driver
+    // latency. ONE flag-join aggregate over the checkpointed frames
+    // yields all five numbers in a single job. Semantics preserved
+    // exactly, including a batch that repeats a doc_id: the flag
+    // frames join as DISTINCT id sets (so no row duplication),
+    // per-row counts keep docs' multiplicity (nBatch / nReplayed /
+    // nAppended counted rows before), and the two drop censuses count
+    // distinct ids (vsStore / inBatch were distinct frames before).
+    val statsRow = docs.select("doc_id")
+      .join(replays.select("doc_id").distinct()
+        .withColumn("r", lit(1)), Seq("doc_id"), "left")
+      .join(vsStore.select("doc_id").distinct()
+        .withColumn("v", lit(1)), Seq("doc_id"), "left")
+      .join(inBatch.select("doc_id").distinct()
+        .withColumn("b", lit(1)), Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("n"),
+        count(col("r")).as("nr"),
+        countDistinct(when(col("v") === 1, col("doc_id"))).as("nv"),
+        countDistinct(when(col("b") === 1, col("doc_id"))).as("nb"),
+        sum(when(col("r").isNull && col("v").isNull && col("b").isNull,
+          1L).otherwise(0L)).as("nk"))
+      .head()
     val stats = IngestStats(
-      nBatch = docs.count(),
-      nReplayed = replays.count(),
-      nDroppedVsStore = vsStore.count(),
-      nDroppedInBatch = inBatch.count(),
-      nAppended = keep.count(),
+      nBatch = statsRow.getLong(0),
+      nReplayed = statsRow.getLong(1),
+      nDroppedVsStore = statsRow.getLong(2),
+      nDroppedInBatch = statsRow.getLong(3),
+      nAppended = if (statsRow.isNullAt(4)) 0L else statsRow.getLong(4),
       nHotKeysSkipped = hotKeys)
     keep.write.bucketBy(DocumentStore.DefaultBuckets, "doc_id")
       .sortBy("doc_id").mode("append").saveAsTable(table)

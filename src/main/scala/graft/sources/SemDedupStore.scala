@@ -252,12 +252,28 @@ object SemDedupStore {
     val keep = prim.join(drops, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
       .localCheckpoint(true)
+    // r15 (guide §1.2, fewer sequential actions): one flag-join
+    // aggregate instead of five ~20 ms count jobs of per-batch driver
+    // latency. vec_ids are unique by contract (prim / replays /
+    // vsStore / inBatch are all distinct id sets ⊆ prim), so the five
+    // numbers are identical by construction: per-row counts equal the
+    // old frame counts, appended = rows with no flag = the anti-join.
+    val statsRow = prim.select("vec_id")
+      .join(replays.withColumn("r", lit(1)), Seq("vec_id"), "left")
+      .join(vsStore.withColumn("v", lit(1)), Seq("vec_id"), "left")
+      .join(inBatch.withColumn("b", lit(1)), Seq("vec_id"), "left")
+      .agg(count(lit(1)).as("n"),
+        count(col("r")).as("nr"), count(col("v")).as("nv"),
+        count(col("b")).as("nb"),
+        sum(when(col("r").isNull && col("v").isNull && col("b").isNull,
+          1L).otherwise(0L)).as("nk"))
+      .head()
     val stats = IngestStats(
-      nBatch = prim.count(),
-      nReplayed = replays.count(),
-      nDroppedVsStore = vsStore.count(),
-      nDroppedInBatch = inBatch.count(),
-      nAppended = keep.count(),
+      nBatch = statsRow.getLong(0),
+      nReplayed = statsRow.getLong(1),
+      nDroppedVsStore = statsRow.getLong(2),
+      nDroppedInBatch = statsRow.getLong(3),
+      nAppended = if (statsRow.isNullAt(4)) 0L else statsRow.getLong(4),
       nCellsTouched = cells.length.toLong)
     // one file per touched cell per batch (the build's repartition
     // discipline) — appends otherwise multiply the listing debt by

@@ -45,6 +45,7 @@ object TermIndexStore {
 
   private def doclenTable(table: String): String = table + "_doclen"
   private def cappedTable(table: String): String = table + "_capped"
+  private def boundsTable(table: String): String = table + "_bounds"
 
   /** The impact cap M is a LAYOUT PROPERTY of a built store, recorded
     * as a `_graft_m` marker file in the postings table's directory
@@ -155,13 +156,37 @@ object TermIndexStore {
     * a cost optimization.
     */
   private def materializeCapped(spark: SparkSession,
-      table: String, m: Int): Unit =
+      table: String, m: Int): Unit = {
     graft.ops.TextOps.cappedPostings(
         postings(spark, table).select("doc_id", "tok", "tf"),
         docLens(spark, table), m)
       .select("tok", "doc_id", "tf")
       .write.bucketBy(DocumentStore.DefaultBuckets, "tok")
       .sortBy("tok").mode("overwrite").saveAsTable(cappedTable(table))
+    materializeBounds(spark, table)
+  }
+
+  /** Materialize the per-term MaxScore upper bounds (tok, ub) — the
+    * scaladoc claim "in a serving deployment the bound is a stored
+    * companion next to the impact caps" as an actual table (r15):
+    * derived from the just-written capped companion (whose per-term
+    * max contribution equals the full list's — see
+    * [[graft.ops.TextOps.termBounds]]), so the corpus-axis df/dl/avgdl
+    * joins the MaxScore serving path used to re-run per query now run
+    * once, here. Lifecycle is the capped table's exactly: written at
+    * [[build]]/[[compact]], dropped by [[ingest]] and [[deleteDocs]]
+    * (an append/delete changes df/dl/N, which the bounds bake in), at
+    * which point MaxScore serving falls back to matched-frame bounds —
+    * same results either way, the companion is purely a cost
+    * optimization.
+    */
+  private def materializeBounds(spark: SparkSession,
+      table: String): Unit =
+    graft.ops.TextOps.termBounds(
+        spark.table(cappedTable(table)).select("doc_id", "tok", "tf"),
+        dfCensus(spark, table), docLens(spark, table))
+      .write.bucketBy(DocumentStore.DefaultBuckets, "tok")
+      .sortBy("tok").mode("overwrite").saveAsTable(boundsTable(table))
 
   /** Small-file settlement: one writer per bucket for both index
     * layouts ([[DocumentStore.compactBucketed]]), then the capped
@@ -193,6 +218,7 @@ object TermIndexStore {
     DocumentStore.clearStale(spark, table)
     DocumentStore.clearStale(spark, doclenTable(table))
     DocumentStore.clearStale(spark, cappedTable(table))
+    DocumentStore.clearStale(spark, boundsTable(table))
   }
 
   /** Takedown across all three layouts — the right-to-be-forgotten
@@ -224,6 +250,9 @@ object TermIndexStore {
   def deleteDocs(spark: SparkSession, table: String,
       ids: DataFrame): DeleteStats = {
     DocumentStore.clearStale(spark, cappedTable(table))
+    // the bounds bake in df/dl/N, which the delete changes — same
+    // drop-then-recompact lifecycle as the capped companion
+    DocumentStore.clearStale(spark, boundsTable(table))
     DeleteStats(
       DocumentStore.deleteByIdKeyed(spark, doclenTable(table), "doc_id",
         "doc_id", ids),
@@ -258,6 +287,10 @@ object TermIndexStore {
     // let a crash strand a stale capped table that search(cap=m)
     // silently trusts, omitting the ingested docs from pruned results
     DocumentStore.clearStale(spark, cappedTable(table))
+    // bounds bake in df/dl/N — stale bounds after an append could sit
+    // BELOW a term's true max contribution and mis-prune, so they drop
+    // in the same pre-append window
+    DocumentStore.clearStale(spark, boundsTable(table))
     // dedupe WITHIN the batch: a doc_id repeated in one micro-batch
     // would otherwise be merged by tfOf's groupBy, doubling its tf
     // and dl and silently corrupting the index relative to the
@@ -273,12 +306,19 @@ object TermIndexStore {
     // one batch tokenize feeds membership, the append AND the repair
     val tfBatch = tfOf(docs).localCheckpoint(true)
     val tokenized = tfBatch.select("doc_id").distinct()
-    val nTokenized = tokenized.count()
     val replays = tokenized
       .join(docLens(spark, table).select("doc_id"), Seq("doc_id"),
         "left_semi")
       .localCheckpoint(true)
-    val nReplayed = replays.count()
+    // r15: one flag-join aggregate instead of two sequential count
+    // jobs (per-batch driver latency — guide §1.2); replays ⊆
+    // tokenized and both are distinct id sets, so the counts are
+    // identical by construction
+    val tokRow = tokenized
+      .join(replays.withColumn("r", lit(1)), Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("n"), count(col("r")).as("nr")).head()
+    val nTokenized = tokRow.getLong(0)
+    val nReplayed = tokRow.getLong(1)
     val tfFresh = tfBatch.join(replays, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
     // membership first: doclen is the commit marker
@@ -425,14 +465,15 @@ object TermIndexStore {
     * upper-bound pruning served off the persisted layouts — the
     * scaladoc claim "in a serving deployment the bound is a stored
     * companion next to the impact caps" made literal: the per-term
-    * upper bounds derive from the MATERIALIZED impact-capped
-    * companion (its top-M by impact necessarily contains each term's
-    * max-contribution posting, and idf is constant within a term), so
-    * the bound census reads ≤M·|query terms| skinny bucket-pruned
-    * rows; seeds and survivor scoring read the full postings (MaxScore
+    * upper bounds are read from the MATERIALIZED bounds companion
+    * (derived at build/compaction from the impact-capped table, whose
+    * top-M by impact necessarily contains each term's max-contribution
+    * posting — idf is constant within a term), so the bound is a
+    * ≤|query terms| row lookup with zero corpus-axis work at serving
+    * time; seeds and survivor scoring read the full postings (MaxScore
     * is exact — pruning changes WORK, never the answer). Marker-gated
     * like [[search]]: between an ingest and the next compaction the
-    * companion is absent and bounds fall back to the matched frame.
+    * companions are absent and bounds fall back to the matched frame.
     */
   def searchMaxScoreFor(spark: SparkSession, dir: String): DataFrame = {
     val table = ensureBuilt(spark, dir)
@@ -442,15 +483,22 @@ object TermIndexStore {
       companionBounds(spark, table))
   }
 
-  /** The marker-gated capped companion as a MaxScore bounds source
-    * (None between an ingest and the next compaction).
+  /** The marker-gated (tok, ub) bounds source for MaxScore serving
+    * (None between an ingest and the next compaction, when the
+    * companions are dropped): preferably the MATERIALIZED bounds table
+    * — a bounded lookup, zero corpus-axis work per query — falling
+    * back to a read-time derivation off the capped companion for
+    * stores built before the bounds table existed.
     */
   private def companionBounds(spark: SparkSession,
       table: String): Option[DataFrame] =
-    if (recordedM(spark, table).contains(layoutM(spark, table))
-        && spark.catalog.tableExists(cappedTable(table)))
-      Some(spark.table(cappedTable(table))
-        .select("doc_id", "tok", "tf"))
+    if (!recordedM(spark, table).contains(layoutM(spark, table))) None
+    else if (spark.catalog.tableExists(boundsTable(table)))
+      Some(spark.table(boundsTable(table)).select("tok", "ub"))
+    else if (spark.catalog.tableExists(cappedTable(table)))
+      Some(graft.ops.TextOps.termBounds(
+        spark.table(cappedTable(table)).select("doc_id", "tok", "tf"),
+        dfCensus(spark, table), docLens(spark, table)))
     else None
 
   /** FREE-TEXT EXACT search — [[searchText]]'s capped ranking is the

@@ -20,22 +20,38 @@ object Tables {
     * repeated directory listing guide §6 tells you to cache
     * (`filesourcePartitionFileCacheSize` / manifest formats). The cache
     * holds PLANS, never results — each action still computes from the
-    * parquet bytes. Staleness guard: the key carries the table file's
-    * (mtime, length), so a rewritten table re-infers (a local-FS
-    * directory layout bumps its mtime on any file add/remove);
-    * sessions are weak keys, so a stopped session's relations drop
-    * with it.
+    * parquet bytes.
+    *
+    * Staleness guard: the key carries the table path's (mtime, length)
+    * folded with its DIRECT children's when the path is a directory —
+    * an in-place rewrite of a part file (same name) bumps that file's
+    * mtime but not the parent's, so the parent status alone served
+    * stale plans (r14 ADVICE). One listing level matches the flat
+    * layout every table here uses (part files directly under
+    * `<name>.parquet/`); nested partition subdirectories would need a
+    * recursive walk, asserted against below. A superseded signature's
+    * entry for the same (dir, name) is evicted, so rewritten tables
+    * don't accumulate dead plans.
+    *
+    * Lifecycle: sessions are weak keys, and the cached DataFrames are
+    * held through SoftReferences — a DataFrame strongly references its
+    * SparkSession (via QueryExecution), so strong values would pin the
+    * weak key forever (r14 ADVICE: the cache leaked sessions for the
+    * process lifetime). Soft values break that chain: under memory
+    * pressure the GC clears them (a cleared entry just re-infers), and
+    * once nothing else holds the session it becomes collectable.
     */
   private val relationCache =
     new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[(String, String, Long), DataFrame]]()
+      scala.collection.concurrent.TrieMap[(String, String, Long),
+        java.lang.ref.SoftReference[DataFrame]]]()
 
   private def cacheFor(spark: SparkSession) =
     relationCache.synchronized {
       var m = relationCache.get(spark)
       if (m == null) {
         m = scala.collection.concurrent.TrieMap
-          .empty[(String, String, Long), DataFrame]
+          .empty[(String, String, Long), java.lang.ref.SoftReference[DataFrame]]
         relationCache.put(spark, m)
       }
       m
@@ -48,10 +64,29 @@ object Tables {
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val st = fs.getFileStatus(p)
-      st.getModificationTime ^ java.lang.Long.rotateLeft(st.getLen, 32)
+      var s = st.getModificationTime ^ java.lang.Long.rotateLeft(st.getLen, 32)
+      if (st.isDirectory) {
+        fs.listStatus(p).foreach { c =>
+          require(!c.isDirectory,
+            s"$path: nested directory ${c.getPath.getName} — the one-level " +
+              "staleness signature assumes a flat part-file layout")
+          s ^= java.lang.Long.rotateLeft(c.getModificationTime, 17) ^
+            java.lang.Long.rotateLeft(c.getLen, 43)
+        }
+      }
+      s
     } catch { case _: Exception => -1L }
-    cacheFor(spark).getOrElseUpdate((dir, name, sig),
-      spark.read.parquet(path))
+    val cache = cacheFor(spark)
+    val key = (dir, name, sig)
+    val hit = cache.get(key).flatMap(r => Option(r.get()))
+    hit.getOrElse {
+      val df = spark.read.parquet(path)
+      // evict superseded signatures of the same table before caching
+      cache.keys.filter(k => k._1 == dir && k._2 == name && k != key)
+        .foreach(cache.remove)
+      cache.put(key, new java.lang.ref.SoftReference(df))
+      df
+    }
   }
 
   /** Physical-layout drift guard for timestamp-like columns (the r6

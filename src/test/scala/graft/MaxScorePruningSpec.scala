@@ -61,9 +61,12 @@ class MaxScorePruningSpec extends AnyFunSuite {
     assert(ms.toSeq === exact.toSeq, "matched-frame bounds drifted")
     // companion bounds at a tiny M: the capped list's top-1 by impact
     // is the term's global max contribution, so even M = 2 preserves
-    // exactness — the bound argument never depends on M being large
+    // exactness — the bound argument never depends on M being large.
+    // r15: bounds arrive as the (tok, ub) census a store materializes
+    // at build time ([[TextOps.termBounds]] over the capped companion)
     val msCapped = TextOps.bm25MaxScoreFrom(tf, df_, dl,
-        Some(TextOps.cappedPostings(tf, dl, 2)))
+        Some(TextOps.termBounds(
+          TextOps.cappedPostings(tf, dl, 2), df_, dl)))
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
     assert(msCapped.toSeq === exact.toSeq, "companion bounds drifted")
   }

@@ -142,7 +142,7 @@ class TakedownSpec extends AnyFunSuite {
         .join(victims, Seq("doc_id"), "left_semi").count() === 0L)
       assert(TermIndexStore.search(spark, t).collect().toSeq === expect)
     } finally {
-      Seq(t, s"${t}_doclen", s"${t}_capped").foreach(x =>
+      Seq(t, s"${t}_doclen", s"${t}_capped", s"${t}_bounds").foreach(x =>
         spark.sql(s"DROP TABLE IF EXISTS $x"))
       spark.sql("DROP DATABASE IF EXISTS graft_tkt")
     }

@@ -47,6 +47,7 @@ class TermIndexStoreSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE IF EXISTS $t")
       spark.sql(s"DROP TABLE IF EXISTS ${t}_doclen")
       spark.sql(s"DROP TABLE IF EXISTS ${t}_capped")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_bounds")
       spark.sql("DROP DATABASE IF EXISTS graft_ti0")
     }
   }
@@ -91,6 +92,7 @@ class TermIndexStoreSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE IF EXISTS $t")
       spark.sql(s"DROP TABLE IF EXISTS ${t}_doclen")
       spark.sql(s"DROP TABLE IF EXISTS ${t}_capped")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_bounds")
       spark.sql("DROP DATABASE IF EXISTS graft_ti1")
     }
   }
@@ -130,6 +132,7 @@ class TermIndexStoreSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE IF EXISTS $t")
       spark.sql(s"DROP TABLE IF EXISTS ${t}_doclen")
       spark.sql(s"DROP TABLE IF EXISTS ${t}_capped")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_bounds")
       spark.sql("DROP DATABASE IF EXISTS graft_ti2")
     }
   }
@@ -174,6 +177,7 @@ class TermIndexStoreSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE IF EXISTS $t")
       spark.sql(s"DROP TABLE IF EXISTS ${t}_doclen")
       spark.sql(s"DROP TABLE IF EXISTS ${t}_capped")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_bounds")
       spark.sql("DROP DATABASE IF EXISTS graft_ti3")
     }
   }
@@ -240,7 +244,54 @@ class TermIndexStoreSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE IF EXISTS $t")
       spark.sql(s"DROP TABLE IF EXISTS ${t}_doclen")
       spark.sql(s"DROP TABLE IF EXISTS ${t}_capped")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_bounds")
       spark.sql("DROP DATABASE IF EXISTS graft_ti4")
+    }
+  }
+
+  test("the MaxScore bounds companion is materialized at build, read " +
+      "as a bounded lookup by stored exact search, dropped on ingest " +
+      "(df/dl/N changed) and restored by compaction with results " +
+      "unchanged") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_tistore6").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_ti6 LOCATION '$tmp'")
+    val t = "graft_ti6.idx"
+    try {
+      TermIndexStore.build(spark, sfDir, t)
+      assert(spark.catalog.tableExists(s"${t}_bounds"),
+        "build must materialize the bounds companion")
+      // a query of real stored tokens, so the search is non-trivial
+      val q = spark.table(t).select("tok").distinct().orderBy("tok")
+        .limit(3).collect().map(_.getString(0)).mkString(" ")
+      val viaBounds = TermIndexStore.searchTextExact(spark, t, q)
+      assert(viaBounds.queryExecution.optimizedPlan.toString
+        .contains("idx_bounds"),
+        "stored exact search must read the materialized bounds table")
+      assert(viaBounds.count() > 0)
+      // an ingest changes df/dl/N, which the bounds bake in — stale
+      // bounds could sit BELOW a term's true max and mis-prune
+      TermIndexStore.ingest(spark, freshDocs, t)
+      assert(!spark.catalog.tableExists(s"${t}_bounds"),
+        "ingest must drop the stale bounds companion")
+      val viaFallback = TermIndexStore.searchTextExact(spark, t, q)
+      assert(!viaFallback.queryExecution.optimizedPlan.toString
+        .contains("idx_bounds"))
+      val expect = viaFallback.collect().toSeq
+      // compaction restores the companion; the answer is EXACT either
+      // way, so serving must be bit-identical across the swap
+      TermIndexStore.compact(spark, t)
+      assert(spark.catalog.tableExists(s"${t}_bounds"))
+      val after = TermIndexStore.searchTextExact(spark, t, q)
+      assert(after.queryExecution.optimizedPlan.toString
+        .contains("idx_bounds"))
+      assert(after.collect().toSeq === expect)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_doclen")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_capped")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_bounds")
+      spark.sql("DROP DATABASE IF EXISTS graft_ti6")
     }
   }
 
@@ -293,6 +344,7 @@ class TermIndexStoreSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE IF EXISTS $t")
       spark.sql(s"DROP TABLE IF EXISTS ${t}_doclen")
       spark.sql(s"DROP TABLE IF EXISTS ${t}_capped")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_bounds")
       spark.sql("DROP DATABASE IF EXISTS graft_ti5")
     }
   }
@@ -325,6 +377,7 @@ class TermIndexStoreSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE IF EXISTS $t")
       spark.sql(s"DROP TABLE IF EXISTS ${t}_doclen")
       spark.sql(s"DROP TABLE IF EXISTS ${t}_capped")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_bounds")
       spark.sql("DROP DATABASE IF EXISTS graft_tit")
     }
   }
