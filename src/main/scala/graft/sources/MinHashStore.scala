@@ -72,7 +72,7 @@ object MinHashStore {
     val drops = DedupOps.minhashPairsOf(corpus)
       .select(greatest(col("doc1"), col("doc2")).as("doc_id")).distinct()
     val keep = corpus.join(drops, Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     keep.write.bucketBy(DocumentStore.DefaultBuckets, "doc_id")
       .sortBy("doc_id").mode("overwrite").saveAsTable(table)
     bandKeysOf(keep)
@@ -141,7 +141,7 @@ object MinHashStore {
     val victimKeys = bandKeysOf(
       read(spark, table).select("doc_id", "text")
         .join(victims, Seq("doc_id"), "left_semi"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val bt = bandsTable(table)
     val bucketOfKb = pmod(hash(col("kb")), lit(n))
     // ≤ nBuckets — the derived keys bound the band-side locate, no
@@ -185,15 +185,15 @@ object MinHashStore {
       jmin: Double = JaccardMin,
       maxBucket: Int = MaxBucket): IngestStats = {
     val bt = bandsTable(table)
-    val docs = batch.select("doc_id", "text").localCheckpoint(true)
+    val docs = batch.select("doc_id", "text").localCheckpoint(false)
     // batch-sized: feeds the probe, the in-batch pass, and the append
-    val keys = bandKeysOf(docs).localCheckpoint(true)
+    val keys = bandKeysOf(docs).localCheckpoint(false)
     // replay idempotency by id: the stored doc read prunes to the
     // doc_id column (never text)
     val replays = docs.select("doc_id")
       .join(read(spark, table).select("doc_id"), Seq("doc_id"),
         "left_semi")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // stored-side probe: batch keys semi-filter the band index (the
     // stored side rides its kb bucket layout — no exchange), then the
     // per-key stored membership is capped BEFORE pair expansion
@@ -201,7 +201,7 @@ object MinHashStore {
       .join(keys.select("kb").distinct(), Seq("kb"), "left_semi")
       .groupBy("kb")
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val hotKeys = storedHits.filter(size(col("ids")) > maxBucket)
       .count()
     val cand = storedHits.filter(size(col("ids")) <= maxBucket)
@@ -227,7 +227,7 @@ object MinHashStore {
         / size(array_union(s1, s2)), 4) >= jmin)
     val vsStore = confirmed.select(col("new_id").as("doc_id")).distinct()
       .join(replays, Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // in-batch keep-first: larger id of every confirmed pair drops.
     // Candidates come off the SAME band keys as the store probe (one
     // signature pass per ingest, not two — measured ~2x the drain
@@ -248,11 +248,11 @@ object MinHashStore {
       .filter(round(size(array_intersect(s1, s2)).cast("double")
         / size(array_union(s1, s2)), 4) >= jmin)
       .select(greatest(col("doc1"), col("doc2")).as("doc_id")).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val drops = vsStore.unionByName(inBatch).unionByName(replays)
       .distinct()
     val keep = docs.join(drops, Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // r15 (guide §1.2, fewer sequential actions): the five stats were
     // five separate ~20 ms count jobs over already-checkpointed frames
     // — at 4+ micro-batches per drain that is pure per-batch driver

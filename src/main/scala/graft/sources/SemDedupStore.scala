@@ -206,7 +206,7 @@ object SemDedupStore {
     // list, both pair stages and the append
     val probed = VectorOps.probedFrame(
         batch.select(col("vec_id"), col("embedding")), cents)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // the bounded driver list that makes the stored read prunable:
     // ≤ 2·batch distinct cells
     val cells = probed.select("cell").distinct()
@@ -229,7 +229,7 @@ object SemDedupStore {
     val replays = probed.filter(col("prank") === 0)
       .join(stored.select(col("vec_id")), Seq("vec_id"), "left_semi")
       .select("vec_id")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // stored-first: a newcomer within tau of ANY stored vector in its
     // probed cells drops, whatever the ids say (its own replayed row,
     // if present, is id-excluded by the pair stage)
@@ -238,7 +238,7 @@ object SemDedupStore {
       .join(replays.withColumnRenamed("vec_id", "v1"),
         Seq("v1"), "left_anti")
       .select(col("v1").as("vec_id")).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // in-batch keep-first: the larger id of every over-tau pair drops
     // (independently of the store check — pairwise drop semantics,
     // exactly [[VectorOps.semDedupProbe]]'s rule)
@@ -246,12 +246,12 @@ object SemDedupStore {
     val inBatch = VectorOps.probeEdges(probed, prim)
       .filter(col("sim") >= tau)
       .select(greatest(col("v1"), col("v2")).as("vec_id")).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val drops = vsStore.unionByName(inBatch).unionByName(replays)
       .distinct()
     val keep = prim.join(drops, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // r15 (guide §1.2, fewer sequential actions): one flag-join
     // aggregate instead of five ~20 ms count jobs of per-batch driver
     // latency. vec_ids are unique by contract (prim / replays /

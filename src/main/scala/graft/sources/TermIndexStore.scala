@@ -130,7 +130,7 @@ object TermIndexStore {
   def build(spark: SparkSession, dir: String, table: String,
       m: Int = graft.ops.TextOps.Bm25M): Unit = {
     val tf = tfOf(Tables.documents(spark, dir).select("doc_id", "text"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
       .write.bucketBy(DocumentStore.DefaultBuckets, "doc_id")
       .sortBy("doc_id").mode("overwrite").saveAsTable(doclenTable(table))
@@ -301,15 +301,15 @@ object TermIndexStore {
     // one doc_id would index a run-dependent text
     val docs = batch.select("doc_id", "text")
       .groupBy("doc_id").agg(min("text").as("text"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val nBatch = docs.count()
     // one batch tokenize feeds membership, the append AND the repair
-    val tfBatch = tfOf(docs).localCheckpoint(true)
+    val tfBatch = tfOf(docs).localCheckpoint(false)
     val tokenized = tfBatch.select("doc_id").distinct()
     val replays = tokenized
       .join(docLens(spark, table).select("doc_id"), Seq("doc_id"),
         "left_semi")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // r15: one flag-join aggregate instead of two sequential count
     // jobs (per-batch driver latency — guide §1.2); replays ⊆
     // tokenized and both are distinct id sets, so the counts are
@@ -320,7 +320,7 @@ object TermIndexStore {
     val nTokenized = tokRow.getLong(0)
     val nReplayed = tokRow.getLong(1)
     val tfFresh = tfBatch.join(replays, Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // membership first: doclen is the commit marker
     tfFresh.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
       .write.bucketBy(DocumentStore.DefaultBuckets, "doc_id")
@@ -333,7 +333,7 @@ object TermIndexStore {
         val repair = tfBatch.join(replays, Seq("doc_id"), "left_semi")
           .join(postings(spark, table), Seq("doc_id", "tok"),
             "left_anti")
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val n = repair.count()
         if (n > 0)
           repair.write.bucketBy(DocumentStore.DefaultBuckets, "tok")
